@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (dev tooling only — the
+shipped library is pure Scala/Spark; duckdb is used here exactly the way
+the driver uses it).
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Expects `graft.Verify` to have already written <verifyOutDir>/<query>/ parquet
+dirs plus <verifyOutDir>/oracle_sql.json. Registers each test table as a
+DuckDB view over the same parquet, runs each oracle, and compares with the
+Spark result: schema (sorted column names), row count, and cell values in
+row order.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
+        return float(v)
+    return v
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    n_pass = n_fail = n_noracle = 0
+    for qdir in sorted(Path(out_dir).iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        files = sorted(qdir.glob("*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(files[0])
+        if name not in oracles:
+            print(f"....... {name}: no oracle (rows-only), rows={spark_tbl.num_rows}")
+            n_noracle += 1
+            continue
+        try:
+            duck = con.execute(oracles[name]).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if spark_tbl.num_rows != duck.num_rows:
+            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
+            n_fail += 1
+            continue
+        s_rows = [[norm(spark_tbl.column(c)[i].as_py()) for c in s_cols]
+                  for i in range(spark_tbl.num_rows)]
+        d_rows = [[norm(duck.column(c)[i].as_py()) for c in d_cols]
+                  for i in range(duck.num_rows)]
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(s_rows)} rows differ; first @{i}:")
+            print(f"  cols : {s_cols}")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS    {name}: rows={spark_tbl.num_rows}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

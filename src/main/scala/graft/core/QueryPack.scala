@@ -1,0 +1,24 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named bundle of registered queries plus their DuckDB oracle SQL.
+  *
+  * Contract (driver-enforced, see SparkEntry): for every key in `queries`
+  * there SHOULD be a key in `oracle` with ANSI SQL that DuckDB can run over
+  * the same parquet tables and that produces the identical result (same
+  * column names, same values, same row order). Queries without an oracle get
+  * a weaker rows-only check — keep those to the genuinely
+  * non-SQL-expressible ops.
+  *
+  * Determinism rules every query here follows:
+  *   - a total ORDER BY on the output (stable, null-free keys);
+  *   - DOUBLE measures are cast to DECIMAL(18,2) *before* aggregation so the
+  *     sum is exact and order-independent, then cast back to DOUBLE in the
+  *     final projection (both engines do the identical decimal arithmetic);
+  *   - every computed column is aliased identically on both sides.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
