@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All registered packs, in display order. */
   def packs: Seq[QueryPack] = Seq(
-    CorePack
+    CorePack,
+    RelationalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

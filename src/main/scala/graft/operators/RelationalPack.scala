@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+
+/** Relational operator pack over the TPC-H-ish star schema: every operator
+  * class the extended engine claims (filter/project, hash join, broadcast
+  * join, semi/anti join, outer join, rollup/cube, distinct, exact+approx
+  * distinct counting, window rank, moving-frame window agg, top-k, set ops,
+  * scalar functions, having) — each one Catalyst-declarative and
+  * oracle-checked against DuckDB.
+  *
+  * Scale design notes (100 TB):
+  *   - lineitem⋈orders is a key-partitioned shuffle join (both sides huge
+  *     → sort-merge/shuffled-hash picked by Catalyst+AQE; no broadcast).
+  *   - nation/region are O(10²) rows forever → explicit `broadcast()`.
+  *   - aggregations are partial (map-side combine) automatically; grouping
+  *     keys here are low-cardinality so the final agg state is tiny.
+  *   - every DOUBLE measure is cast to DECIMAL before SUM so results are
+  *     exact and aggregation-order-independent — this is what makes results
+  *     reproducible across any partitioning/cluster size (and is why the
+  *     DuckDB hash-match holds). See graft.core.QueryPack.
+  */
+object RelationalPack extends QueryPack {
+
+  // exact, order-independent revenue term; identical text is valid DuckDB SQL
+  private val revenueDecSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))"
+  private def revenueDec: Column = expr(revenueDecSql)
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- filter + project (predicate/column pushdown reach the scan) ----
+    "q10_filter_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- hash aggregate, TPC-H Q1 shape ----
+    "q11_agg_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(revenueDec).cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- big-big shuffle join chain + top-k by exact revenue ----
+    "q12_join_hash_topk" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(sum(revenueDec).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- broadcast join through the dim chain ----
+    "q13_join_broadcast" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+        .orderBy("r_name")
+    },
+
+    // ---- left-semi: customers with at least one huge order ----
+    "q14_semi_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // ---- left-anti: customers with no huge order ----
+    "q15_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_without_big_order"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- left outer join preserving empty groups ----
+    "q16_outer_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+        .groupBy(o("o_orderkey"))
+        .agg(count(li("l_linenumber")).as("n_lines"),
+             coalesce(sum(dec2(li("l_quantity"))).cast("double"), lit(0.0)).as("total_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- rollup (subtotals + grand total; keys coalesced to 'ALL') ----
+    "q17_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+                col("sum_qty"), col("n"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // ---- cube ----
+    "q18_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // ---- distinct ----
+    "q19_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- exact distinct counting per group ----
+    "q20_count_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("l_suppkey")
+    },
+
+    // ---- approximate distinct (HLL sketch) — algorithm-specific values,
+    //      so rows-only check (no DuckDB oracle: different HLL impl) ----
+    "q21_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- window: rank customers by spend within nation, top-3 ----
+    "q22_window_rank" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val spend = c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(c("c_nationkey"), c("c_custkey"), c("c_name"))
+        .agg(sum(dec2(col("o_totalprice"))).as("spend_dec"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("spend_dec"), asc("c_custkey"))
+      spend.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_name"),
+                col("spend_dec").cast("double").as("spend"))
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    },
+
+    // ---- window: moving frame aggregation ----
+    "q23_window_moving" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("moving_total",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "moving_total")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // ---- global top-k ----
+    "q24_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    },
+
+    // ---- set operations: union / intersect / except ----
+    "q25_setops" -> { (s, d) =>
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+      cn.union(sn).distinct().withColumn("op", lit("union"))
+        .union(cn.intersect(sn).withColumn("op", lit("intersect")))
+        .union(cn.except(sn).withColumn("op", lit("except")))
+        .select("op", "nationkey")
+        .orderBy("op", "nationkey")
+    },
+
+    // ---- scalar function spread: date/string/math ----
+    "q26_scalar_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderstatus"), 1, 1).as("st"),
+          length(col("o_orderpriority")).as("pri_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          (col("o_orderkey") % 7).as("key_mod"),
+          abs(col("o_totalprice") * -1).as("abs_price"),
+          floor(sqrt(col("o_totalprice"))).cast("bigint").as("sqrt_floor"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- min/max/avg stats per group ----
+    "q27_stats_agg" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             min(col("c_acctbal")).as("min_bal"),
+             max(col("c_acctbal")).as("max_bal"),
+             (sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- group-filter (HAVING) ----
+    "q28_having" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sum(revenueDec).cast("double").as("supp_revenue"))
+        .filter(col("supp_revenue") > 1000000.0)
+        .orderBy("l_suppkey")
+    },
+
+    // ---- SQL surface: TPC-H Q3 shape through spark.sql ----
+    "q29_sql_q3" -> { (s, d) =>
+      Seq("customer", "orders", "lineitem").foreach { t =>
+        Tables.table(s, d, t).createOrReplaceTempView(t)
+      }
+      s.sql(s"""
+        SELECT o.o_orderkey,
+               CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem ON l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+      """)
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q10_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         |  CAST(SUM($revenueDecSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_join_hash_topk" ->
+      s"""SELECT c.c_custkey, c.c_name, CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_custkey, c.c_name
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q13_join_broadcast" ->
+      """SELECT r.r_name,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin,
+
+    "q14_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_anti_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_without_big_order
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q16_outer_join" ->
+      """SELECT o.o_orderkey,
+        |  CAST(count(l.l_linenumber) AS BIGINT) AS n_lines,
+        |  COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_qty
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q18_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q19_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q20_count_distinct" ->
+      """SELECT l_suppkey,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q22_window_rank" ->
+      """WITH spend AS (
+        |  SELECT c.c_nationkey, c.c_custkey, c.c_name,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_nationkey, c.c_custkey, c.c_name)
+        |SELECT c_nationkey, rnk, c_custkey, c_name, CAST(spend_dec AS DOUBLE) AS spend
+        |FROM (SELECT *, rank() OVER (PARTITION BY c_nationkey
+        |                             ORDER BY spend_dec DESC, c_custkey) AS rnk
+        |      FROM spend)
+        |WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q23_window_moving" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q24_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q25_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "q26_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mon,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substring(o_orderstatus, 1, 1) AS st,
+        |  CAST(length(o_orderpriority) AS INT) AS pri_len,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  o_orderkey % 7 AS key_mod,
+        |  abs(o_totalprice * -1) AS abs_price,
+        |  CAST(floor(sqrt(o_totalprice)) AS BIGINT) AS sqrt_floor
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q27_stats_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q28_having" ->
+      s"""SELECT l_suppkey, CAST(SUM($revenueDecSql) AS DOUBLE) AS supp_revenue
+         |FROM lineitem
+         |GROUP BY l_suppkey
+         |HAVING CAST(SUM($revenueDecSql) AS DOUBLE) > 1000000.0
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "q29_sql_q3" ->
+      s"""SELECT o.o_orderkey, CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue, o.o_orderdate
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem ON l_orderkey = o.o_orderkey
+         |WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o.o_orderkey, o.o_orderdate
+         |ORDER BY revenue DESC, o.o_orderkey
+         |LIMIT 10""".stripMargin
+  )
+}

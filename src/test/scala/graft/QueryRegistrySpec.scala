@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-level invariants for every registered query: runs on sf0.001,
+  * returns rows, has a stable schema (no auto-generated column names —
+  * those would break the driver's column-name hash-match), and the oracle
+  * map only references registered queries.
+  *
+  * Deep correctness is the DuckDB oracle gate (scripts/verify_local.sh);
+  * this spec is the fast structural guard.
+  */
+class QueryRegistrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without a query: $extra")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs on sf0.001 with clean schema") {
+      val df = fn(spark, sfDir)
+      val cols = df.columns
+      assert(cols.distinct.length == cols.length, s"duplicate columns: ${cols.mkString(",")}")
+      val ugly = cols.filter(c => c.contains("(") || c.contains(" ") || c.contains("AS "))
+      assert(ugly.isEmpty, s"unaliased computed columns: ${ugly.mkString(",")}")
+      assert(df.count() >= 0) // materializes the whole plan
+    }
+  }
+}
