@@ -15,7 +15,9 @@ object SparkEntry {
   /** All registered packs, in display order. */
   def packs: Seq[QueryPack] = Seq(
     CorePack,
-    RelationalPack
+    RelationalPack,
+    EventsPack,
+    graft.streaming.StreamingPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

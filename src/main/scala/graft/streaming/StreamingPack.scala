@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.QueryPack
+
+/** Structured Streaming surface. The reference is strictly batch, so this
+  * is part of the engine's extended surface: the same event-time analytics
+  * as [[graft.operators.EventsPack]], expressed as streaming jobs
+  * (`readStream` → event-time window agg → `writeStream`).
+  *
+  * For the driver's batch-shaped correctness gate we run the stream to
+  * completion over the static parquet (memory sink + processAllAvailable)
+  * and hand back the final result table — the point being that the
+  * *streaming* plan (StateStore-backed windowed agg) computes the same
+  * answer the batch plan does, which is exactly what a user migrating a
+  * batch pipeline to a live stream needs to hold. At scale the same code
+  * runs against a file/Kafka source with watermark-bounded state.
+  */
+object StreamingPack extends QueryPack {
+
+  /** Explicit read schema: ts is nanos-since-epoch (see Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming tumbling 1-hour count per event type over the events table. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory: stream the sf dir, glob-
+    // filtered to the events table file(s).
+    val ev = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_tumbling_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q33_stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin
+  )
+}
