@@ -17,6 +17,7 @@ object SparkEntry {
     CorePack,
     RelationalPack,
     EventsPack,
+    DedupPack,
     graft.streaming.StreamingPack
   )
 

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators over `documents` / `embeddings` — the core of
+  * the LLM-training-data pipeline surface:
+  *
+  *   - q40 exact dedup (content-hash groups)
+  *   - q41 MinHash + LSH banding near-dup (token-set Jaccard)
+  *   - q42 SimHash near-dup (Hamming distance via banded join)
+  *   - q43 n-gram (3-word-shingle) Jaccard via inverted-index join
+  *   - q44 embedding cosine near-dup
+  *
+  * Every probabilistic structure is built from `md5` so the DuckDB oracle
+  * reproduces it bit-for-bit (Spark's `hash`/`xxhash64` have no DuckDB
+  * twin). md5-per-token is ~2× the cost of murmur3 — acceptable, and
+  * swappable for a native hash once cross-engine verification is no
+  * longer needed.
+  *
+  * Scale design (100 TB of documents):
+  *   - nothing here is all-pairs: MinHash/SimHash candidates come from
+  *     equi-joins on band keys (hash-partitionable, AQE-skew-splittable),
+  *     n-gram pairs from an inverted shingle index join, embedding pairs
+  *     from a double-precision prefilter (and the LSH-bucketed path in
+  *     SimilarityPack);
+  *   - signatures are computed per-row inside whole-stage codegen (array
+  *     expressions, no shuffle, no UDFs);
+  *   - exact verification runs only on candidate pairs, joined back to
+  *     per-doc state by key.
+  */
+object DedupPack extends QueryPack {
+
+  private val nPerm = 16 // MinHash permutations
+  private val bandRows = 8 // rows per LSH band → 2 bands
+
+  /** MinHash signature: per permutation p, min over distinct tokens of
+    * md5("p:token") — a fixed-width hex string whose lexicographic min is
+    * the numeric min. Identical construction in the oracle SQL.
+    */
+  private def minhashSigs(toks: Column): Column =
+    transform(sequence(lit(0), lit(nPerm - 1)),
+      p => array_min(transform(toks, w => md5(concat(p.cast("string"), lit(":"), w)))))
+
+  // ---------- SimHash: generated expression strings, both dialects ----------
+
+  /** Per-token md5 nibble value exprs n1..n8 (first 8 nibbles = 32 bits).
+    * posFn: Spark "instr", DuckDB "strpos". */
+  private def nibbleExprs(posFn: String): Seq[String] =
+    (1 to 8).map(i => s"($posFn('0123456789abcdef', substring(md5(w), $i, 1)) - 1) AS n$i")
+
+  /** 32 per-bit ±1 vote sums s0..s31 (MSB-first within each nibble).
+    * divOp: Spark "div", DuckDB "//". */
+  private def voteExprs(divOp: String): Seq[String] =
+    (0 until 32).map { b =>
+      val nib = b / 4 + 1
+      val d = 1 << (3 - b % 4)
+      s"SUM(2 * ((n$nib $divOp $d) % 2) - 1) AS s$b"
+    }
+
+  private def simhashExpr: String =
+    (0 until 32)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << (31 - b)} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  private val simhashMaxHamming = 4
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact dedup: content-hash groups, canonical representative ----
+    "q40_dedup_exact" -> { (s, d) =>
+      val byHash = Window.partitionBy(col("text_md5"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .withColumn("group_size", count(lit(1)).over(byHash))
+        .withColumn("canonical_id", min(col("doc_id")).over(byHash))
+        .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("boolean"))
+        .select("doc_id", "text_md5", "canonical_id", "group_size", "is_dup")
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash + LSH banding; est-Jaccard prefilter; exact verify ----
+    "q41_dedup_minhash" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("sigs", minhashSigs(col("toks")))
+      val bands = docs.select(
+        col("doc_id"),
+        posexplode(array(
+          md5(concat_ws(",", slice(col("sigs"), 1, bandRows))),
+          md5(concat_ws(",", slice(col("sigs"), bandRows + 1, bandRows))))))
+        .toDF("doc_id", "band_id", "band_val")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+      val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"), col("toks").as("toks_a"))
+      val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"), col("toks").as("toks_b"))
+      cand.join(da, "doc_i").join(db, "doc_j")
+        .withColumn("est_matches",
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+        .filter(col("est_matches") >= 12) // est Jaccard ≥ 0.75 before exact verify
+        .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (size(col("toks_a")) + size(col("toks_b")) - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard")
+        .orderBy("doc_i", "doc_j")
+    },
+
+    // ---- SimHash near-dup: 32-bit md5-vote signature, banded join ----
+    "q42_dedup_simhash" -> { (s, d) =>
+      val sims = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokenSet(col("text"))).as("w"))
+        .selectExpr(Seq("doc_id") ++ nibbleExprs("instr"): _*)
+        .groupBy("doc_id")
+        .agg(expr(voteExprs("div").head), voteExprs("div").tail.map(expr): _*)
+        .selectExpr("doc_id", s"$simhashExpr AS simhash")
+      val bands = sims.select(col("doc_id"), col("simhash"),
+          posexplode(array(expr("simhash div 65536"), expr("simhash % 65536"))))
+        .toDF("doc_id", "simhash", "band_id", "band_val")
+      bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+                col("a.simhash").as("simhash_i"), col("b.simhash").as("simhash_j"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(simhash_i ^ simhash_j)"))
+        .filter(col("hamming") <= simhashMaxHamming)
+        .orderBy("doc_i", "doc_j")
+    },
+
+    // ---- 3-word-shingle Jaccard via inverted-index join ----
+    "q43_dedup_ngram" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("s"))
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+        .join(counts.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")).cast("double"))
+        .filter(col("jaccard") >= 0.15)
+        .select("doc_i", "doc_j", "shared", "jaccard")
+        .orderBy("doc_i", "doc_j")
+    },
+
+    // ---- embedding cosine near-dup (double prefilter → exact verify) ----
+    "q44_dedup_embedding" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+        .withColumn("norm", sqrt(VectorFunctions.normSqQ(col("q"))))
+      val a = vecs.select(col("vec_id").as("vec_i"), col("q").as("qa"), col("norm").as("na"))
+      val b = vecs.select(col("vec_id").as("vec_j"), col("q").as("qb"), col("norm").as("nb"))
+      a.join(b, col("vec_i") < col("vec_j"))
+        // cheap double-precision prefilter (semantics-neutral: exact and
+        // double cosine agree to ~1e-15, threshold margin is 1e-3)
+        .filter(expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") / lit(1e18)
+                  / (col("na") * col("nb")) >= 0.399)
+        .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .filter(col("cosine") >= 0.4)
+        .select("vec_i", "vec_j", "cosine")
+        .orderBy("vec_i", "vec_j")
+    }
+  )
+
+  // ---------- oracles ----------
+
+  private val duckToks =
+    """SELECT doc_id,
+      |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+      |                   w -> w <> '') AS ts
+      |FROM documents""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_dedup_minhash" ->
+      s"""WITH tok AS ($duckToks),
+         |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
+         |docs AS (SELECT doc_id, list(DISTINCT w) AS toks FROM dt GROUP BY doc_id),
+         |mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || ':' || w)) AS sig
+         |       FROM dt CROSS JOIN (SELECT unnest(generate_series(0, ${nPerm - 1})) AS p) perms
+         |       GROUP BY doc_id, p),
+         |sigs AS (SELECT doc_id, list(sig ORDER BY p) AS sigs FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(array_to_string(sigs[1:$bandRows], ',')) AS band_val FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(array_to_string(sigs[${bandRows + 1}:${2 * bandRows}], ',')) FROM sigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT c.doc_i, c.doc_j,
+         |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
+         |    CAST(length(list_intersect(da.toks, db.toks)) AS INT) AS n_common,
+         |    CAST(length(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+         |      (length(da.toks) + length(db.toks) - length(list_intersect(da.toks, db.toks))) AS jaccard
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
+         |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)
+         |SELECT doc_i, doc_j, est_matches, n_common, jaccard
+         |FROM scored
+         |WHERE est_matches >= 12 AND jaccard >= 0.9
+         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q42_dedup_simhash" -> {
+      val nibbles = nibbleExprs("strpos").mkString(", ")
+      val votes = voteExprs("//").mkString(", ")
+      s"""WITH tok AS ($duckToks),
+         |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
+         |nib AS (SELECT doc_id, $nibbles FROM dt),
+         |vote AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
+         |sims AS (SELECT doc_id, ${simhashExpr.replace(" div ", " // ")} AS simhash FROM vote),
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS band_id, simhash // 65536 AS band_val FROM sims
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1, simhash % 65536 FROM sims),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |                a.simhash AS simhash_i, b.simhash AS simhash_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT doc_i, doc_j, simhash_i, simhash_j,
+         |       CAST(bit_count(xor(simhash_i, simhash_j)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(simhash_i, simhash_j)) <= $simhashMaxHamming
+         |ORDER BY doc_i, doc_j""".stripMargin
+    },
+
+    "q43_dedup_ngram" ->
+      s"""WITH tok AS ($duckToks),
+         |sh AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS s
+         |       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
+         |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, CAST(count(*) AS BIGINT) AS shared
+         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id)
+         |SELECT s.doc_i, s.doc_j, s.shared,
+         |       CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) AS jaccard
+         |FROM shared s
+         |JOIN counts ci ON ci.doc_id = s.doc_i
+         |JOIN counts cj ON cj.doc_id = s.doc_j
+         |WHERE CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) >= 0.15
+         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q44_dedup_embedding" -> {
+      val dim = 64
+      val dotAB = VectorFunctions.dotQSql("va.q", "vb.q", dim)
+      s"""WITH vecs AS (
+         |  SELECT vec_id, ${VectorFunctions.quantizeSql("embedding")} AS q FROM embeddings),
+         |norms AS (
+         |  SELECT vec_id, q,
+         |         sqrt(${VectorFunctions.dotQSql("v.q", "v.q", dim)}) AS norm
+         |  FROM vecs v),
+         |pairs AS (
+         |  SELECT va.vec_id AS vec_i, vb.vec_id AS vec_j,
+         |         $dotAB / (va.norm * vb.norm) AS cosine
+         |  FROM norms va JOIN norms vb ON va.vec_id < vb.vec_id)
+         |SELECT vec_i, vec_j, cosine
+         |FROM pairs
+         |WHERE cosine >= 0.4
+         |ORDER BY vec_i, vec_j""".stripMargin
+    }
+  )
+}

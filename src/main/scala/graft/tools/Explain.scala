@@ -25,9 +25,11 @@ object Explain {
     val df =
       if (name.startsWith("sql:")) {
         Seq("region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings").foreach { t =>
+            "lineitem", "documents", "embeddings").foreach { t =>
           graft.core.Tables.table(spark, dir, t).createOrReplaceTempView(t)
         }
+        // events needs the nanos-timestamp conversion (see Tables.events)
+        graft.core.Tables.events(spark, dir).createOrReplaceTempView("events")
         spark.sql(name.stripPrefix("sql:"))
       } else SparkEntry.queries(name)(spark, dir)
     df.printSchema()
