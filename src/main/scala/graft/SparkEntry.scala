@@ -18,6 +18,9 @@ object SparkEntry {
     RelationalPack,
     EventsPack,
     DedupPack,
+    SimilarityPack,
+    TextPack,
+    MultimodalPack,
     graft.streaming.StreamingPack
   )
 

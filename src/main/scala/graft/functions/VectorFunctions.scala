@@ -9,34 +9,40 @@ import org.apache.spark.sql.functions._
   * engines/partitionings, and float→DECIMAL casts round ties differently
   * (Spark half-up vs DuckDB half-even — verified divergence on
   * 0.0009765625f). Instead every component is quantized ONCE to int64
-  * fixed-point at 1e-9 resolution via `floor(x * 1e9)` — float→double is
+  * fixed-point at 1e-6 resolution via `floor(x * 1e6)` — float→double is
   * exact and the double multiply+floor is bit-identical IEEE-754 in both
-  * engines — and all inner products are computed exactly in
-  * integer/decimal space, so they are independent of aggregation order and
-  * identical across engines. Final cosines are derived with a fixed
-  * sequence of IEEE double ops.
+  * engines — and all inner products are computed exactly in int64, so
+  * they are independent of aggregation order and identical across
+  * engines.
   *
-  * Scale: quantization is a per-row `transform` (narrow, codegen'd); the
-  * exact products stay inside whole-stage codegen. The 1e-9 quantization
-  * error on unit-norm vectors perturbs cosines by <1e-7 — far below any
-  * thresholding margin used here.
+  * The 1e-6 scale is chosen so a 64-dim dot product of unit-ish vectors
+  * is ≤ ~1e13 < 2^53, i.e. the exact integer also converts to double
+  * EXACTLY — at 1e-9 scale the (exact) integer dot exceeded 2^53 and the
+  * int→double rounding differed between engines in the last ulp
+  * (observed live on one q51 pair). Quantization error on unit vectors
+  * perturbs cosines by ~1e-6 — far below every thresholding margin here.
+  *
+  * Scale: quantization is a per-row `transform` (narrow); products are
+  * plain int64 multiplies.
   */
 object VectorFunctions {
 
-  /** int64 fixed-point quantization at 1e-9: array<float> → array<bigint>. */
+  /** Fixed-point scale: components ×1e6 → int64. */
+  val Scale = 1e6
+  /** Divisor restoring an unscaled dot product: Scale². */
+  val DotDivisor = 1e12
+
+  /** int64 fixed-point quantization at 1e-6: array<float> → array<bigint>. */
   def quantize(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * lit(1e9)).cast("long"))
+    transform(c, x => floor(x.cast("double") * lit(Scale)).cast("long"))
 
   /** Exact dot product of two quantized vectors, as the true (unscaled)
-    * double value: sum of int64×int64 products in DECIMAL(38,0), then one
-    * double division by 1e18.
+    * double value: int64 sum of products (exact, fits 2^53), one double
+    * division.
     */
   def dotQ(qa: Column, qb: Column): Column =
-    aggregate(
-      zip_with(qa, qb, (x, y) => x.cast("decimal(19,0)") * y.cast("decimal(19,0)")),
-      lit(0).cast("decimal(38,0)"),
-      (acc, v) => acc + v
-    ).cast("double") / lit(1e18)
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      .cast("double") / lit(DotDivisor)
 
   /** Exact squared norm (unscaled double) of a quantized vector. */
   def normSqQ(q: Column): Column = dotQ(q, q)
@@ -47,12 +53,12 @@ object VectorFunctions {
 
   /** The DuckDB-side mirror of [[quantize]] (applied to a list column). */
   def quantizeSql(col: String): String =
-    s"list_transform($col, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))"
+    s"list_transform($col, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
   /** DuckDB-side exact dot of two quantized list columns (unscaled double).
     * Correlated subquery form; `dim` is the vector dimensionality.
     */
   def dotQSql(qa: String, qb: String, dim: Int): String =
-    s"""(CAST((SELECT SUM(CAST($qa[g.i] AS DECIMAL(19,0)) * CAST($qb[g.i] AS DECIMAL(19,0)))
-       |       FROM UNNEST(generate_series(1, $dim)) AS g(i)) AS DOUBLE) / 1e18)""".stripMargin
+    s"""(CAST((SELECT SUM($qa[g.i] * $qb[g.i])
+       |       FROM UNNEST(generate_series(1, $dim)) AS g(i)) AS DOUBLE) / 1e12)""".stripMargin
 }

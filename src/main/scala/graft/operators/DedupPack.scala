@@ -168,7 +168,7 @@ object DedupPack extends QueryPack {
       a.join(b, col("vec_i") < col("vec_j"))
         // cheap double-precision prefilter (semantics-neutral: exact and
         // double cosine agree to ~1e-15, threshold margin is 1e-3)
-        .filter(expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") / lit(1e18)
+        .filter(expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") / lit(VectorFunctions.DotDivisor)
                   / (col("na") * col("nb")) >= 0.399)
         .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.4)

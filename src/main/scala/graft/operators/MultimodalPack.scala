@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, processed without ever materializing them on the
+  * driver.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB ([[FakeDecoder.decode]]); everything
+  * around it — the binary column, schema, partition-parallel batch
+  * processing (`mapPartitions`), metadata/frame extraction as native
+  * binary expressions — is the real pipeline shape. The driver corpus has
+  * no binary column, so payloads are derived from `documents.text`
+  * (UTF-8 bytes), which also makes the metadata DuckDB-checkable.
+  *
+  * Scale: all three queries are narrow per-row transforms over the scan
+  * (plus the final sort); frames explode ~n_bytes/32 rows per doc but
+  * stay partition-local until the sort.
+  */
+object MultimodalPack extends QueryPack {
+
+  /** Media row: id + opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Fake "decoded image": dimensions/stats derived deterministically
+    * from the payload header so tests and oracles can check the plumbing.
+    */
+  case class DecodedMeta(doc_id: Long, width: Int, height: Int,
+                         channels: Int, mean_byte: Double)
+
+  /** STUB decoder — stands in for a real image/audio codec (libjpeg,
+    * ffmpeg, …), which this container does not ship. Deterministic on
+    * the payload so the pipeline around it is testable. A real
+    * deployment swaps only this function (same batch-per-partition call
+    * shape).
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      val head = payload.take(16).map(_ & 0xff)
+      val mean = if (head.isEmpty) 0.0 else head.sum.toDouble / head.length
+      (1 + b0 % 64, 1 + b1 % 64, 3, mean)
+    }
+  }
+
+  /** The opaque-binary Dataset path: batch "decode" per partition. */
+  def decodeAll(s: SparkSession, d: String): Dataset[DecodedMeta] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+              lit("text/plain").as("media_type"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // one batch per partition — where a real decoder would be called
+        // with its own thread/native context
+        rows.map { r =>
+          val (w, h, c, m) = FakeDecoder.decode(r.payload)
+          DecodedMeta(r.doc_id, w, h, c, m)
+        }
+      }
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- binary column + typed metadata via native expressions ----
+    "q70_multimodal_meta" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("n_bytes"),
+          md5(col("payload")).as("checksum"),
+          lower(hex(expr("substr(payload, 1, 4)"))).as("header_hex"),
+          expr("(length(payload) + 31) div 32").cast("bigint").as("n_frames"))
+        .orderBy("doc_id")
+    },
+
+    // ---- frame sampling: every 4th 32-byte frame, hashed ----
+    "q71_frame_sample" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("n_frames", expr("(length(payload) + 31) div 32"))
+        .select(col("doc_id"), col("payload"),
+                explode(expr("filter(sequence(0, cast(n_frames - 1 as int)), i -> i % 4 = 0)")).as("frame_no"))
+        .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+                md5(expr("substr(payload, frame_no * 32 + 1, 32)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    },
+
+    // ---- stubbed decode through the opaque mapPartitions path ----
+    "q72_decode_stub" -> { (s, d) =>
+      decodeAll(s, d).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+                col("mean_byte"))
+        .orderBy("doc_id")
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q70_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  lower(hex(substr(text, 1, 4))) AS header_hex,
+        |  CAST((octet_length(encode(text)) + 31) // 32 AS BIGINT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q71_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         (octet_length(encode(text)) + 31) // 32 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(g.i AS BIGINT) AS frame_no,
+        |       md5(substr(text, CAST(g.i * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM f, UNNEST(generate_series(0, CAST(n_frames - 1 AS INT))) AS g(i)
+        |WHERE g.i % 4 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // stub decode: the fake decoder's arithmetic is deterministic on the
+    // UTF-8 payload, so even the stub path is oracle-checkable (ASCII text:
+    // byte i == ascii(char i+1))
+    "q72_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+        |  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
+        |  3 AS channels,
+        |  (SELECT SUM(ascii(substr(text, g.i, 1)))
+        |   FROM UNNEST(generate_series(1, least(length(text), 16))) AS g(i))
+        |    / CAST(least(length(text), 16) AS DOUBLE) AS mean_byte
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *   - q50: brute-force exact cosine top-k — the correctness baseline.
+  *     O(Q·N) with Q small; the plan is a broadcast of the Q query vectors
+  *     against a single scan of the corpus (no shuffle of the big side).
+  *   - q51: random-hyperplane LSH bucketing — the scale path. Each vector
+  *     is assigned a 6-bit signature (sign of projection onto 6 fixed
+  *     pseudo-random hyperplanes); search touches only the query's bucket.
+  *     At 100 TB the corpus is written bucket-partitioned, so a query
+  *     reads one partition (partition pruning), and the bucket join is an
+  *     equi-join — no all-pairs anywhere.
+  *
+  * The hyperplanes are derived deterministically from md5 (computed once
+  * here in Scala, inlined as literals into BOTH the Spark plan and the
+  * DuckDB oracle), so both engines see the identical structure. All inner
+  * products use the exact fixed-point arithmetic of
+  * [[graft.functions.VectorFunctions]].
+  */
+object SimilarityPack extends QueryPack {
+
+  private val dim = 64
+  private val nPlanes = 6
+  private val topK = 5
+
+  /** Deterministic hyperplane coefficients c(h)(i) ∈ [-8, 7]: the first
+    * md5 nibble of "h:i", minus 8. Same derivation any engine could
+    * reproduce; inlined as literals on both sides.
+    */
+  private[operators] val planes: Seq[Seq[Int]] = {
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    (0 until nPlanes).map(h =>
+      (0 until dim).map(i => Integer.parseInt(md5hex(s"$h:$i").substring(0, 1), 16) - 8))
+  }
+
+  /** Spark: 6-bit LSH bucket of a quantized vector column. Integer math
+    * throughout — exact under any evaluation order.
+    */
+  private def bucketCol(q: Column): Column =
+    (0 until nPlanes).map { h =>
+      val coeffs = array(planes(h).map(c => lit(c.toLong)): _*)
+      val proj = aggregate(zip_with(q, coeffs, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Quantized + normed + bucketed vector table. */
+  private def vecTable(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", sqrt(normSqQ(col("q"))))
+      .withColumn("bucket", bucketCol(col("q")))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact cosine top-k, brute force (baseline) ----
+    "q50_ann_brute" -> { (s, d) =>
+      val vecs = vecTable(s, d)
+      val queriesDf = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      queriesDf.join(vecs, col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- LSH-bucketed ANN (scale path) ----
+    "q51_ann_lsh" -> { (s, d) =>
+      val vecs = vecTable(s, d)
+      val queriesDf = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+                col("norm").as("qnorm"), col("bucket").as("qbucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      queriesDf.join(vecs,
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("bucket"), col("cosine"))
+        .orderBy("q_id", "rk")
+    }
+  )
+
+  // ---------- oracles ----------
+
+  /** DuckDB: the 6 sign projections as correlated subqueries over inlined
+    * coefficient lists. */
+  private def signSqls(qcol: String): Seq[String] =
+    (0 until nPlanes).map { h =>
+      val lst = planes(h).mkString("[", ",", "]")
+      s"""(SELECT SUM($qcol[g.i] * ($lst)[g.i])
+         | FROM UNNEST(generate_series(1, $dim)) AS g(i))""".stripMargin
+    }
+
+  private def bucketSql(qcol: String): String =
+    signSqls(qcol).zipWithIndex
+      .map { case (sq, h) => s"(CASE WHEN $sq >= 0 THEN ${1 << h} ELSE 0 END)" }
+      .mkString(" + ")
+
+  private def vecsCte: String =
+    s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id, q,
+       |         sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm,
+       |         ${bucketSql("v.q")} AS bucket
+       |  FROM vecs v)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q50_ann_brute" ->
+      s"""WITH $vecsCte,
+         |pairs AS (
+         |  SELECT qv.vec_id AS q_id, cv.vec_id AS vec_id,
+         |         ${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm) AS cosine
+         |  FROM scored qv JOIN scored cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < 5),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM pairs)
+         |SELECT q_id, rk, vec_id, cosine FROM ranked
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q51_ann_lsh" ->
+      s"""WITH $vecsCte,
+         |pairs AS (
+         |  SELECT qv.vec_id AS q_id, cv.vec_id AS vec_id, cv.bucket AS bucket,
+         |         ${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm) AS cosine
+         |  FROM scored qv JOIN scored cv
+         |    ON cv.bucket = qv.bucket AND cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < 20),
+         |ranked AS (
+         |  SELECT q_id, vec_id, bucket, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM pairs)
+         |SELECT q_id, rk, vec_id, bucket, cosine FROM ranked
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * heuristic language-ID, quality scoring, token statistics, and
+  * rolling-hash fingerprinting. Everything is per-document (narrow, no
+  * shuffle except the final ORDER BY), so the pipeline maps 1:1 onto a
+  * 100 TB corpus scan.
+  */
+object TextPack extends QueryPack {
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * On real corpora these are per-language function-word lists; the
+    * driver's synthetic corpus has a 31-word vocabulary, so the profiles
+    * are drawn from it — the operator structure (profile intersection →
+    * argmax) is the real thing.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("stream", "window", "group", "merge"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "sort", "scan"),
+    "fr" -> Seq("query", "row", "line", "value"),
+    "zh" -> Seq("join", "filter", "hash", "key"))
+
+  private val stopwords = Seq("the", "a")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- heuristic language-ID: stopword-profile argmax ----
+    "q60_lang_id" -> { (s, d) =>
+      val profiles = langProfiles.map { case (l, ws) =>
+        struct(lit(l).as("cand_lang"), array(ws.map(lit): _*).as("profile"))
+      }
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("cand_lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokenSet(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("toks"),
+                explode(array(profiles: _*)).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.cand_lang"),
+          (size(array_intersect(col("toks"), col("p.profile"))).cast("double") /
+            size(col("p.profile")).cast("double")).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: type-token ratio, token length, stopwords ----
+    "q61_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          tokens(col("text")).as("toks"), tokenSet(col("text")).as("tset"))
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          size(col("tset")).cast("bigint").as("n_distinct"),
+          (size(col("tset")).cast("double") / size(col("toks")).cast("double")).as("ttr"),
+          (length(regexp_replace(stripPunct(col("text")), "(?U)\\s", "")).cast("double") /
+            size(col("toks")).cast("double")).as("avg_token_len"),
+          ((length(col("text")) - length(stripPunct(col("text")))).cast("double") /
+            length(col("text")).cast("double")).as("punct_ratio"),
+          (size(array_intersect(col("tset"), array(stopwords.map(lit): _*))).cast("double") /
+            size(col("tset")).cast("double")).as("stopword_hit_ratio"))
+        .withColumn("quality",
+          lit(0.4) * col("ttr") +
+            lit(0.3) * least(col("avg_token_len") / lit(10.0), lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("punct_ratio")))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: reference tokens, raw whitespace, BPE-ish ----
+    "q62_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("n_chars"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+          size(tokenSet(col("text"))).cast("bigint").as("n_distinct"),
+          size(whitespaceSplit(col("text"))).cast("bigint").as("n_ws_tokens"),
+          // BPE-ish subword proxy: consonant*-vowel+ chunks
+          size(regexp_extract_all(col("text"),
+            lit("[bcdfghjklmnpqrstvwxyz]*[aeiou]+"), lit(0))).cast("bigint").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    // ---- rolling-hash fingerprint: min-md5 over char 8-grams ----
+    "q63_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substr(text, i, 8))))")
+            .as("fingerprint"),
+          greatest(length(col("text")) - 7, lit(1)).cast("bigint").as("n_grams"))
+        .orderBy("doc_id")
+    }
+  )
+
+  override def oracle: Map[String, String] = {
+    val profileValues = langProfiles
+      .map { case (l, ws) => s"('$l', ${ws.map(w => s"'$w'").mkString("[", ",", "]")})" }
+      .mkString(", ")
+    Map(
+      "q60_lang_id" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |         list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS tset
+           |  FROM documents),
+           |profiles(cand_lang, profile) AS (VALUES $profileValues),
+           |scored AS (
+           |  SELECT doc_id, lang, cand_lang,
+           |         CAST(length(list_intersect(tset, profile)) AS DOUBLE) /
+           |           CAST(length(profile) AS DOUBLE) AS score
+           |  FROM toks CROSS JOIN profiles),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+           |  FROM scored)
+           |SELECT doc_id, lang, cand_lang AS pred_lang, score
+           |FROM ranked WHERE rk = 1
+           |ORDER BY doc_id""".stripMargin,
+
+      "q61_quality_score" ->
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS toks,
+          |         list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS tset
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS BIGINT) AS n_chars,
+          |    CAST(length(toks) AS BIGINT) AS n_tokens,
+          |    CAST(length(tset) AS BIGINT) AS n_distinct,
+          |    CAST(length(tset) AS DOUBLE) / CAST(length(toks) AS DOUBLE) AS ttr,
+          |    CAST(length(regexp_replace(regexp_replace(text, '[^\w\s]', '', 'g'), '\s', '', 'g')) AS DOUBLE) /
+          |      CAST(length(toks) AS DOUBLE) AS avg_token_len,
+          |    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) /
+          |      CAST(length(text) AS DOUBLE) AS punct_ratio,
+          |    CAST(length(list_intersect(tset, ['the','a'])) AS DOUBLE) /
+          |      CAST(length(tset) AS DOUBLE) AS stopword_hit_ratio
+          |  FROM base)
+          |SELECT *,
+          |  0.4 * ttr + 0.3 * least(avg_token_len / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio) AS quality
+          |FROM m
+          |ORDER BY doc_id""".stripMargin,
+
+      "q62_token_stats" ->
+        """SELECT doc_id, n_chars,
+          |  CAST(length(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+          |  CAST(length(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> ''))) AS BIGINT) AS n_distinct,
+          |  CAST(length(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+          |  CAST(length(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+')) AS BIGINT) AS n_subwords
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "q63_fingerprint" ->
+        """SELECT doc_id,
+          |  (SELECT min(md5(substr(text, g.i, 8)))
+          |   FROM UNNEST(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)) AS fingerprint,
+          |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin
+    )
+  }
+}
