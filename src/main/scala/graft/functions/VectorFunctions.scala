@@ -38,11 +38,11 @@ object VectorFunctions {
 
   /** Exact dot product of two quantized vectors, as the true (unscaled)
     * double value: int64 sum of products (exact, fits 2^53), one double
-    * division.
+    * division. Uses the native codegen [[LongArrayDot]] kernel — callers
+    * must have run [[GraftExpressions.ensure]] on the session.
     */
   def dotQ(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-      .cast("double") / lit(DotDivisor)
+    GraftExpressions.longArrayDot(qa, qb).cast("double") / lit(DotDivisor)
 
   /** Exact squared norm (unscaled double) of a quantized vector. */
   def normSqQ(q: Column): Column = dotQ(q, q)

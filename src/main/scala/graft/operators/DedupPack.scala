@@ -85,10 +85,16 @@ object DedupPack extends QueryPack {
 
     // ---- MinHash + LSH banding; est-Jaccard prefilter; exact verify ----
     "q41_dedup_minhash" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      // persist: the signature/token table feeds five plan branches (bands,
+      // sig_a/sig_b, toks_a/toks_b) — without it the 16×md5-per-token
+      // signature pass recomputes per branch. At cluster scale this is the
+      // checkpointed signature store every LSH dedup pipeline maintains.
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+        .select(col("doc_id"), sort_array(tokenSet(col("text"))).as("toks"))
         .filter(size(col("toks")) > 0)
         .withColumn("sigs", minhashSigs(col("toks")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = docs.select(
         col("doc_id"),
         posexplode(array(
@@ -101,13 +107,23 @@ object DedupPack extends QueryPack {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
         .distinct()
-      val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"), col("toks").as("toks_a"))
-      val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"), col("toks").as("toks_b"))
-      cand.join(da, "doc_i").join(db, "doc_j")
+      // two-stage verification to keep the shuffles lean: first attach only
+      // the 16-element signatures and drop candidates below the estimated-
+      // Jaccard bar (kills the quadratic fan-out of over-common LSH buckets
+      // cheaply), then attach token sets for exact Jaccard on survivors.
+      val sa = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"))
+      val sb = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"))
+      val ta = docs.select(col("doc_id").as("doc_i"), col("toks").as("toks_a"))
+      val tb = docs.select(col("doc_id").as("doc_j"), col("toks").as("toks_b"))
+      cand.join(sa, "doc_i").join(sb, "doc_j")
         .withColumn("est_matches",
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+          graft.functions.GraftExpressions.arrayEqCount(col("sig_a"), col("sig_b")))
         .filter(col("est_matches") >= 12) // est Jaccard ≥ 0.75 before exact verify
-        .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .drop("sig_a", "sig_b")
+        .join(ta, "doc_i").join(tb, "doc_j")
+        // toks are sorted above → O(n+m) codegen merge-intersect
+        .withColumn("n_common",
+          graft.functions.GraftExpressions.sortedIntersectCount(col("toks_a"), col("toks_b")))
         .withColumn("jaccard",
           col("n_common").cast("double") /
             (size(col("toks_a")) + size(col("toks_b")) - col("n_common")).cast("double"))
@@ -141,8 +157,11 @@ object DedupPack extends QueryPack {
 
     // ---- 3-word-shingle Jaccard via inverted-index join ----
     "q43_dedup_ngram" -> { (s, d) =>
+      // persisted: the inverted shingle index is scanned three times
+      // (both join sides + per-doc counts)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val shared = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -160,16 +179,13 @@ object DedupPack extends QueryPack {
 
     // ---- embedding cosine near-dup (double prefilter → exact verify) ----
     "q44_dedup_embedding" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
         .withColumn("norm", sqrt(VectorFunctions.normSqQ(col("q"))))
       val a = vecs.select(col("vec_id").as("vec_i"), col("q").as("qa"), col("norm").as("na"))
       val b = vecs.select(col("vec_id").as("vec_j"), col("q").as("qb"), col("norm").as("nb"))
       a.join(b, col("vec_i") < col("vec_j"))
-        // cheap double-precision prefilter (semantics-neutral: exact and
-        // double cosine agree to ~1e-15, threshold margin is 1e-3)
-        .filter(expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)") / lit(VectorFunctions.DotDivisor)
-                  / (col("na") * col("nb")) >= 0.399)
         .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.4)
         .select("vec_i", "vec_j", "cosine")

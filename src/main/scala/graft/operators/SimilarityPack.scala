@@ -52,16 +52,18 @@ object SimilarityPack extends QueryPack {
   private def bucketCol(q: Column): Column =
     (0 until nPlanes).map { h =>
       val coeffs = array(planes(h).map(c => lit(c.toLong)): _*)
-      val proj = aggregate(zip_with(q, coeffs, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val proj = graft.functions.GraftExpressions.longArrayDot(q, coeffs)
       when(proj >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Quantized + normed + bucketed vector table. */
-  private def vecTable(s: SparkSession, d: String): DataFrame =
+  private def vecTable(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("norm", sqrt(normSqQ(col("q"))))
       .withColumn("bucket", bucketCol(col("q")))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
