@@ -16,6 +16,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     CorePack,
     RelationalPack,
+    RelationalPack2,
     EventsPack,
     DedupPack,
     SimilarityPack,

@@ -56,6 +56,63 @@ object EventsPack extends QueryPack {
              max(col("ts")).as("session_end"),
              (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
         .orderBy("user_id", "session_seq")
+    },
+
+    // ---- semi-structured: JSON property extraction + aggregation ----
+    "q34_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+             count(col("k")).as("n_with_k"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- lag/lead deltas: time since previous event per user ----
+    "q35_lag_lead" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .select("user_id", "event_id", "event_type", "prev_type", "next_type", "gap_us")
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- funnel: signup → later purchase conversion ----
+    "q36_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("signup_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val converted = signups.join(purch, "user_id")
+        .filter(col("p_us") > col("signup_us"))
+        .select("user_id").distinct()
+      signups.select(count(lit(1)).as("n_signup_users"))
+        .crossJoin(converted.select(count(lit(1)).as("n_converted")))
+        .withColumn("conversion",
+          col("n_converted").cast("double") / col("n_signup_users").cast("double"))
+    },
+
+    // ---- retention cohorts: first-seen day × activity-day offset ----
+    "q37_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .select(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"),
+                col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        // DATE → TIMESTAMP for a type-stable compare with the oracle
+        .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+                col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 
@@ -99,6 +156,52 @@ object EventsPack extends QueryPack {
         |       CAST(max(us) - min(us) AS BIGINT) AS duration_us
         |FROM sessions
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q34_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q35_lag_lead" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) -
+        |           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, prev_type, next_type, CAST(gap_us AS BIGINT) AS gap_us
+        |FROM w WHERE prev_type IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q36_funnel" ->
+      """WITH signups AS (
+        |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |converted AS (
+        |  SELECT DISTINCT s.user_id
+        |  FROM signups s JOIN events e ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s.signup_us)
+        |SELECT CAST((SELECT count(*) FROM signups) AS BIGINT) AS n_signup_users,
+        |       CAST((SELECT count(*) FROM converted) AS BIGINT) AS n_converted,
+        |       CAST((SELECT count(*) FROM converted) AS DOUBLE) /
+        |         CAST((SELECT count(*) FROM signups) AS DOUBLE) AS conversion""".stripMargin,
+
+    "q37_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS day_offset, e.user_id
+        |        FROM ev e JOIN cohorts c ON c.user_id = e.user_id)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, CAST(day_offset AS INT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM act
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+
+/** Second relational wave: grouping sets, pivot, nested subqueries, exact
+  * median, string-function spread, full-outer join, conditional
+  * aggregation. Same determinism rules as RelationalPack.
+  */
+object RelationalPack2 extends QueryPack {
+
+  private def views(s: SparkSession, d: String, ts: String*): Unit =
+    ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- explicit grouping sets (SQL surface) ----
+    "q80_grouping_sets" -> { (s, d) =>
+      views(s, d, "lineitem")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rflag, lstatus
+      """)
+    },
+
+    // ---- pivot (wide aggregation) ----
+    "q81_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select(col("l_linestatus"), col("A").as("rf_a"), col("N").as("rf_n"),
+                col("R").as("rf_r"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- scalar + IN subqueries (SQL surface) ----
+    "q82_subqueries" -> { (s, d) =>
+      views(s, d, "orders", "customer", "nation")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                  FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0))
+        ORDER BY o_orderkey
+      """)
+    },
+
+    // ---- exact median per group (window + midpoint, no approx) ----
+    "q83_median" -> { (s, d) =>
+      views(s, d, "customer")
+      s.sql("""
+        WITH r AS (
+          SELECT c_mktsegment, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+          FROM customer)
+        SELECT c_mktsegment,
+               SUM(CASE WHEN rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2 THEN c_acctbal END) /
+                 count(CASE WHEN rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2 THEN c_acctbal END) AS median_bal
+        FROM r
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)
+    },
+
+    // ---- string function spread ----
+    "q84_string_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_up"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"),
+          translate(col("p_brand"), "#", "").as("brand_clean"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+          reverse(col("p_name")).as("name_rev"),
+          expr("repeat('*', cast(p_size % 5 as int))").as("stars"),
+          length(col("p_name")).cast("bigint").as("name_len"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- full outer join with null-preserving group counts ----
+    "q85_full_outer" -> { (s, d) =>
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      n.join(sup, n("n_nationkey") === sup("s_nationkey"), "full_outer")
+        .groupBy(coalesce(col("n_name"), lit("<no-nation>")).as("nation"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("nation")
+    },
+
+    // ---- conditional aggregation ----
+    "q86_conditional_agg" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("c_acctbal") < 0, 1)).as("n_negative"),
+          count(when(col("c_mktsegment") === "BUILDING", 1)).as("n_building"),
+          sum(when(col("c_acctbal") > 0, col("c_acctbal").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("pos_balance"))
+        .orderBy("c_nationkey")
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q80_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q81_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS rf_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS rf_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS rf_r
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q82_subqueries" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                          FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q83_median" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |       SUM(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN c_acctbal END) /
+        |         count(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN c_acctbal END) AS median_bal
+        |FROM r
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q84_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_up,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  translate(p_brand, '#', '') AS brand_clean,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  reverse(p_name) AS name_rev,
+        |  repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q85_full_outer" ->
+      """SELECT COALESCE(n_name, '<no-nation>') AS nation,
+        |       CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |GROUP BY COALESCE(n_name, '<no-nation>')
+        |ORDER BY nation""".stripMargin,
+
+    "q86_conditional_agg" ->
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS n_negative,
+        |  CAST(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS n_building,
+        |  CAST(SUM(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2))
+        |            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS pos_balance
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+  )
+}

@@ -24,6 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df =
       if (name.startsWith("sql:")) {
+        graft.functions.GraftExpressions.ensure(spark)
         Seq("region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "documents", "embeddings").foreach { t =>
           graft.core.Tables.table(spark, dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must make the native functions available in a
+  * fresh session — including pure-SQL use — without any ensure() call.
+  */
+class GraftSparkExtensionsSpec extends AnyFunSuite {
+  test("spark.sql.extensions registers graft functions for SQL use") {
+    // getOrCreate would hand back the shared test session (ignoring the
+    // extensions conf), so detach the default session first and restore
+    // it afterwards; the underlying SparkContext is reused.
+    val saved = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // withExtensions(...) rather than the conf string: when a SparkContext
+    // already exists (full-suite runs), spark.sql.extensions is read from
+    // the context's conf and a builder-level config never lands. Both
+    // paths instantiate the same class.
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftSparkExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = s.sql(
+        "SELECT graft_long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+        .head().getLong(0)
+      assert(dot == 32L)
+      val eq = s.sql(
+        "SELECT graft_array_eq_count(array('a','b','c'), array('a','x','c')) AS c")
+        .head().getInt(0)
+      assert(eq == 2)
+      val ic = s.sql(
+        "SELECT graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c")
+        .head().getInt(0)
+      assert(ic == 2)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      saved.foreach { prev =>
+        SparkSession.setDefaultSession(prev)
+        SparkSession.setActiveSession(prev)
+      }
+    }
+  }
+}
