@@ -113,6 +113,25 @@ object EventsPack extends QueryPack {
         .select(col("cohort_day").cast("timestamp").as("cohort_day"),
                 col("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // ---- as-of join: each purchase matched to the latest prior signup ----
+    // The sort-based as-of idiom: one event-time-ordered window per user,
+    // `last(..., ignoreNulls)` over an open frame — a single shuffle by
+    // user, no range self-join; this is the formulation that scales.
+    "q38_asof" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prior_signup_us",
+          last(when(col("event_type") === "signup", col("us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("prior_signup_us").isNotNull)
+        .select(col("user_id"), col("event_id"),
+                col("us").as("purchase_us"), col("prior_signup_us"),
+                (col("us") - col("prior_signup_us")).as("latency_us"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -202,6 +221,21 @@ object EventsPack extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM act
         |GROUP BY cohort_day, day_offset
-        |ORDER BY cohort_day, day_offset""".stripMargin
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q38_asof" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         last_value(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_us
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(us AS BIGINT) AS purchase_us,
+        |       CAST(prior_signup_us AS BIGINT) AS prior_signup_us,
+        |       CAST(us - prior_signup_us AS BIGINT) AS latency_us
+        |FROM w
+        |WHERE event_type = 'purchase' AND prior_signup_us IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }
