@@ -95,6 +95,30 @@ object SimilarityPack extends QueryPack {
         .filter(col("rk") <= topK)
         .select(col("q_id"), col("rk"), col("vec_id"), col("bucket"), col("cosine"))
         .orderBy("q_id", "rk")
+    },
+
+    // ---- multi-probe LSH: also search the 6 Hamming-1 neighbor buckets.
+    // Single-probe recall is poor when vectors are near-orthogonal (each
+    // hyperplane bit is close to a coin flip for moderate cosines);
+    // probing the adjacent buckets trades 7x candidate volume for recall —
+    // still bucket-pruned, never all-pairs. ----
+    "q52_ann_multiprobe" -> { (s, d) =>
+      val vecs = vecTable(s, d)
+      val probes = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+                col("norm").as("qnorm"), col("bucket").as("qbucket"))
+        .withColumn("flip",
+          explode(array((lit(0) +: (0 until nPlanes).map(h => lit(1 << h))): _*)))
+        .select(col("q_id"), col("qq"), col("qnorm"),
+          expr("int(qbucket ^ flip)").as("probe_bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      probes.join(vecs,
+          col("bucket") === col("probe_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "rk")
     }
   )
 
@@ -152,6 +176,28 @@ object SimilarityPack extends QueryPack {
          |  FROM pairs)
          |SELECT q_id, rk, vec_id, bucket, cosine FROM ranked
          |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "q52_ann_multiprobe" -> {
+      val flips = (0 +: (0 until nPlanes).map(1 << _)).mkString("[", ",", "]")
+      s"""WITH $vecsCte,
+         |probes AS (
+         |  SELECT qv.vec_id AS q_id, qv.q AS qq, qv.norm AS qnorm,
+         |         CAST(xor(qv.bucket, f.flip) AS INT) AS probe_bucket
+         |  FROM scored qv, UNNEST($flips) AS f(flip)
+         |  WHERE qv.vec_id < 20),
+         |pairs AS (
+         |  SELECT p.q_id, cv.vec_id,
+         |         ${dotQSql("p.qq", "cv.q", dim)} / (p.qnorm * cv.norm) AS cosine
+         |  FROM probes p JOIN scored cv
+         |    ON cv.bucket = p.probe_bucket AND cv.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM pairs)
+         |SELECT q_id, rk, vec_id, cosine FROM ranked
+         |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin
+    }
   )
 }

@@ -87,6 +87,20 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- custom typed aggregate: exact top-3 tokens per language ----
+    "q64_top_tokens" -> { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang")
+        .agg(topk(col("w")).as("top_arr"))
+        .select(col("lang"), posexplode(col("top_arr")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          expr("split_part(col, ':', 1)").as("token"),
+          expr("CAST(split_part(col, ':', 2) AS BIGINT)").as("cnt"))
+        .orderBy("lang", "rk")
+    },
+
     // ---- rolling-hash fingerprint: min-md5 over char 8-grams ----
     "q63_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -153,6 +167,18 @@ object TextPack extends QueryPack {
           |  CAST(length(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+')) AS BIGINT) AS n_subwords
           |FROM documents
           |ORDER BY doc_id""".stripMargin,
+
+      "q64_top_tokens" ->
+        """WITH tok AS (
+          |  SELECT lang, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |counts AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+          |ranked AS (SELECT lang, w, cnt,
+          |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+          |           FROM counts)
+          |SELECT lang, CAST(rk AS INT) AS rk, w AS token, CAST(cnt AS BIGINT) AS cnt
+          |FROM ranked WHERE rk <= 3
+          |ORDER BY lang, rk""".stripMargin,
 
       "q63_fingerprint" ->
         """SELECT doc_id,
