@@ -57,8 +57,40 @@ object StreamingPack extends QueryPack {
       .orderBy("w_start", "event_type")
   }
 
+  /** Streaming deduplication: state-store-backed `dropDuplicates` over
+    * (user_id, day) — the streaming twin of exact dedup, yielding
+    * daily-active-users. The dedup stream is run to completion into a
+    * memory sink; the final DAU rollup is a batch agg over the deduped
+    * sink (chaining a second stateful agg behind streaming dedup would
+    * need watermark plumbing that the bounded gate doesn't exercise).
+    */
+  def streamDedupDau(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .select("user_id", "day")
+      .dropDuplicates("user_id", "day")
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = ev.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"))
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d))
+    "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
+    "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -67,6 +99,13 @@ object StreamingPack extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY w_start, event_type""".stripMargin
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q39_stream_dedup_dau" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin
   )
 }
