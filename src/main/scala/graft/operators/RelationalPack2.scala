@@ -97,6 +97,45 @@ object RelationalPack2 extends QueryPack {
         .orderBy("nation")
     },
 
+    // ---- deterministic array aggregation (sorted collect) ----
+    "q87_collect_sorted" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+             count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- ntile bucketing (decile stats over order value) ----
+    "q88_ntile" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+             min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"))
+        .orderBy("decile")
+    },
+
+    // ---- date/interval arithmetic ----
+    "q89_date_arith" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderdate"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("plus_3m"),
+          (col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("plus_45d"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          // ISO day-of-week (Mon=1..Sun=7): Spark dayofweek counts Sun=1
+          // but DuckDB counts Sun=0, so both sides use the ISO form
+          (weekday(col("o_orderdate")) + 1).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          weekofyear(col("o_orderdate")).as("wk"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- conditional aggregation ----
     "q86_conditional_agg" -> { (s, d) =>
       Tables.customer(s, d)
@@ -171,6 +210,37 @@ object RelationalPack2 extends QueryPack {
         |FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
         |GROUP BY COALESCE(n_name, '<no-nation>')
         |ORDER BY nation""".stripMargin,
+
+    "q87_collect_sorted" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q88_ntile" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM t
+        |GROUP BY decile
+        |ORDER BY decile""".stripMargin,
+
+    "q89_date_arith" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP) AS plus_45d,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |  CAST(isodow(o_orderdate) AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS wk
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q86_conditional_agg" ->
       """SELECT c_nationkey,
