@@ -19,6 +19,13 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
+  test("no query-name collisions across packs (toMap would silently drop)") {
+    val all = SparkEntry.packs.flatMap(_.queries.keys)
+    val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(all.size == SparkEntry.queries.size)
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
