@@ -17,6 +17,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -51,7 +52,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        spark_tbl = pq.read_table(files[0])
+        # Read EVERY part file (in part-number order, which preserves the
+        # global sort) — not just files[0]; a multi-part output would
+        # otherwise silently drop rows.
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
         if name not in oracles:
             print(f"....... {name}: no oracle (rows-only), rows={spark_tbl.num_rows}")
             n_noracle += 1

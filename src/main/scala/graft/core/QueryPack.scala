@@ -17,6 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     sum is exact and order-independent, then cast back to DOUBLE in the
   *     final projection (both engines do the identical decimal arithmetic);
   *   - every computed column is aliased identically on both sides.
+  *
+  * Oracle-layer tokenization caveat: Spark-side text queries tokenize with
+  * Unicode-aware regex classes (`(?U)\w\s`, matching the reference's Rust
+  * `\w`), while DuckDB's RE2 `\w`/`\s` are ASCII-only, and the multimodal
+  * oracles assume byte==char lengths. Oracle hash-parity for the text/dedup/
+  * multimodal packs therefore ASSUMES AN ASCII CORPUS — verified true for
+  * every driver-generated `documents.parquet` (0 non-ASCII rows at sf0.001/
+  * 0.01/0.1). On a non-ASCII corpus the Spark side remains the intended
+  * (reference-faithful) semantics; only the DuckDB mirror would diverge.
   */
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]

@@ -14,7 +14,11 @@ import graft.functions.VectorFunctions
   *   - q41 MinHash + LSH banding near-dup (token-set Jaccard)
   *   - q42 SimHash near-dup (Hamming distance via banded join)
   *   - q43 n-gram (3-word-shingle) Jaccard via inverted-index join
-  *   - q44 embedding cosine near-dup
+  *   - q44 embedding cosine near-dup — BRUTE-FORCE BASELINE (intentional
+  *     all-pairs ground truth; the scale path is q45)
+  *   - q45 embedding cosine near-dup via multi-probe LSH bucket join —
+  *     the 100 TB path (candidates from a bucket equi-join, never
+  *     all-pairs)
   *
   * Every probabilistic structure is built from `md5` so the DuckDB oracle
   * reproduces it bit-for-bit (Spark's `hash`/`xxhash64` have no DuckDB
@@ -23,11 +27,13 @@ import graft.functions.VectorFunctions
   * longer needed.
   *
   * Scale design (100 TB of documents):
-  *   - nothing here is all-pairs: MinHash/SimHash candidates come from
-  *     equi-joins on band keys (hash-partitionable, AQE-skew-splittable),
-  *     n-gram pairs from an inverted shingle index join, embedding pairs
-  *     from a double-precision prefilter (and the LSH-bucketed path in
-  *     SimilarityPack);
+  *   - the scale paths are never all-pairs: MinHash/SimHash candidates
+  *     come from equi-joins on band keys (hash-partitionable,
+  *     AQE-skew-splittable), n-gram pairs from an inverted shingle index
+  *     join, embedding pairs from the multi-probe LSH bucket join (q45,
+  *     sharing SimilarityPack's hyperplane buckets). q44 alone is a
+  *     deliberate O(N²) brute-force twin of q45 — the recall ground truth
+  *     you run at sample scale, not at 100 TB;
   *   - signatures are computed per-row inside whole-stage codegen (array
   *     expressions, no shuffle, no UDFs);
   *   - exact verification runs only on candidate pairs, joined back to
@@ -177,7 +183,9 @@ object DedupPack extends QueryPack {
         .orderBy("doc_i", "doc_j")
     },
 
-    // ---- embedding cosine near-dup (double prefilter → exact verify) ----
+    // ---- embedding cosine near-dup, brute force. INTENTIONALLY all-pairs:
+    // this is the recall ground truth for q45 (run it on a sample, never on
+    // the full corpus). The 100 TB path is q45 below. ----
     "q44_dedup_embedding" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       val vecs = Tables.embeddings(s, d)
@@ -189,6 +197,30 @@ object DedupPack extends QueryPack {
         .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.4)
         .select("vec_i", "vec_j", "cosine")
+        .orderBy("vec_i", "vec_j")
+    },
+
+    // ---- embedding cosine near-dup, multi-probe LSH (the scale path).
+    // Candidates: pair (i,j) survives iff their 6-bit hyperplane buckets
+    // (SimilarityPack's) are within Hamming distance 1 — generated by
+    // exploding side A over the 7 probe masks {0, 1<<h} and equi-joining
+    // on the probed bucket. Each qualifying pair matches exactly one mask,
+    // so no distinct is needed. Exact fixed-point cosine verify on
+    // candidates only. At 100 TB: bucket-partitioned storage makes this a
+    // co-located join; probe fan-out is 7×, never O(N²). ----
+    "q45_dedup_embedding_lsh" -> { (s, d) =>
+      val vecs = SimilarityPack.vecTable(s, d)
+      val probes = vecs
+        .select(col("vec_id").as("vec_i"), col("q").as("qa"), col("norm").as("na"),
+                col("bucket").as("ba"))
+        .withColumn("flip", explode(array(
+          (lit(0) +: (0 until SimilarityPack.nPlanes).map(h => lit(1 << h))): _*)))
+        .withColumn("probe_bucket", expr("int(ba ^ flip)"))
+      probes.join(vecs,
+          col("bucket") === col("probe_bucket") && col("vec_i") < col("vec_id"))
+        .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("q"), col("na"), col("norm")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("vec_i"), col("vec_id").as("vec_j"), col("cosine"))
         .orderBy("vec_i", "vec_j")
     }
   )
@@ -291,6 +323,24 @@ object DedupPack extends QueryPack {
          |  SELECT va.vec_id AS vec_i, vb.vec_id AS vec_j,
          |         $dotAB / (va.norm * vb.norm) AS cosine
          |  FROM norms va JOIN norms vb ON va.vec_id < vb.vec_id)
+         |SELECT vec_i, vec_j, cosine
+         |FROM pairs
+         |WHERE cosine >= 0.4
+         |ORDER BY vec_i, vec_j""".stripMargin
+    },
+
+    "q45_dedup_embedding_lsh" -> {
+      val flips = (0 +: (0 until SimilarityPack.nPlanes).map(1 << _)).mkString("[", ",", "]")
+      s"""WITH ${SimilarityPack.vecsCte},
+         |probes AS (
+         |  SELECT a.vec_id AS vec_i, a.q AS qa, a.norm AS na,
+         |         CAST(xor(a.bucket, f.flip) AS INT) AS probe_bucket
+         |  FROM scored a, UNNEST($flips) AS f(flip)),
+         |pairs AS (
+         |  SELECT p.vec_i, b.vec_id AS vec_j,
+         |         ${VectorFunctions.dotQSql("p.qa", "b.q", 64)} / (p.na * b.norm) AS cosine
+         |  FROM probes p JOIN scored b
+         |    ON b.bucket = p.probe_bucket AND p.vec_i < b.vec_id)
          |SELECT vec_i, vec_j, cosine
          |FROM pairs
          |WHERE cosine >= 0.4

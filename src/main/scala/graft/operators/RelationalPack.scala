@@ -152,12 +152,21 @@ object RelationalPack extends QueryPack {
         .orderBy("l_suppkey")
     },
 
-    // ---- approximate distinct (HLL sketch) — algorithm-specific values,
-    //      so rows-only check (no DuckDB oracle: different HLL impl) ----
+    // ---- approximate distinct (HLL sketch). The raw estimate is
+    //      algorithm-specific (Spark HLL++ vs DuckDB HLL differ), so the
+    //      oracle-compared output is the exact count plus a boolean
+    //      asserting each engine's OWN estimate lands within 10% of exact
+    //      — ~6σ+ for both sketches at these cardinalities, so the boolean
+    //      is deterministically true on both sides while still exercising
+    //      the sketch end-to-end ----
     "q21_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+             countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.1)
+            .as("approx_within_10pct"))
         .orderBy("l_returnflag")
     },
 
@@ -355,6 +364,13 @@ object RelationalPack extends QueryPack {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    <= count(DISTINCT l_partkey) * 0.1 AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_window_rank" ->
       """WITH spend AS (

@@ -98,10 +98,15 @@ object RelationalPack2 extends QueryPack {
     },
 
     // ---- deterministic array aggregation (sorted collect) ----
+    // The collected set is emitted as a ','-joined string, not an
+    // array<string>: the driver's comparator row-sorts with pandas, which
+    // cannot hash ndarray cells (round-1 q87 failure) — the string form is
+    // hashable in every comparator while keeping the sorted-collect
+    // semantics observable.
     "q87_collect_sorted" -> { (s, d) =>
       Tables.customer(s, d)
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
              count(lit(1)).as("n"))
         .orderBy("c_nationkey")
     },
@@ -213,7 +218,7 @@ object RelationalPack2 extends QueryPack {
 
     "q87_collect_sorted" ->
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM customer
         |GROUP BY c_nationkey

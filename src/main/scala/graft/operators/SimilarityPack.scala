@@ -29,9 +29,9 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityPack extends QueryPack {
 
-  private val dim = 64
-  private val nPlanes = 6
-  private val topK = 5
+  private[operators] val dim = 64
+  private[operators] val nPlanes = 6
+  private[operators] val topK = 5
 
   /** Deterministic hyperplane coefficients c(h)(i) ∈ [-8, 7]: the first
     * md5 nibble of "h:i", minus 8. Same derivation any engine could
@@ -49,7 +49,7 @@ object SimilarityPack extends QueryPack {
   /** Spark: 6-bit LSH bucket of a quantized vector column. Integer math
     * throughout — exact under any evaluation order.
     */
-  private def bucketCol(q: Column): Column =
+  private[operators] def bucketCol(q: Column): Column =
     (0 until nPlanes).map { h =>
       val coeffs = array(planes(h).map(c => lit(c.toLong)): _*)
       val proj = graft.functions.GraftExpressions.longArrayDot(q, coeffs)
@@ -57,7 +57,7 @@ object SimilarityPack extends QueryPack {
     }.reduce(_ + _)
 
   /** Quantized + normed + bucketed vector table. */
-  private def vecTable(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vecTable(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExpressions.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
@@ -126,19 +126,19 @@ object SimilarityPack extends QueryPack {
 
   /** DuckDB: the 6 sign projections as correlated subqueries over inlined
     * coefficient lists. */
-  private def signSqls(qcol: String): Seq[String] =
+  private[operators] def signSqls(qcol: String): Seq[String] =
     (0 until nPlanes).map { h =>
       val lst = planes(h).mkString("[", ",", "]")
       s"""(SELECT SUM($qcol[g.i] * ($lst)[g.i])
          | FROM UNNEST(generate_series(1, $dim)) AS g(i))""".stripMargin
     }
 
-  private def bucketSql(qcol: String): String =
+  private[operators] def bucketSql(qcol: String): String =
     signSqls(qcol).zipWithIndex
       .map { case (sq, h) => s"(CASE WHEN $sq >= 0 THEN ${1 << h} ELSE 0 END)" }
       .mkString(" + ")
 
-  private def vecsCte: String =
+  private[operators] def vecsCte: String =
     s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
        |scored AS (
        |  SELECT vec_id, q,
