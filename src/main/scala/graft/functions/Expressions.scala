@@ -140,6 +140,94 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of positions where two `array<bigint>` columns agree. */
+case class LongArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always array<bigint>
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_long_array_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongArrayEqCount =
+    copy(left = l, right = r)
+}
+
+/** Intersection size of two SORTED distinct `array<bigint>` columns —
+  * two-pointer merge over primitive longs; the int64 twin of
+  * [[SortedArrayIntersectCount]] (8-byte compares, no UTF8String).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_long_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Session-scoped registration + Column-level accessors. */
 object GraftExpressions {
   private def register(s: SparkSession): Unit = {
@@ -150,6 +238,10 @@ object GraftExpressions {
       exprs => ArrayEqCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       exprs => SortedArrayIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_long_array_eq_count",
+      exprs => LongArrayEqCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_long_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -163,4 +255,10 @@ object GraftExpressions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_count", a, b)
+
+  def longArrayEqCount(a: Column, b: Column): Column =
+    call_function("graft_long_array_eq_count", a, b)
+
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_long_intersect_count", a, b)
 }

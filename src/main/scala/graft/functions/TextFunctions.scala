@@ -37,14 +37,30 @@ object TextFunctions {
   /** Distinct token set (for Jaccard / MinHash over unigram sets). */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** First 15 hex chars of an md5-hex column → int64 (60 bits). The
+    * engine-portable string→fixed-width-id hash: DuckDB mirrors it as
+    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`, so derived joins
+    * and counts are identical by construction on both sides (even a
+    * collision collides identically). Used to shrink shuffle payloads:
+    * joining/intersecting 8-byte ids beats variable-length strings.
+    */
+  def hex64(md5Hex: Column): Column =
+    conv(substring(md5Hex, 1, 15), 16, 10).cast("long")
+
   /** Word k-shingles: array of the k-grams of the token stream, joined with
     * a single space. Empty array when the doc has fewer than k tokens.
     */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
+  def wordShingles(c: Column, k: Int): Column = wordShinglesOf(tokens(c), k)
+
+  /** As [[wordShingles]] but over an already-computed token array column.
+    * Per position the k tokens are fetched with O(1) `element_at`s —
+    * measured ~2× over the `slice`+`concat_ws` formulation, whose per-
+    * shingle array allocation dominated the q43 build.
+    */
+  def wordShinglesOf(toks: Column, k: Int): Column = {
     val n = size(toks)
     when(n < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), n - k), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        concat_ws(" ", (1 to k).map(o => element_at(toks, i + lit(o))): _*)))
   }
 }

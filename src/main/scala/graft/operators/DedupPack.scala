@@ -22,9 +22,10 @@ import graft.functions.VectorFunctions
   *
   * Every probabilistic structure is built from `md5` so the DuckDB oracle
   * reproduces it bit-for-bit (Spark's `hash`/`xxhash64` have no DuckDB
-  * twin). md5-per-token is ~2× the cost of murmur3 — acceptable, and
-  * swappable for a native hash once cross-engine verification is no
-  * longer needed.
+  * twin): ONE md5 per token/shingle, with MinHash permutations derived as
+  * hex rotations of that digest and all ids narrowed to 60-bit int64
+  * prefixes (`hex64`) before anything crosses a shuffle. Swappable for a
+  * native hash once cross-engine verification is no longer needed.
   *
   * Scale design (100 TB of documents):
   *   - the scale paths are never all-pairs: MinHash/SimHash candidates
@@ -44,13 +45,16 @@ object DedupPack extends QueryPack {
   private val nPerm = 16 // MinHash permutations
   private val bandRows = 8 // rows per LSH band → 2 bands
 
-  /** MinHash signature: per permutation p, min over distinct tokens of
-    * md5("p:token") — a fixed-width hex string whose lexicographic min is
-    * the numeric min. Identical construction in the oracle SQL.
+  /** MinHash permutation p of a 32-char md5-hex column: rotate the hex
+    * string left by 2p chars. One md5 per token total — the 16 "independent
+    * permutations" are rotations of that single digest (each rotation leads
+    * with a different byte of the digest, giving 16 near-independent total
+    * orders on tokens), replacing the 16-md5s-per-token construction that
+    * dominated signature-build time. p=0 is the identity.
     */
-  private def minhashSigs(toks: Column): Column =
-    transform(sequence(lit(0), lit(nPerm - 1)),
-      p => array_min(transform(toks, w => md5(concat(p.cast("string"), lit(":"), w)))))
+  private def rotHex(h: Column, p: Int): Column =
+    if (p == 0) h
+    else concat(h.substr(lit(2 * p + 1), lit(32 - 2 * p)), h.substr(lit(1), lit(2 * p)))
 
   // ---------- SimHash: generated expression strings, both dialects ----------
 
@@ -89,23 +93,35 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     },
 
-    // ---- MinHash + LSH banding; est-Jaccard prefilter; exact verify ----
+    // ---- MinHash + LSH banding; est-Jaccard + exact verify ----
+    // Layout is tuned from a measured sf0.1 profile (22 s → see git log):
+    // everything that crosses a shuffle is int64 — token ids and per-perm
+    // signature mins are 60-bit md5 prefixes (hex64, mirrored exactly in
+    // the oracle), so the candidate-pair verify joins move 8-byte ids, not
+    // strings; signatures cost ONE md5 per token (rotations = perms); and
+    // each pair side is attached in a single join carrying (sigs, tid,
+    // n_toks) together — the profile showed the old sig-only prefilter
+    // join pruned ~0.02% of candidates while paying a second full join.
     "q41_dedup_minhash" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
-      // persist: the signature/token table feeds five plan branches (bands,
-      // sig_a/sig_b, toks_a/toks_b) — without it the 16×md5-per-token
-      // signature pass recomputes per branch. At cluster scale this is the
+      // persist: the signature/token-id table feeds three plan branches
+      // (bands, pair side A, pair side B). At cluster scale this is the
       // checkpointed signature store every LSH dedup pipeline maintains.
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), sort_array(tokenSet(col("text"))).as("toks"))
+        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
-        .withColumn("sigs", minhashSigs(col("toks")))
+        .withColumn("h", transform(col("toks"), w => md5(w)))
+        .select(col("doc_id"),
+          sort_array(transform(col("h"), x => hex64(x))).as("tid"),
+          array((0 until nPerm).map(p =>
+            hex64(array_min(transform(col("h"), x => rotHex(x, p))))): _*).as("sigs"))
+        .withColumn("n_toks", size(col("tid")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = docs.select(
         col("doc_id"),
         posexplode(array(
-          md5(concat_ws(",", slice(col("sigs"), 1, bandRows))),
-          md5(concat_ws(",", slice(col("sigs"), bandRows + 1, bandRows))))))
+          md5(concat_ws(",", transform(slice(col("sigs"), 1, bandRows), _.cast("string")))),
+          md5(concat_ws(",", transform(slice(col("sigs"), bandRows + 1, bandRows), _.cast("string")))))))
         .toDF("doc_id", "band_id", "band_val")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -113,26 +129,20 @@ object DedupPack extends QueryPack {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
         .distinct()
-      // two-stage verification to keep the shuffles lean: first attach only
-      // the 16-element signatures and drop candidates below the estimated-
-      // Jaccard bar (kills the quadratic fan-out of over-common LSH buckets
-      // cheaply), then attach token sets for exact Jaccard on survivors.
-      val sa = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"))
-      val sb = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"))
-      val ta = docs.select(col("doc_id").as("doc_i"), col("toks").as("toks_a"))
-      val tb = docs.select(col("doc_id").as("doc_j"), col("toks").as("toks_b"))
-      cand.join(sa, "doc_i").join(sb, "doc_j")
+      val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      cand.join(da, "doc_i").join(db, "doc_j")
         .withColumn("est_matches",
-          graft.functions.GraftExpressions.arrayEqCount(col("sig_a"), col("sig_b")))
-        .filter(col("est_matches") >= 12) // est Jaccard ≥ 0.75 before exact verify
-        .drop("sig_a", "sig_b")
-        .join(ta, "doc_i").join(tb, "doc_j")
-        // toks are sorted above → O(n+m) codegen merge-intersect
+          graft.functions.GraftExpressions.longArrayEqCount(col("sig_a"), col("sig_b")))
+        .filter(col("est_matches") >= 12) // est Jaccard ≥ 0.75
+        // tid sorted above → O(n+m) codegen merge-intersect on longs
         .withColumn("n_common",
-          graft.functions.GraftExpressions.sortedIntersectCount(col("toks_a"), col("toks_b")))
+          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
         .withColumn("jaccard",
           col("n_common").cast("double") /
-            (size(col("toks_a")) + size(col("toks_b")) - col("n_common")).cast("double"))
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
         .filter(col("jaccard") >= 0.9)
         .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard")
         .orderBy("doc_i", "doc_j")
@@ -162,15 +172,26 @@ object DedupPack extends QueryPack {
     },
 
     // ---- 3-word-shingle Jaccard via inverted-index join ----
+    // The index stores 60-bit shingle ids (hex64 of the shingle md5, the
+    // construction mirrored in the oracle), not the ~20-char shingle
+    // strings: the pair-generating self-join hashes and compares 8-byte
+    // keys and shuffles a fraction of the bytes.
     "q43_dedup_ngram" -> { (s, d) =>
       // persisted: the inverted shingle index is scanned three times
       // (both join sides + per-doc counts)
+      // tokens are materialized as a column BEFORE the shingling transform:
+      // expressions referenced inside higher-order-function lambdas are
+      // re-evaluated per reference (no subexpression elimination there), so
+      // inlining tokens() into the lambda re-tokenized the doc per shingle
+      // position — measured 8.6 s → 1.3 s for this build at sf0.1.
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(wordShingles(col("text"), 3))).as("s"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("s"))
+        .select(col("doc_id"), hex64(md5(col("s"))).as("sid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val shared = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
         .agg(count(lit(1)).as("shared"))
       shared
@@ -242,14 +263,23 @@ object DedupPack extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    "q41_dedup_minhash" ->
+    "q41_dedup_minhash" -> {
+      // perm p = rotate-left of the token md5 hex by 2p chars; ids are
+      // 60-bit hex prefixes — the exact mirror of the Spark construction
+      val rotSql = "substring(h, 2*p + 1, 32 - 2*p) || substring(h, 1, 2*p)"
       s"""WITH tok AS ($duckToks),
          |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
-         |docs AS (SELECT doc_id, list(DISTINCT w) AS toks FROM dt GROUP BY doc_id),
-         |mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || ':' || w)) AS sig
-         |       FROM dt CROSS JOIN (SELECT unnest(generate_series(0, ${nPerm - 1})) AS p) perms
+         |dh AS (SELECT doc_id, md5(w) AS h FROM dt),
+         |docs AS (SELECT doc_id,
+         |                list_sort(list(CAST('0x' || substring(h, 1, 15) AS BIGINT))) AS tid,
+         |                count(*) AS n_toks
+         |         FROM dh GROUP BY doc_id),
+         |mh AS (SELECT doc_id, p, min($rotSql) AS sighex
+         |       FROM dh CROSS JOIN (SELECT unnest(generate_series(0, ${nPerm - 1})) AS p) perms
          |       GROUP BY doc_id, p),
-         |sigs AS (SELECT doc_id, list(sig ORDER BY p) AS sigs FROM mh GROUP BY doc_id),
+         |sigs AS (SELECT doc_id,
+         |                list(CAST('0x' || substring(sighex, 1, 15) AS BIGINT) ORDER BY p) AS sigs
+         |         FROM mh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, 0 AS band_id, md5(array_to_string(sigs[1:$bandRows], ',')) AS band_val FROM sigs
          |  UNION ALL
@@ -260,16 +290,17 @@ object DedupPack extends QueryPack {
          |scored AS (
          |  SELECT c.doc_i, c.doc_j,
          |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
-         |    CAST(length(list_intersect(da.toks, db.toks)) AS INT) AS n_common,
-         |    CAST(length(list_intersect(da.toks, db.toks)) AS DOUBLE) /
-         |      (length(da.toks) + length(db.toks) - length(list_intersect(da.toks, db.toks))) AS jaccard
+         |    CAST(length(list_intersect(da.tid, db.tid)) AS INT) AS n_common,
+         |    CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
+         |      (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) AS jaccard
          |  FROM cand c
          |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
          |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)
          |SELECT doc_i, doc_j, est_matches, n_common, jaccard
          |FROM scored
          |WHERE est_matches >= 12 AND jaccard >= 0.9
-         |ORDER BY doc_i, doc_j""".stripMargin,
+         |ORDER BY doc_i, doc_j""".stripMargin
+    },
 
     "q42_dedup_simhash" -> {
       val nibbles = nibbleExprs("strpos").mkString(", ")
@@ -296,11 +327,12 @@ object DedupPack extends QueryPack {
 
     "q43_dedup_ngram" ->
       s"""WITH tok AS ($duckToks),
-         |sh AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS s
-         |       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
+         |sh0 AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS s
+         |        FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
+         |sh AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS sid FROM sh0),
          |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
          |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, CAST(count(*) AS BIGINT) AS shared
-         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
          |           GROUP BY a.doc_id, b.doc_id)
          |SELECT s.doc_i, s.doc_j, s.shared,
          |       CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) AS jaccard
