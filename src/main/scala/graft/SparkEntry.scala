@@ -17,8 +17,10 @@ object SparkEntry {
     CorePack,
     RelationalPack,
     RelationalPack2,
+    RelationalPack3,
     EventsPack,
     DedupPack,
+    PipelinePack,
     SimilarityPack,
     TextPack,
     MultimodalPack,

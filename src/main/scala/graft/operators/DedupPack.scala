@@ -79,6 +79,64 @@ object DedupPack extends QueryPack {
 
   private val simhashMaxHamming = 4
 
+  /** The q43 near-dup pair set `(doc_i, doc_j, shared, jaccard)`,
+    * `jaccard >= 0.15`, also the edge set for the retention / clustering
+    * queries in [[PipelinePack]]. The index stores 60-bit shingle ids
+    * (hex64 of the shingle md5, the construction mirrored in the oracle),
+    * not the ~20-char shingle strings: the pair-generating self-join
+    * hashes and compares 8-byte keys and shuffles a fraction of the bytes.
+    */
+  private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    // tokens are materialized as a column BEFORE the shingling transform:
+    // expressions referenced inside higher-order-function lambdas are
+    // re-evaluated per reference (no subexpression elimination there), so
+    // inlining tokens() into the lambda re-tokenized the doc per shingle
+    // position — measured 8.6 s → 1.3 s for this build at sf0.1.
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("s"))
+      .select(col("doc_id"), hex64(md5(col("s"))).as("sid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(counts.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= 0.15)
+  }
+
+  /** DuckDB reference tokenization (`ts` = token array per doc). */
+  private val duckToks =
+    """SELECT doc_id,
+      |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+      |                   w -> w <> '') AS ts
+      |FROM documents""".stripMargin
+
+  /** DuckDB CTE chain ending in `pairs(doc_i, doc_j, shared, jaccard)` —
+    * the oracle mirror of [[ngramPairs]], shared by q43/q46/q96 oracles.
+    */
+  private[operators] val ngramPairsCtes: String =
+    s"""tok AS ($duckToks),
+       |sh0 AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS s
+       |        FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
+       |sh AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS sid FROM sh0),
+       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, CAST(count(*) AS BIGINT) AS shared
+       |           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT s.doc_i, s.doc_j, s.shared,
+       |         CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) AS jaccard
+       |  FROM shared s
+       |  JOIN counts ci ON ci.doc_id = s.doc_i
+       |  JOIN counts cj ON cj.doc_id = s.doc_j
+       |  WHERE CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) >= 0.15)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact dedup: content-hash groups, canonical representative ----
@@ -172,34 +230,8 @@ object DedupPack extends QueryPack {
     },
 
     // ---- 3-word-shingle Jaccard via inverted-index join ----
-    // The index stores 60-bit shingle ids (hex64 of the shingle md5, the
-    // construction mirrored in the oracle), not the ~20-char shingle
-    // strings: the pair-generating self-join hashes and compares 8-byte
-    // keys and shuffles a fraction of the bytes.
     "q43_dedup_ngram" -> { (s, d) =>
-      // persisted: the inverted shingle index is scanned three times
-      // (both join sides + per-doc counts)
-      // tokens are materialized as a column BEFORE the shingling transform:
-      // expressions referenced inside higher-order-function lambdas are
-      // re-evaluated per reference (no subexpression elimination there), so
-      // inlining tokens() into the lambda re-tokenized the doc per shingle
-      // position — measured 8.6 s → 1.3 s for this build at sf0.1.
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("s"))
-        .select(col("doc_id"), hex64(md5(col("s"))).as("sid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val shared = sh.as("a").join(sh.as("b"),
-          col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(counts.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
-        .join(counts.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
-        .withColumn("jaccard",
-          col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")).cast("double"))
-        .filter(col("jaccard") >= 0.15)
+      ngramPairs(s, d)
         .select("doc_i", "doc_j", "shared", "jaccard")
         .orderBy("doc_i", "doc_j")
     },
@@ -247,12 +279,6 @@ object DedupPack extends QueryPack {
   )
 
   // ---------- oracles ----------
-
-  private val duckToks =
-    """SELECT doc_id,
-      |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
-      |                   w -> w <> '') AS ts
-      |FROM documents""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -326,20 +352,9 @@ object DedupPack extends QueryPack {
     },
 
     "q43_dedup_ngram" ->
-      s"""WITH tok AS ($duckToks),
-         |sh0 AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS s
-         |        FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
-         |sh AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS sid FROM sh0),
-         |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-         |shared AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, CAST(count(*) AS BIGINT) AS shared
-         |           FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
-         |           GROUP BY a.doc_id, b.doc_id)
-         |SELECT s.doc_i, s.doc_j, s.shared,
-         |       CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) AS jaccard
-         |FROM shared s
-         |JOIN counts ci ON ci.doc_id = s.doc_i
-         |JOIN counts cj ON cj.doc_id = s.doc_j
-         |WHERE CAST(s.shared AS DOUBLE) / (ci.n_sh + cj.n_sh - s.shared) >= 0.15
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_i, doc_j, shared, jaccard
+         |FROM pairs
          |ORDER BY doc_i, doc_j""".stripMargin,
 
     "q44_dedup_embedding" -> {

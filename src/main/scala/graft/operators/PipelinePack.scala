@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.TextFunctions._
+
+/** Training-data pipeline policies layered ON TOP of the dedup primitives —
+  * what a real corpus build runs after candidate pairs exist:
+  *
+  *   - q46 retention: given the near-dup graph (q43's pairs), drop every
+  *     doc that has a strictly better partner (longer text, ties by lower
+  *     doc_id) — the "keep best of each dup set" policy.
+  *   - q47 cluster assignment: connected components over the near-dup
+  *     graph by 3 unrolled rounds of min-label propagation (both engines
+  *     run exactly 3 rounds, so the result is deterministic even if a
+  *     pathological chain hasn't converged).
+  *   - q65 quality gate: the boolean filter chain (min/max length,
+  *     type-token ratio) that decides which documents enter training at
+  *     all.
+  *
+  * Scale design: retention and clustering are joins/aggregations keyed on
+  * doc_id over the PAIR table, never over the corpus cross product; label
+  * propagation is the standard BSP connected-components loop (each round
+  * one join + one min-aggregate, hash-partitioned on the node id). The
+  * fixed 3 rounds here stand in for "iterate to fixpoint with a
+  * convergence check" at cluster scale.
+  */
+object PipelinePack extends QueryPack {
+
+  private def symmetricEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
+      .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup retention: drop docs with a strictly better near-dup ----
+    "q46_dedup_retention" -> { (s, d) =>
+      val edges = symmetricEdges(DedupPack.ngramPairs(s, d).select("doc_i", "doc_j"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val dropped = edges
+        .join(docs.select(col("doc_id").as("a"), col("n_chars").as("len_a")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("n_chars").as("len_b")), "b")
+        .filter(col("len_b") > col("len_a") ||
+          (col("len_b") === col("len_a") && col("b") < col("a")))
+        .select(col("a").as("doc_id")).distinct()
+        .withColumn("dropped", lit(true))
+      docs.join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("dropped").isNull.as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup clusters: 3 rounds of min-label propagation ----
+    "q47_dedup_clusters" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val e = symmetricEdges(pairs).toDF("v", "u")
+      val nodes = e.select(col("v")).distinct()
+      // self-loop so a round is a single uniform join + min-aggregate
+      val adj = nodes.select(col("v"), col("v").as("u")).union(e)
+      var labels = nodes.select(col("v").as("node"), col("v").as("label"))
+      for (_ <- 1 to 3) {
+        labels = adj.join(labels, col("u") === col("node"))
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
+          .withColumnRenamed("v", "node")
+      }
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality gate: boolean admission filter chain ----
+    "q65_quality_gate" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          tokens(col("text")).as("toks"), tokenSet(col("text")).as("tset"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          (size(col("toks")) >= 20).as("pass_min_len"),
+          (col("n_chars") <= 1000).as("pass_max_len"),
+          // guard n_tokens=0: NaN compares differ between engines
+          (size(col("toks")) > 0 &&
+            size(col("tset")).cast("double") / size(col("toks")).cast("double") >= 0.3)
+            .as("pass_ttr"))
+        .withColumn("pass_all",
+          col("pass_min_len") && col("pass_max_len") && col("pass_ttr"))
+        .orderBy("doc_id")
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q46_dedup_retention" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+         |          UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |dropped AS (SELECT DISTINCT e.a AS doc_id
+         |            FROM edges e
+         |            JOIN documents da ON da.doc_id = e.a
+         |            JOIN documents db ON db.doc_id = e.b
+         |            WHERE db.n_chars > da.n_chars
+         |               OR (db.n_chars = da.n_chars AND db.doc_id < da.doc_id))
+         |SELECT d.doc_id, d.n_chars, dr.doc_id IS NULL AS kept
+         |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q47_dedup_clusters" -> {
+      def round(prev: String, cur: String): String =
+        s"$cur AS (SELECT a.v AS node, min(l.label) AS label\n" +
+          s"        FROM adj a JOIN $prev l ON l.node = a.u GROUP BY a.v)"
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |adj AS (SELECT v, v AS u FROM n UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT v AS node, v AS label FROM n),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT node AS doc_id, label AS cluster,
+         |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+         |FROM l3
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q65_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |             w -> w <> '')) AS n_tokens,
+        |         len(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |             w -> w <> ''))) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       n_tokens >= 20 AS pass_min_len,
+        |       n_chars <= 1000 AS pass_max_len,
+        |       -- CASE (not AND) so the div-by-zero arm is never evaluated:
+        |       -- SQL AND does not short-circuit and NULL/NaN compares differ
+        |       CASE WHEN n_tokens = 0 THEN false
+        |            ELSE CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3 END AS pass_ttr,
+        |       (n_tokens >= 20 AND n_chars <= 1000 AND
+        |        CASE WHEN n_tokens = 0 THEN false
+        |             ELSE CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3 END) AS pass_all
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
+  )
+}

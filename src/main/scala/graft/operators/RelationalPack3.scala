@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.VectorFunctions
+
+/** Third relational wave: correlated EXISTS/NOT EXISTS, vector explode
+  * (generator over an array column), MapType construction + access,
+  * unpivot (wide→long), exact interpolated percentiles. Same determinism
+  * rules as RelationalPack (see QueryPack scaladoc).
+  */
+object RelationalPack3 extends QueryPack {
+
+  private def views(s: SparkSession, d: String, ts: String*): Unit =
+    ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- correlated EXISTS + NOT EXISTS (decorrelated by Catalyst into
+    //      semi/anti joins — verify with .explain) ----
+    "q90_exists" -> { (s, d) =>
+      views(s, d, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        ORDER BY c_custkey
+      """)
+    },
+
+    // ---- generator over an array column: per-component vector stats.
+    //      Components quantized to int64 first so the aggregates are
+    //      exact and order-independent (see VectorFunctions) ----
+    "q91_explode_vector" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(VectorFunctions.quantize(col("embedding"))))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_comps"),
+          min(col("col")).as("min_q"),
+          max(col("col")).as("max_q"),
+          sum(col("col")).as("sum_q"),
+          count(when(col("col") > 0, 1)).as("n_positive"))
+        .orderBy("vec_id")
+    },
+
+    // ---- MapType: build a segment→count map per nation, then access ----
+    "q92_map_funcs" -> { (s, d) =>
+      val segCounts = Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      segCounts.groupBy("c_nationkey")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("c_mktsegment"), col("n"))))).as("seg_map"))
+        .select(col("c_nationkey"),
+          size(col("seg_map")).as("n_segments"),
+          coalesce(element_at(col("seg_map"), "BUILDING"), lit(0L)).as("n_building"),
+          array_join(map_keys(col("seg_map")), ",").as("segments"),
+          aggregate(map_values(col("seg_map")), lit(0L), (acc, x) => acc + x).as("n_total"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- unpivot (wide per-brand aggregates → long metric/value) ----
+    "q93_unpivot" -> { (s, d) =>
+      val wide = Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("double").as("n_parts"),
+          max(col("p_size")).cast("double").as("max_size"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_retail"))
+      wide.unpivot(
+          Array(col("p_brand")),
+          Array(col("n_parts"), col("max_size"), col("sum_retail")),
+          "metric", "value")
+        .orderBy("p_brand", "metric")
+    },
+
+    // ---- exact interpolated percentiles (type-7 quantiles). l_quantity
+    //      holds integral doubles and the probe points are exact binary
+    //      fractions, so the interpolation is exact in both engines ----
+    "q94_percentiles" -> { (s, d) =>
+      views(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               percentile(l_quantity, 0.25) AS p25,
+               percentile(l_quantity, 0.5)  AS p50,
+               percentile(l_quantity, 0.75) AS p75,
+               min(l_quantity) AS qmin,
+               max(l_quantity) AS qmax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q90_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice < 50000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q91_explode_vector" -> {
+      val q = VectorFunctions.quantizeSql("embedding")
+      s"""WITH comps AS (
+         |  SELECT vec_id, q[g.i] AS c
+         |  FROM (SELECT vec_id, $q AS q FROM embeddings) v,
+         |       UNNEST(generate_series(1, 64)) AS g(i))
+         |SELECT vec_id,
+         |       CAST(count(*) AS BIGINT) AS n_comps,
+         |       min(c) AS min_q,
+         |       max(c) AS max_q,
+         |       CAST(sum(c) AS BIGINT) AS sum_q,
+         |       CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_positive
+         |FROM comps
+         |GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "q92_map_funcs" ->
+      """WITH sc AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT c_nationkey,
+        |       CAST(count(*) AS INT) AS n_segments,
+        |       COALESCE(MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n END), 0) AS n_building,
+        |       array_to_string(list(c_mktsegment ORDER BY c_mktsegment), ',') AS segments,
+        |       CAST(SUM(n) AS BIGINT) AS n_total
+        |FROM sc
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q93_unpivot" ->
+      """WITH w AS (
+        |  SELECT p_brand,
+        |         CAST(count(*) AS DOUBLE) AS n_parts,
+        |         CAST(max(p_size) AS DOUBLE) AS max_size,
+        |         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_brand, metric, value FROM (
+        |  SELECT p_brand, 'n_parts' AS metric, n_parts AS value FROM w
+        |  UNION ALL SELECT p_brand, 'max_size', max_size FROM w
+        |  UNION ALL SELECT p_brand, 'sum_retail', sum_retail FROM w)
+        |ORDER BY p_brand, metric""".stripMargin,
+
+    "q94_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5)  AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       min(l_quantity) AS qmin,
+        |       max(l_quantity) AS qmax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}
