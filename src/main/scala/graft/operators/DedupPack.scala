@@ -175,6 +175,10 @@ object DedupPack extends QueryPack {
             hex64(array_min(transform(col("h"), x => rotHex(x, p))))): _*).as("sigs"))
         .withColumn("n_toks", size(col("tid")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: bands + both pair-side joins reference docs from stages
+      // that run concurrently; a cold cache makes them race and recompute
+      // the signature build per branch
+      docs.count()
       val bands = docs.select(
         col("doc_id"),
         posexplode(array(

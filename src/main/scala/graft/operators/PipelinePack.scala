@@ -37,7 +37,12 @@ object PipelinePack extends QueryPack {
 
     // ---- dedup retention: drop docs with a strictly better near-dup ----
     "q46_dedup_retention" -> { (s, d) =>
-      val edges = symmetricEdges(DedupPack.ngramPairs(s, d).select("doc_i", "doc_j"))
+      // persist + eager count: the symmetric-edge union references the
+      // pair table twice, and those branch stages would race a cold cache
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      val edges = symmetricEdges(pairs)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val dropped = edges
         .join(docs.select(col("doc_id").as("a"), col("n_chars").as("len_a")), "a")
@@ -54,10 +59,19 @@ object PipelinePack extends QueryPack {
     // ---- dedup clusters: 3 rounds of min-label propagation ----
     "q47_dedup_clusters" -> { (s, d) =>
       val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EAGER materialization: the final plan references pairs through
+      // several union branches whose stages run concurrently — against a
+      // cold cache they race and each recompute the whole shingle-index
+      // pipeline (measured 32 s vs ~4 s at sf0.1). One count() warms the
+      // cache before the branches fan out; this is the standard prologue
+      // of every iterative (BSP) DataFrame algorithm.
+      pairs.count()
       val e = symmetricEdges(pairs).toDF("v", "u")
       val nodes = e.select(col("v")).distinct()
       // self-loop so a round is a single uniform join + min-aggregate
       val adj = nodes.select(col("v"), col("v").as("u")).union(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = nodes.select(col("v").as("node"), col("v").as("label"))
       for (_ <- 1 to 3) {
         labels = adj.join(labels, col("u") === col("node"))
