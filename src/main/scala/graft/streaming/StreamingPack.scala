@@ -88,9 +88,30 @@ object StreamingPack extends QueryPack {
       .orderBy("day")
   }
 
+  /** Custom stateful operator in the gate: [[SessionizeStream]]'s
+    * flatMapGroupsWithState sessionizer, restricted to sessions SAFELY
+    * closed by the final watermark (end + gap + 2 s margin < max event
+    * time). Inside that horizon the streamed set provably equals the
+    * batch lag-gap-cumsum sessions (see SessionizeStreamSpec), so the
+    * result is deterministic and batch-SQL-expressible; at the horizon
+    * itself, ms-granularity watermark arithmetic makes emission of the
+    * last ~2 s of sessions timing-dependent, which a hash gate can't
+    * tolerate — hence the margin on BOTH sides.
+    */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    val sessions = SessionizeStream.run(s, d).toDF()
+    val maxUs = graft.core.Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    sessions
+      .filter(col("end_us") + lit(SessionizeStream.gapUs + 2000000L) < lit(maxUs))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
-    "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d))
+    "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d)),
+    "q95_stream_sessionize" -> ((s, d) => streamSessionize(s, d))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -106,6 +127,32 @@ object StreamingPack extends QueryPack {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau
         |FROM events
         |GROUP BY 1
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // batch sessionization (q32's CTEs) restricted to the same
+    // safely-closed horizon the streaming side applies: gap (1 800 000 000
+    // us) + 2 s margin
+    "q95_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, us,
+        |         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sessions GROUP BY user_id, session_seq),
+        |mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM agg, mx
+        |WHERE end_us + 1802000000 < max_us
+        |ORDER BY user_id, start_us""".stripMargin
   )
 }
