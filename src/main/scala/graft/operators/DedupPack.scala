@@ -179,18 +179,25 @@ object DedupPack extends QueryPack {
       // that run concurrently; a cold cache makes them race and recompute
       // the signature build per branch
       docs.count()
-      val bands = docs.select(
-        col("doc_id"),
-        posexplode(array(
-          md5(concat_ws(",", transform(slice(col("sigs"), 1, bandRows), _.cast("string")))),
-          md5(concat_ws(",", transform(slice(col("sigs"), bandRows + 1, bandRows), _.cast("string")))))))
-        .toDF("doc_id", "band_id", "band_val")
+      // emit-once band join: every band row carries band 0's key (b0), and
+      // band 1 only matches when band 0 did NOT — so a candidate pair is
+      // produced by exactly one band and the distinct() shuffle of the
+      // (quadratic) candidate stream disappears. Band keys are hex64 int64s
+      // for the same shuffle-width reason as the ids.
+      val bandKey = (lo: Int) =>
+        hex64(md5(concat_ws(",", transform(slice(col("sigs"), lo, bandRows), _.cast("string")))))
+      val bands = docs
+        .withColumn("b0", bandKey(1))
+        .withColumn("b1", bandKey(bandRows + 1))
+        .select(col("doc_id"), col("b0"),
+          posexplode(array(col("b0"), col("b1"))))
+        .toDF("doc_id", "b0", "band_id", "band_val")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-        .distinct()
       val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
         col("tid").as("tid_a"), col("n_toks").as("n_a"))
       val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
@@ -221,13 +228,16 @@ object DedupPack extends QueryPack {
       val bands = sims.select(col("doc_id"), col("simhash"),
           posexplode(array(expr("simhash div 65536"), expr("simhash % 65536"))))
         .toDF("doc_id", "simhash", "band_id", "band_val")
+      // emit-once: band 1 (low bits) only pairs docs whose band 0 (high
+      // bits) did NOT already match — no distinct() over the candidates
       bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.band_id") === 0 ||
+            expr("a.simhash div 65536") =!= expr("b.simhash div 65536")))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
                 col("a.simhash").as("simhash_i"), col("b.simhash").as("simhash_j"))
-        .distinct()
         .withColumn("hamming", expr("bit_count(simhash_i ^ simhash_j)"))
         .filter(col("hamming") <= simhashMaxHamming)
         .orderBy("doc_i", "doc_j")
@@ -310,13 +320,18 @@ object DedupPack extends QueryPack {
          |sigs AS (SELECT doc_id,
          |                list(CAST('0x' || substring(sighex, 1, 15) AS BIGINT) ORDER BY p) AS sigs
          |         FROM mh GROUP BY doc_id),
+         |keys AS (SELECT doc_id,
+         |                CAST('0x' || substring(md5(array_to_string(sigs[1:$bandRows], ',')), 1, 15) AS BIGINT) AS b0,
+         |                CAST('0x' || substring(md5(array_to_string(sigs[${bandRows + 1}:${2 * bandRows}], ',')), 1, 15) AS BIGINT) AS b1
+         |         FROM sigs),
          |bands AS (
-         |  SELECT doc_id, 0 AS band_id, md5(array_to_string(sigs[1:$bandRows], ',')) AS band_val FROM sigs
+         |  SELECT doc_id, b0, 0 AS band_id, b0 AS band_val FROM keys
          |  UNION ALL
-         |  SELECT doc_id, 1, md5(array_to_string(sigs[${bandRows + 1}:${2 * bandRows}], ',')) FROM sigs),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  SELECT doc_id, b0, 1, b1 FROM keys),
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
          |         FROM bands a JOIN bands b
-         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
          |scored AS (
          |  SELECT c.doc_i, c.doc_j,
          |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
@@ -344,10 +359,11 @@ object DedupPack extends QueryPack {
          |  SELECT doc_id, simhash, 0 AS band_id, simhash // 65536 AS band_val FROM sims
          |  UNION ALL
          |  SELECT doc_id, simhash, 1, simhash % 65536 FROM sims),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |                a.simhash AS simhash_i, b.simhash AS simhash_j
          |         FROM bands a JOIN bands b
-         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.simhash // 65536 <> b.simhash // 65536))
          |SELECT doc_i, doc_j, simhash_i, simhash_j,
          |       CAST(bit_count(xor(simhash_i, simhash_j)) AS INT) AS hamming
          |FROM cand
