@@ -78,6 +78,51 @@ object RelationalPack3 extends QueryPack {
         .orderBy("p_brand", "metric")
     },
 
+    // ---- array function spread over a collected set ----
+    "q96_array_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .select(col("l_suppkey"),
+          array_join(col("flags"), ",").as("flags_csv"),
+          array_contains(col("flags"), "A").as("has_a"),
+          size(array_intersect(col("flags"), array(lit("A"), lit("R")))).as("n_ar"),
+          element_at(col("flags"), 1).as("first_flag"),
+          element_at(col("flags"), -1).as("last_flag"),
+          size(col("flags")).as("n_flags"))
+        .orderBy("l_suppkey")
+    },
+
+    // ---- regex function spread ----
+    "q97_regex_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_tail"),
+          size(regexp_extract_all(col("p_name"), lit("a"), lit(0))).as("n_a"),
+          col("p_brand").rlike("[0-9]").as("brand_has_digit"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- window frame spread: value-RANGE frame + first/nth/last ----
+    "q99_window_frames" -> { (s, d) =>
+      views(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                   RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+                 AS n_similar,
+               first_value(o_orderkey) OVER w AS first_ok,
+               nth_value(o_orderkey, 2) OVER w AS second_ok,
+               last_value(o_orderkey) OVER w AS last_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey
+      """)
+    },
+
     // ---- exact interpolated percentiles (type-7 quantiles). l_quantity
     //      holds integral doubles and the probe points are exact binary
     //      fractions, so the interpolation is exact in both engines ----
@@ -150,6 +195,43 @@ object RelationalPack3 extends QueryPack {
         |  UNION ALL SELECT p_brand, 'max_size', max_size FROM w
         |  UNION ALL SELECT p_brand, 'sum_retail', sum_retail FROM w)
         |ORDER BY p_brand, metric""".stripMargin,
+
+    "q96_array_funcs" ->
+      """WITH f AS (
+        |  SELECT l_suppkey, list_sort(list(DISTINCT l_returnflag)) AS flags
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey,
+        |       array_to_string(flags, ',') AS flags_csv,
+        |       list_contains(flags, 'A') AS has_a,
+        |       CAST(len(list_intersect(flags, ['A','R'])) AS INT) AS n_ar,
+        |       flags[1] AS first_flag,
+        |       flags[-1] AS last_flag,
+        |       CAST(len(flags) AS INT) AS n_flags
+        |FROM f
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q97_regex_funcs" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_type, '(\w+)$', 1) AS type_tail,
+        |       CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a,
+        |       regexp_matches(p_brand, '[0-9]') AS brand_has_digit,
+        |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q99_window_frames" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                           RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+        |         AS n_similar,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q94_percentiles" ->
       """SELECT l_returnflag,
