@@ -84,6 +84,20 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- training-mix sampling: deterministic per-stratum hash sample.
+    // Each doc lands in a stable [0,100) bucket via hex64(md5(id:salt));
+    // per-language rates (en 50%, others 20%) pick the training mix.
+    // Deterministic and engine-portable, unlike rand()-based sampling;
+    // at 100 TB this is a narrow scan-side filter, no shuffle at all. ----
+    "q66_sample_stratified" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (hex64(md5(concat(col("doc_id").cast("string"), lit(":mix1")))) % 100)
+            .as("bucket"))
+        .filter(col("bucket") < when(col("lang") === "en", 50).otherwise(20))
+        .orderBy("doc_id")
+    },
+
     // ---- quality gate: boolean admission filter chain ----
     "q65_quality_gate" -> { (s, d) =>
       Tables.documents(s, d)
@@ -136,6 +150,16 @@ object PipelinePack extends QueryPack {
          |FROM l3
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q66_sample_stratified" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket
+        |FROM t
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q65_quality_gate" ->
       """WITH t AS (

@@ -97,6 +97,38 @@ object SimilarityPack extends QueryPack {
         .orderBy("q_id", "rk")
     },
 
+    // ---- IVF (inverted-file) ANN: coarse cells from 8 deterministic
+    // seed vectors (vec_id < 8); every vector is assigned to its nearest
+    // seed by exact fixed-point cosine; a query probes its 2 nearest
+    // cells. At 100 TB the corpus is stored partitioned by cell, the
+    // seed table broadcasts, and a query reads 2 partitions — the same
+    // pruning story as LSH buckets but with data-adaptive regions.
+    // (Real IVF trains centroids with k-means; deterministic seed
+    // vectors keep the structure engine-portable for the oracle while
+    // exercising the identical plan shape.) ----
+    "q53_ann_ivf" -> { (s, d) =>
+      val vecs = vecTable(s, d)
+      val seeds = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("norm").as("snorm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("seed_id"))
+      val assign = vecs.crossJoin(broadcast(seeds))
+        .withColumn("cos_seed", cosineQ(col("q"), col("sq"), col("norm"), col("snorm")))
+        .withColumn("arn", row_number().over(wAssign))
+      val cells = assign.filter(col("arn") === 1)
+        .select(col("vec_id"), col("q"), col("norm"), col("seed_id").as("cell"))
+      val probes = assign.filter(col("vec_id") < 20 && col("arn") <= 2)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+                col("norm").as("qnorm"), col("seed_id").as("probe_cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      probes.join(cells,
+          col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("cosine"))
+        .orderBy("q_id", "rk")
+    },
+
     // ---- multi-probe LSH: also search the 6 Hamming-1 neighbor buckets.
     // Single-probe recall is poor when vectors are near-orthogonal (each
     // hyperplane bit is close to a coin flip for moderate cosines);
@@ -147,6 +179,38 @@ object SimilarityPack extends QueryPack {
        |  FROM vecs v)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q53_ann_ivf" -> {
+      val dotVS = dotQSql("v.q", "s.sq", dim)
+      val dotPC = dotQSql("p.qq", "c.q", dim)
+      s"""WITH $vecsCte,
+         |seeds AS (SELECT vec_id AS seed_id, q AS sq, norm AS snorm
+         |          FROM scored WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT v.vec_id, v.q, v.norm, s.seed_id,
+         |         $dotVS / (v.norm * s.snorm) AS cos_seed
+         |  FROM scored v CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT vec_id, q, norm, seed_id, cos_seed,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cos_seed DESC, seed_id) AS arn
+         |  FROM assigned),
+         |cells AS (SELECT vec_id, q, norm, seed_id AS cell FROM ranked WHERE arn = 1),
+         |probes AS (SELECT vec_id AS q_id, q AS qq, norm AS qnorm, seed_id AS probe_cell
+         |           FROM ranked WHERE vec_id < 20 AND arn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id, c.cell,
+         |         $dotPC / (p.qnorm * c.norm) AS cosine
+         |  FROM probes p JOIN cells c
+         |    ON c.cell = p.probe_cell AND c.vec_id <> p.q_id),
+         |out AS (
+         |  SELECT q_id, vec_id, cell, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM cand)
+         |SELECT q_id, rk, vec_id, cell, cosine FROM out
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin
+    },
+
     "q50_ann_brute" ->
       s"""WITH $vecsCte,
          |pairs AS (

@@ -108,10 +108,42 @@ object StreamingPack extends QueryPack {
       .orderBy("user_id", "start_us")
   }
 
+  /** Stream-stream interval join: signups ⋈ purchases by user within 7
+    * days, BOTH sides watermarked (1 h) — the watermark + time bound are
+    * what let Spark evict join state, the property that keeps state
+    * finite at production event rates. Append-mode interval-join matches
+    * are emitted deterministically once both sides arrive, so running the
+    * stream to completion equals the batch interval join exactly (also
+    * asserted by StreamStreamJoinSpec).
+    */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, alias: String): DataFrame =
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${alias}_user"),
+                col("event_id").as(s"${alias}_id"),
+                col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = side("signup", "s").join(side("purchase", "p"),
+      expr("s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAYS"))
+    val name = s"graft_stream_ssjoin_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("s_id"), col("p_id"), col("s_user").as("user_id"))
+      .orderBy("s_id", "p_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
     "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d)),
-    "q95_stream_sessionize" -> ((s, d) => streamSessionize(s, d))
+    "q95_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
+    "q98_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -153,6 +185,16 @@ object StreamingPack extends QueryPack {
         |SELECT user_id, start_us, end_us, n_events
         |FROM agg, mx
         |WHERE end_us + 1802000000 < max_us
-        |ORDER BY user_id, start_us""".stripMargin
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q98_stream_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, event_id AS s_id, ts AS sts FROM ev WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS pts FROM ev WHERE event_type = 'purchase')
+        |SELECT s.s_id, p.p_id, s.user_id AS user_id
+        |FROM s JOIN p
+        |  ON s.user_id = p.user_id AND p.pts >= s.sts AND p.pts <= s.sts + INTERVAL 7 DAY
+        |ORDER BY s_id, p_id""".stripMargin
   )
 }
