@@ -242,6 +242,9 @@ object GraftExpressions {
       exprs => LongArrayEqCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_long_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_top_k_tokens",
+      exprs => TopKTokens(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -261,4 +264,7 @@ object GraftExpressions {
 
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_long_intersect_count", a, b)
+
+  def topKTokens(c: Column, k: Int): Column =
+    call_function("graft_top_k_tokens", c, org.apache.spark.sql.functions.lit(k))
 }

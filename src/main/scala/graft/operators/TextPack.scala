@@ -101,6 +101,22 @@ object TextPack extends QueryPack {
         .orderBy("lang", "rk")
     },
 
+    // ---- the same top-k as a native TypedImperativeAggregate (q64's
+    // semantics, the deepest aggregate API tier: raw InternalRow updates,
+    // compact binary partial buffers instead of Kryo) ----
+    "q67_top_tokens_native" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftExpressions.topKTokens(col("w"), 3).as("top_arr"))
+        .select(col("lang"), posexplode(col("top_arr")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          expr("split_part(col, ':', 1)").as("token"),
+          expr("CAST(split_part(col, ':', 2) AS BIGINT)").as("cnt"))
+        .orderBy("lang", "rk")
+    },
+
     // ---- rolling-hash fingerprint: min-md5 over char 8-grams ----
     "q63_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -167,6 +183,18 @@ object TextPack extends QueryPack {
           |  CAST(length(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+')) AS BIGINT) AS n_subwords
           |FROM documents
           |ORDER BY doc_id""".stripMargin,
+
+      "q67_top_tokens_native" ->
+        """WITH tok AS (
+          |  SELECT lang, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |counts AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+          |ranked AS (SELECT lang, w, cnt,
+          |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+          |           FROM counts)
+          |SELECT lang, CAST(rk AS INT) AS rk, w AS token, CAST(cnt AS BIGINT) AS cnt
+          |FROM ranked WHERE rk <= 3
+          |ORDER BY lang, rk""".stripMargin,
 
       "q64_top_tokens" ->
         """WITH tok AS (
