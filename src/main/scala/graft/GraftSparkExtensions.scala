@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayEqCount, LongArrayDot, SortedArrayIntersectCount}
+import graft.functions.{ArrayEqCount, LongArrayDot, LongArrayEqCount,
+  SortedArrayIntersectCount, SortedLongIntersectCount, TopKTokens}
 
 /** Session-extension wiring for the engine's native functions: users get
   * `graft_long_array_dot` & co. in any session (SQL included) via
@@ -27,5 +28,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedArrayIntersectCount].getName, "graft_sorted_intersect_count"),
       exprs => SortedArrayIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_long_array_eq_count"),
+      new ExpressionInfo(classOf[LongArrayEqCount].getName, "graft_long_array_eq_count"),
+      exprs => LongArrayEqCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_long_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "graft_sorted_long_intersect_count"),
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k_tokens"),
+      new ExpressionInfo(classOf[TopKTokens].getName, "graft_top_k_tokens"),
+      exprs => TopKTokens(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
   }
 }

@@ -129,6 +129,30 @@ object SimilarityPack extends QueryPack {
         .orderBy("q_id", "rk")
     },
 
+    // ---- recall report: each approximate method's top-k (restricted to
+    // the brute-force query set q_id < 5) scored against q50's exact
+    // ground truth — the evaluation harness every ANN deployment runs
+    // before trusting an index. Output: method, n_hits, recall. ----
+    "q54_ann_recall" -> { (s, d) =>
+      import s.implicits._
+      val truth = queries("q50_ann_brute")(s, d).select("q_id", "vec_id")
+      val methods = Seq("q51_ann_lsh", "q52_ann_multiprobe", "q53_ann_ivf")
+      val hits = methods.map { m =>
+          queries(m)(s, d).filter(col("q_id") < 5)
+            .select(lit(m).as("method"), col("q_id"), col("vec_id"))
+        }.reduce(_ union _)
+        .join(truth, Seq("q_id", "vec_id"))
+        .groupBy("method").agg(count(lit(1)).as("n_hits"))
+      val denom = truth.agg(count(lit(1)).cast("double").as("n_truth"))
+      methods.toDF("method")
+        .join(hits, Seq("method"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .crossJoin(denom)
+        .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
+        .select("method", "n_hits", "recall")
+        .orderBy("method")
+    },
+
     // ---- multi-probe LSH: also search the 6 Hamming-1 neighbor buckets.
     // Single-probe recall is poor when vectors are near-orthogonal (each
     // hyperplane bit is close to a coin flip for moderate cosines);
@@ -178,7 +202,31 @@ object SimilarityPack extends QueryPack {
        |         ${bucketSql("v.q")} AS bucket
        |  FROM vecs v)""".stripMargin
 
-  override def oracle: Map[String, String] = Map(
+  override def oracle: Map[String, String] =
+    baseOracle + ("q54_ann_recall" -> recallOracle)
+
+  /** q54's oracle composes the other four oracles as parenthesized
+    * subqueries (nested WITH scopes) — the recall arithmetic itself is
+    * trivial; the point is both engines score the SAME method outputs.
+    */
+  private def recallOracle: String = {
+    def sub(name: String) = s"(${baseOracle(name)})"
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ${sub("q50_ann_brute")} t),
+       |cand AS (
+       |  SELECT 'q51_ann_lsh' AS method, q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
+       |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
+       |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
+       |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
+       |methods(method) AS (VALUES ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
+       |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
+       |FROM methods m LEFT JOIN hits h ON h.method = m.method, denom d
+       |ORDER BY m.method""".stripMargin
+  }
+
+  private def baseOracle: Map[String, String] = Map(
     "q53_ann_ivf" -> {
       val dotVS = dotQSql("v.q", "s.sq", dim)
       val dotPC = dotQSql("p.qq", "c.q", dim)

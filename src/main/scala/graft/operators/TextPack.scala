@@ -117,6 +117,25 @@ object TextPack extends QueryPack {
         .orderBy("lang", "rk")
     },
 
+    // ---- bigram statistics: top word-pairs per language via the native
+    // top-k aggregate (token array materialized before the shingle
+    // lambda — see the HOF-CSE note in DedupPack.ngramPairs) ----
+    "q68_bigram_stats" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      Tables.documents(s, d)
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftExpressions.topKTokens(col("bg"), 3).as("top_arr"),
+             count(lit(1)).as("n_bigrams"))
+        .select(col("lang"), col("n_bigrams"), posexplode(col("top_arr")))
+        .select(col("lang"), col("n_bigrams"),
+          (col("pos") + 1).cast("int").as("rk"),
+          expr("split_part(col, ':', 1)").as("bigram"),
+          expr("CAST(split_part(col, ':', 2) AS BIGINT)").as("cnt"))
+        .orderBy("lang", "rk")
+    },
+
     // ---- rolling-hash fingerprint: min-md5 over char 8-grams ----
     "q63_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -207,6 +226,22 @@ object TextPack extends QueryPack {
           |SELECT lang, CAST(rk AS INT) AS rk, w AS token, CAST(cnt AS BIGINT) AS cnt
           |FROM ranked WHERE rk <= 3
           |ORDER BY lang, rk""".stripMargin,
+
+      "q68_bigram_stats" ->
+        """WITH tok AS (
+          |  SELECT lang, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |bg AS (SELECT lang, ts[g.i] || ' ' || ts[g.i + 1] AS b
+          |       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |counts AS (SELECT lang, b, count(*) AS cnt FROM bg GROUP BY lang, b),
+          |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams FROM bg GROUP BY lang),
+          |ranked AS (SELECT lang, b, cnt,
+          |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, b) AS rk
+          |           FROM counts)
+          |SELECT r.lang, t.n_bigrams, CAST(r.rk AS INT) AS rk, r.b AS bigram, CAST(r.cnt AS BIGINT) AS cnt
+          |FROM ranked r JOIN tot t ON t.lang = r.lang
+          |WHERE r.rk <= 3
+          |ORDER BY r.lang, rk""".stripMargin,
 
       "q63_fingerprint" ->
         """SELECT doc_id,
