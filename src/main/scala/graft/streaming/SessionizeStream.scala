@@ -64,13 +64,16 @@ object SessionizeStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
     val name = s"graft_stream_sessions_${System.identityHashCode(s).toHexString}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // state stores sized to the bounded run — see StreamingPack.withStatePartitions
+    StreamingPack.withStatePartitions(s, 8) {
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).as[Session]
   }
 }

@@ -31,6 +31,21 @@ object StreamingPack extends QueryPack {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `f` (which must START its streaming query inside) with the
+    * shuffle-partition count — which for streaming is also the number of
+    * state-store instances per stateful operator — sized to the load.
+    * The bounded gate runs carry tiny state, where per-partition state
+    * store setup/maintenance dominates: q98 measured 2.5 s at 8
+    * partitions vs 6–9.5 s at 32. At production rates the same knob is
+    * sized UP, per state volume, not down. Restored afterwards so the
+    * batch parts of the plan keep the session's parallelism.
+    */
+  private[streaming] def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming tumbling 1-hour count per event type over the events table. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,13 +60,15 @@ object StreamingPack extends QueryPack {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"graft_stream_tumbling_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
       .orderBy("w_start", "event_type")
@@ -75,13 +92,15 @@ object StreamingPack extends QueryPack {
       .select("user_id", "day")
       .dropDuplicates("user_id", "day")
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val q = ev.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = ev.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
       .groupBy("day")
       .agg(count(lit(1)).as("dau"))
@@ -130,10 +149,12 @@ object StreamingPack extends QueryPack {
     val joined = side("signup", "s").join(side("purchase", "p"),
       expr("s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAYS"))
     val name = s"graft_stream_ssjoin_${counter.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
       .select(col("s_id"), col("p_id"), col("s_user").as("user_id"))
       .orderBy("s_id", "p_id")
