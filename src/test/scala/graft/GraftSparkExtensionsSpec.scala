@@ -37,6 +37,18 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
         "SELECT graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c")
         .head().getInt(0)
       assert(ic == 2)
+      val leq = s.sql(
+        "SELECT graft_long_array_eq_count(array(1L,2L,3L), array(1L,9L,3L)) AS c")
+        .head().getInt(0)
+      assert(leq == 2)
+      val lic = s.sql(
+        "SELECT graft_sorted_long_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS c")
+        .head().getInt(0)
+      assert(lic == 2)
+      val topk = s.sql(
+        "SELECT graft_top_k_tokens(w, 2) AS t FROM VALUES ('a'),('b'),('a'),('c'),('b'),('a') AS v(w)")
+        .head().getSeq[String](0)
+      assert(topk == Seq("a:3", "b:2"))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

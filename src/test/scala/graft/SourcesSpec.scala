@@ -49,6 +49,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.forall(_.matches("\\S+ \\d+")))
   }
 
+  test("orc round-trip preserves documents incl. text column") {
+    val docs = Tables.documents(spark, dir)
+    val path = tmp("orc")
+    docs.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("binary column survives a parquet round-trip") {
     val bin = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
