@@ -96,6 +96,24 @@ object MultimodalPack extends QueryPack {
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
                 col("mean_byte"))
         .orderBy("doc_id")
+    },
+
+    // ---- stubbed resize: halved target dims + 8x strided byte
+    // subsample as the "resized payload" (a real pipeline swaps the
+    // stride sample for a codec's scaler; dims/stride plumbing, batch
+    // shape and output checksum stay identical) ----
+    "q73_resize_stub" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(expr("(1 + ascii(substr(text, 1, 1)) % 64) div 2"), lit(1))
+            .cast("int").as("out_w"),
+          greatest(expr("(1 + ascii(substr(text, 2, 1)) % 64) div 2"), lit(1))
+            .cast("int").as("out_h"),
+          expr("(length(text) + 7) div 8").cast("bigint").as("n_sampled"),
+          md5(expr(
+            "array_join(transform(sequence(1, length(text), 8), i -> substr(text, i, 1)), '')"))
+            .as("resized_md5"))
+        .orderBy("doc_id")
     }
   )
 
@@ -131,6 +149,16 @@ object MultimodalPack extends QueryPack {
         |  (SELECT SUM(ascii(substr(text, g.i, 1)))
         |   FROM UNNEST(generate_series(1, least(length(text), 16))) AS g(i))
         |    / CAST(least(length(text), 16) AS DOUBLE) AS mean_byte
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q73_resize_stub" ->
+      """SELECT doc_id,
+        |  CAST(greatest((1 + ascii(substr(text, 1, 1)) % 64) // 2, 1) AS INT) AS out_w,
+        |  CAST(greatest((1 + ascii(substr(text, 2, 1)) % 64) // 2, 1) AS INT) AS out_h,
+        |  CAST((length(text) + 7) // 8 AS BIGINT) AS n_sampled,
+        |  md5((SELECT string_agg(substr(text, g.i, 1), '' ORDER BY g.i)
+        |       FROM UNNEST(generate_series(1, length(text), 8)) AS g(i))) AS resized_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )
