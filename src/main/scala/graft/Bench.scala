@@ -32,7 +32,13 @@ object Bench {
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // total counts only successful queries; failures are listed explicitly
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // also drop the raw line next to the repo: sbt prefixes forked stdout
+    // with "[info] ", which can trip strict JSON extraction downstream
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
