@@ -81,7 +81,10 @@ object DedupPack extends QueryPack {
 
   /** The q43 near-dup pair set `(doc_i, doc_j, shared, jaccard)`,
     * `jaccard >= 0.15`, also the edge set for the retention / clustering
-    * queries in [[PipelinePack]]. The index stores 60-bit shingle ids
+    * queries in [[PipelinePack]]. Each consuming query builds (and
+    * persists for its own lifetime) this table so the gate's queries stay
+    * independent; a production pipeline materializes it ONCE as an
+    * artifact table and the retention/clustering stages read that. The index stores 60-bit shingle ids
     * (hex64 of the shingle md5, the construction mirrored in the oracle),
     * not the ~20-char shingle strings: the pair-generating self-join
     * hashes and compares 8-byte keys and shuffles a fraction of the bytes.
