@@ -123,6 +123,26 @@ object RelationalPack3 extends QueryPack {
       """)
     },
 
+    // ---- approximate percentile (t-digest-style sketch). Like q21's
+    //      HLL oracle: the raw estimate is sketch-specific, so the gated
+    //      output is the exact quantile plus a boolean asserting each
+    //      engine's OWN estimate lands within 10% of it ----
+    // probe point 0.75 (exact binary fraction) on integral l_quantity so
+    // the EXACT side interpolates identically in both engines (the q94
+    // portability argument); the sketch estimates stay engine-local
+    "q78_approx_percentile" -> { (s, d) =>
+      views(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               percentile(l_quantity, 0.75) AS exact_p75,
+               abs(approx_percentile(l_quantity, 0.75, 1000) - percentile(l_quantity, 0.75))
+                 <= percentile(l_quantity, 0.75) * 0.1 AS approx_within_10pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    },
+
     // ---- exact interpolated percentiles (type-7 quantiles). l_quantity
     //      holds integral doubles and the probe points are exact binary
     //      fractions, so the interpolation is exact in both engines ----
@@ -232,6 +252,15 @@ object RelationalPack3 extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q78_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.75) AS exact_p75,
+        |       abs(approx_quantile(l_quantity, 0.75) - quantile_cont(l_quantity, 0.75))
+        |         <= quantile_cont(l_quantity, 0.75) * 0.1 AS approx_within_10pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q94_percentiles" ->
       """SELECT l_returnflag,
