@@ -19,9 +19,10 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      // queries persist() intermediates they scan multiply; drop those
-      // cached blocks so one query's cache never competes with the next
-      // query's working set (cleanup time is charged to the owning query)
+      // queries persist() intermediates they scan multiply and unpersist
+      // them on exit; this harness-level sweep is a backstop so one
+      // query's leftover cache never competes with the next query's
+      // working set. Runs AFTER `sec` is captured — cleanup is untimed.
       spark.catalog.clearCache()
       (name, sec, ok)
     }

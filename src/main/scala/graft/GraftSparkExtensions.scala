@@ -39,7 +39,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_top_k_tokens"),
       new ExpressionInfo(classOf[TopKTokens].getName, "graft_top_k_tokens"),
-      exprs => TopKTokens(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
+      TopKTokens.fromExprs))
   }
 }

@@ -30,4 +30,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
+
+  /** Query-owned cache lifecycle: eagerly materialize the final result
+    * (`localCheckpoint` computes it and truncates the plan to the stored
+    * blocks), then unpersist the intermediates the plan no longer
+    * references. A query that returns `materialized(result, hot1, hot2)`
+    * hands the harness a DataFrame that owns no persisted blocks — the
+    * harness-side `clearCache()` stays a backstop instead of a
+    * requirement. Results here are small (gate outputs), so the extra
+    * materialization is noise next to the released cache.
+    */
+  protected def materialized(result: DataFrame, release: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    release.foreach(_.unpersist())
+    out
+  }
+
+  /** Persist + eagerly warm a hot intermediate that multiple plan
+    * branches will scan: without the eager count, branch stages race the
+    * cold cache and each recomputes the full build (measured 32 s vs
+    * ~4 s on round 2's q47). Pair with [[materialized]] to release it.
+    */
+  protected def warmed(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
 }

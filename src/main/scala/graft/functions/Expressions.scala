@@ -243,8 +243,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_sorted_long_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_top_k_tokens",
-      exprs => TopKTokens(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(), "built-in")
+      TopKTokens.fromExprs, "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */

@@ -108,3 +108,27 @@ case class TopKTokens(
   override protected def withNewChildInternal(newChild: Expression): TopKTokens =
     copy(child = newChild)
 }
+
+object TopKTokens {
+  /** SQL-registration builder with argument validation: `k` must be a
+    * foldable, non-null, positive INT literal. Without the checks, a
+    * `2L`, NULL, or column-ref k surfaced as an opaque
+    * ClassCastException/NPE at plan time instead of an analysis error.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    def fail(got: String): Nothing =
+      throw new IllegalArgumentException(
+        s"graft_top_k_tokens(value, k): k must be a foldable non-null positive INT literal, got $got")
+    if (exprs.length != 2) fail(s"${exprs.length} arguments")
+    val kExpr = exprs(1)
+    if (!kExpr.foldable) fail(s"non-foldable expression ${kExpr.sql}")
+    if (kExpr.dataType != org.apache.spark.sql.types.IntegerType)
+      fail(s"type ${kExpr.dataType.simpleString}")
+    kExpr.eval(null) match {
+      case k: java.lang.Integer if k > 0 =>
+        TopKTokens(exprs.head, k).toAggregateExpression()
+      case null => fail("NULL")
+      case k    => fail(s"$k")
+    }
+  }
+}

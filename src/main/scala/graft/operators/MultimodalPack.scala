@@ -103,15 +103,24 @@ object MultimodalPack extends QueryPack {
     // stride sample for a codec's scaler; dims/stride plumbing, batch
     // shape and output checksum stay identical) ----
     "q73_resize_stub" -> { (s, d) =>
+      // empty payloads resize to NULL on both sides: without the branch,
+      // Spark's sequence(1, 0, 8) throws (positive step, start > stop)
+      // where DuckDB's generate_series is empty, and ascii('') also
+      // differs — so one empty document would crash the query. The inner
+      // greatest(length, 1) keeps sequence() total even though the
+      // branch makes it unreachable for empty text.
+      val empty = length(col("text")) === 0
       Tables.documents(s, d)
         .select(col("doc_id"),
-          greatest(expr("(1 + ascii(substr(text, 1, 1)) % 64) div 2"), lit(1))
+          when(empty, lit(null)).otherwise(
+            greatest(expr("(1 + ascii(substr(text, 1, 1)) % 64) div 2"), lit(1)))
             .cast("int").as("out_w"),
-          greatest(expr("(1 + ascii(substr(text, 2, 1)) % 64) div 2"), lit(1))
+          when(empty, lit(null)).otherwise(
+            greatest(expr("(1 + ascii(substr(text, 2, 1)) % 64) div 2"), lit(1)))
             .cast("int").as("out_h"),
           expr("(length(text) + 7) div 8").cast("bigint").as("n_sampled"),
-          md5(expr(
-            "array_join(transform(sequence(1, length(text), 8), i -> substr(text, i, 1)), '')"))
+          when(empty, lit(null).cast("string")).otherwise(md5(expr(
+            "array_join(transform(sequence(1, greatest(length(text), 1), 8), i -> substr(text, i, 1)), '')")))
             .as("resized_md5"))
         .orderBy("doc_id")
     }
@@ -152,13 +161,19 @@ object MultimodalPack extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // empty text → NULL dims/md5, mirroring the Spark-side branch (the
+    // generate_series path would yield NULL md5 for empty text anyway;
+    // the CASEs make the empty-row contract explicit on both sides)
     "q73_resize_stub" ->
       """SELECT doc_id,
-        |  CAST(greatest((1 + ascii(substr(text, 1, 1)) % 64) // 2, 1) AS INT) AS out_w,
-        |  CAST(greatest((1 + ascii(substr(text, 2, 1)) % 64) // 2, 1) AS INT) AS out_h,
+        |  CAST(CASE WHEN length(text) = 0 THEN NULL
+        |       ELSE greatest((1 + ascii(substr(text, 1, 1)) % 64) // 2, 1) END AS INT) AS out_w,
+        |  CAST(CASE WHEN length(text) = 0 THEN NULL
+        |       ELSE greatest((1 + ascii(substr(text, 2, 1)) % 64) // 2, 1) END AS INT) AS out_h,
         |  CAST((length(text) + 7) // 8 AS BIGINT) AS n_sampled,
-        |  md5((SELECT string_agg(substr(text, g.i, 1), '' ORDER BY g.i)
-        |       FROM UNNEST(generate_series(1, length(text), 8)) AS g(i))) AS resized_md5
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |       ELSE md5((SELECT string_agg(substr(text, g.i, 1), '' ORDER BY g.i)
+        |                 FROM UNNEST(generate_series(1, length(text), 8)) AS g(i))) END AS resized_md5
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )

@@ -12,20 +12,24 @@ import graft.functions.TextFunctions._
   *   - q46 retention: given the near-dup graph (q43's pairs), drop every
   *     doc that has a strictly better partner (longer text, ties by lower
   *     doc_id) — the "keep best of each dup set" policy.
-  *   - q47 cluster assignment: connected components over the near-dup
-  *     graph by 3 unrolled rounds of min-label propagation (both engines
-  *     run exactly 3 rounds, so the result is deterministic even if a
-  *     pathological chain hasn't converged).
+  *   - q47 cluster assignment: TRUE connected components over the
+  *     near-dup graph — min-label propagation iterated to fixpoint (loop
+  *     until zero labels change), so every component is labeled by its
+  *     minimum doc_id no matter how long the dup chain. The oracle
+  *     mirrors the converged answer with a recursive transitive-closure
+  *     CTE.
   *   - q65 quality gate: the boolean filter chain (min/max length,
   *     type-token ratio) that decides which documents enter training at
   *     all.
   *
-  * Scale design: retention and clustering are joins/aggregations keyed on
-  * doc_id over the PAIR table, never over the corpus cross product; label
-  * propagation is the standard BSP connected-components loop (each round
-  * one join + one min-aggregate, hash-partitioned on the node id). The
-  * fixed 3 rounds here stand in for "iterate to fixpoint with a
-  * convergence check" at cluster scale.
+  * Scale design: retention and clustering consume the near-dup pair
+  * table as a materialized artifact ([[DedupPack.ngramPairs]]) — built
+  * once per corpus, read by every downstream stage — and are joins/
+  * aggregations keyed on doc_id over that PAIR table, never over the
+  * corpus cross product. Label propagation is the standard BSP
+  * connected-components loop (each round one join + one min-aggregate,
+  * hash-partitioned on the node id), checkpointed per round so lineage
+  * stays flat however many rounds the graph's diameter needs.
   */
 object PipelinePack extends QueryPack {
 
@@ -33,15 +37,49 @@ object PipelinePack extends QueryPack {
     pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
 
+  /** Connected components over a symmetric edge list `(v, u)` by
+    * min-label propagation iterated to FIXPOINT: every round each node
+    * takes the minimum label over its neighborhood (self-loop included),
+    * so labels only decrease and the loop converges in graph-diameter
+    * rounds to (node, label = min node id of its component) — for ANY
+    * chain length. Each round is one join + one min-aggregate
+    * (hash-partitioned on the node id); `localCheckpoint` per round
+    * keeps lineage flat, and the convergence check is an exact
+    * changed-label count. The returned frame is materialized
+    * (checkpointed) and holds no persisted intermediates. At cluster
+    * scale the same BSP loop checkpoints to the cluster store instead of
+    * executor-local blocks.
+    */
+  def connectedComponents(e: DataFrame): DataFrame = {
+    val nodes = e.select(col("v")).distinct()
+    // self-loop so a round is a single uniform join + min-aggregate
+    val adj = nodes.select(col("v"), col("v").as("u")).union(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count() // warm before the per-round branches fan out
+    var labels = nodes.select(col("v").as("node"), col("v").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = adj.join(labels, col("u") === col("node"))
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("v", "node")
+        .localCheckpoint() // eager: runs the round, truncates lineage
+      changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      labels.unpersist() // superseded round: next holds its own blocks
+      labels = next
+    }
+    adj.unpersist()
+    labels
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup retention: drop docs with a strictly better near-dup ----
     "q46_dedup_retention" -> { (s, d) =>
-      // persist + eager count: the symmetric-edge union references the
-      // pair table twice, and those branch stages would race a cold cache
+      // the pair table is a materialized artifact: the symmetric-edge
+      // union scans a tiny parquet twice — no persist, no cache lifecycle
       val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.count()
       val edges = symmetricEdges(pairs)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val dropped = edges
@@ -56,29 +94,11 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
-    // ---- dedup clusters: 3 rounds of min-label propagation ----
+    // ---- dedup clusters: connected components to fixpoint (see
+    // [[connectedComponents]]) over the materialized pair artifact ----
     "q47_dedup_clusters" -> { (s, d) =>
       val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // EAGER materialization: the final plan references pairs through
-      // several union branches whose stages run concurrently — against a
-      // cold cache they race and each recompute the whole shingle-index
-      // pipeline (measured 32 s vs ~4 s at sf0.1). One count() warms the
-      // cache before the branches fan out; this is the standard prologue
-      // of every iterative (BSP) DataFrame algorithm.
-      pairs.count()
-      val e = symmetricEdges(pairs).toDF("v", "u")
-      val nodes = e.select(col("v")).distinct()
-      // self-loop so a round is a single uniform join + min-aggregate
-      val adj = nodes.select(col("v"), col("v").as("u")).union(e)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = nodes.select(col("v").as("node"), col("v").as("label"))
-      for (_ <- 1 to 3) {
-        labels = adj.join(labels, col("u") === col("node"))
-          .groupBy(col("v")).agg(min(col("label")).as("label"))
-          .withColumnRenamed("v", "node")
-      }
-      labels
+      connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
         .select(col("node").as("doc_id"), col("label").as("cluster"))
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .orderBy("doc_id")
@@ -132,24 +152,24 @@ object PipelinePack extends QueryPack {
          |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    "q47_dedup_clusters" -> {
-      def round(prev: String, cur: String): String =
-        s"$cur AS (SELECT a.v AS node, min(l.label) AS label\n" +
-          s"        FROM adj a JOIN $prev l ON l.node = a.u GROUP BY a.v)"
-      s"""WITH ${DedupPack.ngramPairsCtes},
+    // converged connected components: recursive transitive closure
+    // (reach = who can I reach), then min over the reachable set — the
+    // same fixpoint the Spark loop iterates to, so both engines agree on
+    // clusters of ANY chain length
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
          |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
          |      UNION ALL SELECT doc_j, doc_i FROM pairs),
          |n AS (SELECT DISTINCT v FROM e),
-         |adj AS (SELECT v, v AS u FROM n UNION ALL SELECT v, u FROM e),
-         |l0 AS (SELECT v AS node, v AS label FROM n),
-         |${round("l0", "l1")},
-         |${round("l1", "l2")},
-         |${round("l2", "l3")}
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v)
          |SELECT node AS doc_id, label AS cluster,
          |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
-         |FROM l3
-         |ORDER BY doc_id""".stripMargin
-    },
+         |FROM lab
+         |ORDER BY doc_id""".stripMargin,
 
     "q66_sample_stratified" ->
       """WITH t AS (

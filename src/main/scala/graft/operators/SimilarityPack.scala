@@ -56,7 +56,7 @@ object SimilarityPack extends QueryPack {
       when(proj >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Quantized + normed + bucketed vector table. */
+  /** Quantized + normed + bucketed vector table (lazy plan). */
   private[operators] def vecTable(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExpressions.ensure(s)
     Tables.embeddings(s, d)
@@ -65,36 +65,101 @@ object SimilarityPack extends QueryPack {
       .withColumn("bucket", bucketCol(col("q")))
   }
 
+  /** [[vecTable]] persisted + eagerly built: every ANN query references
+    * the vector table from at least two plan branches (query side +
+    * corpus side of the self-join), which against a lazy plan re-derives
+    * quantization, norms and buckets per branch. One persisted build per
+    * query, released via `materialized`. At cluster scale this is the
+    * precomputed vector index table every ANN system maintains.
+    */
+  private[operators] def persistedVecs(s: SparkSession, d: String): DataFrame =
+    warmed(vecTable(s, d))
+
+  // ---- method bodies over a shared vector table (q54 composes them
+  // without rebuilding it per method) ----
+
+  private def bruteTopK(vecs: DataFrame): DataFrame = {
+    val queriesDf = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    queriesDf.join(vecs, col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
+  private def lshTopK(vecs: DataFrame): DataFrame = {
+    val queriesDf = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+              col("norm").as("qnorm"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    queriesDf.join(vecs,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("bucket"), col("cosine"))
+  }
+
+  private def multiprobeTopK(vecs: DataFrame): DataFrame = {
+    val probes = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+              col("norm").as("qnorm"), col("bucket").as("qbucket"))
+      .withColumn("flip",
+        explode(array((lit(0) +: (0 until nPlanes).map(h => lit(1 << h))): _*)))
+      .select(col("q_id"), col("qq"), col("qnorm"),
+        expr("int(qbucket ^ flip)").as("probe_bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    probes.join(vecs,
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
+  /** IVF search over a shared vector table. Returns the result plus the
+    * persisted cell-assignment table for the caller to release. */
+  private def ivfTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("norm").as("snorm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("seed_id"))
+    // the 2-nearest-cells assignment feeds BOTH the cell table and the
+    // probe table; persist the filtered (2 rows/vector) form once
+    val ranked = vecs.crossJoin(broadcast(seeds))
+      .withColumn("cos_seed", cosineQ(col("q"), col("sq"), col("norm"), col("snorm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("q"), col("norm"), col("seed_id"), col("arn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("q"), col("norm"), col("seed_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+              col("norm").as("qnorm"), col("seed_id").as("probe_cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    val result = probes.join(cells,
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("cosine"))
+    (result, ranked)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact cosine top-k, brute force (baseline) ----
     "q50_ann_brute" -> { (s, d) =>
-      val vecs = vecTable(s, d)
-      val queriesDf = vecs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
-      queriesDf.join(vecs, col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
-        .orderBy("q_id", "rk")
+      val vecs = persistedVecs(s, d)
+      materialized(bruteTopK(vecs).orderBy("q_id", "rk"), vecs)
     },
 
     // ---- LSH-bucketed ANN (scale path) ----
     "q51_ann_lsh" -> { (s, d) =>
-      val vecs = vecTable(s, d)
-      val queriesDf = vecs.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"),
-                col("norm").as("qnorm"), col("bucket").as("qbucket"))
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
-      queriesDf.join(vecs,
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("bucket"), col("cosine"))
-        .orderBy("q_id", "rk")
+      val vecs = persistedVecs(s, d)
+      materialized(lshTopK(vecs).orderBy("q_id", "rk"), vecs)
     },
 
     // ---- IVF (inverted-file) ANN: coarse cells from 8 deterministic
@@ -107,50 +172,44 @@ object SimilarityPack extends QueryPack {
     // vectors keep the structure engine-portable for the oracle while
     // exercising the identical plan shape.) ----
     "q53_ann_ivf" -> { (s, d) =>
-      val vecs = vecTable(s, d)
-      val seeds = vecs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("norm").as("snorm"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("seed_id"))
-      val assign = vecs.crossJoin(broadcast(seeds))
-        .withColumn("cos_seed", cosineQ(col("q"), col("sq"), col("norm"), col("snorm")))
-        .withColumn("arn", row_number().over(wAssign))
-      val cells = assign.filter(col("arn") === 1)
-        .select(col("vec_id"), col("q"), col("norm"), col("seed_id").as("cell"))
-      val probes = assign.filter(col("vec_id") < 20 && col("arn") <= 2)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"),
-                col("norm").as("qnorm"), col("seed_id").as("probe_cell"))
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
-      probes.join(cells,
-          col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("cosine"))
-        .orderBy("q_id", "rk")
+      val vecs = persistedVecs(s, d)
+      val (result, ranked) = ivfTopK(vecs)
+      materialized(result.orderBy("q_id", "rk"), ranked, vecs)
     },
 
     // ---- recall report: each approximate method's top-k (restricted to
     // the brute-force query set q_id < 5) scored against q50's exact
     // ground truth — the evaluation harness every ANN deployment runs
-    // before trusting an index. Output: method, n_hits, recall. ----
+    // before trusting an index. Output: method, n_hits, recall.
+    // ONE vector table build feeds all four method pipelines, and the
+    // truth set + each method output are materialized once (round 2
+    // rebuilt the vector table and all four searches from the raw scan
+    // inside a single query plan). ----
     "q54_ann_recall" -> { (s, d) =>
       import s.implicits._
-      val truth = queries("q50_ann_brute")(s, d).select("q_id", "vec_id")
-      val methods = Seq("q51_ann_lsh", "q52_ann_multiprobe", "q53_ann_ivf")
-      val hits = methods.map { m =>
-          queries(m)(s, d).filter(col("q_id") < 5)
+      val vecs = persistedVecs(s, d)
+      val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
+      val (ivf, ranked) = ivfTopK(vecs)
+      val methodOut = Seq(
+        "q51_ann_lsh" -> lshTopK(vecs),
+        "q52_ann_multiprobe" -> multiprobeTopK(vecs),
+        "q53_ann_ivf" -> ivf)
+      val methods = methodOut.map(_._1)
+      val hits = methodOut.map { case (m, out) =>
+          out.filter(col("q_id") < 5)
             .select(lit(m).as("method"), col("q_id"), col("vec_id"))
         }.reduce(_ union _)
         .join(truth, Seq("q_id", "vec_id"))
         .groupBy("method").agg(count(lit(1)).as("n_hits"))
       val denom = truth.agg(count(lit(1)).cast("double").as("n_truth"))
-      methods.toDF("method")
+      val result = methods.toDF("method")
         .join(hits, Seq("method"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
         .crossJoin(denom)
         .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
         .select("method", "n_hits", "recall")
         .orderBy("method")
+      materialized(result, truth, ranked, vecs)
     },
 
     // ---- multi-probe LSH: also search the 6 Hamming-1 neighbor buckets.
@@ -159,22 +218,8 @@ object SimilarityPack extends QueryPack {
     // probing the adjacent buckets trades 7x candidate volume for recall —
     // still bucket-pruned, never all-pairs. ----
     "q52_ann_multiprobe" -> { (s, d) =>
-      val vecs = vecTable(s, d)
-      val probes = vecs.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"),
-                col("norm").as("qnorm"), col("bucket").as("qbucket"))
-        .withColumn("flip",
-          explode(array((lit(0) +: (0 until nPlanes).map(h => lit(1 << h))): _*)))
-        .select(col("q_id"), col("qq"), col("qnorm"),
-          expr("int(qbucket ^ flip)").as("probe_bucket"))
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
-      probes.join(vecs,
-          col("bucket") === col("probe_bucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
-        .orderBy("q_id", "rk")
+      val vecs = persistedVecs(s, d)
+      materialized(multiprobeTopK(vecs).orderBy("q_id", "rk"), vecs)
     }
   )
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
 import graft.functions.TextFunctions._
@@ -31,22 +30,34 @@ object TextPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- heuristic language-ID: stopword-profile argmax ----
+    // ---- heuristic language-ID: stopword-profile argmax. Single
+    // projection, zero shuffle (but the final sort): each profile is
+    // scored inline against the doc's token set and the winner picked
+    // with greatest() + a first-match CASE chain. Profiles are iterated
+    // in ascending lang order, so the first score == best is the
+    // smallest cand_lang — the same tiebreak as the oracle's
+    // row_number(ORDER BY score DESC, cand_lang). The old form exploded
+    // 5 profile rows per doc and ranked them with a window (a full
+    // partition-by-doc shuffle); at 100 TB that's 5× the rows plus a
+    // shuffle for what one map stage can decide. ----
     "q60_lang_id" -> { (s, d) =>
-      val profiles = langProfiles.map { case (l, ws) =>
-        struct(lit(l).as("cand_lang"), array(ws.map(lit): _*).as("profile"))
-      }
-      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("cand_lang"))
-      Tables.documents(s, d)
+      // scores land in their own projection (not inlined into the
+      // argmax): each is referenced by greatest() AND the CASE chain,
+      // and array_intersect is expensive enough that CollapseProject
+      // keeps the barrier rather than duplicating it
+      val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), tokenSet(col("text")).as("toks"))
-        .select(col("doc_id"), col("lang"), col("toks"),
-                explode(array(profiles: _*)).as("p"))
-        .select(col("doc_id"), col("lang"), col("p.cand_lang"),
-          (size(array_intersect(col("toks"), col("p.profile"))).cast("double") /
-            size(col("p.profile")).cast("double")).as("score"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("score"))
+        .select(Seq(col("doc_id"), col("lang")) ++ langProfiles.map { case (l, ws) =>
+          (size(array_intersect(col("toks"), array(ws.map(lit): _*))).cast("double") /
+            size(array(ws.map(lit): _*)).cast("double")).as(s"score_$l")
+        }: _*)
+      val best = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+      val pred = langProfiles.tail.foldLeft(
+        when(col(s"score_${langProfiles.head._1}") === best, lit(langProfiles.head._1))) {
+        case (acc, (l, _)) => acc.when(col(s"score_$l") === best, lit(l))
+      }
+      scored
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"), best.as("score"))
         .orderBy("doc_id")
     },
 

@@ -33,15 +33,31 @@ class PipelinePackSpec extends AnyFunSuite {
     assert(dropped.forall(inGraph), "dropped a doc that has no near-dup edge")
   }
 
-  test("q47: adjacent docs share a cluster label (graph diameter permitting)") {
+  test("q47: adjacent docs share a cluster label") {
     val labels = PipelinePack.queries("q47_dedup_clusters")(spark, sfDir)
       .select("doc_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // after 3 min-propagation rounds any direct edge must agree unless a
-    // longer chain is still converging; on sf0.001's small components 3
-    // rounds reach the fixpoint, so equality must hold on every edge
+    // fixpoint connected components: every direct edge must agree,
+    // whatever the component diameter
     val disagree = pairs.filter { case (i, j) => labels(i) != labels(j) }
     assert(disagree.isEmpty, s"edges across clusters: ${disagree.take(5).toSeq}")
+  }
+
+  test("connectedComponents converges on chains far longer than 3 hops") {
+    import spark.implicits._
+    // one 50-hop path (nodes 100..150), one 4-cycle, one isolated self-pair:
+    // the round-2 fixed-3-round unroll split the path into 4+ clusters;
+    // the fixpoint loop must label the whole path with its min id
+    val path = (100L until 150L).map(i => (i, i + 1))
+    val cycle = Seq((200L, 201L), (201L, 202L), (202L, 203L), (203L, 200L))
+    val edges = (path ++ cycle).toDF("v", "u")
+    val sym = edges.union(edges.select($"u", $"v")).toDF("v", "u")
+    val labels = PipelinePack.connectedComponents(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 150L).forall(labels(_) == 100L),
+      "50-hop chain not labeled by its minimum node")
+    assert((200L to 203L).forall(labels(_) == 200L), "cycle mislabeled")
+    assert(labels.size == 55)
   }
 
   test("q47: cluster label is the component's minimum doc_id") {
