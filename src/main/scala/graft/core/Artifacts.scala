@@ -1,0 +1,78 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Once-per-corpus materialized intermediate tables ("artifacts").
+  *
+  * A production pipeline does not rebuild its expensive derived tables —
+  * the near-dup pair table, the pre-split event log — inside every query
+  * that consumes them; a build stage writes each ONCE and downstream
+  * stages read the stored artifact. This helper reproduces that layout
+  * for the in-process engine: `materialize(name)(build)` runs `build`
+  * into a scratch directory exactly once per (artifact name, corpus
+  * fingerprint) and hands every caller the finished path.
+  *
+  * Guarantees:
+  *   - single build per JVM (lock + memo) and atomicity across JVMs
+  *     (build into a pid-unique tmp dir, `ATOMIC_MOVE` rename; a lost
+  *     race discards its tmp and uses the winner's artifact);
+  *   - staleness-proof: [[corpusKey]] folds the source table's file
+  *     sizes + mtimes into the key, so a regenerated corpus at the same
+  *     path can never alias an old artifact.
+  */
+object Artifacts {
+  private val lock = new Object
+  @volatile private var done: Set[String] = Set.empty
+
+  private def root: Path =
+    Paths.get(sys.props("java.io.tmpdir"), "graft_artifacts")
+
+  /** Fingerprint of `table` (e.g. "documents.parquet") under sf dir `d`. */
+  def corpusKey(d: String, table: String): String = {
+    val src = Paths.get(d, table)
+    val parts: Seq[Path] =
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.sortBy(_.toString)
+        } finally s.close()
+      } else Seq(src)
+    val sig = parts.map(p =>
+      s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$sig".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 16)
+  }
+
+  /** Build-once: returns the path of artifact `name`, running
+    * `build(tmpPath)` first if no complete artifact exists. `name` must
+    * already include the corpus fingerprint (see [[corpusKey]]).
+    */
+  def materialize(name: String)(build: String => Unit): String = {
+    val target = root.resolve(name)
+    if (done.contains(name)) return target.toString
+    lock.synchronized {
+      if (!done.contains(name)) {
+        if (!Files.exists(target.resolve("_SUCCESS"))) {
+          Files.createDirectories(root)
+          val tmp = root.resolve(s"${name}_tmp_${ProcessHandle.current().pid()}")
+          build(tmp.toString)
+          try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException |
+                       _: java.nio.file.DirectoryNotEmptyException =>
+            // lost a cross-process race: the winner's artifact stands
+            import scala.jdk.CollectionConverters._
+            val w = Files.walk(tmp)
+            try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally w.close()
+          }
+        }
+        done += name
+      }
+    }
+    target.toString
+  }
+}

@@ -116,74 +116,22 @@ object DedupPack extends QueryPack {
     finally sh.unpersist()
   }
 
-  private val artifactLock = new Object
-  @volatile private var artifactCache: Map[String, String] = Map.empty
-
-  /** Fingerprint of the corpus behind `d` (path + documents.parquet size
-    * + mtime): a regenerated corpus at the same path must never alias a
-    * stale artifact.
-    */
-  private def corpusKey(d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val doc = Paths.get(d, "documents.parquet")
-    val parts: Seq[java.nio.file.Path] =
-      if (Files.isDirectory(doc)) {
-        val s = Files.list(doc)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq.sortBy(_.toString)
-        } finally s.close()
-      } else Seq(doc)
-    val sig = parts.map(p =>
-      s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}").mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$sig".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.substring(0, 16)
-  }
-
-  /** The near-dup pair table as a materialized ARTIFACT, built once per
-    * corpus and read by every consumer (q43 / q46 / q47) — the production
-    * layout: the dedup stage writes the pair table once; downstream
-    * retention and clustering stages read it. Replaces the round-2 shape
-    * where each of the three queries rebuilt (and re-persisted) the same
-    * shingle-index pipeline — the most expensive build in the suite, paid
-    * three times per run.
-    *
-    * Written atomically (unique tmp dir + rename) under java.io.tmpdir,
-    * keyed by corpus fingerprint ([[corpusKey]]), so concurrent builders
-    * and a lost race both converge on one complete artifact. Lifecycle is
-    * explicit: the build's only persisted intermediate is unpersisted
-    * before this returns; readers hold no cache at all.
+  /** The near-dup pair table as a materialized ARTIFACT
+    * ([[graft.core.Artifacts]]), built once per corpus and read by every
+    * consumer (q43 / q46 / q47) — the production layout: the dedup stage
+    * writes the pair table once; downstream retention and clustering
+    * stages read it. Replaces the round-2 shape where each of the three
+    * queries rebuilt (and re-persisted) the same shingle-index pipeline —
+    * the most expensive build in the suite, paid three times per run.
+    * Lifecycle is explicit: the build's only persisted intermediate is
+    * unpersisted before this returns; readers hold no cache at all.
     */
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val cached = artifactCache.get(d)
-    val dest = cached match {
-      case Some(p) => Paths.get(p)
-      case None =>
-        val root = Paths.get(sys.props("java.io.tmpdir"), "graft_artifacts")
-        val target = root.resolve(s"ngram_pairs_${corpusKey(d)}")
-        artifactLock.synchronized {
-          if (!Files.exists(target.resolve("_SUCCESS"))) {
-            Files.createDirectories(root)
-            val tmp = root.resolve(
-              s"${target.getFileName}_tmp_${ProcessHandle.current().pid()}")
-            buildNgramPairs(s, d, tmp.toString)
-            try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: java.nio.file.FileAlreadyExistsException |
-                         _: java.nio.file.DirectoryNotEmptyException =>
-              // lost a cross-process race: the winner's artifact stands
-              import scala.jdk.CollectionConverters._
-              val w = Files.walk(tmp)
-              try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-              finally w.close()
-            }
-          }
-          artifactCache += d -> target.toString
-        }
-        target
+    val path = graft.core.Artifacts.materialize(
+      s"ngram_pairs_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      buildNgramPairs(s, d, tmp)
     }
-    s.read.parquet(dest.toString)
+    s.read.parquet(path)
   }
 
   /** DuckDB reference tokenization (`ts` = token array per doc). */
@@ -285,8 +233,7 @@ object DedupPack extends QueryPack {
             (col("n_a") + col("n_b") - col("n_common")).cast("double"))
         .filter(col("jaccard") >= 0.9)
         .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard")
-        .orderBy("doc_i", "doc_j")
-      materialized(result, docs)
+      materialized(result, docs).orderBy("doc_i", "doc_j")
     },
 
     // ---- SimHash near-dup: 32-bit md5-vote signature, banded join ----
@@ -315,8 +262,7 @@ object DedupPack extends QueryPack {
                 col("a.simhash").as("simhash_i"), col("b.simhash").as("simhash_j"))
         .withColumn("hamming", expr("bit_count(simhash_i ^ simhash_j)"))
         .filter(col("hamming") <= simhashMaxHamming)
-        .orderBy("doc_i", "doc_j")
-      materialized(result, sims)
+      materialized(result, sims).orderBy("doc_i", "doc_j")
     },
 
     // ---- 3-word-shingle Jaccard via inverted-index join ----
@@ -341,8 +287,7 @@ object DedupPack extends QueryPack {
         .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.4)
         .select("vec_i", "vec_j", "cosine")
-        .orderBy("vec_i", "vec_j")
-      materialized(result, vecs)
+      materialized(result, vecs).orderBy("vec_i", "vec_j")
     },
 
     // ---- embedding cosine near-dup, multi-probe LSH (the scale path).
@@ -367,8 +312,7 @@ object DedupPack extends QueryPack {
         .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("q"), col("na"), col("norm")))
         .filter(col("cosine") >= 0.4)
         .select(col("vec_i"), col("vec_id").as("vec_j"), col("cosine"))
-        .orderBy("vec_i", "vec_j")
-      materialized(result, vecs)
+      materialized(result, vecs).orderBy("vec_i", "vec_j")
     }
   )
 

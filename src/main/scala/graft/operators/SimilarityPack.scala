@@ -126,13 +126,13 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("norm").as("snorm"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("seed_id"))
     // the 2-nearest-cells assignment feeds BOTH the cell table and the
-    // probe table; persist the filtered (2 rows/vector) form once
-    val ranked = vecs.crossJoin(broadcast(seeds))
+    // probe table; warmed (persist + eager build), else the two branches
+    // race the cold cache and each re-runs the crossJoin + window
+    val ranked = warmed(vecs.crossJoin(broadcast(seeds))
       .withColumn("cos_seed", cosineQ(col("q"), col("sq"), col("norm"), col("snorm")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= 2)
-      .select(col("vec_id"), col("q"), col("norm"), col("seed_id"), col("arn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"), col("q"), col("norm"), col("seed_id"), col("arn")))
     val cells = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("q"), col("norm"), col("seed_id").as("cell"))
     val probes = ranked.filter(col("vec_id") < 20)
@@ -153,13 +153,13 @@ object SimilarityPack extends QueryPack {
     // ---- exact cosine top-k, brute force (baseline) ----
     "q50_ann_brute" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      materialized(bruteTopK(vecs).orderBy("q_id", "rk"), vecs)
+      materialized(bruteTopK(vecs), vecs).orderBy("q_id", "rk")
     },
 
     // ---- LSH-bucketed ANN (scale path) ----
     "q51_ann_lsh" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      materialized(lshTopK(vecs).orderBy("q_id", "rk"), vecs)
+      materialized(lshTopK(vecs), vecs).orderBy("q_id", "rk")
     },
 
     // ---- IVF (inverted-file) ANN: coarse cells from 8 deterministic
@@ -174,7 +174,7 @@ object SimilarityPack extends QueryPack {
     "q53_ann_ivf" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
       val (result, ranked) = ivfTopK(vecs)
-      materialized(result.orderBy("q_id", "rk"), ranked, vecs)
+      materialized(result, ranked, vecs).orderBy("q_id", "rk")
     },
 
     // ---- recall report: each approximate method's top-k (restricted to
@@ -208,8 +208,7 @@ object SimilarityPack extends QueryPack {
         .crossJoin(denom)
         .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
         .select("method", "n_hits", "recall")
-        .orderBy("method")
-      materialized(result, truth, ranked, vecs)
+      materialized(result, truth, ranked, vecs).orderBy("method")
     },
 
     // ---- multi-probe LSH: also search the 6 Hamming-1 neighbor buckets.
@@ -219,7 +218,7 @@ object SimilarityPack extends QueryPack {
     // still bucket-pruned, never all-pairs. ----
     "q52_ann_multiprobe" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      materialized(multiprobeTopK(vecs).orderBy("q_id", "rk"), vecs)
+      materialized(multiprobeTopK(vecs), vecs).orderBy("q_id", "rk")
     }
   )
 
