@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE runtime re-planning, pinned as part of the engine contract:
+      // a viral duplicate makes one LSH band key quadratic, and the
+      // skew-join rule splits that partition at runtime (both sides of
+      // the band self-join — proven in AqeSkewJoinSpec)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

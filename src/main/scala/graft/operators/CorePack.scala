@@ -34,11 +34,32 @@ object CorePack extends QueryPack {
         .toDF("word", "cnt_s")
         .select(col("word"), col("cnt_s").cast("bigint").as("cnt"))
         .orderBy("word")
+    },
+
+    // O11 text sink, registered as its own gated operator: the wordcount
+    // result is written as per-partition tab-separated text part-files
+    // (the reference's mr-out-* shape, reference src/bin/mrworker.rs) and
+    // re-scanned; the re-parsed rows ARE the query result, so the gate
+    // proves the sink round-trip is lossless. Previously test-only
+    // (SourcesSpec); the write is per-partition parallel — the same
+    // fan-out a 1000-executor job uses.
+    "q02_text_sink_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_text_sink").toString
+      WordCount.documentsWordCount(s, dir)
+        .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv").getItem(0).as("word"),
+                col("kv").getItem(1).cast("bigint").as("cnt"))
+        .orderBy("word")
     }
   )
 
   override def oracle: Map[String, String] = Map(
     "q00_wordcount" -> wcOracle,
-    "q01_mapreduce_wc" -> wcOracle
+    "q01_mapreduce_wc" -> wcOracle,
+    // the round-trip must reproduce the wordcount exactly
+    "q02_text_sink_roundtrip" -> wcOracle
   )
 }

@@ -13,6 +13,52 @@ import org.scalatest.funsuite.AnyFunSuite
 class AqeSkewJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("AQE splits the dedup band self-join on a viral-duplicate corpus") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the skew thresholds down to test data volume
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // the q41 band-join shape on a pathological corpus: one viral
+      // duplicate owns 95% of the band rows (every copy hashes to the
+      // same band_val), the rest spread over 500 keys. Both join sides
+      // are the same table — the partition is skewed on BOTH sides,
+      // which OptimizeSkewedJoin handles by splitting left and right
+      // and joining the sub-partitions pairwise.
+      val bands = spark.range(60000)
+        .select(col("id").as("doc_id"),
+          (col("id") % 2).cast("int").as("band_id"),
+          when(rand(11) < 0.95, lit(0L))
+            .otherwise(pmod(col("id"), lit(500))).as("band_val"),
+          concat(lit("sig"), col("id")).as("payload"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        // global aggregate: a downstream groupBy on the join key would
+        // reuse the join's partitioning and AQE would decline to split
+        .agg(count(lit(1)).as("n_pairs"), max(length(col("a.payload"))).as("w"))
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected the band self-join to be skew-split:\n${plan.take(1800)}")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition (skew=true in final plan)") {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",
