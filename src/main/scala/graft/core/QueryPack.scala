@@ -48,6 +48,7 @@ trait QueryPack {
     * pipeline (measured 17 s vs 0.8 s on the IVF search at sf0.1).
     */
   protected def materialized(result: DataFrame, release: DataFrame*): DataFrame = {
+    if (QueryPack.planDumpMode) return result // keep full lineage explainable
     val out = result.localCheckpoint()
     release.foreach(_.unpersist())
     out
@@ -63,4 +64,13 @@ trait QueryPack {
     p.count()
     p
   }
+}
+
+object QueryPack {
+  /** Plan-dump escape hatch (see `graft.tools.DumpPlans`): checkpoints
+    * truncate the explainable plan to a bare RDD scan, so the dump tool
+    * flips this to see the full pipeline each query actually builds.
+    * Never set during Bench/Verify runs.
+    */
+  @volatile var planDumpMode: Boolean = false
 }
