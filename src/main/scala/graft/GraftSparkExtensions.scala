@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{ArrayEqCount, LongArrayDot, LongArrayEqCount,
-  SortedArrayIntersectCount, SortedLongIntersectCount, TopKTokens}
+  SortedArrayIntersectCount, SortedLongIntersectCount, SpaceSavingTopK, TopKTokens}
 
 /** Session-extension wiring for the engine's native functions: users get
   * `graft_long_array_dot` & co. in any session (SQL included) via
@@ -40,5 +40,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_k_tokens"),
       new ExpressionInfo(classOf[TopKTokens].getName, "graft_top_k_tokens"),
       TopKTokens.fromExprs))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k_spacesaving"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_top_k_spacesaving"),
+      SpaceSavingTopK.fromExprs))
   }
 }

@@ -244,6 +244,8 @@ object GraftExpressions {
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_top_k_tokens",
       TopKTokens.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_top_k_spacesaving",
+      SpaceSavingTopK.fromExprs, "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -266,4 +268,9 @@ object GraftExpressions {
 
   def topKTokens(c: Column, k: Int): Column =
     call_function("graft_top_k_tokens", c, org.apache.spark.sql.functions.lit(k))
+
+  def spaceSavingTopK(c: Column, k: Int, capacity: Int): Column =
+    call_function("graft_top_k_spacesaving", c,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(capacity))
 }

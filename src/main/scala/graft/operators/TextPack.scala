@@ -128,6 +128,26 @@ object TextPack extends QueryPack {
         .orderBy("lang", "rk")
     },
 
+    // ---- bounded-memory top-k: the SpaceSaving sketch (q67's semantics
+    // with a capped per-buffer counter set — the 100 TB regime where the
+    // per-group vocabulary can't be buffered exactly). capacity=64
+    // exceeds the test corpus's 31-word vocabulary, so no eviction fires
+    // and the sketch provably equals the exact aggregate — which is what
+    // the oracle checks; the capped/evicting regime and its error bounds
+    // are exercised by graft.SpaceSavingSpec. ----
+    "q69_top_tokens_sketch" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftExpressions.spaceSavingTopK(col("w"), 3, 64).as("top_arr"))
+        .select(col("lang"), posexplode(col("top_arr")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          expr("split_part(col, ':', 1)").as("token"),
+          expr("CAST(split_part(col, ':', 2) AS BIGINT)").as("cnt"))
+        .orderBy("lang", "rk")
+    },
+
     // ---- bigram statistics: top word-pairs per language via the native
     // top-k aggregate (token array materialized before the shingle
     // lambda — see the HOF-CSE note in DedupPack.ngramPairs) ----
@@ -227,6 +247,19 @@ object TextPack extends QueryPack {
           |ORDER BY lang, rk""".stripMargin,
 
       "q64_top_tokens" ->
+        """WITH tok AS (
+          |  SELECT lang, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |counts AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+          |ranked AS (SELECT lang, w, cnt,
+          |                  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+          |           FROM counts)
+          |SELECT lang, CAST(rk AS INT) AS rk, w AS token, CAST(cnt AS BIGINT) AS cnt
+          |FROM ranked WHERE rk <= 3
+          |ORDER BY lang, rk""".stripMargin,
+
+      // exact-regime sketch == exact top-k, so the oracle is q67's
+      "q69_top_tokens_sketch" ->
         """WITH tok AS (
           |  SELECT lang, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
           |  FROM documents),
