@@ -104,6 +104,46 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- cluster representatives: the terminal dedup-pipeline output.
+    // Every doc gets its connected-component label (singletons label
+    // themselves) and each cluster elects ONE representative — longest
+    // text, ties by lowest doc_id (q46's retention policy applied
+    // cluster-globally rather than pairwise). The per-cluster window is
+    // keyed on the cluster label, so at 100 TB it shuffles once on a key
+    // whose cardinality ~= corpus size (clusters are tiny). ----
+    "q48_cluster_reps" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val cc = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cl"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cl"), col("doc_id")))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .select("doc_id", "cluster", "n_chars", "is_rep")
+        .orderBy("doc_id")
+    },
+
+    // ---- benchmark contamination: n-gram overlap between a held-out
+    // eval slice (doc_id % 97 == 0 stands in for an external benchmark
+    // set) and the training pool. Candidates come from an inverted-index
+    // equi-join on int64 shingle ids — never a doc×doc product — and the
+    // per-doc shingle sets are pre-distinct'd, so the join output IS the
+    // distinct shared-gram count. At 100 TB the (small) benchmark side
+    // broadcasts. ----
+    "q49_contamination" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("sg"))
+        .select(col("doc_id"), hex64(md5(col("sg"))).as("sid"))
+      val evalSids = sh.filter(col("doc_id") % 97 === 0).select("sid").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(evalSids, "sid")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    },
+
     // ---- training-mix sampling: deterministic per-stratum hash sample.
     // Each doc lands in a stable [0,100) bucket via hex64(md5(id:salt));
     // per-language rates (en 50%, others 20%) pick the training mix.
@@ -116,6 +156,29 @@ object PipelinePack extends QueryPack {
             .as("bucket"))
         .filter(col("bucket") < when(col("lang") === "en", 50).otherwise(20))
         .orderBy("doc_id")
+    },
+
+    // ---- mixture weights: per-language upsampling factors that turn the
+    // corpus's ACTUAL language mix into the TARGET training mix (en 40%,
+    // others 15% each), plus the token budget each language contributes
+    // after reweighting. One tiny aggregate over a corpus scan — the
+    // total is a broadcast-joined 1-row frame, not a window. ----
+    "q75_mixture_weights" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).cast("bigint").as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val total = per.agg(sum(col("n_docs")).as("total_docs"))
+      val targetShare = when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15))
+      per.crossJoin(broadcast(total))
+        .withColumn("actual_share",
+          col("n_docs").cast("double") / col("total_docs").cast("double"))
+        .withColumn("target_share", targetShare)
+        .withColumn("weight", col("target_share") / col("actual_share"))
+        .withColumn("expected_tokens", col("weight") * col("n_tokens").cast("double"))
+        .select("lang", "n_docs", "n_tokens", "actual_share", "target_share",
+          "weight", "expected_tokens")
+        .orderBy("lang")
     },
 
     // ---- quality gate: boolean admission filter chain ----
@@ -170,6 +233,57 @@ object PipelinePack extends QueryPack {
          |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
          |FROM lab
          |ORDER BY doc_id""".stripMargin,
+
+    // q47's converged-component CTE chain, then a cluster-global
+    // best-doc window (policy identical to q46's pairwise retention)
+    "q48_cluster_reps" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |clustered AS (
+         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster, d.n_chars
+         |  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id)
+         |SELECT doc_id, cluster, n_chars,
+         |       row_number() OVER (PARTITION BY cluster
+         |                          ORDER BY n_chars DESC, doc_id) = 1 AS is_rep
+         |FROM clustered
+         |ORDER BY doc_id""".stripMargin,
+
+    // the `sh` CTE of the pair chain is the per-doc DISTINCT shingle-id
+    // set, so the join count is the distinct shared-gram count
+    "q49_contamination" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |ev AS (SELECT DISTINCT sid FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         |FROM sh s JOIN ev ON ev.sid = s.sid
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "q75_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |       CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS actual_share,
+        |       CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE) AS target_share,
+        |       CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE) /
+        |         (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS weight,
+        |       (CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE) /
+        |         (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE))) * CAST(n_tokens AS DOUBLE)
+        |         AS expected_tokens
+        |FROM per, tot
+        |ORDER BY lang""".stripMargin,
 
     "q66_sample_stratified" ->
       """WITH t AS (
