@@ -86,17 +86,36 @@ object DedupPack extends QueryPack {
     * not the ~20-char shingle strings: the pair-generating self-join
     * hashes and compares 8-byte keys and shuffles a fraction of the bytes.
     */
+  /** Per-doc DISTINCT word-3-gram shingle ids `(doc_id, sid)` as a
+    * materialized ARTIFACT — the shared upstream of the pair build
+    * (q43/q46/q47/q48 via [[ngramPairs]]) and the contamination check
+    * (q49 in [[PipelinePack]]). Tokens are materialized as a column
+    * BEFORE the shingling transform: expressions referenced inside
+    * higher-order-function lambdas are re-evaluated per reference (no
+    * subexpression elimination there), so inlining tokens() into the
+    * lambda re-tokenized the doc per shingle position — measured
+    * 8.6 s → 1.3 s for this build at sf0.1.
+    */
+  private[operators] def docShingles(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.Artifacts.materialize(
+      s"doc_shingles_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("sg"))
+        .select(col("doc_id"), hex64(md5(col("sg"))).as("sid"))
+        // repartition, NOT coalesce: coalesce(8) would collapse the whole
+        // tokenize/explode/md5 pipeline to 8 tasks; the round-robin
+        // exchange keeps the compute at full width and only the (tiny)
+        // write at 8 files
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   private def buildNgramPairs(s: SparkSession, d: String, out: String): Unit = {
-    // tokens are materialized as a column BEFORE the shingling transform:
-    // expressions referenced inside higher-order-function lambdas are
-    // re-evaluated per reference (no subexpression elimination there), so
-    // inlining tokens() into the lambda re-tokenized the doc per shingle
-    // position — measured 8.6 s → 1.3 s for this build at sf0.1.
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("s"))
-      .select(col("doc_id"), hex64(md5(col("s"))).as("sid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides + the counts scan the stored shingle artifact
+    // (columnar, 8 compact files) — no in-memory persist lifecycle at all
+    val sh = docShingles(s, d)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
@@ -109,11 +128,8 @@ object DedupPack extends QueryPack {
         col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")).cast("double"))
       .filter(col("jaccard") >= 0.15)
     // tiny surviving-pair table: compact to a handful of files so readers
-    // don't open 32 shards. The write is the single action over this plan;
-    // sh (referenced by both self-join sides and the counts) is released
-    // as soon as it completes.
-    try pairs.coalesce(4).write.mode("overwrite").parquet(out)
-    finally sh.unpersist()
+    // don't open 32 shards
+    pairs.coalesce(4).write.mode("overwrite").parquet(out)
   }
 
   /** The near-dup pair table as a materialized ARTIFACT

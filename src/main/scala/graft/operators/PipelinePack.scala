@@ -133,10 +133,9 @@ object PipelinePack extends QueryPack {
     // distinct shared-gram count. At 100 TB the (small) benchmark side
     // broadcasts. ----
     "q49_contamination" -> { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("sg"))
-        .select(col("doc_id"), hex64(md5(col("sg"))).as("sid"))
+      // the per-doc distinct shingle sets are the same materialized
+      // artifact the pair build consumes ([[DedupPack.docShingles]])
+      val sh = DedupPack.docShingles(s, d)
       val evalSids = sh.filter(col("doc_id") % 97 === 0).select("sid").distinct()
       sh.filter(col("doc_id") % 97 =!= 0)
         .join(evalSids, "sid")

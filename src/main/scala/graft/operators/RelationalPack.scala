@@ -57,13 +57,22 @@ object RelationalPack extends QueryPack {
 
     // ---- big-big shuffle join chain + top-k by exact revenue ----
     "q12_join_hash_topk" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // partial-agg pushdown below the join (Catalyst doesn't push
+      // aggregates through joins itself): fold lineitem to one exact
+      // decimal revenue per orderkey BEFORE joining, so the join and the
+      // final per-customer regroup move |orders| rows, not |lineitem| —
+      // the difference between shuffling 100 TB and shuffling its order
+      // keys. Decimal addition is associative, so the two-level sum is
+      // bit-identical to the single-level one.
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(revenueDec).as("rev"))
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(c("c_custkey"), c("c_name"))
-        .agg(sum(revenueDec).cast("double").as("revenue"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
     },

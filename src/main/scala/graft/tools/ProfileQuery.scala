@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time one registered query end-to-end (count(), Bench-style
+  * session confs) for N runs, cold cache each run.
+  *
+  *   sbt "runMain graft.tools.ProfileQuery q12_join_hash_topk /root/testdata/sf0.1 3"
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[pq] $name run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
