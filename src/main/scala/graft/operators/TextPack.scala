@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
 import graft.functions.TextFunctions._
@@ -167,6 +168,37 @@ object TextPack extends QueryPack {
         .orderBy("lang", "rk")
     },
 
+    // ---- TF-IDF: top-5 characteristic terms per document. The big
+    // table is the (doc, term, count) aggregate — ONE shuffle; document
+    // frequencies are a vocabulary-sized table (broadcast join) and the
+    // corpus size a broadcast 1-row frame, so nothing else shuffles at
+    // any corpus scale. Scores are floor(×1e6)-quantized to int64: ln()
+    // is not guaranteed bit-identical across engines, and ranking on the
+    // quantized score keeps the top-5 selection engine-portable too. ----
+    "q76_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(total))
+        .withColumn("score_q",
+          floor((col("cnt").cast("double") / col("doc_len").cast("double")) *
+            log(col("n_docs").cast("double") / col("df").cast("double")) * lit(1e6))
+            .cast("bigint"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_q").desc, col("w"))
+      scored.withColumn("rk", row_number().over(byDoc))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("w").as("term"),
+          col("cnt"), col("df"), col("score_q"))
+        .orderBy("doc_id", "rk")
+    },
+
     // ---- rolling-hash fingerprint: min-md5 over char 8-grams ----
     "q63_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -286,6 +318,27 @@ object TextPack extends QueryPack {
           |FROM ranked r JOIN tot t ON t.lang = r.lang
           |WHERE r.rk <= 3
           |ORDER BY r.lang, rk""".stripMargin,
+
+      "q76_tfidf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, w),
+          |dl AS (SELECT doc_id, w, cnt,
+          |              CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+          |       FROM tf),
+          |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT d.doc_id, d.w, d.cnt, f.df,
+          |         CAST(floor((CAST(d.cnt AS DOUBLE) / CAST(d.doc_len AS DOUBLE)) *
+          |                    ln(CAST(n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)) * 1e6) AS BIGINT) AS score_q
+          |  FROM dl d JOIN dfreq f ON f.w = d.w, tot),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, w) AS rk
+          |           FROM scored)
+          |SELECT doc_id, CAST(rk AS INT) AS rk, w AS term, cnt, df, score_q
+          |FROM ranked WHERE rk <= 5
+          |ORDER BY doc_id, rk""".stripMargin,
 
       "q63_fingerprint" ->
         """SELECT doc_id,
