@@ -107,6 +107,46 @@ object StreamingPack extends QueryPack {
       .orderBy("day")
   }
 
+  /** Stream-static enrichment: the live event stream broadcast-joined to
+    * a batch dimension (customer) inside the micro-batch plan, then a
+    * windowed per-nation rollup — the canonical "enrich a stream with a
+    * dim table" shape. The join itself holds NO stream state (the static
+    * side is a broadcast hash join re-planned per micro-batch, which is
+    * also how dim-table updates get picked up); only the windowed agg is
+    * stateful. Event values are floor(×1e6)-quantized to int64 before
+    * the sum so the rollup is aggregation-order-deterministic and
+    * engine-portable.
+    */
+  def streamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("ts"), col("user_id"), col("value"))
+    val dim = graft.core.Tables.table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 day"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6)).cast("bigint")).as("sum_value_q"))
+    val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("window.start").as("w_start"), col("c_nationkey"),
+        col("n_events"), col("sum_value_q"))
+      .orderBy("w_start", "c_nationkey")
+  }
+
   /** Custom stateful operator in the gate: [[SessionizeStream]]'s
     * flatMapGroupsWithState sessionizer, restricted to sessions SAFELY
     * closed by the final watermark (end + gap + 2 s margin < max event
@@ -187,6 +227,7 @@ object StreamingPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
     "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d)),
+    "q77_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
     "q95_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q98_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d))
   )
@@ -198,6 +239,15 @@ object StreamingPack extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q77_stream_enrich" ->
+      """SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS w_start,
+        |  c.c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(e.value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_q
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2
+        |ORDER BY w_start, c_nationkey""".stripMargin,
 
     "q39_stream_dedup_dau" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
