@@ -104,6 +104,37 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- PageRank (5 rounds, damping 0.85) over the near-dup graph —
+    // a graph-importance quality signal, and the second BSP-iterative
+    // operator next to [[connectedComponents]]. All arithmetic is int64
+    // micro-units: per-edge contribution `score div degree`, damping
+    // `(85 * sum) div 100` — integer div is bit-identical across
+    // engines, so the result is deterministic with NO float-aggregation
+    // ordering concerns, and the oracle mirrors it with 5 unrolled CTE
+    // rounds. Each round is one join + one sum-aggregate keyed on the
+    // node id; localCheckpoint keeps lineage flat. Every node of the
+    // symmetric graph has degree >= 1, so there is no dangling mass. ----
+    "q55_pagerank" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val edges = symmetricEdges(pairs).toDF("v", "u")
+      val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
+      val adj = edges.join(deg, "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adj.count() // warm before the per-round branches fan out
+      var rank = deg.select(col("v").as("node"), lit(1000000L).as("score_q"))
+      for (_ <- 1 to 5) {
+        rank = adj.join(rank, col("v") === col("node"))
+          .select(col("u"), expr("score_q div deg").as("c"))
+          .groupBy(col("u"))
+          .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score_q"))
+          .withColumnRenamed("u", "node")
+          .localCheckpoint()
+      }
+      adj.unpersist()
+      rank.select(col("node").as("doc_id"), col("score_q"))
+        .orderBy("doc_id")
+    },
+
     // ---- cluster representatives: the terminal dedup-pipeline output.
     // Every doc gets its connected-component label (singletons label
     // themselves) and each cluster elects ONE representative — longest
@@ -232,6 +263,27 @@ object PipelinePack extends QueryPack {
          |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
          |FROM lab
          |ORDER BY doc_id""".stripMargin,
+
+    // 5 unrolled integer-arithmetic rounds — the exact mirror of the
+    // Spark loop (DuckDB `//` == Spark `div` on int64)
+    "q55_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (SELECT e.u AS node,
+           |            150000 + (85 * sum(r${i - 1}.s // d.deg)) // 100 AS s
+           |     FROM e JOIN r${i - 1} ON r${i - 1}.node = e.v
+           |            JOIN deg d ON d.v = e.v
+           |     GROUP BY e.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY v),
+         |r0 AS (SELECT v AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
+         |$rounds
+         |SELECT node AS doc_id, CAST(s AS BIGINT) AS score_q
+         |FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // q47's converged-component CTE chain, then a cluster-global
     // best-doc window (policy identical to q46's pairwise retention)
