@@ -132,6 +132,39 @@ object EventsPack extends QueryPack {
                 col("us").as("purchase_us"), col("prior_signup_us"),
                 (col("us") - col("prior_signup_us")).as("latency_us"))
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- banded range join: every ordered event pair within 10 s of
+    // each other (no equi key AT ALL in the semantics), rolled up per
+    // type pair. The scale plan bands time into 10 s buckets so the
+    // pair generation is TWO equi-joins (same bucket; adjacent bucket)
+    // with the range predicate as a residual — a pair lands in exactly
+    // one of the two joins, so the union needs no dedup (emit-once,
+    // same trick as the LSH bands). A raw theta join here would be the
+    // full cross product at 100 TB; the banded form shuffles on a key
+    // whose per-bucket load is the event rate × 10 s. Ties at equal
+    // timestamp are ordered by event_id so each unordered pair is
+    // counted exactly once. ----
+    "q56_range_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("bkt", expr("us div 10000000"))
+      def side(p: String) = e.select(
+        col("event_id").as(s"${p}_id"), col("event_type").as(s"${p}_type"),
+        col("us").as(s"${p}_us"), col("bkt").as(s"${p}_bkt"))
+      val a = side("a")
+      val b = side("b")
+      val range = col("b_us") >= col("a_us") &&
+        col("b_us") <= col("a_us") + 10000000L &&
+        (col("b_us") > col("a_us") || col("a_id") < col("b_id"))
+      val pairs = a.join(b, col("a_bkt") === col("b_bkt") && range)
+        .unionByName(a.join(b, col("a_bkt") + 1 === col("b_bkt") && range))
+      pairs.groupBy("a_type", "b_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("b_us") - col("a_us")).as("min_gap_us"),
+          max(col("b_us") - col("a_us")).as("max_gap_us"),
+          sum(col("b_us") - col("a_us")).as("sum_gap_us"))
+        .orderBy("a_type", "b_type")
     }
   )
 
@@ -236,6 +269,22 @@ object EventsPack extends QueryPack {
         |       CAST(us - prior_signup_us AS BIGINT) AS latency_us
         |FROM w
         |WHERE event_type = 'purchase' AND prior_signup_us IS NOT NULL
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // plain theta join — DuckDB's IEJoin handles the range predicate;
+    // the Spark side's banding must produce the identical pair set
+    "q56_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(min(b.us - a.us) AS BIGINT) AS min_gap_us,
+        |       CAST(max(b.us - a.us) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(b.us - a.us) AS BIGINT) AS sum_gap_us
+        |FROM e a JOIN e b
+        |  ON b.us >= a.us AND b.us <= a.us + 10000000
+        | AND (b.us > a.us OR a.event_id < b.event_id)
+        |GROUP BY 1, 2
+        |ORDER BY a_type, b_type""".stripMargin
   )
 }
