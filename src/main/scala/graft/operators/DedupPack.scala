@@ -60,32 +60,25 @@ object DedupPack extends QueryPack {
 
   /** Per-token md5 nibble value exprs n1..n8 (first 8 nibbles = 32 bits).
     * posFn: Spark "instr", DuckDB "strpos". */
-  private def nibbleExprs(posFn: String): Seq[String] =
+  private[operators] def nibbleExprs(posFn: String): Seq[String] =
     (1 to 8).map(i => s"($posFn('0123456789abcdef', substring(md5(w), $i, 1)) - 1) AS n$i")
 
   /** 32 per-bit ±1 vote sums s0..s31 (MSB-first within each nibble).
     * divOp: Spark "div", DuckDB "//". */
-  private def voteExprs(divOp: String): Seq[String] =
+  private[operators] def voteExprs(divOp: String): Seq[String] =
     (0 until 32).map { b =>
       val nib = b / 4 + 1
       val d = 1 << (3 - b % 4)
       s"SUM(2 * ((n$nib $divOp $d) % 2) - 1) AS s$b"
     }
 
-  private def simhashExpr: String =
+  private[operators] def simhashExpr: String =
     (0 until 32)
       .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << (31 - b)} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
   private val simhashMaxHamming = 4
 
-  /** The q43 near-dup pair set `(doc_i, doc_j, shared, jaccard)`,
-    * `jaccard >= 0.15`, also the edge set for the retention / clustering
-    * queries in [[PipelinePack]]. The index stores 60-bit shingle ids
-    * (hex64 of the shingle md5, the construction mirrored in the oracle),
-    * not the ~20-char shingle strings: the pair-generating self-join
-    * hashes and compares 8-byte keys and shuffles a fraction of the bytes.
-    */
   /** Per-doc DISTINCT word-3-gram shingle ids `(doc_id, sid)` as a
     * materialized ARTIFACT — the shared upstream of the pair build
     * (q43/q46/q47/q48 via [[ngramPairs]]) and the contamination check
@@ -112,6 +105,13 @@ object DedupPack extends QueryPack {
     s.read.parquet(path)
   }
 
+  /** The q43 near-dup pair set `(doc_i, doc_j, shared, jaccard)`,
+    * `jaccard >= 0.15`, also the edge set for the retention / clustering
+    * queries in [[PipelinePack]]. The index stores 60-bit shingle ids
+    * (hex64 of the shingle md5, the construction mirrored in the oracle),
+    * not the ~20-char shingle strings: the pair-generating self-join
+    * hashes and compares 8-byte keys and shuffles a fraction of the bytes.
+    */
   private def buildNgramPairs(s: SparkSession, d: String, out: String): Unit = {
     // both self-join sides + the counts scan the stored shingle artifact
     // (columnar, 8 compact files) — no in-memory persist lifecycle at all

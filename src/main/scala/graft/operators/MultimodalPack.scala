@@ -98,6 +98,45 @@ object MultimodalPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- perceptual-hash near-dup on the BINARY modality: a 32-bit
+    // pHash per payload (simhash votes over its 32-byte frames — the
+    // same portable vote/band machinery as q42, with frames as the
+    // tokens; a real deployment swaps the frame slicer for a codec's
+    // block/DCT features, the banded join is unchanged), then the
+    // emit-once 16-bit-band self-join and a Hamming<=4 verify. This is
+    // image/audio near-dup dedup expressed scale-correctly: candidates
+    // only ever come from band equi-joins. ----
+    "q74_phash_neardup" -> { (s, d) =>
+      val sims = warmed(Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          expr("(length(cast(text as binary)) + 31) div 32").as("n_frames"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, cast(n_frames - 1 as int))")).as("i"), col("text"))
+        .select(col("doc_id"), expr("substr(text, cast(i * 32 + 1 as int), 32)").as("w"))
+        .selectExpr(Seq("doc_id") ++ DedupPack.nibbleExprs("instr"): _*)
+        .groupBy("doc_id")
+        .agg(expr(DedupPack.voteExprs("div").head),
+          DedupPack.voteExprs("div").tail.map(expr): _*)
+        .selectExpr("doc_id", s"${DedupPack.simhashExpr} AS phash"))
+      val bands = sims.select(col("doc_id"), col("phash"),
+          posexplode(array(expr("phash div 65536"), expr("phash % 65536"))))
+        .toDF("doc_id", "phash", "band_id", "band_val")
+      // emit-once: the low band only pairs docs whose high band did NOT
+      // already match — no distinct() over the candidate stream
+      val result = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.band_id") === 0 ||
+            expr("a.phash div 65536") =!= expr("b.phash div 65536")))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+                col("a.phash").as("phash_i"), col("b.phash").as("phash_j"))
+        .withColumn("hamming", expr("bit_count(phash_i ^ phash_j)"))
+        .filter(col("hamming") <= 4)
+      materialized(result, sims).orderBy("doc_i", "doc_j")
+    },
+
     // ---- stubbed resize: halved target dims + 8x strided byte
     // subsample as the "resized payload" (a real pipeline swaps the
     // stride sample for a codec's scaler; dims/stride plumbing, batch
@@ -160,6 +199,34 @@ object MultimodalPack extends QueryPack {
         |    / CAST(least(length(text), 16) AS DOUBLE) AS mean_byte
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // frames-as-tokens simhash, mirrored from q42's construction
+    "q74_phash_neardup" -> {
+      val nibbles = DedupPack.nibbleExprs("strpos").mkString(", ")
+      val votes = DedupPack.voteExprs("//").mkString(", ")
+      val phash = DedupPack.simhashExpr.replace(" div ", " // ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+         |fr AS (SELECT doc_id, substr(text, CAST(g.i * 32 + 1 AS INT), 32) AS w
+         |       FROM d, UNNEST(generate_series(0,
+         |              CAST((octet_length(encode(text)) + 31) // 32 - 1 AS INT))) AS g(i)),
+         |nib AS (SELECT doc_id, $nibbles FROM fr),
+         |vote AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $phash AS phash FROM vote),
+         |bands AS (
+         |  SELECT doc_id, phash, 0 AS band_id, phash // 65536 AS band_val FROM sims
+         |  UNION ALL
+         |  SELECT doc_id, phash, 1, phash % 65536 FROM sims),
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |                a.phash AS phash_i, b.phash AS phash_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.phash // 65536 <> b.phash // 65536))
+         |SELECT doc_i, doc_j, phash_i, phash_j,
+         |       CAST(bit_count(xor(phash_i, phash_j)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(phash_i, phash_j)) <= 4
+         |ORDER BY doc_i, doc_j""".stripMargin
+    },
 
     // empty text → NULL dims/md5, mirroring the Spark-side branch (the
     // generate_series path would yield NULL md5 for empty text anyway;
