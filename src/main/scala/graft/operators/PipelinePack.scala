@@ -211,6 +211,50 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- the capstone: one corpus-build manifest — every document's
+    // final admission verdict with the reason it was dropped. Chains the
+    // real pipeline end-to-end: quality gate (q65's predicate) →
+    // near-dup cluster representative election (q48's policy over the
+    // pair artifact) → deterministic stratified mix sampling (q66's
+    // hash bucket). Precedence mirrors a production build: quality
+    // rejects first, then dedup, then sampling — and the cluster
+    // representative is elected among quality-PASSING members first
+    // (pass_quality desc leads the election sort), so a cluster whose
+    // best text fails the gate still contributes its best admissible
+    // member. Each stage is the SAME scale shape as its standalone
+    // query; composing them adds no new shuffle beyond the cluster
+    // window. ----
+    "q58_corpus_manifest" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          tokens(col("text")).as("toks"), tokenSet(col("text")).as("tset"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (size(col("toks")) >= 20 && col("n_chars") <= 1000 &&
+            (size(col("toks")) > 0 &&
+              size(col("tset")).cast("double") / size(col("toks")).cast("double") >= 0.3))
+            .as("pass_quality"),
+          (hex64(md5(concat(col("doc_id").cast("string"), lit(":mix1")))) % 100)
+            .as("bucket"))
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val cc = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cl"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("pass_quality").desc, col("n_chars").desc, col("doc_id"))
+      docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cl"), col("doc_id")))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .withColumn("pass_sample",
+          col("bucket") < when(col("lang") === "en", 50).otherwise(20))
+        .withColumn("verdict",
+          when(!col("pass_quality"), lit("drop_quality"))
+            .when(!col("is_rep"), lit("drop_dup"))
+            .when(!col("pass_sample"), lit("drop_sample"))
+            .otherwise(lit("keep")))
+        .select("doc_id", "lang", "cluster", "is_rep", "pass_quality",
+          "pass_sample", "verdict")
+        .orderBy("doc_id")
+    },
+
     // ---- quality gate: boolean admission filter chain ----
     "q65_quality_gate" -> { (s, d) =>
       Tables.documents(s, d)
@@ -316,6 +360,49 @@ object PipelinePack extends QueryPack {
          |WHERE s.doc_id % 97 <> 0
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    // the standalone stages' CTEs chained: q65's quality predicate,
+    // q47/q48's recursive components, q66's hash bucket; rep election
+    // sorts quality-passers first
+    "q58_corpus_manifest" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |q AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         len(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |             w -> w <> '')) AS n_tokens,
+         |         len(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |             w -> w <> ''))) AS n_distinct,
+         |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |base AS (
+         |  SELECT q.doc_id, q.lang, q.n_chars,
+         |         (q.n_tokens >= 20 AND q.n_chars <= 1000 AND
+         |          CASE WHEN q.n_tokens = 0 THEN false
+         |               ELSE CAST(q.n_distinct AS DOUBLE) / q.n_tokens >= 0.3 END) AS pass_quality,
+         |         q.bucket,
+         |         coalesce(l.label, q.doc_id) AS cluster
+         |  FROM q LEFT JOIN lab l ON l.node = q.doc_id),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY pass_quality DESC, n_chars DESC, doc_id) = 1 AS is_rep,
+         |         bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS pass_sample
+         |  FROM base)
+         |SELECT doc_id, lang, cluster, is_rep, pass_quality, pass_sample,
+         |       CASE WHEN NOT pass_quality THEN 'drop_quality'
+         |            WHEN NOT is_rep THEN 'drop_dup'
+         |            WHEN NOT pass_sample THEN 'drop_sample'
+         |            ELSE 'keep' END AS verdict
+         |FROM ranked
+         |ORDER BY doc_id""".stripMargin,
 
     "q75_mixture_weights" ->
       """WITH per AS (
