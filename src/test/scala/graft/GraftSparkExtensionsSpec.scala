@@ -49,6 +49,10 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
         "SELECT graft_top_k_tokens(w, 2) AS t FROM VALUES ('a'),('b'),('a'),('c'),('b'),('a') AS v(w)")
         .head().getSeq[String](0)
       assert(topk == Seq("a:3", "b:2"))
+      val ss = s.sql(
+        "SELECT graft_top_k_spacesaving(w, 2, 8) AS t FROM VALUES ('a'),('b'),('a'),('c'),('b'),('a') AS v(w)")
+        .head().getSeq[String](0)
+      assert(ss == Seq("a:3", "b:2"))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
