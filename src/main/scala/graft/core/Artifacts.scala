@@ -49,7 +49,11 @@ object Artifacts {
 
   /** Build-once: returns the path of artifact `name`, running
     * `build(tmpPath)` first if no complete artifact exists. `name` must
-    * already include the corpus fingerprint (see [[corpusKey]]).
+    * already include the corpus fingerprint (see [[corpusKey]]) AND a
+    * build-logic version tag (`_v1_` by convention): the fingerprint
+    * detects corpus changes but cannot see code, so any change to a
+    * build's logic MUST bump its version tag or stale on-disk artifacts
+    * from the previous logic would be silently reused.
     */
   def materialize(name: String)(build: String => Unit): String = {
     val target = root.resolve(name)

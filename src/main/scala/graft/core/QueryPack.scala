@@ -35,10 +35,13 @@ trait QueryPack {
     * (`localCheckpoint` computes it and truncates the plan to the stored
     * blocks), then unpersist the intermediates the plan no longer
     * references. A query that returns `materialized(result, hot1, hot2)
-    * .orderBy(...)` hands the harness a DataFrame that owns no persisted
-    * blocks — the harness-side `clearCache()` stays a backstop instead
-    * of a requirement. Results here are small (gate outputs), so the
-    * extra materialization is noise next to the released cache.
+    * .orderBy(...)` hands the harness a DataFrame with no
+    * CacheManager-tracked blocks — the harness-side `clearCache()` stays
+    * a backstop instead of a requirement. (The checkpoint's own storage
+    * blocks are outside the CacheManager; the ContextCleaner reclaims
+    * them once the frame is unreferenced.) Results here are small (gate
+    * outputs), so the extra materialization is noise next to the
+    * released cache.
     *
     * IMPORTANT: pass the UNSORTED result and apply the final total
     * `orderBy` on the returned frame. A global sort executes its child

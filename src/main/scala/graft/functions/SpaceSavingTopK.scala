@@ -118,23 +118,23 @@ case class SpaceSavingTopK(
         merged.put(t, Array(ce(0) + floorA, ce(1) + floorA))
     }
     // trim the union back to capacity: keep the top counters
-    // (count desc, value asc — deterministic)
+    // (count desc, value asc — deterministic). Snapshot to (key, value)
+    // pairs BEFORE mutating the map: Map.Entry objects are undefined
+    // once the backing map changes.
+    buf.clear()
     if (merged.size() > capacity) {
-      val entries = new java.util.ArrayList(merged.entrySet())
+      val entries = new java.util.ArrayList[(UTF8String, Array[Long])](merged.size())
+      merged.forEach { (k, v) => entries.add((k, v)) }
       entries.sort { (a, b) =>
-        val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
-        if (c != 0) c else a.getKey.compareTo(b.getKey)
+        val c = java.lang.Long.compare(b._2(0), a._2(0))
+        if (c != 0) c else a._1.compareTo(b._1)
       }
-      merged.clear()
       var i = 0
       while (i < capacity) {
-        val e = entries.get(i)
-        merged.put(e.getKey, e.getValue)
+        buf.put(entries.get(i)._1, entries.get(i)._2)
         i += 1
       }
-    }
-    buf.clear()
-    buf.putAll(merged)
+    } else buf.putAll(merged)
     buf
   }
 

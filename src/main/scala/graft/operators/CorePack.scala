@@ -44,7 +44,11 @@ object CorePack extends QueryPack {
     // (SourcesSpec); the write is per-partition parallel — the same
     // fan-out a 1000-executor job uses.
     "q02_text_sink_roundtrip" -> { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_text_sink").toString
+      // one fixed path per corpus, overwritten each run — a fresh temp
+      // dir per invocation would accumulate a wordcount copy in /tmp for
+      // every Bench/Verify run, unbounded
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_text_sink_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}").toString
       WordCount.documentsWordCount(s, dir)
         .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
         .write.mode("overwrite").text(out)

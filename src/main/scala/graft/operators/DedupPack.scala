@@ -91,7 +91,7 @@ object DedupPack extends QueryPack {
     */
   private[operators] def docShingles(s: SparkSession, d: String): DataFrame = {
     val path = graft.core.Artifacts.materialize(
-      s"doc_shingles_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      s"doc_shingles_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
       Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(array_distinct(wordShinglesOf(col("toks"), 3))).as("sg"))
@@ -144,7 +144,7 @@ object DedupPack extends QueryPack {
     */
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val path = graft.core.Artifacts.materialize(
-      s"ngram_pairs_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      s"ngram_pairs_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
       buildNgramPairs(s, d, tmp)
     }
     s.read.parquet(path)

@@ -99,7 +99,7 @@ object MultimodalPack extends QueryPack {
     },
 
     // ---- perceptual-hash near-dup on the BINARY modality: a 32-bit
-    // pHash per payload (simhash votes over its 32-byte frames — the
+    // pHash per payload (simhash votes over its 32-char frames — the
     // same portable vote/band machinery as q42, with frames as the
     // tokens; a real deployment swaps the frame slicer for a codec's
     // block/DCT features, the banded join is unchanged), then the
@@ -107,10 +107,13 @@ object MultimodalPack extends QueryPack {
     // image/audio near-dup dedup expressed scale-correctly: candidates
     // only ever come from band equi-joins. ----
     "q74_phash_neardup" -> { (s, d) =>
+      // frame count and slicing both use CHARACTER length: counting bytes
+      // while slicing chars would mint empty trailing "frames" on
+      // multibyte docs (identical on the ASCII corpus either way)
       val sims = warmed(Tables.documents(s, d)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
-          expr("(length(cast(text as binary)) + 31) div 32").as("n_frames"))
+          expr("(length(text) + 31) div 32").as("n_frames"))
         .select(col("doc_id"),
           explode(expr("sequence(0, cast(n_frames - 1 as int))")).as("i"), col("text"))
         .select(col("doc_id"), expr("substr(text, cast(i * 32 + 1 as int), 32)").as("w"))
@@ -208,7 +211,7 @@ object MultimodalPack extends QueryPack {
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
          |fr AS (SELECT doc_id, substr(text, CAST(g.i * 32 + 1 AS INT), 32) AS w
          |       FROM d, UNNEST(generate_series(0,
-         |              CAST((octet_length(encode(text)) + 31) // 32 - 1 AS INT))) AS g(i)),
+         |              CAST((length(text) + 31) // 32 - 1 AS INT))) AS g(i)),
          |nib AS (SELECT doc_id, $nibbles FROM fr),
          |vote AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
          |sims AS (SELECT doc_id, $phash AS phash FROM vote),

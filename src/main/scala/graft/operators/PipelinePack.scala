@@ -46,9 +46,11 @@ object PipelinePack extends QueryPack {
     * (hash-partitioned on the node id); `localCheckpoint` per round
     * keeps lineage flat, and the convergence check is an exact
     * changed-label count. The returned frame is materialized
-    * (checkpointed) and holds no persisted intermediates. At cluster
-    * scale the same BSP loop checkpoints to the cluster store instead of
-    * executor-local blocks.
+    * (checkpointed); the only CacheManager-tracked intermediate (adj) is
+    * unpersisted before returning, and superseded rounds' checkpoint
+    * blocks are reclaimed by the ContextCleaner once unreferenced. At
+    * cluster scale the same BSP loop checkpoints to the cluster store
+    * instead of executor-local blocks.
     */
   def connectedComponents(e: DataFrame): DataFrame = {
     val nodes = e.select(col("v")).distinct()
@@ -66,7 +68,10 @@ object PipelinePack extends QueryPack {
         .localCheckpoint() // eager: runs the round, truncates lineage
       changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
         .filter(col("n.label") =!= col("p.label")).count()
-      labels.unpersist() // superseded round: next holds its own blocks
+      // superseded rounds' checkpoint blocks are NOT CacheManager-tracked
+      // (Dataset.unpersist would be a no-op on them); dropping the
+      // reference lets the ContextCleaner reclaim them after GC — per
+      // round the table is (node, label), tiny next to the adj cache
       labels = next
     }
     adj.unpersist()

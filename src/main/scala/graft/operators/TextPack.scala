@@ -57,8 +57,13 @@ object TextPack extends QueryPack {
         when(col(s"score_${langProfiles.head._1}") === best, lit(langProfiles.head._1))) {
         case (acc, (l, _)) => acc.when(col(s"score_$l") === best, lit(l))
       }
+      // NULL text → all scores NULL → every CASE arm NULL; the oracle's
+      // NULLS-LAST window would still emit the first profile ('de'), so
+      // mirror that here (no-op on the non-NULL driver corpus)
       scored
-        .select(col("doc_id"), col("lang"), pred.as("pred_lang"), best.as("score"))
+        .select(col("doc_id"), col("lang"),
+          coalesce(pred, lit(langProfiles.head._1)).as("pred_lang"),
+          best.as("score"))
         .orderBy("doc_id")
     },
 

@@ -125,7 +125,7 @@ object StreamingPack extends QueryPack {
       .parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("ts"), col("user_id"), col("value"))
-    val dim = graft.core.Tables.table(s, d, "customer")
+    val dim = graft.core.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"))
     val agg = ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
       .groupBy(window(col("ts"), "1 day"), col("c_nationkey"))
@@ -186,11 +186,18 @@ object StreamingPack extends QueryPack {
     */
   private def splitEventsPath(s: SparkSession, d: String): String =
     graft.core.Artifacts.materialize(
-      s"events_by_type_${graft.core.Artifacts.corpusKey(d, "events.parquet")}") { tmp =>
+      s"events_by_type_v1_${graft.core.Artifacts.corpusKey(d, "events.parquet")}") { tmp =>
       graft.core.Tables.events(s, d)
         .filter(col("event_type").isin("signup", "purchase"))
         .select(col("event_type"), col("event_id"), col("ts"), col("user_id"))
         .write.partitionBy("event_type").parquet(tmp)
+      // a corpus with ZERO events of one type writes no partition dir for
+      // it; guarantee both dirs exist so the readStream side degrades to
+      // an empty stream instead of failing on a missing path
+      Seq("signup", "purchase").foreach { t =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp, s"event_type=$t"))
+      }
     }
 
   /** Stream-stream interval join: signups ⋈ purchases by user within 7
