@@ -134,6 +134,30 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- recency-decayed engagement: per-user sum of event values with
+    // a 1-day half-life — the recency weighting a training-mix builder
+    // applies to engagement signals. Arithmetic is all-integer so the
+    // result is aggregation-order-deterministic and engine-portable:
+    // value is floor(×1e6)-quantized, the decay is a right-shift
+    // (value_q div 2^age_days), and ages beyond 40 days contribute 0
+    // (guards the shift; 2^40 already divides any quantized value to 0
+    // here). One scan + one agg keyed on user_id. ----
+    "q59_decay_score" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      ev.crossJoin(broadcast(maxDay))
+        .withColumn("age", datediff(col("max_day"), col("day")))
+        .withColumn("contrib",
+          when(col("age") <= 40,
+            expr("cast(floor(value * 1e6) as bigint) div shiftleft(cast(1 as bigint), age)"))
+            .otherwise(lit(0L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("contrib")).as("decayed_q"))
+        .orderBy("user_id")
+    },
+
     // ---- banded range join: every ordered event pair within 10 s of
     // each other (no equi key AT ALL in the semantics), rolled up per
     // type pair. The scale plan bands time into 10 s buckets so the
@@ -270,6 +294,22 @@ object EventsPack extends QueryPack {
         |FROM w
         |WHERE event_type = 'purchase' AND prior_signup_us IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // integer decay mirror: DuckDB `//` truncates toward zero exactly
+    // like Spark `div`, and `<<` on BIGINT matches shiftleft
+    "q59_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM ev)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN datediff('day', day, max_day) <= 40
+        |                     THEN CAST(floor(value * 1e6) AS BIGINT) //
+        |                          (CAST(1 AS BIGINT) << datediff('day', day, max_day))
+        |                     ELSE 0 END) AS BIGINT) AS decayed_q
+        |FROM ev, mx
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // plain theta join — DuckDB's IEJoin handles the range predicate;
     // the Spark side's banding must produce the identical pair set
