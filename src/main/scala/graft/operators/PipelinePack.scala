@@ -78,6 +78,35 @@ object PipelinePack extends QueryPack {
     labels
   }
 
+  /** Damped PageRank over a symmetric edge list `(v, u)` in int64
+    * micro-units: every node starts at 1,000,000; each round a node
+    * sends `score div degree` along each out-edge and collects
+    * `150000 + (85 * sum(received)) div 100`. Integer division is
+    * bit-identical across engines, so the result is deterministic with
+    * no float-aggregation-order concerns ([[graft.PageRankModelSpec]]
+    * checks the loop against an independent in-memory model). Each round
+    * is one join + one sum-aggregate keyed on the node id;
+    * `localCheckpoint` keeps lineage flat. Every node of a symmetric
+    * graph has degree >= 1, so there is no dangling mass.
+    */
+  def pageRank(e: DataFrame, rounds: Int): DataFrame = {
+    val deg = e.groupBy("v").agg(count(lit(1)).as("deg"))
+    val adj = e.join(deg, "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count() // warm before the per-round branches fan out
+    var rank = deg.select(col("v").as("node"), lit(1000000L).as("score_q"))
+    for (_ <- 1 to rounds) {
+      rank = adj.join(rank, col("v") === col("node"))
+        .select(col("u"), expr("score_q div deg").as("c"))
+        .groupBy(col("u"))
+        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score_q"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint()
+    }
+    adj.unpersist()
+    rank
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup retention: drop docs with a strictly better near-dup ----
@@ -121,22 +150,8 @@ object PipelinePack extends QueryPack {
     // symmetric graph has degree >= 1, so there is no dangling mass. ----
     "q55_pagerank" -> { (s, d) =>
       val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
-      val edges = symmetricEdges(pairs).toDF("v", "u")
-      val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
-      val adj = edges.join(deg, "v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      adj.count() // warm before the per-round branches fan out
-      var rank = deg.select(col("v").as("node"), lit(1000000L).as("score_q"))
-      for (_ <- 1 to 5) {
-        rank = adj.join(rank, col("v") === col("node"))
-          .select(col("u"), expr("score_q div deg").as("c"))
-          .groupBy(col("u"))
-          .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score_q"))
-          .withColumnRenamed("u", "node")
-          .localCheckpoint()
-      }
-      adj.unpersist()
-      rank.select(col("node").as("doc_id"), col("score_q"))
+      pageRank(symmetricEdges(pairs).toDF("v", "u"), rounds = 5)
+        .select(col("node").as("doc_id"), col("score_q"))
         .orderBy("doc_id")
     },
 
