@@ -78,7 +78,8 @@ object PipelinePack extends QueryPack {
     labels
   }
 
-  /** Damped PageRank over a symmetric edge list `(v, u)` in int64
+  /** Damped PageRank (Page et al., "The PageRank citation ranking",
+    * 1999; damping 0.85) over a symmetric edge list `(v, u)` in int64
     * micro-units: every node starts at 1,000,000; each round a node
     * sends `score div degree` along each out-edge and collects
     * `150000 + (85 * sum(received)) div 100`. Integer division is
