@@ -26,7 +26,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() intermediates; clear them so cached blocks don't
-      // accumulate across the full 58-query run in one session
+      // accumulate across the full registry run in one session
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
