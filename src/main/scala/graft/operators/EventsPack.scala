@@ -134,6 +134,26 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- salted two-stage aggregation, registered as a gated operator:
+    // the skew-survival pattern for low-cardinality hot keys (here
+    // event_type, 5 values — at 100 TB a single-stage groupBy would pile
+    // each type onto one reducer). Stage 1 aggregates (key, salt) over a
+    // 16-way deterministic salt, stage 2 folds the partials; decimal
+    // partial sums make the two-stage result bit-identical to the
+    // direct aggregate, which is exactly what the oracle (a plain
+    // one-stage GROUP BY) proves. ----
+    "q57_salted_agg" -> { (s, d) =>
+      val salted = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          (col("event_id") % 16).as("salt"))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("psum"))
+      salted.groupBy("event_type")
+        .agg(sum(col("pn")).as("n_events"),
+          sum(col("psum")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // ---- recency-decayed engagement: per-user sum of event values with
     // a 1-day half-life — the recency weighting a training-mix builder
     // applies to engagement signals. Arithmetic is all-integer so the
@@ -294,6 +314,16 @@ object EventsPack extends QueryPack {
         |FROM w
         |WHERE event_type = 'purchase' AND prior_signup_us IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // the oracle is the DIRECT single-stage aggregate — proving the
+    // salted two-stage plan computes the identical result
+    "q57_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // integer decay mirror: DuckDB `//` truncates toward zero exactly
     // like Spark `div`, and `<<` on BIGINT matches shiftleft
