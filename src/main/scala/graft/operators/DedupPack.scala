@@ -57,27 +57,107 @@ object DedupPack extends QueryPack {
     else concat(h.substr(lit(2 * p + 1), lit(32 - 2 * p)), h.substr(lit(1), lit(2 * p)))
 
   // ---------- SimHash: generated expression strings, both dialects ----------
+  //
+  // 64-bit signature, 5 bands. The banding math is the point: a Hamming
+  // distance <= 4 means at most 4 of the 5 bands can contain a differing
+  // bit, so BY PIGEONHOLE at least one band is bit-identical — every pair
+  // within the threshold is guaranteed to be a candidate of the band
+  // equi-join (BandingGuaranteeSpec property-checks this). The round-3
+  // shape (32-bit signature, 2 bands) could not honor its own threshold:
+  // a pair differing by one bit in each half was silently missed.
+  // Band keys are md5-hex64 int64s of (band_id, band bits) — q41's
+  // pattern — so the self-join shuffles 8-byte keys and the effective key
+  // space is 60-bit, not the raw 12-13 bits of band-value space.
 
-  /** Per-token md5 nibble value exprs n1..n8 (first 8 nibbles = 32 bits).
+  private[graft] val simhashBits = 64
+  private[graft] val simhashBands = 5
+
+  /** MSB-first bit ranges of the 5 bands: 13+13+13+13+12 = 64. */
+  private[graft] val bandRanges: Seq[Range] = {
+    val base = simhashBits / simhashBands
+    val extra = simhashBits % simhashBands
+    val widths = Seq.tabulate(simhashBands)(k => base + (if (k < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (start, w) => start until (start + w) }
+  }
+
+  /** Per-token md5 nibble value exprs n1..n16 (16 nibbles = 64 bits).
     * posFn: Spark "instr", DuckDB "strpos". */
-  private[operators] def nibbleExprs(posFn: String): Seq[String] =
-    (1 to 8).map(i => s"($posFn('0123456789abcdef', substring(md5(w), $i, 1)) - 1) AS n$i")
+  private[graft] def nibbleExprs(posFn: String): Seq[String] =
+    (1 to simhashBits / 4).map(i =>
+      s"($posFn('0123456789abcdef', substring(md5(w), $i, 1)) - 1) AS n$i")
 
-  /** 32 per-bit ±1 vote sums s0..s31 (MSB-first within each nibble).
+  /** 64 per-bit ±1 vote sums s0..s63 (MSB-first within each nibble).
     * divOp: Spark "div", DuckDB "//". */
-  private[operators] def voteExprs(divOp: String): Seq[String] =
-    (0 until 32).map { b =>
+  private[graft] def voteExprs(divOp: String): Seq[String] =
+    (0 until simhashBits).map { b =>
       val nib = b / 4 + 1
       val d = 1 << (3 - b % 4)
       s"SUM(2 * ((n$nib $divOp $d) % 2) - 1) AS s$b"
     }
 
-  private[operators] def simhashExpr: String =
-    (0 until 32)
-      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << (31 - b)} ELSE 0 END)")
+  /** Packed signed-int64 signature from the vote columns. Bit 63 (vote
+    * s0) is the sign bit: its term is long-min, added FIRST so every
+    * left-to-right partial sum stays in int64 range (the remaining terms
+    * sum to at most 2^63 - 1) — safe under ANSI overflow checks in both
+    * engines. xor/bit_count are two's-complement in Spark and DuckDB, so
+    * Hamming distance on the signed value is exact.
+    */
+  private[graft] def simhashExpr: String =
+    (0 until simhashBits)
+      .map {
+        case 0 => s"(CASE WHEN s0 >= 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+        case b => s"(CASE WHEN s$b >= 0 THEN ${1L << (simhashBits - 1 - b)} ELSE 0 END)"
+      }
       .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** Band-value exprs v0..v4 from the vote columns (band k = its bit
+    * range of the signature as a small nonneg int). */
+  private[graft] def bandValExprs: Seq[String] =
+    bandRanges.zipWithIndex.map { case (r, k) =>
+      r.zipWithIndex
+        .map { case (b, i) => s"(CASE WHEN s$b >= 0 THEN ${1L << (r.size - 1 - i)} ELSE 0 END)" }
+        .mkString("CAST(", " + ", s" AS BIGINT) AS v$k")
+    }
+
+  /** Scala mirror of [[simhashExpr]]/[[bandValExprs]] packing for specs:
+    * band values of a packed 64-bit signature. */
+  private[graft] def bandValuesOf(sig: Long): Seq[Long] =
+    bandRanges.map { r =>
+      r.zipWithIndex.foldLeft(0L) { case (acc, (b, i)) =>
+        acc | (((sig >>> (simhashBits - 1 - b)) & 1L) << (r.size - 1 - i))
+      }
+    }
+
   private val simhashMaxHamming = 4
+
+  /** Emit-once join conditions over banded sides `a`/`b`: band k pairs
+    * two docs only if no earlier band already matched, so each candidate
+    * pair is produced by exactly one band and no distinct() runs over the
+    * candidate stream. Spark Column form. */
+  private[operators] def emitOnceCond: Column =
+    (0 until simhashBands - 1).map { j =>
+      col("a.band_id") <= j || col(s"a.v$j") =!= col(s"b.v$j")
+    }.reduce(_ && _)
+
+  /** Same conditions in SQL text (both dialects). */
+  private[operators] def emitOnceSql: String =
+    (0 until simhashBands - 1)
+      .map(j => s"(a.band_id <= $j OR a.v$j <> b.v$j)")
+      .mkString(" AND ")
+
+  /** DuckDB CTEs `bands0`/`bands` (exploded band rows + int64 `bk` keys)
+    * over a `sims` CTE holding `(doc_id, <sigCol>, v0..v4)`. Trailing
+    * comma included; shared by the q42 and q74 oracles. */
+  private[operators] def bandsCtes(sigCol: String): String = {
+    val vCols = (0 until simhashBands).map(k => s"v$k").mkString(", ")
+    val arms = (0 until simhashBands)
+      .map(k => s"  SELECT doc_id, $sigCol, $vCols, $k AS band_id, v$k AS band_val FROM sims")
+      .mkString("\n  UNION ALL\n")
+    s"""bands0 AS (
+$arms),
+bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' || CAST(band_val AS VARCHAR)), 1, 15) AS BIGINT) AS bk
+          FROM bands0),"""
+  }
 
   /** Per-doc DISTINCT word-3-gram shingle ids `(doc_id, sid)` as a
     * materialized ARTIFACT — the shared upstream of the pair build
@@ -252,7 +332,10 @@ object DedupPack extends QueryPack {
       materialized(result, docs).orderBy("doc_i", "doc_j")
     },
 
-    // ---- SimHash near-dup: 32-bit md5-vote signature, banded join ----
+    // ---- SimHash near-dup: 64-bit md5-vote signature, 5-band join.
+    // 5 bands > Hamming threshold 4, so every pair within the threshold
+    // shares at least one bit-identical band (pigeonhole) — the band
+    // equi-join provably generates ALL qualifying candidates. ----
     "q42_dedup_simhash" -> { (s, d) =>
       // warmed: both band-join sides scan the signature table; exchange
       // reuse usually dedupes identical sides, but the persisted form
@@ -262,18 +345,22 @@ object DedupPack extends QueryPack {
         .selectExpr(Seq("doc_id") ++ nibbleExprs("instr"): _*)
         .groupBy("doc_id")
         .agg(expr(voteExprs("div").head), voteExprs("div").tail.map(expr): _*)
-        .selectExpr("doc_id", s"$simhashExpr AS simhash"))
-      val bands = sims.select(col("doc_id"), col("simhash"),
-          posexplode(array(expr("simhash div 65536"), expr("simhash % 65536"))))
-        .toDF("doc_id", "simhash", "band_id", "band_val")
-      // emit-once: band 1 (low bits) only pairs docs whose band 0 (high
-      // bits) did NOT already match — no distinct() over the candidates
+        .selectExpr(Seq("doc_id", s"$simhashExpr AS simhash") ++ bandValExprs: _*))
+      val bandCols = (0 until simhashBands).map(k => col(s"v$k"))
+      val bands = sims
+        .select(Seq(col("doc_id"), col("simhash")) ++ bandCols :+
+          posexplode(array(bandCols: _*)): _*)
+        .toDF(Seq("doc_id", "simhash") ++
+          (0 until simhashBands).map(k => s"v$k") ++ Seq("band_id", "band_val"): _*)
+        // int64 band key à la q41: the join shuffles one 8-byte key with
+        // band_id folded in, and key-space collisions are 60-bit-rare
+        // rather than bounded by the 12-13-bit band-value space
+        .withColumn("bk", hex64(md5(concat_ws(":",
+          col("band_id").cast("string"), col("band_val").cast("string")))))
       val result = bands.as("a").join(bands.as("b"),
+          col("a.bk") === col("b.bk") &&
           col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.band_id") === 0 ||
-            expr("a.simhash div 65536") =!= expr("b.simhash div 65536")))
+          col("a.doc_id") < col("b.doc_id") && emitOnceCond)
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
                 col("a.simhash").as("simhash_i"), col("b.simhash").as("simhash_j"))
         .withColumn("hamming", expr("bit_count(simhash_i ^ simhash_j)"))
@@ -387,29 +474,24 @@ object DedupPack extends QueryPack {
          |ORDER BY doc_i, doc_j""".stripMargin
     },
 
-    "q42_dedup_simhash" -> {
-      val nibbles = nibbleExprs("strpos").mkString(", ")
-      val votes = voteExprs("//").mkString(", ")
+    "q42_dedup_simhash" ->
       s"""WITH tok AS ($duckToks),
          |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
-         |nib AS (SELECT doc_id, $nibbles FROM dt),
-         |vote AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
-         |sims AS (SELECT doc_id, ${simhashExpr.replace(" div ", " // ")} AS simhash FROM vote),
-         |bands AS (
-         |  SELECT doc_id, simhash, 0 AS band_id, simhash // 65536 AS band_val FROM sims
-         |  UNION ALL
-         |  SELECT doc_id, simhash, 1, simhash % 65536 FROM sims),
+         |nib AS (SELECT doc_id, ${nibbleExprs("strpos").mkString(", ")} FROM dt),
+         |vote AS (SELECT doc_id, ${voteExprs("//").mkString(", ")} FROM nib GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $simhashExpr AS simhash,
+         |                ${bandValExprs.mkString(", ")} FROM vote),
+         |${bandsCtes("simhash")}
          |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |                a.simhash AS simhash_i, b.simhash AS simhash_j
          |         FROM bands a JOIN bands b
-         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |          AND (a.band_id = 0 OR a.simhash // 65536 <> b.simhash // 65536))
+         |           ON a.bk = b.bk AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+         |          AND $emitOnceSql)
          |SELECT doc_i, doc_j, simhash_i, simhash_j,
          |       CAST(bit_count(xor(simhash_i, simhash_j)) AS INT) AS hamming
          |FROM cand
          |WHERE bit_count(xor(simhash_i, simhash_j)) <= $simhashMaxHamming
-         |ORDER BY doc_i, doc_j""".stripMargin
-    },
+         |ORDER BY doc_i, doc_j""".stripMargin,
 
     "q43_dedup_ngram" ->
       s"""WITH $ngramPairsCtes

@@ -98,14 +98,15 @@ object MultimodalPack extends QueryPack {
         .orderBy("doc_id")
     },
 
-    // ---- perceptual-hash near-dup on the BINARY modality: a 32-bit
+    // ---- perceptual-hash near-dup on the BINARY modality: a 64-bit
     // pHash per payload (simhash votes over its 32-char frames — the
     // same portable vote/band machinery as q42, with frames as the
     // tokens; a real deployment swaps the frame slicer for a codec's
     // block/DCT features, the banded join is unchanged), then the
-    // emit-once 16-bit-band self-join and a Hamming<=4 verify. This is
-    // image/audio near-dup dedup expressed scale-correctly: candidates
-    // only ever come from band equi-joins. ----
+    // emit-once 5-band self-join on int64 band keys and a Hamming<=4
+    // verify. 5 bands > threshold 4 ⇒ every qualifying pair is a
+    // candidate by pigeonhole (q42's guarantee, BandingGuaranteeSpec).
+    // Candidates only ever come from band equi-joins. ----
     "q74_phash_neardup" -> { (s, d) =>
       // frame count and slicing both use CHARACTER length: counting bytes
       // while slicing chars would mint empty trailing "frames" on
@@ -121,18 +122,21 @@ object MultimodalPack extends QueryPack {
         .groupBy("doc_id")
         .agg(expr(DedupPack.voteExprs("div").head),
           DedupPack.voteExprs("div").tail.map(expr): _*)
-        .selectExpr("doc_id", s"${DedupPack.simhashExpr} AS phash"))
-      val bands = sims.select(col("doc_id"), col("phash"),
-          posexplode(array(expr("phash div 65536"), expr("phash % 65536"))))
-        .toDF("doc_id", "phash", "band_id", "band_val")
-      // emit-once: the low band only pairs docs whose high band did NOT
-      // already match — no distinct() over the candidate stream
+        .selectExpr(Seq("doc_id", s"${DedupPack.simhashExpr} AS phash") ++
+          DedupPack.bandValExprs: _*))
+      val bandCols = (0 until DedupPack.simhashBands).map(k => col(s"v$k"))
+      val bands = sims
+        .select(Seq(col("doc_id"), col("phash")) ++ bandCols :+
+          posexplode(array(bandCols: _*)): _*)
+        .toDF(Seq("doc_id", "phash") ++
+          (0 until DedupPack.simhashBands).map(k => s"v$k") ++
+          Seq("band_id", "band_val"): _*)
+        .withColumn("bk", graft.functions.TextFunctions.hex64(md5(concat_ws(":",
+          col("band_id").cast("string"), col("band_val").cast("string")))))
       val result = bands.as("a").join(bands.as("b"),
+          col("a.bk") === col("b.bk") &&
           col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.band_id") === 0 ||
-            expr("a.phash div 65536") =!= expr("b.phash div 65536")))
+          col("a.doc_id") < col("b.doc_id") && DedupPack.emitOnceCond)
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
                 col("a.phash").as("phash_i"), col("b.phash").as("phash_j"))
         .withColumn("hamming", expr("bit_count(phash_i ^ phash_j)"))
@@ -203,27 +207,25 @@ object MultimodalPack extends QueryPack {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    // frames-as-tokens simhash, mirrored from q42's construction
+    // frames-as-tokens simhash, mirrored from q42's 64-bit 5-band
+    // construction (shared generators — the two oracles cannot drift)
     "q74_phash_neardup" -> {
       val nibbles = DedupPack.nibbleExprs("strpos").mkString(", ")
       val votes = DedupPack.voteExprs("//").mkString(", ")
-      val phash = DedupPack.simhashExpr.replace(" div ", " // ")
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
          |fr AS (SELECT doc_id, substr(text, CAST(g.i * 32 + 1 AS INT), 32) AS w
          |       FROM d, UNNEST(generate_series(0,
          |              CAST((length(text) + 31) // 32 - 1 AS INT))) AS g(i)),
          |nib AS (SELECT doc_id, $nibbles FROM fr),
          |vote AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
-         |sims AS (SELECT doc_id, $phash AS phash FROM vote),
-         |bands AS (
-         |  SELECT doc_id, phash, 0 AS band_id, phash // 65536 AS band_val FROM sims
-         |  UNION ALL
-         |  SELECT doc_id, phash, 1, phash % 65536 FROM sims),
+         |sims AS (SELECT doc_id, ${DedupPack.simhashExpr} AS phash,
+         |                ${DedupPack.bandValExprs.mkString(", ")} FROM vote),
+         |${DedupPack.bandsCtes("phash")}
          |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |                a.phash AS phash_i, b.phash AS phash_j
          |         FROM bands a JOIN bands b
-         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |          AND (a.band_id = 0 OR a.phash // 65536 <> b.phash // 65536))
+         |           ON a.bk = b.bk AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+         |          AND ${DedupPack.emitOnceSql})
          |SELECT doc_i, doc_j, phash_i, phash_j,
          |       CAST(bit_count(xor(phash_i, phash_j)) AS INT) AS hamming
          |FROM cand
