@@ -394,27 +394,19 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     },
 
     // ---- embedding cosine near-dup, multi-probe LSH (the scale path).
-    // Candidates: pair (i,j) survives iff their 6-bit hyperplane buckets
-    // (SimilarityPack's) are within Hamming distance 1 — generated by
-    // exploding side A over the 7 probe masks {0, 1<<h} and equi-joining
-    // on the probed bucket. Each qualifying pair matches exactly one mask,
-    // so no distinct is needed. Exact fixed-point cosine verify on
-    // candidates only. At 100 TB: bucket-partitioned storage makes this a
-    // co-located join; probe fan-out is 7×, never O(N²). ----
+    // Candidates: pair (i,j) survives iff their b-bit hyperplane buckets
+    // are within Hamming distance 1 in >= 1 of SimilarityPack's L
+    // independent tables (b is corpus-size-derived, see SimilarityPack).
+    // Generated by exploding side A over the (table, flip-mask) probes
+    // and equi-joining on the probed bucket; an emit-once predicate
+    // across tables keeps each qualifying pair single-sourced, so no
+    // distinct is needed. Exact fixed-point cosine verify on candidates
+    // only. At 100 TB: the index artifact is bucket-partitioned storage,
+    // probe fan-out is L×(b+1), never O(N²). ----
     "q45_dedup_embedding_lsh" -> { (s, d) =>
-      // one persisted vector-index build feeds the probe and corpus sides
+      // one bucket-partitioned index artifact feeds probe + corpus sides
       val vecs = SimilarityPack.persistedVecs(s, d)
-      val probes = vecs
-        .select(col("vec_id").as("vec_i"), col("q").as("qa"), col("norm").as("na"),
-                col("bucket").as("ba"))
-        .withColumn("flip", explode(array(
-          (lit(0) +: (0 until SimilarityPack.nPlanes).map(h => lit(1 << h))): _*)))
-        .withColumn("probe_bucket", expr("int(ba ^ flip)"))
-      val result = probes.join(vecs,
-          col("bucket") === col("probe_bucket") && col("vec_i") < col("vec_id"))
-        .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("q"), col("na"), col("norm")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("vec_i"), col("vec_id").as("vec_j"), col("cosine"))
+      val result = SimilarityPack.nearDupPairs(vecs, SimilarityPack.bucketBits(s, d), 0.4)
       materialized(result, vecs).orderBy("vec_i", "vec_j")
     }
   )
@@ -518,22 +510,6 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |ORDER BY vec_i, vec_j""".stripMargin
     },
 
-    "q45_dedup_embedding_lsh" -> {
-      val flips = (0 +: (0 until SimilarityPack.nPlanes).map(1 << _)).mkString("[", ",", "]")
-      s"""WITH ${SimilarityPack.vecsCte},
-         |probes AS (
-         |  SELECT a.vec_id AS vec_i, a.q AS qa, a.norm AS na,
-         |         CAST(xor(a.bucket, f.flip) AS INT) AS probe_bucket
-         |  FROM scored a, UNNEST($flips) AS f(flip)),
-         |pairs AS (
-         |  SELECT p.vec_i, b.vec_id AS vec_j,
-         |         ${VectorFunctions.dotQSql("p.qa", "b.q", 64)} / (p.na * b.norm) AS cosine
-         |  FROM probes p JOIN scored b
-         |    ON b.bucket = p.probe_bucket AND p.vec_i < b.vec_id)
-         |SELECT vec_i, vec_j, cosine
-         |FROM pairs
-         |WHERE cosine >= 0.4
-         |ORDER BY vec_i, vec_j""".stripMargin
-    }
+    "q45_dedup_embedding_lsh" -> SimilarityPack.nearDupOracle(0.4)
   )
 }
