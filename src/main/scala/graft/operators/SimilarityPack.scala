@@ -75,12 +75,31 @@ object SimilarityPack extends QueryPack {
   private[graft] def bucketBitsFor(n: Long): Int =
     math.min(bMax, math.max(4, ceilLog2(n) - 3))
 
-  private val bitsMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val countMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** b for the corpus under `d` — one metadata-cheap count per corpus,
-    * memoized. The oracle derives the same value in SQL ([[paramCte]]). */
+  /** Corpus size under `d` — one metadata-cheap count, memoized. */
+  private[operators] def corpusCount(s: SparkSession, d: String): Long =
+    countMemo.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
+  /** b for the corpus under `d`. The oracle derives the same value in
+    * SQL ([[paramCte]]). */
   private[graft] def bucketBits(s: SparkSession, d: String): Int =
-    bitsMemo.getOrElseUpdate(d, bucketBitsFor(Tables.embeddings(s, d).count()))
+    bucketBitsFor(corpusCount(s, d))
+
+  /** IVF cell count ∝ √N: the smallest power of two >= sqrt-ish of the
+    * corpus (2^ceil(ceilLog2(N)/2)) — 32 cells at N=500, 64 at N=2000,
+    * 2^15 at N=10^9. The oracle mirrors it with the same integer ladder.
+    */
+  private[graft] def ivfCellsFor(n: Long): Int = 1 << ((ceilLog2(n) + 1) / 2)
+
+  /** Cells probed per query: k/2 (>= 2). nprobe is the recall knob of
+    * every IVF deployment; this corpus is near-uniform random (hyperplane
+    * bits are coin flips, cells overlap every query's true neighborhood),
+    * so holding a high recall SLA costs a large probe fraction — on real
+    * clustered embeddings the same k supports nprobe ≪ k. The scale
+    * story is unchanged either way: a query reads nprobe cell partitions,
+    * never the corpus. */
+  private[graft] def ivfProbesFor(k: Int): Int = math.max(2, k / 2)
 
   /** Spark: b-bit LSH bucket of a quantized vector column in table t.
     * Integer math throughout — exact under any evaluation order. */
@@ -221,25 +240,70 @@ object SimilarityPack extends QueryPack {
       .filter(col("cosine") >= minCosine)
       .select(col("q_id").as("vec_i"), col("vec_id").as("vec_j"), col("cosine"))
 
-  /** IVF search over a shared vector table. Returns the result plus the
-    * persisted cell-assignment table for the caller to release. */
-  private def ivfTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
-    val seeds = vecs.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("norm").as("snorm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("seed_id"))
+  /** Lloyd refinement rounds run per IVF build. */
+  private[graft] val ivfRounds = 2
+
+  /** One k-means assignment: each vector to its max-cosine centroid
+    * (ties → smallest cell id; exact fixed-point cosines, so the
+    * tie-break and ordering are engine-portable). Centroids broadcast. */
+  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cell"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosineQ(col("q"), col("cq"), col("norm"), col("cnorm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cell"))
+  }
+
+  /** Centroid update: truncated-integer per-dimension mean of the
+    * members (int64 `div`, bit-identical across engines — the q55
+    * integer-loop technique), norms recomputed exactly. Cells that lose
+    * every member drop out (identically on both sides). */
+  private def updateCentroids(assign: DataFrame): DataFrame =
+    assign.select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("v", expr("sx div cnt"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v")).as("cq"))
+      .withColumn("cnorm", sqrt(normSqQ(col("cq"))))
+
+  /** IVF search over a shared vector table: k = [[ivfCellsFor]] cells
+    * (∝ √N), seeded deterministically (the k corpus vectors with the
+    * smallest md5(vec_id) — an engine-portable stand-in for random
+    * init), then [[ivfRounds]] integer Lloyd rounds make the cells
+    * DATA-ADAPTIVE; a query probes its 2 nearest cells. All centroid
+    * arithmetic is int64 fixed-point, so the oracle mirrors the training
+    * loop as unrolled CTE rounds. At 100 TB the training rounds run on a
+    * sample, the corpus is stored partitioned by cell, the (tiny)
+    * centroid table broadcasts, and a query reads 2 partitions.
+    * Returns the result plus the persisted assignment for release. */
+  private def ivfTopK(vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val nprobe = ivfProbesFor(k)
+    val hashed = vecs
+      .select(col("vec_id"), col("q"),
+        graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))).as("h"))
+    // top-k by hash is a TakeOrderedAndProject (distributed); the cell-id
+    // window then runs on the k-row frame only
+    val seeds = hashed.orderBy("h", "vec_id").limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy("h", "vec_id")).cast("int"))
+      .select(col("cell"), col("q").as("cq"))
+      .withColumn("cnorm", sqrt(normSqQ(col("cq"))))
+    val cent = (1 to ivfRounds).foldLeft(seeds)((c, _) =>
+      updateCentroids(assignCells(vecs, c)))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("cell"))
     // the 2-nearest-cells assignment feeds BOTH the cell table and the
     // probe table; warmed (persist + eager build), else the two branches
     // race the cold cache and each re-runs the crossJoin + window
-    val ranked = warmed(vecs.crossJoin(broadcast(seeds))
-      .withColumn("cos_seed", cosineQ(col("q"), col("sq"), col("norm"), col("snorm")))
+    val ranked = warmed(vecs.crossJoin(broadcast(cent))
+      .withColumn("cos_seed", cosineQ(col("q"), col("cq"), col("norm"), col("cnorm")))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 2)
-      .select(col("vec_id"), col("q"), col("norm"), col("seed_id"), col("arn")))
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("arn")))
     val cells = ranked.filter(col("arn") === 1)
-      .select(col("vec_id"), col("q"), col("norm"), col("seed_id").as("cell"))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"))
     val probes = ranked.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
-              col("norm").as("qnorm"), col("seed_id").as("probe_cell"))
+              col("norm").as("qnorm"), col("cell").as("probe_cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
     val result = probes.join(cells,
         col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
@@ -264,18 +328,18 @@ object SimilarityPack extends QueryPack {
       materialized(lshTopK(vecs, bucketBits(s, d)), vecs).orderBy("q_id", "rk")
     },
 
-    // ---- IVF (inverted-file) ANN: coarse cells from 8 deterministic
-    // seed vectors (vec_id < 8); every vector is assigned to its nearest
-    // seed by exact fixed-point cosine; a query probes its 2 nearest
-    // cells. At 100 TB the corpus is stored partitioned by cell, the
-    // seed table broadcasts, and a query reads 2 partitions — the same
-    // pruning story as LSH buckets but with data-adaptive regions.
-    // (Real IVF trains centroids with k-means; deterministic seed
-    // vectors keep the structure engine-portable for the oracle while
-    // exercising the identical plan shape.) ----
+    // ---- IVF (inverted-file) ANN with DATA-ADAPTIVE cells: ∝√N coarse
+    // centroids trained by deterministic integer k-means (md5-ordered
+    // seeds, truncated-int64-mean Lloyd rounds — every step is
+    // engine-portable, so the DuckDB oracle replays the training as
+    // unrolled CTE rounds, the q55 technique); every vector is assigned
+    // to its max-cosine centroid and a query probes its 2 nearest cells.
+    // At 100 TB the corpus is stored partitioned by cell, the centroid
+    // table broadcasts, and a query reads 2 partitions — the same
+    // pruning story as LSH buckets but with data-adaptive regions. ----
     "q53_ann_ivf" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      val (result, ranked) = ivfTopK(vecs)
+      val (result, ranked) = ivfTopK(vecs, ivfCellsFor(corpusCount(s, d)))
       materialized(result, ranked, vecs).orderBy("q_id", "rk")
     },
 
@@ -292,7 +356,7 @@ object SimilarityPack extends QueryPack {
       val b = bucketBits(s, d)
       val vecs = persistedVecs(s, d)
       val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
-      val (ivf, ranked) = ivfTopK(vecs)
+      val (ivf, ranked) = ivfTopK(vecs, ivfCellsFor(corpusCount(s, d)))
       val methodOut = Seq(
         "q51_ann_lsh" -> lshTopK(vecs, b),
         "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
@@ -423,26 +487,53 @@ object SimilarityPack extends QueryPack {
 
   private def baseOracle: Map[String, String] = Map(
     "q53_ann_ivf" -> {
-      val dotVS = dotQSql("v.q", "s.sq", dim)
+      // the training loop, unrolled: every round is (argmax-cosine
+      // assignment) → (truncated-int64-mean centroid update) — all
+      // integer/exact-double arithmetic, so both engines replay the
+      // identical k-means trajectory
+      val n = "(SELECT count(*) FROM embeddings)"
+      val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
+        .mkString("CASE ", " ", " ELSE 41 END")
+      val rounds = (1 to ivfRounds).map { r =>
+        val cosPrev = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+        s"""assign$r AS (
+           |  SELECT vec_id, q, cell FROM (
+           |    SELECT v.vec_id, v.q, c.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |                              ORDER BY $cosPrev DESC, c.cell) AS rn
+           |    FROM scored v CROSS JOIN cent${r - 1} c) WHERE rn = 1),
+           |upd$r AS (SELECT cell, g.i AS i,
+           |                 CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+           |          FROM assign$r, UNNEST(generate_series(1, $dim)) AS g(i)
+           |          GROUP BY cell, g.i),
+           |cq$r AS (SELECT cell, list(v ORDER BY i) AS cq FROM upd$r GROUP BY cell),
+           |cent$r AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cq$r c)"""
+          .stripMargin
+      }.mkString(",\n")
+      val cosFinal = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
       val dotPC = dotQSql("p.qq", "c.q", dim)
       s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
          |scored AS (
          |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
          |  FROM vecs v),
-         |seeds AS (SELECT vec_id AS seed_id, q AS sq, norm AS snorm
-         |          FROM scored WHERE vec_id < 8),
-         |assigned AS (
-         |  SELECT v.vec_id, v.q, v.norm, s.seed_id,
-         |         $dotVS / (v.norm * s.snorm) AS cos_seed
-         |  FROM scored v CROSS JOIN seeds s),
+         |kp AS (SELECT 1 << (($ladder + 1) // 2) AS k),
+         |np AS (SELECT GREATEST(2, k // 2) AS nprobe FROM kp),
+         |hashed AS (SELECT vec_id, q,
+         |                  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |           FROM scored),
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell, q AS cq
+         |          FROM hashed
+         |          QUALIFY row_number() OVER (ORDER BY h, vec_id) <= (SELECT k FROM kp)),
+         |cent0 AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM seeds c),
+         |$rounds,
          |ranked AS (
-         |  SELECT vec_id, q, norm, seed_id, cos_seed,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY cos_seed DESC, seed_id) AS arn
-         |  FROM assigned),
-         |cells AS (SELECT vec_id, q, norm, seed_id AS cell FROM ranked WHERE arn = 1),
-         |probes AS (SELECT vec_id AS q_id, q AS qq, norm AS qnorm, seed_id AS probe_cell
-         |           FROM ranked WHERE vec_id < 20 AND arn <= 2),
+         |  SELECT v.vec_id, v.q, v.norm, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |                            ORDER BY $cosFinal DESC, c.cell) AS arn
+         |  FROM scored v CROSS JOIN cent$ivfRounds c),
+         |cells AS (SELECT vec_id, q, norm, cell FROM ranked WHERE arn = 1),
+         |probes AS (SELECT vec_id AS q_id, q AS qq, norm AS qnorm, cell AS probe_cell
+         |           FROM ranked WHERE vec_id < 20 AND arn <= (SELECT nprobe FROM np)),
          |cand AS (
          |  SELECT p.q_id, c.vec_id, c.cell,
          |         $dotPC / (p.qnorm * c.norm) AS cosine

@@ -31,6 +31,21 @@ class BucketVolumeSpec extends AnyFunSuite {
     assert(bs == bs.sorted)
   }
 
+  test("IVF cells grow with sqrt(N); probe width tracks the cell count") {
+    assert(SimilarityPack.ivfCellsFor(500) == 32)
+    assert(SimilarityPack.ivfCellsFor(2000) == 64)
+    assert(SimilarityPack.ivfCellsFor(1000000) == 1024)
+    assert(SimilarityPack.ivfCellsFor(1000000000L) == 32768)
+    // cells ∝ √N within a factor of 2 on either side
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val k = SimilarityPack.ivfCellsFor(n)
+      val r = k / math.sqrt(n.toDouble)
+      assert(r >= 0.5 && r <= 2.5, s"n=$n k=$k ratio=$r")
+    }
+    assert(SimilarityPack.ivfProbesFor(32) == 16)
+    assert(SimilarityPack.ivfProbesFor(2) == 2)
+  }
+
   test("observed bucket occupancy on test data is bounded in every table") {
     val vecs = SimilarityPack.annIndex(spark, sfDir)
     val n = vecs.count()
