@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // --cold clears the artifact store up front so every build-once
+    // intermediate (pair tables, ANN index, event-log splits) is charged
+    // to this run; the emitted JSON records which mode actually ran —
+    // cold/warm comparability is in-harness, not a manual cleanup step
+    if (args.contains("--cold")) graft.core.Artifacts.clearAll()
+    val artifactsState =
+      if (graft.core.Artifacts.rootNonEmpty) "warm" else "cold"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,7 +47,7 @@ object Bench {
     // total counts only successful queries; failures are listed explicitly
     val total = results.filter(_._3).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"sf":"$sfDir","artifacts":"$artifactsState"}"""
     println(line)
     // also drop the raw line next to the repo: sbt prefixes forked stdout
     // with "[info] ", which can trip strict JSON extraction downstream

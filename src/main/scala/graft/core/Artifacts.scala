@@ -47,6 +47,28 @@ object Artifacts {
       .map("%02x".format(_)).mkString.substring(0, 16)
   }
 
+  /** True iff the artifact root exists and holds at least one entry —
+    * i.e. a following run would be (partially) warm. */
+  def rootNonEmpty: Boolean =
+    Files.exists(root) && {
+      val s = Files.list(root)
+      try s.iterator().hasNext finally s.close()
+    }
+
+  /** Bench/dev tooling: recursively delete the artifact root and reset
+    * the in-JVM memo, forcing every artifact to rebuild (used by
+    * `graft.Bench --cold` so cold/warm comparability is a harness flag,
+    * not a manual cleanup step). */
+  def clearAll(): Unit = lock.synchronized {
+    done = Set.empty
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(root)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+  }
+
   /** Build-once: returns the path of artifact `name`, running
     * `build(tmpPath)` first if no complete artifact exists. `name` must
     * already include the corpus fingerprint (see [[corpusKey]]) AND a

@@ -178,32 +178,17 @@ object EventsPack extends QueryPack {
         .orderBy("user_id")
     },
 
-    // ---- banded range join: every ordered event pair within 10 s of
-    // each other (no equi key AT ALL in the semantics), rolled up per
-    // type pair. The scale plan bands time into 10 s buckets so the
-    // pair generation is TWO equi-joins (same bucket; adjacent bucket)
-    // with the range predicate as a residual — a pair lands in exactly
-    // one of the two joins, so the union needs no dedup (emit-once,
-    // same trick as the LSH bands). A raw theta join here would be the
-    // full cross product at 100 TB; the banded form shuffles on a key
-    // whose per-bucket load is the event rate × 10 s. Ties at equal
-    // timestamp are ordered by event_id so each unordered pair is
-    // counted exactly once. ----
+    // ---- banded + SALTED range join: every ordered event pair within
+    // 10 s of each other (no equi key AT ALL in the semantics), rolled
+    // up per type pair. See [[saltedRangePairs]] for the scale design
+    // (10 s time bands as equi keys, emit-once across the two band
+    // joins, deterministic sub-bucket salt bounding a viral burst's
+    // per-key group BY CONSTRUCTION — AQE's skew split remains the
+    // runtime backstop on top). ----
     "q56_range_join" -> { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-        .withColumn("bkt", expr("us div 10000000"))
-      def side(p: String) = e.select(
-        col("event_id").as(s"${p}_id"), col("event_type").as(s"${p}_type"),
-        col("us").as(s"${p}_us"), col("bkt").as(s"${p}_bkt"))
-      val a = side("a")
-      val b = side("b")
-      val range = col("b_us") >= col("a_us") &&
-        col("b_us") <= col("a_us") + 10000000L &&
-        (col("b_us") > col("a_us") || col("a_id") < col("b_id"))
-      val pairs = a.join(b, col("a_bkt") === col("b_bkt") && range)
-        .unionByName(a.join(b, col("a_bkt") + 1 === col("b_bkt") && range))
-      pairs.groupBy("a_type", "b_type")
+      saltedRangePairs(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+        .groupBy("a_type", "b_type")
         .agg(count(lit(1)).as("n_pairs"),
           min(col("b_us") - col("a_us")).as("min_gap_us"),
           max(col("b_us") - col("a_us")).as("max_gap_us"),
@@ -211,6 +196,52 @@ object EventsPack extends QueryPack {
         .orderBy("a_type", "b_type")
     }
   )
+
+  /** Sub-bucket salt width for [[saltedRangePairs]]. */
+  private[graft] val rangeSalt = 4
+
+  /** q56's pair generator: all ordered event pairs within 10 s, from an
+    * input of `(event_id, event_type, us)` rows.
+    *
+    * Scale design, layer by layer:
+    *   1. BANDING — time is banded into 10 s buckets so pair generation
+    *      is TWO equi-joins (same bucket; adjacent bucket) with the
+    *      range predicate as a residual. A pair lands in exactly one of
+    *      the two joins (emit-once, the LSH-band trick), so the union
+    *      needs no dedup. A raw theta join would be the full cross
+    *      product at 100 TB; the banded form shuffles on a key whose
+    *      per-bucket load is the event rate × 10 s.
+    *   2. SALTING — a viral burst that puts m events into ONE bucket
+    *      would still make that bucket's join key a single m×m task.
+    *      The deterministic sub-bucket salt (`event_id % 4`, q57's
+    *      pattern) splits each bucket's key into 4 sub-keys on the
+    *      build side and replicates the probe side across them, so a
+    *      hot bucket's biggest key group is bounded at m/4 rows BY
+    *      CONSTRUCTION (SkewSaltingSpec's range-join test proves both
+    *      the bound and result equality); AQE's skew split remains the
+    *      runtime backstop for bursts beyond the salt width.
+    *
+    * Ties at equal timestamp are ordered by event_id so each unordered
+    * pair is counted exactly once.
+    */
+  private[graft] def saltedRangePairs(events: DataFrame): DataFrame = {
+    val e = events.withColumn("bkt", expr("us div 10000000"))
+    val a = e.select(
+        col("event_id").as("a_id"), col("event_type").as("a_type"),
+        col("us").as("a_us"), col("bkt").as("a_bkt"))
+      // probe side replicated over the 4 target sub-buckets
+      .withColumn("tsb", explode(array((0 until rangeSalt).map(x => lit(x.toLong)): _*)))
+    val b = e.select(
+        col("event_id").as("b_id"), col("event_type").as("b_type"),
+        col("us").as("b_us"), col("bkt").as("b_bkt"))
+      .withColumn("b_salt", col("b_id") % rangeSalt)
+    val range = col("tsb") === col("b_salt") &&
+      col("b_us") >= col("a_us") &&
+      col("b_us") <= col("a_us") + 10000000L &&
+      (col("b_us") > col("a_us") || col("a_id") < col("b_id"))
+    a.join(b, col("a_bkt") === col("b_bkt") && range)
+      .unionByName(a.join(b, col("a_bkt") + 1 === col("b_bkt") && range))
+  }
 
   override def oracle: Map[String, String] = Map(
     "q30_tumbling_window" ->

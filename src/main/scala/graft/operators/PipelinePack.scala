@@ -33,6 +33,35 @@ import graft.functions.TextFunctions._
   */
 object PipelinePack extends QueryPack {
 
+  /** Where the BSP loops ([[connectedComponents]], [[pageRank]]) park
+    * each round's frame to keep lineage flat:
+    *
+    *   - [[CheckpointMode.Local]] (default): `localCheckpoint` —
+    *     executor-local blocks; fastest, but a lost executor loses blocks
+    *     with no lineage to rebuild them (fine single-JVM; lossy on a
+    *     real cluster).
+    *   - [[CheckpointMode.Reliable]]: `checkpoint` into a durable
+    *     directory (HDFS/object store on a cluster) — each round's state
+    *     survives executor loss; this is the production form for long
+    *     BSP loops on preemptible fleets.
+    */
+  sealed trait CheckpointMode
+  object CheckpointMode {
+    case object Local extends CheckpointMode
+    final case class Reliable(dir: String) extends CheckpointMode
+  }
+
+  /** Eagerly materialize a round's frame under `mode` (both forms run
+    * the round and truncate lineage). */
+  private def roundCheckpoint(df: DataFrame, mode: CheckpointMode): DataFrame =
+    mode match {
+      case CheckpointMode.Local => df.localCheckpoint()
+      case CheckpointMode.Reliable(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+    }
+
   private def symmetricEdges(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
@@ -43,29 +72,29 @@ object PipelinePack extends QueryPack {
     * so labels only decrease and the loop converges in graph-diameter
     * rounds to (node, label = min node id of its component) — for ANY
     * chain length. Each round is one join + one min-aggregate
-    * (hash-partitioned on the node id); `localCheckpoint` per round
-    * keeps lineage flat, and the convergence check is an exact
+    * (hash-partitioned on the node id); a per-round checkpoint
+    * ([[CheckpointMode]] — executor-local by default, durable-store
+    * optional) keeps lineage flat, and the convergence check is an exact
     * changed-label count. The returned frame is materialized
     * (checkpointed); the only CacheManager-tracked intermediate (adj) is
     * unpersisted before returning, and superseded rounds' checkpoint
-    * blocks are reclaimed by the ContextCleaner once unreferenced. At
-    * cluster scale the same BSP loop checkpoints to the cluster store
-    * instead of executor-local blocks.
+    * blocks are reclaimed by the ContextCleaner once unreferenced.
     */
-  def connectedComponents(e: DataFrame): DataFrame = {
+  def connectedComponents(e: DataFrame,
+                          mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
     val nodes = e.select(col("v")).distinct()
     // self-loop so a round is a single uniform join + min-aggregate
     val adj = nodes.select(col("v"), col("v").as("u")).union(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adj.count() // warm before the per-round branches fan out
-    var labels = nodes.select(col("v").as("node"), col("v").as("label"))
-      .localCheckpoint()
+    var labels = roundCheckpoint(
+      nodes.select(col("v").as("node"), col("v").as("label")), mode)
     var changed = 1L
     while (changed > 0) {
-      val next = adj.join(labels, col("u") === col("node"))
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
-        .withColumnRenamed("v", "node")
-        .localCheckpoint() // eager: runs the round, truncates lineage
+      val next = roundCheckpoint( // eager: runs the round, truncates lineage
+        adj.join(labels, col("u") === col("node"))
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
+          .withColumnRenamed("v", "node"), mode)
       changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
         .filter(col("n.label") =!= col("p.label")).count()
       // superseded rounds' checkpoint blocks are NOT CacheManager-tracked
@@ -86,23 +115,24 @@ object PipelinePack extends QueryPack {
     * bit-identical across engines, so the result is deterministic with
     * no float-aggregation-order concerns ([[graft.PageRankModelSpec]]
     * checks the loop against an independent in-memory model). Each round
-    * is one join + one sum-aggregate keyed on the node id;
-    * `localCheckpoint` keeps lineage flat. Every node of a symmetric
-    * graph has degree >= 1, so there is no dangling mass.
+    * is one join + one sum-aggregate keyed on the node id; a per-round
+    * checkpoint ([[CheckpointMode]]) keeps lineage flat. Every node of a
+    * symmetric graph has degree >= 1, so there is no dangling mass.
     */
-  def pageRank(e: DataFrame, rounds: Int): DataFrame = {
+  def pageRank(e: DataFrame, rounds: Int,
+               mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
     val deg = e.groupBy("v").agg(count(lit(1)).as("deg"))
     val adj = e.join(deg, "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adj.count() // warm before the per-round branches fan out
     var rank = deg.select(col("v").as("node"), lit(1000000L).as("score_q"))
     for (_ <- 1 to rounds) {
-      rank = adj.join(rank, col("v") === col("node"))
-        .select(col("u"), expr("score_q div deg").as("c"))
-        .groupBy(col("u"))
-        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score_q"))
-        .withColumnRenamed("u", "node")
-        .localCheckpoint()
+      rank = roundCheckpoint(
+        adj.join(rank, col("v") === col("node"))
+          .select(col("u"), expr("score_q div deg").as("c"))
+          .groupBy(col("u"))
+          .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("score_q"))
+          .withColumnRenamed("u", "node"), mode)
     }
     adj.unpersist()
     rank
