@@ -7,10 +7,21 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev tooling): comma-separated query-name filter,
     // e.g. `runMain graft.Verify <sf> <out> q42_dedup_simhash,q74_phash_neardup`
-    val Array(sfDir, outDir) = args.take(2)
+    val Array(sfDir, outDirArg) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // A filtered dev run writes a PARTIAL oracle_sql.json; if it landed in
+    // the gate's outDir alongside stale full-run parquet, the driver would
+    // silently compare only the subset and report a clean pass with
+    // reduced coverage. Redirect filtered runs to a clearly-marked dir.
+    val outDir = if (only.isEmpty) outDirArg else {
+      val d = outDirArg.stripSuffix("/") + "_partial"
+      System.err.println(
+        s"[verify] PARTIAL RUN (${only.get.size} queries) -> $d; " +
+          "not a full gate output")
+      d
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

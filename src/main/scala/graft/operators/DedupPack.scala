@@ -357,9 +357,14 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
         // rather than bounded by the 12-13-bit band-value space
         .withColumn("bk", hex64(md5(concat_ws(":",
           col("band_id").cast("string"), col("band_val").cast("string")))))
+      // band_val alongside bk: both sides already carry the column, so the
+      // equality is free, and it restores exactness should a 60-bit md5
+      // prefix collision ever alias two distinct band values (emit-once's
+      // "exactly one band per pair" proof assumes band values, not keys)
       val result = bands.as("a").join(bands.as("b"),
           col("a.bk") === col("b.bk") &&
           col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id") && emitOnceCond)
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
                 col("a.simhash").as("simhash_i"), col("b.simhash").as("simhash_j"))
@@ -477,7 +482,8 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |                a.simhash AS simhash_i, b.simhash AS simhash_j
          |         FROM bands a JOIN bands b
-         |           ON a.bk = b.bk AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+         |           ON a.bk = b.bk AND a.band_id = b.band_id
+         |          AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |          AND $emitOnceSql)
          |SELECT doc_i, doc_j, simhash_i, simhash_j,
          |       CAST(bit_count(xor(simhash_i, simhash_j)) AS INT) AS hamming

@@ -133,9 +133,13 @@ object MultimodalPack extends QueryPack {
           Seq("band_id", "band_val"): _*)
         .withColumn("bk", graft.functions.TextFunctions.hex64(md5(concat_ws(":",
           col("band_id").cast("string"), col("band_val").cast("string")))))
+      // band_val alongside bk — free (both sides carry it) and keeps the
+      // emit-once exactness independent of 60-bit key-collision odds
+      // (mirrors q42, DedupPack)
       val result = bands.as("a").join(bands.as("b"),
           col("a.bk") === col("b.bk") &&
           col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id") && DedupPack.emitOnceCond)
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
                 col("a.phash").as("phash_i"), col("b.phash").as("phash_j"))
@@ -224,7 +228,8 @@ object MultimodalPack extends QueryPack {
          |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |                a.phash AS phash_i, b.phash AS phash_j
          |         FROM bands a JOIN bands b
-         |           ON a.bk = b.bk AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+         |           ON a.bk = b.bk AND a.band_id = b.band_id
+         |          AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |          AND ${DedupPack.emitOnceSql})
          |SELECT doc_i, doc_j, phash_i, phash_j,
          |       CAST(bit_count(xor(phash_i, phash_j)) AS INT) AS hamming

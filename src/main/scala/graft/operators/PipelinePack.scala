@@ -58,7 +58,15 @@ object PipelinePack extends QueryPack {
       case CheckpointMode.Local => df.localCheckpoint()
       case CheckpointMode.Reliable(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores a fully-qualified dir/<UUID> path, so a
+        // plain equality guard never matches and every round would mint a
+        // fresh subdir (and clobber a user-set dir). Prefix-match the
+        // qualified form of `dir` instead: set once per loop, reuse after.
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified =
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toUri.toString
+        if (!sc.getCheckpointDir.exists(_.startsWith(qualified)))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
     }
 

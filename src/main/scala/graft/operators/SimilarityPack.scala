@@ -77,9 +77,16 @@ object SimilarityPack extends QueryPack {
 
   private val countMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** Corpus size under `d` — one metadata-cheap count, memoized. */
+  /** Corpus size under `d` — one metadata-cheap count, memoized by the
+    * corpus FINGERPRINT (not the path): a corpus regenerated in place
+    * within a long-lived JVM invalidates the memo exactly when
+    * [[graft.core.Artifacts.corpusKey]] (and hence every artifact name
+    * and the oracle) sees the new data, so N and the derived bucket
+    * width can never go stale against them. */
   private[operators] def corpusCount(s: SparkSession, d: String): Long =
-    countMemo.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+    countMemo.getOrElseUpdate(
+      graft.core.Artifacts.corpusKey(d, "embeddings.parquet"),
+      Tables.embeddings(s, d).count())
 
   /** b for the corpus under `d`. The oracle derives the same value in
     * SQL ([[paramCte]]). */
