@@ -16,6 +16,8 @@ import graft.functions.{ArrayEqCount, LongArrayDot, LongArrayEqCount,
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-plan operators (logical node -> physical exec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_long_array_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_long_array_dot"),

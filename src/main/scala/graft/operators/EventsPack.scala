@@ -23,6 +23,30 @@ object EventsPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- native AS-OF JOIN (custom whole-plan operator) ----
+    // Two-table as-of: each purchase joined to the user's latest
+    // prior-or-simultaneous signup. Unlike q38 (the single-table
+    // window-over-union idiom), this is the genuine two-dataset operator:
+    // graft.plans.AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, a
+    // sort-merge as-of (one shuffle + sort per side, forward-only merge —
+    // equi-join cost, no range blowup). Oracle = DuckDB's native ASOF JOIN,
+    // so two independent as-of implementations must agree hash-exactly.
+    "q03_asof_join_native" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      // distinct (user, ts): right-side ties are unspecified by the operator
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user_id"), col("us").as("signup_us"))
+        .distinct()
+      graft.plans.GraftOps.asofJoin(purchases, signups,
+          Seq("user_id"), Seq("r_user_id"), "us", "signup_us")
+        .select(col("user_id"), col("event_id"),
+                col("us").as("purchase_us"), col("signup_us"),
+                (col("us") - col("signup_us")).as("latency_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- tumbling 1-hour windows per event type ----
     "q30_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -244,6 +268,22 @@ object EventsPack extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+    // DuckDB's own ASOF JOIN — an independent implementation of the same
+    // operator semantics, not a mirrored construction
+    "q03_asof_join_native" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT DISTINCT user_id AS r_user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS signup_us
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id,
+        |       CAST(p.us AS BIGINT) AS purchase_us,
+        |       CAST(s.signup_us AS BIGINT) AS signup_us,
+        |       CAST(p.us - s.signup_us AS BIGINT) AS latency_us
+        |FROM p ASOF JOIN s
+        |  ON p.user_id = s.r_user_id AND p.us >= s.signup_us
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q30_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -53,6 +53,9 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
         "SELECT graft_top_k_spacesaving(w, 2, 8) AS t FROM VALUES ('a'),('b'),('a'),('c'),('b'),('a') AS v(w)")
         .head().getSeq[String](0)
       assert(ss == Seq("a:3", "b:2"))
+      // whole-plan operator strategy lands in the session's planner too
+      assert(s.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy),
+        "AsOfJoinStrategy not injected by the extensions class")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
