@@ -259,6 +259,45 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- sub-document (segment-level) exact dedup — the C4 "line
+    // dedup" pass, over 4-token segments since the synthetic corpus has
+    // no sentence boundaries. Each doc is chunked into non-overlapping
+    // segments; a segment occurrence survives iff it is the corpus-wide
+    // FIRST occurrence of its content (min (doc_id, seg_idx)); the
+    // output is each doc's retained fraction. Scale shape: segments
+    // carry 60-bit int64 content ids; the winner per id is an argmin
+    // (min(struct)) — partial aggregation makes it map-side-combining
+    // and therefore safe under hot boilerplate segments repeated
+    // millions of times — then one equi-join back on the id marks
+    // winners (AQE splits any residual hot id), and one groupBy(doc)
+    // folds the verdicts. No windows over the full occurrence stream.
+    "q04_segment_dedup" -> { (s, d) =>
+      val segLen = 4
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          // sequence(0, -1) would DESCEND; guard empty docs explicitly
+          when(size(col("toks")) > 0,
+            sequence(lit(0), ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int") - 1))
+            .otherwise(array().cast("array<int>")).as("idxs"))
+        .select(col("doc_id"), explode(col("idxs")).as("i"), col("toks"))
+        .select(col("doc_id"), col("i").cast("bigint").as("seg_idx"),
+          hex64(md5(concat_ws(" ",
+            slice(col("toks"), col("i") * segLen + 1, lit(segLen))))).as("sid"))
+      val winners = segs.groupBy("sid")
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      val verdicts = segs.join(winners, "sid")
+        .withColumn("kept",
+          (col("doc_id") === col("w.doc_id") && col("seg_idx") === col("w.seg_idx"))
+            .cast("int"))
+      verdicts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+             sum(col("kept")).cast("bigint").as("n_kept"))
+        .withColumn("retained_frac",
+          col("n_kept").cast("double") / col("n_segments").cast("double"))
+        .orderBy("doc_id")
+    },
+
     // ---- exact dedup: content-hash groups, canonical representative ----
     "q40_dedup_exact" -> { (s, d) =>
       val byHash = Window.partitionBy(col("text_md5"))
@@ -419,6 +458,27 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
   // ---------- oracles ----------
 
   override def oracle: Map[String, String] = Map(
+    // winner selection mirrored as a row_number window (deterministic:
+    // (doc_id, seg_idx) is unique) — result-equivalent to the argmin
+    "q04_segment_dedup" ->
+      s"""WITH tok AS ($duckToks),
+         |seg AS (
+         |  SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+         |         CAST('0x' || substring(md5(array_to_string(ts[(g.i * 4 + 1):((g.i + 1) * 4)], ' ')), 1, 15) AS BIGINT) AS sid
+         |  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 4.0) - 1 AS BIGINT))) AS g(i)),
+         |r AS (
+         |  SELECT doc_id, seg_idx, sid,
+         |         row_number() OVER (PARTITION BY sid ORDER BY doc_id, seg_idx) AS rn
+         |  FROM seg)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_segments,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS retained_frac
+         |FROM r
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "q40_dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -212,6 +212,48 @@ object TextPack extends QueryPack {
             .as("fingerprint"),
           greatest(length(col("text")) - 7, lit(1)).cast("bigint").as("n_grams"))
         .orderBy("doc_id")
+    },
+
+    // ---- repetition filter (the Gopher/MassiveText "repetitious text"
+    // rules): per-doc duplicate-bigram fraction, duplicate-trigram
+    // fraction, and the single most frequent bigram's share. Everything
+    // is computed inside ONE per-document projection — n-gram arrays via
+    // higher-order functions, no explode, no shuffle but the final sort —
+    // so the filter is a pure map stage over a 100 TB corpus scan.
+    // Interpreted-lambda cost is bounded by doc length (per-DOCUMENT
+    // work, the regime the HOFs are fine in — see Expressions.scala).
+    // Fractions are exact-integer-derived doubles: one IEEE division,
+    // bit-identical on both engines. ----
+    "q79_repetition_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+          wordShinglesOf(col("toks"), 2).as("bi"),
+          wordShinglesOf(col("toks"), 3).as("tri"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("bi")).cast("bigint").as("n_bigrams"),
+          size(array_distinct(col("bi"))).cast("bigint").as("n_distinct_bigrams"),
+          size(col("tri")).cast("bigint").as("n_trigrams"),
+          size(array_distinct(col("tri"))).cast("bigint").as("n_distinct_trigrams"),
+          coalesce(array_max(transform(array_distinct(col("bi")),
+            x => size(filter(col("bi"), y => y === x)))), lit(0))
+            .cast("bigint").as("top_bigram_cnt"))
+      docs
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          when(col("n_bigrams") > 0,
+            (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+              col("n_bigrams").cast("double")).otherwise(lit(0.0))
+            .as("dup_bigram_frac"),
+          when(col("n_trigrams") > 0,
+            (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") /
+              col("n_trigrams").cast("double")).otherwise(lit(0.0))
+            .as("dup_trigram_frac"),
+          when(col("n_bigrams") > 0,
+            col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .withColumn("keep",
+          col("dup_bigram_frac") <= 0.05 && col("top_bigram_frac") <= 0.06)
+        .orderBy("doc_id")
     }
   )
 
@@ -351,6 +393,48 @@ object TextPack extends QueryPack {
           |   FROM UNNEST(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)) AS fingerprint,
           |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
           |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      // list-lambda mirror of the per-doc repetition metrics;
+      // generate_series(1, 0) is empty, so short docs get empty n-gram
+      // lists on both sides
+      "q79_repetition_filter" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, len(ts) AS n_tokens,
+          |         list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+          |                        i -> ts[i] || ' ' || ts[i + 1]) AS bi,
+          |         list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+          |                        i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) AS tri
+          |  FROM tok),
+          |m AS (
+          |  SELECT doc_id, n_tokens,
+          |         len(bi) AS n_bigrams, len(list_distinct(bi)) AS ndb,
+          |         len(tri) AS n_trigrams, len(list_distinct(tri)) AS ndt,
+          |         coalesce(list_aggregate(list_transform(list_distinct(bi),
+          |           x -> len(list_filter(bi, y -> y = x))), 'max'), 0) AS topb
+          |  FROM g),
+          |f AS (
+          |  SELECT doc_id,
+          |         CAST(n_tokens AS BIGINT) AS n_tokens,
+          |         CAST(n_bigrams AS BIGINT) AS n_bigrams,
+          |         CASE WHEN n_bigrams > 0
+          |              THEN CAST(n_bigrams - ndb AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          |              ELSE 0.0 END AS dup_bigram_frac,
+          |         CASE WHEN n_trigrams > 0
+          |              THEN CAST(n_trigrams - ndt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+          |              ELSE 0.0 END AS dup_trigram_frac,
+          |         CASE WHEN n_bigrams > 0
+          |              THEN CAST(topb AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          |              ELSE 0.0 END AS top_bigram_frac
+          |  FROM m)
+          |SELECT doc_id, n_tokens, n_bigrams, dup_bigram_frac, dup_trigram_frac,
+          |       top_bigram_frac,
+          |       (dup_bigram_frac <= 0.05 AND top_bigram_frac <= 0.06) AS keep
+          |FROM f
           |ORDER BY doc_id""".stripMargin
     )
   }
