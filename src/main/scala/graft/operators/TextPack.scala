@@ -204,6 +204,42 @@ object TextPack extends QueryPack {
         .orderBy("doc_id", "rk")
     },
 
+    // ---- unigram-LM quality score — the in-engine analogue of the
+    // KenLM scoring CCNet/C4 use: score each doc by its average token
+    // log-probability under the corpus's own unigram distribution
+    // (repetitive low-entropy docs score high, rare-token soup scores
+    // low). Scale shape mirrors q76: ONE shuffle for the (doc, term)
+    // aggregate; the vocabulary table is broadcast; the corpus total is
+    // a broadcast 1-row frame. Portability: ln() is quantized
+    // floor(×1e6) PER TERM and the per-doc total is an int64 sum of
+    // (term_q × count) — integer aggregation is order-deterministic, so
+    // no float-sum divergence across engines (the q76 discipline). ----
+    "q05_unigram_logprob" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val vocab = tf.groupBy("w").agg(sum(col("cnt")).as("cw"))
+      val total = vocab.agg(sum(col("cw")).as("t"))
+      val scored = tf
+        .join(broadcast(vocab), "w")
+        .crossJoin(broadcast(total))
+        .withColumn("term_q",
+          floor(log(col("cw").cast("double") / col("t").cast("double")) * lit(1e6))
+            .cast("bigint"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+             sum(col("term_q") * col("cnt")).as("logprob_q"))
+        // single int64/int64 IEEE division — exact operands, portable
+        // (negative-value `div` truncation differs across engines, so
+        // the integer quotient is deliberately avoided)
+        .withColumn("avg_logprob",
+          col("logprob_q").cast("double") / col("n_tokens").cast("double"))
+      scored
+        .select(col("doc_id"), col("n_tokens"), col("logprob_q"), col("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     // ---- rolling-hash fingerprint: min-md5 over char 8-grams ----
     "q63_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -393,6 +429,32 @@ object TextPack extends QueryPack {
           |   FROM UNNEST(generate_series(1, greatest(length(text) - 7, 1))) AS g(i)) AS fingerprint,
           |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
           |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      // per-term floor(×1e6) quantization before the integer sum — the
+      // only float ops are one ln() (quantized) and one final division
+      "q05_unigram_logprob" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
+          |  GROUP BY doc_id, w),
+          |vocab AS (SELECT w, sum(cnt) AS cw FROM tf GROUP BY w),
+          |tot AS (SELECT sum(cw) AS t FROM vocab),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |         sum(tf.cnt) AS n_tokens,
+          |         sum(CAST(floor(ln(CAST(v.cw AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1e6) AS BIGINT) * tf.cnt) AS logprob_q
+          |  FROM tf JOIN vocab v ON v.w = tf.w CROSS JOIN tot
+          |  GROUP BY tf.doc_id)
+          |SELECT doc_id,
+          |       CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(logprob_q AS BIGINT) AS logprob_q,
+          |       CAST(logprob_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_logprob
+          |FROM scored
           |ORDER BY doc_id""".stripMargin,
 
       // list-lambda mirror of the per-doc repetition metrics;
