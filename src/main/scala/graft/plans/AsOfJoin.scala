@@ -24,7 +24,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     allowEqual: Boolean,
-    leftOuter: Boolean)
+    leftOuter: Boolean,
+    tolerance: Option[Long])
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -52,7 +53,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.allowEqual, j.leftOuter, planLater(j.left), planLater(j.right)) :: Nil
+        j.allowEqual, j.leftOuter, j.tolerance,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -76,6 +78,12 @@ object GraftOps {
     *
     * Right-side ties on `(keys, time)` resolve to the last row in sort
     * order — pre-deduplicate the right side where that matters.
+    *
+    * `tolerance` (pandas `merge_asof` semantics) bounds match staleness
+    * in the time column's internal units (e.g. microseconds for
+    * timestamps): if the latest match is older than `tolerance`, the left
+    * row is unmatched — no fallback to an even older row. Integral and
+    * timestamp time columns only.
     */
   def asofJoin(
       left: DataFrame,
@@ -85,7 +93,8 @@ object GraftOps {
       leftTimeCol: String,
       rightTimeCol: String,
       allowEqual: Boolean = true,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftOn.length == rightOn.length && leftOn.nonEmpty,
       "as-of join needs at least one equi key per side")
     val spark = left.sparkSession
@@ -117,7 +126,7 @@ object GraftOps {
       rightOn.map(resolve(rPlan, _, "right")),
       resolve(lPlan, leftTimeCol, "left"),
       resolve(rPlan, rightTimeCol, "right"),
-      allowEqual, leftOuter)
+      allowEqual, leftOuter, tolerance)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

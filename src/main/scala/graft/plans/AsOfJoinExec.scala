@@ -41,6 +41,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     allowEqual: Boolean,
     leftOuter: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -79,10 +80,11 @@ case class AsOfJoinExec(
     val rTime = rightTime
     val eq = allowEqual
     val outer = leftOuter
+    val tol = tolerance
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new AsOfMergeIterator(lIter, rIter, lOut, rOut, lKeys, rKeys,
-        lTime, rTime, eq, outer, outAttrs, numOutputRows)
+        lTime, rTime, eq, outer, tol, outAttrs, numOutputRows)
     }
   }
 
@@ -113,9 +115,22 @@ private final class AsOfMergeIterator(
     rightTime: Expression,
     allowEqual: Boolean,
     leftOuter: Boolean,
+    tolerance: Option[Long],
     out: Seq[Attribute],
     numOutputRows: SQLMetric)
   extends Iterator[InternalRow] {
+
+  // tolerance applies to integral/timestamp-backed times (internal value
+  // is a numeric); it VALIDATES the as-of match rather than changing it:
+  // if the latest match is older than `tolerance` units, the row is
+  // unmatched (no fallback to an even older row)
+  private def withinTolerance(lt: Any, mt: Any): Boolean = tolerance match {
+    case None => true
+    case Some(tol) =>
+      java.lang.Math.subtractExact(
+        lt.asInstanceOf[Number].longValue(),
+        mt.asInstanceOf[Number].longValue()) <= tol
+  }
 
   private val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
   // two independent projections (separate result buffers): one tracks the
@@ -188,7 +203,8 @@ private final class AsOfMergeIterator(
           } else cursorDone = true
         }
         val m =
-          if (matched != null && keyOrd.compare(rKeyProjMatched(matched), lk) == 0) matched
+          if (matched != null && keyOrd.compare(rKeyProjMatched(matched), lk) == 0 &&
+              withinTolerance(lt, rTimeBound.eval(matched))) matched
           else null
         if (m != null) emit(l, m)
         else if (leftOuter) emit(l, nullRight)

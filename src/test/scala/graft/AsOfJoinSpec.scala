@@ -14,26 +14,30 @@ class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  /** Brute force: join on key, keep rt <= lt (or <), argmax rt per left row. */
+  /** Brute force: join on key, keep rt <= lt (or <), argmax rt per left
+    * row; a tolerance then VALIDATES the winner (no fallback). */
   private def brute(
       left: DataFrame, right: DataFrame,
-      allowEqual: Boolean, leftOuter: Boolean): Seq[(Long, Long, Option[Long])] = {
+      allowEqual: Boolean, leftOuter: Boolean,
+      tol: Option[Long] = None): Seq[(Long, Long, Option[Long])] = {
     val l = left.select($"k".as("lk"), $"lid", $"lt").as[(Long, Long, Long)].collect()
     val r = right.select($"rk", $"rt").as[(Long, Long)].collect()
     val matchedAll = l.toSeq.map { case (lk, lid, lt) =>
       val cands = r.filter { case (rk, rt) =>
         rk == lk && (if (allowEqual) rt <= lt else rt < lt)
       }
-      (lk, lid, if (cands.isEmpty) None else Some(cands.map(_._2).max))
+      val best = if (cands.isEmpty) None else Some(cands.map(_._2).max)
+      (lk, lid, best.filter(b => tol.forall(t => lt - b <= t)))
     }
     if (leftOuter) matchedAll else matchedAll.filter(_._3.nonEmpty)
   }
 
   private def native(
       left: DataFrame, right: DataFrame,
-      allowEqual: Boolean, leftOuter: Boolean): Seq[(Long, Long, Option[Long])] = {
+      allowEqual: Boolean, leftOuter: Boolean,
+      tol: Option[Long] = None): Seq[(Long, Long, Option[Long])] = {
     GraftOps.asofJoin(left, right, Seq("k"), Seq("rk"), "lt", "rt",
-        allowEqual = allowEqual, leftOuter = leftOuter)
+        allowEqual = allowEqual, leftOuter = leftOuter, tolerance = tol)
       .select($"k", $"lid", $"rt")
       .as[(Long, Long, Option[Long])].collect().toSeq
   }
@@ -54,11 +58,12 @@ class AsOfJoinSpec extends AnyFunSuite {
       // unspecified, so the oracle only covers the deduplicated case
       val right = mkRight(Seq.fill(40 + rnd.nextInt(80))(
         (rnd.nextInt(nKeys).toLong, rnd.nextInt(100).toLong)).distinct)
-      for (eq <- Seq(true, false); outer <- Seq(true, false)) {
-        val expect = brute(left, right, eq, outer).sorted
-        val got = native(left, right, eq, outer).sorted
+      for (eq <- Seq(true, false); outer <- Seq(true, false);
+           tol <- Seq(None, Some(7L), Some(40L))) {
+        val expect = brute(left, right, eq, outer, tol).sorted
+        val got = native(left, right, eq, outer, tol).sorted
         assert(got === expect,
-          s"trial=$trial allowEqual=$eq leftOuter=$outer")
+          s"trial=$trial allowEqual=$eq leftOuter=$outer tol=$tol")
       }
     }
   }
@@ -94,6 +99,20 @@ class AsOfJoinSpec extends AnyFunSuite {
         leftOuter = true)
       .select($"lid", $"rt").as[(Long, Option[Long])].collect().toSeq.sorted
     assert(outer === Seq((1L, None), (2L, None), (3L, Some(7L))))
+  }
+
+  test("tolerance validates the latest match without falling back") {
+    val left = mkLeft(Seq((1L, 1L, 100L), (1L, 2L, 10L)))
+    val right = mkRight(Seq((1L, 5L), (1L, 90L)))
+    // lags: lid 1 -> 10 (match 90), lid 2 -> 5 (match 5)
+    assert(native(left, right, true, false, Some(15L)).sorted ===
+      Seq((1L, 1L, Some(90L)), (1L, 2L, Some(5L))))
+    // tol 8: lid 1's latest match is 10 stale -> row DROPPED, not matched
+    // to the even-staler 5
+    assert(native(left, right, true, false, Some(8L)) ===
+      Seq((1L, 2L, Some(5L))))
+    assert(native(left, right, true, true, Some(8L)).sorted ===
+      Seq((1L, 1L, None), (1L, 2L, Some(5L))))
   }
 
   test("empty right side: inner empty, outer all-null") {
