@@ -321,6 +321,90 @@ object SimilarityPack extends QueryPack {
     (result, ranked)
   }
 
+  // ---- product quantization (ADC search) ----
+
+  /** PQ subspaces (64 dims → 4 × 16). */
+  private[graft] val pqM = 4
+  private[graft] val pqSubDim = dim / pqM
+  /** Centroids per subspace → a 4-byte code per vector. */
+  private[graft] val pqK = 16
+  private[graft] val pqRounds = 2
+
+  /** Raw int64 squared L2 between two quantized arrays:
+    * ‖a‖² + ‖b‖² − 2⟨a,b⟩, every term the native codegen dot kernel —
+    * no doubles anywhere, so PQ is exact-integer end to end. */
+  private def l2Q(a: Column, b: Column): Column = {
+    import graft.functions.GraftExpressions.longArrayDot
+    longArrayDot(a, a) + longArrayDot(b, b) - lit(2L) * longArrayDot(a, b)
+  }
+
+  /** Product-quantization ANN with asymmetric-distance search: per
+    * subspace m, k=16 centroids trained by the same deterministic
+    * integer k-means as IVF (md5-ordered seeds, truncated-int64-mean
+    * Lloyd rounds — all 4 subspaces train in ONE DataFrame keyed by m);
+    * every vector is encoded as 4 small codes; a query builds its 4×16
+    * distance table (broadcast) and each corpus vector's approximate
+    * distance is the SUM of 4 table lookups — the memory-bound ANN
+    * layout for 100 TB (codes are ~4 bytes vs 256-byte vectors; the
+    * corpus scan reads codes only, vectors stay in cold storage for
+    * re-ranking). Everything is int64 (squared-L2 on fixed-point
+    * components), so ranking and ties are engine-portable with no
+    * quantization step in the oracle compare.
+    *
+    * Recall honesty (q54): ~0.12 on THIS corpus — near-orthogonal
+    * random embeddings are PQ's worst case (the 4-code reconstruction
+    * error swamps the tiny cosine spreads). On real clustered
+    * embeddings the same structure is the standard billion-scale
+    * layout; the recall report exists precisely to measure that
+    * trade-off per corpus before trusting the index.
+    */
+  private def pqTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val sub = warmed(vecs
+      .select(col("vec_id"), explode(array((0 until pqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("q"), m * pqSubDim + 1, pqSubDim).as("sq"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq")))
+    val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+    val seeds = sub
+      .withColumn("h",
+        graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= pqK)
+      .select(col("m"), col("rn").cast("int").as("code"), col("sq").as("cq"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(asc("d2"), asc("code"))
+      sub.join(broadcast(cent), "m")
+        .withColumn("d2", l2Q(col("sq"), col("cq")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sq"), col("code"))
+    }
+    def update(a: DataFrame): DataFrame =
+      a.select(col("m"), col("code"), posexplode(col("sq")).as(Seq("i", "x")))
+        .groupBy("m", "code", "i").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("v", expr("sx div cnt"))
+        .groupBy("m", "code")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("v")))),
+          s => s.getField("v")).as("cq"))
+    val cent = (1 to pqRounds).foldLeft(seeds)((c, _) => update(assign(c)))
+    val codes = assign(cent)
+    // the query-side distance tables: 20 queries × 4 subspaces × 16
+    // centroids — tiny, broadcast; ADC is then one scan of the codes
+    val dt = sub.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qsq"))
+      .join(cent, "m")
+      .withColumn("dq", l2Q(col("qsq"), col("cq")))
+      .select(col("q_id"), col("m"), col("code"), col("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adist_q"), asc("vec_id"))
+    val result = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adist_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q"))
+    (result, sub) // caller releases sub via materialized(...)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact cosine top-k, brute force (baseline) ----
@@ -350,6 +434,18 @@ object SimilarityPack extends QueryPack {
       materialized(result, ranked, vecs).orderBy("q_id", "rk")
     },
 
+    // ---- product-quantization ANN (asymmetric distance): 4×16-dim
+    // subspaces, 16 integer-k-means centroids each, 4-code encodings,
+    // broadcast query distance tables, approximate distance = sum of 4
+    // lookups. The memory-bound 100 TB layout (scan codes, not
+    // vectors); all-int64, so no quantization step in the gate. ----
+    "q06_ann_pq" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val (result, sub) = pqTopK(vecs)
+      materialized(result, sub, vecs).orderBy("q_id", "rk")
+    },
+
     // ---- recall report: each approximate method's top-k (restricted to
     // the brute-force query set q_id < 5) scored against q50's exact
     // ground truth — the evaluation harness every ANN deployment runs
@@ -364,7 +460,9 @@ object SimilarityPack extends QueryPack {
       val vecs = persistedVecs(s, d)
       val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
       val (ivf, ranked) = ivfTopK(vecs, ivfCellsFor(corpusCount(s, d)))
+      val (pq, sub) = pqTopK(vecs)
       val methodOut = Seq(
+        "q06_ann_pq" -> pq,
         "q51_ann_lsh" -> lshTopK(vecs, b),
         "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
         "q53_ann_ivf" -> ivf)
@@ -382,7 +480,7 @@ object SimilarityPack extends QueryPack {
         .crossJoin(denom)
         .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
         .select("method", "n_hits", "recall")
-      materialized(result, truth, ranked, vecs).orderBy("method")
+      materialized(result, truth, ranked, sub, vecs).orderBy("method")
     },
 
     // ---- multi-probe LSH: also search the b Hamming-1 neighbor buckets
@@ -479,12 +577,13 @@ object SimilarityPack extends QueryPack {
     def sub(name: String) = s"(${baseOracle(name)})"
     s"""WITH truth AS (SELECT q_id, vec_id FROM ${sub("q50_ann_brute")} t),
        |cand AS (
-       |  SELECT 'q51_ann_lsh' AS method, q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
+       |  SELECT 'q06_ann_pq' AS method, q_id, vec_id FROM ${sub("q06_ann_pq")} p0 WHERE q_id < 5
+       |  UNION ALL SELECT 'q51_ann_lsh', q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
        |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
        |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
        |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
-       |methods(method) AS (VALUES ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |methods(method) AS (VALUES ('q06_ann_pq'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
        |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
        |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
@@ -493,6 +592,61 @@ object SimilarityPack extends QueryPack {
   }
 
   private def baseOracle: Map[String, String] = Map(
+    "q06_ann_pq" -> {
+      // the PQ training loop unrolled, all 4 subspaces in one CTE chain
+      // keyed by m; every distance is raw int64 squared-L2 on the
+      // fixed-point components, so there is NOTHING to quantize in the
+      // compare -- both engines replay the identical trajectory
+      def idot(a: String, b: String) =
+        s"(SELECT SUM($a[g.i] * $b[g.i]) FROM UNNEST(generate_series(1, $pqSubDim)) AS g(i))"
+      def l2(a: String, b: String) =
+        s"(${idot(a, a)} + ${idot(b, b)} - 2 * ${idot(a, b)})"
+      val rounds = (1 to pqRounds).map { r =>
+        s"""assign$r AS (
+           |  SELECT vec_id, m, sq, code FROM (
+           |    SELECT s.vec_id, s.m, s.sq, c.code,
+           |           row_number() OVER (PARTITION BY s.vec_id, s.m
+           |                              ORDER BY ${l2("s.sq", "c.cq")} ASC, c.code) AS rn
+           |    FROM sub s JOIN cent${r - 1} c ON c.m = s.m) WHERE rn = 1),
+           |upd$r AS (SELECT m, code, g.i AS i,
+           |                 CAST(SUM(sq[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+           |          FROM assign$r, UNNEST(generate_series(1, $pqSubDim)) AS g(i)
+           |          GROUP BY m, code, g.i),
+           |cent$r AS (SELECT m, code, list(v ORDER BY i) AS cq FROM upd$r GROUP BY m, code)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |sub AS (SELECT vec_id, CAST(g.m AS INT) AS m,
+         |               q[(g.m * $pqSubDim + 1):((g.m + 1) * $pqSubDim)] AS sq
+         |        FROM vecs, UNNEST(generate_series(0, ${pqM - 1})) AS g(m)),
+         |hashed AS (SELECT *, CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |           FROM sub),
+         |seeds AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY h, vec_id) AS INT) AS code,
+         |                 sq AS cq
+         |          FROM hashed
+         |          QUALIFY row_number() OVER (PARTITION BY m ORDER BY h, vec_id) <= $pqK),
+         |cent0 AS (SELECT m, code, cq FROM seeds),
+         |$rounds,
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m
+         |                              ORDER BY ${l2("s.sq", "c.cq")} ASC, c.code) AS rn
+         |    FROM sub s JOIN cent$pqRounds c ON c.m = s.m) WHERE rn = 1),
+         |dt AS (SELECT s.vec_id AS q_id, s.m, c.code, ${l2("s.sq", "c.cq")} AS dq
+         |       FROM sub s JOIN cent$pqRounds c ON c.m = s.m
+         |       WHERE s.vec_id < 20),
+         |adist AS (SELECT d.q_id, k.vec_id, CAST(SUM(d.dq) AS BIGINT) AS adist_q
+         |          FROM codes k JOIN dt d ON d.m = k.m AND d.code = k.code AND k.vec_id <> d.q_id
+         |          GROUP BY d.q_id, k.vec_id),
+         |out AS (SELECT q_id, vec_id, adist_q,
+         |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist_q, vec_id) AS INT) AS rk
+         |        FROM adist)
+         |SELECT q_id, rk, vec_id, adist_q FROM out
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin
+    },
+
     "q53_ann_ivf" -> {
       // the training loop, unrolled: every round is (argmax-cosine
       // assignment) → (truncated-int64-mean centroid update) — all
