@@ -358,7 +358,13 @@ object SimilarityPack extends QueryPack {
     * layout; the recall report exists precisely to measure that
     * trade-off per corpus before trusting the index.
     */
-  private def pqTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
+  /** ADC shortlist size fed to the exact re-rank (q07). */
+  private[graft] val pqShortlist = 4 * topK
+
+  /** Returns the full ADC ranking (every candidate with its rank per
+    * query — callers cut at topK or pqShortlist) plus the subvector
+    * frame for release. */
+  private def pqRanked(vecs: DataFrame): (DataFrame, DataFrame) = {
     val sub = warmed(vecs
       .select(col("vec_id"), explode(array((0 until pqM).map(m =>
         struct(lit(m).as("m"),
@@ -395,14 +401,42 @@ object SimilarityPack extends QueryPack {
       .withColumn("dq", l2Q(col("qsq"), col("cq")))
       .select(col("q_id"), col("m"), col("code"), col("dq"))
     val w = Window.partitionBy(col("q_id")).orderBy(asc("adist_q"), asc("vec_id"))
-    val result = codes.join(broadcast(dt), Seq("m", "code"))
+    val ranked = codes.join(broadcast(dt), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adist_q"))
       .withColumn("rk", row_number().over(w))
+    (ranked, sub) // caller releases sub via materialized(...)
+  }
+
+  private def pqTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val (ranked, sub) = pqRanked(vecs)
+    (ranked.filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q")), sub)
+  }
+
+  /** The production PQ pipeline: ADC shortlist (top [[pqShortlist]] by
+    * approximate distance — reads CODES only) then exact cosine re-rank
+    * of just those candidates against the stored vectors. Recall
+    * recovers toward brute force while the corpus-wide scan still never
+    * touches a full vector; the re-rank reads `pqShortlist` vectors per
+    * query (point lookups in the bucket-partitioned index at scale). */
+  private def pqRerankTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val (ranked, sub) = pqRanked(vecs)
+    val short = ranked.filter(col("rk") <= pqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
+    val queriesV = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    val result = short
+      .join(corpus, "vec_id")
+      .join(broadcast(queriesV), "q_id")
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q"))
-    (result, sub) // caller releases sub via materialized(...)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+    (result, sub)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -446,6 +480,16 @@ object SimilarityPack extends QueryPack {
       materialized(result, sub, vecs).orderBy("q_id", "rk")
     },
 
+    // ---- PQ + exact re-rank: the production shape — ADC shortlist
+    // over the codes, exact cosine only on pqShortlist candidates per
+    // query. ----
+    "q07_ann_pq_rerank" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val (result, sub) = pqRerankTopK(vecs)
+      materialized(result, sub, vecs).orderBy("q_id", "rk")
+    },
+
     // ---- recall report: each approximate method's top-k (restricted to
     // the brute-force query set q_id < 5) scored against q50's exact
     // ground truth — the evaluation harness every ANN deployment runs
@@ -461,8 +505,10 @@ object SimilarityPack extends QueryPack {
       val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
       val (ivf, ranked) = ivfTopK(vecs, ivfCellsFor(corpusCount(s, d)))
       val (pq, sub) = pqTopK(vecs)
+      val (pqrr, sub2) = pqRerankTopK(vecs)
       val methodOut = Seq(
         "q06_ann_pq" -> pq,
+        "q07_ann_pq_rerank" -> pqrr,
         "q51_ann_lsh" -> lshTopK(vecs, b),
         "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
         "q53_ann_ivf" -> ivf)
@@ -480,7 +526,7 @@ object SimilarityPack extends QueryPack {
         .crossJoin(denom)
         .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
         .select("method", "n_hits", "recall")
-      materialized(result, truth, ranked, sub, vecs).orderBy("method")
+      materialized(result, truth, ranked, sub, sub2, vecs).orderBy("method")
     },
 
     // ---- multi-probe LSH: also search the b Hamming-1 neighbor buckets
@@ -578,12 +624,13 @@ object SimilarityPack extends QueryPack {
     s"""WITH truth AS (SELECT q_id, vec_id FROM ${sub("q50_ann_brute")} t),
        |cand AS (
        |  SELECT 'q06_ann_pq' AS method, q_id, vec_id FROM ${sub("q06_ann_pq")} p0 WHERE q_id < 5
+       |  UNION ALL SELECT 'q07_ann_pq_rerank', q_id, vec_id FROM ${sub("q07_ann_pq_rerank")} p1 WHERE q_id < 5
        |  UNION ALL SELECT 'q51_ann_lsh', q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
        |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
        |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
        |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
-       |methods(method) AS (VALUES ('q06_ann_pq'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
        |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
        |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
@@ -591,12 +638,13 @@ object SimilarityPack extends QueryPack {
        |ORDER BY m.method""".stripMargin
   }
 
-  private def baseOracle: Map[String, String] = Map(
-    "q06_ann_pq" -> {
-      // the PQ training loop unrolled, all 4 subspaces in one CTE chain
-      // keyed by m; every distance is raw int64 squared-L2 on the
-      // fixed-point components, so there is NOTHING to quantize in the
-      // compare -- both engines replay the identical trajectory
+  /** PQ ADC oracle SQL — the training loop unrolled, all 4 subspaces in
+    * one CTE chain keyed by m; every distance is raw int64 squared-L2
+    * on the fixed-point components, so there is NOTHING to quantize in
+    * the compare — both engines replay the identical trajectory. Keeps
+    * candidates ranked `rk <= keep`.
+    */
+  private def pqAdcSql(keep: Int): String = {
       def idot(a: String, b: String) =
         s"(SELECT SUM($a[g.i] * $b[g.i]) FROM UNNEST(generate_series(1, $pqSubDim)) AS g(i))"
       def l2(a: String, b: String) =
@@ -643,6 +691,27 @@ object SimilarityPack extends QueryPack {
          |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist_q, vec_id) AS INT) AS rk
          |        FROM adist)
          |SELECT q_id, rk, vec_id, adist_q FROM out
+         |WHERE rk <= $keep
+         |ORDER BY q_id, rk""".stripMargin
+  }
+
+  private def baseOracle: Map[String, String] = Map(
+    "q06_ann_pq" -> pqAdcSql(topK),
+
+    // the ADC oracle as a shortlist subquery, then the exact cosine
+    // re-rank (the same arithmetic the q50 oracle uses)
+    "q07_ann_pq_rerank" -> {
+      val cosRR = s"${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm)"
+      s"""WITH short AS (SELECT q_id, vec_id FROM (${pqAdcSql(pqShortlist)}) sl),
+         |vecs2 AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |norms AS (SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm FROM vecs2 v),
+         |rr AS (SELECT s.q_id, s.vec_id, $cosRR AS cosine
+         |       FROM short s JOIN norms cv ON cv.vec_id = s.vec_id
+         |                    JOIN norms qv ON qv.vec_id = s.q_id),
+         |rout AS (SELECT q_id, vec_id, cosine,
+         |                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |         FROM rr)
+         |SELECT q_id, rk, vec_id, cosine FROM rout
          |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin
     },
