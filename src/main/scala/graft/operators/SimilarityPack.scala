@@ -361,59 +361,94 @@ object SimilarityPack extends QueryPack {
   /** ADC shortlist size fed to the exact re-rank (q07). */
   private[graft] val pqShortlist = 4 * topK
 
-  /** Returns the full ADC ranking (every candidate with its rank per
-    * query — callers cut at topK or pqShortlist) plus the subvector
-    * frame for release. */
-  private def pqRanked(vecs: DataFrame): (DataFrame, DataFrame) = {
-    val sub = warmed(vecs
-      .select(col("vec_id"), explode(array((0 until pqM).map(m =>
+  /** Subvector view of a quantized-vector frame: (vec_id, m, sq). */
+  private def subvectors(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), explode(array((0 until pqM).map(m =>
         struct(lit(m).as("m"),
           slice(col("q"), m * pqSubDim + 1, pqSubDim).as("sq"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq")))
-    val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
-    val seeds = sub
-      .withColumn("h",
-        graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))))
-      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= pqK)
-      .select(col("m"), col("rn").cast("int").as("code"), col("sq").as("cq"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(asc("d2"), asc("code"))
-      sub.join(broadcast(cent), "m")
-        .withColumn("d2", l2Q(col("sq"), col("cq")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("sq"), col("code"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sq").as("sq"))
+
+  /** One PQ assignment pass: each (vec_id, m) subvector to its
+    * min-squared-L2 centroid (ties → smallest code). */
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(asc("d2"), asc("code"))
+    sub.join(broadcast(cent), "m")
+      .withColumn("d2", l2Q(col("sq"), col("cq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sq"), col("code"))
+  }
+
+  /** Centroid update: truncated-int64 per-dimension mean (the IVF/q55
+    * integer technique). */
+  private def pqUpdate(a: DataFrame): DataFrame =
+    a.select(col("m"), col("code"), posexplode(col("sq")).as(Seq("i", "x")))
+      .groupBy("m", "code", "i").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("v", expr("sx div cnt"))
+      .groupBy("m", "code")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v")).as("cq"))
+
+  /** The PQ codebook (m, code, cq) as a once-per-corpus ARTIFACT —
+    * training is index-build work, not query work (it re-ran inside
+    * every PQ query before this: 3 window-argmin passes over 4N rows,
+    * measured ~5 s of the cold q06's 11.6 s at sf0.1). */
+  private def pqCentroids(s: SparkSession, d: String): DataFrame = {
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    val path = graft.core.Artifacts.materialize(
+      s"pq_cent_v1_m${pqM}_k${pqK}_r${pqRounds}_$key") { tmp =>
+      val sub = warmed(subvectors(annIndex(s, d)))
+      val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
+      val seeds = sub
+        .withColumn("h",
+          graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= pqK)
+        .select(col("m"), col("rn").cast("int").as("code"), col("sq").as("cq"))
+      val cent = (1 to pqRounds).foldLeft(seeds)((c, _) => pqUpdate(pqAssign(sub, c)))
+      cent.write.mode("overwrite").parquet(tmp)
+      sub.unpersist()
     }
-    def update(a: DataFrame): DataFrame =
-      a.select(col("m"), col("code"), posexplode(col("sq")).as(Seq("i", "x")))
-        .groupBy("m", "code", "i").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
-        .withColumn("v", expr("sx div cnt"))
-        .groupBy("m", "code")
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("v")))),
-          s => s.getField("v")).as("cq"))
-    val cent = (1 to pqRounds).foldLeft(seeds)((c, _) => update(assign(c)))
-    val codes = assign(cent)
+    s.read.parquet(path)
+  }
+
+  /** The PQ code table (vec_id, m, code) as a once-per-corpus ARTIFACT —
+    * this is what a 100 TB deployment stores and scans (≈4 bytes/vector
+    * vs 256-byte vectors). */
+  private def pqCodesDf(s: SparkSession, d: String): DataFrame = {
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    val path = graft.core.Artifacts.materialize(
+      s"pq_codes_v1_m${pqM}_k${pqK}_r${pqRounds}_$key") { tmp =>
+      pqAssign(subvectors(annIndex(s, d)), pqCentroids(s, d))
+        .select(col("vec_id"), col("m"), col("code"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Returns the full ADC ranking (every candidate with its rank per
+    * query — callers cut at topK or pqShortlist), reading the code and
+    * codebook artifacts. */
+  private def pqRanked(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
+    val cent = pqCentroids(s, d)
+    val codes = pqCodesDf(s, d)
     // the query-side distance tables: 20 queries × 4 subspaces × 16
     // centroids — tiny, broadcast; ADC is then one scan of the codes
-    val dt = sub.filter(col("vec_id") < 20)
+    val dt = subvectors(vecs.filter(col("vec_id") < 20))
       .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qsq"))
       .join(cent, "m")
       .withColumn("dq", l2Q(col("qsq"), col("cq")))
       .select(col("q_id"), col("m"), col("code"), col("dq"))
     val w = Window.partitionBy(col("q_id")).orderBy(asc("adist_q"), asc("vec_id"))
-    val ranked = codes.join(broadcast(dt), Seq("m", "code"))
+    codes.join(broadcast(dt), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adist_q"))
       .withColumn("rk", row_number().over(w))
-    (ranked, sub) // caller releases sub via materialized(...)
   }
 
-  private def pqTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
-    val (ranked, sub) = pqRanked(vecs)
-    (ranked.filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q")), sub)
-  }
+  private def pqTopK(s: SparkSession, d: String, vecs: DataFrame): DataFrame =
+    pqRanked(s, d, vecs).filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q"))
 
   /** The production PQ pipeline: ADC shortlist (top [[pqShortlist]] by
     * approximate distance — reads CODES only) then exact cosine re-rank
