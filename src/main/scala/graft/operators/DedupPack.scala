@@ -455,6 +455,31 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       val vecs = SimilarityPack.persistedVecs(s, d)
       val result = SimilarityPack.nearDupPairs(vecs, SimilarityPack.bucketBits(s, d), 0.4)
       materialized(result, vecs).orderBy("vec_i", "vec_j")
+    },
+
+    // ---- recall harness for the embedding-dedup scale path (the q54
+    // discipline applied to q45): the multi-probe LSH pair set scored
+    // against q44's brute-force ground truth. ONE vector-table build
+    // feeds both pipelines; truth is all-pairs — run this harness at
+    // sample scale (exactly like q44), never on the full corpus. ----
+    "q08_embdedup_recall" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = SimilarityPack.persistedVecs(s, d)
+      val a = vecs.select(col("vec_id").as("vec_i"), col("q").as("qa"), col("norm").as("na"))
+      val b = vecs.select(col("vec_id").as("vec_j"), col("q").as("qb"), col("norm").as("nb"))
+      val truth = warmed(a.join(b, col("vec_i") < col("vec_j"))
+        .withColumn("cosine", VectorFunctions.cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .filter(col("cosine") >= 0.4)
+        .select("vec_i", "vec_j"))
+      val approx = SimilarityPack.nearDupPairs(vecs, SimilarityPack.bucketBits(s, d), 0.4)
+        .select("vec_i", "vec_j")
+      val result = approx.join(truth, Seq("vec_i", "vec_j"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_truth").cast("double"))
+        .select("n_hits", "n_truth", "recall")
+      materialized(result, truth, vecs).orderBy("n_hits")
     }
   )
 
@@ -560,25 +585,43 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM pairs
          |ORDER BY doc_i, doc_j""".stripMargin,
 
-    "q44_dedup_embedding" -> {
-      val dim = 64
-      val dotAB = VectorFunctions.dotQSql("va.q", "vb.q", dim)
-      s"""WITH vecs AS (
-         |  SELECT vec_id, ${VectorFunctions.quantizeSql("embedding")} AS q FROM embeddings),
-         |norms AS (
-         |  SELECT vec_id, q,
-         |         sqrt(${VectorFunctions.dotQSql("v.q", "v.q", dim)}) AS norm
-         |  FROM vecs v),
-         |pairs AS (
-         |  SELECT va.vec_id AS vec_i, vb.vec_id AS vec_j,
-         |         $dotAB / (va.norm * vb.norm) AS cosine
-         |  FROM norms va JOIN norms vb ON va.vec_id < vb.vec_id)
-         |SELECT vec_i, vec_j, cosine
-         |FROM pairs
-         |WHERE cosine >= 0.4
-         |ORDER BY vec_i, vec_j""".stripMargin
-    },
+    "q44_dedup_embedding" -> s"""$bruteEmbPairsSql
+         |ORDER BY vec_i, vec_j""".stripMargin,
 
-    "q45_dedup_embedding_lsh" -> SimilarityPack.nearDupOracle(0.4)
+    "q45_dedup_embedding_lsh" -> SimilarityPack.nearDupOracle(0.4),
+
+    // both pipelines spliced in as self-contained subqueries (each keeps
+    // its own WITH scope — their CTE names collide)
+    "q08_embdedup_recall" ->
+      s"""WITH truth AS (SELECT vec_i, vec_j FROM ($bruteEmbPairsSql) t),
+         |approx AS (SELECT vec_i, vec_j
+         |           FROM (${SimilarityPack.nearDupOracle(0.4)}) a),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM approx JOIN truth USING (vec_i, vec_j)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+         |SELECT n_hits, n_truth,
+         |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM h, n
+         |ORDER BY n_hits""".stripMargin
   )
+
+  /** The q44 brute-force cosine pair set (no ORDER BY — spliced into q08's
+    * recall harness as a subquery as well as finishing q44 itself). */
+  private def bruteEmbPairsSql: String = {
+    val dim = 64
+    val dotAB = VectorFunctions.dotQSql("va.q", "vb.q", dim)
+    s"""WITH vecs AS (
+       |  SELECT vec_id, ${VectorFunctions.quantizeSql("embedding")} AS q FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, q,
+       |         sqrt(${VectorFunctions.dotQSql("v.q", "v.q", dim)}) AS norm
+       |  FROM vecs v),
+       |pairs AS (
+       |  SELECT va.vec_id AS vec_i, vb.vec_id AS vec_j,
+       |         $dotAB / (va.norm * vb.norm) AS cosine
+       |  FROM norms va JOIN norms vb ON va.vec_id < vb.vec_id)
+       |SELECT vec_i, vec_j, cosine
+       |FROM pairs
+       |WHERE cosine >= 0.4""".stripMargin
+  }
 }

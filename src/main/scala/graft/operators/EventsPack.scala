@@ -47,6 +47,45 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- the 100 TB as-of story, DRIVER-GATED: both sides stored
+    // bucketed by the join key and sorted by (key, time), so
+    // AsOfJoinExec's ClusteredDistribution + required ordering are
+    // satisfied straight from the scan and EnsureRequirements elides
+    // both exchanges AND both sorts — the merge runs over the stored
+    // layout, like a bucketed sort-merge equi-join. The query asserts
+    // the exchange-free shape at plan time (a layout regression fails
+    // the gate, not just a spec) and must produce exactly q03's rows
+    // (same oracle: DuckDB's native ASOF JOIN). On a telemetry store
+    // written this way, as-of enrichment is shuffle-free. ----
+    "q09_asof_join_bucketed" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user_id"), col("us").as("signup_us"))
+        .distinct()
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_bucketed").toString
+      def saveBucketed(df: DataFrame, tbl: String, key: String, time: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        df.write.mode("overwrite").option("path", s"$base/$tbl")
+          .bucketBy(16, key).sortBy(key, time).saveAsTable(tbl)
+      }
+      saveBucketed(purchases, "graft_b_purchases", "user_id", "us")
+      saveBucketed(signups, "graft_b_signups", "r_user_id", "signup_us")
+      val joined = graft.plans.GraftOps.asofJoin(
+        s.table("graft_b_purchases"), s.table("graft_b_signups"),
+        Seq("user_id"), Seq("r_user_id"), "us", "signup_us")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of join must plan exchange-free; got:\n${plan.take(1500)}")
+      joined
+        .select(col("user_id"), col("event_id"),
+                col("us").as("purchase_us"), col("signup_us"),
+                (col("us") - col("signup_us")).as("latency_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- tumbling 1-hour windows per event type ----
     "q30_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -267,22 +306,27 @@ object EventsPack extends QueryPack {
       .unionByName(a.join(b, col("a_bkt") + 1 === col("b_bkt") && range))
   }
 
+  private val asofOracleSql: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'purchase'),
+      |     s AS (SELECT DISTINCT user_id AS r_user_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS signup_us
+      |           FROM events WHERE event_type = 'signup')
+      |SELECT p.user_id, p.event_id,
+      |       CAST(p.us AS BIGINT) AS purchase_us,
+      |       CAST(s.signup_us AS BIGINT) AS signup_us,
+      |       CAST(p.us - s.signup_us AS BIGINT) AS latency_us
+      |FROM p ASOF JOIN s
+      |  ON p.user_id = s.r_user_id AND p.us >= s.signup_us
+      |ORDER BY user_id, event_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     // DuckDB's own ASOF JOIN — an independent implementation of the same
     // operator semantics, not a mirrored construction
-    "q03_asof_join_native" ->
-      """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |           FROM events WHERE event_type = 'purchase'),
-        |     s AS (SELECT DISTINCT user_id AS r_user_id,
-        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS signup_us
-        |           FROM events WHERE event_type = 'signup')
-        |SELECT p.user_id, p.event_id,
-        |       CAST(p.us AS BIGINT) AS purchase_us,
-        |       CAST(s.signup_us AS BIGINT) AS signup_us,
-        |       CAST(p.us - s.signup_us AS BIGINT) AS latency_us
-        |FROM p ASOF JOIN s
-        |  ON p.user_id = s.r_user_id AND p.us >= s.signup_us
-        |ORDER BY user_id, event_id""".stripMargin,
+    "q03_asof_join_native" -> asofOracleSql,
+
+    // the bucketed variant must produce exactly the same rows — same oracle
+    "q09_asof_join_bucketed" -> asofOracleSql,
 
     "q30_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

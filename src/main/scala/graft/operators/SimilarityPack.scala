@@ -326,8 +326,12 @@ object SimilarityPack extends QueryPack {
   /** PQ subspaces (64 dims → 4 × 16). */
   private[graft] val pqM = 4
   private[graft] val pqSubDim = dim / pqM
-  /** Centroids per subspace → a 4-byte code per vector. */
-  private[graft] val pqK = 16
+  /** Centroids per subspace → a 4-byte code per vector. 64 (not the
+    * classic 256) keeps the DuckDB-replayed training cheap while giving
+    * ADC 4× the distance resolution of the original 16 — measured on
+    * q54's harness, 16 centroids + 32×topK shortlist plateaued at
+    * re-rank recall 0.72. */
+  private[graft] val pqK = 64
   private[graft] val pqRounds = 2
 
   /** Raw int64 squared L2 between two quantized arrays:
@@ -359,7 +363,11 @@ object SimilarityPack extends QueryPack {
     * trade-off per corpus before trusting the index.
     */
   /** ADC shortlist size fed to the exact re-rank (q07). */
-  private[graft] val pqShortlist = 4 * topK
+  // 32×topK (standard PQ deployments re-rank 10–100× the final k; 4×topK
+  // measured recall 0.36 on q54's harness — too coarse for the path
+  // labeled "production"). Re-rank cost is pqShortlist point-lookups per
+  // query — still negligible next to the code-table scan at any scale.
+  private[graft] val pqShortlist = 32 * topK
 
   /** Subvector view of a quantized-vector frame: (vec_id, m, sq). */
   private def subvectors(vecs: DataFrame): DataFrame =
@@ -456,22 +464,20 @@ object SimilarityPack extends QueryPack {
     * recovers toward brute force while the corpus-wide scan still never
     * touches a full vector; the re-rank reads `pqShortlist` vectors per
     * query (point lookups in the bucket-partitioned index at scale). */
-  private def pqRerankTopK(vecs: DataFrame): (DataFrame, DataFrame) = {
-    val (ranked, sub) = pqRanked(vecs)
-    val short = ranked.filter(col("rk") <= pqShortlist)
+  private def pqRerankTopK(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
+    val short = pqRanked(s, d, vecs).filter(col("rk") <= pqShortlist)
       .select(col("q_id"), col("vec_id"))
     val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
     val queriesV = vecs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
-    val result = short
+    short
       .join(corpus, "vec_id")
       .join(broadcast(queriesV), "q_id")
       .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
-    (result, sub)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,8 +517,7 @@ object SimilarityPack extends QueryPack {
     "q06_ann_pq" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       val vecs = persistedVecs(s, d)
-      val (result, sub) = pqTopK(vecs)
-      materialized(result, sub, vecs).orderBy("q_id", "rk")
+      materialized(pqTopK(s, d, vecs), vecs).orderBy("q_id", "rk")
     },
 
     // ---- PQ + exact re-rank: the production shape — ADC shortlist
@@ -521,8 +526,7 @@ object SimilarityPack extends QueryPack {
     "q07_ann_pq_rerank" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       val vecs = persistedVecs(s, d)
-      val (result, sub) = pqRerankTopK(vecs)
-      materialized(result, sub, vecs).orderBy("q_id", "rk")
+      materialized(pqRerankTopK(s, d, vecs), vecs).orderBy("q_id", "rk")
     },
 
     // ---- recall report: each approximate method's top-k (restricted to
@@ -539,8 +543,8 @@ object SimilarityPack extends QueryPack {
       val vecs = persistedVecs(s, d)
       val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
       val (ivf, ranked) = ivfTopK(vecs, ivfCellsFor(corpusCount(s, d)))
-      val (pq, sub) = pqTopK(vecs)
-      val (pqrr, sub2) = pqRerankTopK(vecs)
+      val pq = pqTopK(s, d, vecs)
+      val pqrr = pqRerankTopK(s, d, vecs)
       val methodOut = Seq(
         "q06_ann_pq" -> pq,
         "q07_ann_pq_rerank" -> pqrr,
@@ -561,7 +565,7 @@ object SimilarityPack extends QueryPack {
         .crossJoin(denom)
         .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
         .select("method", "n_hits", "recall")
-      materialized(result, truth, ranked, sub, sub2, vecs).orderBy("method")
+      materialized(result, truth, ranked, vecs).orderBy("method")
     },
 
     // ---- multi-probe LSH: also search the b Hamming-1 neighbor buckets

@@ -221,8 +221,12 @@ object TextPack extends QueryPack {
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       val vocab = tf.groupBy("w").agg(sum(col("cnt")).as("cw"))
       val total = vocab.agg(sum(col("cw")).as("t"))
+      // vocab is every distinct corpus token — billions of rows at
+      // 100 TB, so it must NOT be broadcast. tf is already hash-keyed
+      // by `w` from its own groupBy, so this is a co-partitioned
+      // shuffle join for free (only `total`, 1 row, broadcasts).
       val scored = tf
-        .join(broadcast(vocab), "w")
+        .join(vocab, "w")
         .crossJoin(broadcast(total))
         .withColumn("term_q",
           floor(log(col("cw").cast("double") / col("t").cast("double")) * lit(1e6))
@@ -271,8 +275,24 @@ object TextPack extends QueryPack {
           size(array_distinct(col("bi"))).cast("bigint").as("n_distinct_bigrams"),
           size(col("tri")).cast("bigint").as("n_trigrams"),
           size(array_distinct(col("tri"))).cast("bigint").as("n_distinct_trigrams"),
-          coalesce(array_max(transform(array_distinct(col("bi")),
-            x => size(filter(col("bi"), y => y === x)))), lit(0))
+          // top-bigram multiplicity in O(n log n): sort the bigram
+          // array once, then a single aggregate() pass tracks the
+          // longest equal-run. (The obvious transform-over-distinct
+          // form is O(n²) per doc — a straggler factory on a 100k-token
+          // document, so it is deliberately avoided.)
+          expr("""aggregate(
+                   array_sort(bi),
+                   named_struct('prev', cast(null as string),
+                                'run', cast(0 as bigint),
+                                'best', cast(0 as bigint)),
+                   (acc, x) -> named_struct(
+                     'prev', x,
+                     'run', if(acc.prev is not null and x = acc.prev,
+                               acc.run + 1, cast(1 as bigint)),
+                     'best', greatest(acc.best,
+                       if(acc.prev is not null and x = acc.prev,
+                          acc.run + 1, cast(1 as bigint)))),
+                   acc -> acc.best)""")
             .cast("bigint").as("top_bigram_cnt"))
       docs
         .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
@@ -287,6 +307,11 @@ object TextPack extends QueryPack {
           when(col("n_bigrams") > 0,
             col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
             .otherwise(lit(0.0)).as("top_bigram_frac"))
+        // dup_trigram_frac is REPORTED but intentionally not part of
+        // `keep`: on this corpus's 31-word synthetic vocabulary the
+        // trigram rule fires on nearly every doc, so it would make the
+        // gate vacuous. Both engines (here and the DuckDB oracle)
+        // apply the same two-rule predicate.
         .withColumn("keep",
           col("dup_bigram_frac") <= 0.05 && col("top_bigram_frac") <= 0.06)
         .orderBy("doc_id")

@@ -120,12 +120,31 @@ object GraftOps {
             s"(${many.size} matches)")
       }
 
+    val lTime = resolve(lPlan, leftTimeCol, "left")
+    val rTime = resolve(rPlan, rightTimeCol, "right")
+    // the merge iterator compares right times through an ordering built
+    // from the LEFT time's type — a mismatch (int vs bigint) would
+    // miscompare or ClassCastException at runtime, so fail at plan time
+    require(lTime.dataType == rTime.dataType,
+      s"as-of join: time column types differ — left `$leftTimeCol` is " +
+        s"${lTime.dataType.simpleString}, right `$rightTimeCol` is " +
+        s"${rTime.dataType.simpleString}; cast one side explicitly")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val ok = lTime.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      require(ok,
+        s"as-of join: tolerance needs an integral/timestamp/date time " +
+          s"column, got ${lTime.dataType.simpleString}")
+    }
     val node = AsOfJoinPlan(
       lPlan, rPlan,
       leftOn.map(resolve(lPlan, _, "left")),
       rightOn.map(resolve(rPlan, _, "right")),
-      resolve(lPlan, leftTimeCol, "left"),
-      resolve(rPlan, rightTimeCol, "right"),
+      lTime, rTime,
       allowEqual, leftOuter, tolerance)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }

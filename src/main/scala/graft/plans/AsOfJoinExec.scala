@@ -127,9 +127,16 @@ private final class AsOfMergeIterator(
   private def withinTolerance(lt: Any, mt: Any): Boolean = tolerance match {
     case None => true
     case Some(tol) =>
-      java.lang.Math.subtractExact(
-        lt.asInstanceOf[Number].longValue(),
-        mt.asInstanceOf[Number].longValue()) <= tol
+      // saturating subtraction: Long.MIN/MAX-adjacent times must not
+      // throw mid-join — an overflowing (lt - mt) gap saturates to
+      // MaxValue (i.e. "too stale"), which is the semantically right
+      // answer for a staleness bound
+      val l = lt.asInstanceOf[Number].longValue()
+      val m = mt.asInstanceOf[Number].longValue()
+      val diff = l - m
+      val overflowed = ((l ^ m) & (l ^ diff)) < 0
+      (if (overflowed) { if (diff < 0) Long.MaxValue else Long.MinValue }
+       else diff) <= tol
   }
 
   private val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
