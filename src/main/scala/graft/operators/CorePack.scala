@@ -36,6 +36,26 @@ object CorePack extends QueryPack {
         .orderBy("word")
     },
 
+    // The non-ASCII lane of the gate, closing QueryPack's documented
+    // ASCII-corpus assumption with a driver-visible query: the SAME
+    // production tokenizer (O3 `(?U)[^\w\s]` strip + O4 whitespace split,
+    // the reference-fidelity path) runs over a deterministically accented
+    // copy of the corpus — `translate` maps a/e/o/u to à/é/ö/ü (letters
+    // that must SURVIVE the punctuation strip, reference src/app/wc.rs:7-8
+    // Unicode `\w`) and ' to ’ (multibyte punctuation that must be
+    // DELETED, the gut corpus's ~7,000 curly apostrophes). The oracle
+    // can't use RE2's ASCII `\w`; it mirrors with explicit Unicode
+    // classes `[^\p{L}\p{N}_\s]` — equivalent to Java's `(?U)\w` on any
+    // corpus free of combining marks and exotic numerics (true here by
+    // construction: the injected alphabet is 4 precomposed BMP letters).
+    // Result ordering is engine-portable because UTF-16 code-unit order
+    // (Spark) equals UTF-8 byte order (DuckDB) for BMP code points.
+    "q100_unicode_wordcount" -> { (s, dir) =>
+      val accented = Tables.documents(s, dir)
+        .select(translate(col("text"), "aeou'", "àéöü’").as("t2"))
+      WordCount.over(accented, "t2")
+    },
+
     // O11 text sink, registered as its own gated operator: the wordcount
     // result is written as per-partition tab-separated text part-files
     // (the reference's mr-out-* shape, reference src/bin/mrworker.rs) and
@@ -63,6 +83,16 @@ object CorePack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "q00_wordcount" -> wcOracle,
     "q01_mapreduce_wc" -> wcOracle,
+    "q100_unicode_wordcount" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split_regex(
+        |               regexp_replace(translate(text, 'aeou''', 'àéöü’'),
+        |                              '[^\p{L}\p{N}_\s]', '', 'g'),
+        |               '\s+')) AS w
+        |      FROM documents)
+        |WHERE w <> ''
+        |GROUP BY w
+        |ORDER BY word""".stripMargin,
     // the round-trip must reproduce the wordcount exactly
     "q02_text_sink_roundtrip" -> wcOracle
   )

@@ -230,12 +230,128 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     s.read.parquet(path)
   }
 
+  /** MinHash per-doc state `(doc_id, tid, sigs, n_toks)` from a documents
+    * frame: sorted 60-bit token ids, the 16-permutation signature, and
+    * the distinct-token count — everything the band build and the exact
+    * verify need, nothing else. Factored out of q41 so the incremental
+    * path (q101) computes the SAME state for a delta batch.
+    */
+  private[operators] def minhashDocs(docs0: DataFrame): DataFrame =
+    docs0
+      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("h", transform(col("toks"), w => md5(w)))
+      .select(col("doc_id"),
+        sort_array(transform(col("h"), x => hex64(x))).as("tid"),
+        array((0 until nPerm).map(p =>
+          hex64(array_min(transform(col("h"), x => rotHex(x, p))))): _*).as("sigs"))
+      .withColumn("n_toks", size(col("tid")))
+
+  /** Exploded LSH band rows `(doc_id, b0, band_id, band_val)` of a
+    * [[minhashDocs]] frame. Band keys are hex64 int64s (8-byte shuffle
+    * keys); every row carries band 0's key so the emit-once predicate
+    * can route each candidate pair through exactly one band.
+    */
+  private[operators] def minhashBands(docs: DataFrame): DataFrame = {
+    val bandKey = (lo: Int) =>
+      hex64(md5(concat_ws(",", transform(slice(col("sigs"), lo, bandRows), _.cast("string")))))
+    docs
+      .withColumn("b0", bandKey(1))
+      .withColumn("b1", bandKey(bandRows + 1))
+      .select(col("doc_id"), col("b0"),
+        posexplode(array(col("b0"), col("b1"))))
+      .toDF("doc_id", "b0", "band_id", "band_val")
+  }
+
+  /** The incremental split: docs with `doc_id % 10 == 7` are "the delta
+    * batch that just arrived"; the other 90% are "the already-indexed
+    * corpus". Mirrored literally in the q101 oracle.
+    */
+  private val deltaMod = 10L
+  private val deltaRem = 7L
+  private def isDelta(id: Column): Column = pmod(id, lit(deltaMod)) === lit(deltaRem)
+
+  /** Base-corpus MinHash signature store, materialized ONCE per corpus —
+    * the persisted state an incremental dedup pipeline maintains. At
+    * 100 TB this is the parquet table the nightly batch appends to; no
+    * delta ingest ever recomputes it.
+    */
+  private def baseSigStore(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.Artifacts.materialize(
+      s"minhash_base_sigs_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      minhashDocs(Tables.documents(s, d).filter(!isDelta(col("doc_id"))))
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Base-corpus LSH band index, materialized from the signature store —
+    * the inverted index a delta batch probes. Derived by a narrow map
+    * over the sig store (no re-tokenization); at scale it would be
+    * written bucketed by `band_val` so the probe join co-locates.
+    */
+  private def baseBandIndex(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.Artifacts.materialize(
+      s"minhash_base_bands_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      minhashBands(baseSigStore(s, d))
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** DuckDB reference tokenization (`ts` = token array per doc). */
   private val duckToks =
     """SELECT doc_id,
       |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
       |                   w -> w <> '') AS ts
       |FROM documents""".stripMargin
+
+  /** DuckDB CTE chain ending in `bands(doc_id, b0, band_id, band_val)` —
+    * the oracle mirror of [[minhashDocs]]+[[minhashBands]] (perm p =
+    * rotate-left of the token md5 hex by 2p chars; ids are 60-bit hex
+    * prefixes). Shared by the q41 and q101 oracles; also leaves `docs`
+    * (tid/n_toks) and `sigs` in scope for the verify stage. Trailing
+    * comma included.
+    */
+  private[operators] val minhashCtes: String = {
+    val rotSql = "substring(h, 2*p + 1, 32 - 2*p) || substring(h, 1, 2*p)"
+    s"""tok AS ($duckToks),
+       |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
+       |dh AS (SELECT doc_id, md5(w) AS h FROM dt),
+       |docs AS (SELECT doc_id,
+       |                list_sort(list(CAST('0x' || substring(h, 1, 15) AS BIGINT))) AS tid,
+       |                count(*) AS n_toks
+       |         FROM dh GROUP BY doc_id),
+       |mh AS (SELECT doc_id, p, min($rotSql) AS sighex
+       |       FROM dh CROSS JOIN (SELECT unnest(generate_series(0, ${nPerm - 1})) AS p) perms
+       |       GROUP BY doc_id, p),
+       |sigs AS (SELECT doc_id,
+       |                list(CAST('0x' || substring(sighex, 1, 15) AS BIGINT) ORDER BY p) AS sigs
+       |         FROM mh GROUP BY doc_id),
+       |keys AS (SELECT doc_id,
+       |                CAST('0x' || substring(md5(array_to_string(sigs[1:$bandRows], ',')), 1, 15) AS BIGINT) AS b0,
+       |                CAST('0x' || substring(md5(array_to_string(sigs[${bandRows + 1}:${2 * bandRows}], ',')), 1, 15) AS BIGINT) AS b1
+       |         FROM sigs),
+       |bands AS (
+       |  SELECT doc_id, b0, 0 AS band_id, b0 AS band_val FROM keys
+       |  UNION ALL
+       |  SELECT doc_id, b0, 1, b1 FROM keys),""".stripMargin
+  }
+
+  /** The est-matches + exact-Jaccard verify stage over a `cand(doc_i,
+    * doc_j)` CTE (expects [[minhashCtes]]'s `docs`/`sigs` in scope).
+    * Ends the CTE list — no trailing comma.
+    */
+  private[operators] val minhashScoredCte: String =
+    s"""scored AS (
+       |  SELECT c.doc_i, c.doc_j,
+       |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
+       |    CAST(length(list_intersect(da.tid, db.tid)) AS INT) AS n_common,
+       |    CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
+       |      (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) AS jaccard
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
+       |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)""".stripMargin
 
   /** DuckDB CTE chain ending in `pairs(doc_i, doc_j, shared, jaccard)` —
     * the oracle mirror of [[ngramPairs]], shared by q43/q46/q47 oracles.
@@ -327,28 +443,13 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       // persist: the signature/token-id table feeds three plan branches
       // (bands, pair side A, pair side B). At cluster scale this is the
       // checkpointed signature store every LSH dedup pipeline maintains.
-      val docs = warmed(Tables.documents(s, d)
-        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .withColumn("h", transform(col("toks"), w => md5(w)))
-        .select(col("doc_id"),
-          sort_array(transform(col("h"), x => hex64(x))).as("tid"),
-          array((0 until nPerm).map(p =>
-            hex64(array_min(transform(col("h"), x => rotHex(x, p))))): _*).as("sigs"))
-        .withColumn("n_toks", size(col("tid"))))
+      val docs = warmed(minhashDocs(Tables.documents(s, d)))
       // emit-once band join: every band row carries band 0's key (b0), and
       // band 1 only matches when band 0 did NOT — so a candidate pair is
       // produced by exactly one band and the distinct() shuffle of the
       // (quadratic) candidate stream disappears. Band keys are hex64 int64s
       // for the same shuffle-width reason as the ids.
-      val bandKey = (lo: Int) =>
-        hex64(md5(concat_ws(",", transform(slice(col("sigs"), lo, bandRows), _.cast("string")))))
-      val bands = docs
-        .withColumn("b0", bandKey(1))
-        .withColumn("b1", bandKey(bandRows + 1))
-        .select(col("doc_id"), col("b0"),
-          posexplode(array(col("b0"), col("b1"))))
-        .toDF("doc_id", "b0", "band_id", "band_val")
+      val bands = minhashBands(docs)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
@@ -372,6 +473,57 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
         .filter(col("jaccard") >= 0.9)
         .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard")
       materialized(result, docs).orderBy("doc_i", "doc_j")
+    },
+
+    // ---- INCREMENTAL near-dup: a delta batch against the persisted
+    // corpus index. The 100 TB operating mode of q41: the corpus's
+    // signature store and LSH band index are build-once artifacts
+    // ([[baseSigStore]]/[[baseBandIndex]]); when a delta batch arrives
+    // (here: doc_id % 10 == 7, "today's crawl"), the pipeline computes
+    // signatures for the DELTA ONLY, probes the band index with an
+    // equi-join, and exact-verifies candidates against the signature
+    // store — cost O(|delta|) + index probes, never a corpus recompute.
+    // Emitted pairs are exactly q41's pairs that involve >= 1 delta doc
+    // (IncrementalDedupSpec pins that equivalence); thresholds identical.
+    // Candidate orientation: the probe side is always the delta; a
+    // delta-delta pair is generated once via doc_id ordering, a
+    // delta-base pair once because base rows never probe.
+    "q101_incremental_dedup" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val baseSigs = baseSigStore(s, d)
+      val baseBands = baseBandIndex(s, d).withColumn("is_delta", lit(false))
+      // the delta's signature state feeds its band build AND both verify
+      // sides — computed once; this is the only tokenization in the query
+      val deltaSigs = warmed(minhashDocs(
+        Tables.documents(s, d).filter(isDelta(col("doc_id")))))
+      val deltaBands = minhashBands(deltaSigs).withColumn("is_delta", lit(true))
+      val allBands = baseBands.unionByName(deltaBands)
+      val cand = deltaBands.as("a").join(allBands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.is_delta") || col("a.doc_id") < col("b.doc_id")) &&
+          (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
+      val sigStore = baseSigs.unionByName(deltaSigs)
+      val da = sigStore.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = sigStore.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      val result = cand.join(da, "doc_i").join(db, "doc_j")
+        .withColumn("est_matches",
+          graft.functions.GraftExpressions.longArrayEqCount(col("sig_a"), col("sig_b")))
+        .filter(col("est_matches") >= 12)
+        .withColumn("n_common",
+          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .withColumn("both_delta", isDelta(col("doc_i")) && isDelta(col("doc_j")))
+        .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard", "both_delta")
+      materialized(result, deltaSigs).orderBy("doc_i", "doc_j")
     },
 
     // ---- SimHash near-dup: 64-bit md5-vote signature, 5-band join.
@@ -515,49 +667,37 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
-    "q41_dedup_minhash" -> {
-      // perm p = rotate-left of the token md5 hex by 2p chars; ids are
-      // 60-bit hex prefixes — the exact mirror of the Spark construction
-      val rotSql = "substring(h, 2*p + 1, 32 - 2*p) || substring(h, 1, 2*p)"
-      s"""WITH tok AS ($duckToks),
-         |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
-         |dh AS (SELECT doc_id, md5(w) AS h FROM dt),
-         |docs AS (SELECT doc_id,
-         |                list_sort(list(CAST('0x' || substring(h, 1, 15) AS BIGINT))) AS tid,
-         |                count(*) AS n_toks
-         |         FROM dh GROUP BY doc_id),
-         |mh AS (SELECT doc_id, p, min($rotSql) AS sighex
-         |       FROM dh CROSS JOIN (SELECT unnest(generate_series(0, ${nPerm - 1})) AS p) perms
-         |       GROUP BY doc_id, p),
-         |sigs AS (SELECT doc_id,
-         |                list(CAST('0x' || substring(sighex, 1, 15) AS BIGINT) ORDER BY p) AS sigs
-         |         FROM mh GROUP BY doc_id),
-         |keys AS (SELECT doc_id,
-         |                CAST('0x' || substring(md5(array_to_string(sigs[1:$bandRows], ',')), 1, 15) AS BIGINT) AS b0,
-         |                CAST('0x' || substring(md5(array_to_string(sigs[${bandRows + 1}:${2 * bandRows}], ',')), 1, 15) AS BIGINT) AS b1
-         |         FROM sigs),
-         |bands AS (
-         |  SELECT doc_id, b0, 0 AS band_id, b0 AS band_val FROM keys
-         |  UNION ALL
-         |  SELECT doc_id, b0, 1, b1 FROM keys),
+    "q41_dedup_minhash" ->
+      s"""WITH $minhashCtes
          |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
          |         FROM bands a JOIN bands b
          |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
-         |scored AS (
-         |  SELECT c.doc_i, c.doc_j,
-         |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
-         |    CAST(length(list_intersect(da.tid, db.tid)) AS INT) AS n_common,
-         |    CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
-         |      (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) AS jaccard
-         |  FROM cand c
-         |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
-         |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)
+         |$minhashScoredCte
          |SELECT doc_i, doc_j, est_matches, n_common, jaccard
          |FROM scored
          |WHERE est_matches >= 12 AND jaccard >= 0.9
-         |ORDER BY doc_i, doc_j""".stripMargin
-    },
+         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    // candidate CTE mirrors the Spark join literally: probe side a is
+    // delta-only, b is the full band set, base-side matches take both
+    // orientations via least/greatest, emit-once on a's bands
+    "q101_incremental_dedup" ->
+      s"""WITH $minhashCtes
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS doc_i,
+         |                greatest(a.doc_id, b.doc_id) AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND a.doc_id % $deltaMod = $deltaRem
+         |          AND a.doc_id <> b.doc_id
+         |          AND (b.doc_id % $deltaMod <> $deltaRem OR a.doc_id < b.doc_id)
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |$minhashScoredCte
+         |SELECT doc_i, doc_j, est_matches, n_common, jaccard,
+         |       (doc_i % $deltaMod = $deltaRem AND doc_j % $deltaMod = $deltaRem) AS both_delta
+         |FROM scored
+         |WHERE est_matches >= 12 AND jaccard >= 0.9
+         |ORDER BY doc_i, doc_j""".stripMargin,
 
     "q42_dedup_simhash" ->
       s"""WITH tok AS ($duckToks),

@@ -250,6 +250,10 @@ object SimilarityPack extends QueryPack {
   /** Lloyd refinement rounds run per IVF build. */
   private[graft] val ivfRounds = 2
 
+  /** q102 within-cluster duplicate threshold (cosine) — q44/q45's 0.4,
+    * so the three embedding-dedup routes are comparable. */
+  private[graft] val semDedupTau = 0.4
+
   /** One k-means assignment: each vector to its max-cosine centroid
     * (ties → smallest cell id; exact fixed-point cosines, so the
     * tie-break and ordering are engine-portable). Centroids broadcast. */
@@ -284,7 +288,11 @@ object SimilarityPack extends QueryPack {
     * sample, the corpus is stored partitioned by cell, the (tiny)
     * centroid table broadcasts, and a query reads 2 partitions.
     * Returns the result plus the persisted assignment for release. */
-  private def ivfTopK(vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  /** Trained-centroid assignment of every vector to its [[ivfProbesFor]]
+    * nearest cells (`arn` = rank), persisted+warmed: the shared substrate
+    * of the IVF search (q53 — cells + probe lists) and the SemDeDup
+    * cluster dedup (q102 — arn=1 partition). */
+  private[operators] def ivfRanked(vecs: DataFrame, k: Int): DataFrame = {
     val nprobe = ivfProbesFor(k)
     val hashed = vecs
       .select(col("vec_id"), col("q"),
@@ -298,14 +306,18 @@ object SimilarityPack extends QueryPack {
     val cent = (1 to ivfRounds).foldLeft(seeds)((c, _) =>
       updateCentroids(assignCells(vecs, c)))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("cos_seed"), asc("cell"))
-    // the 2-nearest-cells assignment feeds BOTH the cell table and the
-    // probe table; warmed (persist + eager build), else the two branches
-    // race the cold cache and each re-runs the crossJoin + window
-    val ranked = warmed(vecs.crossJoin(broadcast(cent))
+    // the nprobe-nearest-cells assignment feeds multiple plan branches;
+    // warmed (persist + eager build), else the branches race the cold
+    // cache and each re-runs the crossJoin + window
+    warmed(vecs.crossJoin(broadcast(cent))
       .withColumn("cos_seed", cosineQ(col("q"), col("cq"), col("norm"), col("cnorm")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nprobe)
       .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("arn")))
+  }
+
+  private def ivfTopK(vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val ranked = ivfRanked(vecs, k)
     val cells = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("q"), col("norm"), col("cell"))
     val probes = ranked.filter(col("vec_id") < 20)
@@ -568,6 +580,41 @@ object SimilarityPack extends QueryPack {
       materialized(result, truth, ranked, vecs).orderBy("method")
     },
 
+    // ---- SemDeDup-style cluster dedup (Abbas et al. 2023, public
+    // arXiv:2303.09540): k-means-partition the embedding space (the SAME
+    // deterministic integer trainer as q53 — one trained model serves
+    // both the ANN index and the dedup pass), then compare vectors ONLY
+    // within their cluster; a vector is a duplicate iff a lower-id
+    // vector in its cluster has cosine >= 0.4. Complements q44 (global
+    // brute truth) and q45 (LSH buckets): the cluster route is the one
+    // that trades global recall for a partition-local O(Σ|cell|²)
+    // pair budget. Scale: cells ∝ √N here; production raises k to keep
+    // |cell| bounded (the paper runs k=50k), the corpus is stored
+    // partitioned by cell, and the within-cell self-join never crosses
+    // partitions — embarrassingly parallel over cells, AQE splits any
+    // over-dense cell. ----
+    "q102_semdedup" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val ranked = ivfRanked(vecs, ivfCellsFor(corpusCount(s, d)))
+      val cells = ranked.filter(col("arn") === 1)
+      val a = cells.select(col("cell"), col("vec_id").as("vi"),
+        col("q").as("qa"), col("norm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("vj"),
+        col("q").as("qb"), col("norm").as("nb"))
+      val dups = a.join(b, "cell")
+        .filter(col("vj") < col("vi"))
+        .withColumn("cosine", cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .filter(col("cosine") >= semDedupTau)
+        .groupBy(col("vi").as("vec_id"))
+        .agg(count(lit(1)).as("n_dup_lower"))
+      val result = cells.select("vec_id", "cell")
+        .join(dups, Seq("vec_id"), "left")
+        .withColumn("n_dup_lower", coalesce(col("n_dup_lower"), lit(0L)))
+        .withColumn("is_dup", col("n_dup_lower") > 0)
+        .select("vec_id", "cell", "n_dup_lower", "is_dup")
+      materialized(result, ranked, vecs).orderBy("vec_id")
+    },
+
     // ---- multi-probe LSH: also search the b Hamming-1 neighbor buckets
     // in each of the L tables. Single-probe recall is poor when vectors
     // are near-orthogonal (each hyperplane bit is close to a coin flip
@@ -677,6 +724,56 @@ object SimilarityPack extends QueryPack {
        |ORDER BY m.method""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying the deterministic integer k-means
+    * training ([[ivfRanked]]'s trajectory, bit-identical): every round is
+    * (argmax-cosine assignment) → (truncated-int64-mean centroid update).
+    * Ends with `ranked` (every vector's per-cell rank `arn`) and `cells`
+    * (the arn=1 partition); leaves `np`/`kp` in scope. No trailing comma.
+    * Shared by the q53 (IVF search) and q102 (SemDeDup) oracles.
+    */
+  private def ivfTrainCtes: String = {
+    val n = "(SELECT count(*) FROM embeddings)"
+    val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
+      .mkString("CASE ", " ", " ELSE 41 END")
+    val rounds = (1 to ivfRounds).map { r =>
+      val cosPrev = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+      s"""assign$r AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT v.vec_id, v.q, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosPrev DESC, c.cell) AS rn
+         |    FROM scored v CROSS JOIN cent${r - 1} c) WHERE rn = 1),
+         |upd$r AS (SELECT cell, g.i AS i,
+         |                 CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |          FROM assign$r, UNNEST(generate_series(1, $dim)) AS g(i)
+         |          GROUP BY cell, g.i),
+         |cq$r AS (SELECT cell, list(v ORDER BY i) AS cq FROM upd$r GROUP BY cell),
+         |cent$r AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cq$r c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cosFinal = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+    s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
+       |  FROM vecs v),
+       |kp AS (SELECT 1 << (($ladder + 1) // 2) AS k),
+       |np AS (SELECT GREATEST(2, k // 2) AS nprobe FROM kp),
+       |hashed AS (SELECT vec_id, q,
+       |                  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |           FROM scored),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell, q AS cq
+       |          FROM hashed
+       |          QUALIFY row_number() OVER (ORDER BY h, vec_id) <= (SELECT k FROM kp)),
+       |cent0 AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM seeds c),
+       |$rounds,
+       |ranked AS (
+       |  SELECT v.vec_id, v.q, v.norm, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |                            ORDER BY $cosFinal DESC, c.cell) AS arn
+       |  FROM scored v CROSS JOIN cent$ivfRounds c),
+       |cells AS (SELECT vec_id, q, norm, cell FROM ranked WHERE arn = 1)""".stripMargin
+  }
+
   /** PQ ADC oracle SQL — the training loop unrolled, all 4 subspaces in
     * one CTE chain keyed by m; every distance is raw int64 squared-L2
     * on the fixed-point components, so there is NOTHING to quantize in
@@ -756,51 +853,8 @@ object SimilarityPack extends QueryPack {
     },
 
     "q53_ann_ivf" -> {
-      // the training loop, unrolled: every round is (argmax-cosine
-      // assignment) → (truncated-int64-mean centroid update) — all
-      // integer/exact-double arithmetic, so both engines replay the
-      // identical k-means trajectory
-      val n = "(SELECT count(*) FROM embeddings)"
-      val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
-        .mkString("CASE ", " ", " ELSE 41 END")
-      val rounds = (1 to ivfRounds).map { r =>
-        val cosPrev = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
-        s"""assign$r AS (
-           |  SELECT vec_id, q, cell FROM (
-           |    SELECT v.vec_id, v.q, c.cell,
-           |           row_number() OVER (PARTITION BY v.vec_id
-           |                              ORDER BY $cosPrev DESC, c.cell) AS rn
-           |    FROM scored v CROSS JOIN cent${r - 1} c) WHERE rn = 1),
-           |upd$r AS (SELECT cell, g.i AS i,
-           |                 CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
-           |          FROM assign$r, UNNEST(generate_series(1, $dim)) AS g(i)
-           |          GROUP BY cell, g.i),
-           |cq$r AS (SELECT cell, list(v ORDER BY i) AS cq FROM upd$r GROUP BY cell),
-           |cent$r AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cq$r c)"""
-          .stripMargin
-      }.mkString(",\n")
-      val cosFinal = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
       val dotPC = dotQSql("p.qq", "c.q", dim)
-      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
-         |scored AS (
-         |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
-         |  FROM vecs v),
-         |kp AS (SELECT 1 << (($ladder + 1) // 2) AS k),
-         |np AS (SELECT GREATEST(2, k // 2) AS nprobe FROM kp),
-         |hashed AS (SELECT vec_id, q,
-         |                  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |           FROM scored),
-         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell, q AS cq
-         |          FROM hashed
-         |          QUALIFY row_number() OVER (ORDER BY h, vec_id) <= (SELECT k FROM kp)),
-         |cent0 AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM seeds c),
-         |$rounds,
-         |ranked AS (
-         |  SELECT v.vec_id, v.q, v.norm, c.cell,
-         |         row_number() OVER (PARTITION BY v.vec_id
-         |                            ORDER BY $cosFinal DESC, c.cell) AS arn
-         |  FROM scored v CROSS JOIN cent$ivfRounds c),
-         |cells AS (SELECT vec_id, q, norm, cell FROM ranked WHERE arn = 1),
+      s"""WITH $ivfTrainCtes,
          |probes AS (SELECT vec_id AS q_id, q AS qq, norm AS qnorm, cell AS probe_cell
          |           FROM ranked WHERE vec_id < 20 AND arn <= (SELECT nprobe FROM np)),
          |cand AS (
@@ -815,6 +869,25 @@ object SimilarityPack extends QueryPack {
          |SELECT q_id, rk, vec_id, cell, cosine FROM out
          |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin
+    },
+
+    // same trained model as q53's oracle; the dedup pass is a
+    // within-cell self-join with the q44/q45 exact-cosine arithmetic
+    "q102_semdedup" -> {
+      val dotAB = dotQSql("a.q", "b.q", dim)
+      s"""WITH $ivfTrainCtes,
+         |dup0 AS (
+         |  SELECT a.vec_id AS vec_id
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE $dotAB / (a.norm * b.norm) >= $semDedupTau),
+         |dups AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower
+         |         FROM dup0 GROUP BY vec_id)
+         |SELECT c.vec_id, c.cell,
+         |       COALESCE(d.n_dup_lower, 0) AS n_dup_lower,
+         |       COALESCE(d.n_dup_lower, 0) > 0 AS is_dup
+         |FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin
     },
 
     "q50_ann_brute" ->
