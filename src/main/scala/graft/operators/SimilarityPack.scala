@@ -470,15 +470,12 @@ object SimilarityPack extends QueryPack {
     pqRanked(s, d, vecs).filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q"))
 
-  /** The production PQ pipeline: ADC shortlist (top [[pqShortlist]] by
-    * approximate distance — reads CODES only) then exact cosine re-rank
-    * of just those candidates against the stored vectors. Recall
-    * recovers toward brute force while the corpus-wide scan still never
-    * touches a full vector; the re-rank reads `pqShortlist` vectors per
-    * query (point lookups in the bucket-partitioned index at scale). */
-  private def pqRerankTopK(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
-    val short = pqRanked(s, d, vecs).filter(col("rk") <= pqShortlist)
-      .select(col("q_id"), col("vec_id"))
+  /** Exact cosine re-rank of a (q_id, vec_id) shortlist against the
+    * stored vectors: the precision-recovery tail of every
+    * shortlist-producing index (q07 PQ, q103 IVF-PQ). The re-rank reads
+    * `|shortlist|` vectors per query — point lookups in the
+    * bucket-partitioned index at scale, never a corpus scan. */
+  private def rerankExact(vecs: DataFrame, short: DataFrame): DataFrame = {
     val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
     val queriesV = vecs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
@@ -490,6 +487,52 @@ object SimilarityPack extends QueryPack {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
+  /** The production PQ pipeline: ADC shortlist (top [[pqShortlist]] by
+    * approximate distance — reads CODES only) then exact cosine re-rank
+    * of just those candidates against the stored vectors. */
+  private def pqRerankTopK(s: SparkSession, d: String, vecs: DataFrame): DataFrame =
+    rerankExact(vecs,
+      pqRanked(s, d, vecs).filter(col("rk") <= pqShortlist)
+        .select(col("q_id"), col("vec_id")))
+
+  /** IVF-PQ (the billion-scale production composite — public reference:
+    * Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", IEEE TPAMI 2011; the FAISS IVFADC layout): the IVF coarse
+    * quantizer ([[ivfRanked]] — the SAME trained model as q53/q102)
+    * prunes the search to the query's nprobe cells, PQ ADC ranks ONLY
+    * the vectors in those cells by broadcast-table lookups over the
+    * 4-byte code artifact, and the exact re-rank recovers precision on
+    * the shortlist. At 100 TB the code table is stored partitioned by
+    * cell, so a query reads nprobe code partitions (≈4 bytes/vector)
+    * plus pqShortlist full vectors — unlike q06/q07 it never scans even
+    * the corpus-wide CODE table, and unlike q53 the in-cell ranking
+    * reads codes, not vectors. */
+  private def ivfPqRerankTopK(s: SparkSession, d: String, vecs: DataFrame,
+                              ranked: DataFrame): DataFrame = {
+    val cellOf = ranked.filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell").as("probe_cell"))
+    // candidate set = vectors whose home cell is probed (equi-join on
+    // cell; at scale this is the partition-pruned read of the code table)
+    val cand = probes.join(cellOf,
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val dt = subvectors(vecs.filter(col("vec_id") < 20))
+      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qsq"))
+      .join(pqCentroids(s, d), "m")
+      .withColumn("dq", l2Q(col("qsq"), col("cq")))
+      .select(col("q_id"), col("m"), col("code"), col("dq"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(asc("adist_q"), asc("vec_id"))
+    val short = pqCodesDf(s, d).join(cand, "vec_id")
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adist_q"))
+      .withColumn("rs", row_number().over(wAdc))
+      .filter(col("rs") <= pqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    rerankExact(vecs, short)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -541,11 +584,21 @@ object SimilarityPack extends QueryPack {
       materialized(pqRerankTopK(s, d, vecs), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- IVF-PQ: coarse cells prune, PQ codes rank, exact re-rank —
+    // see [[ivfPqRerankTopK]]. ----
+    "q103_ann_ivfpq" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val ranked = ivfRanked(vecs, ivfCellsFor(corpusCount(s, d)))
+      materialized(ivfPqRerankTopK(s, d, vecs, ranked), ranked, vecs)
+        .orderBy("q_id", "rk")
+    },
+
     // ---- recall report: each approximate method's top-k (restricted to
     // the brute-force query set q_id < 5) scored against q50's exact
     // ground truth — the evaluation harness every ANN deployment runs
     // before trusting an index. Output: method, n_hits, recall.
-    // ONE vector table build feeds all four method pipelines, and the
+    // ONE vector table build feeds all six method pipelines, and the
     // truth set + each method output are materialized once (round 2
     // rebuilt the vector table and all four searches from the raw scan
     // inside a single query plan). ----
@@ -560,6 +613,7 @@ object SimilarityPack extends QueryPack {
       val methodOut = Seq(
         "q06_ann_pq" -> pq,
         "q07_ann_pq_rerank" -> pqrr,
+        "q103_ann_ivfpq" -> ivfPqRerankTopK(s, d, vecs, ranked),
         "q51_ann_lsh" -> lshTopK(vecs, b),
         "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
         "q53_ann_ivf" -> ivf)
@@ -626,6 +680,17 @@ object SimilarityPack extends QueryPack {
       materialized(multiprobeTopK(vecs, bucketBits(s, d)), vecs).orderBy("q_id", "rk")
     }
   )
+
+  /** Test hook (IvfPqSpec): the exact (q_id, probe_cell) universe of the
+    * trained model — deterministic training makes this reproducible
+    * against a separately-computed q103 result. */
+  private[graft] def probeMap(s: SparkSession, d: String): DataFrame = {
+    val vecs = persistedVecs(s, d)
+    val ranked = ivfRanked(vecs, ivfCellsFor(corpusCount(s, d)))
+    val out = ranked.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell").as("probe_cell"))
+    materialized(out, ranked, vecs)
+  }
 
   // ---------- oracles ----------
 
@@ -711,12 +776,13 @@ object SimilarityPack extends QueryPack {
        |cand AS (
        |  SELECT 'q06_ann_pq' AS method, q_id, vec_id FROM ${sub("q06_ann_pq")} p0 WHERE q_id < 5
        |  UNION ALL SELECT 'q07_ann_pq_rerank', q_id, vec_id FROM ${sub("q07_ann_pq_rerank")} p1 WHERE q_id < 5
+       |  UNION ALL SELECT 'q103_ann_ivfpq', q_id, vec_id FROM ${sub("q103_ann_ivfpq")} p2 WHERE q_id < 5
        |  UNION ALL SELECT 'q51_ann_lsh', q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
        |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
        |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
        |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
-       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q103_ann_ivfpq'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
        |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
        |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
@@ -833,6 +899,39 @@ object SimilarityPack extends QueryPack {
 
   private def baseOracle: Map[String, String] = Map(
     "q06_ann_pq" -> pqAdcSql(topK),
+
+    // IVF training replay (one parenthesized scope) restricts the PQ ADC
+    // ranking to probed-cell candidates; then the q07-style exact
+    // re-rank. Both engines rank the IDENTICAL candidate set with the
+    // identical int64 ADC distances.
+    "q103_ann_ivfpq" -> {
+      val cosRR = s"${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm)"
+      s"""WITH ivfr AS (SELECT vec_id, cell, arn FROM
+         |  (WITH $ivfTrainCtes
+         |   SELECT vec_id, cell, arn FROM ranked
+         |   WHERE arn <= (SELECT nprobe FROM np)) t0),
+         |cellasg AS (SELECT vec_id, cell FROM ivfr WHERE arn = 1),
+         |probes AS (SELECT vec_id AS q_id, cell AS probe_cell FROM ivfr WHERE vec_id < 20),
+         |cand AS (SELECT p.q_id, c.vec_id
+         |         FROM probes p JOIN cellasg c
+         |           ON c.cell = p.probe_cell AND c.vec_id <> p.q_id),
+         |adcfull AS (SELECT q_id, vec_id, adist_q FROM (${pqAdcSql(Int.MaxValue)}) t1),
+         |sl AS (SELECT a.q_id, a.vec_id,
+         |              row_number() OVER (PARTITION BY a.q_id ORDER BY a.adist_q, a.vec_id) AS rs
+         |       FROM adcfull a JOIN cand USING (q_id, vec_id)),
+         |short AS (SELECT q_id, vec_id FROM sl WHERE rs <= $pqShortlist),
+         |vecs2 AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |norms AS (SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm FROM vecs2 v),
+         |rr AS (SELECT s.q_id, s.vec_id, $cosRR AS cosine
+         |       FROM short s JOIN norms cv ON cv.vec_id = s.vec_id
+         |                    JOIN norms qv ON qv.vec_id = s.q_id),
+         |rout AS (SELECT q_id, vec_id, cosine,
+         |                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |         FROM rr)
+         |SELECT q_id, rk, vec_id, cosine FROM rout
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin
+    },
 
     // the ADC oracle as a shortlist subquery, then the exact cosine
     // re-rank (the same arithmetic the q50 oracle uses)

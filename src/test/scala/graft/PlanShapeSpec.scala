@@ -68,7 +68,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name: nested-loop join on a scale path")
       spark.catalog.clearCache()
     }
-    val broadcastCrossOk = Seq("q53_ann_ivf", "q54_ann_recall")
+    val broadcastCrossOk = Seq("q53_ann_ivf", "q54_ann_recall", "q103_ann_ivfpq")
     broadcastCrossOk.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
