@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayEqCount, LongArrayDot, LongArrayEqCount,
-  SortedArrayIntersectCount, SortedLongIntersectCount, SpaceSavingTopK, TopKTokens}
+import graft.functions.{ArrayEqCount, CountMinSketchAgg, LongArrayDot,
+  LongArrayEqCount, SortedArrayIntersectCount, SortedLongIntersectCount,
+  SpaceSavingTopK, TopKTokens}
 
 /** Session-extension wiring for the engine's native functions: users get
   * `graft_long_array_dot` & co. in any session (SQL included) via
@@ -46,5 +47,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_k_spacesaving"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_top_k_spacesaving"),
       SpaceSavingTopK.fromExprs))
+    e.injectFunction((
+      FunctionIdentifier("graft_countmin"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_countmin"),
+      CountMinSketchAgg.fromExprs))
   }
 }

@@ -246,6 +246,8 @@ object GraftExpressions {
       TopKTokens.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_top_k_spacesaving",
       SpaceSavingTopK.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_countmin",
+      CountMinSketchAgg.fromExprs, "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -273,4 +275,9 @@ object GraftExpressions {
     call_function("graft_top_k_spacesaving", c,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(capacity))
+
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    call_function("graft_countmin", c,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
 }

@@ -47,6 +47,31 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- the full mode surface of the custom as-of operator,
+    // DRIVER-GATED: LEFT OUTER + tolerance in one query — purchases with
+    // no signup in the last 24 h (or no signup at all) survive with NULL
+    // match columns. AsOfJoinSpec property-tests these modes against a
+    // brute-force argmax; this query additionally pins them against an
+    // independent engine (DuckDB correlated-argmax form — its native
+    // ASOF JOIN cannot express tolerance). Same plan shape as q03: one
+    // exchange + sort per side, forward-only merge; tolerance and
+    // outerness are merge-local and change no distribution. ----
+    "q105_asof_outer_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user_id"), col("us").as("signup_us"))
+        .distinct()
+      graft.plans.GraftOps.asofJoin(purchases, signups,
+          Seq("user_id"), Seq("r_user_id"), "us", "signup_us",
+          allowEqual = true, leftOuter = true, tolerance = Some(asofToleranceUs))
+        .select(col("user_id"), col("event_id"),
+                col("us").as("purchase_us"), col("signup_us"),
+                (col("us") - col("signup_us")).as("latency_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- the 100 TB as-of story, DRIVER-GATED: both sides stored
     // bucketed by the join key and sorted by (key, time), so
     // AsOfJoinExec's ClusteredDistribution + required ordering are
@@ -306,6 +331,11 @@ object EventsPack extends QueryPack {
       .unionByName(a.join(b, col("a_bkt") + 1 === col("b_bkt") && range))
   }
 
+  /** q105 match window: 24 h in µs — the sf0.01 latency median is ~34 h,
+    * so the tolerance genuinely splits the matched set (and leftOuter
+    * keeps the dropped rows with NULLs). */
+  private[graft] val asofToleranceUs = 86400000000L
+
   private val asofOracleSql: String =
     """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
       |           FROM events WHERE event_type = 'purchase'),
@@ -327,6 +357,25 @@ object EventsPack extends QueryPack {
 
     // the bucketed variant must produce exactly the same rows — same oracle
     "q09_asof_join_bucketed" -> asofOracleSql,
+
+    // outer+tolerance: DuckDB's native ASOF cannot express a match
+    // window, so the oracle is the correlated-argmax definition
+    "q105_asof_outer_tolerance" ->
+      s"""WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS signup_us
+        |           FROM events WHERE event_type = 'signup'),
+        |     m AS (SELECT p.user_id, p.event_id, p.us,
+        |                  (SELECT max(s.signup_us) FROM s
+        |                   WHERE s.user_id = p.user_id
+        |                     AND s.signup_us <= p.us
+        |                     AND p.us - s.signup_us <= $asofToleranceUs) AS signup_us
+        |           FROM p)
+        |SELECT user_id, event_id, CAST(us AS BIGINT) AS purchase_us,
+        |       CAST(signup_us AS BIGINT) AS signup_us,
+        |       CAST(us - signup_us AS BIGINT) AS latency_us
+        |FROM m
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q30_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

@@ -29,6 +29,12 @@ object TextPack extends QueryPack {
 
   private val stopwords = Seq("the", "a")
 
+  /** Count-Min sketch shape (q104): 4 rows × 2048 counters = 64 KiB of
+    * int64 per partial buffer. Excess bound e·N/width ≈ 0.13% of the
+    * stream per estimate, each row an independent md5-keyed hash. */
+  private[graft] val cmDepth = 4
+  private[graft] val cmWidth = 2048
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- heuristic language-ID: stopword-profile argmax. Single
@@ -152,6 +158,36 @@ object TextPack extends QueryPack {
           expr("split_part(col, ':', 1)").as("token"),
           expr("CAST(split_part(col, ':', 2) AS BIGINT)").as("cnt"))
         .orderBy("lang", "rk")
+    },
+
+    // ---- Count-Min frequency estimation: the per-key-count twin of
+    // q69's SpaceSaving (that one finds WHICH keys are frequent; CMS
+    // answers HOW frequent any key is) — a depth×width int64 counter
+    // matrix, constant memory regardless of vocabulary, built by the
+    // native graft_countmin TypedImperativeAggregate in one scan and
+    // broadcast for probing. Both engines build the IDENTICAL matrix
+    // (engine-portable md5 row hashes), so the gate compares estimates
+    // EXACTLY, not by envelope: est(w) = min over rows of
+    // matrix[r][h_r(w)], with true(w) <= est(w) <= true(w) + e·N/width
+    // w.h.p. (CountMinSpec model-checks the matrix and the bounds in
+    // the colliding regime). At 100 TB the 64 KiB partials combine
+    // map-side and the final matrix broadcasts to probe any stream
+    // without joining a counts table. ----
+    "q104_countmin_freq" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val tok = warmed(Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w")))
+      val sketch = tok.agg(
+        graft.functions.GraftExpressions.countMin(col("w"), cmDepth, cmWidth).as("cm"))
+      val estCol = (0 until cmDepth).map { r =>
+        element_at(element_at(col("cm"), r + 1),
+          ((hex64(md5(concat(lit(s"$r:"), col("w")))) % cmWidth) + 1).cast("int"))
+      }.reduce(least(_, _))
+      val result = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("est", estCol)
+        .select(col("w"), col("cnt"), col("est"))
+      materialized(result, tok).orderBy("w")
     },
 
     // ---- bigram statistics: top word-pairs per language via the native
@@ -410,6 +446,24 @@ object TextPack extends QueryPack {
           |SELECT lang, CAST(rk AS INT) AS rk, w AS token, CAST(cnt AS BIGINT) AS cnt
           |FROM ranked WHERE rk <= 3
           |ORDER BY lang, rk""".stripMargin,
+
+      // rebuild the identical CMS matrix cell-by-cell in SQL (same md5
+      // row hashes), then the same min-over-rows probe — exact compare
+      "q104_countmin_freq" ->
+        s"""WITH tok AS (
+          |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+          |hashed AS (SELECT w, cnt, g.r AS r,
+          |                  CAST('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || w), 1, 15) AS BIGINT) % $cmWidth AS c
+          |           FROM counts, UNNEST(generate_series(0, ${cmDepth - 1})) AS g(r)),
+          |cells AS (SELECT r, c, SUM(cnt) AS cell_cnt FROM hashed GROUP BY r, c),
+          |est AS (SELECT h.w, MIN(cl.cell_cnt) AS est
+          |        FROM hashed h JOIN cells cl ON cl.r = h.r AND cl.c = h.c
+          |        GROUP BY h.w)
+          |SELECT c.w, CAST(c.cnt AS BIGINT) AS cnt, CAST(e.est AS BIGINT) AS est
+          |FROM counts c JOIN est e ON e.w = c.w
+          |ORDER BY c.w""".stripMargin,
 
       "q68_bigram_stats" ->
         """WITH tok AS (
