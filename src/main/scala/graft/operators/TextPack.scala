@@ -29,11 +29,20 @@ object TextPack extends QueryPack {
 
   private val stopwords = Seq("the", "a")
 
-  /** Count-Min sketch shape (q104): 4 rows × 2048 counters = 64 KiB of
-    * int64 per partial buffer. Excess bound e·N/width ≈ 0.13% of the
+  /** Count-Min sketch shape (q104/q106): 4 rows × 2048 counters = 64 KiB
+    * of int64 per partial buffer. Excess bound e·N/width ≈ 0.13% of the
     * stream per estimate, each row an independent md5-keyed hash. */
   private[graft] val cmDepth = 4
   private[graft] val cmWidth = 2048
+
+  /** The CMS probe as a column: min over rows of matrix[r][h_r(w)] —
+    * shared by the batch (q104) and streaming (q106) sketch queries. */
+  private[graft] def cmEstimate(w: org.apache.spark.sql.Column,
+                                cm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until cmDepth).map { r =>
+      element_at(element_at(cm, r + 1),
+        ((hex64(md5(concat(lit(s"$r:"), w))) % cmWidth) + 1).cast("int"))
+    }.reduce(least(_, _))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -179,13 +188,9 @@ object TextPack extends QueryPack {
         .select(explode(tokens(col("text"))).as("w")))
       val sketch = tok.agg(
         graft.functions.GraftExpressions.countMin(col("w"), cmDepth, cmWidth).as("cm"))
-      val estCol = (0 until cmDepth).map { r =>
-        element_at(element_at(col("cm"), r + 1),
-          ((hex64(md5(concat(lit(s"$r:"), col("w")))) % cmWidth) + 1).cast("int"))
-      }.reduce(least(_, _))
       val result = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(sketch))
-        .withColumn("est", estCol)
+        .withColumn("est", cmEstimate(col("w"), col("cm")))
         .select(col("w"), col("cnt"), col("est"))
       materialized(result, tok).orderBy("w")
     },

@@ -231,7 +231,58 @@ object StreamingPack extends QueryPack {
       .orderBy("s_id", "p_id")
   }
 
+  /** Schema for streaming the documents table (q106). */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming Count-Min: q104's sketch built by a STREAMING global
+    * aggregate — the custom `graft_countmin` TypedImperativeAggregate's
+    * partial matrices live in the state store across micro-batches
+    * (complete mode), exactly how a live heavy-hitter monitor runs: a
+    * 64 KiB constant-size state row per partition regardless of the
+    * vocabulary that streamed past. Because the sketch is LINEAR, the
+    * micro-batch boundaries are invisible and the final matrix equals
+    * the batch q104 matrix exactly — so the probe output shares q104's
+    * oracle verbatim (the streaming plan must compute the same answer
+    * the batch plan does, the same contract as q33/q77/q98). */
+  def streamCountMin(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextPack.{cmDepth, cmEstimate, cmWidth}
+    graft.functions.GraftExpressions.ensure(s)
+    val docs = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val tok = docs.select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+    val agg = tok.agg(
+      graft.functions.GraftExpressions.countMin(col("w"), cmDepth, cmWidth).as("cm"))
+    val name = s"graft_stream_cms_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val sketch = s.table(name)
+    // batch probe over the streamed matrix: q104's estimate column
+    val tokB = warmed(graft.core.Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")))
+    val result = tokB.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", cmEstimate(col("w"), col("cm")))
+      .select(col("w"), col("cnt"), col("est"))
+    materialized(result, tokB).orderBy("w")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_stream_countmin" -> ((s, d) => streamCountMin(s, d)),
     "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
     "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d)),
     "q77_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
@@ -240,6 +291,11 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the streamed sketch must equal the batch sketch (linear merge), so
+    // the oracle is q104's verbatim
+    "q106_stream_countmin" ->
+      graft.operators.TextPack.oracle("q104_countmin_freq"),
+
     "q33_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n
