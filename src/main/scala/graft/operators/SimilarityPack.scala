@@ -354,6 +354,14 @@ object SimilarityPack extends QueryPack {
     * re-rank recall 0.72. */
   private[graft] val pqK = 64
   private[graft] val pqRounds = 2
+  /** Codebook training sample cap: the pqTrainCap smallest-md5-hash
+    * vectors train the codebook (standard practice — FAISS trains PQ on
+    * 10⁴–10⁶ samples regardless of corpus size; k-means quality needs
+    * samples ∝ k, not ∝ N). Deterministic and mirrored in the oracle
+    * (`QUALIFY row_number() OVER (ORDER BY h, vec_id) <= cap`), so both
+    * engines train on the identical subset. ENCODING still covers every
+    * vector. A no-op when N <= cap (sf0.01's 500 vectors all train). */
+  private[graft] val pqTrainCap = 2048
 
   /** Raw int64 squared L2 between two quantized arrays:
     * ‖a‖² + ‖b‖² − 2⟨a,b⟩, every term the native codegen dot kernel —
@@ -425,8 +433,15 @@ object SimilarityPack extends QueryPack {
   private def pqCentroids(s: SparkSession, d: String): DataFrame = {
     val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
     val path = graft.core.Artifacts.materialize(
-      s"pq_cent_v1_m${pqM}_k${pqK}_r${pqRounds}_$key") { tmp =>
-      val sub = warmed(subvectors(annIndex(s, d)))
+      s"pq_cent_v2_m${pqM}_k${pqK}_r${pqRounds}_s${pqTrainCap}_$key") { tmp =>
+      // training sample: the pqTrainCap smallest-hash vectors (the same
+      // (h, vec_id) order the seeds use, so seeds ⊆ sample by definition)
+      val trainIds = annIndex(s, d)
+        .select(col("vec_id"),
+          graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))).as("h"))
+        .orderBy("h", "vec_id").limit(pqTrainCap)
+        .select("vec_id")
+      val sub = warmed(subvectors(annIndex(s, d)).join(broadcast(trainIds), "vec_id"))
       val wSeed = Window.partitionBy(col("m")).orderBy(col("h"), col("vec_id"))
       val seeds = sub
         .withColumn("h",
@@ -446,7 +461,7 @@ object SimilarityPack extends QueryPack {
   private def pqCodesDf(s: SparkSession, d: String): DataFrame = {
     val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
     val path = graft.core.Artifacts.materialize(
-      s"pq_codes_v1_m${pqM}_k${pqK}_r${pqRounds}_$key") { tmp =>
+      s"pq_codes_v2_m${pqM}_k${pqK}_r${pqRounds}_s${pqTrainCap}_$key") { tmp =>
       pqAssign(subvectors(annIndex(s, d)), pqCentroids(s, d))
         .select(col("vec_id"), col("m"), col("code"))
         .write.mode("overwrite").parquet(tmp)
@@ -866,7 +881,7 @@ object SimilarityPack extends QueryPack {
            |    SELECT s.vec_id, s.m, s.sq, c.code,
            |           row_number() OVER (PARTITION BY s.vec_id, s.m
            |                              ORDER BY ${l2("s.sq", "c.cq")} ASC, c.code) AS rn
-           |    FROM sub s JOIN cent${r - 1} c ON c.m = s.m) WHERE rn = 1),
+           |    FROM tsub s JOIN cent${r - 1} c ON c.m = s.m) WHERE rn = 1),
            |upd$r AS (SELECT m, code, g.i AS i,
            |                 CAST(SUM(sq[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
            |          FROM assign$r, UNNEST(generate_series(1, $pqSubDim)) AS g(i)
@@ -880,9 +895,12 @@ object SimilarityPack extends QueryPack {
          |        FROM vecs, UNNEST(generate_series(0, ${pqM - 1})) AS g(m)),
          |hashed AS (SELECT *, CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
          |           FROM sub),
+         |tvec AS (SELECT vec_id FROM (SELECT DISTINCT vec_id, h FROM hashed) hv
+         |         QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $pqTrainCap),
+         |tsub AS (SELECT hashed.* FROM hashed JOIN tvec USING (vec_id)),
          |seeds AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY h, vec_id) AS INT) AS code,
          |                 sq AS cq
-         |          FROM hashed
+         |          FROM tsub
          |          QUALIFY row_number() OVER (PARTITION BY m ORDER BY h, vec_id) <= $pqK),
          |cent0 AS (SELECT m, code, cq FROM seeds),
          |$rounds,
