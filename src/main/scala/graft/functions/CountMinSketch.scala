@@ -56,8 +56,11 @@ case class CountMinSketchAgg(
   extends TypedImperativeAggregate[Array[Long]]
   with UnaryLike[Expression] {
 
-  require(depth > 0 && width > 0,
-    s"graft_countmin: need depth > 0 and width > 0, got depth=$depth width=$width")
+  // 2^26 longs = 512 MiB per buffer — far beyond any sane sketch, and
+  // the Int product below must not overflow
+  require(depth > 0 && width > 0 && depth.toLong * width <= (1L << 26),
+    s"graft_countmin: need depth > 0, width > 0, depth*width <= 2^26, " +
+      s"got depth=$depth width=$width")
 
   override def prettyName: String = "graft_countmin"
   override def dataType: DataType =
@@ -70,25 +73,34 @@ case class CountMinSketchAgg(
   @transient private lazy val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  // the "r:" row prefixes, encoded once (the row hash is
+  // md5(prefix ++ keyBytes) — byte-identical to md5 of the
+  // concatenated string, since both parts are UTF-8)
+  @transient private lazy val rowPrefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(r => s"$r:".getBytes(StandardCharsets.UTF_8))
+
   /** Row-r slot of a key: the first 15 hex chars (60 bits) of
     * md5("r:" || key) mod width — numerically, the big-endian long of
     * the first 8 digest bytes shifted right 4. */
-  private def slot(r: Int, key: UTF8String): Int = {
-    val md = mdLocal.get()
-    md.reset()
-    val dg = md.digest((r + ":" + key.toString).getBytes(StandardCharsets.UTF_8))
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
-    ((h >>> 4) % width).toInt
-  }
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String]
+      // encode the key ONCE per row, not once per (row, depth): this is
+      // the hot scan kernel
+      val keyBytes = v.asInstanceOf[UTF8String].getBytes
+      val md = mdLocal.get()
       var r = 0
-      while (r < depth) { buf(r * width + slot(r, key)) += 1L; r += 1 }
+      while (r < depth) {
+        md.reset()
+        md.update(rowPrefixes(r))
+        md.update(keyBytes)
+        val dg = md.digest()
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+        buf(r * width + ((h >>> 4) % width).toInt) += 1L
+        r += 1
+      }
     }
     buf
   }
@@ -158,6 +170,11 @@ object CountMinSketchAgg {
         case i    => fail(s"$name=$i")
       }
     }
+    // the value column must be STRING — catch misuse at plan time, not
+    // as an executor-side ClassCastException mid-job
+    if (exprs.head.resolved &&
+        exprs.head.dataType != org.apache.spark.sql.types.StringType)
+      fail(s"value of type ${exprs.head.dataType.simpleString} (need STRING)")
     CountMinSketchAgg(exprs.head, intLit(exprs(1), "depth"), intLit(exprs(2), "width"))
       .toAggregateExpression()
   }

@@ -314,6 +314,49 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- per-source data card: the summary a corpus build PUBLISHES
+    // per ingestion source (the datasheet/data-card practice of
+    // Gebru et al. 2021, arXiv:1803.09010): doc and token volumes,
+    // vocabulary size, language spread, and the exact-duplicate
+    // fraction within the source. Doc-level stats fold map-side
+    // (one groupBy(source) over per-doc projections); the vocabulary
+    // count is the one exploded aggregate; exact-dup detection reuses
+    // the 60-bit content-hash idiom (q40) but grouped per source. At
+    // 100 TB every aggregate here is a partial-agg-friendly groupBy on
+    // a low-cardinality key — AQE handles the source-size skew that
+    // ingestion mixes always have. ----
+    "q107_source_datacard" -> { (s, d) =>
+      // tokenize ONCE per document (the regex kernel is the query's
+      // expensive per-doc work); every branch derives from the warmed
+      // token arrays
+      val docs = warmed(Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          hex64(md5(col("text"))).as("h"),
+          tokens(col("text")).as("toks")))
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("total_tokens"),
+        countDistinct("lang").as("n_langs"))
+      // docs participating in an exact-dup set (content hash seen >= 2x
+      // within the source)
+      val dups = docs.groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy("source").agg(sum("c").as("dup_docs"))
+      val vocab = docs
+        .select(col("source"), explode(col("toks")).as("w"))
+        .groupBy("source").agg(countDistinct("w").as("distinct_tokens"))
+      val result = base
+        .join(vocab, Seq("source"), "left")
+        .join(dups, Seq("source"), "left")
+        .withColumn("distinct_tokens", coalesce(col("distinct_tokens"), lit(0L)))
+        .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+        .withColumn("dup_frac",
+          col("dup_docs").cast("double") / col("n_docs").cast("double"))
+        .select("source", "n_docs", "total_tokens", "distinct_tokens",
+          "n_langs", "dup_docs", "dup_frac")
+      materialized(result, docs).orderBy("source")
+    },
+
     // ---- quality gate: boolean admission filter chain ----
     "q65_quality_gate" -> { (s, d) =>
       Tables.documents(s, d)
@@ -334,6 +377,33 @@ object PipelinePack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q107_source_datacard" ->
+      s"""WITH docs AS (
+         |  SELECT source, lang,
+         |         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h,
+         |         CAST(length(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |                CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |         FROM docs GROUP BY source),
+         |dups AS (SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs FROM (
+         |           SELECT source, h, count(*) AS c FROM docs GROUP BY source, h)
+         |         WHERE c >= 2 GROUP BY source),
+         |tok AS (SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+         |        FROM documents),
+         |vocab AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens
+         |          FROM tok GROUP BY source)
+         |SELECT b.source, b.n_docs, b.total_tokens,
+         |       COALESCE(v.distinct_tokens, 0) AS distinct_tokens,
+         |       b.n_langs,
+         |       COALESCE(d.dup_docs, 0) AS dup_docs,
+         |       CAST(COALESCE(d.dup_docs, 0) AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_frac
+         |FROM base b
+         |LEFT JOIN vocab v ON v.source = b.source
+         |LEFT JOIN dups d ON d.source = b.source
+         |ORDER BY b.source""".stripMargin,
+
     "q46_dedup_retention" ->
       s"""WITH ${DedupPack.ngramPairsCtes},
          |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs

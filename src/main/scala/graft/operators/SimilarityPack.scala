@@ -469,13 +469,19 @@ object SimilarityPack extends QueryPack {
     s.read.parquet(path)
   }
 
-  /** Returns the full ADC ranking (every candidate with its rank per
-    * query — callers cut at topK or pqShortlist), reading the code and
-    * codebook artifacts. */
-  private def pqRanked(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
+  /** Returns the ADC ranking (every candidate with its rank per query —
+    * callers cut at topK or pqShortlist), reading the code and codebook
+    * artifacts. With `cand` (a pre-filtered (q_id, vec_id) set, q103's
+    * probed-cell restriction) the code scan covers only those pairs and
+    * the rank is within the restricted set; without it, every corpus
+    * vector is a candidate for every query (q06/q07). ONE ranking
+    * implementation — tie-break and arithmetic can't diverge between
+    * the restricted and unrestricted paths. */
+  private def pqRanked(s: SparkSession, d: String, vecs: DataFrame,
+                       cand: Option[DataFrame] = None): DataFrame = {
     val cent = pqCentroids(s, d)
     val codes = pqCodesDf(s, d)
-    // the query-side distance tables: 20 queries × 4 subspaces × 16
+    // the query-side distance tables: 20 queries × 4 subspaces × pqK
     // centroids — tiny, broadcast; ADC is then one scan of the codes
     val dt = subvectors(vecs.filter(col("vec_id") < 20))
       .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qsq"))
@@ -483,8 +489,13 @@ object SimilarityPack extends QueryPack {
       .withColumn("dq", l2Q(col("qsq"), col("cq")))
       .select(col("q_id"), col("m"), col("code"), col("dq"))
     val w = Window.partitionBy(col("q_id")).orderBy(asc("adist_q"), asc("vec_id"))
-    codes.join(broadcast(dt), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cand match {
+      case Some(c) => codes.join(c, "vec_id")
+        .join(broadcast(dt), Seq("q_id", "m", "code"))
+      case None => codes.join(broadcast(dt), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+    }
+    scored
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adist_q"))
       .withColumn("rk", row_number().over(w))
@@ -543,18 +554,8 @@ object SimilarityPack extends QueryPack {
     val cand = probes.join(cellOf,
         col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-    val dt = subvectors(vecs.filter(col("vec_id") < 20))
-      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qsq"))
-      .join(pqCentroids(s, d), "m")
-      .withColumn("dq", l2Q(col("qsq"), col("cq")))
-      .select(col("q_id"), col("m"), col("code"), col("dq"))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(asc("adist_q"), asc("vec_id"))
-    val short = pqCodesDf(s, d).join(cand, "vec_id")
-      .join(broadcast(dt), Seq("q_id", "m", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("dq")).as("adist_q"))
-      .withColumn("rs", row_number().over(wAdc))
-      .filter(col("rs") <= pqShortlist)
+    val short = pqRanked(s, d, vecs, Some(cand))
+      .filter(col("rk") <= pqShortlist)
       .select(col("q_id"), col("vec_id"))
     rerankExact(vecs, short)
   }

@@ -44,6 +44,18 @@ object TextPack extends QueryPack {
         ((hex64(md5(concat(lit(s"$r:"), w))) % cmWidth) + 1).cast("int"))
     }.reduce(least(_, _))
 
+  /** The full CMS probe result over a warmed exploded-token frame and a
+    * 1-row sketch frame: exact counts + min-over-rows estimates, sorted.
+    * q104 and q106 share q104's oracle VERBATIM, so their probe halves
+    * must be the same code — this is it (releases `tok`). */
+  private[graft] def probeSketch(tok: DataFrame, sketch: DataFrame): DataFrame = {
+    val result = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", cmEstimate(col("w"), col("cm")))
+      .select(col("w"), col("cnt"), col("est"))
+    materialized(result, tok).orderBy("w")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- heuristic language-ID: stopword-profile argmax. Single
@@ -188,11 +200,7 @@ object TextPack extends QueryPack {
         .select(explode(tokens(col("text"))).as("w")))
       val sketch = tok.agg(
         graft.functions.GraftExpressions.countMin(col("w"), cmDepth, cmWidth).as("cm"))
-      val result = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(sketch))
-        .withColumn("est", cmEstimate(col("w"), col("cm")))
-        .select(col("w"), col("cnt"), col("est"))
-      materialized(result, tok).orderBy("w")
+      probeSketch(tok, sketch)
     },
 
     // ---- bigram statistics: top word-pairs per language via the native

@@ -250,7 +250,7 @@ object StreamingPack extends QueryPack {
     * oracle verbatim (the streaming plan must compute the same answer
     * the batch plan does, the same contract as q33/q77/q98). */
   def streamCountMin(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.TextPack.{cmDepth, cmEstimate, cmWidth}
+    import graft.operators.TextPack.{cmDepth, cmWidth, probeSketch}
     graft.functions.GraftExpressions.ensure(s)
     val docs = s.readStream
       .schema(docSchema)
@@ -271,14 +271,10 @@ object StreamingPack extends QueryPack {
       finally q.stop()
     }
     val sketch = s.table(name)
-    // batch probe over the streamed matrix: q104's estimate column
+    // batch probe over the streamed matrix: q104's probe code, shared
     val tokB = warmed(graft.core.Tables.documents(s, d)
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")))
-    val result = tokB.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(sketch))
-      .withColumn("est", cmEstimate(col("w"), col("cm")))
-      .select(col("w"), col("cnt"), col("est"))
-    materialized(result, tokB).orderBy("w")
+    probeSketch(tokB, sketch)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
