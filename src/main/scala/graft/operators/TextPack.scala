@@ -29,6 +29,9 @@ object TextPack extends QueryPack {
 
   private val stopwords = Seq("the", "a")
 
+  /** BPE merge rounds trained by q108. */
+  private[graft] val bpeRounds = 6
+
   /** Count-Min sketch shape (q104/q106): 4 rows × 2048 counters = 64 KiB
     * of int64 per partial buffer. Excess bound e·N/width ≈ 0.13% of the
     * stream per estimate, each row an independent md5-keyed hash. */
@@ -201,6 +204,55 @@ object TextPack extends QueryPack {
       val sketch = tok.agg(
         graft.functions.GraftExpressions.countMin(col("w"), cmDepth, cmWidth).as("cm"))
       probeSketch(tok, sketch)
+    },
+
+    // ---- BPE merge training (Sennrich et al. 2016, arXiv:1508.07909 —
+    // the tokenizer-training step of every LLM data pipeline): start
+    // from character symbols, repeatedly count adjacent symbol pairs
+    // over the corpus (weighted by word frequency) and merge the most
+    // frequent pair, emitting one merge rule per round. The loop runs
+    // on the WORD-FREQUENCY table (corpus → one groupBy; training then
+    // never rescans the corpus — the 100 TB shape: vocab-sized frames,
+    // argmax via TakeOrderedAndProject, the 1-row winner broadcast into
+    // the rewrite). Determinism: ties break (count DESC, left ASC,
+    // right ASC) on ASCII symbols; the rewrite is plain-string
+    // replace() over a space-padded symbol string — identical
+    // left-to-right non-overlapping semantics in both engines, so the
+    // oracle (unrolled CTE rounds) replays the exact trajectory.
+    // Simplification vs production BPE, documented: no end-of-word
+    // marker, and adjacent overlapping repeats (e.g. "a a a") merge
+    // per replace() semantics — identical on both sides by
+    // construction. ----
+    "q108_bpe_train" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val s0 = words.select(
+        concat(lit(" "),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+          lit(" ")).as("symstr"),
+        col("cnt"))
+      val (rounds, _) = (1 to bpeRounds).foldLeft(
+          (Seq.empty[DataFrame], s0)) { case ((acc, prev), r) =>
+        val syms = split(trim(col("symstr")), " ")
+        val pairs = prev
+          .select(explode(wordShinglesOf(syms, 2)).as("pair"), col("cnt"))
+          .groupBy("pair").agg(sum("cnt").as("pair_count"))
+          .select(expr("split_part(pair, ' ', 1)").as("left_sym"),
+                  expr("split_part(pair, ' ', 2)").as("right_sym"),
+                  col("pair_count"))
+        val best = pairs
+          .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+          .limit(1)
+        val next = prev.crossJoin(broadcast(best))
+          .select(expr(
+            "replace(symstr, ' ' || left_sym || ' ' || right_sym || ' ', " +
+              "' ' || left_sym || right_sym || ' ')").as("symstr"),
+            col("cnt"))
+        (acc :+ best.select(lit(r).as("round"), col("left_sym"),
+          col("right_sym"), col("pair_count")), next)
+      }
+      rounds.reduce(_ union _).orderBy("round")
     },
 
     // ---- bigram statistics: top word-pairs per language via the native
@@ -459,6 +511,39 @@ object TextPack extends QueryPack {
           |SELECT lang, CAST(rk AS INT) AS rk, w AS token, CAST(cnt AS BIGINT) AS cnt
           |FROM ranked WHERE rk <= 3
           |ORDER BY lang, rk""".stripMargin,
+
+      // the BPE training loop unrolled: per round, adjacent-pair counts
+      // over the padded symbol strings, the (count DESC, left, right)
+      // argmax, and the same plain-string replace() rewrite
+      "q108_bpe_train" -> {
+        val rounds = (1 to bpeRounds).map { r =>
+          val src = if (r == 1) "s0" else s"s${r - 1}"
+          s"""p$r AS (
+             |  SELECT syms[g.i] AS left_sym, syms[g.i + 1] AS right_sym,
+             |         CAST(SUM(cnt) AS BIGINT) AS pair_count
+             |  FROM (SELECT string_split(trim(symstr), ' ') AS syms, cnt FROM $src) t$r,
+             |       UNNEST(generate_series(1, greatest(len(syms) - 1, 0))) AS g(i)
+             |  GROUP BY 1, 2),
+             |b$r AS (SELECT left_sym, right_sym, pair_count FROM p$r
+             |        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+             |s$r AS (SELECT replace(symstr, ' ' || b.left_sym || ' ' || b.right_sym || ' ',
+             |                       ' ' || b.left_sym || b.right_sym || ' ') AS symstr, cnt
+             |        FROM $src, b$r b)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to bpeRounds)
+          .map(r => s"SELECT $r AS round, left_sym, right_sym, pair_count FROM b$r")
+          .mkString("\n  UNION ALL ")
+        s"""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+           |  FROM documents),
+           |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+           |s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS symstr, cnt
+           |       FROM words),
+           |$rounds
+           |SELECT round, left_sym, right_sym, pair_count FROM (
+           |  $out)
+           |ORDER BY round""".stripMargin
+      },
 
       // rebuild the identical CMS matrix cell-by-cell in SQL (same md5
       // row hashes), then the same min-over-rows probe — exact compare
