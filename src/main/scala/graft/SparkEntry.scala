@@ -23,6 +23,7 @@ object SparkEntry {
     PipelinePack,
     SimilarityPack,
     TextPack,
+    CleanPack,
     MultimodalPack,
     graft.streaming.StreamingPack
   )

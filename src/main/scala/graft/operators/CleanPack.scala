@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.TextFunctions._
+
+/** Data-cleaning operators for a training-data pipeline: PII redaction,
+  * character-entropy gibberish gating, per-source distribution drift
+  * (KL), and edit-distance record linkage. Each is a standard corpus
+  * curation step (cf. the C4/MassiveText/Dolma pipeline write-ups) kept
+  * in the shapes that survive 100 TB: single map stages where possible,
+  * shuffles only on keys that partial aggregation collapses first, and
+  * candidate generation by equi-join — never all-pairs.
+  */
+object CleanPack extends QueryPack {
+
+  /** PII patterns, RE2 ∩ Java-regex compatible so both engines run the
+    * IDENTICAL pattern strings (no \b, no lookaround). Redaction order
+    * matters and is fixed: email → phone → IP. */
+  private val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private val phonePat = "555-[0-9]{4}"
+  private val ipPat    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** Per-char entropy band for the gibberish gate (micro-nats/char):
+    * below ~2.0 nats is repeated-character junk, above ~5.0 is
+    * random-byte noise (natural English sits near 2.8 nats ≈ 4.1 bits).
+    * The driver corpus sits at 2.55–2.93, so the band is exercised from
+    * inside; the gate VALUES are what the oracle checks exactly. */
+  private val entLo = 2000000L
+  private val entHi = 5000000L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- PII redaction (the scrubbing pass of C4/Dolma-style corpus
+    // builds): regexp count + replace of emails, phone numbers, and
+    // IPv4 literals. The corpus is synthetic and PII-free, so — like
+    // q100's accent lane — each engine first injects PII
+    // deterministically from doc_id (same expression both sides), then
+    // redacts; the gate compares per-doc match counts and the md5 of
+    // the redacted text. Single map stage, zero shuffle except the
+    // final sort — a pure 100 TB corpus scan. ----
+    "q110_pii_redact" -> { (s, d) =>
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" today")))
+        .otherwise(
+          concat(col("text"), lit(" from 10."), pmod(col("doc_id"), lit(200)),
+            lit("."), pmod(col("doc_id"), lit(250)),
+            lit("."), pmod(col("doc_id"), lit(97)), lit(" logged")))
+        .as("t"))
+      injected.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+            .cast("bigint").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ipPat), lit(0)))
+            .cast("bigint").as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"),
+            ipPat, "<IP>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- character-entropy gibberish gate: per-doc Shannon entropy of
+    // the character distribution, the cheap screen that catches
+    // base64 blobs / repeated-char junk before any tokenizer runs.
+    // Integer-deterministic via q05's trick: ln() floor(×1e6)-quantized
+    // PER TERM, summed as int64 — ent_q = n·qln(n) − Σ_c c·qln(c) is
+    // n × entropy in micro-nats, exact in both engines. Shape: explode
+    // chars → groupBy(doc, char) — partial aggregation collapses each
+    // task's chars to ≤ |alphabet| rows per doc before the shuffle, so
+    // the wire carries ~docs×alphabet rows, not corpus characters. ----
+    "q111_char_entropy" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n"),
+             count(lit(1)).as("n_classes"),
+             sum(col("c") * qln(col("c"))).as("sclnc"))
+        .select(col("doc_id"),
+          col("n").cast("bigint").as("n_chars"),
+          col("n_classes").cast("bigint").as("n_classes"),
+          (col("n") * qln(col("n")) - col("sclnc")).cast("bigint").as("ent_q"))
+        .withColumn("keep",
+          col("ent_q") >= col("n_chars") * lit(entLo) &&
+            col("ent_q") <= col("n_chars") * lit(entHi))
+        .orderBy("doc_id")
+    },
+
+    // ---- per-source distribution drift: KL(source ‖ corpus) over the
+    // unigram distributions — the mixture diagnostic that flags an
+    // ingestion source whose language shifted (scraper broke, spam
+    // influx) without reading a single document twice. All frames
+    // after the one corpus scan are vocab-sized; n_s joins via
+    // broadcast (sources-sized), c_w via co-partitioned shuffle on w.
+    // Same per-term floor(×1e6) ln quantization as q05/q111, so the
+    // scaled KL is an exact int64 in both engines. ----
+    "q112_source_kl" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val warm = warmed(sw)
+      val srcTot = warm.groupBy("source").agg(sum("c_sw").as("n_s"))
+      val cw = warm.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val tot = cw.agg(sum("c_w").as("n"))
+      val result = warm
+        .join(broadcast(srcTot), "source")
+        .join(cw, "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(max("n_s").as("n_tokens"),
+             sum(col("c_sw") * (qln(col("c_sw")) - qln(col("n_s"))
+               - qln(col("c_w")) + qln(col("n")))).cast("bigint").as("kl_q"))
+        .select(col("source"), col("n_tokens").cast("bigint").as("n_tokens"),
+          col("kl_q"))
+      materialized(result, warm).orderBy("source")
+    },
+
+    // ---- edit-distance record linkage via the symmetric-delete index
+    // (FastSS, Bocek et al. 2007; the SymSpell layout): to match dirty
+    // strings within edit distance 1 of a clean dictionary, index every
+    // single-char deletion variant of the clean side (L+1 rows per
+    // name — LINEAR expansion) and equi-join the dirty string against
+    // it; verify survivors with levenshtein() and resolve ambiguity by
+    // the (distance, key) argmin. No all-pairs comparison and no
+    // fragile blocking keys — the candidate set is exact for the
+    // supported radius by construction. The dirty side is the
+    // deterministic corruption: drop one digit of c_name at position
+    // 10 + custkey%8 (same expression in the oracle). ----
+    "q113_fuzzy_match" -> { (s, d) =>
+      val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val dirty = clean.select(col("c_custkey").as("dirty_key"),
+        expr("concat(substr(c_name, 1, cast(9 + c_custkey % 8 as int)), " +
+          "substr(c_name, cast(11 + c_custkey % 8 as int)))").as("dirty_name"))
+      val variants = clean.select(col("c_custkey"), col("c_name"),
+        explode(expr("transform(sequence(1, length(c_name)), " +
+          "i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)))"))
+          .as("variant"))
+      val cand = variants
+        .join(dirty, col("variant") === col("dirty_name"))
+        .select(col("dirty_key"), col("dirty_name"),
+          col("c_custkey"), col("c_name"))
+        .distinct()
+        .withColumn("lev",
+          levenshtein(col("c_name"), col("dirty_name")).cast("bigint"))
+        .where(col("lev") <= 1)
+      cand
+        .withColumn("rk", row_number().over(Window.partitionBy("dirty_key")
+          .orderBy(col("lev"), col("c_custkey"))))
+        .where(col("rk") === 1)
+        .select(col("dirty_key"), col("dirty_name"),
+          col("c_custkey").as("matched_key"), col("c_name").as("matched_name"),
+          col("lev"))
+        .orderBy("dirty_key")
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q110_pii_redact" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN text || ' contact user' || doc_id || '@example.com now'
+         |      WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      ELSE text || ' from 10.' || doc_id % 200 || '.' || doc_id % 250 || '.' || doc_id % 97 || ' logged'
+         |    END AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$emailPat', '<EMAIL>', 'g'),
+         |      '$phonePat', '<PHONE>', 'g'),
+         |      '$ipPat', '<IP>', 'g')) AS redacted_md5
+         |FROM inj
+         |ORDER BY doc_id""".stripMargin,
+
+    "q111_char_entropy" ->
+      s"""WITH cc AS (
+         |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS n_classes,
+         |         CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc
+         |  FROM cc GROUP BY 1)
+         |SELECT doc_id, n AS n_chars, n_classes,
+         |       n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - sclnc AS ent_q,
+         |       (n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - sclnc
+         |          BETWEEN n * $entLo AND n * $entHi) AS keep
+         |FROM e
+         |ORDER BY doc_id""".stripMargin,
+
+    "q112_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+        |cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw)
+        |SELECT sw.source, max(st.n_s) AS n_tokens,
+        |       CAST(SUM(c_sw * (CAST(floor(ln(CAST(c_sw AS DOUBLE)) * 1e6) AS BIGINT)
+        |                      - CAST(floor(ln(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT)
+        |                      - CAST(floor(ln(CAST(c_w AS DOUBLE)) * 1e6) AS BIGINT)
+        |                      + CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS kl_q
+        |FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
+        |GROUP BY 1
+        |ORDER BY source""".stripMargin,
+
+    "q113_fuzzy_match" ->
+      """WITH clean AS (SELECT c_custkey, c_name FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS dirty_key,
+        |         substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT)) ||
+        |         substr(c_name, CAST(11 + c_custkey % 8 AS INT)) AS dirty_name
+        |  FROM customer),
+        |var AS (
+        |  SELECT c_custkey, c_name,
+        |         unnest(list_transform(generate_series(1, length(c_name)),
+        |                i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))) AS variant
+        |  FROM clean),
+        |cand AS (
+        |  SELECT DISTINCT d.dirty_key, d.dirty_name, v.c_custkey, v.c_name
+        |  FROM var v JOIN dirty d ON v.variant = d.dirty_name)
+        |SELECT dirty_key, dirty_name, c_custkey AS matched_key,
+        |       c_name AS matched_name,
+        |       CAST(levenshtein(c_name, dirty_name) AS BIGINT) AS lev
+        |FROM cand
+        |WHERE levenshtein(c_name, dirty_name) <= 1
+        |QUALIFY row_number() OVER (PARTITION BY dirty_key
+        |                           ORDER BY lev, matched_key) = 1
+        |ORDER BY dirty_key""".stripMargin
+  )
+}

@@ -32,6 +32,54 @@ object TextPack extends QueryPack {
   /** BPE merge rounds trained by q108. */
   private[graft] val bpeRounds = 6
 
+  /** The BPE training fold (Sennrich et al. 2016) shared by q108 (the
+    * merge-rule trajectory) and q109 (the induced vocabulary). Returns
+    * (one labeled best-pair frame per round, the final symbol-string
+    * state, the warmed s0 for the caller to release via
+    * [[materialized]]).
+    *
+    * Each round's 1-row argmax winner is checkpointed before use:
+    * without that the lazy plan re-embeds every prior round's
+    * aggregation (round r's state references best_r AND the full prior
+    * state, so the plan doubles per round and round 1's groupBy would
+    * re-execute 2^(r-1) times). With the checkpoint plus the warmed s0,
+    * each round scans the cached word-frequency table through r narrow
+    * replace projections — per-round work stays O(vocab), and the
+    * corpus is only ever scanned once (the initial groupBy).
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val s0 = warmed(words.select(
+      concat(lit(" "),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+        lit(" ")).as("symstr"),
+      col("cnt")))
+    val (rounds, fin) = (1 to bpeRounds).foldLeft(
+        (Seq.empty[DataFrame], s0: DataFrame)) { case ((acc, prev), r) =>
+      val syms = split(trim(col("symstr")), " ")
+      val pairs = prev
+        .select(explode(wordShinglesOf(syms, 2)).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pair_count"))
+        .select(expr("split_part(pair, ' ', 1)").as("left_sym"),
+                expr("split_part(pair, ' ', 2)").as("right_sym"),
+                col("pair_count"))
+      val best = materialized(pairs
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(1))
+      val next = prev.crossJoin(broadcast(best))
+        .select(expr(
+          "replace(symstr, ' ' || left_sym || ' ' || right_sym || ' ', " +
+            "' ' || left_sym || right_sym || ' ')").as("symstr"),
+          col("cnt"))
+      (acc :+ best.select(lit(r).as("round"), col("left_sym"),
+        col("right_sym"), col("pair_count")), next)
+    }
+    (rounds, fin, s0)
+  }
+
   /** Count-Min sketch shape (q104/q106): 4 rows × 2048 counters = 64 KiB
     * of int64 per partial buffer. Excess bound e·N/width ≈ 0.13% of the
     * stream per estimate, each row an independent md5-keyed hash. */
@@ -224,35 +272,21 @@ object TextPack extends QueryPack {
     // per replace() semantics — identical on both sides by
     // construction. ----
     "q108_bpe_train" -> { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-      val s0 = words.select(
-        concat(lit(" "),
-          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
-          lit(" ")).as("symstr"),
-        col("cnt"))
-      val (rounds, _) = (1 to bpeRounds).foldLeft(
-          (Seq.empty[DataFrame], s0)) { case ((acc, prev), r) =>
-        val syms = split(trim(col("symstr")), " ")
-        val pairs = prev
-          .select(explode(wordShinglesOf(syms, 2)).as("pair"), col("cnt"))
-          .groupBy("pair").agg(sum("cnt").as("pair_count"))
-          .select(expr("split_part(pair, ' ', 1)").as("left_sym"),
-                  expr("split_part(pair, ' ', 2)").as("right_sym"),
-                  col("pair_count"))
-        val best = pairs
-          .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
-          .limit(1)
-        val next = prev.crossJoin(broadcast(best))
-          .select(expr(
-            "replace(symstr, ' ' || left_sym || ' ' || right_sym || ' ', " +
-              "' ' || left_sym || right_sym || ' ')").as("symstr"),
-            col("cnt"))
-        (acc :+ best.select(lit(r).as("round"), col("left_sym"),
-          col("right_sym"), col("pair_count")), next)
-      }
-      rounds.reduce(_ union _).orderBy("round")
+      val (rounds, _, s0) = bpeTrain(s, d)
+      materialized(rounds.reduce(_ union _), s0).orderBy("round")
+    },
+
+    // ---- the vocabulary the trained BPE induces: apply the final
+    // merged state (shared fold with q108) and count each subword
+    // symbol weighted by word frequency — the vocab-file step that
+    // follows merge training in a tokenizer build. Same 100 TB shape
+    // as training: one pass over the vocab-sized symbol table. ----
+    "q109_bpe_vocab" -> { (s, d) =>
+      val (_, fin, s0) = bpeTrain(s, d)
+      val vocab = fin
+        .select(explode(split(trim(col("symstr")), " ")).as("sym"), col("cnt"))
+        .groupBy("sym").agg(sum("cnt").as("freq"))
+      materialized(vocab, s0).orderBy(desc("freq"), asc("sym"))
     },
 
     // ---- bigram statistics: top word-pairs per language via the native
@@ -419,6 +453,33 @@ object TextPack extends QueryPack {
     }
   )
 
+  /** The BPE trajectory as unrolled DuckDB CTEs (shared by the q108 and
+    * q109 oracles): tok → words → s0, then per round r the pair counts
+    * (p_r), the argmax (b_r), and the rewritten state (s_r). */
+  private def bpeOracleCtes: String = {
+    val rounds = (1 to bpeRounds).map { r =>
+      val src = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[g.i] AS left_sym, syms[g.i + 1] AS right_sym,
+         |         CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(trim(symstr), ' ') AS syms, cnt FROM $src) t$r,
+         |       UNNEST(generate_series(1, greatest(len(syms) - 1, 0))) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT left_sym, right_sym, pair_count FROM p$r
+         |        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+         |s$r AS (SELECT replace(symstr, ' ' || b.left_sym || ' ' || b.right_sym || ' ',
+         |                       ' ' || b.left_sym || b.right_sym || ' ') AS symstr, cnt
+         |        FROM $src, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+       |  FROM documents),
+       |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+       |s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS symstr, cnt
+       |       FROM words),
+       |$rounds""".stripMargin
+  }
+
   override def oracle: Map[String, String] = {
     val profileValues = langProfiles
       .map { case (l, ws) => s"('$l', ${ws.map(w => s"'$w'").mkString("[", ",", "]")})" }
@@ -516,34 +577,24 @@ object TextPack extends QueryPack {
       // over the padded symbol strings, the (count DESC, left, right)
       // argmax, and the same plain-string replace() rewrite
       "q108_bpe_train" -> {
-        val rounds = (1 to bpeRounds).map { r =>
-          val src = if (r == 1) "s0" else s"s${r - 1}"
-          s"""p$r AS (
-             |  SELECT syms[g.i] AS left_sym, syms[g.i + 1] AS right_sym,
-             |         CAST(SUM(cnt) AS BIGINT) AS pair_count
-             |  FROM (SELECT string_split(trim(symstr), ' ') AS syms, cnt FROM $src) t$r,
-             |       UNNEST(generate_series(1, greatest(len(syms) - 1, 0))) AS g(i)
-             |  GROUP BY 1, 2),
-             |b$r AS (SELECT left_sym, right_sym, pair_count FROM p$r
-             |        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
-             |s$r AS (SELECT replace(symstr, ' ' || b.left_sym || ' ' || b.right_sym || ' ',
-             |                       ' ' || b.left_sym || b.right_sym || ' ') AS symstr, cnt
-             |        FROM $src, b$r b)""".stripMargin
-        }.mkString(",\n")
         val out = (1 to bpeRounds)
           .map(r => s"SELECT $r AS round, left_sym, right_sym, pair_count FROM b$r")
           .mkString("\n  UNION ALL ")
-        s"""WITH tok AS (
-           |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
-           |  FROM documents),
-           |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
-           |s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS symstr, cnt
-           |       FROM words),
-           |$rounds
+        s"""WITH $bpeOracleCtes
            |SELECT round, left_sym, right_sym, pair_count FROM (
            |  $out)
            |ORDER BY round""".stripMargin
       },
+
+      // same unrolled trajectory, then explode the FINAL state's
+      // symbols into the weighted vocabulary
+      "q109_bpe_vocab" ->
+        s"""WITH $bpeOracleCtes
+           |SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq
+           |FROM (SELECT unnest(string_split(trim(symstr), ' ')) AS sym, cnt
+           |      FROM s$bpeRounds)
+           |GROUP BY sym
+           |ORDER BY freq DESC, sym""".stripMargin,
 
       // rebuild the identical CMS matrix cell-by-cell in SQL (same md5
       // row hashes), then the same min-over-rows probe — exact compare

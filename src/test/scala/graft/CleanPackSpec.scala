@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins CleanPack semantics beyond the dual-engine gate:
+  *   - q113's symmetric-delete linkage equals a brute-force
+  *     deletion-neighborhood model, including ambiguity resolution by
+  *     (distance, key) argmin and duplicate-name candidates;
+  *   - q111's quantized entropy equals the hand-computed value and the
+  *     keep band actually rejects low-entropy junk.
+  */
+class CleanPackSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val tmp = Files.createTempDirectory("graft-clean").toString
+    // length-18 names; keys 5 and 6 share a name so one dirty string
+    // has two clean candidates and the (lev, key) argmin must pick 5
+    val names = Seq(
+      0L -> "alpha-store-000001",
+      1L -> "alpha-store-000002",
+      2L -> "beta-market-00x-07",
+      3L -> "gamma-depot-999999",
+      4L -> "delta-outlet-55555",
+      5L -> "twin-name-duplicat",
+      6L -> "twin-name-duplicat",
+      7L -> "omega-shop-abcdefg")
+    names.map { case (k, n) => (k, n, 1, 10.0, "SEG") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((0L, "aab", "en", "s0", 3L), (1L, "zzzzzzzz", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def deletions(s: String): Seq[String] =
+    s.indices.map(i => s.take(i) + s.drop(i + 1))
+
+  test("q113 equals the brute-force deletion-neighborhood model") {
+    val clean = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L).zip(Seq(
+      "alpha-store-000001", "alpha-store-000002", "beta-market-00x-07",
+      "gamma-depot-999999", "delta-outlet-55555", "twin-name-duplicat",
+      "twin-name-duplicat", "omega-shop-abcdefg"))
+    val dirty = clean.map { case (k, n) =>
+      val pos = (10 + k % 8).toInt // 1-based delete position
+      (k, n.take(pos - 1) + n.drop(pos))
+    }
+    val expected = dirty.map { case (dk, dn) =>
+      val candidates = clean.filter { case (_, cn) => deletions(cn).contains(dn) }
+      val (mk, mn) = candidates.minBy(_._1)
+      (dk, dn, mk, mn, 1L)
+    }.sortBy(_._1)
+
+    val rows = SparkEntry.queries("q113_fuzzy_match")(spark, dir)
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(rows === expected)
+    // the shared-name pair resolved to the smaller key
+    assert(rows.filter(_._4 == "twin-name-duplicat").map(_._3).toSet === Set(5L))
+  }
+
+  test("q111 entropy is the hand-computed quantized value; band rejects junk") {
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    // "aab": n=3, counts a:2 b:1 → ent_q = 3·qln(3) − 2·qln(2) − 1·qln(1)
+    val expAab = 3 * qln(3) - 2 * qln(2) - 1 * qln(1)
+    val rows = SparkEntry.queries("q111_char_entropy")(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows(0) === ((0L, 3L, 2L, expAab, false))) // 0.64 nats/char < 2.0
+    assert(rows(1) === ((1L, 8L, 1L, 0L, false)))     // single-char junk: 0 entropy
+    spark.catalog.clearCache()
+  }
+}
