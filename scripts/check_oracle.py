@@ -43,6 +43,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     n_pass = n_fail = n_noracle = 0
+    # A query that THROWS inside graft.Verify writes no output dir at
+    # all — without this check it would silently vanish from the report
+    # (bitten once: an artifact-rename collision killed 3 queries and
+    # the gate still said "0 fail").
+    have = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    for name in sorted(set(oracles) - have):
+        print(f"FAIL {name}: query produced no output (Verify error?)")
+        n_fail += 1
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():
             continue

@@ -87,8 +87,10 @@ object Artifacts {
           val tmp = root.resolve(s"${name}_tmp_${ProcessHandle.current().pid()}")
           build(tmp.toString)
           try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException |
-                       _: java.nio.file.DirectoryNotEmptyException =>
+          // FileSystemException, not just its two subclasses: a rename
+          // onto an existing non-empty directory surfaces as the generic
+          // ENOTEMPTY FileSystemException on Linux
+          catch { case _: java.nio.file.FileSystemException =>
             // lost a cross-process race: the winner's artifact stands
             import scala.jdk.CollectionConverters._
             val w = Files.walk(tmp)

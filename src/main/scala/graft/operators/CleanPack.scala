@@ -130,6 +130,51 @@ object CleanPack extends QueryPack {
       materialized(result, warm).orderBy("source")
     },
 
+    // ---- robust outlier detection: median absolute deviation (MAD),
+    // the robust-statistics screen that survives the heavy-tailed junk
+    // that breaks mean/stddev z-scores. Entirely integer-exact: values
+    // quantized to cents via the decimal cast, medians as the q83
+    // window-midpoint doubled (med2 = 2×median stays integral for even
+    // groups), and the Hampel-style flag 2·dev2 > 3·mad2 compares pure
+    // int64 — no float ever aggregates. Shape: two window passes keyed
+    // by the group column (the exact-median cost; at extreme group
+    // sizes swap in approx_percentile and keep the flag rule). ----
+    "q115_mad_outliers" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""
+        WITH c AS (
+          SELECT c_nationkey, c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM customer),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY cents, c_custkey) AS rn,
+                 count(*) OVER (PARTITION BY c_nationkey) AS cnt
+          FROM c),
+        m AS (
+          SELECT c_nationkey,
+                 CAST(SUM(CASE WHEN rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2 THEN cents END)
+                      * (max(cnt) % 2 + 1) AS BIGINT) AS med2
+          FROM r GROUP BY c_nationkey),
+        dev AS (
+          SELECT c.c_nationkey, c.c_custkey, c.cents, m.med2,
+                 abs(2 * c.cents - m.med2) AS dev2
+          FROM c JOIN m ON c.c_nationkey = m.c_nationkey),
+        r2 AS (
+          SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY dev2, c_custkey) AS rn,
+                 count(*) OVER (PARTITION BY c_nationkey) AS cnt
+          FROM dev),
+        m2 AS (
+          SELECT c_nationkey,
+                 CAST(SUM(CASE WHEN rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2 THEN dev2 END)
+                      * (max(cnt) % 2 + 1) AS BIGINT) AS mad2
+          FROM r2 GROUP BY c_nationkey)
+        SELECT dev.c_nationkey, dev.c_custkey, dev.cents, dev.med2, dev.dev2, m2.mad2,
+               (2 * dev.dev2 > 3 * m2.mad2) AS is_outlier
+        FROM dev JOIN m2 ON dev.c_nationkey = m2.c_nationkey
+        ORDER BY c_nationkey, c_custkey
+      """)
+    },
+
     // ---- edit-distance record linkage via the symmetric-delete index
     // (FastSS, Bocek et al. 2007; the SymSpell layout): to match dirty
     // strings within edit distance 1 of a clean dictionary, index every
@@ -223,6 +268,38 @@ object CleanPack extends QueryPack {
         |FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY source""".stripMargin,
+
+    "q115_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY cents, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS cnt
+        |  FROM c),
+        |m AS (
+        |  SELECT c_nationkey,
+        |         CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN cents END)
+        |              * (max(cnt) % 2 + 1) AS BIGINT) AS med2
+        |  FROM r GROUP BY c_nationkey),
+        |dev AS (
+        |  SELECT c.c_nationkey, c.c_custkey, c.cents, m.med2,
+        |         abs(2 * c.cents - m.med2) AS dev2
+        |  FROM c JOIN m ON c.c_nationkey = m.c_nationkey),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY dev2, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS cnt
+        |  FROM dev),
+        |m2 AS (
+        |  SELECT c_nationkey,
+        |         CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN dev2 END)
+        |              * (max(cnt) % 2 + 1) AS BIGINT) AS mad2
+        |  FROM r2 GROUP BY c_nationkey)
+        |SELECT dev.c_nationkey, dev.c_custkey, dev.cents, dev.med2, dev.dev2, m2.mad2,
+        |       (2 * dev.dev2 > 3 * m2.mad2) AS is_outlier
+        |FROM dev JOIN m2 ON dev.c_nationkey = m2.c_nationkey
+        |ORDER BY dev.c_nationkey, dev.c_custkey""".stripMargin,
 
     "q113_fuzzy_match" ->
       """WITH clean AS (SELECT c_custkey, c_name FROM customer),

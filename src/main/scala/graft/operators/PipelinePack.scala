@@ -270,6 +270,42 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- training-sequence packing: the concat-and-chunk step that
+    // turns the cleaned corpus into fixed-length training sequences
+    // (every GPT-style pipeline ends here — docs concatenated in order
+    // and sliced every seqLen tokens, documents spanning chunk
+    // boundaries). Packing runs PER SOURCE (the shard unit): the
+    // prefix sum is a window keyed by source, so no global
+    // single-reducer cumsum — each shard packs independently, exactly
+    // how a 1000-executor job lays out shards. A doc touching k chunks
+    // emits k rows via sequence() (linear in corpus tokens / seqLen);
+    // per-chunk stats aggregate by (source, chunk). All integer
+    // arithmetic — exact in both engines. ----
+    "q116_seq_pack" -> { (s, d) =>
+      val seqLen = 512L
+      val n = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("bigint").as("n"))
+        .where(col("n") > 0)
+      val cum = n
+        .withColumn("end_tok", sum("n").over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .withColumn("start_tok", col("end_tok") - col("n"))
+      val spans = cum.select(col("source"), col("doc_id"),
+          col("start_tok"), col("end_tok"),
+          explode(sequence(expr(s"start_tok div $seqLen"),
+            expr(s"(end_tok - 1) div $seqLen"))).as("chunk_id"))
+        .withColumn("toks_in_chunk",
+          least(col("end_tok"), (col("chunk_id") + 1) * seqLen) -
+            greatest(col("start_tok"), col("chunk_id") * seqLen))
+      spans.groupBy("source", "chunk_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("toks_in_chunk").cast("bigint").as("n_tokens"),
+          min("doc_id").cast("bigint").as("first_doc"),
+          max("doc_id").cast("bigint").as("last_doc"))
+        .orderBy("source", "chunk_id")
+    },
+
     // ---- the capstone: one corpus-build manifest — every document's
     // final admission verdict with the reason it was dropped. Chains the
     // real pipeline end-to-end: quality gate (q65's predicate) →
@@ -551,6 +587,32 @@ object PipelinePack extends QueryPack {
         |         AS expected_tokens
         |FROM per, tot
         |ORDER BY lang""".stripMargin,
+
+    // same per-source prefix sum, chunk-range unnest, and clipped
+    // overlap arithmetic — all integral
+    "q116_seq_pack" ->
+      """WITH n AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |                              w -> w <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT source, doc_id, n,
+        |         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_tok,
+        |         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n AS start_tok
+        |  FROM n WHERE n > 0),
+        |spans AS (
+        |  SELECT source, doc_id, start_tok, end_tok, g.cid AS chunk_id,
+        |         least(end_tok, (g.cid + 1) * 512) - greatest(start_tok, g.cid * 512) AS toks_in_chunk
+        |  FROM cum, UNNEST(generate_series(start_tok // 512, (end_tok - 1) // 512)) AS g(cid))
+        |SELECT source, chunk_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(toks_in_chunk) AS BIGINT) AS n_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM spans
+        |GROUP BY 1, 2
+        |ORDER BY source, chunk_id""".stripMargin,
 
     "q66_sample_stratified" ->
       """WITH t AS (
