@@ -270,6 +270,44 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- triangle counting over the word-adjacency graph: the third
+    // graph primitive next to PageRank (q55) and connected components
+    // (q47) — the local-clustering signal. Edges are ADJACENT
+    // co-occurrence (distinct normalized bigram pairs seen in ≥3 docs):
+    // linear in corpus tokens, never the quadratic all-pairs
+    // within-doc co-occurrence. Counting is the standard ordered
+    // edge-iterator: every edge stored once as (a < b), wedges from a
+    // shared lower endpoint joined against the closing edge — two
+    // equi-joins on the edge table, the compact-forward algorithm that
+    // scales by degree, not by vertex count. Output: per-word triangle
+    // participation. ----
+    "q118_triangle_count" -> { (s, d) =>
+      val edges = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .select(col("doc_id"),
+          expr("split_part(bg, ' ', 1)").as("w1"),
+          expr("split_part(bg, ' ', 2)").as("w2"))
+        .where(col("w1") =!= col("w2"))
+        .select(col("doc_id"),
+          least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 3)
+        .select("a", "b"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .join(edges.as("e3"),
+          col("y") === col("e3.a") && col("z") === col("e3.b"))
+        .select("x", "y", "z")
+      val result = tri.select(explode(array(col("x"), col("y"), col("z"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("bigint").as("n_triangles"))
+      materialized(result, edges).orderBy("w")
+    },
+
     // ---- training-sequence packing: the concat-and-chunk step that
     // turns the cleaned corpus into fixed-length training sequences
     // (every GPT-style pipeline ends here — docs concatenated in order
@@ -587,6 +625,25 @@ object PipelinePack extends QueryPack {
         |         AS expected_tokens
         |FROM per, tot
         |ORDER BY lang""".stripMargin,
+
+    // same ordered edge construction and wedge-close joins
+    "q118_triangle_count" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+        |  FROM documents),
+        |bgp AS (
+        |  SELECT DISTINCT doc_id, least(ts[g.i], ts[g.i + 1]) AS a, greatest(ts[g.i], ts[g.i + 1]) AS b
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)
+        |  WHERE ts[g.i] <> ts[g.i + 1]),
+        |e AS (SELECT a, b FROM bgp GROUP BY a, b HAVING count(*) >= 3),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT x AS w FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY w
+        |ORDER BY w""".stripMargin,
 
     // same per-source prefix sum, chunk-range unnest, and clipped
     // overlap arithmetic — all integral

@@ -334,6 +334,40 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- bigram-LM document scoring: the next step up from q05's
+    // unigram scorer toward KenLM-style fluency filtering — per-doc
+    // average log P(w2|w1) under the corpus's own bigram counts with
+    // Laplace smoothing, P(w2|w1) = (c12+1)/(c1+V). Same determinism
+    // contract as q05/q111/q112: ln() floor(×1e6)-quantized PER TERM,
+    // weighted by int64 occurrence counts. Shape: docs collapse to
+    // (doc, bigram) counts (map-side combine); the corpus bigram and
+    // unigram tables derive from those same frames (no second corpus
+    // scan); scoring is two vocab-keyed equi-joins + one 1-row V
+    // broadcast. ----
+    "q117_bigram_lm" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dbg = warmed(docs
+        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
+      val c12 = dbg.groupBy("bg").agg(sum("c").as("c12"))
+      val c1 = docs
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      val result = dbg
+        .join(c12, "bg")
+        .join(c1, expr("w = split_part(bg, ' ', 1)"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("bigint").as("n_bigrams"),
+          sum(col("c") * (qln(col("c12") + 1) - qln(col("c1") + col("v"))))
+            .cast("bigint").as("logprob_q"))
+      materialized(result, dbg).orderBy("doc_id")
+    },
+
     // ---- bigram statistics: top word-pairs per language via the native
     // top-k aggregate (token array materialized before the shingle
     // lambda — see the HOF-CSE note in DedupPack.ngramPairs) ----
@@ -640,6 +674,30 @@ object TextPack extends QueryPack {
            |      FROM s$bpeRounds)
            |GROUP BY sym
            |ORDER BY freq DESC, sym""".stripMargin,
+
+      // identical (doc, bigram) / corpus-count construction, identical
+      // per-term floors
+      "q117_bigram_lm" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS bg
+          |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |dbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+          |c12 AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c12 FROM dbg GROUP BY 1),
+          |tok AS (SELECT unnest(ts) AS w FROM toks),
+          |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+          |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1)
+          |SELECT dbg.doc_id,
+          |       CAST(SUM(dbg.c) AS BIGINT) AS n_bigrams,
+          |       CAST(SUM(dbg.c * (CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |                       - CAST(floor(ln(CAST(c1.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS logprob_q
+          |FROM dbg JOIN c12 USING (bg)
+          |         JOIN c1 ON c1.w = split_part(dbg.bg, ' ', 1)
+          |         CROSS JOIN v
+          |GROUP BY dbg.doc_id
+          |ORDER BY doc_id""".stripMargin,
 
       // same trajectory; the final state's per-word symbol count joins
       // the (doc, word) count table to tokenize by equi-join
