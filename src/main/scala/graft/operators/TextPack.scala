@@ -368,6 +368,88 @@ object TextPack extends QueryPack {
       materialized(result, dbg).orderBy("doc_id")
     },
 
+    // ---- Naive-Bayes classifier, training half: the "quality/domain
+    // classifier" stage of a CCNet/GPT-3-style pipeline, expressed as
+    // what it really is at scale — pure counting. Train on the held-in
+    // split (doc_id % 5 != 0, the q76 held-out-slice precedent with a
+    // portable integer split); the model IS two aggregations: per-class
+    // token counts (one groupBy over the corpus scan, map-side combine)
+    // and per-class totals. Output: per-class top-10 evidence words +
+    // class stats — bounded rows regardless of corpus size. ----
+    "q119_nb_train" -> { (s, d) =>
+      val clw = warmed(Tables.documents(s, d)
+        .where(col("doc_id") % 5 =!= 0)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).cast("bigint").as("cnt")))
+      val stats = clw.groupBy("lang").agg(
+        sum("cnt").cast("bigint").as("lang_tokens"),
+        count(lit(1)).cast("bigint").as("lang_vocab"))
+      val result = clw
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))))
+        .where(col("rank") <= 10)
+        .join(stats, "lang")
+        .select(col("lang"), col("rank").cast("bigint").as("rank"),
+          col("w"), col("cnt"), col("lang_tokens"), col("lang_vocab"))
+      materialized(result, clw).orderBy("lang", "rank")
+    },
+
+    // ---- Naive-Bayes classifier, scoring half: classify the held-out
+    // 20% under the held-in model. score(l) = log P(l) + sum_w c_w *
+    // log P(w|l), Laplace-smoothed; tokens unseen in class l factor out
+    // as -n_tok * ln(c_l + V), so scoring needs ONE vocab-keyed
+    // equi-join (doc-word counts x class-word counts — co-partitioned
+    // by w, never broadcast) plus a broadcast of the tiny per-class
+    // table. argmax per doc with (score desc, lang) tie-break. Same
+    // int64 ln-quantization as q05/q117 so both engines agree bit-for-
+    // bit. ----
+    "q120_nb_classify" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      val train = all.where(col("doc_id") % 5 =!= 0)
+      val clw = warmed(train
+        .select(col("lang"), explode(col("toks")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c_lw")))
+      val ldoc = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val ltok = clw.groupBy("lang").agg(sum("c_lw").as("c_l"))
+      val tot = ldoc.agg(sum("n_docs").as("n_train"),
+        count(lit(1)).as("n_langs"))
+      val voc = clw.select("w").distinct().agg(count(lit(1)).as("v"))
+      // per-class constants: tiny (one row per class) -> broadcast
+      val classes = ldoc.join(ltok, "lang")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+        .select(col("lang"),
+          (qln(col("n_docs") + 1) - qln(col("n_train") + col("n_langs")))
+            .as("prior_q"),
+          qln(col("c_l") + col("v")).as("denom_q"))
+      val held = all.where(col("doc_id") % 5 === 0)
+      val dwc = held
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val matched = dwc.join(clw, "w")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") * qln(col("c_lw") + 1)).as("m"))
+      val scored = held
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          size(col("toks")).cast("bigint").as("n_tok"))
+        .crossJoin(broadcast(classes))
+        .join(matched, Seq("doc_id", "lang"), "left")
+        .withColumn("score_q",
+          col("prior_q") + coalesce(col("m"), lit(0L)) -
+            col("n_tok") * col("denom_q"))
+      val result = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
+          col("score_q").cast("bigint").as("score_q"),
+          when(col("lang") === col("true_lang"), 1L).otherwise(0L)
+            .cast("bigint").as("correct"))
+      materialized(result, clw).orderBy("doc_id")
+    },
+
     // ---- bigram statistics: top word-pairs per language via the native
     // top-k aggregate (token array materialized before the shingle
     // lambda — see the HOF-CSE note in DedupPack.ngramPairs) ----
@@ -697,6 +779,65 @@ object TextPack extends QueryPack {
           |         JOIN c1 ON c1.w = split_part(dbg.bg, ' ', 1)
           |         CROSS JOIN v
           |GROUP BY dbg.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // same held-in split, same per-class counting, same top-10
+      // tie-break (cnt desc, word asc)
+      "q119_nb_train" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents WHERE doc_id % 5 <> 0),
+          |clw AS (
+          |  SELECT lang, unnest(ts) AS w FROM toks),
+          |cnts AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM clw GROUP BY 1, 2),
+          |stats AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_tokens, CAST(count(*) AS BIGINT) AS lang_vocab FROM cnts GROUP BY 1),
+          |ranked AS (
+          |  SELECT lang, w, cnt, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS BIGINT) AS rank
+          |  FROM cnts)
+          |SELECT r.lang, r.rank, r.w, r.cnt, s.lang_tokens, s.lang_vocab
+          |FROM ranked r JOIN stats s USING (lang)
+          |WHERE r.rank <= 10
+          |ORDER BY lang, rank""".stripMargin,
+
+      // identical split, Laplace terms, per-term floors, and
+      // (score desc, lang) argmax tie-break
+      "q120_nb_classify" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+          |held AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+          |tw AS (SELECT lang, unnest(ts) AS w FROM train),
+          |clw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_lw FROM tw GROUP BY 1, 2),
+          |ldoc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY 1),
+          |ltok AS (SELECT lang, CAST(SUM(c_lw) AS BIGINT) AS c_l FROM clw GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train, CAST(count(*) AS BIGINT) AS n_langs FROM ldoc),
+          |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM clw),
+          |classes AS (
+          |  SELECT ldoc.lang,
+          |    CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |      - CAST(floor(ln(CAST(n_train + n_langs AS DOUBLE)) * 1e6) AS BIGINT) AS prior_q,
+          |    CAST(floor(ln(CAST(c_l + v AS DOUBLE)) * 1e6) AS BIGINT) AS denom_q
+          |  FROM ldoc JOIN ltok USING (lang) CROSS JOIN tot CROSS JOIN voc),
+          |dw AS (SELECT doc_id, unnest(ts) AS w FROM held),
+          |dwc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY 1, 2),
+          |matched AS (
+          |  SELECT doc_id, lang,
+          |    CAST(SUM(c * CAST(floor(ln(CAST(c_lw + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS m
+          |  FROM dwc JOIN clw USING (w) GROUP BY 1, 2),
+          |docs0 AS (SELECT doc_id, lang AS true_lang, CAST(len(ts) AS BIGINT) AS n_tok FROM held),
+          |scored AS (
+          |  SELECT d.doc_id, d.true_lang, c.lang,
+          |    c.prior_q + COALESCE(m.m, 0) - d.n_tok * c.denom_q AS score_q
+          |  FROM docs0 d CROSS JOIN classes c
+          |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = c.lang),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rk
+          |  FROM scored)
+          |SELECT doc_id, true_lang, lang AS pred_lang, CAST(score_q AS BIGINT) AS score_q,
+          |       CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+          |FROM ranked
+          |WHERE rk = 1
           |ORDER BY doc_id""".stripMargin,
 
       // same trajectory; the final state's per-word symbol count joins
