@@ -248,6 +248,10 @@ object GraftExpressions {
       SpaceSavingTopK.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_countmin",
       CountMinSketchAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom",
+      BloomFilterAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      BloomMightContain.fromExprs, "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -280,4 +284,13 @@ object GraftExpressions {
     call_function("graft_countmin", c,
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
+
+  def bloom(key: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom", key,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes))
+
+  def bloomMightContain(bf: Column, key: Column, numHashes: Int): Column =
+    call_function("graft_bloom_might_contain", bf, key,
+      org.apache.spark.sql.functions.lit(numHashes))
 }

@@ -33,6 +33,39 @@ object RelationalPack3 extends QueryPack {
       """)
     },
 
+    // ---- Bloom-filter semi-join reduction: the runtime-filter pattern
+    // for fact⋈dim joins where the dim key SET is too big to broadcast
+    // as a hash relation but its Bloom filter (~16 bits/key) is
+    // megabytes. Build the filter ONCE over the dim keys (native
+    // linear-merge aggregate — partials OR map-side), broadcast the
+    // single-row result, and prune the fact scan BEFORE its exchange:
+    // the shuffle then moves only rows that can possibly join. False
+    // positives are removed by the real join that follows, so the
+    // result is identical to the plain join — which is exactly what
+    // the oracle runs. The join is hinted shuffle_hash because the
+    // 100 TB dim does NOT broadcast: pruning the exchange is the whole
+    // point. ----
+    "q121_bloom_semijoin" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      import graft.functions.GraftExpressions.{bloom, bloomMightContain}
+      val dim = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > lit(1000.0))
+        .select(col("c_custkey"))
+      val bf = dim.agg(bloom(col("c_custkey"), 1 << 20, 7).as("bf"))
+      val pruned = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+        .crossJoin(broadcast(bf))
+        .where(bloomMightContain(col("bf"), col("o_custkey"), 7))
+        .drop("bf")
+      val result = pruned
+        .join(dim.hint("shuffle_hash"), pruned("o_custkey") === dim("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+      result.orderBy("o_orderpriority")
+    },
+
     // ---- generator over an array column: per-component vector stats.
     //      Components quantized to int64 first so the aggregates are
     //      exact and order-independent (see VectorFunctions) ----
@@ -178,6 +211,18 @@ object RelationalPack3 extends QueryPack {
         |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
         |                    AND o2.o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // the Bloom pre-filter never changes the answer (no false
+    // negatives; false positives die in the join), so the oracle is
+    // the plain join the pattern accelerates
+    "q121_bloom_semijoin" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 1000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q91_explode_vector" -> {
       val q = VectorFunctions.quantizeSql("embedding")
