@@ -146,6 +146,36 @@ object PipelinePack extends QueryPack {
     rank
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, "Near
+    * linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 2007), determinized: every
+    * node starts labeled with its own id; each round every node adopts
+    * the most frequent label among its neighbors' PREVIOUS-round
+    * labels, ties to the smallest label (the paper breaks ties
+    * randomly — a fixed total order makes the fixed-round result
+    * engine-portable). Each round is one equi-join + a (node, label)
+    * count + a per-node argmax as `min(struct(-count, label))` —
+    * partial-aggregated end to end, no windows, so a hub node's
+    * neighbor multiset collapses map-side before either shuffle.
+    */
+  def labelProp(e: DataFrame, rounds: Int,
+                mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    val adj = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count() // warm before the per-round branches fan out
+    var lab = adj.select(col("v").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      lab = roundCheckpoint(
+        adj.join(lab, col("v") === col("node"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("u").as("node"), col("m.l").as("lbl")), mode)
+    }
+    adj.unpersist()
+    lab
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup retention: drop docs with a strictly better near-dup ----
@@ -191,6 +221,21 @@ object PipelinePack extends QueryPack {
       val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
       pageRank(symmetricEdges(pairs).toDF("v", "u"), rounds = 5)
         .select(col("node").as("doc_id"), col("score_q"))
+        .orderBy("doc_id")
+    },
+
+    // ---- label-propagation communities (4 synchronous rounds) over
+    // the same near-dup graph — the third BSP-iterative graph operator
+    // next to PageRank and connected components. Where CC answers
+    // "which docs are transitively linked at all", LPA's
+    // frequency-weighted rule splits a weakly-bridged blob into its
+    // dense cores — the structure SemDeDup-style curation actually
+    // wants. Deterministic (min-label ties), so the oracle replays the
+    // 4 rounds as unrolled CTEs. ----
+    "q122_label_prop" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      labelProp(symmetricEdges(pairs).toDF("v", "u"), rounds = 4)
+        .select(col("node").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
     },
 
@@ -529,6 +574,27 @@ object PipelinePack extends QueryPack {
          |$rounds
          |SELECT node AS doc_id, CAST(s AS BIGINT) AS score_q
          |FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // same 4 unrolled rounds: neighbor-label count, argmax with the
+    // (count desc, label asc) tie order
+    "q122_label_prop" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.u, l.lbl, count(*) AS c
+           |     FROM e JOIN l${i - 1} l ON l.node = e.v
+           |     GROUP BY e.u, l.lbl),
+           |l$i AS (SELECT u AS node, lbl FROM (
+           |     SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+           |     FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM e),
+         |$rounds
+         |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community
+         |FROM l4
          |ORDER BY doc_id""".stripMargin
     },
 
