@@ -417,6 +417,60 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, segs).orderBy("doc_id")
     },
 
+    // ---- exact-substring span dedup (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL 2022 — the
+    // ExactSubstr pass), adapted from 50-BPE-token matches to 8-word
+    // ROLLING spans (vs q04's non-overlapping segments): every 8-token
+    // window is hashed; an occurrence is duplicated iff it is not the
+    // corpus-wide first occurrence of its content; a doc's duplicated-
+    // token count is the size of the UNION of positions covered by its
+    // duplicated spans (overlapping spans counted once). Lee et al.
+    // cut the spans themselves; reporting the per-doc duplicated
+    // fraction + a keep verdict composes with the q58 manifest instead.
+    // Scale shape: the span stream is (int64 doc, int64 pos, int64
+    // sid) — first-occurrence selection is an argmin (min(struct)),
+    // partial-aggregated map-side, so a boilerplate span repeated 10^6
+    // times collapses before the shuffle; the join-back is an int64
+    // equi-join under AQE; position coverage explodes ONLY duplicated
+    // occurrences (sparse in a real corpus) and dedups them with a
+    // map-side-combining distinct before the per-doc fold. No windows,
+    // no all-pairs, no driver state — a suffix array (the paper's
+    // tool) is a single-machine construction; this is the same
+    // verdict as a distributed scan.
+    "q123_substr_dedup" -> { (s, d) =>
+      val spanLen = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val docLen = docs.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_toks"))
+      val spans = warmed(docs
+        .select(col("doc_id"), col("toks"),
+          // sequence(0, negative) would DESCEND; guard short docs
+          when(size(col("toks")) >= spanLen,
+            sequence(lit(0), size(col("toks")) - lit(spanLen)))
+            .otherwise(array().cast("array<int>")).as("idxs"))
+        .select(col("doc_id"), explode(col("idxs")).as("i"), col("toks"))
+        .select(col("doc_id"), col("i").cast("bigint").as("pos"),
+          hex64(md5(concat_ws(" ",
+            slice(col("toks"), col("i") + 1, lit(spanLen))))).as("sid")))
+      val winners = spans.groupBy("sid")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      val dupCovered = spans.join(winners, "sid")
+        .filter(col("doc_id") =!= col("w.doc_id") || col("pos") =!= col("w.pos"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tpos"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+      val result = docLen.join(dupCovered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+        .withColumn("dup_token_frac",
+          when(col("n_toks") > 0,
+            col("n_dup_tokens").cast("double") / col("n_toks").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_token_frac") < lit(0.5))
+      materialized(result, spans).orderBy("doc_id")
+    },
+
     // ---- exact dedup: content-hash groups, canonical representative ----
     "q40_dedup_exact" -> { (s, d) =>
       val byHash = Window.partitionBy(col("text_md5"))
@@ -658,6 +712,35 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM r
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // same construction: rolling 8-token spans, first-occurrence rank,
+    // covered-position union for duplicated occurrences only
+    "q123_substr_dedup" ->
+      s"""WITH tok AS ($duckToks),
+         |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM tok),
+         |sp AS (
+         |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+         |         CAST('0x' || substring(md5(array_to_string(ts[g.i:(g.i + 7)], ' ')), 1, 15) AS BIGINT) AS sid
+         |  FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)),
+         |r AS (
+         |  SELECT doc_id, pos, sid,
+         |         row_number() OVER (PARTITION BY sid ORDER BY doc_id, pos) AS rn
+         |  FROM sp),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + g.j AS tpos
+         |  FROM r, UNNEST(generate_series(0, 7)) AS g(j)
+         |  WHERE rn > 1),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id)
+         |SELECT dl.doc_id, dl.n_toks,
+         |       COALESCE(agg.n_dup, 0) AS n_dup_tokens,
+         |       CASE WHEN dl.n_toks > 0
+         |            THEN CAST(COALESCE(agg.n_dup, 0) AS DOUBLE) / CAST(dl.n_toks AS DOUBLE)
+         |            ELSE 0.0 END AS dup_token_frac,
+         |       CASE WHEN dl.n_toks > 0
+         |            THEN CAST(COALESCE(agg.n_dup, 0) AS DOUBLE) / CAST(dl.n_toks AS DOUBLE)
+         |            ELSE 0.0 END < 0.5 AS keep
+         |FROM dl LEFT JOIN agg ON agg.doc_id = dl.doc_id
+         |ORDER BY dl.doc_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_md5,
