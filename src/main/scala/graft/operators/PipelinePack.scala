@@ -292,6 +292,35 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- fixed-size weighted sampling: priority sampling (Duffield,
+    // Lund & Thorup, "Priority sampling for estimation of arbitrary
+    // subset sums", JACM 2007). Each doc gets priority w/u with weight
+    // w = n_chars and u a deterministic uniform from its id hash (u =
+    // h/2^60, h in 1..2^60); the per-source sample is the top-20 by
+    // priority. Unlike q66's Bernoulli rates this yields an EXACT
+    // sample size per stratum with inclusion probability proportional
+    // to size. Determinism across engines: priority = w * 2^60 / h is
+    // two correctly-rounded IEEE double ops on exact integers —
+    // bit-identical in Spark and DuckDB. Scale shape: the rank<=k
+    // window triggers Spark's WindowGroupLimit pushdown (partial
+    // per-partition top-k before the stratum shuffle), so the exchange
+    // carries ~k rows per partition per source, not the corpus. ----
+    "q124_priority_sample" -> { (s, d) =>
+      val k = 20
+      val pow60 = lit(1152921504606846976L) // 2^60
+      val byPriority = Window.partitionBy(col("source"))
+        .orderBy(col("priority").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          (hex64(md5(concat(col("doc_id").cast("string"), lit(":ps1")))) + 1).as("hv"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") * pow60.cast("double") /
+            col("hv").cast("double")).as("priority"))
+        .withColumn("rk", row_number().over(byPriority).cast("bigint"))
+        .filter(col("rk") <= k)
+        .orderBy("source", "rk")
+    },
+
     // ---- mixture weights: per-language upsampling factors that turn the
     // corpus's ACTUAL language mix into the TARGET training mix (en 40%,
     // others 15% each), plus the token budget each language contributes
@@ -736,6 +765,23 @@ object PipelinePack extends QueryPack {
         |FROM spans
         |GROUP BY 1, 2
         |ORDER BY source, chunk_id""".stripMargin,
+
+    // same hash-derived uniform, same double arithmetic order
+    "q124_priority_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ps1'), 1, 15) AS BIGINT) + 1 AS hv
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(n_chars AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hv AS DOUBLE) AS priority
+        |  FROM h),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS BIGINT) AS rk
+        |  FROM p)
+        |SELECT source, doc_id, n_chars, priority, rk
+        |FROM r WHERE rk <= 20
+        |ORDER BY source, rk""".stripMargin,
 
     "q66_sample_stratified" ->
       """WITH t AS (

@@ -194,6 +194,36 @@ object TextPack extends QueryPack {
     },
 
     // ---- token counting: reference tokens, raw whitespace, BPE-ish ----
+    // ---- context-window chunking: slice each doc into overlapping
+    // 128-token training windows at stride 96 (32-token overlap, the
+    // standard LM-pretraining chunking shape; tail fragments under 16
+    // tokens are dropped). Pure map stage — starts come from a
+    // step-sequence, chunks from array slices, ids from the chunk
+    // content hash — so at 100 TB this is a narrow scan-side transform
+    // with zero shuffle (the ORDER BY is the gate's determinism
+    // requirement, not part of the operator). ----
+    "q125_chunk_overlap" -> { (s, d) =>
+      val chunkLen = 128; val stride = 96; val minTail = 16
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          // sequence with a negative span would descend; guard empties
+          when(size(col("toks")) > 0,
+            sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+            .otherwise(array().cast("array<int>")).as("starts"))
+        .select(col("doc_id"), explode(col("starts")).as("st"), col("toks"))
+        .select(col("doc_id"),
+          // st is a multiple of stride by construction — exact division
+          (col("st") / lit(stride)).cast("bigint").as("chunk_idx"),
+          col("st").cast("bigint").as("start_pos"),
+          slice(col("toks"), col("st") + 1, lit(chunkLen)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+          size(col("chunk")).cast("bigint").as("n_chunk_toks"),
+          hex64(md5(concat_ws(" ", col("chunk")))).as("chunk_hash"))
+        .filter(col("n_chunk_toks") >= minTail)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     "q62_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -687,6 +717,27 @@ object TextPack extends QueryPack {
           |  0.4 * ttr + 0.3 * least(avg_token_len / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio) AS quality
           |FROM m
           |ORDER BY doc_id""".stripMargin,
+
+      // same step-sequence starts, 1-based inclusive slice, tail filter
+      "q125_chunk_overlap" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id, ts, g.st
+          |  FROM tok, UNNEST(generate_series(0, len(ts) - 1, 96)) AS g(st)
+          |  WHERE len(ts) > 0),
+          |ch AS (
+          |  SELECT doc_id, CAST(st / 96 AS BIGINT) AS chunk_idx,
+          |         CAST(st AS BIGINT) AS start_pos,
+          |         ts[(st + 1):(st + 128)] AS chunk
+          |  FROM st)
+          |SELECT doc_id, chunk_idx, start_pos,
+          |       CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+          |       CAST('0x' || substring(md5(array_to_string(chunk, ' ')), 1, 15) AS BIGINT) AS chunk_hash
+          |FROM ch WHERE len(chunk) >= 16
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q62_token_stats" ->
         """SELECT doc_id, n_chars,
