@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed inclusive prefix sum — the classic two-phase parallel
+  * scan (Blelloch, "Prefix sums and their applications", CMU-CS-90-190)
+  * expressed in DataFrame operators.
+  *
+  * A global running total is the textbook window
+  * (`sum(x) OVER (ORDER BY k)`), but a window with no PARTITION BY
+  * collapses the whole input into ONE task — the single-partition sort
+  * that kills a 100M-row vocabulary scan at cluster scale. The
+  * two-phase shape keeps every stage parallel:
+  *
+  *   1. range-partition by the order keys (partition ids come out in
+  *      key order, equal keys co-located);
+  *   2. per-partition running sums via a window PARTITIONed on
+  *      `spark_partition_id()` — parallel across partitions;
+  *   3. per-partition totals (a numPartitions-row frame) get their own
+  *      tiny exclusive scan and are broadcast back as offsets.
+  *
+  * Order keys MUST be a total order (include a unique tiebreak column)
+  * — ties spanning a rows-frame make any running sum nondeterministic,
+  * here and in the single-partition window alike.
+  */
+object PrefixSum {
+
+  /** Appends one inclusive-running-sum column per `(value, outName)`
+    * pair, ordered by `order`. Values should be integral types —
+    * integer addition is associative, so the two-phase regrouping is
+    * exact (doubles would change addition order vs a sequential scan).
+    */
+  def inclusive(df: DataFrame, order: Seq[Column],
+                values: Seq[(Column, String)]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.foldLeft(ranged) { case (acc, (v, name)) =>
+      acc.withColumn(name, sum(v).over(w))
+    }
+    // phase 2: per-partition totals — numPartitions rows, so the
+    // single-partition exclusive scan over THEM is trivially cheap
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tots = values.map { case (_, name) => max(col(name)).as(s"__tot_$name") }
+    val offsets = local.groupBy(col("__pid")).agg(tots.head, tots.tail: _*)
+    val withOff = values.foldLeft(offsets) { case (acc, (_, name)) =>
+      acc.withColumn(s"__off_$name",
+        coalesce(sum(col(s"__tot_$name")).over(offW), lit(0L)))
+    }.select(col("__pid") +: values.map { case (_, name) => col(s"__off_$name") }: _*)
+    val joined = local.join(broadcast(withOff), "__pid")
+    values.foldLeft(joined) { case (acc, (_, name)) =>
+      acc.withColumn(name, col(name) + col(s"__off_$name"))
+    }.drop("__pid" +: values.map { case (_, name) => s"__off_$name" }: _*)
+  }
+}

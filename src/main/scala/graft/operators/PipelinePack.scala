@@ -278,6 +278,32 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- inter-source overlap matrix: pairwise shingle Jaccard
+    // between SOURCES — the corpus-health view of cross-source
+    // duplication (a crawl snapshot re-ingested under two source tags
+    // shows up as a hot cell). Reuses the [[DedupPack.docShingles]]
+    // artifact; candidates come from the sid equi-join, and a shingle
+    // present in k sources contributes k(k-1)/2 pair rows — bounded by
+    // sources², never docs². The per-source distinct counts are a
+    // 20-row frame, broadcast back. ----
+    "q127_source_overlap" -> { (s, d) =>
+      val srcSh = DedupPack.docShingles(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("sid")).distinct()
+      val perSrc = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = srcSh.toDF("source_i", "sid")
+        .join(srcSh.toDF("source_j", "sid"), "sid")
+        .filter(col("source_i") < col("source_j"))
+        .groupBy("source_i", "source_j").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(perSrc.toDF("source_i", "n_i")), "source_i")
+        .join(broadcast(perSrc.toDF("source_j", "n_j")), "source_j")
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("n_i") + col("n_j") - col("n_shared")).cast("double"))
+        .select("source_i", "source_j", "n_shared", "n_i", "n_j", "jaccard")
+        .orderBy("source_i", "source_j")
+    },
+
     // ---- training-mix sampling: deterministic per-stratum hash sample.
     // Each doc lands in a stable [0,100) bucket via hex64(md5(id:salt));
     // per-language rates (en 50%, others 20%) pick the training mix.
@@ -658,6 +684,23 @@ object PipelinePack extends QueryPack {
          |WHERE s.doc_id % 97 <> 0
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    // distinct (source, shingle) sets from the same sh CTE; the unused
+    // tail CTEs of the chain are never referenced, so never evaluated
+    "q127_source_overlap" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |ss AS (SELECT DISTINCT d.source, s.sid
+         |       FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+         |ov AS (SELECT a.source AS source_i, b.source AS source_j,
+         |              CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM ss a JOIN ss b ON a.sid = b.sid AND a.source < b.source
+         |       GROUP BY a.source, b.source)
+         |SELECT ov.source_i, ov.source_j, ov.n_shared, pi.n AS n_i, pj.n AS n_j,
+         |       CAST(ov.n_shared AS DOUBLE) / CAST(pi.n + pj.n - ov.n_shared AS DOUBLE) AS jaccard
+         |FROM ov JOIN ps pi ON pi.source = ov.source_i
+         |         JOIN ps pj ON pj.source = ov.source_j
+         |ORDER BY ov.source_i, ov.source_j""".stripMargin,
 
     // the standalone stages' CTEs chained: q65's quality predicate,
     // q47/q48's recursive components, q66's hash bucket; rep election

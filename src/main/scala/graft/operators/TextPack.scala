@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
+import graft.functions.PrefixSum
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -222,6 +223,36 @@ object TextPack extends QueryPack {
           hex64(md5(concat_ws(" ", col("chunk")))).as("chunk_hash"))
         .filter(col("n_chunk_toks") >= minTail)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- vocabulary head coverage (the Zipf-head curve): the minimal
+    // vocabulary size whose cumulative frequency covers 50/90/99% of
+    // all token occurrences — the number tokenizer-vocab sizing reads
+    // off a corpus. The global running total over the rank-ordered
+    // vocabulary uses [[graft.functions.PrefixSum]] (two-phase
+    // parallel scan), NOT a partition-less window — a 100M-row
+    // vocabulary never collapses into one task. All-integer
+    // arithmetic: the threshold test is cum*100 >= pct*total, exact in
+    // both engines. ----
+    "q126_vocab_coverage" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ranked = PrefixSum.inclusive(counts,
+        Seq(col("c").desc, col("w")),
+        Seq((col("c"), "cum"), (lit(1L), "rank")))
+      val tot = counts.agg(sum(col("c")).as("total_tokens"))
+      ranked.crossJoin(broadcast(tot))
+        .select(explode(array(lit(50), lit(90), lit(99))).as("threshold_pct"),
+          col("rank"), col("cum"), col("total_tokens"))
+        .filter(col("cum") * 100 >= col("threshold_pct").cast("bigint") * col("total_tokens"))
+        .groupBy("threshold_pct")
+        // cum and rank are monotone together, so the min-rank row's
+        // cum IS min(cum) among qualifying rows — no argmin needed
+        .agg(min(col("rank")).as("vocab_size"),
+             min(col("cum")).as("covered_tokens"),
+             max(col("total_tokens")).as("total_tokens"))
+        .orderBy("threshold_pct")
     },
 
     "q62_token_stats" -> { (s, d) =>
@@ -717,6 +748,30 @@ object TextPack extends QueryPack {
           |  0.4 * ttr + 0.3 * least(avg_token_len / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio) AS quality
           |FROM m
           |ORDER BY doc_id""".stripMargin,
+
+      // plain windowed cumsum here — the oracle runs single-node anyway;
+      // HUGEINT sums cast back to BIGINT
+      "q126_vocab_coverage" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+          |      FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w),
+          |r AS (SELECT w, c,
+          |        CAST(sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |        CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+          |      FROM c),
+          |t AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM c),
+          |th(threshold_pct) AS (VALUES (50), (90), (99))
+          |SELECT th.threshold_pct,
+          |       min(r.rank) AS vocab_size,
+          |       min(r.cum) AS covered_tokens,
+          |       max(t.total_tokens) AS total_tokens
+          |FROM r CROSS JOIN t CROSS JOIN th
+          |WHERE r.cum * 100 >= th.threshold_pct * t.total_tokens
+          |GROUP BY th.threshold_pct
+          |ORDER BY th.threshold_pct""".stripMargin,
 
       // same step-sequence starts, 1-based inclusive slice, tail filter
       "q125_chunk_overlap" ->

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PrefixSum
+
+/** Model-checks the two-phase distributed scan against the sequential
+  * definition (scanLeft) on seeded random inputs, including inputs much
+  * smaller than the partition count (empty partitions must contribute
+  * zero offsets) and duplicate values under a unique tiebreak key.
+  */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("matches the sequential scan on seeded random inputs") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 5, 100, 3000)) {
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      val df = rows.toDF("k", "v")
+      val got = PrefixSum.inclusive(df, Seq(col("v").desc, col("k")),
+          Seq((col("v"), "cum"), (lit(1L), "rank")))
+        .select("k", "cum", "rank")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val ordered = rows.sortBy { case (k, v) => (-v, k) }
+      val expCum = ordered.scanLeft(0L)(_ + _._2).tail
+      val exp = ordered.zip(expCum).zipWithIndex
+        .map { case (((k, _), c), i) => (k, c, i + 1L) }
+        .sortBy(_._1)
+      assert(got.toSeq === exp, s"n=$n")
+    }
+  }
+}
