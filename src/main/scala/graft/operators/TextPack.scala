@@ -133,6 +133,97 @@ object TextPack extends QueryPack {
     materialized(result, tok).orderBy("w")
   }
 
+  /** Per-doc Naive-Bayes argmax over the held-out fold `(doc_id,
+    * true_lang, pred_lang, score_q, correct)` — the scoring pipeline
+    * shared by q120 (the per-doc stream) and q128 (the confusion-matrix
+    * eval). Split/smoothing/quantization/tie-break semantics are pinned
+    * by NaiveBayesSpec; see q120's comment for the scale shape.
+    */
+  private def nbHeldOutScored(s: SparkSession, d: String): DataFrame = {
+    val qln = (x: org.apache.spark.sql.Column) =>
+      floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+    val all = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val train = all.where(col("doc_id") % 5 =!= 0)
+    val clw = warmed(train
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c_lw")))
+    val ldoc = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val ltok = clw.groupBy("lang").agg(sum("c_lw").as("c_l"))
+    val tot = ldoc.agg(sum("n_docs").as("n_train"),
+      count(lit(1)).as("n_langs"))
+    val voc = clw.select("w").distinct().agg(count(lit(1)).as("v"))
+    // per-class constants: tiny (one row per class) -> broadcast
+    val classes = ldoc.join(ltok, "lang")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+      .select(col("lang"),
+        (qln(col("n_docs") + 1) - qln(col("n_train") + col("n_langs")))
+          .as("prior_q"),
+        qln(col("c_l") + col("v")).as("denom_q"))
+    val held = all.where(col("doc_id") % 5 === 0)
+    val dwc = held
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val matched = dwc.join(clw, "w")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * qln(col("c_lw") + 1)).as("m"))
+    val scored = held
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        size(col("toks")).cast("bigint").as("n_tok"))
+      .crossJoin(broadcast(classes))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .withColumn("score_q",
+        col("prior_q") + coalesce(col("m"), lit(0L)) -
+          col("n_tok") * col("denom_q"))
+    val result = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
+        col("score_q").cast("bigint").as("score_q"),
+        when(col("lang") === col("true_lang"), 1L).otherwise(0L)
+          .cast("bigint").as("correct"))
+    materialized(result, clw)
+  }
+
+  /** DuckDB mirror of [[nbHeldOutScored]] up through the per-doc argmax
+    * (`ranked`, filter `rk = 1` downstream) — shared by the q120 and
+    * q128 oracles. No trailing comma.
+    */
+  private val nbOracleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, lang, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+      |  FROM documents),
+      |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+      |held AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+      |tw AS (SELECT lang, unnest(ts) AS w FROM train),
+      |clw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_lw FROM tw GROUP BY 1, 2),
+      |ldoc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY 1),
+      |ltok AS (SELECT lang, CAST(SUM(c_lw) AS BIGINT) AS c_l FROM clw GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train, CAST(count(*) AS BIGINT) AS n_langs FROM ldoc),
+      |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM clw),
+      |classes AS (
+      |  SELECT ldoc.lang,
+      |    CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |      - CAST(floor(ln(CAST(n_train + n_langs AS DOUBLE)) * 1e6) AS BIGINT) AS prior_q,
+      |    CAST(floor(ln(CAST(c_l + v AS DOUBLE)) * 1e6) AS BIGINT) AS denom_q
+      |  FROM ldoc JOIN ltok USING (lang) CROSS JOIN tot CROSS JOIN voc),
+      |dw AS (SELECT doc_id, unnest(ts) AS w FROM held),
+      |dwc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY 1, 2),
+      |matched AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(c * CAST(floor(ln(CAST(c_lw + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS m
+      |  FROM dwc JOIN clw USING (w) GROUP BY 1, 2),
+      |docs0 AS (SELECT doc_id, lang AS true_lang, CAST(len(ts) AS BIGINT) AS n_tok FROM held),
+      |scored AS (
+      |  SELECT d.doc_id, d.true_lang, c.lang,
+      |    c.prior_q + COALESCE(m.m, 0) - d.n_tok * c.denom_q AS score_q
+      |  FROM docs0 d CROSS JOIN classes c
+      |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = c.lang),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rk
+      |  FROM scored)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- heuristic language-ID: stopword-profile argmax. Single
@@ -463,52 +554,30 @@ object TextPack extends QueryPack {
     // by w, never broadcast) plus a broadcast of the tiny per-class
     // table. argmax per doc with (score desc, lang) tie-break. Same
     // int64 ln-quantization as q05/q117 so both engines agree bit-for-
-    // bit. ----
+    // bit. Pipeline shared with q128's eval harness ([[nbHeldOutScored]]). ----
     "q120_nb_classify" -> { (s, d) =>
-      val qln = (x: org.apache.spark.sql.Column) =>
-        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
-      val all = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-      val train = all.where(col("doc_id") % 5 =!= 0)
-      val clw = warmed(train
-        .select(col("lang"), explode(col("toks")).as("w"))
-        .groupBy("lang", "w").agg(count(lit(1)).as("c_lw")))
-      val ldoc = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val ltok = clw.groupBy("lang").agg(sum("c_lw").as("c_l"))
-      val tot = ldoc.agg(sum("n_docs").as("n_train"),
-        count(lit(1)).as("n_langs"))
-      val voc = clw.select("w").distinct().agg(count(lit(1)).as("v"))
-      // per-class constants: tiny (one row per class) -> broadcast
-      val classes = ldoc.join(ltok, "lang")
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
-        .select(col("lang"),
-          (qln(col("n_docs") + 1) - qln(col("n_train") + col("n_langs")))
-            .as("prior_q"),
-          qln(col("c_l") + col("v")).as("denom_q"))
-      val held = all.where(col("doc_id") % 5 === 0)
-      val dwc = held
-        .select(col("doc_id"), explode(col("toks")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      val matched = dwc.join(clw, "w")
-        .groupBy("doc_id", "lang")
-        .agg(sum(col("c") * qln(col("c_lw") + 1)).as("m"))
-      val scored = held
-        .select(col("doc_id"), col("lang").as("true_lang"),
-          size(col("toks")).cast("bigint").as("n_tok"))
-        .crossJoin(broadcast(classes))
-        .join(matched, Seq("doc_id", "lang"), "left")
-        .withColumn("score_q",
-          col("prior_q") + coalesce(col("m"), lit(0L)) -
-            col("n_tok") * col("denom_q"))
-      val result = scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
-        .where(col("rk") === 1)
-        .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
-          col("score_q").cast("bigint").as("score_q"),
-          when(col("lang") === col("true_lang"), 1L).otherwise(0L)
-            .cast("bigint").as("correct"))
-      materialized(result, clw).orderBy("doc_id")
+      nbHeldOutScored(s, d).orderBy("doc_id")
+    },
+
+    // ---- classifier EVAL: the confusion matrix + per-class recall of
+    // the q119/q120 Naive-Bayes model on its held-out fold — the
+    // measure-don't-guess step a production quality-classifier stage
+    // ships with (CCNet §4 evaluates its fastText filter the same way).
+    // Shape: the per-doc argmax stream collapses to a classes² matrix
+    // (map-side-combining groupBy — bounded rows regardless of corpus
+    // size), class totals re-derive FROM the matrix (no second pass
+    // over the docs), and recall is integer ppm (n_cell·10^6 div
+    // n_true) so both engines agree exactly. ----
+    "q128_nb_confusion" -> { (s, d) =>
+      val cm = nbHeldOutScored(s, d)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      val totals = cm.groupBy("true_lang")
+        .agg(sum("n_docs").cast("bigint").as("n_true"))
+      cm.join(totals, "true_lang")
+        .select(col("true_lang"), col("pred_lang"), col("n_docs"), col("n_true"),
+          expr("n_docs * 1000000 div n_true").cast("bigint").as("recall_ppm"))
+        .orderBy("true_lang", "pred_lang")
     },
 
     // ---- bigram statistics: top word-pairs per language via the native
@@ -908,43 +977,25 @@ object TextPack extends QueryPack {
       // identical split, Laplace terms, per-term floors, and
       // (score desc, lang) argmax tie-break
       "q120_nb_classify" ->
-        """WITH toks AS (
-          |  SELECT doc_id, lang, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
-          |  FROM documents),
-          |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
-          |held AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
-          |tw AS (SELECT lang, unnest(ts) AS w FROM train),
-          |clw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_lw FROM tw GROUP BY 1, 2),
-          |ldoc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY 1),
-          |ltok AS (SELECT lang, CAST(SUM(c_lw) AS BIGINT) AS c_l FROM clw GROUP BY 1),
-          |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train, CAST(count(*) AS BIGINT) AS n_langs FROM ldoc),
-          |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM clw),
-          |classes AS (
-          |  SELECT ldoc.lang,
-          |    CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE)) * 1e6) AS BIGINT)
-          |      - CAST(floor(ln(CAST(n_train + n_langs AS DOUBLE)) * 1e6) AS BIGINT) AS prior_q,
-          |    CAST(floor(ln(CAST(c_l + v AS DOUBLE)) * 1e6) AS BIGINT) AS denom_q
-          |  FROM ldoc JOIN ltok USING (lang) CROSS JOIN tot CROSS JOIN voc),
-          |dw AS (SELECT doc_id, unnest(ts) AS w FROM held),
-          |dwc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY 1, 2),
-          |matched AS (
-          |  SELECT doc_id, lang,
-          |    CAST(SUM(c * CAST(floor(ln(CAST(c_lw + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS m
-          |  FROM dwc JOIN clw USING (w) GROUP BY 1, 2),
-          |docs0 AS (SELECT doc_id, lang AS true_lang, CAST(len(ts) AS BIGINT) AS n_tok FROM held),
-          |scored AS (
-          |  SELECT d.doc_id, d.true_lang, c.lang,
-          |    c.prior_q + COALESCE(m.m, 0) - d.n_tok * c.denom_q AS score_q
-          |  FROM docs0 d CROSS JOIN classes c
-          |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = c.lang),
-          |ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rk
-          |  FROM scored)
+        s"""WITH $nbOracleCtes
           |SELECT doc_id, true_lang, lang AS pred_lang, CAST(score_q AS BIGINT) AS score_q,
           |       CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
           |FROM ranked
           |WHERE rk = 1
           |ORDER BY doc_id""".stripMargin,
+
+      // same argmax stream, folded to the classes² matrix; integer-ppm
+      // recall (// is DuckDB integer division, div on the Spark side)
+      "q128_nb_confusion" ->
+        s"""WITH $nbOracleCtes,
+          |preds AS (SELECT doc_id, true_lang, lang AS pred_lang FROM ranked WHERE rk = 1),
+          |cm AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+          |       FROM preds GROUP BY 1, 2),
+          |tots AS (SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS n_true FROM cm GROUP BY 1)
+          |SELECT cm.true_lang, cm.pred_lang, cm.n_docs, t.n_true,
+          |       CAST(cm.n_docs * 1000000 // t.n_true AS BIGINT) AS recall_ppm
+          |FROM cm JOIN tots t USING (true_lang)
+          |ORDER BY true_lang, pred_lang""".stripMargin,
 
       // same trajectory; the final state's per-word symbol count joins
       // the (doc, word) count table to tokenize by equi-join

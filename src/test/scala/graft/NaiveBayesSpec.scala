@@ -47,4 +47,15 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(rows === Seq((0L, "en", 1L), (5L, "xx", 1L)))
     spark.catalog.clearCache()
   }
+
+  test("confusion matrix folds the argmax stream; recall in integer ppm") {
+    val rows = SparkEntry.queries("q128_nb_confusion")(spark, dir)
+      .select("true_lang", "pred_lang", "n_docs", "n_true", "recall_ppm")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // both held-out docs classify correctly -> diagonal-only matrix
+    assert(rows === Seq(
+      ("en", "en", 1L, 1L, 1000000L),
+      ("xx", "xx", 1L, 1L, 1000000L)))
+    spark.catalog.clearCache()
+  }
 }
