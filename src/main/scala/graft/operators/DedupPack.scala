@@ -529,6 +529,51 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, docs).orderBy("doc_i", "doc_j")
     },
 
+    // ---- banding QUALITY harness: precision/recall of q41's MinHash
+    // band join against exact token-Jaccard ≥ 0.9 truth — the
+    // measure-don't-guess gate for the banding parameters (16 perms ×
+    // 2 bands of 8), the q08/q54 recall-report precedent applied to
+    // the dedup candidate generator. Truth needs no all-pairs scan:
+    // candidates from TWO independent generators (the LSH band join
+    // and the shingle inverted index — a pair with token-J ≥ 0.9
+    // shares 3-gram shingles, so the union covers the truth set) are
+    // exact-verified with the codegen sorted-merge intersect, and
+    // every count is an equi-join; ratios are integer ppm so both
+    // engines agree exactly. Bounded output: one row. ----
+    "q129_minhash_pr" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = warmed(minhashDocs(Tables.documents(s, d)))
+      val bands = minhashBands(docs)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      val sp = ngramPairs(s, d).select("doc_i", "doc_j")
+      val allCand = cand.unionByName(sp).distinct()
+      val da = docs.select(col("doc_id").as("doc_i"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      val truth = allCand.join(da, "doc_i").join(db, "doc_j")
+        .withColumn("n_common",
+          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
+        .filter(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.9)
+        .select("doc_i", "doc_j")
+      val candTrue = cand.join(truth, Seq("doc_i", "doc_j"), "left_semi")
+      val result = truth.agg(count(lit(1)).cast("bigint").as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).cast("bigint").as("n_cand")))
+        .crossJoin(candTrue.agg(count(lit(1)).cast("bigint").as("n_cand_true")))
+        .select(col("n_truth"), col("n_cand"), col("n_cand_true"),
+          when(col("n_cand") > 0, expr("n_cand_true * 1000000 div n_cand"))
+            .otherwise(lit(0L)).cast("bigint").as("precision_ppm"),
+          when(col("n_truth") > 0, expr("n_cand_true * 1000000 div n_truth"))
+            .otherwise(lit(0L)).cast("bigint").as("recall_ppm"))
+      materialized(result, docs).orderBy("n_truth")
+    },
+
     // ---- INCREMENTAL near-dup: a delta batch against the persisted
     // corpus index. The 100 TB operating mode of q41: the corpus's
     // signature store and LSH band index are build-once artifacts
@@ -761,6 +806,35 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM scored
          |WHERE est_matches >= 12 AND jaccard >= 0.9
          |ORDER BY doc_i, doc_j""".stripMargin,
+
+    // same band-candidate CTE as q41; the shingle-pair generator is
+    // spliced as a self-contained subquery (its own WITH scope — its
+    // CTE names shadow the outer chain's)
+    "q129_minhash_pr" ->
+      s"""WITH $minhashCtes
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |sp AS (SELECT doc_i, doc_j FROM (WITH $ngramPairsCtes
+         |       SELECT doc_i, doc_j FROM pairs) t),
+         |allcand AS (SELECT doc_i, doc_j FROM cand UNION SELECT doc_i, doc_j FROM sp),
+         |truth AS (
+         |  SELECT c.doc_i, c.doc_j
+         |  FROM allcand c
+         |  JOIN docs da ON da.doc_id = c.doc_i
+         |  JOIN docs db ON db.doc_id = c.doc_j
+         |  WHERE CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
+         |        (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) >= 0.9),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_true
+         |       FROM cand JOIN truth USING (doc_i, doc_j))
+         |SELECT n_truth, n_cand, n_cand_true,
+         |       CAST(CASE WHEN n_cand > 0 THEN n_cand_true * 1000000 // n_cand ELSE 0 END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN n_truth > 0 THEN n_cand_true * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM nt, nc, ct
+         |ORDER BY n_truth""".stripMargin,
 
     // candidate CTE mirrors the Spark join literally: probe side a is
     // delta-only, b is the full band set, base-side matches take both
