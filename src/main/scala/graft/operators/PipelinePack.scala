@@ -444,6 +444,35 @@ object PipelinePack extends QueryPack {
         .orderBy("source", "chunk_id")
     },
 
+    // ---- small-file compaction planner — the OPTIMIZE/maintenance
+    // step every parquet-lake pipeline runs: given the file manifest
+    // (simulated here as per-source 50-doc file groups with their byte
+    // volumes), assign files IN TABLE ORDER to merge bins of ~target
+    // bytes. Bin identity is floor(file_start_offset / target) — the
+    // deterministic first-fit-in-order rule, pure arithmetic over a
+    // running byte total. Scale shape: planning is a METADATA job (the
+    // manifest has one row per file, millions of rows at 100 TB, never
+    // the data itself), and the global running total is the two-phase
+    // [[graft.functions.PrefixSum]] — no partition-less window, no
+    // driver-side loop; the plan ships to executors as bin assignments.
+    // All-integer, so both engines agree exactly. ----
+    "q130_compaction_plan" -> { (s, d) =>
+      val target = 16384L
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"), expr("doc_id div 50").cast("bigint").as("file_id"))
+        .agg(sum("n_chars").cast("bigint").as("bytes"),
+             count(lit(1)).cast("bigint").as("n_docs"))
+      val run = graft.functions.PrefixSum.inclusive(files,
+        Seq(col("source"), col("file_id")),
+        Seq((col("bytes"), "running")))
+      run.withColumn("bin", expr(s"(running - bytes) div $target").cast("bigint"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("bigint").as("n_files"),
+             sum("n_docs").cast("bigint").as("n_docs"),
+             sum("bytes").cast("bigint").as("bin_bytes"))
+        .orderBy("bin")
+    },
+
     // ---- the capstone: one corpus-build manifest — every document's
     // final admission verdict with the reason it was dropped. Chains the
     // real pipeline end-to-end: quality gate (q65's predicate) →
@@ -782,6 +811,25 @@ object PipelinePack extends QueryPack {
         |FROM (SELECT x AS w FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |GROUP BY w
         |ORDER BY w""".stripMargin,
+
+    // same file grouping, global running total, and floor-division bin
+    // rule (// is DuckDB integer division, div on the Spark side)
+    "q130_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT source, doc_id // 50 AS file_id,
+        |         CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |run AS (
+        |  SELECT *, SUM(bytes) OVER (ORDER BY source, file_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM files),
+        |binned AS (SELECT *, (running - bytes) // 16384 AS bin FROM run)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(n_docs) AS BIGINT) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+        |FROM binned
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin,
 
     // same per-source prefix sum, chunk-range unnest, and clipped
     // overlap arithmetic — all integral
