@@ -267,6 +267,38 @@ object RelationalPack extends QueryPack {
     },
 
     // ---- SQL surface: TPC-H Q3 shape through spark.sql ----
+    // ---- bucketed co-located fact join: the q09 layout gate applied to
+    // the relational core. Both sides are written `bucketBy(16, key)` +
+    // `sortBy(key)` (the production layout for a fact table that joins
+    // on the same key every day — at 100 TB the shuffle this avoids IS
+    // the job cost), the join is forced to sort-merge (no broadcast
+    // fallback masking the claim), and the query REQUIREs at plan time
+    // that neither side re-exchanges. The aggregate above the join
+    // shuffles its classes-sized frame as usual. ----
+    "q131_bucketed_join" -> { (s, d) =>
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_bucketed").toString
+      def saveBucketed(df: DataFrame, tbl: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        df.write.mode("overwrite").option("path", s"$base/$tbl")
+          .bucketBy(16, key).sortBy(key).saveAsTable(tbl)
+      }
+      saveBucketed(Tables.table(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority"), "graft_b_orders", "o_orderkey")
+      saveBucketed(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), revenueDec.as("rev")), "graft_b_lineitem", "l_orderkey")
+      val joined = s.table("graft_b_orders").hint("merge")
+        .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed equi-join must plan exchange-free; got:\n${plan.take(1500)}")
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n_lines"),
+             countDistinct(col("o_orderkey")).cast("bigint").as("n_orders"),
+             sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     "q29_sql_q3" -> { (s, d) =>
       Seq("customer", "orders", "lineitem").foreach { t =>
         Tables.table(s, d, t).createOrReplaceTempView(t)
@@ -444,6 +476,16 @@ object RelationalPack extends QueryPack {
          |GROUP BY l_suppkey
          |HAVING CAST(SUM($revenueDecSql) AS DOUBLE) > 1000000.0
          |ORDER BY l_suppkey""".stripMargin,
+
+    // plain join+agg — the bucketing is a physical-layout property the
+    // oracle need not (and cannot) see
+    "q131_bucketed_join" ->
+      s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+         |       CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue
+         |FROM orders o JOIN lineitem ON l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority
+         |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q29_sql_q3" ->
       s"""SELECT o.o_orderkey, CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue, o.o_orderdate
