@@ -370,6 +370,32 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- token-budget epoch scheduling (Muennighoff et al., "Scaling
+    // Data-Constrained Language Models", arXiv:2305.16264): given
+    // per-source token volumes, integer mixture weights, and a token
+    // budget (3× the corpus here — the data-constrained regime), how
+    // many EPOCHS of each source does the training run consume, and how
+    // many tokens are repeats? wanted_s = B·w_s div W, epochs_s =
+    // ceil-div by the source's volume — the repetition plan a data-
+    // constrained run is scheduled from. Pure integer arithmetic over a
+    // sources-sized aggregate (one corpus scan), exact in both engines. ----
+    "q132_token_budget" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+        .groupBy("source").agg(sum("n").as("n_tokens"))
+        .withColumn("w", substring(col("source"), 4, 10).cast("bigint") % 10 + 1)
+      val tot = per.agg(sum("n_tokens").as("total_tokens"), sum("w").as("total_w"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("wanted_tokens", expr("total_tokens * 3 * w div total_w").cast("bigint"))
+        .withColumn("epochs",
+          expr("(wanted_tokens + n_tokens - 1) div n_tokens").cast("bigint"))
+        .withColumn("repeated_tokens",
+          greatest(col("wanted_tokens") - col("n_tokens"), lit(0L)))
+        .select(col("source"), col("n_tokens"), col("w").cast("bigint").as("weight"),
+          col("wanted_tokens"), col("epochs"), col("repeated_tokens"))
+        .orderBy("source")
+    },
+
     // ---- triangle counting over the word-adjacency graph: the third
     // graph primitive next to PageRank (q55) and connected components
     // (q47) — the local-clustering signal. Edges are ADJACENT
@@ -773,6 +799,28 @@ object PipelinePack extends QueryPack {
          |            ELSE 'keep' END AS verdict
          |FROM ranked
          |ORDER BY doc_id""".stripMargin,
+
+    // same integer weight rule (1 + srcnum mod 10), budget 3× corpus,
+    // floor/ceil division (// is DuckDB integer division)
+    "q132_token_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |                                  w -> w <> ''))) AS BIGINT) AS n_tokens,
+        |         CAST(substring(source, 4) AS BIGINT) % 10 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |               CAST(sum(w) AS BIGINT) AS total_w FROM per),
+        |plan AS (
+        |  SELECT source, n_tokens, w,
+        |         (total_tokens * 3 * w) // total_w AS wanted_tokens
+        |  FROM per CROSS JOIN tot)
+        |SELECT source, n_tokens, CAST(w AS BIGINT) AS weight,
+        |       CAST(wanted_tokens AS BIGINT) AS wanted_tokens,
+        |       CAST((wanted_tokens + n_tokens - 1) // n_tokens AS BIGINT) AS epochs,
+        |       CAST(greatest(wanted_tokens - n_tokens, 0) AS BIGINT) AS repeated_tokens
+        |FROM plan
+        |ORDER BY source""".stripMargin,
 
     "q75_mixture_weights" ->
       """WITH per AS (
