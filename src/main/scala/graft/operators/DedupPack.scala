@@ -498,6 +498,45 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, spans).orderBy("doc_id")
     },
 
+    // ---- held-out span-overlap (memorization) probe: what fraction of
+    // a held-out document's 8-token spans also occur ANYWHERE in the
+    // training split — the cross-split contamination measurement behind
+    // the memorization evals of Lee et al. (ACL 2022 §6), and the
+    // train/test-leakage check a corpus build runs before shipping a
+    // held-out set (q49 checks a benchmark slice; this checks the
+    // split itself). Shape: the train side collapses to a DISTINCT
+    // span-id set (60-bit int64s, map-side-combining distinct), the
+    // held side probes it with one LEFT SEMI equi-join — never a
+    // string comparison, never all-pairs; per-doc ratios are integer
+    // ppm so both engines agree exactly. Reuses q123's rolling-span
+    // construction verbatim. ----
+    "q133_span_memorization" -> { (s, d) =>
+      val spanLen = 8
+      def spansOf(docs0: DataFrame): DataFrame = docs0
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          when(size(col("toks")) >= spanLen,
+            sequence(lit(0), size(col("toks")) - lit(spanLen)))
+            .otherwise(array().cast("array<int>")).as("idxs"))
+        .select(col("doc_id"), explode(col("idxs")).as("i"), col("toks"))
+        .select(col("doc_id"),
+          hex64(md5(concat_ws(" ",
+            slice(col("toks"), col("i") + 1, lit(spanLen))))).as("sid"))
+      val docs0 = Tables.documents(s, d)
+      val trainSpans = spansOf(docs0.where(col("doc_id") % 5 =!= 0))
+        .select("sid").distinct()
+      val heldSpans = warmed(spansOf(docs0.where(col("doc_id") % 5 === 0)))
+      val mem = heldSpans.join(trainSpans, Seq("sid"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_memorized"))
+      val result = heldSpans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        .join(mem, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans").cast("bigint").as("n_spans"),
+          coalesce(col("n_memorized"), lit(0L)).cast("bigint").as("n_memorized"))
+        .withColumn("memorized_ppm",
+          expr("n_memorized * 1000000 div n_spans").cast("bigint"))
+      materialized(result, heldSpans).orderBy("doc_id")
+    },
+
     // ---- exact dedup: content-hash groups, canonical representative ----
     "q40_dedup_exact" -> { (s, d) =>
       val byHash = Window.partitionBy(col("text_md5"))
@@ -814,6 +853,26 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |            ELSE 0.0 END < 0.5 AS keep
          |FROM dl LEFT JOIN agg ON agg.doc_id = dl.doc_id
          |ORDER BY dl.doc_id""".stripMargin,
+
+    // same rolling-span ids; the train set is DISTINCT sids, the held
+    // probe is a semi-join (IN), ratios integer ppm
+    "q133_span_memorization" ->
+      s"""WITH tok AS ($duckToks),
+         |tr AS (SELECT DISTINCT
+         |         CAST('0x' || substring(md5(array_to_string(ts[g.i:(g.i + 7)], ' ')), 1, 15) AS BIGINT) AS sid
+         |       FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)
+         |       WHERE doc_id % 5 <> 0),
+         |hs AS (SELECT doc_id,
+         |         CAST('0x' || substring(md5(array_to_string(ts[g.i:(g.i + 7)], ' ')), 1, 15) AS BIGINT) AS sid
+         |       FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)
+         |       WHERE doc_id % 5 = 0),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |               CAST(count(*) FILTER (WHERE sid IN (SELECT sid FROM tr)) AS BIGINT) AS n_memorized
+         |        FROM hs GROUP BY doc_id)
+         |SELECT doc_id, n_spans, n_memorized,
+         |       CAST(n_memorized * 1000000 // n_spans AS BIGINT) AS memorized_ppm
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_md5,
