@@ -111,6 +111,33 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- partition-pruned scan gate: the third layout gate next to
+    // q09 (exchange-free bucketed as-of) and q131 (co-located bucketed
+    // join). The event log is written `partitionBy(event_type)` — the
+    // standard lake layout for a log queried by type — as a
+    // once-per-corpus artifact, and the query REQUIREs at plan time
+    // that the type predicate lands in the scan's PartitionFilters
+    // (directory pruning), not a post-scan Filter. At 100 TB this is
+    // the difference between reading one event type's shard and
+    // reading the whole log. PartitionPruningSpec covers the layout in
+    // tests; this makes it a driver-gated query. ----
+    "q134_partition_pruned_scan" -> { (s, d) =>
+      val path = graft.core.Artifacts.materialize(
+        s"events_by_type_v1_${graft.core.Artifacts.corpusKey(d, "events.parquet")}") { tmp =>
+        Tables.events(s, d).write.partitionBy("event_type")
+          .mode("overwrite").parquet(tmp)
+      }
+      val scan = s.read.parquet(path).filter(col("event_type") === "purchase")
+      val plan = scan.queryExecution.executedPlan.toString
+      require(plan.replaceAll("\\s+", " ")
+          .matches(".*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+        s"event_type predicate must prune partitions; got:\n${plan.take(1500)}")
+      scan.groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+             sum(dec2(col("value"))).cast("double").as("total_value"))
+        .orderBy("hour_start")
+    },
+
     // ---- tumbling 1-hour windows per event type ----
     "q30_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -376,6 +403,17 @@ object EventsPack extends QueryPack {
         |       CAST(us - signup_us AS BIGINT) AS latency_us
         |FROM m
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // the partitioned layout is physical; the oracle filters the flat
+    // table — identical rows prove the pruned scan lost nothing
+    "q134_partition_pruned_scan" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY hour_start""".stripMargin,
 
     "q30_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
