@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
+import graft.functions.TextFunctions.hex64
 
 /** Reference-parity queries: word count both as the declarative DataFrame
   * pipeline and through the generic MapReduce facade (two independent
@@ -77,8 +78,60 @@ object CorePack extends QueryPack {
         .select(col("kv").getItem(0).as("word"),
                 col("kv").getItem(1).cast("bigint").as("cnt"))
         .orderBy("word")
+    },
+
+    // ---- CSV sink+source round-trip: the documents table written as
+    // quoted CSV (header, default quoting — the free-text column is the
+    // stress case) and read back under an explicit schema; the gated
+    // aggregate carries a per-language md5-derived text CHECKSUM, so any
+    // quoting/escape corruption in either direction hash-fails against
+    // the oracle computed on the ORIGINAL parquet. The checksum term is
+    // mod 1e9+7 before summing — 60-bit ids summed raw would overflow
+    // int64 under ANSI. ----
+    // The synthetic corpus is delimiter-free, so the lane injects them
+    // (q100's pattern): a/e become quote/comma BEFORE the write, and the
+    // oracle digests the same translated text — the quoting machinery is
+    // actually exercised. (Embedded newlines are excluded by design:
+    // multiLine CSV parsing makes files unsplittable, the one CSV shape
+    // a 100 TB scan should refuse.)
+    "q135_csv_roundtrip" -> { (s, dir) =>
+      val path = graft.core.Artifacts.materialize(
+        s"docs_csv_v2_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}") { tmp =>
+        Tables.documents(s, dir)
+          .withColumn("text", translate(col("text"), "ae", "\","))
+          .write.option("header", "true").mode("overwrite").csv(tmp)
+      }
+      val back = s.read.option("header", "true")
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .csv(path)
+      roundTripDigest(back)
+    },
+
+    // ---- JSON-lines sink+source round-trip: the same fidelity gate
+    // through the jsonl layout every LLM corpus interchange uses. Here
+    // the injected stress is quote/backslash (the JSON escape pair). ----
+    "q136_jsonl_roundtrip" -> { (s, dir) =>
+      val path = graft.core.Artifacts.materialize(
+        s"docs_jsonl_v2_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}") { tmp =>
+        Tables.documents(s, dir)
+          .withColumn("text", translate(col("text"), "ae", "\"\\"))
+          .write.mode("overwrite").json(tmp)
+      }
+      val back = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(path)
+      roundTripDigest(back)
     }
   )
+
+  /** Per-language row/byte/text-checksum digest of a documents frame —
+    * the compare side of the q135/q136 round-trips. */
+  private def roundTripDigest(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+           sum("n_chars").cast("bigint").as("sum_chars"),
+           sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+      .orderBy("lang")
 
   override def oracle: Map[String, String] = Map(
     "q00_wordcount" -> wcOracle,
@@ -94,6 +147,20 @@ object CorePack extends QueryPack {
         |GROUP BY w
         |ORDER BY word""".stripMargin,
     // the round-trip must reproduce the wordcount exactly
-    "q02_text_sink_roundtrip" -> wcOracle
+    "q02_text_sink_roundtrip" -> wcOracle,
+
+    // both oracles compute the digest on the ORIGINAL parquet (with the
+    // same injected delimiters) — any corruption through the CSV/JSONL
+    // layouts hash-fails here
+    "q135_csv_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\",')"),
+    "q136_jsonl_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\"\\')")
   )
+
+  private def roundTripDigestSql(textExpr: String) =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(SUM(CAST('0x' || substring(md5($textExpr), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }
