@@ -537,6 +537,39 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, heldSpans).orderBy("doc_id")
     },
 
+    // ---- INCREMENTAL exact dedup: the daily-ingest twin of q101 for
+    // the exact (content-hash) store. The base corpus's per-hash argmin
+    // table is a once-per-corpus artifact (at 100 TB: the md5→canonical
+    // table the ingest pipeline maintains); the delta batch (doc_id %
+    // 10 == 7) computes its own hashes, its own per-hash argmin, and
+    // resolves each doc's corpus-wide canonical with ONE equi-join
+    // against the store + a least() — O(|delta|) work, never a corpus
+    // rescan, and the verdict equals q40's batch answer restricted to
+    // the delta by construction. ----
+    "q138_incremental_exact" -> { (s, d) =>
+      val store = {
+        val path = graft.core.Artifacts.materialize(
+          s"exact_md5_store_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+          Tables.documents(s, d).filter(!isDelta(col("doc_id")))
+            .select(md5(col("text")).as("text_md5"), col("doc_id"))
+            .groupBy("text_md5").agg(min("doc_id").as("base_min"))
+            .repartition(8).write.mode("overwrite").parquet(tmp)
+        }
+        s.read.parquet(path)
+      }
+      val delta = warmed(Tables.documents(s, d).filter(isDelta(col("doc_id")))
+        .select(col("doc_id"), md5(col("text")).as("text_md5")))
+      val deltaMin = delta.groupBy("text_md5").agg(min("doc_id").as("delta_min"))
+      val result = delta
+        .join(deltaMin, "text_md5")
+        .join(store, Seq("text_md5"), "left")
+        .select(col("doc_id"), col("text_md5"),
+          least(coalesce(col("base_min"), col("delta_min")), col("delta_min"))
+            .cast("bigint").as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      materialized(result, delta).orderBy("doc_id")
+    },
+
     // ---- exact dedup: content-hash groups, canonical representative ----
     "q40_dedup_exact" -> { (s, d) =>
       val byHash = Window.partitionBy(col("text_md5"))
@@ -873,6 +906,17 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |       CAST(n_memorized * 1000000 // n_spans AS BIGINT) AS memorized_ppm
          |FROM agg
          |ORDER BY doc_id""".stripMargin,
+
+    // the oracle is simply q40's batch canonical restricted to the
+    // delta — the incremental path must reproduce it exactly
+    "q138_incremental_exact" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+         |cm AS (SELECT text_md5, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+         |SELECT h.doc_id, h.text_md5, CAST(cm.canonical_id AS BIGINT) AS canonical_id,
+         |       h.doc_id <> cm.canonical_id AS is_dup
+         |FROM h JOIN cm USING (text_md5)
+         |WHERE h.doc_id % $deltaMod = $deltaRem
+         |ORDER BY h.doc_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_md5,

@@ -138,6 +138,26 @@ object EventsPack extends QueryPack {
         .orderBy("hour_start")
     },
 
+    // ---- changelog compaction (the upsert-read): collapse the event
+    // log to the LATEST row per (user_id, event_type) — the MERGE/SCD
+    // "current state" view every lakehouse table maintenance cycle
+    // produces. One map-side-combining argmax (max(struct)) keyed by
+    // the entity — no window over the full log, so a key with 10^6
+    // versions collapses before the shuffle; ties are impossible by
+    // construction (event_id is unique, ordered second in the struct). ----
+    "q137_changelog_compact" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+             count(lit(1)).cast("bigint").as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts").as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").cast("double").as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id", "event_type")
+    },
+
     // ---- tumbling 1-hour windows per event type ----
     "q30_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -414,6 +434,20 @@ object EventsPack extends QueryPack {
         |WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY hour_start""".stripMargin,
+
+    // argmax mirrored as (ts DESC, event_id DESC) — event_id uniqueness
+    // makes the tie-break exact
+    "q137_changelog_compact" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rk,
+        |         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+        |       CAST(value AS DOUBLE) AS last_value, CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rk = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q30_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
