@@ -121,6 +121,17 @@ object CorePack extends QueryPack {
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .json(path)
       roundTripDigest(back)
+    },
+
+    // ---- ORC sink+source round-trip: the columnar alternative format
+    // (no delimiter stress — ORC is binary; the gate covers the format
+    // path itself: writer, reader, schema, compression). ----
+    "q140_orc_roundtrip" -> { (s, dir) =>
+      val path = graft.core.Artifacts.materialize(
+        s"docs_orc_v1_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}") { tmp =>
+        Tables.documents(s, dir).write.mode("overwrite").orc(tmp)
+      }
+      roundTripDigest(s.read.orc(path))
     }
   )
 
@@ -153,7 +164,8 @@ object CorePack extends QueryPack {
     // same injected delimiters) — any corruption through the CSV/JSONL
     // layouts hash-fails here
     "q135_csv_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\",')"),
-    "q136_jsonl_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\"\\')")
+    "q136_jsonl_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\"\\')"),
+    "q140_orc_roundtrip" -> roundTripDigestSql("text")
   )
 
   private def roundTripDigestSql(textExpr: String) =

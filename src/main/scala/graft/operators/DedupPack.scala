@@ -236,7 +236,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * verify need, nothing else. Factored out of q41 so the incremental
     * path (q101) computes the SAME state for a delta batch.
     */
-  private[operators] def minhashDocs(docs0: DataFrame): DataFrame =
+  private[graft] def minhashDocs(docs0: DataFrame): DataFrame =
     docs0
       .select(col("doc_id"), tokenSet(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -290,12 +290,30 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     s.read.parquet(path)
   }
 
+  /** [[minhashBands]] variant that CARRIES the per-doc verify state
+    * (sigs/tid/n_toks) on every band row — for the streaming probe
+    * (q139), where the band join's output cannot re-join its own stream
+    * to recover state. The persisted band index stays narrow
+    * ([[minhashBands]]); this wide form only ever flows through a
+    * micro-batch.
+    */
+  private[graft] def minhashBandsWithState(docs: DataFrame): DataFrame = {
+    val bandKey = (lo: Int) =>
+      hex64(md5(concat_ws(",", transform(slice(col("sigs"), lo, bandRows), _.cast("string")))))
+    docs
+      .withColumn("b0", bandKey(1))
+      .withColumn("b1", bandKey(bandRows + 1))
+      .select(col("doc_id"), col("sigs"), col("tid"), col("n_toks"), col("b0"),
+        posexplode(array(col("b0"), col("b1"))))
+      .toDF("doc_id", "sigs", "tid", "n_toks", "b0", "band_id", "band_val")
+  }
+
   /** The incremental split: docs with `doc_id % 10 == 7` are "the delta
     * batch that just arrived"; the other 90% are "the already-indexed
     * corpus". Mirrored literally in the q101 oracle.
     */
-  private val deltaMod = 10L
-  private val deltaRem = 7L
+  private[graft] val deltaMod = 10L
+  private[graft] val deltaRem = 7L
   private def isDelta(id: Column): Column = pmod(id, lit(deltaMod)) === lit(deltaRem)
 
   /** Base-corpus MinHash signature store, materialized ONCE per corpus —
@@ -303,7 +321,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * 100 TB this is the parquet table the nightly batch appends to; no
     * delta ingest ever recomputes it.
     */
-  private def baseSigStore(s: SparkSession, d: String): DataFrame = {
+  private[graft] def baseSigStore(s: SparkSession, d: String): DataFrame = {
     val path = graft.core.Artifacts.materialize(
       s"minhash_base_sigs_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
       minhashDocs(Tables.documents(s, d).filter(!isDelta(col("doc_id"))))
@@ -317,7 +335,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * over the sig store (no re-tokenization); at scale it would be
     * written bucketed by `band_val` so the probe join co-locates.
     */
-  private def baseBandIndex(s: SparkSession, d: String): DataFrame = {
+  private[graft] def baseBandIndex(s: SparkSession, d: String): DataFrame = {
     val path = graft.core.Artifacts.materialize(
       s"minhash_base_bands_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
       minhashBands(baseSigStore(s, d))
@@ -340,7 +358,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * (tid/n_toks) and `sigs` in scope for the verify stage. Trailing
     * comma included.
     */
-  private[operators] val minhashCtes: String = {
+  private[graft] val minhashCtes: String = {
     val rotSql = "substring(h, 2*p + 1, 32 - 2*p) || substring(h, 1, 2*p)"
     s"""tok AS ($duckToks),
        |dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok),
@@ -369,7 +387,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * doc_j)` CTE (expects [[minhashCtes]]'s `docs`/`sigs` in scope).
     * Ends the CTE list — no trailing comma.
     */
-  private[operators] val minhashScoredCte: String =
+  private[graft] val minhashScoredCte: String =
     s"""scored AS (
        |  SELECT c.doc_i, c.doc_j,
        |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,

@@ -277,7 +277,67 @@ object StreamingPack extends QueryPack {
     probeSketch(tokB, sketch)
   }
 
+  /** Streaming near-dup: the arriving delta batch (doc_id % 10 == 7,
+    * q101's split) flows as a STREAM whose micro-batches compute MinHash
+    * state statelessly per row (array HOFs — no aggregation, no state
+    * store), probe the static base band-index artifact with a
+    * stream-static equi-join, and exact-verify against the static
+    * signature store — the live ingest-dedup shape: a crawler's output
+    * stream flagged against yesterday's index with zero streaming state.
+    * Emitted pairs are exactly q101's delta-base pairs (delta-delta
+    * pairs need stream-stream state and stay with the batch path —
+    * documented, and excluded from the oracle identically). Band rows
+    * carry their own verify state ([[graft.operators.DedupPack
+    * .minhashBandsWithState]]) because a stream cannot re-join itself.
+    */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupPack
+    graft.functions.GraftExpressions.ensure(s)
+    val baseBands = DedupPack.baseBandIndex(s, d)
+      .select(col("doc_id").as("base_id"), col("b0").as("base_b0"),
+        col("band_id"), col("band_val"))
+    val baseSigs = DedupPack.baseSigStore(s, d)
+      .select(col("doc_id").as("base_id"), col("sigs").as("sig_b"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+    val delta = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) === lit(DedupPack.deltaRem))
+    val probe = DedupPack.minhashBandsWithState(DedupPack.minhashDocs(delta))
+    val scored = probe
+      .join(baseBands,
+        probe("band_id") === baseBands("band_id") &&
+        probe("band_val") === baseBands("band_val") &&
+        (probe("band_id") === 0 || col("b0") =!= col("base_b0")))
+      .join(baseSigs, "base_id")
+      .withColumn("est_matches",
+        graft.functions.GraftExpressions.longArrayEqCount(col("sigs"), col("sig_b")))
+      .filter(col("est_matches") >= 12)
+      .withColumn("n_common",
+        graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid"), col("tid_b")))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_toks") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.9)
+      .select(least(col("doc_id"), col("base_id")).as("doc_i"),
+        greatest(col("doc_id"), col("base_id")).as("doc_j"),
+        col("est_matches"), col("n_common"), col("jaccard"))
+    val name = s"graft_stream_neardup_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = scored.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name).orderBy("doc_i", "doc_j")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_stream_neardup" -> ((s, d) => streamNearDup(s, d)),
     "q106_stream_countmin" -> ((s, d) => streamCountMin(s, d)),
     "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
     "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d)),
@@ -287,6 +347,25 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // q101's candidate construction restricted to delta-base pairs (the
+    // streaming path's exact coverage); thresholds identical
+    "q139_stream_neardup" -> {
+      import graft.operators.DedupPack.{minhashCtes, minhashScoredCte, deltaMod, deltaRem}
+      s"""WITH $minhashCtes
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS doc_i,
+         |                greatest(a.doc_id, b.doc_id) AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND a.doc_id % $deltaMod = $deltaRem
+         |          AND b.doc_id % $deltaMod <> $deltaRem
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |$minhashScoredCte
+         |SELECT doc_i, doc_j, est_matches, n_common, jaccard
+         |FROM scored
+         |WHERE est_matches >= 12 AND jaccard >= 0.9
+         |ORDER BY doc_i, doc_j""".stripMargin
+    },
+
     // the streamed sketch must equal the batch sketch (linear merge), so
     // the oracle is q104's verbatim
     "q106_stream_countmin" ->

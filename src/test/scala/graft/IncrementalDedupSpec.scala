@@ -37,4 +37,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
       assert(i % 10 == 7 || j % 10 == 7, s"pair ($i,$j) involves no delta doc")
     }
   }
+
+  test("streaming near-dup == incremental dedup's delta-base subset") {
+    val batch = graft.operators.DedupPack.queries("q101_incremental_dedup")(spark, d)
+      .filter(!col("both_delta"))
+      .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard")
+      .collect().toSet
+    val streamed = graft.streaming.StreamingPack.queries("q139_stream_neardup")(spark, d)
+      .select("doc_i", "doc_j", "est_matches", "n_common", "jaccard")
+      .collect().toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} pairs, batch delta-base=${batch.size}")
+    assert(streamed.nonEmpty, "fixture corpus produced no delta-base pairs")
+  }
 }
