@@ -239,6 +239,34 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- k-core peel (the fourth graph primitive next to CC/PageRank/
+    // LPA): iteratively delete nodes of degree < k from the near-dup
+    // graph — the dense-core extractor that strips pendant chains the
+    // way LPA cannot. FIXED 4 peeling rounds (q122's pattern: the
+    // oracle unrolls the same rounds; KCoreSpec asserts a 5th round is
+    // a no-op on the gate corpus, so 4 IS the fixpoint there). Each
+    // round is one map-side-combining degree count + two semi-joins on
+    // int64 node ids — no windows, no all-pairs; per-round
+    // localCheckpoint keeps lineage flat. Output: surviving nodes with
+    // their in-core degree. ----
+    "q141_kcore" -> { (s, d) =>
+      val k = 2
+      val rounds = 4
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      var edges = symmetricEdges(pairs).toDF("v", "u")
+      for (_ <- 1 to rounds) {
+        val keep = edges.groupBy("v").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("v")
+        edges = edges
+          .join(keep, "v")
+          .join(keep.withColumnRenamed("v", "u"), "u")
+          .localCheckpoint()
+      }
+      edges.groupBy("v").agg(count(lit(1)).cast("bigint").as("deg_in_core"))
+        .select(col("v").cast("bigint").as("doc_id"), col("deg_in_core"))
+        .orderBy("doc_id")
+    },
+
     // ---- cluster representatives: the terminal dedup-pipeline output.
     // Every doc gets its connected-component label (singletons label
     // themselves) and each cluster elects ONE representative — longest
@@ -684,6 +712,24 @@ object PipelinePack extends QueryPack {
          |$rounds
          |SELECT node AS doc_id, CAST(s AS BIGINT) AS score_q
          |FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // same 4 unrolled peel rounds: degree >= k filter on both endpoints
+    "q141_kcore" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""k$i AS (SELECT v FROM e${i - 1} GROUP BY v HAVING count(*) >= 2),
+           |e$i AS (SELECT e.v, e.u FROM e${i - 1} e
+           |        JOIN k$i a ON a.v = e.v JOIN k$i b ON b.v = e.u)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e0 AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |       UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |$rounds
+         |SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS deg_in_core
+         |FROM e4
+         |GROUP BY v
          |ORDER BY doc_id""".stripMargin
     },
 
