@@ -33,6 +33,69 @@ object CleanPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- referential-integrity audit: orphan counts across every FK
+    // edge of the star schema (+ the app-level events→customer edge) —
+    // the data-quality contract a warehouse load validates before
+    // publishing. Each edge is ONE left-anti equi-join against the
+    // parent's (distinct, usually broadcastable) key set; counts are a
+    // bounded 5-row report regardless of fact volume. ----
+    "q142_fk_audit" -> { (s, d) =>
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.select(col(key).as("k"))
+          .join(broadcast(parent.select(col(pkey).as("k")).distinct()),
+            Seq("k"), "left_anti")
+          .agg(count(lit(1)).cast("bigint").as("n_orphans"))
+        child.agg(count(lit(1)).cast("bigint").as("n_child"))
+          .crossJoin(orphans)
+          .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+      }
+      Seq(
+        edge("customer.nationkey", Tables.table(s, d, "customer"), "c_nationkey",
+          Tables.table(s, d, "nation"), "n_nationkey"),
+        edge("events.user_id", Tables.eventsRawNanos(s, d), "user_id",
+          Tables.table(s, d, "customer"), "c_custkey"),
+        edge("lineitem.orderkey", Tables.lineitem(s, d), "l_orderkey",
+          Tables.table(s, d, "orders"), "o_orderkey"),
+        edge("orders.custkey", Tables.table(s, d, "orders"), "o_custkey",
+          Tables.table(s, d, "customer"), "c_custkey"),
+        edge("supplier.nationkey", Tables.table(s, d, "supplier"), "s_nationkey",
+          Tables.table(s, d, "nation"), "n_nationkey")
+      ).reduce(_ unionByName _).orderBy("relationship")
+    },
+
+    // ---- corpus snapshot diff: the audit between two corpus versions
+    // (v1 = docs except doc_id%10==9 "not yet crawled"; v2 = docs
+    // except doc_id%10==3 "taken down", with the %10==7 batch revised —
+    // deterministic version simulation in both engines). A FULL OUTER
+    // join on doc_id classifies every doc added / removed / modified /
+    // unchanged (content compared by md5, never by text shuffle), then
+    // folds to a per-source × status report — the ingest changelog a
+    // continuously-updated 100 TB corpus publishes per snapshot. ----
+    "q143_corpus_diff" -> { (s, d) =>
+      // hash-derived version buckets (doc_id % 10 would correlate with
+      // source in the synthetic layout and collapse each source to one
+      // status — the md5 residue decorrelates, q66's bucket pattern)
+      val docs = Tables.documents(s, d)
+        .withColumn("vb", hex64(md5(col("doc_id").cast("string"))) % 10)
+      val v1 = docs.filter(col("vb") =!= 9)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("vb") =!= 3)
+        .withColumn("text",
+          when(col("vb") === 7, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("source").as("source2"), md5(col("text")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("source2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy("source", "status")
+    },
+
     // ---- PII redaction (the scrubbing pass of C4/Dolma-style corpus
     // builds): regexp count + replace of emails, phone numbers, and
     // IPv4 literals. The corpus is synthetic and PII-free, so — like
@@ -215,6 +278,54 @@ object CleanPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // one scalar-subquery pair per FK edge; anti-join as IS NULL
+    "q142_fk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.nationkey' AS relationship,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey WHERE n.n_nationkey IS NULL) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'events.user_id',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON c.c_custkey = e.user_id WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders.custkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'supplier.nationkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey WHERE n.n_nationkey IS NULL)
+        |) t
+        |ORDER BY relationship""".stripMargin,
+
+    // same version simulation, same md5 compare, same status precedence
+    "q143_corpus_diff" ->
+      """WITH d0 AS (
+        |  SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS vb
+        |  FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source, md5(text) AS h1 FROM d0 WHERE vb <> 9),
+        |v2 AS (
+        |  SELECT doc_id, source AS source2,
+        |         md5(CASE WHEN vb = 7 THEN text || ' rev2' ELSE text END) AS h2
+        |  FROM d0 WHERE vb <> 3),
+        |j AS (
+        |  SELECT COALESCE(v1.source, v2.source2) AS source,
+        |         CASE WHEN v1.h1 IS NULL THEN 'added'
+        |              WHEN v2.h2 IS NULL THEN 'removed'
+        |              WHEN v1.h1 <> v2.h2 THEN 'modified'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j
+        |GROUP BY source, status
+        |ORDER BY source, status""".stripMargin,
     "q110_pii_redact" ->
       s"""WITH inj AS (
          |  SELECT doc_id,
