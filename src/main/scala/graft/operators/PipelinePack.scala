@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
@@ -69,6 +69,20 @@ object PipelinePack extends QueryPack {
           sc.setCheckpointDir(dir)
         df.checkpoint()
     }
+
+  /** Deterministic 80/10/10 split bucket of a doc id (md5 residue — the
+    * q66 hash-bucket pattern; mirrored literally in the q144/q145
+    * oracles). */
+  private def splitOf(id: Column): Column = {
+    val b = hex64(md5(concat(id.cast("string"), lit(":split")))) % 10
+    when(b < 8, "train").when(b < 9, "val").otherwise("test")
+  }
+
+  /** DuckDB mirror of [[splitOf]] over an id column/expression. */
+  private def splitSql(idCol: String = "doc_id") =
+    s"""CASE WHEN CAST('0x' || substring(md5(CAST($idCol AS VARCHAR) || ':split'), 1, 15) AS BIGINT) % 10 < 8 THEN 'train'
+       |     WHEN CAST('0x' || substring(md5(CAST($idCol AS VARCHAR) || ':split'), 1, 15) AS BIGINT) % 10 < 9 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   private def symmetricEdges(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
@@ -396,6 +410,37 @@ object PipelinePack extends QueryPack {
         .select("lang", "n_docs", "n_tokens", "actual_share", "target_share",
           "weight", "expected_tokens")
         .orderBy("lang")
+    },
+
+    // ---- train/val/test split manifest: the deterministic 80/10/10
+    // hash split (q66's bucket pattern — never random()) with the
+    // per-split volume report a corpus build publishes. One scan, a
+    // splits-sized aggregate. ----
+    "q144_split_manifest" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(splitOf(col("doc_id")).as("split"),
+          size(tokens(col("text"))).cast("bigint").as("n"))
+        .groupBy("split")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+             sum("n").cast("bigint").as("n_tokens"))
+        .orderBy("split")
+    },
+
+    // ---- cross-split leakage audit: NEAR-dup pairs (the shared shingle
+    // pair artifact, tightened to Jaccard ≥ 0.5) whose two docs land in
+    // DIFFERENT splits — the doc-level test-set contamination q133
+    // measures at span level, and the reason dedup must run BEFORE
+    // splitting (this corpus has zero EXACT dups, so md5-level leakage
+    // would gate vacuously — near-dup leakage is the live failure
+    // mode). Cost: one pass over the bounded pair table. ----
+    "q145_split_leakage" -> { (s, d) =>
+      DedupPack.ngramPairs(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_i"), col("doc_j"),
+          splitOf(col("doc_i")).as("split_i"),
+          splitOf(col("doc_j")).as("split_j"))
+        .filter(col("split_i") =!= col("split_j"))
+        .orderBy("doc_i", "doc_j")
     },
 
     // ---- token-budget epoch scheduling (Muennighoff et al., "Scaling
@@ -845,6 +890,28 @@ object PipelinePack extends QueryPack {
          |            ELSE 'keep' END AS verdict
          |FROM ranked
          |ORDER BY doc_id""".stripMargin,
+
+    // same md5-residue split buckets
+    "q144_split_manifest" ->
+      s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |FROM (SELECT ${splitSql()} AS split,
+         |             len(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |                             w -> w <> '')) AS n
+         |      FROM documents)
+         |GROUP BY split
+         |ORDER BY split""".stripMargin,
+
+    // same pair set (shared shingle CTEs), same split buckets per side
+    "q145_split_leakage" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |sp AS (SELECT doc_i, doc_j,
+         |              ${splitSql("doc_i")} AS split_i,
+         |              ${splitSql("doc_j")} AS split_j
+         |       FROM pairs WHERE jaccard >= 0.5)
+         |SELECT doc_i, doc_j, split_i, split_j
+         |FROM sp
+         |WHERE split_i <> split_j
+         |ORDER BY doc_i, doc_j""".stripMargin,
 
     // same integer weight rule (1 + srcnum mod 10), budget 3× corpus,
     // floor/ceil division (// is DuckDB integer division)
