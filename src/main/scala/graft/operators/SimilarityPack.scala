@@ -562,6 +562,28 @@ object SimilarityPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- embedding data card: per-label vector-population statistics
+    // in EXACT int64 — count and the raw fixed-point squared-norm
+    // spread (sum/min/max/avg of the un-divided LongArrayDot(q, q)
+    // values; each < 2^53, summed over a label's population well inside
+    // int64). The norm drift / degenerate-vector diagnostic an
+    // embedding pipeline publishes next to the q107 text data card; one
+    // codegen scan, a labels-sized aggregate. ----
+    "q147_embedding_datacard" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val qv = quantize(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("label").cast("bigint").as("label"),
+          graft.functions.GraftExpressions.longArrayDot(qv, qv).as("normsq_q"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+             sum("normsq_q").cast("bigint").as("sum_normsq_q"),
+             min("normsq_q").cast("bigint").as("min_normsq_q"),
+             max("normsq_q").cast("bigint").as("max_normsq_q"))
+        .withColumn("avg_normsq_q", expr("sum_normsq_q div n_vecs").cast("bigint"))
+        .orderBy("label")
+    },
+
     // ---- exact cosine top-k, brute force (baseline) ----
     "q50_ann_brute" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
@@ -926,6 +948,25 @@ object SimilarityPack extends QueryPack {
   }
 
   private def baseOracle: Map[String, String] = Map(
+
+    // same quantization, same raw int64 self-dot, same integer average
+    "q147_embedding_datacard" ->
+      s"""WITH qv AS (SELECT label, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |n AS (SELECT label,
+         |        CAST((SELECT SUM(q[g.i] * q[g.i])
+         |              FROM UNNEST(generate_series(1, $dim)) AS g(i)) AS BIGINT) AS normsq_q
+         |      FROM qv),
+         |a AS (SELECT CAST(label AS BIGINT) AS label,
+         |        CAST(count(*) AS BIGINT) AS n_vecs,
+         |        CAST(SUM(normsq_q) AS BIGINT) AS sum_normsq_q,
+         |        CAST(MIN(normsq_q) AS BIGINT) AS min_normsq_q,
+         |        CAST(MAX(normsq_q) AS BIGINT) AS max_normsq_q
+         |      FROM n GROUP BY label)
+         |SELECT label, n_vecs, sum_normsq_q, min_normsq_q, max_normsq_q,
+         |       CAST(sum_normsq_q // n_vecs AS BIGINT) AS avg_normsq_q
+         |FROM a
+         |ORDER BY label""".stripMargin,
+
     "q06_ann_pq" -> pqAdcSql(topK),
 
     // IVF training replay (one parenthesized scope) restricts the PQ ADC
