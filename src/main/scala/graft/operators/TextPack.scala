@@ -346,6 +346,25 @@ object TextPack extends QueryPack {
         .orderBy("threshold_pct")
     },
 
+    // ---- per-source token-length histogram in log2 buckets — the
+    // length-distribution panel of the q107 data card (truncation vs
+    // padding economics for sequence packing read straight off it).
+    // The bucket is floor(log2 n)+1 computed EXACTLY as the bit-length
+    // of n (length of the base-2 digit string — Spark conv / DuckDB
+    // bin agree with no floating log2 edge cases at powers of two).
+    // One scan, a sources×~10 aggregate. ----
+    "q148_length_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bucket", length(conv(col("n").cast("string"), 10, 2)).cast("bigint"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+             min("n").cast("bigint").as("min_tokens"),
+             max("n").cast("bigint").as("max_tokens"))
+        .orderBy("source", "bucket")
+    },
+
     "q62_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -955,6 +974,22 @@ object TextPack extends QueryPack {
           |         CROSS JOIN v
           |GROUP BY dbg.doc_id
           |ORDER BY doc_id""".stripMargin,
+
+      // same tokenization, same bit-length bucket (bin() has no leading
+      // zeros, exactly Spark's conv-string length)
+      "q148_length_histogram" ->
+        """WITH t AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n
+          |  FROM documents)
+          |SELECT source, CAST(length(bin(n)) AS BIGINT) AS bucket,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(MIN(n) AS BIGINT) AS min_tokens,
+          |       CAST(MAX(n) AS BIGINT) AS max_tokens
+          |FROM t WHERE n > 0
+          |GROUP BY source, length(bin(n))
+          |ORDER BY source, bucket""".stripMargin,
 
       // same held-in split, same per-class counting, same top-10
       // tie-break (cnt desc, word asc)
