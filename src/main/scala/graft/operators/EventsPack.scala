@@ -123,7 +123,7 @@ object EventsPack extends QueryPack {
     // tests; this makes it a driver-gated query. ----
     "q134_partition_pruned_scan" -> { (s, d) =>
       val path = graft.core.Artifacts.materialize(
-        s"events_by_type_v1_${graft.core.Artifacts.corpusKey(d, "events.parquet")}") { tmp =>
+        s"events_partitioned_full_v1_${graft.core.Artifacts.corpusKey(d, "events.parquet")}") { tmp =>
         Tables.events(s, d).write.partitionBy("event_type")
           .mode("overwrite").parquet(tmp)
       }
