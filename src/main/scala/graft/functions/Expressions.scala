@@ -250,6 +250,8 @@ object GraftExpressions {
       CountMinSketchAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom",
       BloomFilterAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_hll",
+      HyperLogLogAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might_contain",
       BloomMightContain.fromExprs, "built-in")
   }
@@ -293,4 +295,7 @@ object GraftExpressions {
   def bloomMightContain(bf: Column, key: Column, numHashes: Int): Column =
     call_function("graft_bloom_might_contain", bf, key,
       org.apache.spark.sql.functions.lit(numHashes))
+
+  def hll(c: Column, p: Int): Column =
+    call_function("graft_hll", c, org.apache.spark.sql.functions.lit(p))
 }

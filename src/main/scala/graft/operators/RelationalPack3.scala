@@ -182,6 +182,48 @@ object RelationalPack3 extends QueryPack {
       """)
     },
 
+    // ---- HyperLogLog distinct-count sketch (Flajolet et al. 2007) as
+    // the FIFTH native TypedImperativeAggregate — the strong form of
+    // q21: where q21 gates Spark's own HLL++ behind a 10% envelope
+    // boolean (estimates are engine-local), this one is built on the
+    // project's md5 hash, so the DuckDB oracle rebuilds the IDENTICAL
+    // 256-register file and the gate compares registers AND estimate
+    // EXACTLY — the q104 Count-Min discipline applied to cardinality.
+    // Grouped by l_returnflag: the 100 TB pattern is per-group distinct
+    // counts in ONE shuffle of 2 KiB register buffers (map-side
+    // partial-merge by register max) versus COUNT(DISTINCT)'s shuffle
+    // of every key. Estimate arithmetic is all-int64 fixed point
+    // (micro-units): Z is kept scaled by 2^53 so every register term
+    // 2^(53-reg) is integral, and the standard small-range linear
+    // counting branch (raw <= 2.5m with empty registers) uses the
+    // established per-term ln() micro-quantization. n_true (the exact
+    // distinct) rides along as the honesty column — at sf0.01 the raw
+    // HLL estimate lands within ~1.04/sqrt(256) = 6.5% of it. ----
+    "q149_hll_registers" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+                col("l_orderkey").cast("string").as("key"))
+      val truth = vals.groupBy("grp").agg(countDistinct(col("key")).as("n_true"))
+      val rows = vals.groupBy("grp")
+        .agg(graft.functions.GraftExpressions.hll(col("key"), 8).as("regs"))
+        .select(col("grp"), posexplode(col("regs")).as(Seq("idx", "reg")))
+        .select(col("grp"), col("idx").cast("bigint").as("idx"), col("reg"))
+      val summ = rows.groupBy("grp")
+        .agg(sum(expr("shiftleft(1L, cast(53 - reg as int))")).as("z_scaled"),
+             sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("raw_est_micro",
+          expr("718272L * (shiftleft(1L, 53) div greatest(shiftright(z_scaled, 16), 1L))"))
+        .withColumn("est_micro",
+          when(col("n_zero") > 0 && col("raw_est_micro") <= lit(640000000L),
+            expr("cast(floor(256.0D * ln(256.0D / cast(n_zero as double)) * 1000000.0D) as bigint)"))
+          .otherwise(col("raw_est_micro")))
+      val result = rows.join(summ, "grp").join(truth, "grp")
+        .select(col("grp"), col("idx"), col("reg"), col("z_scaled"),
+                col("n_zero"), col("raw_est_micro"), col("est_micro"), col("n_true"))
+      materialized(result).orderBy("grp", "idx")
+    },
+
     // ---- exact interpolated percentiles (type-7 quantiles). l_quantity
     //      holds integral doubles and the probe points are exact binary
     //      fractions, so the interpolation is exact in both engines ----
@@ -202,6 +244,48 @@ object RelationalPack3 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // rebuilds the register file cell-for-cell: same md5 60-bit hash,
+    // index = low 8 bits, rho = 53 - bitlength(high 52 bits) (bin(0) is
+    // '0', so the rest=0 case is explicit), then the identical int64
+    // fixed-point estimate chain
+    "q149_hll_registers" ->
+      """WITH vals AS (
+        |  SELECT l_returnflag AS grp, CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+        |hashed AS (
+        |  SELECT DISTINCT grp, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h
+        |  FROM vals),
+        |rhos AS (
+        |  SELECT grp, h % 256 AS idx,
+        |         CASE WHEN (h >> 8) = 0 THEN 53
+        |              ELSE 53 - length(bin(h >> 8)) END AS rho
+        |  FROM hashed),
+        |grps AS (SELECT grp, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_true
+        |         FROM vals GROUP BY grp),
+        |idxs AS (SELECT unnest(generate_series(0, 255)) AS idx),
+        |regs AS (
+        |  SELECT g.grp, CAST(i.idx AS BIGINT) AS idx, g.n_true,
+        |         CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS reg
+        |  FROM grps g CROSS JOIN idxs i
+        |  LEFT JOIN rhos r ON r.grp = g.grp AND r.idx = i.idx
+        |  GROUP BY g.grp, i.idx, g.n_true),
+        |summ AS (
+        |  SELECT grp,
+        |         CAST(SUM(1::BIGINT << CAST(53 - reg AS INT)) AS BIGINT) AS z_scaled,
+        |         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY grp),
+        |est AS (
+        |  SELECT grp, z_scaled, n_zero,
+        |         CAST(718272 * ((1::BIGINT << 53) // greatest(z_scaled >> 16, 1)) AS BIGINT)
+        |           AS raw_est_micro
+        |  FROM summ)
+        |SELECT r.grp, r.idx, r.reg, e.z_scaled, e.n_zero, e.raw_est_micro,
+        |       CAST(CASE WHEN e.n_zero > 0 AND e.raw_est_micro <= 640000000
+        |            THEN CAST(floor(256.0 * ln(256.0 / CAST(e.n_zero AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |            ELSE e.raw_est_micro END AS BIGINT) AS est_micro,
+        |       r.n_true
+        |FROM regs r JOIN est e ON e.grp = r.grp
+        |ORDER BY r.grp, r.idx""".stripMargin,
+
     "q90_exists" ->
       """SELECT c_custkey, c_name
         |FROM customer c
