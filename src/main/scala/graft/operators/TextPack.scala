@@ -505,6 +505,60 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- DSIR importance resampling (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023,
+    // arXiv:2302.03169): select pool documents whose hashed-n-gram
+    // distribution looks like a curated TARGET domain. Features are
+    // unigrams + bigrams hashed into B=1024 buckets (the paper's hashed
+    // n-gram feature space, on the project md5); the target here is the
+    // src0/src1/src2 slice (the wiki+books stand-in). Per-doc importance
+    // weight = Σ_b c_doc(b)·[log p_target(b) − log p_raw(b)] with
+    // Laplace smoothing, every log() floor(×1e6)-quantized PER TERM (the
+    // q05/q117 contract) so the weight is exact int64. Scale shape: docs
+    // collapse to (doc, bucket) counts map-side; both distributions
+    // derive from that same frame (no second corpus scan); the log-ratio
+    // table is B rows — BROADCAST — so scoring is a broadcast join + one
+    // groupBy(doc). Selection: the paper's global top-k resample is a
+    // single-partition sort at corpus scale, so the gated query does the
+    // stratified variant — top 20% per SOURCE via bounded per-source
+    // windows (the q124 precedent), threshold in pure integer
+    // arithmetic. ----
+    "q150_dsir_importance" -> { (s, d) =>
+      val B = 1024
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      val dbc = warmed(docs
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("toks"), wordShinglesOf(col("toks"), 2))).as("f"))
+        .select(col("doc_id"), col("source"), (hex64(md5(col("f"))) % B).as("b"))
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c")))
+      val raw = dbc.groupBy("b").agg(sum("c").as("cr"))
+      val tgt = dbc.filter(col("source").isin("src0", "src1", "src2"))
+        .groupBy("b").agg(sum("c").as("ct"))
+      val tots = raw.agg(sum("cr").cast("bigint").as("tr"))
+        .crossJoin(tgt.agg(sum("ct").cast("bigint").as("tt")))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tots))
+        .select(col("b"),
+          ((qln(col("ct") + 1) - qln(col("tt") + B)) -
+           (qln(col("cr") + 1) - qln(col("tr") + B))).as("lr_q"))
+      val wts = dbc.join(broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("c") * col("lr_q")).cast("bigint").as("weight_q"))
+      val nsrc = wts.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("weight_q"), asc("doc_id"))
+      val result = wts.join(nsrc, "source")
+        .withColumn("src_rank", row_number().over(w).cast("bigint"))
+        .withColumn("selected", col("src_rank") <= expr("(n_src + 4) div 5"))
+        .select(col("doc_id"), col("source"), col("weight_q"),
+                col("src_rank"), col("selected"))
+      materialized(result, dbc).orderBy("doc_id")
+    },
+
     // ---- bigram-LM document scoring: the next step up from q05's
     // unigram scorer toward KenLM-style fluency filtering — per-doc
     // average log P(w2|w1) under the corpus's own bigram counts with
@@ -950,6 +1004,43 @@ object TextPack extends QueryPack {
            |      FROM s$bpeRounds)
            |GROUP BY sym
            |ORDER BY freq DESC, sym""".stripMargin,
+
+      // identical hashed uni+bigram buckets, identical per-term floors,
+      // identical integer ceil-division selection threshold
+      "q150_dsir_importance" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |uni AS (SELECT doc_id, source, unnest(ts) AS f FROM toks),
+          |bi AS (SELECT doc_id, source, ts[g.i] || ' ' || ts[g.i + 1] AS f
+          |       FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |feats AS (SELECT doc_id, source,
+          |                 CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % 1024 AS b
+          |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+          |dbc AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+          |        FROM feats GROUP BY 1, 2, 3),
+          |raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM dbc GROUP BY 1),
+          |tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM dbc
+          |        WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+          |tots AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr,
+          |                (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS tt),
+          |lr AS (SELECT r.b,
+          |         (CAST(floor(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |        - CAST(floor(ln(CAST(tots.tt + 1024 AS DOUBLE)) * 1e6) AS BIGINT))
+          |       - (CAST(floor(ln(CAST(r.cr + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |        - CAST(floor(ln(CAST(tots.tr + 1024 AS DOUBLE)) * 1e6) AS BIGINT)) AS lr_q
+          |       FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots),
+          |wts AS (SELECT doc_id, source, CAST(SUM(c * lr_q) AS BIGINT) AS weight_q
+          |        FROM dbc JOIN lr USING (b) GROUP BY 1, 2),
+          |nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM wts GROUP BY 1)
+          |SELECT w.doc_id, w.source, w.weight_q,
+          |       CAST(row_number() OVER (PARTITION BY w.source
+          |                               ORDER BY w.weight_q DESC, w.doc_id) AS BIGINT) AS src_rank,
+          |       CAST(row_number() OVER (PARTITION BY w.source
+          |                               ORDER BY w.weight_q DESC, w.doc_id) AS BIGINT)
+          |         <= (n.n_src + 4) // 5 AS selected
+          |FROM wts w JOIN nsrc n USING (source)
+          |ORDER BY doc_id""".stripMargin,
 
       // identical (doc, bigram) / corpus-count construction, identical
       // per-term floors
