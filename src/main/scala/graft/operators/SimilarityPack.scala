@@ -505,6 +505,68 @@ object SimilarityPack extends QueryPack {
     pqRanked(s, d, vecs).filter(col("rk") <= topK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adist_q"))
 
+  /** SQ8 shortlist fed to the exact re-rank — same re-rank budget as PQ. */
+  private[graft] val sq8Shortlist = 32 * topK
+
+  /** Scalar-quantization (SQ8) model as a once-per-corpus artifact: the
+    * FAISS `SQ8` layout (Jégou et al.'s codebase; 1 byte/dimension)
+    * completing the storage spectrum between full vectors (256 B here)
+    * and PQ codes (4 B): per-DIMENSION [min, max] trained over the
+    * corpus (exact int64 aggregates on the fixed-point components), and
+    * every vector encoded as 64 codes `(x−mn)·255 div (mx−mn)` ∈
+    * [0, 255]. Training is two corpus scans (param agg + encode), paid
+    * once; queries scan CODES (64 B/vector at scale — stored int64 here,
+    * 1 byte in a production file format) and never the raw vectors
+    * until re-rank. All arithmetic is int64 on the already-quantized
+    * components, so the DuckDB oracle replays it exactly. Tables:
+    * `params` (i, mn, mx) and `codes` (vec_id, codes[64]). */
+  private def sq8ModelDir(s: SparkSession, d: String): String = {
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    graft.core.Artifacts.materialize(s"sq8_model_v1_$key") { tmp =>
+      val comp = annIndex(s, d)
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      comp.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+        .coalesce(1).write.parquet(s"$tmp/params")
+      comp.join(broadcast(s.read.parquet(s"$tmp/params")), "i")
+        .withColumn("code",
+          expr("CASE WHEN mx = mn THEN 0L ELSE ((x - mn) * 255L) div (mx - mn) END"))
+        .groupBy("vec_id")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("code")))),
+          st => st.getField("code")).as("codes"))
+        .write.parquet(s"$tmp/codes")
+      // multi-table artifact: top-level completeness marker (the
+      // bpe_model precedent)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+  }
+
+  /** SQ8 search: decode each corpus vector ONCE per scan (codes ⨯ the
+    * broadcast 64-dim param arrays → reconstructed 255·x̂ components),
+    * shortlist by exact-int64 approximate dot against the broadcast
+    * queries, then exact cosine re-rank ([[rerankExact]]). The
+    * asymmetric trick mirrors PQ's ADC: queries stay full-precision,
+    * only the corpus side is compressed, and the scaled-by-255 decode
+    * keeps every product integral (ranking is division-free). */
+  private def sq8RerankTopK(s: SparkSession, d: String, vecs: DataFrame): DataFrame = {
+    val dir = sq8ModelDir(s, d)
+    val par = s.read.parquet(s"$dir/params")
+      .agg(expr("transform(sort_array(collect_list(struct(i, mn, mx))), t -> t.mn)").as("mns"),
+           expr("transform(sort_array(collect_list(struct(i, mn, mx))), t -> t.mx - t.mn)").as("diffs"))
+    val dec = s.read.parquet(s"$dir/codes").crossJoin(broadcast(par))
+      .withColumn("xhat",
+        expr("transform(codes, (c, i) -> 255L * element_at(mns, i + 1) + c * element_at(diffs, i + 1))"))
+      .select("vec_id", "xhat")
+    val qs = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("adist_q"), asc("vec_id"))
+    val short = dec.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("adist_q",
+        graft.functions.GraftExpressions.longArrayDot(col("qq"), col("xhat")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= sq8Shortlist)
+      .select(col("q_id"), col("vec_id"))
+    rerankExact(vecs, short)
+  }
+
   /** Exact cosine re-rank of a (q_id, vec_id) shortlist against the
     * stored vectors: the precision-recovery tail of every
     * shortlist-producing index (q07 PQ, q103 IVF-PQ). The re-rank reads
@@ -631,6 +693,19 @@ object SimilarityPack extends QueryPack {
       materialized(pqRerankTopK(s, d, vecs), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- SQ8 + exact re-rank: the 1-byte-per-dimension middle point of
+    // the quantization spectrum (full 256 B → SQ8 64 B → PQ 4 B). Where
+    // PQ's 4-code reconstruction collapses on near-orthogonal random
+    // embeddings (q54: ~0.68–0.84 re-rank recall), SQ8's per-dimension
+    // error is ~0.4%, so it holds recall ~1.0 on the SAME corpus at 4×
+    // compression — the production answer when PQ recall audits fail.
+    // See [[sq8RerankTopK]] / [[sq8ModelDir]]. ----
+    "q151_ann_sq8_rerank" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      materialized(sq8RerankTopK(s, d, vecs), vecs).orderBy("q_id", "rk")
+    },
+
     // ---- IVF-PQ: coarse cells prune, PQ codes rank, exact re-rank —
     // see [[ivfPqRerankTopK]]. ----
     "q103_ann_ivfpq" -> { (s, d) =>
@@ -661,6 +736,7 @@ object SimilarityPack extends QueryPack {
         "q06_ann_pq" -> pq,
         "q07_ann_pq_rerank" -> pqrr,
         "q103_ann_ivfpq" -> ivfPqRerankTopK(s, d, vecs, ranked),
+        "q151_ann_sq8_rerank" -> sq8RerankTopK(s, d, vecs),
         "q51_ann_lsh" -> lshTopK(vecs, b),
         "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
         "q53_ann_ivf" -> ivf)
@@ -824,12 +900,13 @@ object SimilarityPack extends QueryPack {
        |  SELECT 'q06_ann_pq' AS method, q_id, vec_id FROM ${sub("q06_ann_pq")} p0 WHERE q_id < 5
        |  UNION ALL SELECT 'q07_ann_pq_rerank', q_id, vec_id FROM ${sub("q07_ann_pq_rerank")} p1 WHERE q_id < 5
        |  UNION ALL SELECT 'q103_ann_ivfpq', q_id, vec_id FROM ${sub("q103_ann_ivfpq")} p2 WHERE q_id < 5
+       |  UNION ALL SELECT 'q151_ann_sq8_rerank', q_id, vec_id FROM ${sub("q151_ann_sq8_rerank")} p3 WHERE q_id < 5
        |  UNION ALL SELECT 'q51_ann_lsh', q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
        |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
        |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
        |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
-       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q103_ann_ivfpq'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q103_ann_ivfpq'), ('q151_ann_sq8_rerank'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
        |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
        |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
@@ -1073,6 +1150,40 @@ object SimilarityPack extends QueryPack {
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
          |  FROM pairs)
          |SELECT q_id, rk, vec_id, cosine FROM ranked
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // replays the SQ8 model exactly: per-dim min/max over the quantized
+    // components, floor-division codes, scaled-by-255 decode, int64
+    // approximate-dot shortlist, exact cosine re-rank
+    "q151_ann_sq8_rerank" ->
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
+         |  FROM vecs v),
+         |comp AS (SELECT vec_id, g.i AS i, q[g.i] AS x
+         |         FROM vecs, UNNEST(generate_series(1, $dim)) AS g(i)),
+         |par AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i),
+         |xh AS (SELECT c.vec_id, c.i,
+         |              CASE WHEN p.mx = p.mn THEN 255 * p.mn
+         |                   ELSE 255 * p.mn + (((c.x - p.mn) * 255) // (p.mx - p.mn)) * (p.mx - p.mn)
+         |              END AS xh
+         |       FROM comp c JOIN par p USING (i)),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, norm AS qnorm FROM scored WHERE vec_id < 20),
+         |ad AS (SELECT q.q_id, x.vec_id, SUM(q.qq[x.i] * x.xh) AS adist_q
+         |       FROM qs q JOIN xh x ON x.vec_id <> q.q_id
+         |       GROUP BY q.q_id, x.vec_id),
+         |short AS (SELECT q_id, vec_id FROM ad
+         |          QUALIFY row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY adist_q DESC, vec_id) <= $sq8Shortlist),
+         |rr AS (SELECT s.q_id, s.vec_id,
+         |              ${dotQSql("q2.qq", "v.q", dim)} / (q2.qnorm * v.norm) AS cosine
+         |       FROM short s JOIN scored v ON v.vec_id = s.vec_id
+         |                    JOIN qs q2 ON q2.q_id = s.q_id)
+         |SELECT q_id, rk, vec_id, cosine FROM (
+         |  SELECT q_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM rr)
          |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
 
