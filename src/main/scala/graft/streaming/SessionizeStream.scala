@@ -52,11 +52,10 @@ object SessionizeStream {
   def run(s: SparkSession, dir: String): Dataset[Session] = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.readStream
+    val raw = Tables.normalizeEventTs(s.readStream
       .schema(Tables.eventsRawNanos(s, dir).schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
     val sessions = raw

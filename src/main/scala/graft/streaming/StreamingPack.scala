@@ -20,14 +20,12 @@ import graft.core.QueryPack
   */
 object StreamingPack extends QueryPack {
 
-  /** Explicit read schema: ts is nanos-since-epoch (see Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Explicit read schema for the file stream — derived from the actual
+    * parquet footer (ts encoding varies across testdata generations; see
+    * Tables.normalizeEventTs), so the streamed rows match the file and
+    * the normalizer handles the ts shape. */
+  private def rawSchema(s: SparkSession, d: String): StructType =
+    graft.core.Tables.eventsRawNanos(s, d).schema
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -51,11 +49,10 @@ object StreamingPack extends QueryPack {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource requires a directory: stream the sf dir, glob-
     // filtered to the events table file(s).
-    val ev = s.readStream
-      .schema(rawSchema)
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(d))
     val agg = ev
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -83,11 +80,10 @@ object StreamingPack extends QueryPack {
     */
   def streamDedupDau(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.readStream
-      .schema(rawSchema)
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(d))
       .withColumn("day", date_trunc("day", col("ts")))
       .select("user_id", "day")
       .dropDuplicates("user_id", "day")
@@ -119,11 +115,10 @@ object StreamingPack extends QueryPack {
     */
   def streamStaticEnrich(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.readStream
-      .schema(rawSchema)
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(d))
       .select(col("ts"), col("user_id"), col("value"))
     val dim = graft.core.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"))

@@ -18,13 +18,8 @@ class CheckpointRecoverySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sfDir
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private lazy val rawSchema =
+    graft.core.Tables.eventsRawNanos(spark, dir).schema
 
   test("restarted dedup stream resumes from checkpoint exactly-once") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,8 +40,8 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       }
 
     def runOnce(): Unit = {
-      val deduped = spark.readStream.schema(rawSchema).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = graft.core.Tables.normalizeEventTs(
+          spark.readStream.schema(rawSchema).parquet(inDir))
         .withColumn("day", date_trunc("day", col("ts")))
         .select("user_id", "day")
         .dropDuplicates("user_id", "day")

@@ -15,20 +15,15 @@ class StreamStreamJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sfDir
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private lazy val rawSchema =
+    graft.core.Tables.eventsRawNanos(spark, dir).schema
 
   test("watermarked stream-stream interval join == batch interval join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def stream(eventType: String, alias: String) =
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${alias}_user"),
                 col("event_id").as(s"${alias}_id"),
