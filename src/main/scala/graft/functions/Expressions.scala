@@ -228,6 +228,54 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Morton (z-order) bit-interleave of two non-negative int64 keys.
+  *
+  * Bit i of `left` lands at result bit 2i, bit i of `right` at 2i+1 —
+  * the space-filling-curve sort key behind multi-dimensional data
+  * clustering (Delta/Iceberg `OPTIMIZE ZORDER BY`): sorting a table by
+  * this value keeps rows close in BOTH dimensions physically close, so
+  * per-file min/max zone maps prune rectangle predicates on either
+  * column. 21 bits per side (42-bit result); interleaving is bitwise,
+  * so narrower inputs (e.g. 8-bit normalized cells) produce exactly the
+  * narrow interleave — high zero bits contribute nothing.
+  */
+case class ZOrderInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always non-negative bigints (normalized cell ids)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = 0L;
+         |for (int $i = 0; $i < 21; $i++) {
+         |  $z |= (($a >> $i) & 1L) << (2 * $i);
+         |  $z |= (($b >> $i) & 1L) << (2 * $i + 1);
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderInterleave =
+    copy(left = l, right = r)
+}
+
 /** Session-scoped registration + Column-level accessors. */
 object GraftExpressions {
   private def register(s: SparkSession): Unit = {
@@ -254,6 +302,8 @@ object GraftExpressions {
       HyperLogLogAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might_contain",
       BloomMightContain.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_zorder2",
+      exprs => ZOrderInterleave(exprs(0), exprs(1)), "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -298,4 +348,7 @@ object GraftExpressions {
 
   def hll(c: Column, p: Int): Column =
     call_function("graft_hll", c, org.apache.spark.sql.functions.lit(p))
+
+  def zorder2(x: Column, y: Column): Column =
+    call_function("graft_zorder2", x, y)
 }

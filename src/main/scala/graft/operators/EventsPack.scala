@@ -329,6 +329,39 @@ object EventsPack extends QueryPack {
           max(col("b_us") - col("a_us")).as("max_gap_us"),
           sum(col("b_us") - col("a_us")).as("sum_gap_us"))
         .orderBy("a_type", "b_type")
+    },
+
+    // ---- CDC changelog -> slowly-changing-dimension type 2 ----
+    // The events stream is read as a change-data-capture feed of each
+    // user's "current activity kind": consecutive runs of the same
+    // event_type collapse into one dimension version with
+    // [valid_from, valid_to) validity, `valid_to` NULL on the open
+    // (current) version. Gaps-and-islands: lag() change detection ->
+    // running sum() version number -> groupBy run -> lead() to close
+    // the interval. Scale: every step is partitioned by user_id — ONE
+    // shuffle key end to end, no self-join, no driver state; the same
+    // plan builds a type-2 dim from a 100 TB changelog. ----
+    "q152_scd2_intervals" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val runs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+               lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val byVer = Window.partitionBy("user_id").orderBy("ver")
+      runs.groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(min(col("us")).as("valid_from_us"),
+             count(lit(1)).cast("bigint").as("n_events"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("ver"), col("event_type"),
+                col("valid_from_us"), col("valid_to_us"),
+                col("n_events"), col("is_current"))
+        .orderBy("user_id", "ver")
     }
   )
 
@@ -550,6 +583,37 @@ object EventsPack extends QueryPack {
         |FROM w
         |WHERE event_type = 'purchase' AND prior_signup_us IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // same gaps-and-islands construction (lag change flag -> running
+    // version number -> per-run min -> lead close)
+    "q152_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM r),
+        |iv AS (
+        |  SELECT user_id, ver, event_type,
+        |         CAST(min(us) AS BIGINT) AS valid_from_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY user_id, ver, event_type)
+        |SELECT user_id, ver, event_type, valid_from_us,
+        |       CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) AS BIGINT) AS valid_to_us,
+        |       n_events,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL AS is_current
+        |FROM iv
+        |ORDER BY user_id, ver""".stripMargin,
 
     // the oracle is the DIRECT single-stage aggregate — proving the
     // salted two-stage plan computes the identical result

@@ -281,6 +281,40 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- multi-source BFS hop distance (the fifth graph primitive):
+    // distance-to-nearest-seed through the near-dup graph, 3
+    // synchronous BSP rounds. The curation question it answers is
+    // contamination BLAST RADIUS — "how many near-dup hops is each doc
+    // from a known-bad seed set?" (seeds here: doc_id % 7 == 0, a
+    // deterministic stand-in for a contaminated list). Each round is
+    // one equi-join (edges x frontier dists) + one min-aggregate keyed
+    // on int64 node ids — message-passing BFS, no frontier collect, no
+    // all-pairs; per-round localCheckpoint keeps lineage flat. hops is
+    // NULL for nodes unreached within 3 rounds. The oracle unrolls the
+    // identical 3 rounds as CTEs. ----
+    "q155_bfs_hops" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val edges = symmetricEdges(pairs).toDF("v", "u")
+      var dist = edges.select(col("v")).distinct()
+        .withColumn("hops", when(col("v") % 7 === 0, 0L))
+      for (_ <- 1 to 3) {
+        val msgs = edges
+          .join(dist.select(col("v").as("u"), col("hops").as("nh")), "u")
+          .filter(col("nh").isNotNull)
+          .groupBy("v").agg(min(col("nh") + 1).as("cand"))
+        dist = dist.join(msgs, Seq("v"), "left")
+          .select(col("v"),
+            when(col("hops").isNull, col("cand"))
+              .when(col("cand").isNull, col("hops"))
+              .otherwise(least(col("hops"), col("cand"))).as("hops"))
+          .localCheckpoint()
+      }
+      dist.select(col("v").cast("bigint").as("doc_id"),
+                  col("hops").cast("bigint").as("hops"),
+                  (col("v") % 7 === 0).as("is_seed"))
+        .orderBy("doc_id")
+    },
+
     // ---- cluster representatives: the terminal dedup-pipeline output.
     // Every doc gets its connected-component label (singletons label
     // themselves) and each cluster elects ONE representative — longest
@@ -775,6 +809,32 @@ object PipelinePack extends QueryPack {
          |SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS deg_in_core
          |FROM e4
          |GROUP BY v
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // same 3 unrolled BFS rounds: min-message join + explicit
+    // null-aware min (DuckDB least() NULL semantics differ from
+    // Spark's, so both sides spell out the CASE)
+    "q155_bfs_hops" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT e.v, MIN(d.hops + 1) AS cand
+           |     FROM e JOIN d${i - 1} d ON d.v = e.u
+           |     WHERE d.hops IS NOT NULL GROUP BY e.v),
+           |d$i AS (SELECT n.v,
+           |     CASE WHEN n.hops IS NULL THEN m.cand
+           |          WHEN m.cand IS NULL THEN n.hops
+           |          WHEN m.cand < n.hops THEN m.cand ELSE n.hops END AS hops
+           |     FROM d${i - 1} n LEFT JOIN m$i m ON m.v = n.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |d0 AS (SELECT DISTINCT v,
+         |              CASE WHEN v % 7 = 0 THEN CAST(0 AS BIGINT) END AS hops
+         |       FROM e),
+         |$rounds
+         |SELECT v AS doc_id, CAST(hops AS BIGINT) AS hops, v % 7 = 0 AS is_seed
+         |FROM d3
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -224,6 +224,133 @@ object RelationalPack3 extends QueryPack {
       materialized(result).orderBy("grp", "idx")
     },
 
+    // ---- HLL RE-AGGREGATION: the property that makes sketches the
+    // 100 TB answer to distinct counts. Daily per-type partial register
+    // files (the "pre-aggregated rollup" a warehouse would store) are
+    // merged by element-wise register MAX and must equal the registers
+    // computed directly over the whole window — the Spark side genuinely
+    // runs BOTH paths (partial HLL per (type, day) -> posexplode ->
+    // max-merge, vs one direct HLL per type) and emits them side by side
+    // with an equality column; the oracle replays the md5/rho chain once
+    // (the identity max-merge == direct holds by construction in SQL).
+    // At scale this is the daily-cube pattern: store 2 KiB of registers
+    // per (dimension, day), answer any date-range distinct query by
+    // merging registers — never re-scanning the fact table. ----
+    "q153_hll_rollup" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+                expr("unix_micros(ts) div 86400000000").as("day_id"),
+                col("user_id").cast("string").as("key"))
+      val daily = ev.groupBy("grp", "day_id")
+        .agg(graft.functions.GraftExpressions.hll(col("key"), 8).as("regs"))
+      val merged = daily
+        .select(col("grp"), posexplode(col("regs")).as(Seq("idx", "merged_reg")))
+        .groupBy("grp", "idx")
+        .agg(max(col("merged_reg")).as("merged_reg"))
+      val direct = ev.groupBy("grp")
+        .agg(graft.functions.GraftExpressions.hll(col("key"), 8).as("regs"))
+        .select(col("grp"), posexplode(col("regs")).as(Seq("idx", "direct_reg")))
+      val truth = ev.groupBy("grp")
+        .agg(countDistinct(col("key")).as("n_true"),
+             countDistinct(col("day_id")).as("n_days"))
+      val result = merged.join(direct, Seq("grp", "idx")).join(truth, "grp")
+        .select(col("grp"), col("idx").cast("bigint").as("idx"),
+                col("merged_reg"), col("direct_reg"),
+                (col("merged_reg") === col("direct_reg")).as("merge_exact"),
+                col("n_days"), col("n_true"))
+      materialized(result).orderBy("grp", "idx")
+    },
+
+    // ---- Z-ORDER LAYOUT vs LINEAR SORT: the data-layout decision that
+    // dominates scan cost at 100 TB. Both layouts assign the SAME rows
+    // to 64 files — `linear` sorts by the x dimension alone (64
+    // equal-width x bins), `zorder` sorts by the Morton interleave of
+    // the two normalized 8-bit cell keys (graft_zorder2, a native
+    // codegen expression — top 6 z bits = an 8x8 spatial grid). Per
+    // file we compute the parquet-style min/max zone map, then replay
+    // two predicates against the zone maps alone: a 1/8 x 1/8
+    // rectangle, and a y-only band. files_read/rows_read is what a
+    // zone-map-pruning scan would touch: the linear layout prunes x
+    // fine but reads EVERY file for the y-only band; z-order prunes
+    // both. rows_matched (layout-independent) is the honesty column.
+    // All integer arithmetic; the oracle replays the interleave as an
+    // 8-term bit sum. ----
+    "q154_zorder_layout" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("xk"), col("l_partkey").as("yk"))
+      val mm = li.agg(min(col("xk")).as("x_min"), max(col("xk")).as("x_max"),
+                      min(col("yk")).as("y_min"), max(col("yk")).as("y_max"))
+      val scaled = warmed(li.crossJoin(broadcast(mm))
+        .select(expr("(xk - x_min) * 256 div (x_max - x_min + 1)").as("x8"),
+                expr("(yk - y_min) * 256 div (y_max - y_min + 1)").as("y8"))
+        .withColumn("z", graft.functions.GraftExpressions.zorder2(col("x8"), col("y8")))
+        .withColumn("file_z", expr("z div 1024"))
+        .withColumn("file_lin", expr("x8 div 4")))
+      def zones(fileCol: String, layout: String): DataFrame =
+        scaled.groupBy(col(fileCol).as("file_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+               min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+               min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi"))
+          .withColumn("layout", lit(layout))
+      val zf = zones("file_z", "zorder").unionByName(zones("file_lin", "linear"))
+      val boxHit = col("x_hi") >= 32 && col("x_lo") <= 63 &&
+                   col("y_hi") >= 64 && col("y_lo") <= 95
+      val yHit = col("y_hi") >= 64 && col("y_lo") <= 95
+      val perLayout = zf.groupBy("layout").agg(
+        count(lit(1)).cast("bigint").as("n_files"),
+        sum(when(boxHit, 1L).otherwise(0L)).as("files_box"),
+        sum(when(boxHit, col("n_rows")).otherwise(0L)).as("rows_box"),
+        sum(when(yHit, 1L).otherwise(0L)).as("files_y"),
+        sum(when(yHit, col("n_rows")).otherwise(0L)).as("rows_y"))
+      val matches = scaled.agg(
+        sum(when(col("x8").between(32, 63) && col("y8").between(64, 95), 1L)
+          .otherwise(0L)).as("m_box"),
+        sum(when(col("y8").between(64, 95), 1L).otherwise(0L)).as("m_y"))
+      val joined = perLayout.crossJoin(broadcast(matches))
+      val out = joined.select(col("layout"), lit("box").as("scenario"),
+          col("n_files"), col("files_box").as("files_read"),
+          col("rows_box").as("rows_read"), col("m_box").as("rows_matched"))
+        .unionByName(joined.select(col("layout"), lit("y_only").as("scenario"),
+          col("n_files"), col("files_y").as("files_read"),
+          col("rows_y").as("rows_read"), col("m_y").as("rows_matched")))
+      materialized(out, scaled).orderBy("layout", "scenario")
+    },
+
+    // ---- ANALYZE TABLE: the optimizer-statistics pass every
+    // cost-based engine runs before planning 100 TB joins — per-column
+    // row count / null count / exact NDV / min / max over a
+    // representative lineitem column set. One cached scan feeds the
+    // per-column aggregate passes (exact NDV is one shuffle per
+    // column); the production variant of this exact pattern swaps
+    // countDistinct for the q149 HLL registers (one pass, 2 KiB per
+    // column) — here the gate wants exact values. Doubles are cast to
+    // DECIMAL(18,2) BEFORE min/max so the string rendering is
+    // identical in both engines; dates and int64s render identically
+    // by construction. ----
+    "q156_analyze_stats" -> { (s, d) =>
+      val li = warmed(Tables.lineitem(s, d))
+      def stats(c: String, prep: org.apache.spark.sql.Column): DataFrame =
+        li.agg(count(lit(1)).cast("bigint").as("n_rows"),
+               sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+               countDistinct(prep).as("ndv"),
+               min(prep).cast("string").as("min_val"),
+               max(prep).cast("string").as("max_val"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+                  col("ndv"), col("min_val"), col("max_val"))
+      val result = Seq(
+        stats("l_orderkey", col("l_orderkey")),
+        stats("l_partkey", col("l_partkey")),
+        stats("l_suppkey", col("l_suppkey")),
+        stats("l_quantity", col("l_quantity").cast("decimal(18,2)")),
+        stats("l_extendedprice", col("l_extendedprice").cast("decimal(18,2)")),
+        stats("l_returnflag", col("l_returnflag")),
+        stats("l_shipdate", unix_micros(col("l_shipdate").cast("timestamp")))
+      ).reduce(_ unionByName _)
+      materialized(result, li).orderBy("column_name")
+    },
+
     // ---- exact interpolated percentiles (type-7 quantiles). l_quantity
     //      holds integral doubles and the probe points are exact binary
     //      fractions, so the interpolation is exact in both engines ----
@@ -285,6 +412,114 @@ object RelationalPack3 extends QueryPack {
         |       r.n_true
         |FROM regs r JOIN est e ON e.grp = r.grp
         |ORDER BY r.grp, r.idx""".stripMargin,
+
+    // one UNION ALL branch per column, same decimal/epoch preps
+    "q156_analyze_stats" -> {
+      val cols = Seq(
+        "l_orderkey" -> "l_orderkey",
+        "l_partkey" -> "l_partkey",
+        "l_suppkey" -> "l_suppkey",
+        "l_quantity" -> "CAST(l_quantity AS DECIMAL(18,2))",
+        "l_extendedprice" -> "CAST(l_extendedprice AS DECIMAL(18,2))",
+        "l_returnflag" -> "l_returnflag",
+        "l_shipdate" -> "epoch_us(CAST(l_shipdate AS TIMESTAMP))")
+      cols.map { case (name, prep) =>
+        s"""SELECT '$name' AS column_name,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(COUNT(DISTINCT $prep) AS BIGINT) AS ndv,
+           |       CAST(MIN($prep) AS VARCHAR) AS min_val,
+           |       CAST(MAX($prep) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    // the Morton interleave replayed as a correlated 8-term bit sum;
+    // everything else is the same integer zone-map arithmetic
+    "q154_zorder_layout" ->
+      """WITH li AS (SELECT l_orderkey AS xk, l_partkey AS yk FROM lineitem),
+        |mm AS (SELECT min(xk) AS x_min, max(xk) AS x_max,
+        |              min(yk) AS y_min, max(yk) AS y_max FROM li),
+        |scaled0 AS (
+        |  SELECT (xk - x_min) * 256 // (x_max - x_min + 1) AS x8,
+        |         (yk - y_min) * 256 // (y_max - y_min + 1) AS y8
+        |  FROM li CROSS JOIN mm),
+        |scaled AS (
+        |  SELECT x8, y8,
+        |         (SELECT SUM((((x8 >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT))) +
+        |                     (((y8 >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT) + 1)))
+        |          FROM range(8) t(i)) AS z
+        |  FROM scaled0),
+        |files AS (
+        |  SELECT x8, y8, z // 1024 AS file_z, x8 // 4 AS file_lin FROM scaled),
+        |zf AS (
+        |  SELECT 'zorder' AS layout, file_z AS file_id,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(x8) AS x_lo, max(x8) AS x_hi,
+        |         min(y8) AS y_lo, max(y8) AS y_hi
+        |  FROM files GROUP BY file_z
+        |  UNION ALL
+        |  SELECT 'linear' AS layout, file_lin AS file_id,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(x8) AS x_lo, max(x8) AS x_hi,
+        |         min(y8) AS y_lo, max(y8) AS y_hi
+        |  FROM files GROUP BY file_lin),
+        |per_layout AS (
+        |  SELECT layout,
+        |         CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(SUM(CASE WHEN x_hi >= 32 AND x_lo <= 63 AND y_hi >= 64 AND y_lo <= 95
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS files_box,
+        |         CAST(SUM(CASE WHEN x_hi >= 32 AND x_lo <= 63 AND y_hi >= 64 AND y_lo <= 95
+        |                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_box,
+        |         CAST(SUM(CASE WHEN y_hi >= 64 AND y_lo <= 95 THEN 1 ELSE 0 END) AS BIGINT) AS files_y,
+        |         CAST(SUM(CASE WHEN y_hi >= 64 AND y_lo <= 95 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_y
+        |  FROM zf GROUP BY layout),
+        |m AS (
+        |  SELECT CAST(SUM(CASE WHEN x8 BETWEEN 32 AND 63 AND y8 BETWEEN 64 AND 95
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS m_box,
+        |         CAST(SUM(CASE WHEN y8 BETWEEN 64 AND 95 THEN 1 ELSE 0 END) AS BIGINT) AS m_y
+        |  FROM scaled)
+        |SELECT layout, 'box' AS scenario, n_files, files_box AS files_read,
+        |       rows_box AS rows_read, m_box AS rows_matched
+        |FROM per_layout CROSS JOIN m
+        |UNION ALL
+        |SELECT layout, 'y_only' AS scenario, n_files, files_y AS files_read,
+        |       rows_y AS rows_read, m_y AS rows_matched
+        |FROM per_layout CROSS JOIN m
+        |ORDER BY layout, scenario""".stripMargin,
+
+    // same md5/rho chain as q149; the oracle computes the register file
+    // ONCE — max-merge of daily partials equals the direct registers by
+    // the max-merge identity, which is exactly what the Spark side's
+    // merge_exact column asserts
+    "q153_hll_rollup" ->
+      """WITH vals AS (
+        |  SELECT event_type AS grp,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_id,
+        |         CAST(user_id AS VARCHAR) AS key
+        |  FROM events),
+        |hashed AS (
+        |  SELECT DISTINCT grp, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h
+        |  FROM vals),
+        |rhos AS (
+        |  SELECT grp, h % 256 AS idx,
+        |         CASE WHEN (h >> 8) = 0 THEN 53
+        |              ELSE 53 - length(bin(h >> 8)) END AS rho
+        |  FROM hashed),
+        |grps AS (SELECT grp, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_true,
+        |                CAST(COUNT(DISTINCT day_id) AS BIGINT) AS n_days
+        |         FROM vals GROUP BY grp),
+        |idxs AS (SELECT unnest(generate_series(0, 255)) AS idx),
+        |regs AS (
+        |  SELECT g.grp, CAST(i.idx AS BIGINT) AS idx, g.n_true, g.n_days,
+        |         CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS reg
+        |  FROM grps g CROSS JOIN idxs i
+        |  LEFT JOIN rhos r ON r.grp = g.grp AND r.idx = i.idx
+        |  GROUP BY g.grp, i.idx, g.n_true, g.n_days)
+        |SELECT grp, idx, reg AS merged_reg, reg AS direct_reg,
+        |       TRUE AS merge_exact, n_days, n_true
+        |FROM regs
+        |ORDER BY grp, idx""".stripMargin,
 
     "q90_exists" ->
       """SELECT c_custkey, c_name
