@@ -331,6 +331,88 @@ object EventsPack extends QueryPack {
         .orderBy("a_type", "b_type")
     },
 
+    // ---- JOIN-KEY SKEW DIAGNOSTIC + SALT PLANNER: the operational
+    // pre-flight before a 100 TB shuffle. One map-side-combining count
+    // per key, then the key histogram is judged against the uniform
+    // share: skew_ppm = count * n_keys * 1e6 div total (1e6 = perfectly
+    // uniform), and the recommended sub-bucket salt is the factor that
+    // caps a key's per-task group at `target` rows — exactly the
+    // deterministic salt q56/q57 apply, derived rather than hardcoded.
+    // Top 20 keys by weight; all int64 arithmetic. ----
+    "q157_skew_planner" -> { (s, d) =>
+      val target = 500L
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("key_rows"))
+      val totals = counts.agg(sum(col("key_rows")).as("total_rows"),
+                              count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("key"), col("key_rows"),
+          expr("key_rows * n_keys * 1000000 div total_rows").as("skew_ppm"),
+          greatest(lit(1L), expr(s"(key_rows + $target - 1) div $target"))
+            .as("suggested_salt"))
+        .orderBy(col("key_rows").desc, col("key")).limit(20)
+    },
+
+    // ---- SESSION MARKOV TRANSITIONS: P(next event_type | event_type)
+    // per user stream — the behavioral fingerprint matrix (and the
+    // sequence model a funnel is a special case of). lead() over the
+    // per-user ordered stream emits each (from, to) transition once;
+    // one groupBy counts them; probabilities are integer ppm of the
+    // per-from row total (count * 1e6 div from_total — bit-identical
+    // in both engines). Single shuffle key (user) for the sequencing,
+    // then a 25-row matrix. ----
+    "q158_markov_transitions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val fromTotals = trans.groupBy("from_type")
+        .agg(sum(col("n_trans")).as("from_total"))
+      trans.join(fromTotals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          expr("n_trans * 1000000 div from_total").as("prob_ppm"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // ---- INCREMENTAL VIEW MAINTENANCE (algebraic-aggregate merge):
+    // the pattern that keeps a 100 TB rollup fresh without re-scanning
+    // history. The event stream is split into a "yesterday" base (80%)
+    // and a "today" delta batch (event_id % 5 == 4); each side is
+    // aggregated independently (count + exact DECIMAL sum — both
+    // algebraic, so partials merge by addition), the delta is applied
+    // to the base by a full-outer coalescing merge (the MERGE INTO an
+    // aggregate table), and the result is emitted NEXT TO the direct
+    // whole-history aggregate with an equality column — the Spark side
+    // genuinely runs both paths; the oracle computes the identity once.
+    // ----
+    "q159_ivm_merge" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), dec2(col("value")).as("v"), col("event_id"))
+      def aggOf(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).cast("bigint").as("n"), sum(col("v")).as("sv"))
+      val zero = expr("cast(0 as decimal(28,2))")
+      val merged = aggOf(ev.filter(col("event_id") % 5 =!= 4))
+        .select(col("user_id"), col("n").as("bn"), col("sv").as("bs"))
+        .join(aggOf(ev.filter(col("event_id") % 5 === 4))
+          .select(col("user_id"), col("n").as("dn"), col("sv").as("ds")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+          (coalesce(col("bs"), zero) + coalesce(col("ds"), zero)).as("sv_m"))
+      val direct = aggOf(ev)
+        .select(col("user_id"), col("n").as("n_direct"), col("sv").as("sv_d"))
+      merged.join(direct, "user_id")
+        .select(col("user_id"), col("n_events"),
+          col("sv_m").cast("double").as("sum_value"), col("n_direct"),
+          (col("n_events") === col("n_direct") &&
+           col("sv_m") === col("sv_d")).as("ivm_exact"))
+        .orderBy("user_id")
+    },
+
     // ---- CDC changelog -> slowly-changing-dimension type 2 ----
     // The events stream is read as a change-data-capture feed of each
     // user's "current activity kind": consecutive runs of the same
@@ -583,6 +665,57 @@ object EventsPack extends QueryPack {
         |FROM w
         |WHERE event_type = 'purchase' AND prior_signup_us IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // same per-key histogram + integer uniform-share arithmetic
+    "q157_skew_planner" ->
+      """WITH counts AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS key_rows
+        |  FROM events GROUP BY user_id),
+        |totals AS (
+        |  SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+        |         CAST(COUNT(*) AS BIGINT) AS n_keys
+        |  FROM counts)
+        |SELECT key, key_rows,
+        |       key_rows * n_keys * 1000000 // total_rows AS skew_ppm,
+        |       greatest(1, (key_rows + 499) // 500) AS suggested_salt
+        |FROM counts CROSS JOIN totals
+        |ORDER BY key_rows DESC, key
+        |LIMIT 20""".stripMargin,
+
+    // same lead() sequencing and integer ppm share
+    "q158_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |           AS next_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |ft AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS from_total
+        |       FROM trans GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, t.n_trans,
+        |       t.n_trans * 1000000 // f.from_total AS prob_ppm
+        |FROM trans t JOIN ft f ON f.from_type = t.from_type
+        |ORDER BY t.from_type, t.to_type""".stripMargin,
+
+    // the base+delta merge equals the direct aggregate by exactness of
+    // the algebraic partials (int64 count, DECIMAL sum) — the oracle
+    // computes the aggregate once; the Spark side's both-paths
+    // equality column is what the gate then hash-verifies
+    "q159_ivm_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n, SUM(v) AS sv
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n AS n_events, CAST(sv AS DOUBLE) AS sum_value,
+        |       n AS n_direct, TRUE AS ivm_exact
+        |FROM a
+        |ORDER BY user_id""".stripMargin,
 
     // same gaps-and-islands construction (lag change flag -> running
     // version number -> per-run min -> lead close)
