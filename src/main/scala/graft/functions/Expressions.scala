@@ -276,6 +276,73 @@ case class ZOrderInterleave(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Content-defined chunk boundaries of a text column — the rolling-hash
+  * cut-point detector behind storage-level dedup (rsync/LBFS/restic
+  * lineage): a cut lands AFTER byte i when the polynomial hash of the
+  * last 8 bytes, h(i) = Σ_{j=0..7} byte[i-j]·31^j, satisfies
+  * h % 32 == 0 — so chunk boundaries are CONTENT-anchored and survive
+  * insertions/deletions that shift byte offsets (fixed-size blocks
+  * would re-align every block after an edit). Returns 1-based cut
+  * positions, excluding the end-of-string position (no empty tail
+  * chunk). The 8-term sum is recomputed per position rather than
+  * rolled — same O(8n) kernel shape the SQL oracle replays exactly
+  * with 8 lag() terms (determinism over micro-elegance; the loop is
+  * still a tight primitive whole-stage-codegen body). Byte-based:
+  * exact for the gate's verified-ASCII corpus (see QueryPack scaladoc).
+  */
+case class CdcChunkBoundaries(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // input is always a string column
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numBytes()
+    val buf = new Array[Int](math.max(n, 1))
+    var cnt = 0
+    var i = 7
+    while (i < n - 1) {
+      var h = 0L; var p = 1L; var j = 0
+      while (j < 8) { h += (s.getByte(i - j) & 0xFF).toLong * p; p *= 31L; j += 1 }
+      if (h % 32L == 0L) { buf(cnt) = i + 1; cnt += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val n = ctx.freshName("n")
+      val buf = ctx.freshName("buf")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = $t.numBytes();
+         |int[] $buf = new int[$n > 0 ? $n : 1];
+         |int $cnt = 0;
+         |for (int $i = 7; $i < $n - 1; $i++) {
+         |  long $h = 0L; long $p = 1L;
+         |  for (int $j = 0; $j < 8; $j++) {
+         |    $h += (long)($t.getByte($i - $j) & 0xFF) * $p;
+         |    $p *= 31L;
+         |  }
+         |  if ($h % 32L == 0L) { $buf[$cnt++] = $i + 1; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $cnt));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CdcChunkBoundaries =
+    copy(child = c)
+}
+
 /** Session-scoped registration + Column-level accessors. */
 object GraftExpressions {
   private def register(s: SparkSession): Unit = {
@@ -304,6 +371,8 @@ object GraftExpressions {
       BloomMightContain.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_zorder2",
       exprs => ZOrderInterleave(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_boundaries",
+      exprs => CdcChunkBoundaries(exprs(0)), "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -351,4 +420,7 @@ object GraftExpressions {
 
   def zorder2(x: Column, y: Column): Column =
     call_function("graft_zorder2", x, y)
+
+  def cdcBoundaries(text: Column): Column =
+    call_function("graft_cdc_boundaries", text)
 }

@@ -588,6 +588,37 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, delta).orderBy("doc_id")
     },
 
+    // ---- CONTENT-DEFINED CHUNKING dedup (the storage layer's answer
+    // to near-identical blobs — rsync/LBFS lineage): cut points are
+    // anchored on the CONTENT (rolling 8-byte polynomial hash == 0
+    // mod 32, via the native codegen graft_cdc_boundaries kernel), so
+    // an insertion early in a document shifts byte offsets without
+    // re-aligning every later chunk — fixed-size blocks would dedupe
+    // nothing after the edit. Per-source report: chunks emitted vs
+    // distinct chunk hashes = the dedup ratio a content-addressed
+    // store would achieve. Pure map stage (boundary kernel + substring
+    // explode) + one rollup; chunk hashes are md5, mirrored exactly by
+    // the oracle's 8-lag window replay of the same polynomial. ----
+    "q161_cdc_chunks" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("bounds",
+          graft.functions.GraftExpressions.cdcBoundaries(col("text")))
+        .withColumn("cuts",
+          expr("concat(array(0), bounds, array(length(text)))"))
+        .withColumn("chunk", explode(expr(
+          "zip_with(slice(cuts, 1, size(cuts) - 1), slice(cuts, 2, size(cuts) - 1), (a, b) -> substring(text, a + 1, b - a))")))
+        .select(col("doc_id"), col("source"), md5(col("chunk")).as("ch"))
+      chunks.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_chunks"),
+             countDistinct(col("ch")).as("n_distinct_chunks"))
+        .withColumn("dedup_ppm",
+          expr("(n_chunks - n_distinct_chunks) * 1000000 div n_chunks"))
+        .orderBy("source")
+    },
+
     // ---- exact dedup: content-hash groups, canonical representative ----
     "q40_dedup_exact" -> { (s, d) =>
       val byHash = Window.partitionBy(col("text_md5"))
@@ -855,6 +886,49 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
   // ---------- oracles ----------
 
   override def oracle: Map[String, String] = Map(
+    // the rolling 8-byte polynomial replayed as 8 lag() terms over the
+    // per-char unnest, chunk membership as a cut-flag prefix sum, chunk
+    // text by per-chunk min/max substring — identical md5s to the
+    // native kernel's chunks
+    "q161_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, text,
+        |         unnest(generate_series(1, length(text))) AS i
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, text, CAST(i AS INT) AS i,
+        |         CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS c
+        |  FROM pos),
+        |h AS (
+        |  SELECT doc_id, source, text, i, c,
+        |         lag(c,1) OVER w AS c1, lag(c,2) OVER w AS c2, lag(c,3) OVER w AS c3,
+        |         lag(c,4) OVER w AS c4, lag(c,5) OVER w AS c5, lag(c,6) OVER w AS c6,
+        |         lag(c,7) OVER w AS c7
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |f AS (
+        |  SELECT doc_id, source, text, i,
+        |         CASE WHEN i >= 8 AND i < length(text)
+        |               AND (c + c1*31 + c2*961 + c3*29791 + c4*923521
+        |                    + c5*28629151 + c6*887503681 + c7*27512614111) % 32 = 0
+        |              THEN 1 ELSE 0 END AS cut
+        |  FROM h),
+        |g AS (
+        |  SELECT doc_id, source, text, i,
+        |         COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM f),
+        |chunks AS (
+        |  SELECT doc_id, source,
+        |         md5(substring(any_value(text), CAST(MIN(i) AS INT), CAST(MAX(i) - MIN(i) + 1 AS INT))) AS ch
+        |  FROM g GROUP BY doc_id, source, chunk_id)
+        |SELECT source,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+        |       (COUNT(*) - COUNT(DISTINCT ch)) * 1000000 // COUNT(*) AS dedup_ppm
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
+
     // winner selection mirrored as a row_number window (deterministic:
     // (doc_id, seg_idx) is unique) — result-equivalent to the argmin
     "q04_segment_dedup" ->

@@ -378,6 +378,40 @@ object EventsPack extends QueryPack {
         .orderBy("from_type", "to_type")
     },
 
+    // ---- GROUPED OLS TREND: closed-form least-squares slope of event
+    // value over time, per event type — the drift detector ("is spend
+    // per purchase creeping?") as one aggregate. x = day offset from
+    // the group's first day, y = integer cents; the five sufficient
+    // statistics (n, Σx, Σy, Σx², Σxy) are exact int64 sums computed in
+    // ONE map-side-combining groupBy, and the slope is the textbook
+    // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in integer hundredths-of-a-cent/day.
+    // Division is sign-split so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree on negative numerators (denominator = n·var(x)
+    // is nonnegative). At 100 TB the same one-pass shape holds; a
+    // production pass would first demean x/y to keep the moment
+    // magnitudes bounded. ----
+    "q160_group_ols" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_id"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      val mins = ev.groupBy("event_type").agg(min(col("day_id")).as("day0"))
+      val xy = ev.join(broadcast(mins), "event_type")
+        .select(col("event_type"), (col("day_id") - col("day0")).as("x"),
+                col("cents").as("y"))
+      xy.groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("x") * col("y")).as("sxy"))
+        .withColumn("slope_c2", expr(
+          """case when n * sxx - sx * sx = 0 then null
+            |     when n * sxy - sx * sy < 0
+            |     then -((-(n * sxy - sx * sy)) * 100 div (n * sxx - sx * sx))
+            |     else (n * sxy - sx * sy) * 100 div (n * sxx - sx * sx)
+            |end""".stripMargin))
+        .orderBy("event_type")
+    },
+
     // ---- INCREMENTAL VIEW MAINTENANCE (algebraic-aggregate merge):
     // the pattern that keeps a 100 TB rollup fresh without re-scanning
     // history. The event stream is split into a "yesterday" base (80%)
@@ -701,6 +735,29 @@ object EventsPack extends QueryPack {
         |       t.n_trans * 1000000 // f.from_total AS prob_ppm
         |FROM trans t JOIN ft f ON f.from_type = t.from_type
         |ORDER BY t.from_type, t.to_type""".stripMargin,
+
+    // identical sufficient statistics and the same sign-split integer
+    // division
+    "q160_group_ols" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, MIN(day_id) AS day0 FROM ev GROUP BY event_type),
+        |xy AS (SELECT e.event_type, e.day_id - m.day0 AS x, e.cents AS y
+        |       FROM ev e JOIN m ON m.event_type = e.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+        |      FROM xy GROUP BY event_type)
+        |SELECT event_type, n, sx, sy, sxx, sxy,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            WHEN n*sxy - sx*sy < 0
+        |            THEN -((-(n*sxy - sx*sy)) * 100 // (n*sxx - sx*sx))
+        |            ELSE (n*sxy - sx*sy) * 100 // (n*sxx - sx*sx) END AS slope_c2
+        |FROM a
+        |ORDER BY event_type""".stripMargin,
 
     // the base+delta merge equals the direct aggregate by exactness of
     // the algebraic partials (int64 count, DECIMAL sum) — the oracle

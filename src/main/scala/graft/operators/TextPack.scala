@@ -285,6 +285,35 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009): combine
+    // two independent curation rankings — vocabulary richness (distinct
+    // tokens) and raw length — into one robust ordering:
+    // score = Σ 1e9 div (60 + rank_i), all-integer. Both global ranks
+    // are computed DISTRIBUTED via the two-phase PrefixSum (range
+    // partition + local window + offset broadcast), never a
+    // single-task ORDER BY window; fusion is one doc_id equi-join and
+    // the top-50 is a TakeOrdered. The same shape fuses any N quality
+    // signals (classifier score, LM perplexity, dedup penalty) at
+    // 100 TB. ----
+    "q162_rrf_fusion" -> { (s, d) =>
+      val base = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+                size(tokenSet(col("text"))).cast("bigint").as("n_distinct")))
+      val rVocab = PrefixSum.inclusive(base,
+          Seq(col("n_distinct").desc, col("doc_id")), Seq((lit(1L), "r_vocab")))
+        .select(col("doc_id"), col("r_vocab"))
+      val rLen = PrefixSum.inclusive(base,
+          Seq(col("n_chars").desc, col("doc_id")), Seq((lit(1L), "r_len")))
+        .select(col("doc_id"), col("r_len"))
+      val result = base.join(rVocab, "doc_id").join(rLen, "doc_id")
+        .withColumn("rrf_q",
+          expr("1000000000 div (60 + r_vocab) + 1000000000 div (60 + r_len)"))
+        .orderBy(col("rrf_q").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+                col("r_vocab"), col("r_len"), col("rrf_q"))
+      materialized(result, base).orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+
     // ---- token counting: reference tokens, raw whitespace, BPE-ish ----
     // ---- context-window chunking: slice each doc into overlapping
     // 128-token training windows at stride 96 (32-token overlap, the
@@ -866,6 +895,24 @@ object TextPack extends QueryPack {
            |SELECT doc_id, lang, cand_lang AS pred_lang, score
            |FROM ranked WHERE rk = 1
            |ORDER BY doc_id""".stripMargin,
+
+      // single-node row_number() windows stand in for the distributed
+      // PrefixSum ranks; same integer RRF arithmetic
+      "q162_rrf_fusion" ->
+        """WITH base AS (
+          |  SELECT doc_id, n_chars,
+          |         CAST(len(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> ''))) AS BIGINT) AS n_distinct
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, n_chars, n_distinct,
+          |         CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS BIGINT) AS r_vocab,
+          |         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_len
+          |  FROM base)
+          |SELECT doc_id, n_chars, n_distinct, r_vocab, r_len,
+          |       1000000000 // (60 + r_vocab) + 1000000000 // (60 + r_len) AS rrf_q
+          |FROM r
+          |ORDER BY rrf_q DESC, doc_id
+          |LIMIT 50""".stripMargin,
 
       "q61_quality_score" ->
         """WITH base AS (
