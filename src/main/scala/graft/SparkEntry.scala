@@ -23,6 +23,7 @@ object SparkEntry {
     PipelinePack,
     SimilarityPack,
     TextPack,
+    RetrievalPack,
     CleanPack,
     MultimodalPack,
     graft.streaming.StreamingPack

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.functions.TextFunctions._
+
+/** Retrieval-side text operators: BM25 ranked retrieval and winnowing
+  * document fingerprints — the lookup/attribution half of a training-data
+  * pipeline (the dedup packs are the cleaning half).
+  *
+  * Reference scope note: the reference engine (Freebirdgo/MapReduce_Rust,
+  * `src/app/wc.rs`) ships exactly one text application — word count; these
+  * operators extend the same token stream (SURVEY.md §2 O3/O4 tokenization,
+  * reproduced by [[graft.functions.TextFunctions.tokens]]) to the retrieval
+  * operations a corpus platform needs. All public-literature techniques:
+  * Okapi BM25 (Robertson & Zaragoza 2009, the Lucene-variant idf) and
+  * robust winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the MOSS
+  * fingerprinting algorithm).
+  */
+object RetrievalPack extends QueryPack {
+
+  /** BM25 free parameters (the standard defaults). Written as the exact
+    * literals `1.2` / `0.75` / `0.25` (= 1 - b) in BOTH engines so the
+    * IEEE arithmetic is identical term-for-term. */
+  private val k1 = 1.2
+  private val b = 0.75
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Okapi BM25 ranked retrieval: score every document against a
+    // deterministic 5-term query set (document-frequency ranks 10-14 —
+    // mid-frequency terms, the regime BM25 is built for) and emit the
+    // top-10 docs per query term.
+    //
+    // Scale shape: ONE corpus shuffle builds the (doc, term) tf table;
+    // doc lengths are a doc-cardinality aggregate of tf; document
+    // frequencies are vocab-sized but feed only a TakeOrderedAndProject
+    // partial top-k (never a global window over the vocabulary); the
+    // 5-row query table broadcasts into tf, so only docs containing a
+    // query term survive to the doc-length join; the final per-query
+    // top-10 is rank<=10 over 5 partitions — Spark plans WindowGroupLimit,
+    // so each map task forwards at most 10 rows per query term.
+    //
+    // Portability: idf is ln-quantized floor(x*1e6) per TERM (the
+    // q05/q76/q117 discipline); the tf-normalization is pure IEEE
+    // +,*,/ over exact integer inputs written identically in both
+    // engines; the final score re-floors the product, and ranking uses
+    // only the quantized score with a doc_id tie-break. ----
+    "q163_bm25" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      // query terms: df ranks 10..14 — a bounded TakeOrdered slice (14
+      // rows cross any corpus size), then a 14-row window for the rank
+      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
+        .withColumn("q_rank", row_number().over(
+          Window.orderBy(col("df").desc, col("w"))))
+        .filter(col("q_rank").between(10, 14))
+      val scored = tf
+        .join(broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_q",
+          floor(log(
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
+            .cast("bigint"))
+        .withColumn("tfnorm",
+          (col("cnt").cast("double") * lit(k1 + 1.0)) /
+            (col("cnt").cast("double") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("dl").cast("double") * col("n_docs").cast("double") /
+                col("sum_dl").cast("double")))))
+        .withColumn("score_q",
+          floor(col("idf_q").cast("double") * col("tfnorm")).cast("bigint"))
+      val ranked = scored
+        .withColumn("doc_rank", row_number().over(
+          Window.partitionBy(col("q_rank")).orderBy(col("score_q").desc, col("doc_id"))))
+        .filter(col("doc_rank") <= 10)
+      ranked
+        .select(col("q_rank").cast("int").as("q_rank"), col("w").as("term"),
+          col("doc_rank").cast("int").as("doc_rank"), col("doc_id"),
+          col("cnt"), col("dl"), col("df"), col("score_q"))
+        .orderBy("q_rank", "doc_rank")
+    },
+
+    // ---- Robust winnowing (MOSS): guaranteed-density fingerprint
+    // selection over token 4-gram hashes — in every window of w=4
+    // consecutive k-gram hashes select the RIGHTMOST minimal hash; the
+    // distinct selected hashes are the document's fingerprint set. The
+    // guarantee (SIGMOD 2003 §4): any shared run of w+k-1 = 7 tokens
+    // between two documents yields at least one shared fingerprint,
+    // while only ~2/(w+1) of the grams are kept.
+    //
+    // Scale shape: a PURE MAP STAGE — per-document higher-order
+    // functions over the gram-hash array (window extraction is O(w)=O(1)
+    // per position, so per-doc work is linear), no explode, no shuffle
+    // but the final sort. The oracle implements the SAME algorithm
+    // RELATIONALLY (window-min over a position stream + a rightmost-
+    // argmin join) — two independent formulations agreeing hash-exactly,
+    // the q03/ASOF gate philosophy.
+    //
+    // Output is the per-doc selection summary: gram/window/selection
+    // cardinalities plus an order-insensitive fingerprint-set checksum
+    // (min, max, and sum of 60-bit ids mod 1e9 — exact-set evidence
+    // without a row per fingerprint). Docs with < k tokens have no
+    // grams and are excluded by construction on both sides. ----
+    "q164_winnow_fingerprint" -> { (s, d) =>
+      val w = 4 // winnowing window (in grams); gram size k = 4 tokens
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), wordShinglesOf(tokens(col("text")), 4).as("gr"))
+        .filter(size(col("gr")) > 0)
+        .select(col("doc_id"), transform(col("gr"), g => hex64(md5(g))).as("h"))
+      val sel = base
+        .withColumn("n", size(col("h")))
+        .withColumn("n_windows", greatest(col("n") - (w - 1), lit(1)))
+        .withColumn("selpos", array_distinct(
+          transform(sequence(lit(1), col("n_windows")), p => {
+            val win = slice(col("h"), p, lit(w))
+            val m = array_min(win)
+            // rightmost index attaining the window minimum
+            val off = array_max(filter(sequence(lit(1), size(win)),
+              o => element_at(win, o) === m))
+            p + off - 1
+          })))
+        .withColumn("fp", array_distinct(
+          transform(col("selpos"), j => element_at(col("h"), j))))
+      sel.select(col("doc_id"),
+          col("n").cast("bigint").as("n_grams"),
+          col("n_windows").cast("bigint").as("n_windows"),
+          size(col("selpos")).cast("bigint").as("n_sel"),
+          size(col("fp")).cast("bigint").as("n_fp"),
+          array_min(col("fp")).as("fp_min"),
+          array_max(col("fp")).as("fp_max"),
+          aggregate(col("fp"), lit(0L), (a, x) => a + x % lit(1000000000L))
+            .as("fp_summod"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** DuckDB token-list CTE body (the shared oracle tokenization — same
+    * regex pipeline as [[graft.functions.TextFunctions.tokens]]; see the
+    * ASCII-corpus caveat in [[graft.core.QueryPack]]). */
+  private val duckToks =
+    """SELECT doc_id,
+      |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+      |                   w -> w <> '') AS ts
+      |FROM documents""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+
+    "q163_bm25" ->
+      s"""WITH tok AS ($duckToks),
+         |tf0 AS (SELECT doc_id, unnest(ts) AS w FROM tok),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM tf0 GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |qsel AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 14),
+         |qterms AS (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS q_rank FROM qsel),
+         |q AS (SELECT * FROM qterms WHERE q_rank BETWEEN 10 AND 14),
+         |scored AS (
+         |  SELECT q.q_rank, q.w, t.doc_id, t.cnt, dl.dl, q.df,
+         |         CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) /
+         |                       (CAST(q.df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_q,
+         |         (CAST(t.cnt AS DOUBLE) * ${k1 + 1.0}) /
+         |           (CAST(t.cnt AS DOUBLE) + $k1 * (${1.0 - b} +
+         |             $b * (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+         |               CAST(sum_dl AS DOUBLE)))) AS tfnorm
+         |  FROM tf t JOIN q ON q.w = t.w JOIN dl ON dl.doc_id = t.doc_id, stats),
+         |final AS (
+         |  SELECT q_rank, w, doc_id, cnt, dl, df,
+         |         CAST(floor(CAST(idf_q AS DOUBLE) * tfnorm) AS BIGINT) AS score_q
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_rank ORDER BY score_q DESC, doc_id) AS doc_rank
+         |  FROM final)
+         |SELECT CAST(q_rank AS INT) AS q_rank, w AS term, CAST(doc_rank AS INT) AS doc_rank,
+         |       doc_id, cnt, dl, df, score_q
+         |FROM ranked WHERE doc_rank <= 10
+         |ORDER BY q_rank, doc_rank""".stripMargin,
+
+    "q164_winnow_fingerprint" ->
+      s"""WITH tok AS ($duckToks),
+         |g0 AS (SELECT doc_id, CAST(g.i AS INT) AS p,
+         |              ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] || ' ' || ts[g.i + 3] AS s
+         |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS g(i)
+         |       WHERE len(ts) >= 4),
+         |grams AS (SELECT doc_id, p, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h FROM g0),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+         |win AS (SELECT doc_id, p, h,
+         |               min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |        FROM grams),
+         |starts AS (SELECT w.doc_id, w.p, w.m FROM win w JOIN n USING (doc_id)
+         |           WHERE w.p <= greatest(n.n_grams - 3, 1)),
+         |sel AS (SELECT s.doc_id, s.p AS wstart, max(g.p) AS j
+         |        FROM starts s JOIN grams g
+         |          ON g.doc_id = s.doc_id AND g.p >= s.p AND g.p <= s.p + 3 AND g.h = s.m
+         |        GROUP BY s.doc_id, s.p),
+         |selpos AS (SELECT DISTINCT doc_id, j FROM sel),
+         |sela AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sel FROM selpos GROUP BY doc_id),
+         |fps AS (SELECT DISTINCT sp.doc_id, g.h
+         |        FROM selpos sp JOIN grams g ON g.doc_id = sp.doc_id AND g.p = sp.j),
+         |fpa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |               min(h) AS fp_min, max(h) AS fp_max,
+         |               CAST(sum(h % 1000000000) AS BIGINT) AS fp_summod
+         |        FROM fps GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_grams,
+         |       CAST(greatest(n.n_grams - 3, 1) AS BIGINT) AS n_windows,
+         |       sela.n_sel, fpa.n_fp, fpa.fp_min, fpa.fp_max, fpa.fp_summod
+         |FROM n JOIN sela USING (doc_id) JOIN fpa USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -272,6 +272,44 @@ object StreamingPack extends QueryPack {
     probeSketch(tokB, sketch)
   }
 
+  /** Streaming bounded-memory top-k: q69's SpaceSaving sketch built by a
+    * STREAMING grouped aggregate — each lang group's capped counter
+    * buffer (capacity 64) lives in the state store across micro-batches
+    * (complete mode), the live heavy-hitter-per-group monitor shape:
+    * state per group is CONSTANT-size however much text streams past.
+    * Unlike the linear Count-Min (q106), SpaceSaving merge is only
+    * order-independent while no eviction fires; capacity 64 exceeds the
+    * corpus vocabulary, so the streamed sketch provably equals the exact
+    * aggregate and the query shares q69's oracle verbatim (the capped
+    * regime's bounds stay spec-tested in SpaceSavingSpec). */
+  def streamTopKSketch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val docs = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val tok = docs.select(col("lang"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+    val agg = tok.groupBy("lang").agg(
+      graft.functions.GraftExpressions.spaceSavingTopK(col("w"), 3, 64).as("top_arr"))
+    val name = s"graft_stream_sstopk_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("lang"), posexplode(col("top_arr")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        expr("split_part(col, ':', 1)").as("token"),
+        expr("CAST(split_part(col, ':', 2) AS BIGINT)").as("cnt"))
+      .orderBy("lang", "rk")
+  }
+
   /** Streaming near-dup: the arriving delta batch (doc_id % 10 == 7,
     * q101's split) flows as a STREAM whose micro-batches compute MinHash
     * state statelessly per row (array HOFs — no aggregation, no state
@@ -334,6 +372,7 @@ object StreamingPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_stream_neardup" -> ((s, d) => streamNearDup(s, d)),
     "q106_stream_countmin" -> ((s, d) => streamCountMin(s, d)),
+    "q165_stream_topk_sketch" -> ((s, d) => streamTopKSketch(s, d)),
     "q33_stream_tumbling" -> ((s, d) => streamTumbling(s, d)),
     "q39_stream_dedup_dau" -> ((s, d) => streamDedupDau(s, d)),
     "q77_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
@@ -365,6 +404,10 @@ object StreamingPack extends QueryPack {
     // the oracle is q104's verbatim
     "q106_stream_countmin" ->
       graft.operators.TextPack.oracle("q104_countmin_freq"),
+
+    // exact-regime streamed sketch == exact top-k == q69's oracle
+    "q165_stream_topk_sketch" ->
+      graft.operators.TextPack.oracle("q69_top_tokens_sketch"),
 
     "q33_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
