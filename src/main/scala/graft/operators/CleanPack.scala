@@ -274,8 +274,92 @@ object CleanPack extends QueryPack {
           col("c_custkey").as("matched_key"), col("c_name").as("matched_name"),
           col("lev"))
         .orderBy("dirty_key")
+    },
+
+    // ---- winsorized robust statistics: per source, clamp n_chars at the
+    // exact p05/p95 order statistics (lower-floor nearest-rank indices,
+    // idx = (n-1)*q div 100 + 1 — pure positive-integer arithmetic,
+    // identical truncation in both engines) and report raw vs winsorized
+    // totals — the robust-mean step that keeps one 500 MB crawl blob from
+    // dominating a per-source length profile. Cost is the standard exact-
+    // percentile shape (one partition-by-source sort, the q83/q115
+    // discipline); the boundary-value table is sources-sized and joins
+    // back broadcast. ----
+    "q166_winsorize" -> { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql("""
+        WITH c AS (SELECT source, doc_id, n_chars FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS cnt FROM c),
+        b AS (SELECT source,
+                     max(CASE WHEN rn = ((cnt - 1) * 5) div 100 + 1 THEN n_chars END) AS lo_val,
+                     max(CASE WHEN rn = ((cnt - 1) * 95) div 100 + 1 THEN n_chars END) AS hi_val,
+                     max(cnt) AS n
+              FROM r GROUP BY source),
+        w AS (SELECT c.source, c.n_chars, b.lo_val, b.hi_val, b.n,
+                     least(greatest(c.n_chars, b.lo_val), b.hi_val) AS wchars
+              FROM c JOIN b ON b.source = c.source)
+        SELECT source, CAST(max(n) AS BIGINT) AS n,
+               max(lo_val) AS lo_val, max(hi_val) AS hi_val,
+               CAST(sum(n_chars) AS BIGINT) AS raw_sum,
+               CAST(sum(wchars) AS BIGINT) AS win_sum,
+               CAST(sum(CASE WHEN n_chars < lo_val THEN 1 ELSE 0 END) AS BIGINT) AS n_clamp_lo,
+               CAST(sum(CASE WHEN n_chars > hi_val THEN 1 ELSE 0 END) AS BIGINT) AS n_clamp_hi,
+               CAST(sum(wchars) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS win_mean
+        FROM w GROUP BY source ORDER BY source
+      """)
+    },
+
+    // ---- deterministic Poisson bootstrap (the one-pass uncertainty
+    // estimate for massive data — Chamandy et al., Google 2012,
+    // "Estimating uncertainty for massive data streams"): 32 bootstrap
+    // replicates of the mean tokens-per-document, each doc entering
+    // replicate r with weight ~ Poisson(1) — derived NOT from random()
+    // but from the doc's own 60-bit md5 id thresholded against
+    // floor(CDF_Poisson(1)·2^60) integer constants, so both engines
+    // build byte-identical replicates. Scale shape: the token COUNT
+    // stream (not the text) explodes ×32 and map-side-combines into 32
+    // groups — one scan, constant-size aggregate state, no resampling
+    // pass per replicate. The spread of the 32 replicate means IS the
+    // sampling distribution of the estimator. ----
+    "q167_bootstrap_ci" -> { (s, d) =>
+      val nt = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tok"))
+      val overall = nt.agg(
+        (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
+          .as("overall_mean"))
+      val weighted = nt
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .withColumn("h", hex64(md5(concat(
+          col("doc_id").cast("string"), lit(":"), col("r").cast("string")))))
+        .withColumn("w",
+          when(col("h") < poissonCdf60(0), 0L)
+            .when(col("h") < poissonCdf60(1), 1L)
+            .when(col("h") < poissonCdf60(2), 2L)
+            .when(col("h") < poissonCdf60(3), 3L)
+            .when(col("h") < poissonCdf60(4), 4L)
+            .when(col("h") < poissonCdf60(5), 5L)
+            .otherwise(6L))
+      weighted
+        .groupBy("r")
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_tok")).as("sum_tok"))
+        .withColumn("mean_tok",
+          col("sum_tok").cast("double") / col("n_eff").cast("double"))
+        .crossJoin(broadcast(overall))
+        .select(col("r").cast("int").as("r"), col("n_eff"), col("sum_tok"),
+          col("mean_tok"), col("overall_mean"))
+        .orderBy("r")
     }
   )
+
+  /** floor(CDF_Poisson(λ=1)(k) · 2^60) for k = 0..5 — the integer
+    * thresholds the bootstrap weights compare 60-bit hashes against
+    * (identical literals in the DuckDB oracle). */
+  private val poissonCdf60: Array[Long] = Array(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480832L, 1148701988496035200L, 1152236456152946048L)
 
   override def oracle: Map[String, String] = Map(
 
@@ -434,6 +518,60 @@ object CleanPack extends QueryPack {
         |WHERE levenshtein(c_name, dirty_name) <= 1
         |QUALIFY row_number() OVER (PARTITION BY dirty_key
         |                           ORDER BY lev, matched_key) = 1
-        |ORDER BY dirty_key""".stripMargin
+        |ORDER BY dirty_key""".stripMargin,
+
+    // same rank-selection formula; `div` is `//` (both truncate toward
+    // zero — operands here are non-negative)
+    "q166_winsorize" ->
+      """WITH c AS (SELECT source, doc_id, n_chars FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS cnt FROM c),
+        |b AS (SELECT source,
+        |             max(CASE WHEN rn = ((cnt - 1) * 5) // 100 + 1 THEN n_chars END) AS lo_val,
+        |             max(CASE WHEN rn = ((cnt - 1) * 95) // 100 + 1 THEN n_chars END) AS hi_val,
+        |             max(cnt) AS n
+        |      FROM r GROUP BY source),
+        |w AS (SELECT c.source, c.n_chars, b.lo_val, b.hi_val, b.n,
+        |             least(greatest(c.n_chars, b.lo_val), b.hi_val) AS wchars
+        |      FROM c JOIN b ON b.source = c.source)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |       max(lo_val) AS lo_val, max(hi_val) AS hi_val,
+        |       CAST(sum(n_chars) AS BIGINT) AS raw_sum,
+        |       CAST(sum(wchars) AS BIGINT) AS win_sum,
+        |       CAST(sum(CASE WHEN n_chars < lo_val THEN 1 ELSE 0 END) AS BIGINT) AS n_clamp_lo,
+        |       CAST(sum(CASE WHEN n_chars > hi_val THEN 1 ELSE 0 END) AS BIGINT) AS n_clamp_hi,
+        |       CAST(sum(wchars) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS win_mean
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical 60-bit hash and integer CDF thresholds; the replicate
+    // means divide the same exact int64 pairs
+    "q167_bootstrap_ci" -> {
+      val t = poissonCdf60
+      s"""WITH nt AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |                              w -> w <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |overall AS (SELECT CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overall_mean FROM nt),
+         |rep AS (
+         |  SELECT doc_id, n_tok, g.r,
+         |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.r AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM nt, UNNEST(generate_series(0, 31)) AS g(r)),
+         |wtd AS (
+         |  SELECT r, n_tok,
+         |         CASE WHEN h < ${t(0)} THEN 0 WHEN h < ${t(1)} THEN 1
+         |              WHEN h < ${t(2)} THEN 2 WHEN h < ${t(3)} THEN 3
+         |              WHEN h < ${t(4)} THEN 4 WHEN h < ${t(5)} THEN 5
+         |              ELSE 6 END AS w
+         |  FROM rep),
+         |agg AS (
+         |  SELECT r, CAST(sum(w) AS BIGINT) AS n_eff, CAST(sum(w * n_tok) AS BIGINT) AS sum_tok
+         |  FROM wtd GROUP BY r)
+         |SELECT CAST(r AS INT) AS r, n_eff, sum_tok,
+         |       CAST(sum_tok AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean_tok,
+         |       overall_mean
+         |FROM agg, overall
+         |ORDER BY r""".stripMargin
+    }
   )
 }

@@ -72,4 +72,43 @@ class CleanPackSpec extends AnyFunSuite {
     assert(rows(1) === ((1L, 8L, 1L, 0L, false)))     // single-char junk: 0 entropy
     spark.catalog.clearCache()
   }
+
+  test("q166 winsorized stats equal the brute-force model on sf0.001") {
+    val docs = SparkTestSession.spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().toSeq
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.size
+      val lo = sorted(((n - 1) * 5 / 100).toInt)
+      val hi = sorted(((n - 1) * 95 / 100).toInt)
+      val win = sorted.map(v => math.min(math.max(v, lo), hi))
+      (src, n.toLong, lo, hi, sorted.sum, win.sum,
+        sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong,
+        win.sum.toDouble / n.toDouble)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q166_winsorize")(spark, SparkTestSession.sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+
+  test("q167 bootstrap replicates: weights are hash-determined and means bracket the truth") {
+    val rows = SparkEntry.queries("q167_bootstrap_ci")(spark, SparkTestSession.sfDir)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.size === 32 && rows.map(_._1) === (0 until 32))
+    val overall = rows.head._5
+    // Poisson(1) weights: every replicate's effective size is within
+    // ±25% of the corpus (tight at 500 docs), and the replicate-mean
+    // spread brackets the point estimate
+    val nDocs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet").count()
+    rows.foreach { case (_, nEff, _, _, _) =>
+      assert(math.abs(nEff - nDocs).toDouble / nDocs < 0.25)
+    }
+    val means = rows.map(_._4)
+    assert(means.min <= overall && overall <= means.max)
+    spark.catalog.clearCache()
+  }
 }
