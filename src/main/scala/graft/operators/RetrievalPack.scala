@@ -112,34 +112,45 @@ object RetrievalPack extends QueryPack {
     // grams and are excluded by construction on both sides. ----
     "q164_winnow_fingerprint" -> { (s, d) =>
       val w = 4 // winnowing window (in grams); gram size k = 4 tokens
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), wordShinglesOf(tokens(col("text")), 4).as("gr"))
+      // Both the token array AND the gram-hash array MUST be cached
+      // columns: projection collapse inlines single-consumer upstream
+      // projections, so a non-cached `toks` is re-tokenized inside EVERY
+      // shingle element_at (≈4·grams full-regex passes per doc — the
+      // HOF-CSE trap, BASELINE.md round 2), and a non-cached `h` would
+      // recompute the md5 array per window-fold probe. Measured at
+      // sf0.1: 20-25 s with either inlined vs ~2 s with both cached, on
+      // identical output.
+      val tokf = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks")))
+      val base = warmed(tokf
+        .select(col("doc_id"), wordShinglesOf(col("toks"), 4).as("gr"))
         .filter(size(col("gr")) > 0)
-        .select(col("doc_id"), transform(col("gr"), g => hex64(md5(g))).as("h"))
+        .select(col("doc_id"), transform(col("gr"), g => hex64(md5(g))).as("h")))
+      // Rightmost-argmin per window as ONE aggregate() fold over the w-1
+      // trailing offsets (`<=` makes later offsets win ties) — O(w) array
+      // probes per position with no window materialization.
       val sel = base
         .withColumn("n", size(col("h")))
         .withColumn("n_windows", greatest(col("n") - (w - 1), lit(1)))
-        .withColumn("selpos", array_distinct(
-          transform(sequence(lit(1), col("n_windows")), p => {
-            val win = slice(col("h"), p, lit(w))
-            val m = array_min(win)
-            // rightmost index attaining the window minimum
-            val off = array_max(filter(sequence(lit(1), size(win)),
-              o => element_at(win, o) === m))
-            p + off - 1
-          })))
+        .withColumn("selpos", array_distinct(expr(
+          s"""transform(sequence(1, n_windows), p ->
+             |  aggregate(filter(sequence(1, ${w - 1}), o -> p + o <= n),
+             |    named_struct('v', element_at(h, p), 'j', p),
+             |    (st, o) -> if(element_at(h, p + o) <= st.v,
+             |                  named_struct('v', element_at(h, p + o), 'j', p + o),
+             |                  st)).j)""".stripMargin)))
         .withColumn("fp", array_distinct(
           transform(col("selpos"), j => element_at(col("h"), j))))
-      sel.select(col("doc_id"),
-          col("n").cast("bigint").as("n_grams"),
-          col("n_windows").cast("bigint").as("n_windows"),
-          size(col("selpos")).cast("bigint").as("n_sel"),
-          size(col("fp")).cast("bigint").as("n_fp"),
-          array_min(col("fp")).as("fp_min"),
-          array_max(col("fp")).as("fp_max"),
-          aggregate(col("fp"), lit(0L), (a, x) => a + x % lit(1000000000L))
-            .as("fp_summod"))
-        .orderBy("doc_id")
+      val result = sel.select(col("doc_id"),
+        col("n").cast("bigint").as("n_grams"),
+        col("n_windows").cast("bigint").as("n_windows"),
+        size(col("selpos")).cast("bigint").as("n_sel"),
+        size(col("fp")).cast("bigint").as("n_fp"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"),
+        aggregate(col("fp"), lit(0L), (a, x) => a + x % lit(1000000000L))
+          .as("fp_summod"))
+      materialized(result, base, tokf).orderBy("doc_id")
     }
   )
 
