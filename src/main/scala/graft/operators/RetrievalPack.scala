@@ -151,6 +151,58 @@ object RetrievalPack extends QueryPack {
         aggregate(col("fp"), lit(0L), (a, x) => a + x % lit(1000000000L))
           .as("fp_summod"))
       materialized(result, base, tokf).orderBy("doc_id")
+    },
+
+    // ---- exact all-pairs set-similarity join with PREFIX FILTERING
+    // (Chaudhuri et al. SSJoin / Bayardo et al. WWW 2007; the MapReduce
+    // formulation is Vernica et al. SIGMOD 2010): unlike MinHash (q41)
+    // or SimHash (q42), this candidate generation has NO false negatives
+    // — two shingle sets with Jaccard >= t MUST share an element of
+    // their length-(n - ceil(t*n) + 1) prefixes under any global token
+    // order. Ordering rarest-df-first makes those prefixes the least
+    // common shingles, so prefix postings (and thus candidates) stay
+    // small. The equi-join on prefix ids replaces the quadratic all-
+    // pairs comparison; survivors are verified EXACTLY with the sorted-
+    // intersect codegen kernel over the full id arrays.
+    //
+    // The gate is the strongest kind: the output must equal the
+    // independently-built inverted-index pair table (q43's oracle CTEs)
+    // at the same threshold — an exact algorithm checked against a
+    // different exact algorithm. t = 0.5; prefix len = n - ceil(n/2) + 1
+    // in pure integer arithmetic. ----
+    "q168_ppjoin_exact" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val ds = DedupPack.docShingles(s, d)
+      val dfreq = ds.groupBy("sid").agg(count(lit(1)).as("df"))
+      // per-doc state: ids ordered rarest-first for the prefix, plus the
+      // sorted full id array for the exact verify (one co-partitioned
+      // join — ds is already keyed by sid from the artifact build)
+      val docsArr = warmed(ds.join(dfreq, "sid")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ord"),
+          sort_array(collect_list(col("sid"))).as("ids"),
+          count(lit(1)).as("n")))
+      val prefixes = docsArr
+        .withColumn("l", expr("n - (n + 1) div 2 + 1"))
+        .select(col("doc_id"),
+          explode(expr("transform(slice(ord, 1, cast(l AS int)), x -> x.sid)")).as("pid"))
+      val cand = prefixes.as("a").join(prefixes.as("b"),
+          col("a.pid") === col("b.pid") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+      val left = docsArr.select(col("doc_id").as("doc_i"),
+        col("ids").as("ids_i"), col("n").as("n_i"))
+      val right = docsArr.select(col("doc_id").as("doc_j"),
+        col("ids").as("ids_j"), col("n").as("n_j"))
+      val verified = cand.join(left, "doc_i").join(right, "doc_j")
+        .withColumn("n_common",
+          graft.functions.GraftExpressions
+            .sortedLongIntersectCount(col("ids_i"), col("ids_j")).cast("bigint"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n_i") + col("n_j") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_i"), col("doc_j"), col("n_common"), col("jaccard"))
+      materialized(verified, docsArr).orderBy("doc_i", "doc_j")
     }
   )
 
@@ -226,6 +278,15 @@ object RetrievalPack extends QueryPack {
          |       CAST(greatest(n.n_grams - 3, 1) AS BIGINT) AS n_windows,
          |       sela.n_sel, fpa.n_fp, fpa.fp_min, fpa.fp_max, fpa.fp_summod
          |FROM n JOIN sela USING (doc_id) JOIN fpa USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // the exact pair set by a DIFFERENT exact algorithm: q43's inverted-
+    // index CTEs, thresholded — prefix filtering must reproduce it
+    "q168_ppjoin_exact" ->
+      s"""WITH ${DedupPack.ngramPairsCtes}
+         |SELECT doc_i, doc_j, CAST(shared AS BIGINT) AS n_common, jaccard
+         |FROM pairs
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin
   )
 }

@@ -120,6 +120,24 @@ class RetrievalPackSpec extends AnyFunSuite {
     assert((fpA intersect fpB).nonEmpty)
   }
 
+  test("q168 prefix-filtered join equals brute-force all-pairs Jaccard") {
+    // model: 3-gram shingle sets per doc, exact Jaccard over every pair
+    val sh = docTexts.map { case (id, t) =>
+      id -> toks(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet.map(hex64)
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (i, si) <- sh; (j, sj) <- sh if i < j
+      inter = (si intersect sj).size
+      union = si.size + sj.size - inter
+      jac = inter.toDouble / union.toDouble if jac >= 0.5
+    } yield (i, j, inter.toLong, jac)).toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q168_ppjoin_exact")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty) // fixture must actually exercise the join
+    spark.catalog.clearCache()
+  }
+
   test("q165 streamed SpaceSaving equals batch q69 row-for-row") {
     val batch = SparkEntry.queries("q69_top_tokens_sketch")(spark, SparkTestSession.sfDir)
       .as[(String, Int, String, Long)].collect().toSeq
