@@ -556,11 +556,17 @@ object TextPack extends QueryPack {
       val B = 1024
       val qln = (x: org.apache.spark.sql.Column) =>
         floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      val dbc = warmed(docs
-        .select(col("doc_id"), col("source"),
-          explode(concat(col("toks"), wordShinglesOf(col("toks"), 2))).as("f"))
+      // The unigram+bigram feature stream binds the token array ONCE as
+      // a lambda variable (transform over a 1-element array) — without
+      // the binding, projection collapse inlines the tokenizer into
+      // every bigram element_at (the q164 trap; measured ~6 s steady vs
+      // ~4 s bound on identical output).
+      val features = flatten(transform(array(tokens(col("text"))), t =>
+        concat(t, when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))))))
+      val dbc = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(features).as("f"))
         .select(col("doc_id"), col("source"), (hex64(md5(col("f"))) % B).as("b"))
         .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c")))
       val raw = dbc.groupBy("b").agg(sum("c").as("cr"))
