@@ -156,6 +156,51 @@ object RelationalPack3 extends QueryPack {
       """)
     },
 
+    // ---- transparent materialized-view rewrite (graft.plans
+    // .MvAggregateRewrite — the optimizer-Rule extension point): build
+    // the (l_returnflag, l_linestatus) rollup once as an artifact,
+    // register it, and run the DIRECT aggregate over lineitem. The rule
+    // rewrites the plan to re-aggregate the MV's partial states; the
+    // query REQUIREs at plan time that the optimized plan scans the MV
+    // and NOT the base table, then executes the rewritten plan (the
+    // checkpoint materializes it while the MV registration is active).
+    // Decimal/count re-aggregation is exact, so the oracle is simply the
+    // direct GROUP BY over lineitem — result equality IS the rewrite's
+    // correctness proof. ----
+    "q169_mv_rewrite" -> { (s, d) =>
+      val mvPath = graft.core.Artifacts.materialize(
+        s"mv_lineitem_rfls_v1_${graft.core.Artifacts.corpusKey(d, "lineitem.parquet")}") { tmp =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("s_qty"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+      graft.plans.MvRewrite.ensure(s)
+      s.conf.set("spark.graft.mv.lineitem.path", mvPath)
+      try {
+        val df = Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.mkString(",")
+              case r => r.toString
+            }
+        }
+        require(scans.exists(_.contains("mv_lineitem_rfls")),
+          s"MV rewrite did not fire; scans=$scans")
+        require(!scans.exists(_.contains("lineitem.parquet")),
+          s"base table still scanned after MV rewrite; scans=$scans")
+        val out = df.select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
+        materialized(out).orderBy("l_returnflag", "l_linestatus")
+      } finally s.conf.unset("spark.graft.mv.lineitem.path")
+    },
+
     // ---- approximate percentile (t-digest-style sketch). Like q21's
     //      HLL oracle: the raw estimate is sketch-specific, so the gated
     //      output is the exact quantile plus a boolean asserting each
@@ -667,6 +712,16 @@ object RelationalPack3 extends QueryPack {
         |       max(l_quantity) AS qmax
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the rewrite's contract: answering from the rollup must equal the
+    // direct aggregate — so the oracle IS the direct aggregate
+    "q169_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DecimalType
+
+/** Transparent materialized-view rewrite — the engine's optimizer-rule
+  * surface (`Rule[LogicalPlan]`, injected through
+  * `spark.experimental.extraOptimizations`), complementing the expression
+  * (codegen natives), aggregate (TypedImperativeAggregate), and
+  * whole-plan (`AsOfJoinStrategy`) extension points.
+  *
+  * When `spark.graft.mv.lineitem.path` is set, an aggregate over the
+  * lineitem base table whose shape is answerable from the registered
+  * rollup — grouping exactly {l_returnflag, l_linestatus}, aggregates
+  * drawn from {sum(cast(l_quantity as decimal(18,2))), count(1)} over a
+  * pure column-pruning scan — is rewritten to re-aggregate the MV's
+  * partial states (`sum(s_qty)`, `sum(n_rows)`): the classic
+  * summary-table answer path (Gupta & Mumick's materialized-view rewrite,
+  * the same partial-reaggregation algebra as q153's HLL rollup). The
+  * match is ALL-OR-NOTHING: any unmatched grouping key, aggregate, or a
+  * non-pruning child aborts the rewrite, so semantics can never drift —
+  * and decimal/count re-aggregation is exact, so the rewritten plan is
+  * bit-identical to the direct one.
+  *
+  * Result attributes keep the ORIGINAL exprIds (grouping columns and
+  * aggregate aliases are re-aliased onto the MV attributes), so parent
+  * operators resolve unchanged. Idempotent by construction: the rewritten
+  * child scans the MV path, which no longer matches the base-table
+  * pattern.
+  *
+  * At 100 TB this is the difference between a 3-second dashboard query
+  * over a KB-scale rollup and a full fact-table scan; the rule is the
+  * demonstration that the engine can route matching aggregates to
+  * maintained summaries without query changes.
+  */
+case class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val pathConf = "spark.graft.mv.lineitem.path"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    spark.conf.getOption(pathConf).filter(_.nonEmpty) match {
+      case None => plan
+      case Some(mvPath) =>
+        plan.transformUp {
+          case agg: Aggregate
+              if baseScan(agg.child).exists(isLineitem) &&
+                groupingMatches(agg.groupingExpressions) =>
+            rewrite(agg, mvPath).getOrElse(agg)
+        }
+    }
+
+  /** The child must contribute nothing but column pruning. */
+  private def baseScan(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case l: LogicalRelation => Some(l)
+    case Project(pl, l: LogicalRelation)
+        if pl.forall(_.isInstanceOf[AttributeReference]) => Some(l)
+    case _ => None
+  }
+
+  private def isLineitem(l: LogicalRelation): Boolean = l.relation match {
+    case f: HadoopFsRelation =>
+      f.location.rootPaths.exists(_.toString.contains("lineitem.parquet"))
+    case _ => false
+  }
+
+  private def groupingMatches(grouping: Seq[Expression]): Boolean =
+    grouping.forall(_.isInstanceOf[AttributeReference]) &&
+      grouping.map { case a: AttributeReference => a.name }.toSet ==
+        Set("l_returnflag", "l_linestatus")
+
+  private def rewrite(agg: Aggregate, mvPath: String): Option[Aggregate] = {
+    val mvPlan = spark.read.parquet(mvPath).queryExecution.analyzed
+    def mvAttr(name: String): Option[AttributeReference] =
+      mvPlan.output.collectFirst { case a: AttributeReference if a.name == name => a }
+    val (mvRf, mvLs, mvSq, mvNr) =
+      (mvAttr("l_returnflag"), mvAttr("l_linestatus"), mvAttr("s_qty"), mvAttr("n_rows")) match {
+        case (Some(a), Some(b), Some(c), Some(d)) => (a, b, c, d)
+        case _ => return None
+      }
+    val groupAttr = Map("l_returnflag" -> mvRf, "l_linestatus" -> mvLs)
+
+    def rewriteAggFunc(ae: AggregateExpression): Option[AggregateExpression] =
+      ae.aggregateFunction match {
+        case _ if ae.isDistinct || ae.filter.isDefined => None
+        case s: Sum => s.child match {
+          case c: Cast if c.dataType == DecimalType(18, 2) =>
+            c.child match {
+              case q: AttributeReference if q.name == "l_quantity" =>
+                Some(Sum(mvSq).toAggregateExpression())
+              case _ => None
+            }
+          case _ => None
+        }
+        case c: Count if c.children == Seq(Literal(1)) =>
+          Some(Sum(mvNr).toAggregateExpression())
+        case _ => None
+      }
+
+    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case ar: AttributeReference if groupAttr.contains(ar.name) =>
+        Some(Alias(groupAttr(ar.name), ar.name)(exprId = ar.exprId))
+      case al @ Alias(ar: AttributeReference, name) if groupAttr.contains(ar.name) =>
+        Some(Alias(groupAttr(ar.name), name)(exprId = al.exprId))
+      case al @ Alias(ae: AggregateExpression, name) =>
+        rewriteAggFunc(ae).map(na => Alias(na, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (rewritten.exists(_.isEmpty)) return None // all-or-nothing
+    val newGrouping = agg.groupingExpressions.map {
+      case a: AttributeReference => groupAttr(a.name)
+    }
+    Some(Aggregate(newGrouping, rewritten.map(_.get), mvPlan))
+  }
+}
+
+object MvRewrite {
+  /** Idempotently add the rewrite rule to the session's extra optimizer
+    * rules (the dynamic analogue of `injectOptimizerRule`, the same
+    * pattern as [[GraftOps.ensure]] for the as-of strategy). The rule is
+    * a no-op until `spark.graft.mv.lineitem.path` is set. */
+  def ensure(s: SparkSession): Unit = synchronized {
+    val e = s.experimental
+    if (!e.extraOptimizations.exists(_.isInstanceOf[MvAggregateRewrite]))
+      e.extraOptimizations = e.extraOptimizations :+ MvAggregateRewrite(s)
+  }
+}
