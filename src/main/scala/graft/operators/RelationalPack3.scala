@@ -179,11 +179,17 @@ object RelationalPack3 extends QueryPack {
       graft.plans.MvRewrite.ensure(s)
       s.conf.set("spark.graft.mv.lineitem.path", mvPath)
       try {
-        val df = Tables.lineitem(s, d)
+        // `out` (the frame the checkpoint executes) includes a result-side
+        // cast that CollapseProject folds into the aggregate — the REQUIRE
+        // runs on ITS optimized plan, so the gate proves the plan that
+        // actually produced the output read the MV, not the fact table
+        val out = Tables.lineitem(s, d)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
             count(lit(1)).as("n_rows"))
-        val scans = df.queryExecution.optimizedPlan.collect {
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
+        val scans = out.queryExecution.optimizedPlan.collect {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             l.relation match {
               case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -195,10 +201,14 @@ object RelationalPack3 extends QueryPack {
           s"MV rewrite did not fire; scans=$scans")
         require(!scans.exists(_.contains("lineitem.parquet")),
           s"base table still scanned after MV rewrite; scans=$scans")
-        val out = df.select(col("l_returnflag"), col("l_linestatus"),
-          col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
         materialized(out).orderBy("l_returnflag", "l_linestatus")
-      } finally s.conf.unset("spark.graft.mv.lineitem.path")
+      } finally {
+        // plan-dump mode explains the returned (lazy) frame after this
+        // returns — keep the registration active there so PLANS.md shows
+        // the rewritten plan; the gated path deregisters as usual
+        if (!graft.core.QueryPack.planDumpMode)
+          s.conf.unset("spark.graft.mv.lineitem.path")
+      }
     },
 
     // ---- approximate percentile (t-digest-style sketch). Like q21's

@@ -108,6 +108,15 @@ case class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Alias(groupAttr(ar.name), name)(exprId = al.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
         rewriteAggFunc(ae).map(na => Alias(na, name)(exprId = al.exprId))
+      // a result-side cast folded into the aggregate by CollapseProject
+      // (e.g. `cast(sum_qty as double)`) wraps the AggregateExpression —
+      // rewrite the inner aggregate and keep the cast
+      case al @ Alias(c: Cast, name) => c.child match {
+        case ae: AggregateExpression =>
+          rewriteAggFunc(ae).map(na =>
+            Alias(c.withNewChildren(Seq(na)), name)(exprId = al.exprId))
+        case _ => None
+      }
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None // all-or-nothing

@@ -51,6 +51,18 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a cast folded onto the aggregate result still rewrites") {
+    // CollapseProject merges `cast(sum_qty as double)` into the aggregate's
+    // result expressions — the matcher must see through the cast, or the
+    // executed plan silently falls back to the fact table
+    withMv {
+      val df = matching.select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
+      assert(scanPaths(df).exists(_.contains("mv_lineitem_rfls")))
+      assert(!scanPaths(df).exists(_.contains("lineitem.parquet")))
+    }
+  }
+
   test("an unmatched aggregate aborts the rewrite (all-or-nothing fallback)") {
     withMv {
       val df = graft.core.Tables.lineitem(spark, d)
