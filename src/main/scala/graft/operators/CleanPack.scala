@@ -310,6 +310,47 @@ object CleanPack extends QueryPack {
       """)
     },
 
+    // ---- grouped distribution moments in ONE pass: per-group mean,
+    // variance, and skewness derived from exact int64 power sums over
+    // cents-quantized values (S1-S3; the sufficient-statistic pattern of
+    // q160's OLS). Power sums are LINEAR — they merge across partitions
+    // and partial files by addition, so a 100 TB profile is map-side-
+    // combined partials, never a second pass (and daily partials
+    // re-aggregate like q153's HLL rollup). S3 max here is ~8e16, well
+    // inside int64; a fourth moment would need DECIMAL(38,0) sums —
+    // documented, not emitted. Derived moments are IEEE doubles from the
+    // exact integers with identical formula text in both engines;
+    // sqrt() is correctly rounded per IEEE-754 (pow() is NOT, hence
+    // var*sqrt(var) instead of var^1.5). ----
+    "q170_group_moments" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        WITH c AS (
+          SELECT l_returnflag AS grp,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+          FROM lineitem),
+        sums AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS s1,
+                 CAST(sum(q * q) AS BIGINT) AS s2,
+                 CAST(sum(q * q * q) AS BIGINT) AS s3
+          FROM c GROUP BY grp),
+        m AS (
+          SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+          FROM sums)
+        SELECT grp, n, s1, s2, s3, mean, variance,
+               CASE WHEN variance <= 0.0 THEN 0.0 ELSE
+                 (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 2.0 * mean * mean * mean)
+                 / (variance * sqrt(variance)) END AS skewness
+        FROM m ORDER BY grp
+      """)
+    },
+
     // ---- deterministic Poisson bootstrap (the one-pass uncertainty
     // estimate for massive data — Chamandy et al., Google 2012,
     // "Estimating uncertainty for massive data streams"): 32 bootstrap
@@ -519,6 +560,32 @@ object CleanPack extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY dirty_key
         |                           ORDER BY lev, matched_key) = 1
         |ORDER BY dirty_key""".stripMargin,
+
+    // identical sums and identical derived-moment formula text
+    "q170_group_moments" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s1,
+        |         CAST(sum(q * q) AS BIGINT) AS s2,
+        |         CAST(sum(q * q * q) AS BIGINT) AS s3
+        |  FROM c GROUP BY grp),
+        |m AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+        |  FROM sums)
+        |SELECT grp, n, s1, s2, s3, mean, variance,
+        |       CASE WHEN variance <= 0.0 THEN 0.0 ELSE
+        |         (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |           - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |           + 2.0 * mean * mean * mean)
+        |         / (variance * sqrt(variance)) END AS skewness
+        |FROM m ORDER BY grp""".stripMargin,
 
     // same rank-selection formula; `div` is `//` (both truncate toward
     // zero — operands here are non-negative)

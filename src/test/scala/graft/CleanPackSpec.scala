@@ -95,6 +95,29 @@ class CleanPackSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q170 moments equal the brute-force model on sf0.001") {
+    val q = SparkTestSession.spark.read
+      .parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+      .selectExpr("l_returnflag AS grp",
+        "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q")
+      .as[(String, Long)].collect().toSeq
+    val expected = q.groupBy(_._1).toSeq.map { case (grp, rows) =>
+      val v = rows.map(_._2)
+      val n = v.size.toLong
+      val (s1, s2, s3) = (v.sum, v.map(x => x * x).sum, v.map(x => x * x * x).sum)
+      val mean = s1.toDouble / n.toDouble
+      val variance = s2.toDouble / n.toDouble - (s1.toDouble / n.toDouble) * (s1.toDouble / n.toDouble)
+      val skew = if (variance <= 0.0) 0.0
+        else (s3.toDouble / n.toDouble - 3.0 * mean * (s2.toDouble / n.toDouble) +
+          2.0 * mean * mean * mean) / (variance * math.sqrt(variance))
+      (grp, n, s1, s2, s3, mean, variance, skew)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q170_group_moments")(spark, SparkTestSession.sfDir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+
   test("q167 bootstrap replicates: weights are hash-determined and means bracket the truth") {
     val rows = SparkEntry.queries("q167_bootstrap_ci")(spark, SparkTestSession.sfDir)
       .as[(Int, Long, Long, Double, Double)].collect().toSeq
