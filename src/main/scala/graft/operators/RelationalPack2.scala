@@ -72,6 +72,43 @@ object RelationalPack2 extends QueryPack {
       """)
     },
 
+    // ---- exact grouped median WITHOUT a per-row sort: build the
+    // per-group VALUE HISTOGRAM (one map-side-combining shuffle of
+    // (group, value) partial counts), then select the median ranks from
+    // the running count over DISTINCT values only. q83 sorts every row
+    // inside each group (rows-scale window state); this plan's window
+    // runs over the histogram — at 100 TB with a bounded value domain
+    // (cents, ratings, token counts) that is orders of magnitude fewer
+    // rows, and the histogram partials re-aggregate across files/days
+    // like q153/q170. Degenerates to q83's cost only when all values
+    // are distinct. Same doubled-midpoint rank formula as q83/q115;
+    // cents quantization keeps everything int64 until one final IEEE
+    // division. ----
+    "q171_median_histogram" -> { (s, d) =>
+      views(s, d, "customer")
+      s.sql("""
+        WITH c AS (
+          SELECT c_mktsegment AS grp,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM customer),
+        h AS (SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+              FROM c GROUP BY grp, cents),
+        t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY grp),
+        p AS (SELECT h.grp, h.cents, h.cnt, t.n,
+                     sum(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.cents) AS cum
+              FROM h JOIN t ON t.grp = h.grp),
+        sel AS (SELECT grp, n,
+                       max(CASE WHEN cum - cnt < (n + 1) div 2 AND (n + 1) div 2 <= cum
+                                THEN cents END) AS lo,
+                       max(CASE WHEN cum - cnt < (n + 2) div 2 AND (n + 2) div 2 <= cum
+                                THEN cents END) AS hi
+                FROM p GROUP BY grp, n)
+        SELECT grp AS c_mktsegment, n, lo AS lo_cents, hi AS hi_cents,
+               CAST(lo + hi AS DOUBLE) / 200.0 AS median_bal
+        FROM sel ORDER BY c_mktsegment
+      """)
+    },
+
     // ---- string function spread ----
     "q84_string_funcs" -> { (s, d) =>
       Tables.part(s, d)
@@ -195,6 +232,28 @@ object RelationalPack2 extends QueryPack {
         |FROM r
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // identical histogram construction; div is //
+    "q171_median_histogram" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS grp,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |h AS (SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM c GROUP BY grp, cents),
+        |t AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY grp),
+        |p AS (SELECT h.grp, h.cents, h.cnt, t.n,
+        |             sum(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.cents) AS cum
+        |      FROM h JOIN t ON t.grp = h.grp),
+        |sel AS (SELECT grp, n,
+        |               max(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |                        THEN cents END) AS lo,
+        |               max(CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum
+        |                        THEN cents END) AS hi
+        |        FROM p GROUP BY grp, n)
+        |SELECT grp AS c_mktsegment, n, lo AS lo_cents, hi AS hi_cents,
+        |       CAST(lo + hi AS DOUBLE) / 200.0 AS median_bal
+        |FROM sel ORDER BY c_mktsegment""".stripMargin,
 
     "q84_string_funcs" ->
       """SELECT p_partkey,

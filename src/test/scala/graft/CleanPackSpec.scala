@@ -118,6 +118,21 @@ class CleanPackSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q171 histogram median agrees with q83's row-sort median") {
+    // two exact algorithms over the same data must agree (up to the
+    // cents-vs-raw-double arithmetic path)
+    val sorted = SparkEntry.queries("q83_median")(spark, SparkTestSession.sfDir)
+      .as[(String, Double)].collect().toMap
+    val hist = SparkEntry.queries("q171_median_histogram")(spark, SparkTestSession.sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(hist.map(_._1).toSet === sorted.keySet)
+    hist.foreach { case (grp, _, lo, hi, med) =>
+      assert(lo <= hi)
+      assert(math.abs(med - sorted(grp)) < 1e-9, s"group $grp: $med vs ${sorted(grp)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q167 bootstrap replicates: weights are hash-determined and means bracket the truth") {
     val rows = SparkEntry.queries("q167_bootstrap_ci")(spark, SparkTestSession.sfDir)
       .as[(Int, Long, Long, Double, Double)].collect().toSeq
