@@ -139,7 +139,10 @@ object TextPack extends QueryPack {
     * eval). Split/smoothing/quantization/tie-break semantics are pinned
     * by NaiveBayesSpec; see q120's comment for the scale shape.
     */
-  private def nbHeldOutScored(s: SparkSession, d: String): DataFrame = {
+  /** Held-out docs × classes with quantized NB scores and the per-doc
+    * rank (rk=1 is the prediction; rk=2 gives the decision margin) —
+    * the shared substrate of q120/q128/q172. */
+  private def nbHeldOutRanked(s: SparkSession, d: String): DataFrame = {
     val qln = (x: org.apache.spark.sql.Column) =>
       floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
     val all = Tables.documents(s, d)
@@ -175,16 +178,21 @@ object TextPack extends QueryPack {
       .withColumn("score_q",
         col("prior_q") + coalesce(col("m"), lit(0L)) -
           col("n_tok") * col("denom_q"))
-    val result = scored
+    val ranked = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        col("score_q").cast("bigint").as("score_q"), col("rk"))
+    materialized(ranked, clw)
+  }
+
+  private def nbHeldOutScored(s: SparkSession, d: String): DataFrame =
+    nbHeldOutRanked(s, d)
       .where(col("rk") === 1)
       .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
-        col("score_q").cast("bigint").as("score_q"),
+        col("score_q"),
         when(col("lang") === col("true_lang"), 1L).otherwise(0L)
           .cast("bigint").as("correct"))
-    materialized(result, clw)
-  }
 
   /** DuckDB mirror of [[nbHeldOutScored]] up through the per-doc argmax
     * (`ranked`, filter `rk = 1` downstream) — shared by the q120 and
@@ -688,6 +696,68 @@ object TextPack extends QueryPack {
         .orderBy("true_lang", "pred_lang")
     },
 
+    // ---- classifier calibration (reliability table): bin the held-out
+    // predictions by DECISION MARGIN — the top-1 vs top-2 quantized
+    // log-score gap, in whole nats (margin_q div 1e6), capped at 9 —
+    // and report empirical accuracy per bin. A well-calibrated
+    // classifier's accuracy rises with the margin; the table is how a
+    // pipeline picks the margin threshold above which it trusts the
+    // cheap classifier and below which docs route to review (the
+    // CCNet-style quality-classifier triage). All-integer: counts,
+    // ppm accuracy, integer-div mean margin. ----
+    "q172_nb_calibration" -> { (s, d) =>
+      val pair = nbHeldOutRanked(s, d)
+        .where(col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(max(when(col("rk") === 1, col("lang"))).as("pred_lang"),
+          max(col("true_lang")).as("true_lang"),
+          max(when(col("rk") === 1, col("score_q"))).as("s1"),
+          max(when(col("rk") === 2, col("score_q"))).as("s2"))
+      pair
+        .select(
+          least(expr("(s1 - s2) div 1000000"), lit(9L)).cast("bigint").as("bin"),
+          when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L).as("ok"),
+          (col("s1") - col("s2")).as("margin_q"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("ok")).cast("bigint").as("n_correct"),
+          expr("sum(ok) * 1000000 div count(*)").cast("bigint").as("acc_ppm"),
+          expr("sum(margin_q) div count(*)").cast("bigint").as("avg_margin_q"))
+        .orderBy("bin")
+    },
+
+    // ---- inter-rater agreement: Cohen's kappa (Cohen 1960) between the
+    // two independent labelers the engine already ships — the NB quality
+    // classifier (q120) and the stopword-profile heuristic (q60) — on
+    // the held-out docs. Kappa corrects raw agreement for chance using
+    // the raters' marginals: po = agree/n, pe = Σ_c na_c·nb_c / n²,
+    // κ = (po − pe)/(1 − pe). The production use: watch κ between a new
+    // model and the incumbent before switching labelers. Contingency
+    // and marginals are exact int64; po/pe/κ are IEEE doubles with
+    // identical formula text in both engines. ----
+    "q173_rater_agreement" -> { (s, d) =>
+      val a = nbHeldOutRanked(s, d).where(col("rk") === 1)
+        .select(col("doc_id"), col("lang").as("a"))
+      val b = queries("q60_lang_id")(s, d)
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("pred_lang").as("b"))
+      val j = warmed(a.join(b, "doc_id"))
+      val base = j.agg(count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).cast("bigint").as("n_agree"))
+      val ma = j.groupBy("a").agg(count(lit(1)).as("na"))
+      val mb = j.groupBy("b").agg(count(lit(1)).as("nb"))
+      val cross = ma.join(mb, col("a") === col("b"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("bigint").as("n_cross"))
+      val result = base.crossJoin(cross)
+        .withColumn("po", col("n_agree").cast("double") / col("n").cast("double"))
+        .withColumn("pe", col("n_cross").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+        .withColumn("kappa",
+          when(col("pe") >= 1.0, lit(1.0))
+            .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+      materialized(result, j).orderBy("n")
+    },
+
     // ---- bigram statistics: top word-pairs per language via the native
     // top-k aggregate (token array materialized before the shingle
     // lambda — see the HOF-CSE note in DedupPack.ngramPairs) ----
@@ -879,28 +949,33 @@ object TextPack extends QueryPack {
        |$rounds""".stripMargin
   }
 
-  override def oracle: Map[String, String] = {
+  /** q60's full oracle SQL — also spliced (own WITH scope) into q173's
+    * agreement oracle. */
+  private def q60OracleSql: String = {
     val profileValues = langProfiles
       .map { case (l, ws) => s"('$l', ${ws.map(w => s"'$w'").mkString("[", ",", "]")})" }
       .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS tset
+       |  FROM documents),
+       |profiles(cand_lang, profile) AS (VALUES $profileValues),
+       |scored AS (
+       |  SELECT doc_id, lang, cand_lang,
+       |         CAST(length(list_intersect(tset, profile)) AS DOUBLE) /
+       |           CAST(length(profile) AS DOUBLE) AS score
+       |  FROM toks CROSS JOIN profiles),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+       |  FROM scored)
+       |SELECT doc_id, lang, cand_lang AS pred_lang, score
+       |FROM ranked WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  override def oracle: Map[String, String] = {
     Map(
-      "q60_lang_id" ->
-        s"""WITH toks AS (
-           |  SELECT doc_id, lang,
-           |         list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS tset
-           |  FROM documents),
-           |profiles(cand_lang, profile) AS (VALUES $profileValues),
-           |scored AS (
-           |  SELECT doc_id, lang, cand_lang,
-           |         CAST(length(list_intersect(tset, profile)) AS DOUBLE) /
-           |           CAST(length(profile) AS DOUBLE) AS score
-           |  FROM toks CROSS JOIN profiles),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
-           |  FROM scored)
-           |SELECT doc_id, lang, cand_lang AS pred_lang, score
-           |FROM ranked WHERE rk = 1
-           |ORDER BY doc_id""".stripMargin,
+      "q60_lang_id" -> q60OracleSql,
 
       // single-node row_number() windows stand in for the distributed
       // PrefixSum ranks; same integer RRF arithmetic
@@ -1175,6 +1250,49 @@ object TextPack extends QueryPack {
           |       CAST(cm.n_docs * 1000000 // t.n_true AS BIGINT) AS recall_ppm
           |FROM cm JOIN tots t USING (true_lang)
           |ORDER BY true_lang, pred_lang""".stripMargin,
+
+      // top-2 margin from the same ranked CTE; identical bin arithmetic
+      "q172_nb_calibration" ->
+        s"""WITH $nbOracleCtes,
+          |pair AS (SELECT doc_id,
+          |                max(CASE WHEN rk = 1 THEN lang END) AS pred_lang,
+          |                max(true_lang) AS true_lang,
+          |                max(CASE WHEN rk = 1 THEN score_q END) AS s1,
+          |                max(CASE WHEN rk = 2 THEN score_q END) AS s2
+          |         FROM ranked WHERE rk <= 2 GROUP BY doc_id),
+          |b AS (SELECT least((s1 - s2) // 1000000, 9) AS bin,
+          |             CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS ok,
+          |             s1 - s2 AS margin_q
+          |      FROM pair)
+          |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(ok) AS BIGINT) AS n_correct,
+          |       CAST(sum(ok) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+          |       CAST(sum(margin_q) // count(*) AS BIGINT) AS avg_margin_q
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+      // NB predictions from the shared CTEs; the heuristic rater spliced
+      // in as a self-contained subquery (own WITH scope — the q08
+      // precedent); identical kappa arithmetic
+      "q173_rater_agreement" ->
+        s"""WITH $nbOracleCtes,
+          |ra AS (SELECT doc_id, lang AS a FROM ranked WHERE rk = 1),
+          |rb AS (SELECT doc_id, pred_lang AS b
+          |       FROM ($q60OracleSql) h WHERE doc_id % 5 = 0),
+          |j AS (SELECT ra.doc_id, ra.a, rb.b FROM ra JOIN rb USING (doc_id)),
+          |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |                CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          |         FROM j),
+          |ma AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM j GROUP BY a),
+          |mb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM j GROUP BY b),
+          |crossed AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS n_cross
+          |            FROM ma JOIN mb ON ma.a = mb.b),
+          |k AS (SELECT n, n_agree, n_cross,
+          |             CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          |             CAST(n_cross AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          |      FROM base, crossed)
+          |SELECT n, n_agree, n_cross, po, pe,
+          |       CASE WHEN pe >= 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END AS kappa
+          |FROM k ORDER BY n""".stripMargin,
 
       // same trajectory; the final state's per-word symbol count joins
       // the (doc, word) count table to tokenize by equi-join
