@@ -316,9 +316,12 @@ object CleanPack extends QueryPack {
     // q160's OLS). Power sums are LINEAR — they merge across partitions
     // and partial files by addition, so a 100 TB profile is map-side-
     // combined partials, never a second pass (and daily partials
-    // re-aggregate like q153's HLL rollup). S3 max here is ~8e16, well
-    // inside int64; a fourth moment would need DECIMAL(38,0) sums —
-    // documented, not emitted. Derived moments are IEEE doubles from the
+    // re-aggregate like q153's HLL rollup). S1 stays int64 (overflow needs
+    // ~1.8e15 rows/group); S2/S3 sums are DECIMAL(38,0) — per-element
+    // powers fit int64 but the SUMS overflow int64 near ~3e8 rows/group
+    // at cents scale, i.e. below the 100 TB regime this is built for
+    // (and Spark's non-ANSI bigint sum would wrap silently while DuckDB
+    // errors — a cross-engine divergence, not just a wrong number). Derived moments are IEEE doubles from the
     // exact integers with identical formula text in both engines;
     // sqrt() is correctly rounded per IEEE-754 (pow() is NOT, hence
     // var*sqrt(var) instead of var^1.5). ----
@@ -332,8 +335,8 @@ object CleanPack extends QueryPack {
         sums AS (
           SELECT grp, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(q) AS BIGINT) AS s1,
-                 CAST(sum(q * q) AS BIGINT) AS s2,
-                 CAST(sum(q * q * q) AS BIGINT) AS s3
+                 CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+                 CAST(sum(CAST(q * q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3
           FROM c GROUP BY grp),
         m AS (
           SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
@@ -364,8 +367,11 @@ object CleanPack extends QueryPack {
     // pass per replicate. The spread of the 32 replicate means IS the
     // sampling distribution of the estimator. ----
     "q167_bootstrap_ci" -> { (s, d) =>
-      val nt = Tables.documents(s, d)
-        .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tok"))
+      // warmed: both the overall-mean branch and the 32x-exploded
+      // replicate branch scan the token counts — without the cache the
+      // corpus tokenizes twice (no shared Exchange for ReuseExchange)
+      val nt = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tok")))
       val overall = nt.agg(
         (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
           .as("overall_mean"))
@@ -382,7 +388,7 @@ object CleanPack extends QueryPack {
             .when(col("h") < poissonCdf60(4), 4L)
             .when(col("h") < poissonCdf60(5), 5L)
             .otherwise(6L))
-      weighted
+      val result = weighted
         .groupBy("r")
         .agg(sum(col("w")).as("n_eff"),
           sum(col("w") * col("n_tok")).as("sum_tok"))
@@ -391,7 +397,7 @@ object CleanPack extends QueryPack {
         .crossJoin(broadcast(overall))
         .select(col("r").cast("int").as("r"), col("n_eff"), col("sum_tok"),
           col("mean_tok"), col("overall_mean"))
-        .orderBy("r")
+      materialized(result, nt).orderBy("r")
     }
   )
 
@@ -570,8 +576,8 @@ object CleanPack extends QueryPack {
         |sums AS (
         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(q) AS BIGINT) AS s1,
-        |         CAST(sum(q * q) AS BIGINT) AS s2,
-        |         CAST(sum(q * q * q) AS BIGINT) AS s3
+        |         CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+        |         CAST(sum(CAST(q * q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3
         |  FROM c GROUP BY grp),
         |m AS (
         |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,

@@ -168,14 +168,7 @@ object RelationalPack3 extends QueryPack {
     // direct GROUP BY over lineitem — result equality IS the rewrite's
     // correctness proof. ----
     "q169_mv_rewrite" -> { (s, d) =>
-      val mvPath = graft.core.Artifacts.materialize(
-        s"mv_lineitem_rfls_v1_${graft.core.Artifacts.corpusKey(d, "lineitem.parquet")}") { tmp =>
-        Tables.lineitem(s, d)
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("s_qty"),
-            count(lit(1)).as("n_rows"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-      }
+      val mvPath = graft.plans.MvRewrite.lineitemRollup(s, d)
       graft.plans.MvRewrite.ensure(s)
       s.conf.set("spark.graft.mv.lineitem.path", mvPath)
       try {

@@ -133,15 +133,13 @@ object TextPack extends QueryPack {
     materialized(result, tok).orderBy("w")
   }
 
-  /** Per-doc Naive-Bayes argmax over the held-out fold `(doc_id,
-    * true_lang, pred_lang, score_q, correct)` — the scoring pipeline
-    * shared by q120 (the per-doc stream) and q128 (the confusion-matrix
-    * eval). Split/smoothing/quantization/tie-break semantics are pinned
-    * by NaiveBayesSpec; see q120's comment for the scale shape.
-    */
   /** Held-out docs × classes with quantized NB scores and the per-doc
-    * rank (rk=1 is the prediction; rk=2 gives the decision margin) —
-    * the shared substrate of q120/q128/q172. */
+    * rank, filtered to rk <= 2 (rk=1 is the prediction; rk=2 gives the
+    * decision margin — all any caller needs, so the checkpoint stays
+    * 2 rows/doc, not classes rows/doc) — the shared substrate of
+    * q120/q128/q172. Split/smoothing/quantization/tie-break semantics
+    * are pinned by NaiveBayesSpec; see q120's comment for the scale
+    * shape. */
   private def nbHeldOutRanked(s: SparkSession, d: String): DataFrame = {
     val qln = (x: org.apache.spark.sql.Column) =>
       floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
@@ -181,11 +179,15 @@ object TextPack extends QueryPack {
     val ranked = scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
+      .where(col("rk") <= 2)
       .select(col("doc_id"), col("true_lang"), col("lang"),
         col("score_q").cast("bigint").as("score_q"), col("rk"))
     materialized(ranked, clw)
   }
 
+  /** rk=1 slice of [[nbHeldOutRanked]] as `(doc_id, true_lang,
+    * pred_lang, score_q, correct)` — q120's per-doc stream and q128's
+    * confusion-matrix input. */
   private def nbHeldOutScored(s: SparkSession, d: String): DataFrame =
     nbHeldOutRanked(s, d)
       .where(col("rk") === 1)

@@ -137,4 +137,20 @@ object MvRewrite {
     if (!e.extraOptimizations.exists(_.isInstanceOf[MvAggregateRewrite]))
       e.extraOptimizations = e.extraOptimizations :+ MvAggregateRewrite(s)
   }
+
+  /** The ONE builder of the lineitem rollup artifact the rule answers
+    * from — shared by q169 and MvRewriteSpec so the memoized build-once
+    * artifact can never drift between two copies of the aggregation.
+    * Returns the artifact path to register under
+    * `spark.graft.mv.lineitem.path`. */
+  def lineitemRollup(s: SparkSession, d: String): String =
+    graft.core.Artifacts.materialize(
+      s"mv_lineitem_rfls_v1_${graft.core.Artifacts.corpusKey(d, "lineitem.parquet")}") { tmp =>
+      import org.apache.spark.sql.functions._
+      graft.core.Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("s_qty"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
 }

@@ -113,6 +113,10 @@ class CleanPackSpec extends AnyFunSuite {
       (grp, n, s1, s2, s3, mean, variance, skew)
     }.sortBy(_._1)
     val got = SparkEntry.queries("q170_group_moments")(spark, SparkTestSession.sfDir)
+      // s2/s3 are DECIMAL(38,0) sums (int64 would overflow near ~3e8
+      // rows/group at scale); they fit long on this corpus
+      .selectExpr("grp", "n", "s1", "CAST(s2 AS BIGINT) AS s2",
+        "CAST(s3 AS BIGINT) AS s3", "mean", "variance", "skewness")
       .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
     assert(got === expected)
     spark.catalog.clearCache()

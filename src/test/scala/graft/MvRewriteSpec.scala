@@ -22,14 +22,7 @@ class MvRewriteSpec extends AnyFunSuite {
     }
 
   private def withMv[T](f: => T): T = {
-    val mvPath = graft.core.Artifacts.materialize(
-      s"mv_lineitem_rfls_v1_${graft.core.Artifacts.corpusKey(d, "lineitem.parquet")}") { tmp =>
-      graft.core.Tables.lineitem(spark, d)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("s_qty"),
-          count(lit(1)).as("n_rows"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
+    val mvPath = graft.plans.MvRewrite.lineitemRollup(spark, d)
     graft.plans.MvRewrite.ensure(spark)
     spark.conf.set("spark.graft.mv.lineitem.path", mvPath)
     try f finally spark.conf.unset("spark.graft.mv.lineitem.path")
