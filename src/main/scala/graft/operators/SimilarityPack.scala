@@ -652,6 +652,81 @@ object SimilarityPack extends QueryPack {
       materialized(bruteTopK(vecs), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- hard-negative mining (the contrastive-training data step —
+    // cf. DPR/Contriever: for each anchor, the most similar vectors
+    // with a DIFFERENT label are the negatives that teach the margin).
+    // Top-5 cosine neighbors per anchor restricted to label != anchor's;
+    // exact scoring over the quantized index on the q50 eval-set shape
+    // (negative mining runs per training batch, not corpus x corpus —
+    // the corpus-scale candidate structures are the bucketed/IVF paths
+    // of q51-q53, to which the label exclusion composes as a post-
+    // candidate filter). ----
+    "q174_hard_negatives" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"))
+      val cand = vecs.join(labels, "vec_id")
+      val anchors = cand.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("norm").as("qnorm"), col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      val result = anchors
+        .join(cand, col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("q_label"), col("rk"),
+          col("vec_id"), col("label").as("neg_label"), col("cosine"))
+      materialized(result, vecs).orderBy("q_id", "rk")
+    },
+
+    // ---- top principal component by POWER ITERATION (the PageRank
+    // discipline applied to linear algebra): three unrolled rounds of
+    // v <- normalize(X^T (X v)) over the quantized embedding matrix,
+    // every step exact int64 — the matrix-vector products are integer
+    // sums (order-independent), rescaling is sign-split integer
+    // division (identical truncation in both engines, the q160 rule),
+    // and the per-round normalization is ONE sqrt + divide + floor on
+    // exact integers (sqrt is correctly-rounded IEEE). The oracle
+    // replays all three rounds as unrolled CTEs (the q53/q55
+    // technique). Scale shape: X^T(Xv) is two map-side-combining
+    // aggregates per round — (vec_id, y) then (dim, s) — with v (dim
+    // rows) BROADCAST into each; nothing materializes beyond dim-sized
+    // frames, which is how a PCA head runs over 100 TB of embeddings.
+    // int64 bounds at this corpus: |x|<=1e6, |ys|<=6.4e7, |s| <= rows
+    // x 1e6 x 6.4e7 (~1.3e18 at 20k rows — DECIMAL(38,0) territory
+    // beyond ~100k rows, documented). ----
+    "q175_power_iteration" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val comp = warmed(vecs
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x")))
+      var v = s.range(1, dim + 1)
+        .select(col("id").cast("int").as("i"), lit(1000000L).as("vq"))
+      for (_ <- 1 to 3) {
+        val y = comp.join(broadcast(v), "i")
+          .groupBy("vec_id")
+          .agg(sum(col("x") * col("vq")).as("y"))
+          .withColumn("ys", expr(
+            "CASE WHEN y >= 0 THEN y div 1000000 ELSE -((-y) div 1000000) END"))
+          .select("vec_id", "ys")
+        val sdf = comp.join(y, "vec_id")
+          .groupBy("i")
+          .agg(sum(col("x") * col("ys")).as("sraw"))
+          .withColumn("sd", expr(
+            "CASE WHEN sraw >= 0 THEN sraw div 10000000000 ELSE -((-sraw) div 10000000000) END"))
+        val n2 = sdf.agg(sum(col("sd") * col("sd")).as("n2"))
+        v = sdf.crossJoin(broadcast(n2))
+          .select(col("i"),
+            when(col("n2") === 0, lit(0L))
+              .otherwise(floor(col("sd").cast("double") /
+                sqrt(col("n2").cast("double")) * lit(1e6)).cast("long"))
+              .as("vq"))
+      }
+      materialized(v, comp).orderBy("i")
+    },
+
     // ---- LSH-bucketed ANN (scale path): L tables, single probe each ----
     "q51_ann_lsh" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
@@ -1133,6 +1208,56 @@ object SimilarityPack extends QueryPack {
          |       COALESCE(d.n_dup_lower, 0) > 0 AS is_dup
          |FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
          |ORDER BY c.vec_id""".stripMargin
+    },
+
+    // q50's brute shape + the label-exclusion join condition
+    "q174_hard_negatives" ->
+      s"""WITH vecs AS (SELECT vec_id, CAST(label AS BIGINT) AS label, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, label, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
+         |  FROM vecs v),
+         |pairs AS (
+         |  SELECT qv.vec_id AS q_id, qv.label AS q_label,
+         |         cv.vec_id AS vec_id, cv.label AS neg_label,
+         |         ${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm) AS cosine
+         |  FROM scored qv JOIN scored cv
+         |    ON cv.vec_id <> qv.vec_id AND cv.label <> qv.label
+         |  WHERE qv.vec_id < 5),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM pairs)
+         |SELECT q_id, q_label, rk, vec_id, neg_label, cosine FROM ranked
+         |WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // the three power-iteration rounds unrolled; sign-split // mirrors
+    // Spark's div on negative operands
+    "q175_power_iteration" -> {
+      def round(r: Int, prev: String): String =
+        s"""y$r AS (SELECT vec_id, CAST(sum(x * vq) AS BIGINT) AS y
+           |        FROM comp JOIN $prev USING (i) GROUP BY vec_id),
+           |ys$r AS (SELECT vec_id,
+           |               CASE WHEN y >= 0 THEN y // 1000000 ELSE -((-y) // 1000000) END AS ys
+           |        FROM y$r),
+           |s$r AS (SELECT i, CAST(sum(x * ys) AS BIGINT) AS sraw
+           |        FROM comp JOIN ys$r USING (vec_id) GROUP BY i),
+           |sd$r AS (SELECT i, CASE WHEN sraw >= 0 THEN sraw // 10000000000
+           |                       ELSE -((-sraw) // 10000000000) END AS sd
+           |        FROM s$r),
+           |n$r AS (SELECT CAST(sum(sd * sd) AS BIGINT) AS n2 FROM sd$r),
+           |v$r AS (SELECT i, CASE WHEN n2 = 0 THEN 0
+           |                      ELSE CAST(floor(CAST(sd AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1000000) AS BIGINT)
+           |                 END AS vq
+           |       FROM sd$r, n$r)""".stripMargin
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |comp AS (SELECT vec_id, CAST(g.i AS INT) AS i, q[g.i] AS x
+         |         FROM vecs, UNNEST(generate_series(1, $dim)) AS g(i)),
+         |v0 AS (SELECT CAST(g.i AS INT) AS i, CAST(1000000 AS BIGINT) AS vq
+         |       FROM UNNEST(generate_series(1, $dim)) AS g(i)),
+         |${round(1, "v0")},
+         |${round(2, "v1")},
+         |${round(3, "v2")}
+         |SELECT i, vq FROM v3 ORDER BY i""".stripMargin
     },
 
     "q50_ann_brute" ->
