@@ -167,6 +167,38 @@ object EventsPack extends QueryPack {
         .orderBy("hour_start", "event_type")
     },
 
+    // ---- event-sequence pattern matching (MATCH_RECOGNIZE-lite, which
+    // Spark SQL lacks): per user, the time-ordered event-type stream
+    // collapses to one initials string ('v','c','p','s','e' — distinct
+    // by construction) and patterns are counted by REGEX over it —
+    // non-overlapping greedy scan, identical in Java regex and RE2 for
+    // these patterns. The sequence md5 gates the ordering itself
+    // (ties broken (ts, event_id) in both engines). Scale shape: ONE
+    // groupBy(user) shuffle; per-key sequence strings are bounded by a
+    // user's own activity — the same per-key unit MATCH_RECOGNIZE
+    // partitions by. Patterns: view→purchase adjacency, any
+    // browse-run→purchase, repeated-error runs, and the signup→view→
+    // purchase funnel flag. ----
+    "q176_event_pattern" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+      val seqs = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+            x => x.getField("c")), "").as("seq"))
+      seqs.select(col("user_id"), col("n_events"), md5(col("seq")).as("seq_md5"),
+          size(regexp_extract_all(col("seq"), lit("vp"), lit(0)))
+            .cast("bigint").as("n_direct_buy"),
+          size(regexp_extract_all(col("seq"), lit("v+p"), lit(0)))
+            .cast("bigint").as("n_browse_buy"),
+          size(regexp_extract_all(col("seq"), lit("ee+"), lit(0)))
+            .cast("bigint").as("n_error_runs"),
+          col("seq").rlike("s.*v.*p").as("has_funnel"))
+        .orderBy("user_id")
+    },
+
     // ---- sliding windows: 1 hour long, every 30 minutes ----
     "q31_sliding_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -605,6 +637,22 @@ object EventsPack extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    // same (ts, event_id)-ordered initials string via string_agg;
+    // RE2's greedy non-overlapping scan matches Java's for these
+    "q176_event_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c FROM events),
+        |seqs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         string_agg(c, '' ORDER BY ts, event_id) AS seq
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n_events, md5(seq) AS seq_md5,
+        |       CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_direct_buy,
+        |       CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_browse_buy,
+        |       CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_runs,
+        |       regexp_matches(seq, 's.*v.*p') AS has_funnel
+        |FROM seqs ORDER BY user_id""".stripMargin,
 
     "q31_sliding_window" ->
       """WITH assigned AS (
