@@ -490,28 +490,67 @@ object EventsPack extends QueryPack {
     // shuffle key end to end, no self-join, no driver state; the same
     // plan builds a type-2 dim from a 100 TB changelog. ----
     "q152_scd2_intervals" -> { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val runs = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-                unix_micros(col("ts")).as("us"), col("event_id"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-               lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("ver", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val byVer = Window.partitionBy("user_id").orderBy("ver")
-      runs.groupBy(col("user_id"), col("ver"), col("event_type"))
-        .agg(min(col("us")).as("valid_from_us"),
-             count(lit(1)).cast("bigint").as("n_events"))
-        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
-        .withColumn("is_current", col("valid_to_us").isNull)
-        .select(col("user_id"), col("ver"), col("event_type"),
-                col("valid_from_us"), col("valid_to_us"),
-                col("n_events"), col("is_current"))
-        .orderBy("user_id", "ver")
+      scd2Intervals(s, d).orderBy("user_id", "ver")
+    },
+
+    // ---- SCD2 point-in-time audit: probe the q152 dimension with an
+    // HOURLY timestamp grid per user and count, per probe, how many
+    // validity intervals cover it — the publish contract of any
+    // temporal dimension (every point-in-time lookup resolves to
+    // EXACTLY one version; zero means a coverage hole, >1 an overlap
+    // bug). Here probes before a user's first version report uncovered
+    // (the dimension starts at first sight), and the gate proves
+    // exactly-one coverage everywhere after. Shape: intervals and
+    // probes equi-join on user_id (per-user interval lists are small);
+    // the range predicate is a residual on the co-partitioned join,
+    // never a theta join. ----
+    "q177_scd2_pit_audit" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val iv = scd2Intervals(s, d)
+        .select(col("user_id"), col("valid_from_us"), col("valid_to_us"))
+      val probes = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .groupBy("user_id").agg(min("us").as("lo"), max("us").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(expr(s"lo div $hourUs"), expr(s"hi div $hourUs"))).as("h"))
+        .select(col("user_id"), (col("h") * hourUs).as("p_us"))
+      val perProbe = probes.join(iv, Seq("user_id"), "left")
+        .groupBy("user_id", "p_us")
+        .agg(sum(when(col("valid_from_us") <= col("p_us") &&
+            (col("valid_to_us").isNull || col("p_us") < col("valid_to_us")), 1L)
+          .otherwise(0L)).as("n_cover"))
+      perProbe.groupBy("user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_probes"),
+          sum(when(col("n_cover") === 1, 1L).otherwise(0L)).cast("bigint").as("n_exactly_one"),
+          sum(when(col("n_cover") === 0, 1L).otherwise(0L)).cast("bigint").as("n_uncovered"),
+          sum(when(col("n_cover") > 1, 1L).otherwise(0L)).cast("bigint").as("n_overlap"))
+        .orderBy("user_id")
     }
   )
+
+  /** The q152 SCD2 dimension build (gaps-and-islands over per-user
+    * event-type runs), shared with the q177 point-in-time audit. */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val runs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+             lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byVer = Window.partitionBy("user_id").orderBy("ver")
+    runs.groupBy(col("user_id"), col("ver"), col("event_type"))
+      .agg(min(col("us")).as("valid_from_us"),
+           count(lit(1)).cast("bigint").as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("ver"), col("event_type"),
+              col("valid_from_us"), col("valid_to_us"),
+              col("n_events"), col("is_current"))
+  }
 
   /** Sub-bucket salt width for [[saltedRangePairs]]. */
   private[graft] val rangeSalt = 4
@@ -852,6 +891,51 @@ object EventsPack extends QueryPack {
         |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL AS is_current
         |FROM iv
         |ORDER BY user_id, ver""".stripMargin,
+
+    // same interval CTEs + the same hourly probe grid and coverage
+    // classification
+    "q177_scd2_pit_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM r),
+        |iv0 AS (
+        |  SELECT user_id, ver, CAST(min(us) AS BIGINT) AS valid_from_us
+        |  FROM v GROUP BY user_id, ver),
+        |iv AS (
+        |  SELECT user_id, valid_from_us,
+        |         CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) AS BIGINT) AS valid_to_us
+        |  FROM iv0),
+        |bounds AS (
+        |  SELECT user_id, CAST(min(us) AS BIGINT) AS lo, CAST(max(us) AS BIGINT) AS hi
+        |  FROM e GROUP BY user_id),
+        |probes AS (
+        |  SELECT user_id, g.h * 3600000000 AS p_us
+        |  FROM bounds, UNNEST(generate_series(lo // 3600000000, hi // 3600000000)) AS g(h)),
+        |per_probe AS (
+        |  SELECT p.user_id, p.p_us,
+        |         CAST(sum(CASE WHEN i.valid_from_us <= p.p_us
+        |                        AND (i.valid_to_us IS NULL OR p.p_us < i.valid_to_us)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cover
+        |  FROM probes p LEFT JOIN iv i ON i.user_id = p.user_id
+        |  GROUP BY p.user_id, p.p_us)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(sum(CASE WHEN n_cover = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exactly_one,
+        |       CAST(sum(CASE WHEN n_cover = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered,
+        |       CAST(sum(CASE WHEN n_cover > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |FROM per_probe GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the oracle is the DIRECT single-stage aggregate — proving the
     // salted two-stage plan computes the identical result
