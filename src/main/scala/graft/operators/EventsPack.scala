@@ -525,6 +525,41 @@ object EventsPack extends QueryPack {
           sum(when(col("n_cover") === 0, 1L).otherwise(0L)).cast("bigint").as("n_uncovered"),
           sum(when(col("n_cover") > 1, 1L).otherwise(0L)).cast("bigint").as("n_overlap"))
         .orderBy("user_id")
+    },
+
+    // ---- hourly resample + last-observation-carried-forward: the
+    // gap-filling step that turns an irregular event stream into the
+    // regular series a dashboard or feature store reads. Grid rows
+    // union with the real events and ONE window pass per user carries
+    // the last non-null cents-quantized value forward — ordered
+    // (us, is_grid, event_id) so events at the same instant sort before
+    // the grid point (a grid point ON an event picks it up) and
+    // same-instant events resolve by event_id. Grid points before a
+    // user's first event stay null (has_value=false). Scale: the window
+    // is per-user — the resample unit; grid volume is users × hours. ----
+    "q178_gap_fill_locf" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val grid = ev.groupBy("user_id").agg(min("us").as("lo"), max("us").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(expr(s"lo div $hourUs"), expr(s"hi div $hourUs"))).as("h"))
+        .select(col("user_id"), (col("h") * hourUs).as("us"),
+          lit(null).cast("bigint").as("event_id"),
+          lit(null).cast("bigint").as("cents"), lit(1).as("is_grid"))
+      val unioned = ev.withColumn("is_grid", lit(0))
+        .select("user_id", "us", "event_id", "cents", "is_grid")
+        .unionByName(grid)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("is_grid"), coalesce(col("event_id"), lit(Long.MaxValue)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+        .where(col("is_grid") === 1)
+        .select(col("user_id"), col("us").as("p_us"), col("filled_cents"),
+          col("filled_cents").isNotNull.as("has_value"))
+        .orderBy("user_id", "p_us")
     }
   )
 
@@ -936,6 +971,34 @@ object EventsPack extends QueryPack {
         |       CAST(sum(CASE WHEN n_cover = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered,
         |       CAST(sum(CASE WHEN n_cover > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
         |FROM per_probe GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same union + IGNORE NULLS window; the (us, is_grid, event_id)
+    // ordering pins the same-instant semantics in both engines
+    "q178_gap_fill_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         0 AS is_grid
+        |  FROM events),
+        |grid AS (
+        |  SELECT user_id, g.h * 3600000000 AS us,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS cents,
+        |         1 AS is_grid
+        |  FROM (SELECT user_id, CAST(min(us) AS BIGINT) AS lo, CAST(max(us) AS BIGINT) AS hi
+        |        FROM ev GROUP BY user_id) b,
+        |       UNNEST(generate_series(b.lo // 3600000000, b.hi // 3600000000)) AS g(h)),
+        |u AS (SELECT * FROM ev UNION ALL BY NAME SELECT * FROM grid),
+        |f AS (
+        |  SELECT user_id, us, is_grid,
+        |         last_value(cents IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY us, is_grid, coalesce(event_id, 9223372036854775807)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |  FROM u)
+        |SELECT user_id, us AS p_us, filled_cents,
+        |       filled_cents IS NOT NULL AS has_value
+        |FROM f WHERE is_grid = 1
+        |ORDER BY user_id, p_us""".stripMargin,
 
     // the oracle is the DIRECT single-stage aggregate — proving the
     // salted two-stage plan computes the identical result
