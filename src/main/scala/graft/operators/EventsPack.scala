@@ -527,6 +527,36 @@ object EventsPack extends QueryPack {
         .orderBy("user_id")
     },
 
+    // ---- last-touch conversion attribution — the native as-of join
+    // (q03's custom exec) applied to the marketing-analytics shape:
+    // each purchase attributes to the user's most recent VIEW within a
+    // 30-minute window (tolerance mode), unattributed purchases kept by
+    // the outer mode. The aggregate emits per-user attribution rate
+    // (integer ppm) and total attributed latency. Same merge-join cost
+    // as an equi-join; the oracle is the q105 correlated-argmax form
+    // (DuckDB's native ASOF cannot express the window bound). ----
+    "q179_attribution" -> { (s, d) =>
+      val tolUs = 1800000000L // 30 minutes
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("us").as("view_us"))
+        .distinct()
+      val j = graft.plans.GraftOps.asofJoin(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "us", "view_us",
+        allowEqual = true, leftOuter = true, tolerance = Some(tolUs))
+      j.groupBy("user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+          sum(when(col("view_us").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_attributed"),
+          expr("sum(CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END) * 1000000 div count(*)")
+            .cast("bigint").as("attr_ppm"),
+          coalesce(sum(when(col("view_us").isNotNull, col("us") - col("view_us"))), lit(0L))
+            .cast("bigint").as("sum_latency_us"))
+        .orderBy("user_id")
+    },
+
     // ---- hourly resample + last-observation-carried-forward: the
     // gap-filling step that turns an irregular event stream into the
     // regular series a dashboard or feature store reads. Grid rows
@@ -971,6 +1001,25 @@ object EventsPack extends QueryPack {
         |       CAST(sum(CASE WHEN n_cover = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered,
         |       CAST(sum(CASE WHEN n_cover > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
         |FROM per_probe GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // correlated-argmax within the tolerance window, then the same
+    // per-user aggregate
+    "q179_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS view_us
+        |           FROM events WHERE event_type = 'view'),
+        |     m AS (SELECT p.user_id, p.event_id, p.us,
+        |                  (SELECT max(v.view_us) FROM v
+        |                   WHERE v.user_id = p.user_id
+        |                     AND v.view_us <= p.us
+        |                     AND p.us - v.view_us <= 1800000000) AS view_us
+        |           FROM p)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |       CAST(sum(CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS attr_ppm,
+        |       CAST(coalesce(sum(CASE WHEN view_us IS NOT NULL THEN us - view_us END), 0) AS BIGINT) AS sum_latency_us
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // same union + IGNORE NULLS window; the (us, is_grid, event_id)
     // ordering pins the same-instant semantics in both engines
