@@ -310,6 +310,59 @@ object CleanPack extends QueryPack {
       """)
     },
 
+    // ---- A/B assignment + sample-ratio-mismatch check: deterministic
+    // md5-bucket experiment assignment over the customer population and
+    // the chi-square SRM guardrail every experimentation platform runs
+    // before trusting a readout (for a 50/50 split, chi2 = (nA-nB)²/n).
+    // Experiments 1-2 are fair coins; experiment 3 is deliberately
+    // biased 45/55 so the flag demonstrably fires. chi2 is exact-integer
+    // micro-units — ((nA-nB)²·1e6) div n, positive operands — compared
+    // against 3.841459 (chi²_{0.05, df=1}) as the integer 3841459. ----
+    "q180_ab_srm_check" -> { (s, d) =>
+      val assigned = Tables.customer(s, d)
+        .select(col("c_custkey"), explode(sequence(lit(1), lit(3))).as("exp_id"))
+        .withColumn("h", hex64(md5(concat(lit("exp"), col("exp_id"),
+          lit(":"), col("c_custkey")))))
+        .withColumn("bucket",
+          when(col("exp_id") < 3, pmod(col("h"), lit(2)))
+            .otherwise(when(pmod(col("h"), lit(100)) < 45, 0L).otherwise(1L)))
+      assigned.groupBy("exp_id")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).cast("bigint").as("n_a"),
+          sum(when(col("bucket") === 1, 1L).otherwise(0L)).cast("bigint").as("n_b"))
+        .withColumn("chi2_micro",
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000) div n").cast("bigint"))
+        .withColumn("srm_flag", col("chi2_micro") > 3841459L)
+        .select(col("exp_id").cast("int").as("exp_id"), col("n"), col("n_a"),
+          col("n_b"), col("chi2_micro"), col("srm_flag"))
+        .orderBy("exp_id")
+    },
+
+    // ---- schema-on-read JSON quarantine: the ingest pattern for a
+    // semi-structured feed — parse the props JSON, route unparseable
+    // rows to quarantine counts instead of failing the load. The
+    // corpus's JSON is all well-formed, so a deterministic corruption
+    // lane (event_id % 7 — prefixed to be unambiguously invalid in
+    // BOTH parsers) exercises the quarantine path, the q100/q110
+    // injection precedent. Valid rows contribute their extracted field
+    // to the rollup. Single map stage + one aggregate. ----
+    "q181_json_quarantine" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            concat(lit("corrupt:"), col("props"))).otherwise(col("props")))
+        .withColumn("k",
+          from_json(col("raw"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_valid"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).cast("bigint").as("n_quarantined"),
+          coalesce(sum(col("k")), lit(0L)).cast("bigint").as("sum_k"))
+        .orderBy("event_type")
+    },
+
     // ---- grouped distribution moments in ONE pass: per-group mean,
     // variance, and skewness derived from exact int64 power sums over
     // cents-quantized values (S1-S3; the sufficient-statistic pattern of
@@ -566,6 +619,46 @@ object CleanPack extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY dirty_key
         |                           ORDER BY lev, matched_key) = 1
         |ORDER BY dirty_key""".stripMargin,
+
+    // identical md5 buckets and integer chi-square
+    "q180_ab_srm_check" ->
+      """WITH a AS (
+        |  SELECT c_custkey, g.e AS exp_id,
+        |         CAST('0x' || substring(md5('exp' || CAST(g.e AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM customer, UNNEST(generate_series(1, 3)) AS g(e)),
+        |b AS (
+        |  SELECT exp_id,
+        |         CASE WHEN exp_id < 3 THEN h % 2
+        |              ELSE CASE WHEN h % 100 < 45 THEN 0 ELSE 1 END END AS bucket
+        |  FROM a),
+        |c AS (
+        |  SELECT exp_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM b GROUP BY exp_id)
+        |SELECT CAST(exp_id AS INT) AS exp_id, n, n_a, n_b,
+        |       CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // n AS BIGINT) AS chi2_micro,
+        |       ((n_a - n_b) * (n_a - n_b) * 1000000) // n > 3841459 AS srm_flag
+        |FROM c ORDER BY exp_id""".stripMargin,
+
+    // json_valid gates the extraction; the corruption lane is invalid
+    // in both parsers by construction
+    "q181_json_quarantine" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN 'corrupt:' || props ELSE props END AS raw
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |         CASE WHEN json_valid(raw)
+        |              THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+        |              ELSE NULL END AS k
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical sums and identical derived-moment formula text
     "q170_group_moments" ->
