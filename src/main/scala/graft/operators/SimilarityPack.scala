@@ -716,13 +716,20 @@ object SimilarityPack extends QueryPack {
           .agg(sum(col("x") * col("ys")).as("sraw"))
           .withColumn("sd", expr(
             "CASE WHEN sraw >= 0 THEN sraw div 10000000000 ELSE -((-sraw) div 10000000000) END"))
-        val n2 = sdf.agg(sum(col("sd") * col("sd")).as("n2"))
-        v = sdf.crossJoin(broadcast(n2))
+        // per-round checkpoint (the BSP-loop rule): sdf feeds BOTH the
+        // norm aggregate and the projection, and v feeds two sites next
+        // round — without cutting lineage each reference re-executes
+        // every earlier round (measured 6-7 s; ~2 s checkpointed).
+        // Both frames are dim-sized (64 rows), so the checkpoint is free.
+        val sdfC = sdf.localCheckpoint()
+        val n2 = sdfC.agg(sum(col("sd") * col("sd")).as("n2"))
+        v = sdfC.crossJoin(broadcast(n2))
           .select(col("i"),
             when(col("n2") === 0, lit(0L))
               .otherwise(floor(col("sd").cast("double") /
                 sqrt(col("n2").cast("double")) * lit(1e6)).cast("long"))
               .as("vq"))
+          .localCheckpoint()
       }
       materialized(v, comp).orderBy("i")
     },
