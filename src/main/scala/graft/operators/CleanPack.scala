@@ -651,7 +651,7 @@ object CleanPack extends QueryPack {
         |p AS (
         |  SELECT event_type,
         |         CASE WHEN json_valid(raw)
-        |              THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+        |              THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT)
         |              ELSE NULL END AS k
         |  FROM ev)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,

@@ -505,15 +505,10 @@ object EventsPack extends QueryPack {
     // the range predicate is a residual on the co-partitioned join,
     // never a theta join. ----
     "q177_scd2_pit_audit" -> { (s, d) =>
-      val hourUs = 3600L * 1000000L
       val iv = scd2Intervals(s, d)
         .select(col("user_id"), col("valid_from_us"), col("valid_to_us"))
-      val probes = Tables.events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        .groupBy("user_id").agg(min("us").as("lo"), max("us").as("hi"))
-        .select(col("user_id"),
-          explode(sequence(expr(s"lo div $hourUs"), expr(s"hi div $hourUs"))).as("h"))
-        .select(col("user_id"), (col("h") * hourUs).as("p_us"))
+      val probes = hourlyGridUs(Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us")))
       val perProbe = probes.join(iv, Seq("user_id"), "left")
         .groupBy("user_id", "p_us")
         .agg(sum(when(col("valid_from_us") <= col("p_us") &&
@@ -568,14 +563,11 @@ object EventsPack extends QueryPack {
     // user's first event stay null (has_value=false). Scale: the window
     // is per-user — the resample unit; grid volume is users × hours. ----
     "q178_gap_fill_locf" -> { (s, d) =>
-      val hourUs = 3600L * 1000000L
       val ev = Tables.events(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-      val grid = ev.groupBy("user_id").agg(min("us").as("lo"), max("us").as("hi"))
-        .select(col("user_id"),
-          explode(sequence(expr(s"lo div $hourUs"), expr(s"hi div $hourUs"))).as("h"))
-        .select(col("user_id"), (col("h") * hourUs).as("us"),
+      val grid = hourlyGridUs(ev)
+        .select(col("user_id"), col("p_us").as("us"),
           lit(null).cast("bigint").as("event_id"),
           lit(null).cast("bigint").as("cents"), lit(1).as("is_grid"))
       val unioned = ev.withColumn("is_grid", lit(0))
@@ -592,6 +584,18 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "p_us")
     }
   )
+
+  /** Per-user HOURLY grid between first and last event, shared by the
+    * q177 PIT probes and the q178 resample grid (one definition of what
+    * an "hourly point" is — truncation to the hour, inclusive bounds).
+    * Input must expose (user_id, us); output is (user_id, p_us). */
+  private def hourlyGridUs(ev: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    ev.groupBy("user_id").agg(min("us").as("lo"), max("us").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(expr(s"lo div $hourUs"), expr(s"hi div $hourUs"))).as("h"))
+      .select(col("user_id"), (col("h") * hourUs).as("p_us"))
+  }
 
   /** The q152 SCD2 dimension build (gaps-and-islands over per-user
     * event-type runs), shared with the q177 point-in-time audit. */

@@ -708,8 +708,7 @@ object TextPack extends QueryPack {
     // CCNet-style quality-classifier triage). All-integer: counts,
     // ppm accuracy, integer-div mean margin. ----
     "q172_nb_calibration" -> { (s, d) =>
-      val pair = nbHeldOutRanked(s, d)
-        .where(col("rk") <= 2)
+      val pair = nbHeldOutRanked(s, d) // substrate already carries only rk <= 2
         .groupBy("doc_id")
         .agg(max(when(col("rk") === 1, col("lang"))).as("pred_lang"),
           max(col("true_lang")).as("true_lang"),

@@ -16,9 +16,11 @@ class EventPatternSpec extends AnyFunSuite {
   private lazy val dir: String = {
     val tmp = Files.createTempDirectory("graft-pat").toString
     def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
-    // user 1 sequence by (ts, event_id): v v p v p e e e s v p → "vvpvpeeesvp"
-    // 'vp' 3; 'v+p' 3 (vvp, vp, vp); 'ee+' 1 (eee); funnel s..v..p true
-    val types = Seq("view", "view", "purchase", "view", "purchase",
+    // user 1 sequence by (ts, event_id): v c p v p e e e s v p → "vcpvpeeesvp"
+    // the first two events share a timestamp with DIFFERENT types, so a
+    // broken tie-break produces "cv..." and a different seq_md5
+    // 'vp' 2; 'v+p' 2; 'ee+' 1 (eee); funnel s..v..p true
+    val types = Seq("view", "click", "purchase", "view", "purchase",
       "error", "error", "error", "signup", "view", "purchase")
     val rows = types.zipWithIndex.map { case (ty, i) =>
       // two events share a timestamp — event_id must break the tie
@@ -35,8 +37,10 @@ class EventPatternSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long, Long, Long, Boolean)].collect().toSeq
     val u1 = rows.find(_._1 == 1L).get
     assert(u1._2 === 11L)
-    assert(u1._4 === 3L) // 'vp' adjacencies
-    assert(u1._5 === 3L) // 'v+p' greedy non-overlapping
+    // md5("vcpvpeeesvp") — pins the (ts, event_id) tie-break itself
+    assert(u1._3 === "441513dedf5a5b4cbf965807375d15e5")
+    assert(u1._4 === 2L) // 'vp' adjacencies
+    assert(u1._5 === 2L) // 'v+p' greedy non-overlapping
     assert(u1._6 === 1L) // one 'ee+' run
     assert(u1._7)        // s..v..p funnel
     val u2 = rows.find(_._1 == 2L).get
