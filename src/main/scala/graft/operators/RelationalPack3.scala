@@ -441,10 +441,71 @@ object RelationalPack3 extends QueryPack {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
       """)
+    },
+
+    // ---- frequent-itemset pair mining (A-priori levels 1+2, Agrawal &
+    // Srikant VLDB 1994) over order baskets, at the brand granularity:
+    // which product brands are co-ordered, with support and lift. The
+    // 100 TB shape is the classic one: dedup to (order, item) FIRST
+    // (partial aggregation collapses repeat purchases before any
+    // pairing), pair-generate by a self-join CO-PARTITIONED on the order
+    // key (per-order work is |basket|², bounded by basket size, never
+    // corpus²), and aggregate into a pair space bounded by |vocabulary|²
+    // — brands here, so ≤ 25² rows regardless of fact volume. Lift is
+    // exact int64 fixed-point: floor(1e6 · N · supp(ab) / (supp(a) ·
+    // supp(b))) — no doubles anywhere. Support floor: pairs in ≥ 0.1%
+    // of baskets (scales with N, so the report stays stable across
+    // sf). ----
+    "q186_brand_affinity" -> { (s, d) =>
+      val items = warmed(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(broadcast(Tables.table(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("ok"), col("p_brand").as("b")).distinct())
+      val nOrders = items.agg(countDistinct(col("ok")).as("n"))
+      val supp = items.groupBy("b").agg(count(lit(1)).as("s"))
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("s12"))
+      val result = pairs
+        .join(broadcast(supp.select(col("b").as("b1"), col("s").as("s1"))), "b1")
+        .join(broadcast(supp.select(col("b").as("b2"), col("s").as("s2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("s12") * 1000 >= col("n"))
+        .select(col("b1"), col("b2"),
+          col("s12").cast("bigint").as("s12"),
+          col("s1").cast("bigint").as("s1"),
+          col("s2").cast("bigint").as("s2"),
+          expr("(1000000 * s12 * n) div (s1 * s2)").cast("bigint").as("lift_q"))
+      materialized(result, items).orderBy("b1", "b2")
     }
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // same basket dedup, same 0.1% support floor, same int64 lift
+    "q186_brand_affinity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |nn AS (SELECT count(DISTINCT ok) AS n FROM items),
+        |supp AS (SELECT b, count(*) AS s FROM items GROUP BY b),
+        |pairs AS (
+        |  SELECT x.b AS b1, y.b AS b2, count(*) AS s12
+        |  FROM items x JOIN items y ON y.ok = x.ok AND x.b < y.b
+        |  GROUP BY x.b, y.b)
+        |SELECT b1, b2, CAST(s12 AS BIGINT) AS s12,
+        |       CAST(s1.s AS BIGINT) AS s1, CAST(s2.s AS BIGINT) AS s2,
+        |       CAST((1000000 * s12 * nn.n) // (s1.s * s2.s) AS BIGINT) AS lift_q
+        |FROM pairs
+        |JOIN supp s1 ON s1.b = pairs.b1
+        |JOIN supp s2 ON s2.b = pairs.b2
+        |CROSS JOIN nn
+        |WHERE s12 * 1000 >= nn.n
+        |ORDER BY b1, b2""".stripMargin,
+
     // rebuilds the register file cell-for-cell: same md5 60-bit hash,
     // index = low 8 bits, rho = 53 - bitlength(high 52 bits) (bin(0) is
     // '0', so the rest=0 case is explicit), then the identical int64

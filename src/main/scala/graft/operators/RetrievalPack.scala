@@ -153,6 +153,49 @@ object RetrievalPack extends QueryPack {
       materialized(result, base, tokf).orderBy("doc_id")
     },
 
+    // ---- positional phrase search: the operation BM25's bag-of-words
+    // scoring cannot express — "these two tokens, ADJACENT, in order".
+    // The query set is self-derived (top-3 corpus bigrams, deterministic
+    // tie-break), then answered the way a 100 TB positional index would:
+    // postings are filtered to the query terms by a broadcast semi-join
+    // BEFORE any pairing (at scale: a partition-pruned read of two
+    // term-keyed posting lists), and adjacency is an equi-join on
+    // (query, doc, pos+1) — co-partitioned, never a corpus-wide bigram
+    // materialization on the retrieval path. The corpus bigram counts
+    // themselves come from a map-only per-doc transform (no self-join),
+    // collapsing to ≤|vocab|² rows under partial aggregation. The
+    // `corpus_occ` column (from the counting path) equaling `n_hits`
+    // (from the retrieval path) is a visible cross-check of the two
+    // independent formulations. ----
+    "q185_phrase_search" -> { (s, d) =>
+      val toksF = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t")))
+      val bigs = toksF.select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> " +
+            "named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))"))
+          .as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val q3 = bigs.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(3)
+        .withColumn("q_rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w1"), col("w2"))))
+      val post = toksF.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
+      val p1 = post.join(broadcast(q3.select(col("w1").as("w"), col("q_rank"))), "w")
+        .select(col("q_rank"), col("doc_id"), col("pos"))
+      val p2 = post.join(broadcast(q3.select(col("w2").as("w"), col("q_rank"))), "w")
+        .select(col("q_rank"), col("doc_id"), (col("pos") - 1).as("pos"))
+      val hits = p1.join(p2, Seq("q_rank", "doc_id", "pos"))
+      val result = hits.groupBy("q_rank")
+        .agg(count(lit(1)).cast("bigint").as("n_hits"),
+          countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .join(broadcast(q3), "q_rank")
+        .select(col("q_rank").cast("int").as("q_rank"), col("w1"), col("w2"),
+          col("cnt").cast("bigint").as("corpus_occ"),
+          col("n_hits"), col("n_docs"), col("first_doc"), col("last_doc"))
+      materialized(result, toksF).orderBy("q_rank")
+    },
+
     // ---- exact all-pairs set-similarity join with PREFIX FILTERING
     // (Chaudhuri et al. SSJoin / Bayardo et al. WWW 2007; the MapReduce
     // formulation is Vernica et al. SIGMOD 2010): unlike MinHash (q41)
@@ -216,6 +259,39 @@ object RetrievalPack extends QueryPack {
       |FROM documents""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // independent formulation: bigrams by positional SELF-JOIN (vs the
+    // Spark side's map-only array transform) — agreement is evidence the
+    // adjacency semantics match, not just the arithmetic
+    "q185_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |                     w -> w <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(t) AS w, unnest(generate_series(1, len(t))) AS p
+        |  FROM toks),
+        |big AS (
+        |  SELECT a.w AS w1, b.w AS w2, a.doc_id
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+        |cnts AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2),
+        |q3 AS (
+        |  SELECT w1, w2, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, w1, w2) AS q_rank
+        |  FROM cnts QUALIFY q_rank <= 3),
+        |hits AS (
+        |  SELECT q3.q_rank, big.doc_id FROM big JOIN q3 USING (w1, w2)),
+        |agg AS (
+        |  SELECT q_rank, count(*) AS n_hits, count(DISTINCT doc_id) AS n_docs,
+        |         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |  FROM hits GROUP BY q_rank)
+        |SELECT CAST(q3.q_rank AS INT) AS q_rank, q3.w1, q3.w2,
+        |       CAST(q3.cnt AS BIGINT) AS corpus_occ,
+        |       CAST(n_hits AS BIGINT) AS n_hits, CAST(n_docs AS BIGINT) AS n_docs,
+        |       first_doc, last_doc
+        |FROM agg JOIN q3 ON q3.q_rank = agg.q_rank
+        |ORDER BY q_rank""".stripMargin,
 
     "q163_bm25" ->
       s"""WITH tok AS ($duckToks),
