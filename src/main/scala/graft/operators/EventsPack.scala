@@ -582,6 +582,98 @@ object EventsPack extends QueryPack {
         .select(col("user_id"), col("us").as("p_us"), col("filled_cents"),
           col("filled_cents").isNotNull.as("has_value"))
         .orderBy("user_id", "p_us")
+    },
+
+    // ---- new-vs-returning daily active report (the standard growth
+    // dashboard): per day, events, actives, first-ever-seen users, and
+    // the running total of acquired users. Scale shape: (day, user)
+    // dedup and the per-user first-day groupBy both collapse under
+    // partial aggregation and share the user_id shuffle key (the join
+    // is co-partitioned); the day-level frame the running-total window
+    // sorts is |days| rows — bounded by the calendar, not the event
+    // volume, so the unpartitioned window is safe at any scale. ----
+    "q187_new_vs_returning" -> { (s, d) =>
+      val ev = warmed(Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("first_day"))
+      val dayUsers = ev.distinct()
+      val perDay = dayUsers.join(firstDay, "user_id")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      val evCount = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+      val result = perDay.join(evCount, "day")
+        .withColumn("cum_users", sum("n_new").over(Window.orderBy("day")))
+        .select(col("day").cast("timestamp").as("day"),
+          col("n_events").cast("bigint").as("n_events"),
+          col("n_active").cast("bigint").as("n_active"),
+          col("n_new").cast("bigint").as("n_new"),
+          (col("n_active") - col("n_new")).cast("bigint").as("n_returning"),
+          col("cum_users").cast("bigint").as("cum_users"))
+      materialized(result, ev).orderBy("day")
+    },
+
+    // ---- incremental maintenance of a JOIN view under signed deltas
+    // (the Z-set/DBSP formulation — Budiu et al., VLDB 2023; classical
+    // delta rule e.g. Gupta & Mumick's survey): maintain
+    // V = γ_nation(SUM cents)(orders ⋈ customer) where orders get
+    // INSERTS (Δ batches by 60-bit hash) and customer gets UPDATES
+    // modeled as delete+insert pairs with sign ∈ {−1, +1}. The delta
+    // rule ΔV = γ(ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB), signs multiplied through the
+    // join, then a keyed MERGE into the stored view — against a full
+    // recompute on the post-delta state, row for row (`consistent`).
+    // The 100 TB shape is the whole point: every incremental term joins
+    // a DELTA (small) against a base or another delta — the stored view
+    // is never rebuilt, and the merge is an equi-join on the view key.
+    // q159 is the aggregation-IVM half; this is the join half. ----
+    "q189_ivm_join" -> { (s, d) =>
+      import graft.functions.TextFunctions.hex64
+      val ords = Tables.table(s, d, "orders")
+        .select(col("o_custkey"),
+          expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("cents"),
+          (hex64(md5(col("o_orderkey").cast("string"))) % 3).as("ob"))
+      val a0 = ords.filter(col("ob") === 0).select(col("o_custkey"), col("cents"))
+      val dA = ords.filter(col("ob") =!= 0).select(col("o_custkey"), col("cents"))
+      val cust = Tables.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (hex64(md5(col("c_custkey").cast("string"))) % 5).as("cb"))
+      val b0 = cust.select(col("c_custkey"), col("c_nationkey"))
+      val dB = cust.filter(col("cb") === 4)
+        .select(col("c_custkey"), col("c_nationkey"), lit(-1L).as("sgn"))
+        .unionByName(cust.filter(col("cb") === 4)
+          .select(col("c_custkey"),
+            ((col("c_nationkey") + 7) % 25).as("c_nationkey"), lit(1L).as("sgn")))
+      val bNew = cust.select(col("c_custkey"),
+        when(col("cb") === 4, (col("c_nationkey") + 7) % 25)
+          .otherwise(col("c_nationkey")).as("c_nationkey"))
+      def gamma(df: DataFrame, out: String): DataFrame =
+        df.groupBy("c_nationkey").agg(sum(col("v")).as(out))
+      val mvBase = gamma(a0.join(b0, a0("o_custkey") === b0("c_custkey"))
+        .select(col("c_nationkey"), col("cents").as("v")), "rev_base")
+      val dV = gamma(
+        dA.join(b0, dA("o_custkey") === b0("c_custkey"))
+          .select(col("c_nationkey"), col("cents").as("v"))
+          .unionByName(a0.join(dB, a0("o_custkey") === dB("c_custkey"))
+            .select(col("c_nationkey"), (col("cents") * col("sgn")).as("v")))
+          .unionByName(dA.join(dB, dA("o_custkey") === dB("c_custkey"))
+            .select(col("c_nationkey"), (col("cents") * col("sgn")).as("v"))),
+        "delta_v")
+      val aAll = a0.unionByName(dA)
+      val vFull = gamma(aAll.join(bNew, aAll("o_custkey") === bNew("c_custkey"))
+        .select(col("c_nationkey"), col("cents").as("v")), "rev_full")
+      val result = mvBase.join(dV, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("rev_base"), lit(0L)).as("rev_base"),
+          coalesce(col("delta_v"), lit(0L)).as("delta_v"))
+        .withColumn("rev_inc", col("rev_base") + col("delta_v"))
+        .join(vFull, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("rev_base"), lit(0L)).cast("bigint").as("rev_base"),
+          coalesce(col("delta_v"), lit(0L)).cast("bigint").as("delta_v"),
+          coalesce(col("rev_inc"), lit(0L)).cast("bigint").as("rev_inc"),
+          coalesce(col("rev_full"), lit(0L)).cast("bigint").as("rev_full"))
+        .withColumn("consistent", (col("rev_inc") === col("rev_full")).cast("int"))
+      result.orderBy("c_nationkey")
     }
   )
 
@@ -1093,6 +1185,73 @@ object EventsPack extends QueryPack {
         |  ON b.us >= a.us AND b.us <= a.us + 10000000
         | AND (b.us > a.us OR a.event_id < b.event_id)
         |GROUP BY 1, 2
-        |ORDER BY a_type, b_type""".stripMargin
+        |ORDER BY a_type, b_type""".stripMargin,
+
+    // same dedup-then-join shape; running total as a window over the
+    // day-level aggregate
+    "q187_new_vs_returning" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+        |du AS (SELECT DISTINCT user_id, day FROM ev),
+        |pd AS (SELECT day, count(*) AS n_active,
+        |              sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new
+        |       FROM du JOIN fd USING (user_id) GROUP BY day),
+        |ec AS (SELECT day, count(*) AS n_events FROM ev GROUP BY day)
+        |SELECT CAST(pd.day AS TIMESTAMP) AS day,
+        |       CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |       CAST(sum(n_new) OVER (ORDER BY pd.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM pd JOIN ec USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // identical hash-derived delta batches, identical signed delta rule
+    "q189_ivm_join" ->
+      """WITH ords AS (
+        |  SELECT o_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |         CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 3 AS ob
+        |  FROM orders),
+        |a0 AS (SELECT o_custkey, cents FROM ords WHERE ob = 0),
+        |da AS (SELECT o_custkey, cents FROM ords WHERE ob <> 0),
+        |cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS cb
+        |  FROM customer),
+        |b0 AS (SELECT c_custkey, c_nationkey FROM cust),
+        |db AS (SELECT c_custkey, c_nationkey, -1 AS sgn FROM cust WHERE cb = 4
+        |       UNION ALL
+        |       SELECT c_custkey, (c_nationkey + 7) % 25, 1 FROM cust WHERE cb = 4),
+        |bnew AS (SELECT c_custkey,
+        |                CASE WHEN cb = 4 THEN (c_nationkey + 7) % 25
+        |                     ELSE c_nationkey END AS c_nationkey
+        |         FROM cust),
+        |vbase AS (SELECT c_nationkey, SUM(cents) AS rev_base
+        |          FROM a0 JOIN b0 ON b0.c_custkey = a0.o_custkey GROUP BY 1),
+        |dv AS (SELECT c_nationkey, SUM(v) AS delta_v FROM (
+        |         SELECT b0.c_nationkey, cents AS v
+        |         FROM da JOIN b0 ON b0.c_custkey = da.o_custkey
+        |         UNION ALL
+        |         SELECT db.c_nationkey, cents * sgn
+        |         FROM a0 JOIN db ON db.c_custkey = a0.o_custkey
+        |         UNION ALL
+        |         SELECT db.c_nationkey, cents * sgn
+        |         FROM da JOIN db ON db.c_custkey = da.o_custkey)
+        |       GROUP BY 1),
+        |vfull AS (SELECT c_nationkey, SUM(cents) AS rev_full
+        |          FROM (SELECT * FROM a0 UNION ALL SELECT * FROM da) aa
+        |          JOIN bnew ON bnew.c_custkey = aa.o_custkey GROUP BY 1)
+        |SELECT COALESCE(vb.c_nationkey, dv.c_nationkey, vf.c_nationkey) AS c_nationkey,
+        |       CAST(COALESCE(rev_base, 0) AS BIGINT) AS rev_base,
+        |       CAST(COALESCE(delta_v, 0) AS BIGINT) AS delta_v,
+        |       CAST(COALESCE(rev_base, 0) + COALESCE(delta_v, 0) AS BIGINT) AS rev_inc,
+        |       CAST(COALESCE(rev_full, 0) AS BIGINT) AS rev_full,
+        |       CAST(CASE WHEN COALESCE(rev_base, 0) + COALESCE(delta_v, 0)
+        |                      = COALESCE(rev_full, 0) THEN 1 ELSE 0 END AS INT) AS consistent
+        |FROM vbase vb
+        |FULL JOIN dv ON dv.c_nationkey = vb.c_nationkey
+        |FULL JOIN vfull vf ON vf.c_nationkey = COALESCE(vb.c_nationkey, dv.c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -638,6 +638,51 @@ object TextPack extends QueryPack {
       materialized(result, dbg).orderBy("doc_id")
     },
 
+    // ---- interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP
+    // 1995; the Chen & Goodman 1998 formulation with fixed discount
+    // D = 3/4): the estimator real LM-quality filters (KenLM) actually
+    // use, where the backoff mass goes to CONTINUATION counts — "how
+    // many contexts does w2 complete" — not raw frequency. Exact int64
+    // arithmetic by multiplying through by the common denominator:
+    //   P(w2|w1) = [max(4·c12−3, 0)·Nbb + 3·N1+(w1·)·N1+(·w2)]
+    //              / [4·ctx(w1)·Nbb]
+    // with ctx(w1) = Σ_w2 c12 (bigram-consistent context totals), both
+    // factors qln-floor-quantized per term (the q05/q117 discipline).
+    // Scale shape: everything derives from ONE (doc, bigram) count
+    // frame; the three model tables are vocab-keyed aggregates of it,
+    // joined back by vocab-keyed shuffle joins (never a broadcast of
+    // the vocabulary — the q05 lesson); only the 1-row Nbb broadcasts.
+    // ----
+    "q188_kneser_ney" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dbg = warmed(docs
+        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
+      val cb = warmed(dbg.groupBy("bg").agg(sum("c").as("c12"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bg, ' ', 2)")))
+      val ctx = cb.groupBy("w1")
+        .agg(sum("c12").as("ctx1"), count(lit(1)).as("n1p_fw"))
+      val bw = cb.groupBy("w2").agg(count(lit(1)).as("n1p_bw"))
+      val nbb = cb.agg(count(lit(1)).as("nbb"))
+      val result = dbg
+        .join(cb.select(col("bg"), col("c12"), col("w1"), col("w2")), "bg")
+        .join(ctx, "w1").join(bw, "w2")
+        .crossJoin(broadcast(nbb))
+        .withColumn("num",
+          greatest(lit(4) * col("c12") - 3, lit(0)) * col("nbb") +
+            lit(3) * col("n1p_fw") * col("n1p_bw"))
+        .withColumn("den", lit(4) * col("ctx1") * col("nbb"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("bigint").as("n_bigrams"),
+          sum(col("c") * (qln(col("num")) - qln(col("den"))))
+            .cast("bigint").as("kn_logprob_q"))
+      materialized(result, dbg, cb).orderBy("doc_id")
+    },
+
     // ---- Naive-Bayes classifier, training half: the "quality/domain
     // classifier" stage of a CCNet/GPT-3-style pipeline, expressed as
     // what it really is at scale — pure counting. Train on the held-in
@@ -1193,6 +1238,40 @@ object TextPack extends QueryPack {
           |         JOIN c1 ON c1.w = split_part(dbg.bg, ' ', 1)
           |         CROSS JOIN v
           |GROUP BY dbg.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // identical bigram/context/continuation tables and the identical
+      // multiplied-through integer KN numerator/denominator
+      "q188_kneser_ney" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |bgs AS (
+          |  SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS bg
+          |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |dbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bgs GROUP BY 1, 2),
+          |cb AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c12,
+          |              split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+          |       FROM dbg GROUP BY bg),
+          |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx1,
+          |               CAST(count(*) AS BIGINT) AS n1p_fw FROM cb GROUP BY w1),
+          |bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw FROM cb GROUP BY w2),
+          |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM cb),
+          |scored AS (
+          |  SELECT dbg.doc_id, dbg.c,
+          |         (greatest(4 * cb.c12 - 3, 0) * nbb.nbb
+          |            + 3 * ctx.n1p_fw * bw.n1p_bw) AS num,
+          |         (4 * ctx.ctx1 * nbb.nbb) AS den
+          |  FROM dbg JOIN cb USING (bg)
+          |           JOIN ctx ON ctx.w1 = cb.w1
+          |           JOIN bw ON bw.w2 = cb.w2
+          |           CROSS JOIN nbb)
+          |SELECT doc_id,
+          |       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          |       CAST(SUM(c * (CAST(floor(ln(CAST(num AS DOUBLE)) * 1e6) AS BIGINT)
+          |                   - CAST(floor(ln(CAST(den AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS kn_logprob_q
+          |FROM scored
+          |GROUP BY doc_id
           |ORDER BY doc_id""".stripMargin,
 
       // same tokenization, same bit-length bucket (bin() has no leading
