@@ -650,9 +650,12 @@ object TextPack extends QueryPack {
     // factors qln-floor-quantized per term (the q05/q117 discipline).
     // Scale shape: everything derives from ONE (doc, bigram) count
     // frame; the three model tables are vocab-keyed aggregates of it,
-    // joined back by vocab-keyed shuffle joins (never a broadcast of
-    // the vocabulary — the q05 lesson); only the 1-row Nbb broadcasts.
-    // ----
+    // joined back on vocab keys with NO broadcast hint (the q05
+    // lesson: a forced broadcast(vocab) is an OOM at corpus scale).
+    // Catalyst still picks broadcast when its size stats fit — right
+    // for this corpus's tiny vocabulary, degrading to co-partitioned
+    // shuffle joins when the vocabulary outgrows the threshold. Only
+    // the 1-row Nbb is explicitly broadcast. ----
     "q188_kneser_ney" -> { (s, d) =>
       val qln = (x: org.apache.spark.sql.Column) =>
         floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
