@@ -483,6 +483,26 @@ object CleanPack extends QueryPack {
       materialized(result, base).orderBy("level")
     },
 
+    // ---- l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    // k-anonymity successor): a QI class can be large (k-anonymous) yet
+    // leak the sensitive attribute if every member SHARES it. Per
+    // (nationkey, mktsegment) class: size k, distinct sensitive values
+    // l (the q182 balance bucket as the sensitive attribute), and the
+    // l < 3 flag. One groupBy with a single-column distinct aggregate —
+    // partial aggregation collapses (class, value) pairs first, so the
+    // shuffle carries ≤ classes × buckets rows. ----
+    "q190_ldiversity" -> { (s, d) =>
+      Tables.table(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 100000")
+            .as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).cast("bigint").as("k"),
+          countDistinct(col("bal_bucket")).cast("bigint").as("l"))
+        .withColumn("weak", (col("l") < 3).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // ---- Unicode NFC normalization via the native [[graft.functions
     // .NfcNormalize]] codegen expression — the canonical first transform
     // of a text-cleaning pipeline (one byte sequence per glyph, so
@@ -857,6 +877,17 @@ object CleanPack extends QueryPack {
         |       CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
         |FROM l2
         |ORDER BY level""".stripMargin,
+
+    // same class/sensitive construction, same l<3 flag
+    "q190_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS k,
+        |       CAST(count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000) AS BIGINT) AS l,
+        |       CAST(CASE WHEN count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000) < 3
+        |                 THEN 1 ELSE 0 END AS INT) AS weak
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // identical constructed suffixes (chr(769) = U+0301 combining acute,
     // chr(233) = U+00E9); DuckDB's nfc_normalize is the same

@@ -709,10 +709,89 @@ object PipelinePack extends QueryPack {
         .withColumn("pass_all",
           col("pass_min_len") && col("pass_max_len") && col("pass_ttr"))
         .orderBy("doc_id")
+    },
+
+    // ---- greedy submodular coverage selection (the MAXCOVER greedy,
+    // Nemhauser/Wolsey/Fisher 1978's (1−1/e) guarantee; in data
+    // curation: pick the docs that together cover the most distinct
+    // content): 5 rounds, each selecting the doc with the most
+    // NOT-YET-COVERED 3-gram shingles (ties → lowest doc_id). The
+    // iterative-driver-loop pattern of q55/q108: per round ONE
+    // anti-join of the (doc, shingle) table against the covered set —
+    // which is ≤ k docs' shingles, so it BROADCASTS by construction —
+    // plus a partial top-1 argmax; one scalar collect per round, k
+    // bounded, never a per-row driver loop. `covered_total` equals the
+    // running gain sum — the submodularity bookkeeping made visible.
+    // ----
+    "q191_greedy_coverage" -> { (s, d) =>
+      import s.implicits._
+      val docSh = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh0"))
+        .select(col("doc_id"), hex64(md5(col("sh0"))).as("sid"))
+        .distinct())
+      var covered = s.emptyDataset[Long].toDF("sid")
+      val picks = scala.collection.mutable.ListBuffer[(Int, Long, Long, Long)]()
+      var cum = 0L
+      var r = 1
+      var exhausted = false
+      while (r <= 5 && !exhausted) {
+        val best = docSh.join(broadcast(covered), Seq("sid"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (bd, bg) = (best(0).getLong(0), best(0).getLong(1))
+          cum += bg
+          picks += ((r, bd, bg, cum))
+          covered = covered.unionByName(
+            docSh.filter(col("doc_id") === bd).select(col("sid"))).distinct()
+          r += 1
+        }
+      }
+      val result = picks.toSeq
+        .toDF("round", "doc_id", "gain", "covered_total")
+        .select(col("round").cast("int").as("round"),
+          col("doc_id").cast("bigint").as("doc_id"),
+          col("gain").cast("bigint").as("gain"),
+          col("covered_total").cast("bigint").as("covered_total"))
+      materialized(result, docSh).orderBy("round")
     }
   )
 
+  /** q191's oracle: the 5 greedy rounds UNROLLED as chained CTEs (the
+    * q55/q108 unrolled-iteration precedent) — each round recomputes
+    * gains against the previous round's covered set and takes the same
+    * (gain DESC, doc_id) argmax. */
+  private val greedyCoverageOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH tok AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), " +
+      "w -> w <> '') AS ts FROM documents),\n"
+    sb ++= "sh AS (SELECT DISTINCT doc_id, " +
+      "CAST('0x' || substring(md5(ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2]), 1, 15) AS BIGINT) AS sid\n" +
+      "       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),\n"
+    for (r <- 1 to 5) {
+      val prev = r - 1
+      val notCovered =
+        if (r == 1) ""
+        else s" WHERE NOT EXISTS (SELECT 1 FROM c$prev WHERE c$prev.sid = s.sid)"
+      sb ++= s"g$r AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh s$notCovered GROUP BY s.doc_id),\n"
+      sb ++= s"r$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),\n"
+      val prevCov = if (r == 1) "" else s"SELECT sid FROM c$prev UNION "
+      sb ++= s"c$r AS (${prevCov}SELECT DISTINCT sid FROM sh WHERE doc_id = (SELECT doc_id FROM r$r))"
+      sb ++= (if (r < 5) ",\n" else "\n")
+    }
+    sb ++= (1 to 5).map(r =>
+      s"SELECT CAST($r AS INT) AS round, doc_id, gain, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered_total FROM r$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    sb.toString
+  }
+
   override def oracle: Map[String, String] = Map(
+
+    "q191_greedy_coverage" -> greedyCoverageOracle,
     "q107_source_datacard" ->
       s"""WITH docs AS (
          |  SELECT source, lang,
