@@ -674,6 +674,47 @@ object EventsPack extends QueryPack {
           coalesce(col("rev_full"), lit(0L)).cast("bigint").as("rev_full"))
         .withColumn("consistent", (col("rev_inc") === col("rev_full")).cast("int"))
       result.orderBy("c_nationkey")
+    },
+
+    // ---- peak concurrency by sweep-line (the interval-scheduling
+    // classic): every event holds a resource for 5 minutes; per day,
+    // the maximum simultaneous holds and when the peak is first hit.
+    // Intervals are CLIPPED at midnight (a 5-min interval spans at most
+    // one boundary, so the split is one filtered union branch), then
+    // each interval emits +1/−1 marks and a running sum partitioned BY
+    // DAY — the window frame is calendar-bounded, parallel across days,
+    // never a global single-task sort. End-exclusive semantics pinned
+    // by the (us, delta, event_id) order: at the same instant an
+    // ending hold frees before a starting one counts. The peak's first
+    // time falls out of one max(struct(rs, −us)) aggregate — no second
+    // window pass. ----
+    "q194_peak_concurrency" -> { (s, d) =>
+      val dayUs = 86400000000L
+      val wd = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(300000000L))
+        .withColumn("d0", expr(s"s_us div $dayUs"))
+        .withColumn("d1", expr(s"(e_us - 1) div $dayUs"))
+      val clipped = wd.select(col("event_id"), col("d0").as("day_idx"),
+          col("s_us"), least(col("e_us"), (col("d0") + 1) * dayUs).as("e_us"))
+        .unionByName(wd.filter(col("d1") > col("d0"))
+          .select(col("event_id"), col("d1").as("day_idx"),
+            (col("d1") * dayUs).as("s_us"), col("e_us")))
+      val marks = clipped
+        .select(col("day_idx"), col("s_us").as("us"), lit(1L).as("delta"), col("event_id"))
+        .unionByName(clipped
+          .select(col("day_idx"), col("e_us").as("us"), lit(-1L).as("delta"), col("event_id")))
+      val w = Window.partitionBy("day_idx")
+        .orderBy(col("us"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val result = marks.withColumn("rs", sum("delta").over(w))
+        .groupBy("day_idx")
+        .agg(expr("count(1) div 2").cast("bigint").as("n_intervals"),
+          max(struct(col("rs").as("p"), (-col("us")).as("nu"))).as("m"))
+        .select(col("day_idx").cast("bigint").as("day_idx"), col("n_intervals"),
+          col("m.p").cast("bigint").as("peak"),
+          (-col("m.nu")).cast("bigint").as("peak_first_us"))
+      result.orderBy("day_idx")
     }
   )
 
@@ -1252,6 +1293,41 @@ object EventsPack extends QueryPack {
         |FROM vbase vb
         |FULL JOIN dv ON dv.c_nationkey = vb.c_nationkey
         |FULL JOIN vfull vf ON vf.c_nationkey = COALESCE(vb.c_nationkey, dv.c_nationkey)
-        |ORDER BY c_nationkey""".stripMargin
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // same clipping, same (us, delta, event_id) sweep order; the peak's
+    // first instant via a per-day windowed max instead of the struct
+    "q194_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e_us
+        |  FROM events),
+        |wd AS (SELECT event_id, s_us, e_us,
+        |              s_us // 86400000000 AS d0, (e_us - 1) // 86400000000 AS d1
+        |       FROM iv),
+        |clip AS (
+        |  SELECT event_id, d0 AS day_idx, s_us,
+        |         least(e_us, (d0 + 1) * 86400000000) AS e_us
+        |  FROM wd
+        |  UNION ALL
+        |  SELECT event_id, d1, d1 * 86400000000, e_us FROM wd WHERE d1 > d0),
+        |marks AS (
+        |  SELECT day_idx, s_us AS us, 1 AS delta, event_id FROM clip
+        |  UNION ALL
+        |  SELECT day_idx, e_us, -1, event_id FROM clip),
+        |rs AS (
+        |  SELECT day_idx, us, delta,
+        |         sum(delta) OVER (PARTITION BY day_idx
+        |                          ORDER BY us, delta, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS rs
+        |  FROM marks),
+        |rs2 AS (SELECT *, max(rs) OVER (PARTITION BY day_idx) AS pk FROM rs)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+        |       CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+        |       CAST(max(rs) AS BIGINT) AS peak,
+        |       CAST(min(CASE WHEN rs = pk THEN us END) AS BIGINT) AS peak_first_us
+        |FROM rs2
+        |GROUP BY day_idx
+        |ORDER BY day_idx""".stripMargin
   )
 }

@@ -316,6 +316,37 @@ object RelationalPack extends QueryPack {
         ORDER BY revenue DESC, o.o_orderkey
         LIMIT 10
       """)
+    },
+
+    // ---- TPC-H Q5 (local-supplier volume): the 6-way snowflake join —
+    // region→nation are broadcast dims, customer/supplier co-filter
+    // through the same nation key, and the orders⋈lineitem spine
+    // carries the date-range pushdown. The declarative formulation is
+    // the point: Catalyst orders the joins and picks broadcast for
+    // every dim while the two fact tables meet in ONE shuffled join —
+    // exactly the plan you'd hand-write at 100 TB. Decimal-exact
+    // revenue, DESC-stable ordering (exact decimal sums cast to double
+    // are bit-identical across engines). ----
+    "q192_sql_q5" -> { (s, d) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(s"""
+        SELECT n.n_name,
+               CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+                        AND s2.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = s2.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+      """)
     }
   )
 
@@ -496,6 +527,23 @@ object RelationalPack extends QueryPack {
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY o.o_orderkey, o.o_orderdate
          |ORDER BY revenue DESC, o.o_orderkey
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+
+    "q192_sql_q5" ->
+      s"""SELECT n.n_name,
+         |       CAST(SUM($revenueDecSql) AS DOUBLE) AS revenue,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+         |                AND s2.s_nationkey = c.c_nationkey
+         |JOIN nation n ON n.n_nationkey = s2.s_nationkey
+         |JOIN region r ON r.r_regionkey = n.n_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n.n_name
+         |ORDER BY revenue DESC, n.n_name""".stripMargin
   )
 }

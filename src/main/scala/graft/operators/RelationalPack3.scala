@@ -480,6 +480,34 @@ object RelationalPack3 extends QueryPack {
           col("s2").cast("bigint").as("s2"),
           expr("(1000000 * s12 * n) div (s1 * s2)").cast("bigint").as("lift_q"))
       materialized(result, items).orderBy("b1", "b2")
+    },
+
+    // ---- exact equi-depth histogram (the optimizer-statistics
+    // companion to q154's zone maps, q156's NDV, and q170's moments):
+    // 8 equal-population buckets over lineitem price cents, built with
+    // the DISTRIBUTED rank — global rank via the two-phase PrefixSum
+    // (range partition → per-partition scan → broadcast offsets), never
+    // `row_number() OVER (ORDER BY ...)`'s single-task global sort.
+    // That substitution is the whole 100 TB story: the plan stays
+    // parallel at any row count, and the bucket math is pure integer
+    // ((rank−1)·8 div N). Bucket populations differing by at most 1
+    // and monotone [lo, hi] ranges are visible in the output. ----
+    "q193_equidepth_hist" -> { (s, d) =>
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+            .as("cents"))
+      val ranked = graft.functions.PrefixSum.inclusive(rows,
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        Seq((lit(1L), "rk")))
+      val n = ranked.agg(max("rk").as("n"))
+      val result = ranked.crossJoin(broadcast(n))
+        .withColumn("bucket", expr("((rk - 1) * 8) div n").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          min("cents").cast("bigint").as("lo_cents"),
+          max("cents").cast("bigint").as("hi_cents"))
+      materialized(result).orderBy("bucket")
     }
   )
 
@@ -505,6 +533,23 @@ object RelationalPack3 extends QueryPack {
         |CROSS JOIN nn
         |WHERE s12 * 1000 >= nn.n
         |ORDER BY b1, b2""".stripMargin,
+
+    // sequential row_number is the oracle's luxury; the Spark side must
+    // produce the identical ranks distributed
+    "q193_equidepth_hist" ->
+      """WITH r AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         row_number() OVER (ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |                            l_orderkey, l_linenumber) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(((rk - 1) * 8) // n AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(cents) AS BIGINT) AS lo_cents,
+        |       CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     // rebuilds the register file cell-for-cell: same md5 60-bit hash,
     // index = low 8 bits, rho = 53 - bitlength(high 52 bits) (bin(0) is
