@@ -686,6 +686,49 @@ object TextPack extends QueryPack {
       materialized(result, dbg, cb).orderBy("doc_id")
     },
 
+    // ---- decision-stump training by exact Gini split (CART's split
+    // criterion, Breiman et al. 1984, at depth 1): the best token-count
+    // threshold separating English from non-English docs, scored by
+    // weighted Gini impurity in exact int64 fixed-point —
+    // per side: 1e6·(cnt² − pos² − neg²) div (cnt·N), floor-quantized
+    // PER SIDE so both engines sum identical integers. Candidate
+    // thresholds are every distinct token count; counts and positives
+    // cumulate over that DISTINCT-VALUE frame (bounded by the length
+    // vocabulary, the q171 histogram discipline — never a window over
+    // document rows). Top-5 thresholds reported, ties to the smaller
+    // threshold. ----
+    "q196_gini_stump" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(size(tokens(col("text"))).cast("bigint").as("n"),
+          (col("lang") === "en").cast("bigint").as("pos"))
+      val vals = base.groupBy("n")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+      val tot = vals.agg(sum("cnt").as("nn"), sum("p").as("pp"))
+      val w = Window.orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vals
+        .withColumn("lc", sum("cnt").over(w))
+        .withColumn("lp", sum("p").over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("lc") < col("nn"))
+        .withColumn("rc", col("nn") - col("lc"))
+        .withColumn("rp", col("pp") - col("lp"))
+        .withColumn("lneg", col("lc") - col("lp"))
+        .withColumn("rneg", col("rc") - col("rp"))
+        .withColumn("gini_q",
+          expr("(1000000 * (lc * lc - lp * lp - lneg * lneg)) div (lc * nn)" +
+            " + (1000000 * (rc * rc - rp * rp - rneg * rneg)) div (rc * nn)"))
+      cum
+        .withColumn("rk", row_number().over(Window.orderBy(col("gini_q"), col("n"))))
+        .filter(col("rk") <= 5)
+        .select(col("rk").cast("int").as("rk"),
+          col("n").cast("bigint").as("threshold"),
+          col("gini_q").cast("bigint").as("gini_q"),
+          col("lc").cast("bigint").as("lc"), col("lp").cast("bigint").as("lp"),
+          col("rc").cast("bigint").as("rc"), col("rp").cast("bigint").as("rp"))
+        .orderBy("rk")
+    },
+
     // ---- Naive-Bayes classifier, training half: the "quality/domain
     // classifier" stage of a CCNet/GPT-3-style pipeline, expressed as
     // what it really is at scale — pure counting. Train on the held-in
@@ -1242,6 +1285,34 @@ object TextPack extends QueryPack {
           |         CROSS JOIN v
           |GROUP BY dbg.doc_id
           |ORDER BY doc_id""".stripMargin,
+
+      // identical distinct-value cumulation and per-side floor division
+      "q196_gini_stump" ->
+        """WITH base AS (
+          |  SELECT CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n,
+          |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          |  FROM documents),
+          |vals AS (SELECT n, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS p
+          |         FROM base GROUP BY n),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(sum(p) AS BIGINT) AS pp FROM vals),
+          |cum AS (SELECT n,
+          |               sum(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS lc,
+          |               sum(p) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS lp
+          |        FROM vals),
+          |sc AS (SELECT c.n, lc, lp, nn - lc AS rc, pp - lp AS rp,
+          |              lc - lp AS lneg, (nn - lc) - (pp - lp) AS rneg, nn
+          |       FROM cum c CROSS JOIN tot WHERE lc < nn),
+          |g AS (SELECT n, lc, lp, rc, rp,
+          |             (1000000 * (lc * lc - lp * lp - lneg * lneg)) // (lc * nn)
+          |           + (1000000 * (rc * rc - rp * rp - rneg * rneg)) // (rc * nn) AS gini_q
+          |      FROM sc)
+          |SELECT CAST(row_number() OVER (ORDER BY gini_q, n) AS INT) AS rk,
+          |       n AS threshold, CAST(gini_q AS BIGINT) AS gini_q,
+          |       lc, lp, rc, rp
+          |FROM g
+          |QUALIFY rk <= 5
+          |ORDER BY rk""".stripMargin,
 
       // identical bigram/context/continuation tables and the identical
       // multiplied-through integer KN numerator/denominator

@@ -369,7 +369,41 @@ object StreamingPack extends QueryPack {
     s.table(name).orderBy("doc_i", "doc_j")
   }
 
+  /** Built-in `session_window` gap-based sessionization — the native
+    * StateStore session operator (dynamic-gap windows that MERGE as
+    * events arrive), complementing q95's hand-rolled
+    * flatMapGroupsWithState sessionizer. Gap semantics pinned by the
+    * oracle: events merge iff the next start is strictly inside the
+    * previous [ts, ts+30min) window, so an exactly-30-minute gap starts
+    * a new session; session end = last event + gap. */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+    val agg = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"))
+    val name = s"graft_stream_session_window_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
     "q139_stream_neardup" -> ((s, d) => streamNearDup(s, d)),
     "q106_stream_countmin" -> ((s, d) => streamCountMin(s, d)),
     "q165_stream_topk_sketch" -> ((s, d) => streamTopKSketch(s, d)),
@@ -381,6 +415,30 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // batch islands sessionization with the same strict-gap rule: a new
+    // session starts when the inter-event gap is >= 30 min
+    "q195_stream_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |o AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, us,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT CAST(make_timestamp(min(us)) AS TIMESTAMP) AS s_start,
+        |       CAST(make_timestamp(max(us) + 1800000000) AS TIMESTAMP) AS s_end,
+        |       user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
     // q101's candidate construction restricted to delta-base pairs (the
     // streaming path's exact coverage); thresholds identical
     "q139_stream_neardup" -> {
