@@ -715,6 +715,81 @@ object EventsPack extends QueryPack {
           col("m.p").cast("bigint").as("peak"),
           (-col("m.nu")).cast("bigint").as("peak_first_us"))
       result.orderBy("day_idx")
+    },
+
+    // ---- CUSUM changepoint detection per event stream (Page 1954, the
+    // cumulative-sum control chart): where did each event_type's hourly
+    // rate shift? Multiplied through by the series length to stay in
+    // exact int64 — S_k = Σ_{i≤k}(n·c_i − total) = n·cumsum(c) − k·total
+    // (zero mean by construction, S_n = 0), changepoint = the hour
+    // maximizing |S_k|, ties to the earliest hour via one
+    // max(struct(|s|, −hr)) aggregate. Scale shape: the corpus scan
+    // collapses to (type, hour) counts map-side; the running sum is
+    // windowed PER TYPE over the hourly grid (bounded by the time span,
+    // parallel across types — never a global single-task sort); the
+    // argmax is a map-side-combining aggregate, no second window pass.
+    // int64 bound: n_hours·total ≤ 9.2e18 — holds to ~10¹⁴ events over
+    // a decade of hours. ----
+    "q199_cusum_changepoint" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hourly.groupBy("event_type")
+        .agg(sum("c").as("total"), count(lit(1)).as("n_hours"))
+      val wc = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wi = Window.partitionBy("event_type").orderBy("hr")
+      val result = hourly.join(tot, "event_type")
+        .withColumn("cumc", sum("c").over(wc))
+        .withColumn("k", row_number().over(wi).cast("bigint"))
+        .withColumn("s_k", col("n_hours") * col("cumc") - col("k") * col("total"))
+        .filter(col("k") < col("n_hours"))
+        .groupBy("event_type")
+        .agg(max(struct(abs(col("s_k")).as("a"), (-col("hr")).as("nh"))).as("m"),
+          max(col("n_hours")).as("n_hours"), max(col("total")).as("total"))
+        .select(col("event_type"),
+          (-col("m.nh")).cast("bigint").as("change_hr"),
+          col("m.a").cast("bigint").as("cusum_abs"),
+          col("n_hours").cast("bigint").as("n_hours"),
+          col("total").cast("bigint").as("total"))
+      result.orderBy("event_type")
+    },
+
+    // ---- per-stream daily trend by closed-form least squares (the
+    // drift-monitoring number a pipeline dashboard wants: is this
+    // source growing or dying?): slope/intercept of events-per-day over
+    // the day index, from the normal equations in exact int64 —
+    //   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), ×10⁶ floor-divided
+    // (both engines do the identical integer arithmetic; x is the
+    // per-type day offset so Σ terms stay small). Scale shape: the scan
+    // collapses to (type, day) counts map-side, power sums are a second
+    // map-side-combining aggregate — NO window anywhere, two shuffles
+    // total, the per-type min-day join is type-cardinality-sized.
+    // int64 bound: n·Σxy ≤ days²·events — a decade of days (3.6k)
+    // holds to ~10¹⁴ events per type under the 10⁶ quantizer. ----
+    "q200_trend_slope" -> { (s, d) =>
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val mins = daily.groupBy("event_type").agg(min("day").as("d0"))
+      val result = daily.join(mins, "event_type")
+        .withColumn("x", col("day") - col("d0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n") >= 2)
+        // Spark `div` and DuckDB integer `//` both truncate toward zero
+        // (verified: -7//2 = -3 in DuckDB), so negative slopes quantize
+        // identically with the plain operators.
+        .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+          col("sy").cast("bigint").as("total_events"),
+          expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+            .cast("bigint").as("slope_q_per_day"),
+          expr("(1000000 * (sy * sxx - sx * sxy)) div (n * sxx - sx * sx)")
+            .cast("bigint").as("intercept_q"))
+      result.orderBy("event_type")
     }
   )
 
@@ -1328,6 +1403,51 @@ object EventsPack extends QueryPack {
         |       CAST(min(CASE WHEN rs = pk THEN us END) AS BIGINT) AS peak_first_us
         |FROM rs2
         |GROUP BY day_idx
-        |ORDER BY day_idx""".stripMargin
+        |ORDER BY day_idx""".stripMargin,
+
+    // same hourly grid, same n·cumsum − k·total integer CUSUM, same
+    // (|s| desc, hr asc) tie-break via a ranked window
+    "q199_cusum_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1),
+        |cum AS (SELECT h.event_type, h.hr, t.n_hours, t.total,
+        |               sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.hr
+        |                              ROWS UNBOUNDED PRECEDING) AS cumc,
+        |               row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS k
+        |        FROM hourly h JOIN tot t USING (event_type)),
+        |sk AS (SELECT event_type, hr, n_hours, total,
+        |              n_hours * cumc - k * total AS s_k
+        |       FROM cum WHERE k < n_hours),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                    ORDER BY abs(s_k) DESC, hr) AS rn
+        |       FROM sk)
+        |SELECT event_type, CAST(hr AS BIGINT) AS change_hr,
+        |       CAST(abs(s_k) AS BIGINT) AS cusum_abs, n_hours, total
+        |FROM rk WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // same day grid and the identical integer normal-equation terms
+    "q200_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mins AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |xy AS (SELECT d.event_type, d.day - m.d0 AS x, d.y
+        |       FROM daily d JOIN mins m USING (event_type)),
+        |sums AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |                CAST(sum(x * y) AS BIGINT) AS sxy,
+        |                CAST(sum(x * x) AS BIGINT) AS sxx
+        |         FROM xy GROUP BY 1)
+        |SELECT event_type, n AS n_days, sy AS total_events,
+        |       CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_q_per_day,
+        |       CAST((1000000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx) AS BIGINT) AS intercept_q
+        |FROM sums WHERE n >= 2
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -652,6 +652,46 @@ object SimilarityPack extends QueryPack {
       materialized(bruteTopK(vecs), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- NDCG@5 retrieval evaluation (Järvelin & Kekäläinen, TOIS
+    // 2002) of the exact cosine ranking against label agreement — the
+    // "does nearest-neighbor retrieval surface same-class items" number
+    // an embedding-quality dashboard reports next to q54's recall.
+    // Binary gain rel_i = [label(cand) = label(query)]; DCG weights
+    // 1/log2(i+1) enter as HARDCODED 10⁶-scaled integer literals
+    // (identical VALUES rows in both engines — never engine-local
+    // transcendentals, the weight table is 5 rows of math done once);
+    // IDCG is the prefix sum of those same literals at n_rel. All-int64;
+    // per-query rows are topK-bounded so the eval is a broadcast-sized
+    // join over the candidate set whatever the corpus size. ----
+    "q198_ndcg_label" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val wArr = array(lit(1000000L), lit(630929L), lit(500000L),
+        lit(430676L), lit(386852L))
+      val pArr = array(lit(1000000L), lit(1630929L), lit(2130929L),
+        lit(2561605L), lit(2948457L))
+      val ql = labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val per = bruteTopK(vecs)
+        .join(labels, "vec_id")
+        .join(broadcast(ql), "q_id")
+        .withColumn("rel", (col("label") === col("q_label")).cast("bigint"))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum("rel").as("n_rel"),
+          sum(col("rel") * element_at(wArr, col("rk").cast("int"))).as("dcg_q"))
+      val result = per
+        .withColumn("idcg_q",
+          when(col("n_rel") > 0, element_at(pArr, col("n_rel").cast("int")))
+            .otherwise(lit(0L)))
+        .select(col("q_id"), col("q_label").cast("int").as("q_label"),
+          col("n_rel").cast("bigint").as("n_rel"),
+          col("dcg_q").cast("bigint").as("dcg_q"),
+          col("idcg_q").cast("bigint").as("idcg_q"),
+          when(col("n_rel") > 0,
+            expr("(1000000 * dcg_q) div idcg_q")).otherwise(lit(0L))
+            .cast("bigint").as("ndcg_q"))
+      materialized(result, vecs).orderBy("q_id")
+    },
+
     // ---- hard-negative mining (the contrastive-training data step —
     // cf. DPR/Contriever: for each anchor, the most similar vectors
     // with a DIFFERENT label are the negatives that teach the margin).
@@ -969,7 +1009,34 @@ object SimilarityPack extends QueryPack {
       .mkString(" AND ")
 
   override def oracle: Map[String, String] =
-    baseOracle + ("q54_ann_recall" -> recallOracle)
+    baseOracle + ("q54_ann_recall" -> recallOracle) +
+      ("q198_ndcg_label" -> ndcgOracle)
+
+  /** q198's oracle composes q50's oracle as a subquery (the recallOracle
+    * pattern): both engines score the SAME ranking; the DCG weight and
+    * prefix-sum literals are the identical VALUES rows. */
+  private def ndcgOracle: String = {
+    def sub(name: String) = s"(${baseOracle(name)})"
+    s"""WITH top AS (SELECT q_id, rk, vec_id FROM ${sub("q50_ann_brute")} t),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |wt(rk, wgt) AS (VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852)),
+       |pf(r, acc) AS (VALUES (1, 1000000), (2, 1630929), (3, 2130929), (4, 2561605), (5, 2948457)),
+       |scored AS (
+       |  SELECT t.q_id, q.label AS q_label,
+       |         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel, w.wgt
+       |  FROM top t JOIN lbl c USING (vec_id)
+       |       JOIN lbl q ON q.vec_id = t.q_id
+       |       JOIN wt w ON w.rk = t.rk),
+       |per AS (SELECT q_id, q_label, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |               CAST(sum(rel * wgt) AS BIGINT) AS dcg_q
+       |        FROM scored GROUP BY q_id, q_label)
+       |SELECT p.q_id, CAST(p.q_label AS INT) AS q_label, p.n_rel, p.dcg_q,
+       |       CAST(COALESCE(pf.acc, 0) AS BIGINT) AS idcg_q,
+       |       CAST(CASE WHEN p.n_rel > 0 THEN (1000000 * p.dcg_q) // pf.acc
+       |                 ELSE 0 END AS BIGINT) AS ndcg_q
+       |FROM per p LEFT JOIN pf ON pf.r = p.n_rel
+       |ORDER BY q_id""".stripMargin
+  }
 
   /** q54's oracle composes the other four oracles as parenthesized
     * subqueries (nested WITH scopes) — the recall arithmetic itself is

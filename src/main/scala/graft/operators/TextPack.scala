@@ -729,6 +729,45 @@ object TextPack extends QueryPack {
         .orderBy("rk")
     },
 
+    // ---- exact ROC-AUC of the token-count signal q196's stump trains
+    // on (Mann–Whitney U / rank-sum identity: AUC = P(score_pos >
+    // score_neg) + ½·P(tie), Hanley & McNeil 1982): the classifier-
+    // evaluation step every quality-filter pipeline needs before
+    // trusting a threshold. Exact integer arithmetic over the DISTINCT-
+    // VALUE histogram (the q171/q196 discipline — never a rank window
+    // over document rows): per score value v ascending,
+    //   num2 += pos_v · (2·neg_below(v) + neg_v)   [ties count ½ ⇒ ×2]
+    //   auc_q = (10⁶·num2) div (2·P·N).
+    // The cumulative runs over distinct token counts (bounded by the
+    // length vocabulary, thousands of rows at any corpus size).
+    // int64 bound: num2 ≤ 2·P·N, so the 10⁶ quantization holds to
+    // ~6.8e10 docs per class pair; past that the same histogram feeds a
+    // DECIMAL(38) reduction unchanged. Output: one row. ----
+    "q197_roc_auc" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(size(tokens(col("text"))).cast("bigint").as("n"),
+          (col("lang") === "en").cast("bigint").as("pos"))
+      val vals = base.groupBy("n")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+        .withColumn("neg", col("cnt") - col("p"))
+      val tot = vals.agg(sum("p").as("pp"), sum("neg").as("nn"),
+        count(lit(1)).as("n_scores"))
+      val w = Window.orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val result = vals
+        .withColumn("cneg", sum("neg").over(w))
+        .withColumn("contrib",
+          col("p") * (lit(2) * (col("cneg") - col("neg")) + col("neg")))
+        .agg(sum("contrib").as("num2"))
+        .crossJoin(broadcast(tot))
+        .select(
+          expr("(1000000 * num2) div (2 * pp * nn)").cast("bigint").as("auc_q"),
+          col("pp").cast("bigint").as("n_pos"),
+          col("nn").cast("bigint").as("n_neg"),
+          col("n_scores").cast("bigint").as("n_scores"))
+      result
+    },
+
     // ---- Naive-Bayes classifier, training half: the "quality/domain
     // classifier" stage of a CCNet/GPT-3-style pipeline, expressed as
     // what it really is at scale — pure counting. Train on the held-in
@@ -1313,6 +1352,26 @@ object TextPack extends QueryPack {
           |FROM g
           |QUALIFY rk <= 5
           |ORDER BY rk""".stripMargin,
+
+      // identical distinct-value histogram and ×2-integer rank-sum
+      "q197_roc_auc" ->
+        """WITH base AS (
+          |  SELECT CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n,
+          |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          |  FROM documents),
+          |vals AS (SELECT n, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS p
+          |         FROM base GROUP BY n),
+          |v2 AS (SELECT n, cnt, p, cnt - p AS neg FROM vals),
+          |tot AS (SELECT CAST(sum(p) AS BIGINT) AS pp, CAST(sum(neg) AS BIGINT) AS nn,
+          |               CAST(count(*) AS BIGINT) AS n_scores FROM v2),
+          |cum AS (SELECT p, neg,
+          |               sum(neg) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cneg
+          |        FROM v2),
+          |agg AS (SELECT CAST(sum(p * (2 * (cneg - neg) + neg)) AS BIGINT) AS num2 FROM cum)
+          |SELECT CAST((1000000 * num2) // (2 * pp * nn) AS BIGINT) AS auc_q,
+          |       pp AS n_pos, nn AS n_neg, n_scores
+          |FROM agg CROSS JOIN tot""".stripMargin,
 
       // identical bigram/context/continuation tables and the identical
       // multiplied-through integer KN numerator/denominator
