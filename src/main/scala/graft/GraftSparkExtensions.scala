@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{ArrayEqCount, CountMinSketchAgg, LongArrayDot,
-  LongArrayEqCount, SortedArrayIntersectCount, SortedLongIntersectCount,
-  SpaceSavingTopK, TopKTokens}
+  LongArrayEqCount, QuantileSketchAgg, SortedArrayIntersectCount,
+  SortedLongIntersectCount, SpaceSavingTopK, TopKTokens}
 
 /** Session-extension wiring for the engine's native functions: users get
   * `graft_long_array_dot` & co. in any session (SQL included) via
@@ -51,5 +51,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_countmin"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_countmin"),
       CountMinSketchAgg.fromExprs))
+    e.injectFunction((
+      FunctionIdentifier("graft_quantiles"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "graft_quantiles"),
+      QuantileSketchAgg.fromExprs))
   }
 }

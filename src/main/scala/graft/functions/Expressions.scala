@@ -504,6 +504,8 @@ object GraftExpressions {
       SpaceSavingTopK.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_countmin",
       CountMinSketchAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_quantiles",
+      QuantileSketchAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom",
       BloomFilterAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_hll",
@@ -550,6 +552,10 @@ object GraftExpressions {
     call_function("graft_countmin", c,
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
+
+  def quantileSketch(c: Column, capacity: Int): Column =
+    call_function("graft_quantiles", c,
+      org.apache.spark.sql.functions.lit(capacity))
 
   def bloom(key: Column, numBits: Int, numHashes: Int): Column =
     call_function("graft_bloom", key,

@@ -768,6 +768,33 @@ object TextPack extends QueryPack {
       result
     },
 
+    // ---- grouped quantiles by the native mergeable sketch
+    // ([[graft.functions.QuantileSketchAgg]] — a capacity-bounded
+    // weighted value histogram, Ben-Haim & Tom-Tov JMLR 2010): the
+    // 100 TB percentile path, where the exact-histogram queries
+    // (q83/q94/q166/q171/q193) stop fitting because the value
+    // vocabulary is unbounded. Per-source token-length p25/p50/p75/
+    // p95/p99 at capacity 8192 — far above any corpus's distinct
+    // length count, so the sketch runs in its EXACT regime and the
+    // oracle checks nearest-rank answers exactly (the q69 SpaceSaving
+    // gating discipline; the capped/compacting regime's error bounds
+    // are QuantileSketchSpec's job). One map-side-combining aggregate,
+    // constant-size state per group. ----
+    "q201_quantile_sketch" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val result = Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+        .groupBy("source")
+        .agg(graft.functions.GraftExpressions.quantileSketch(col("n"), 8192).as("qs"))
+        .select(col("source"),
+          element_at(col("qs"), 1).cast("bigint").as("q250"),
+          element_at(col("qs"), 2).cast("bigint").as("q500"),
+          element_at(col("qs"), 3).cast("bigint").as("q750"),
+          element_at(col("qs"), 4).cast("bigint").as("q950"),
+          element_at(col("qs"), 5).cast("bigint").as("q990"))
+      result.orderBy("source")
+    },
+
     // ---- Naive-Bayes classifier, training half: the "quality/domain
     // classifier" stage of a CCNet/GPT-3-style pipeline, expressed as
     // what it really is at scale — pure counting. Train on the held-in
@@ -1372,6 +1399,30 @@ object TextPack extends QueryPack {
           |SELECT CAST((1000000 * num2) // (2 * pp * nn) AS BIGINT) AS auc_q,
           |       pp AS n_pos, nn AS n_neg, n_scores
           |FROM agg CROSS JOIN tot""".stripMargin,
+
+      // exact nearest-rank replay of the sketch's exact regime: rank =
+      // ceil(W·p/1000) in the identical integer arithmetic, cumulated
+      // over the per-source distinct-length histogram (q171 discipline)
+      "q201_quantile_sketch" ->
+        """WITH t AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n
+          |  FROM documents),
+          |vals AS (SELECT source, n, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+          |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS w FROM vals GROUP BY 1),
+          |cum AS (SELECT v.source, v.n,
+          |               sum(v.cnt) OVER (PARTITION BY v.source ORDER BY v.n
+          |                                ROWS UNBOUNDED PRECEDING) AS c, t.w
+          |        FROM vals v JOIN tot t USING (source))
+          |SELECT source,
+          |       CAST(min(CASE WHEN c >= (w * 250 + 999) // 1000 THEN n END) AS BIGINT) AS q250,
+          |       CAST(min(CASE WHEN c >= (w * 500 + 999) // 1000 THEN n END) AS BIGINT) AS q500,
+          |       CAST(min(CASE WHEN c >= (w * 750 + 999) // 1000 THEN n END) AS BIGINT) AS q750,
+          |       CAST(min(CASE WHEN c >= (w * 950 + 999) // 1000 THEN n END) AS BIGINT) AS q950,
+          |       CAST(min(CASE WHEN c >= (w * 990 + 999) // 1000 THEN n END) AS BIGINT) AS q990
+          |FROM cum GROUP BY source
+          |ORDER BY source""".stripMargin,
 
       // identical bigram/context/continuation tables and the identical
       // multiplied-through integer KN numerator/denominator

@@ -402,7 +402,50 @@ object StreamingPack extends QueryPack {
       .orderBy("user_id", "s_start")
   }
 
+  /** Streaming grouped quantiles through the native mergeable sketch
+    * ([[graft.functions.QuantileSketchAgg]]): per-source token-length
+    * percentiles maintained INCREMENTALLY — each micro-batch's partial
+    * sketches merge into the state store's running sketch, state is
+    * capacity-bounded per group forever. The q165 discipline: in the
+    * sketch's exact regime (capacity >= distinct lengths, true at every
+    * test SF) merge is exact and order-independent, so the stream equals
+    * batch q201 EXACTLY and shares its oracle; the capped regime's
+    * bounds are QuantileSketchSpec's job.
+    */
+  def streamQuantiles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val docs = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val agg = docs
+      .select(col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(col("text"))).cast("bigint").as("n"))
+      .groupBy("source")
+      .agg(graft.functions.GraftExpressions.quantileSketch(col("n"), 8192).as("qs"))
+    val name = s"graft_stream_quant_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("source"),
+        element_at(col("qs"), 1).cast("bigint").as("q250"),
+        element_at(col("qs"), 2).cast("bigint").as("q500"),
+        element_at(col("qs"), 3).cast("bigint").as("q750"),
+        element_at(col("qs"), 4).cast("bigint").as("q950"),
+        element_at(col("qs"), 5).cast("bigint").as("q990"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_stream_quantiles" -> ((s, d) => streamQuantiles(s, d)),
     "q195_stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
     "q139_stream_neardup" -> ((s, d) => streamNearDup(s, d)),
     "q106_stream_countmin" -> ((s, d) => streamCountMin(s, d)),
@@ -466,6 +509,10 @@ object StreamingPack extends QueryPack {
     // exact-regime streamed sketch == exact top-k == q69's oracle
     "q165_stream_topk_sketch" ->
       graft.operators.TextPack.oracle("q69_top_tokens_sketch"),
+
+    // exact-regime sketch: stream ≡ batch, the q201 oracle verbatim
+    "q204_stream_quantiles" ->
+      graft.operators.TextPack.oracle("q201_quantile_sketch"),
 
     "q33_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,

@@ -53,6 +53,10 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
         "SELECT graft_top_k_spacesaving(w, 2, 8) AS t FROM VALUES ('a'),('b'),('a'),('c'),('b'),('a') AS v(w)")
         .head().getSeq[String](0)
       assert(ss == Seq("a:3", "b:2"))
+      val qs = s.sql(
+        "SELECT graft_quantiles(v, 16) AS q FROM VALUES (1L),(2L),(3L),(4L),(5L),(6L),(7L),(8L),(9L),(10L) AS t(v)")
+        .head().getSeq[Long](0)
+      assert(qs == Seq(3L, 5L, 8L, 10L, 10L))
       // whole-plan operator strategy lands in the session's planner too
       assert(s.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy),
         "AsOfJoinStrategy not injected by the extensions class")
