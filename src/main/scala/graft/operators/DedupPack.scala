@@ -822,6 +822,44 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
         .orderBy("doc_i", "doc_j")
     },
 
+    // ---- CONTAINMENT near-dup (Broder, "On the resemblance and
+    // containment of documents", SEQUENCES 1997): pairs where the
+    // smaller doc's shingle set sits ≥ 90% inside the other —
+    // C = shared / min(|A|,|B|). This is the quote-expansion /
+    // subset-document case RESEMBLANCE dedup structurally misses: a
+    // 10-shingle doc fully contained in a 1000-shingle doc has
+    // Jaccard ≈ 0.01, far under any resemblance threshold, so q43's
+    // 0.15-filtered pair artifact cannot feed this query — the pair
+    // build reruns here WITHOUT the resemblance floor, same
+    // inverted-index equi-join on 60-bit shingle ids (candidates are
+    // bounded by the index's posting-list pairs, never all-pairs).
+    // Both ratios ship 10⁶-quantized (pure integer compare, no float
+    // thresholds); resemblance_missed marks the pairs only this pass
+    // finds. ----
+    "q202_containment" -> { (s, d) =>
+      val sh = docShingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .agg(count(lit(1)).as("shared"))
+      val result = shared
+        .join(counts.withColumnRenamed("doc_id", "doc_i")
+          .withColumnRenamed("n_sh", "n_i"), "doc_i")
+        .join(counts.withColumnRenamed("doc_id", "doc_j")
+          .withColumnRenamed("n_sh", "n_j"), "doc_j")
+        .withColumn("cont_q", expr("(1000000 * shared) div least(n_i, n_j)"))
+        .filter(col("cont_q") >= 900000)
+        .withColumn("jacc_q", expr("(1000000 * shared) div (n_i + n_j - shared)"))
+        .select(col("doc_i"), col("doc_j"),
+          col("shared").cast("bigint").as("shared"),
+          col("n_i").cast("bigint").as("n_i"), col("n_j").cast("bigint").as("n_j"),
+          col("cont_q").cast("bigint").as("cont_q"),
+          col("jacc_q").cast("bigint").as("jacc_q"),
+          (col("jacc_q") < 500000).as("resemblance_missed"))
+      result.orderBy("doc_i", "doc_j")
+    },
+
     // ---- embedding cosine near-dup, brute force. INTENTIONALLY all-pairs:
     // this is the recall ground truth for q45 (run it on a sample, never on
     // the full corpus). The 100 TB path is q45 below. ----
@@ -886,6 +924,23 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
   // ---------- oracles ----------
 
   override def oracle: Map[String, String] = Map(
+    // same shingle-id inverted index (ngramPairsCtes' sh/counts/shared
+    // CTEs; the 0.15-filtered `pairs` CTE goes unreferenced here — the
+    // containment pass must see UNfiltered pairs), identical quantized
+    // containment/jaccard integer arithmetic
+    "q202_containment" ->
+      s"""WITH $ngramPairsCtes
+         |SELECT s.doc_i, s.doc_j, s.shared,
+         |       ci.n_sh AS n_i, cj.n_sh AS n_j,
+         |       CAST((1000000 * s.shared) // least(ci.n_sh, cj.n_sh) AS BIGINT) AS cont_q,
+         |       CAST((1000000 * s.shared) // (ci.n_sh + cj.n_sh - s.shared) AS BIGINT) AS jacc_q,
+         |       ((1000000 * s.shared) // (ci.n_sh + cj.n_sh - s.shared)) < 500000 AS resemblance_missed
+         |FROM shared s
+         |JOIN counts ci ON ci.doc_id = s.doc_i
+         |JOIN counts cj ON cj.doc_id = s.doc_j
+         |WHERE (1000000 * s.shared) // least(ci.n_sh, cj.n_sh) >= 900000
+         |ORDER BY doc_i, doc_j""".stripMargin,
+
     // the rolling 8-byte polynomial replayed as 8 lag() terms over the
     // per-char unnest, chunk membership as a cut-flag prefix sum, chunk
     // text by per-chunk min/max substring — identical md5s to the

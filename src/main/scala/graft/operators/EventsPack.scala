@@ -790,6 +790,37 @@ object EventsPack extends QueryPack {
           expr("(1000000 * (sy * sxx - sx * sxy)) div (n * sxx - sx * sx)")
             .cast("bigint").as("intercept_q"))
       result.orderBy("event_type")
+    },
+
+    // ---- first-order Markov transition model over per-user event
+    // streams (the behavioral-sequence summary recommendation/anomaly
+    // pipelines start from): P(next | current) estimated from adjacent
+    // event pairs under the engine's canonical (ts, event_id) stream
+    // order (the q176 tie-break), top-3 successors per state with
+    // 10⁶-quantized probabilities. Scale shape: the lead() window is
+    // partitioned PER USER (bounded, parallel); transitions collapse to
+    // the type×type matrix by a map-side-combining groupBy; row totals
+    // and the per-state top-3 rank act on ≤ |types|² rows — bounded
+    // whatever the event volume. ----
+    "q203_markov_transitions" -> { (s, d) =>
+      val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wu))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy("cur").agg(sum("cnt").as("tot"))
+      val result = tr.join(tot, "cur")
+        .withColumn("p_q", expr("(1000000 * cnt) div tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cur").orderBy(col("cnt").desc, col("nxt"))))
+        .filter(col("rk") <= 3)
+        .select(col("cur"), col("rk").cast("int").as("rk"), col("nxt"),
+          col("cnt").cast("bigint").as("cnt"), col("tot").cast("bigint").as("tot"),
+          col("p_q").cast("bigint").as("p_q"))
+      result.orderBy("cur", "rk")
     }
   )
 
@@ -1448,6 +1479,31 @@ object EventsPack extends QueryPack {
         |       CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_q_per_day,
         |       CAST((1000000 * (sy * sxx - sx * sxy)) // (n * sxx - sx * sx) AS BIGINT) AS intercept_q
         |FROM sums WHERE n >= 2
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // same (us, event_id) stream order, same quantized row-normalized
+    // probabilities and (cnt desc, nxt asc) top-3 rank
+    "q203_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS nxt
+        |  FROM ev),
+        |tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |tot AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM tr GROUP BY cur),
+        |rk AS (SELECT t.cur, t.nxt, t.cnt, o.tot,
+        |              (1000000 * t.cnt) // o.tot AS p_q,
+        |              row_number() OVER (PARTITION BY t.cur
+        |                                 ORDER BY t.cnt DESC, t.nxt) AS rk
+        |       FROM tr t JOIN tot o USING (cur))
+        |SELECT cur, CAST(rk AS INT) AS rk, nxt, cnt, tot,
+        |       CAST(p_q AS BIGINT) AS p_q
+        |FROM rk WHERE rk <= 3
+        |ORDER BY cur, rk""".stripMargin
   )
 }
