@@ -193,6 +193,48 @@ object CleanPack extends QueryPack {
       materialized(result, warm).orderBy("source")
     },
 
+    // ---- chi-square independence audit of lang × source (Pearson
+    // 1900): IS the language mix independent of ingestion source, or is
+    // one scraper feeding skewed content? The corpus-composition
+    // diagnostic next to q112's KL drift. Identity used per cell:
+    // (o−e)²/e = (N·o − r·c)² / (N·r·c) with e = r·c/N — numerator and
+    // denominator are EXACT int64 (bound: N·r·c ≤ N³ — holds to ~10⁶
+    // docs·10⁶-row margins under int64; past that the same frame feeds
+    // a DECIMAL(38) reduction); the single division runs in IEEE double
+    // written operator-for-operator identically in both engines, then
+    // floor-quantizes PER CELL (the q05/q111 discipline) so the final
+    // sum is order-independent integer arithmetic. ZERO cells count
+    // (their term is e itself) via the margins' cross join left-joined
+    // to observed counts — the cell table is |langs|×|sources|, bounded
+    // whatever the corpus size; everything upstream is one map-side-
+    // combining groupBy of the corpus scan. ----
+    "q206_chi2_independence" -> { (s, d) =>
+      val obs = warmed(Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o")))
+      val rl = obs.groupBy("lang").agg(sum("o").as("r"))
+      val cs = obs.groupBy("source").agg(sum("o").as("c"))
+      val tot = obs.agg(sum("o").as("nn"))
+      val nl = rl.agg(count(lit(1)).as("n_langs"))
+      val ns = cs.agg(count(lit(1)).as("n_sources"))
+      val cells = rl.crossJoin(broadcast(cs))
+        .join(obs, Seq("lang", "source"), "left_outer")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("t", expr("nn * o - r * c"))
+        .withColumn("term_q",
+          expr("cast(floor(cast(t as double) * cast(t as double) * 1e6" +
+            " / cast(nn * r * c as double)) as bigint)"))
+      val result = cells
+        .agg(sum("term_q").cast("bigint").as("chi2_q"),
+          count(lit(1)).cast("bigint").as("n_cells"),
+          max("nn").cast("bigint").as("n_docs"))
+        .crossJoin(broadcast(nl)).crossJoin(broadcast(ns))
+        .select(col("chi2_q"),
+          expr("(n_langs - 1) * (n_sources - 1)").cast("bigint").as("dof"),
+          col("n_cells"), col("n_docs"))
+      materialized(result, obs).orderBy("chi2_q")
+    },
+
     // ---- robust outlier detection: median absolute deviation (MAD),
     // the robust-statistics screen that survives the heavy-tailed junk
     // that breaks mean/stddev z-scores. Entirely integer-exact: values
@@ -673,6 +715,34 @@ object CleanPack extends QueryPack {
         |FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY source""".stripMargin,
+
+    // same margins-cross-join cell table (zero cells included), same
+    // int64 (N·o − r·c)² numerator and the identical one-division
+    // double expression floor-quantized per cell
+    "q206_chi2_independence" ->
+      """WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |             FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM rl),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM cs),
+        |cells AS (
+        |  SELECT rl.lang, cs.source, rl.r, cs.c, COALESCE(obs.o, 0) AS o, tot.nn
+        |  FROM rl CROSS JOIN cs
+        |  LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT CAST(floor(CAST(nn * o - r * c AS DOUBLE) * CAST(nn * o - r * c AS DOUBLE) * 1e6
+        |                    / CAST(nn * r * c AS DOUBLE)) AS BIGINT) AS term_q,
+        |         nn
+        |  FROM cells)
+        |SELECT CAST(sum(term_q) AS BIGINT) AS chi2_q,
+        |       CAST(max((n_langs - 1) * (n_sources - 1)) AS BIGINT) AS dof,
+        |       CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(max(nn) AS BIGINT) AS n_docs
+        |FROM terms CROSS JOIN nl CROSS JOIN ns
+        |ORDER BY chi2_q""".stripMargin,
 
     "q115_mad_outliers" ->
       """WITH c AS (

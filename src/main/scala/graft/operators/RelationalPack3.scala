@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
 import graft.functions.VectorFunctions
@@ -508,10 +509,59 @@ object RelationalPack3 extends QueryPack {
           min("cents").cast("bigint").as("lo_cents"),
           max("cents").cast("bigint").as("hi_cents"))
       materialized(result).orderBy("bucket")
+    },
+
+    // ---- skyline (Pareto frontier) per brand (Börzsönyi, Kossmann,
+    // Stocker — "The Skyline Operator", ICDE 2001): the parts no other
+    // same-brand part beats on BOTH price (lower better) and size
+    // (higher better). Spark computes it in ONE windowed pass per
+    // brand — sort by price, a part is dominated iff some STRICTLY
+    // cheaper part has size >= its size (RANGE ... 1 PRECEDING cummax)
+    // or some equal-priced part has size > its size (the RANGE CURRENT
+    // ROW peer-group max) — linear work after the sort, never the
+    // quadratic all-pairs dominance test. The ORACLE is deliberately
+    // the opposite algorithm: DuckDB's NOT EXISTS quadratic dominance
+    // definition — two independent formulations must agree row-for-row.
+    // Prices compare as exact cents (the engine's money discipline). ----
+    "q205_skyline" -> { (s, d) =>
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          expr("cast(cast(p_retailprice as decimal(18,2)) * 100 as bigint)")
+            .as("price_c"))
+      val wCheaper = Window.partitionBy("p_brand").orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wPeer = Window.partitionBy("p_brand").orderBy("price_c")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      val result = parts
+        .withColumn("max_sz_cheaper", max("p_size").over(wCheaper))
+        .withColumn("max_sz_peer", max("p_size").over(wPeer))
+        .filter((col("max_sz_cheaper").isNull ||
+                 col("max_sz_cheaper") < col("p_size")) &&
+                col("max_sz_peer") === col("p_size"))
+        .select(col("p_brand"), col("p_partkey"), col("price_c"),
+          col("p_size").cast("int").as("p_size"))
+      result.orderBy("p_brand", "p_partkey")
     }
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // the INDEPENDENT quadratic dominance formulation (NOT EXISTS a
+    // same-brand part better-or-equal on both axes, strictly on one) —
+    // the Spark side's windowed cummax must reproduce it exactly
+    "q205_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_size,
+        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |  FROM part)
+        |SELECT p_brand, p_partkey, price_c, CAST(p_size AS INT) AS p_size
+        |FROM p i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p k
+        |  WHERE k.p_brand = i.p_brand
+        |    AND k.price_c <= i.price_c AND k.p_size >= i.p_size
+        |    AND (k.price_c < i.price_c OR k.p_size > i.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin,
 
     // same basket dedup, same 0.1% support floor, same int64 lift
     "q186_brand_affinity" ->
