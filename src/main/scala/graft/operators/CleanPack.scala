@@ -31,6 +31,24 @@ object CleanPack extends QueryPack {
   private val entLo = 2000000L
   private val entHi = 5000000L
 
+  /** q211's Welch-t² arithmetic, ONE string evaluated verbatim by both
+    * engines (Spark `expr` and the DuckDB oracle — identical token
+    * order ⇒ identical IEEE results): t² = (m̄_a − m̄_b)² / (v_a/n_a +
+    * v_b/n_b) with v/n = (n·Σm² − (Σm)²)/(n²(n−1)), ×10⁶ floored. */
+  private[operators] val welchT2Expr: String =
+    "cast(floor(1000000.0 * " +
+      "((cast(s1a as double) / cast(na as double) - cast(s1b as double) / cast(nb as double)) * " +
+      "(cast(s1a as double) / cast(na as double) - cast(s1b as double) / cast(nb as double))) / " +
+      "((cast(na as double) * cast(s2a as double) - cast(s1a as double) * cast(s1a as double)) / " +
+      "(cast(na as double) * cast(na as double) * (cast(na as double) - 1.0)) + " +
+      "(cast(nb as double) * cast(s2b as double) - cast(s1b as double) * cast(s1b as double)) / " +
+      "(cast(nb as double) * cast(nb as double) * (cast(nb as double) - 1.0)))) as bigint)"
+
+  /** q211's arm mean difference in micro-cents, same shared-text rule. */
+  private[operators] val meanDiffExpr: String =
+    "cast(floor(1000000.0 * (cast(s1a as double) / cast(na as double) - " +
+      "cast(s1b as double) / cast(nb as double))) as bigint)"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- referential-integrity audit: orphan counts across every FK
@@ -378,6 +396,50 @@ object CleanPack extends QueryPack {
         .select(col("exp_id").cast("int").as("exp_id"), col("n"), col("n_a"),
           col("n_b"), col("chi2_micro"), col("srm_flag"))
         .orderBy("exp_id")
+    },
+
+    // ---- A/B metric readout: Welch's unequal-variance t² on the
+    // per-customer spend metric under q180's deterministic md5-bucket
+    // assignment (the step an experimentation platform runs AFTER the
+    // SRM guardrail passes; Welch 1947). Power sums (n, Σm, Σm²) per
+    // arm are exact int64 from cents-quantized spend; the t² ratio is
+    // ONE double expression whose text is character-identical in both
+    // engines ([[welchT2Expr]] — the q206 identical-IEEE discipline),
+    // floor-quantized ×10⁶. Customers without events count as zero
+    // spend (left join + coalesce — dropping them would bias the
+    // readout toward active users). Both experiments are fair coins
+    // over the same population, so t² should be far under the 3.84
+    // significance bar — the readout's own null check. ----
+    "q211_welch_ab" -> { (s, d) =>
+      val spend = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy("user_id").agg(sum("cents").as("cents"))
+      val assigned = Tables.customer(s, d)
+        .select(col("c_custkey"), explode(sequence(lit(1), lit(2))).as("exp_id"))
+        .withColumn("h", hex64(md5(concat(lit("exp"), col("exp_id"),
+          lit(":"), col("c_custkey")))))
+        .withColumn("bucket", pmod(col("h"), lit(2)))
+        .join(spend.withColumnRenamed("user_id", "c_custkey"),
+          Seq("c_custkey"), "left_outer")
+        .withColumn("m", coalesce(col("cents"), lit(0L)))
+      val result = assigned.groupBy("exp_id")
+        .agg(
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("bucket") === 0, col("m")).otherwise(lit(0L))).as("s1a"),
+          sum(when(col("bucket") === 0, col("m") * col("m")).otherwise(lit(0L))).as("s2a"),
+          sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("bucket") === 1, col("m")).otherwise(lit(0L))).as("s1b"),
+          sum(when(col("bucket") === 1, col("m") * col("m")).otherwise(lit(0L))).as("s2b"))
+        .filter(col("na") > 1 && col("nb") > 1)
+        .withColumn("mean_diff_q", expr(CleanPack.meanDiffExpr))
+        .withColumn("t2_q", expr(CleanPack.welchT2Expr))
+        .select(col("exp_id").cast("int").as("exp_id"),
+          col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
+          col("s1a").cast("bigint").as("sum_a_cents"),
+          col("s1b").cast("bigint").as("sum_b_cents"),
+          col("mean_diff_q"), col("t2_q"))
+      result.orderBy("exp_id")
     },
 
     // ---- schema-on-read JSON quarantine: the ingest pattern for a
@@ -820,6 +882,35 @@ object CleanPack extends QueryPack {
         |       CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // n AS BIGINT) AS chi2_micro,
         |       ((n_a - n_b) * (n_a - n_b) * 1000000) // n > 3841459 AS srm_flag
         |FROM c ORDER BY exp_id""".stripMargin,
+
+    // same md5 assignment and int64 power sums; the t² expression is
+    // the SAME string Spark evaluates (welchT2Expr/meanDiffExpr)
+    "q211_welch_ab" ->
+      s"""WITH spend AS (
+         |  SELECT user_id, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY user_id),
+         |a0 AS (
+         |  SELECT c.c_custkey, g.e AS exp_id,
+         |         CAST('0x' || substring(md5('exp' || CAST(g.e AS VARCHAR) || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS bucket
+         |  FROM customer c, UNNEST(generate_series(1, 2)) AS g(e)),
+         |a AS (
+         |  SELECT a0.exp_id, a0.bucket, COALESCE(s.cents, 0) AS m
+         |  FROM a0 LEFT JOIN spend s ON s.user_id = a0.c_custkey),
+         |sums AS (
+         |  SELECT exp_id,
+         |         CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |         CAST(sum(CASE WHEN bucket = 0 THEN m ELSE 0 END) AS BIGINT) AS s1a,
+         |         CAST(sum(CASE WHEN bucket = 0 THEN m * m ELSE 0 END) AS BIGINT) AS s2a,
+         |         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |         CAST(sum(CASE WHEN bucket = 1 THEN m ELSE 0 END) AS BIGINT) AS s1b,
+         |         CAST(sum(CASE WHEN bucket = 1 THEN m * m ELSE 0 END) AS BIGINT) AS s2b
+         |  FROM a GROUP BY exp_id)
+         |SELECT CAST(exp_id AS INT) AS exp_id, na, nb,
+         |       s1a AS sum_a_cents, s1b AS sum_b_cents,
+         |       $meanDiffExpr AS mean_diff_q,
+         |       $welchT2Expr AS t2_q
+         |FROM sums WHERE na > 1 AND nb > 1
+         |ORDER BY exp_id""".stripMargin,
 
     // json_valid gates the extraction; the corruption lane is invalid
     // in both parsers by construction

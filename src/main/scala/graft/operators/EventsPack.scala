@@ -821,6 +821,35 @@ object EventsPack extends QueryPack {
           col("cnt").cast("bigint").as("cnt"), col("tot").cast("bigint").as("tot"),
           col("p_q").cast("bigint").as("p_q"))
       result.orderBy("cur", "rk")
+    },
+
+    // ---- per-user inter-event burstiness: index of dispersion of the
+    // gap sequence (Fano factor, F = σ²/μ — Goh & Barabási, EPL 2008
+    // frame bursty human activity exactly this way; F ≈ gap-scale for
+    // Poisson arrivals, ≫ for bursty bots/batch replays). Exact int64:
+    // F = (n·Σg² − (Σg)²) / (n·Σg) with gaps in whole MINUTES, ×10⁶
+    // floor-divided. Numerator/denominator are non-negative (Cauchy–
+    // Schwarz), so truncation is engine-identical. int64 bound:
+    // 10⁶·n·Σg² ≤ 10⁶·n²·g² — holds to ~10³ events/user at day-scale
+    // gaps; heavier users need the same sums in DECIMAL(38). Shape:
+    // one lag() window PER USER (bounded, parallel), then power sums
+    // by one map-side-combining groupBy — the q200 discipline. ----
+    "q209_gap_dispersion" -> { (s, d) =>
+      val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(wu))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), expr("(us - prev) div 60000000").as("g"))
+      val result = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+        .filter(col("n") >= 3 && col("sg") > 0)
+        .select(col("user_id"), col("n").cast("bigint").as("n_gaps"),
+          col("sg").cast("bigint").as("sum_gap_min"),
+          expr("(1000000 * (n * sg2 - sg * sg)) div (n * sg)")
+            .cast("bigint").as("fano_q"))
+      result.orderBy("user_id")
     }
   )
 
@@ -1504,6 +1533,27 @@ object EventsPack extends QueryPack {
         |SELECT cur, CAST(rk AS INT) AS rk, nxt, cnt, tot,
         |       CAST(p_q AS BIGINT) AS p_q
         |FROM rk WHERE rk <= 3
-        |ORDER BY cur, rk""".stripMargin
+        |ORDER BY cur, rk""".stripMargin,
+
+    // same (us, event_id) stream order, same whole-minute gaps and the
+    // identical integer dispersion ratio
+    "q209_gap_dispersion" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |g0 AS (
+        |  SELECT user_id,
+        |         (us - lag(us) OVER (PARTITION BY user_id
+        |                             ORDER BY us, event_id)) // 60000000 AS g
+        |  FROM ev),
+        |gaps AS (SELECT user_id, g FROM g0 WHERE g IS NOT NULL),
+        |sums AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(g) AS BIGINT) AS sg,
+        |                CAST(sum(g * g) AS BIGINT) AS sg2
+        |         FROM gaps GROUP BY 1)
+        |SELECT user_id, n AS n_gaps, sg AS sum_gap_min,
+        |       CAST((1000000 * (n * sg2 - sg * sg)) // (n * sg) AS BIGINT) AS fano_q
+        |FROM sums WHERE n >= 3 AND sg > 0
+        |ORDER BY user_id""".stripMargin
   )
 }

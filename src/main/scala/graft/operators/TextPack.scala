@@ -234,6 +234,22 @@ object TextPack extends QueryPack {
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rk
       |  FROM scored)""".stripMargin
 
+  /** q210's closed-form log-log regression ratios: ONE string evaluated
+    * verbatim by Spark `expr` and the DuckDB oracle (identical token
+    * order ⇒ identical IEEE doubles; the q206/q211 discipline). Inputs
+    * are the exact int64 power sums (n, sx, sy, sxy, sxx). */
+  private[operators] val zipfSlopeExpr: String =
+    "cast(floor(1000000.0 * (cast(n as double) * cast(sxy as double) - " +
+      "cast(sx as double) * cast(sy as double)) / " +
+      "(cast(n as double) * cast(sxx as double) - " +
+      "cast(sx as double) * cast(sx as double))) as bigint)"
+
+  private[operators] val zipfInterceptExpr: String =
+    "cast(floor(1000000.0 * (cast(sy as double) * cast(sxx as double) - " +
+      "cast(sx as double) * cast(sxy as double)) / " +
+      "(cast(n as double) * cast(sxx as double) - " +
+      "cast(sx as double) * cast(sx as double))) as bigint)"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- heuristic language-ID: stopword-profile argmax. Single
@@ -793,6 +809,83 @@ object TextPack extends QueryPack {
           element_at(col("qs"), 4).cast("bigint").as("q950"),
           element_at(col("qs"), 5).cast("bigint").as("q990"))
       result.orderBy("source")
+    },
+
+    // ---- Zipf-exponent fit of the rank-frequency head (Zipf 1949;
+    // the vocabulary-shape read tokenizer sizing and corpus-health
+    // checks start from — natural text sits near slope −1, spammy or
+    // templated corpora bend it): log-log least squares over the top
+    // 1024 ranks. Ranks come from a TakeOrderedAndProject head slice
+    // (bounded rows, never a global window over the vocabulary); ln()
+    // floor-quantizes to exact int64 MILLI-nats per point (q05
+    // discipline at 10³ — keeps all four power sums exact in int64 at
+    // any corpus size: n·Σxy ≤ 1024²·(40·10³)² ≈ 10¹⁵); the two
+    // closed-form ratios evaluate as ONE double expression whose text
+    // is character-identical in both engines ([[zipfSlopeExpr]], the
+    // q206/q211 identical-IEEE discipline), ×10⁶ floored. ----
+    "q210_zipf_fit" -> { (s, d) =>
+      val qln3 = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e3)).cast("bigint")
+      val top = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(1024)
+      val ranked = top
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))).cast("bigint"))
+        .select(qln3(col("rk")).as("x"), qln3(col("c")).as("y"))
+      val result = ranked
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_q", expr(TextPack.zipfSlopeExpr))
+        .withColumn("intercept_q", expr(TextPack.zipfInterceptExpr))
+        .select(col("n").cast("bigint").as("n_points"),
+          col("slope_q"), col("intercept_q"))
+      result
+    },
+
+    // ---- PMI collocation extraction (Church & Hanks, CL 1990: "Word
+    // association norms, mutual information, and lexicography") — the
+    // classic multi-word-expression miner. PMI(w1,w2) =
+    // ln(P(w1,w2)/(P(w1)·P(w2))) = ln(c12·Nu²/(Nb·c1·c2)), factored
+    // into per-term qln-quantized int64 summands (the q05/q117
+    // discipline — order-deterministic, engine-portable), with the
+    // standard c12 ≥ 5 support floor that kills the PMI low-count
+    // pathology. Shape: the (bigram count) and (unigram count) frames
+    // are one corpus scan each with map-side combine; totals broadcast
+    // as 1-row frames; the top-15 is a TakeOrderedAndProject, never a
+    // global window. ----
+    "q208_pmi_collocations" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val bg = docs
+        .select(explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum("c").as("nu"))
+      val nb = docs.select((size(col("toks")) - 1).as("nb0"))
+        .agg(sum(greatest(col("nb0"), lit(0L))).as("nb"))
+      val result = bg
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("pmi_q",
+          qln(col("c12")) + lit(2L) * qln(col("nu")) - qln(col("nb"))
+            - qln(col("c1")) - qln(col("c2")))
+        .orderBy(col("pmi_q").desc, col("bg")).limit(15)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("pmi_q").desc, col("bg"))))
+        .select(col("rk").cast("int").as("rk"), col("bg"),
+          col("c12").cast("bigint").as("c12"),
+          col("c1").cast("bigint").as("c1"), col("c2").cast("bigint").as("c2"),
+          col("pmi_q").cast("bigint").as("pmi_q"))
+      result.orderBy("rk")
     },
 
     // ---- Naive-Bayes classifier, training half: the "quality/domain
@@ -1423,6 +1516,57 @@ object TextPack extends QueryPack {
           |       CAST(min(CASE WHEN c >= (w * 990 + 999) // 1000 THEN n END) AS BIGINT) AS q990
           |FROM cum GROUP BY source
           |ORDER BY source""".stripMargin,
+
+      // same top-1024 head slice, same milli-nat quantization, and the
+      // SAME regression-ratio expression strings Spark evaluates
+      "q210_zipf_fit" ->
+        s"""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+           |  FROM documents),
+           |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+           |       ORDER BY c DESC, w LIMIT 1024),
+           |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk FROM wc),
+           |pts AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e3) AS BIGINT) AS x,
+           |               CAST(floor(ln(CAST(c AS DOUBLE)) * 1e3) AS BIGINT) AS y
+           |        FROM r),
+           |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |                CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+           |         FROM pts)
+           |SELECT n AS n_points, $zipfSlopeExpr AS slope_q, $zipfInterceptExpr AS intercept_q
+           |FROM sums""".stripMargin,
+
+      // identical bigram/unigram frames, identical per-term qln PMI
+      // factorization, same c12 >= 5 floor and (pmi desc, bg) top-15
+      "q208_pmi_collocations" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |bgs AS (
+          |  SELECT ts[g.i] || ' ' || ts[g.i + 1] AS bg
+          |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg
+          |       HAVING count(*) >= 5),
+          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+          |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+          |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+          |nb AS (SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS nb FROM toks),
+          |scored AS (
+          |  SELECT b.bg, b.c12, u1.c AS c1, u2.c AS c2,
+          |         CAST(floor(ln(CAST(b.c12 AS DOUBLE)) * 1e6) AS BIGINT)
+          |           + 2 * CAST(floor(ln(CAST(nu.nu AS DOUBLE)) * 1e6) AS BIGINT)
+          |           - CAST(floor(ln(CAST(nb.nb AS DOUBLE)) * 1e6) AS BIGINT)
+          |           - CAST(floor(ln(CAST(u1.c AS DOUBLE)) * 1e6) AS BIGINT)
+          |           - CAST(floor(ln(CAST(u2.c AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_q
+          |  FROM bg b
+          |  JOIN uni u1 ON u1.w = split_part(b.bg, ' ', 1)
+          |  JOIN uni u2 ON u2.w = split_part(b.bg, ' ', 2)
+          |  CROSS JOIN nu CROSS JOIN nb)
+          |SELECT CAST(row_number() OVER (ORDER BY pmi_q DESC, bg) AS INT) AS rk,
+          |       bg, c12, c1, c2, CAST(pmi_q AS BIGINT) AS pmi_q
+          |FROM scored
+          |QUALIFY rk <= 15
+          |ORDER BY rk""".stripMargin,
 
       // identical bigram/context/continuation tables and the identical
       // multiplied-through integer KN numerator/denominator
