@@ -57,7 +57,13 @@ object DumpPlans {
     "q169_mv_rewrite",        // optimizer-rule rewrite: MV scan, no fact scan
     "q185_phrase_search",     // broadcast term filter BEFORE positional join
     "q188_kneser_ney",        // vocab-keyed model joins, 1-row Nbb broadcast only
-    "q189_ivm_join"           // delta-only joins + keyed view merge
+    "q189_ivm_join",          // delta-only joins + keyed view merge
+    "q197_roc_auc",           // distinct-score histogram, no per-doc rank window
+    "q199_cusum_changepoint", // per-type windowed cumsum + argmax aggregate
+    "q201_quantile_sketch",   // native mergeable sketch (ObjectHashAggregate)
+    "q202_containment",       // unfiltered shingle-id equi-join, int ratios
+    "q205_skyline",           // per-brand RANGE cummax, never quadratic dominance
+    "q207_split_leakage"      // pair-artifact scan + 3-row split aggregate
   )
 
   def main(args: Array[String]): Unit = {
