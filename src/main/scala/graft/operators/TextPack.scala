@@ -811,6 +811,40 @@ object TextPack extends QueryPack {
       result.orderBy("source")
     },
 
+    // ---- quantile feature binning (the training-prep bucketizer:
+    // discretize a feature into per-group quartile bins so downstream
+    // models see balanced categories): cutoffs come FROM the native
+    // quantile sketch (q201's aggregate — at corpus scale the cutoff
+    // table is what you can actually compute), then broadcast back
+    // onto the doc stream for the bin assignment — one sketch
+    // aggregate + one broadcast join, never a per-doc rank window.
+    // Bin populations land near-uniform by construction (visible in
+    // the output); boundary docs go to the lower bin (<= cutoff, the
+    // nearest-rank-lower convention q201 pins). ----
+    "q212_quantile_binning" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+      val cuts = docs.groupBy("source")
+        .agg(graft.functions.GraftExpressions.quantileSketch(col("n"), 8192).as("qs"))
+        .select(col("source"),
+          element_at(col("qs"), 1).as("c25"),
+          element_at(col("qs"), 2).as("c50"),
+          element_at(col("qs"), 3).as("c75"))
+      val result = docs.join(broadcast(cuts), "source")
+        .withColumn("bin",
+          when(col("n") <= col("c25"), 0)
+            .when(col("n") <= col("c50"), 1)
+            .when(col("n") <= col("c75"), 2).otherwise(3))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min("n").cast("bigint").as("lo_tokens"),
+          max("n").cast("bigint").as("hi_tokens"))
+        .select(col("source"), col("bin").cast("int").as("bin"),
+          col("n_docs"), col("lo_tokens"), col("hi_tokens"))
+      result.orderBy("source", "bin")
+    },
+
     // ---- Zipf-exponent fit of the rank-frequency head (Zipf 1949;
     // the vocabulary-shape read tokenizer sizing and corpus-health
     // checks start from — natural text sits near slope −1, spammy or
@@ -1516,6 +1550,40 @@ object TextPack extends QueryPack {
           |       CAST(min(CASE WHEN c >= (w * 990 + 999) // 1000 THEN n END) AS BIGINT) AS q990
           |FROM cum GROUP BY source
           |ORDER BY source""".stripMargin,
+
+      // q201's exact nearest-rank cutoffs (the sketch's exact regime)
+      // replayed, then the identical <=-cutoff bin assignment
+      "q212_quantile_binning" ->
+        """WITH t AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n
+          |  FROM documents),
+          |vals AS (SELECT source, n, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+          |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS w FROM vals GROUP BY 1),
+          |cum AS (SELECT v.source, v.n,
+          |               sum(v.cnt) OVER (PARTITION BY v.source ORDER BY v.n
+          |                                ROWS UNBOUNDED PRECEDING) AS c, t.w
+          |        FROM vals v JOIN tot t USING (source)),
+          |cuts AS (
+          |  SELECT source,
+          |         min(CASE WHEN c >= (w * 250 + 999) // 1000 THEN n END) AS c25,
+          |         min(CASE WHEN c >= (w * 500 + 999) // 1000 THEN n END) AS c50,
+          |         min(CASE WHEN c >= (w * 750 + 999) // 1000 THEN n END) AS c75
+          |  FROM cum GROUP BY source),
+          |binned AS (
+          |  SELECT t.source,
+          |         CASE WHEN t.n <= cu.c25 THEN 0
+          |              WHEN t.n <= cu.c50 THEN 1
+          |              WHEN t.n <= cu.c75 THEN 2 ELSE 3 END AS bin,
+          |         t.n
+          |  FROM t JOIN cuts cu USING (source))
+          |SELECT source, CAST(bin AS INT) AS bin,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(min(n) AS BIGINT) AS lo_tokens,
+          |       CAST(max(n) AS BIGINT) AS hi_tokens
+          |FROM binned GROUP BY source, bin
+          |ORDER BY source, bin""".stripMargin,
 
       // same top-1024 head slice, same milli-nat quantization, and the
       // SAME regression-ratio expression strings Spark evaluates

@@ -445,6 +445,7 @@ object StreamingPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_stream_markov" -> ((s, d) => TransitionStream.run(s, d)),
     "q204_stream_quantiles" -> ((s, d) => streamQuantiles(s, d)),
     "q195_stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
     "q139_stream_neardup" -> ((s, d) => streamNearDup(s, d)),
@@ -513,6 +514,11 @@ object StreamingPack extends QueryPack {
     // exact-regime sketch: stream ≡ batch, the q201 oracle verbatim
     "q204_stream_quantiles" ->
       graft.operators.TextPack.oracle("q201_quantile_sketch"),
+
+    // cross-batch last-event state carry ≡ the batch lead() pairs under
+    // ordered replay: the q203 oracle verbatim
+    "q213_stream_markov" ->
+      graft.operators.EventsPack.oracle("q203_markov_transitions"),
 
     "q33_stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
