@@ -823,6 +823,74 @@ object EventsPack extends QueryPack {
       result.orderBy("cur", "rk")
     },
 
+    // ---- seasonal-naive forecast error (the standard baseline every
+    // forecasting system is judged against — Hyndman & Athanasopoulos,
+    // "Forecasting: Principles and Practice": ŷ_h = y_{h−24}): score
+    // each event stream's hourly counts against the same-hour-yesterday
+    // forecast and report WAPE = Σ|err|/Σactual as an exact ×10⁶
+    // integer ratio — the drift/anomaly monitoring number next to
+    // q199's CUSUM. Scale shape: hourly counts collapse map-side; the
+    // day-back forecast attaches by an EQUI-join on (type, hr−24) —
+    // robust to gaps in the hourly grid, unlike a 24-row lag window —
+    // and the final ratios are one map-side-combining aggregate per
+    // type. ----
+    "q214_seasonal_error" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val prev = hourly.select(col("event_type"),
+        (col("hr") + 24).as("hr"), col("c").as("fc"))
+      val result = hourly.join(prev, Seq("event_type", "hr"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          sum("c").as("sum_actual"),
+          sum(abs(col("c") - col("fc"))).as("sum_abs_err"))
+        .select(col("event_type"),
+          col("n_scored").cast("bigint").as("n_scored"),
+          col("sum_actual").cast("bigint").as("sum_actual"),
+          col("sum_abs_err").cast("bigint").as("sum_abs_err"),
+          expr("(1000000 * sum_abs_err) div sum_actual")
+            .cast("bigint").as("wape_q"))
+      result.orderBy("event_type")
+    },
+
+    // ---- signup→purchase conversion-latency percentiles through the
+    // native quantile sketch: the product-analytics "time to convert"
+    // distribution, computed the way it survives production scale —
+    // per-user first-signup/first-qualifying-purchase collapse to ONE
+    // row per user map-side (two conditional min aggregates, no
+    // window), latencies quantize to whole minutes, and the global
+    // distribution is ONE constant-state graft_quantiles aggregate
+    // (q201's exact regime at these latency vocabularies) instead of a
+    // global sort. The first purchase AT-OR-AFTER signup comes from
+    // min(CASE WHEN purchase) over the joined pair — users who
+    // purchased only before signing up are excluded by the p >= s
+    // filter, not by fragile event ordering. ----
+    "q215_conversion_latency" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("s_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val lat = purchases.join(firstSignup, "user_id")
+        .filter(col("p_us") >= col("s_us"))
+        .groupBy("user_id").agg(min("p_us").as("p_us"), min("s_us").as("s_us"))
+        .select(expr("(p_us - s_us) div 60000000").as("lat_min"))
+      val result = lat
+        .agg(count(lit(1)).as("n_converted"),
+          graft.functions.GraftExpressions.quantileSketch(col("lat_min"), 8192).as("qs"))
+        .select(col("n_converted").cast("bigint").as("n_converted"),
+          element_at(col("qs"), 1).cast("bigint").as("q250"),
+          element_at(col("qs"), 2).cast("bigint").as("q500"),
+          element_at(col("qs"), 3).cast("bigint").as("q750"),
+          element_at(col("qs"), 4).cast("bigint").as("q950"),
+          element_at(col("qs"), 5).cast("bigint").as("q990"))
+      result
+    },
+
     // ---- per-user inter-event burstiness: index of dispersion of the
     // gap sequence (Fano factor, F = σ²/μ — Goh & Barabási, EPL 2008
     // frame bursty human activity exactly this way; F ≈ gap-scale for
@@ -1534,6 +1602,51 @@ object EventsPack extends QueryPack {
         |       CAST(p_q AS BIGINT) AS p_q
         |FROM rk WHERE rk <= 3
         |ORDER BY cur, rk""".stripMargin,
+
+    // same first-signup/first-qualifying-purchase collapse and minute
+    // quantization; nearest-rank quantiles replay the sketch's exact
+    // regime (the q201 oracle discipline, ungrouped)
+    "q215_conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |fs AS (SELECT user_id, min(us) AS s_us FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |lat AS (
+        |  SELECT (min(p.us) - min(f.s_us)) // 60000000 AS lat_min
+        |  FROM ev p JOIN fs f USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND p.us >= f.s_us
+        |  GROUP BY p.user_id),
+        |vals AS (SELECT lat_min AS n, CAST(count(*) AS BIGINT) AS cnt FROM lat GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS w FROM vals),
+        |cum AS (SELECT v.n, sum(v.cnt) OVER (ORDER BY v.n ROWS UNBOUNDED PRECEDING) AS c, t.w
+        |        FROM vals v CROSS JOIN tot t)
+        |SELECT CAST(max(w) AS BIGINT) AS n_converted,
+        |       CAST(min(CASE WHEN c >= (w * 250 + 999) // 1000 THEN n END) AS BIGINT) AS q250,
+        |       CAST(min(CASE WHEN c >= (w * 500 + 999) // 1000 THEN n END) AS BIGINT) AS q500,
+        |       CAST(min(CASE WHEN c >= (w * 750 + 999) // 1000 THEN n END) AS BIGINT) AS q750,
+        |       CAST(min(CASE WHEN c >= (w * 950 + 999) // 1000 THEN n END) AS BIGINT) AS q950,
+        |       CAST(min(CASE WHEN c >= (w * 990 + 999) // 1000 THEN n END) AS BIGINT) AS q990
+        |FROM cum""".stripMargin,
+
+    // same hourly grid and the identical gap-robust (type, hr−24)
+    // equi-join forecast attach
+    "q214_seasonal_error" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT h.event_type, h.c, p.c AS fc
+        |  FROM hourly h JOIN hourly p
+        |    ON p.event_type = h.event_type AND p.hr = h.hr - 24)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(sum(c) AS BIGINT) AS sum_actual,
+        |       CAST(sum(abs(c - fc)) AS BIGINT) AS sum_abs_err,
+        |       CAST((1000000 * sum(abs(c - fc))) // sum(c) AS BIGINT) AS wape_q
+        |FROM j GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // same (us, event_id) stream order, same whole-minute gaps and the
     // identical integer dispersion ratio

@@ -29,8 +29,8 @@ object TransitionStream {
   case class LastEv(us: Long, event_id: Long, event_type: String)
   case class Trans(cur: String, nxt: String)
 
-  private def update(userId: Long, events: Iterator[Ev],
-                     state: GroupState[LastEv]): Iterator[Trans] = {
+  private[streaming] def update(userId: Long, events: Iterator[Ev],
+                                state: GroupState[LastEv]): Iterator[Trans] = {
     val out = scala.collection.mutable.ListBuffer.empty[Trans]
     var last = state.getOption.orNull
     for (e <- events.toSeq.sortBy(ev => (ev.us, ev.event_id))) {
