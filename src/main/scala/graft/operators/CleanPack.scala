@@ -442,6 +442,51 @@ object CleanPack extends QueryPack {
       result.orderBy("exp_id")
     },
 
+    // ---- t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007)
+    // — the third rung of the privacy ladder after k-anonymity (q182)
+    // and l-diversity (q190): how far is each market segment's account-
+    // balance DISTRIBUTION from the global one, as the ordered-bins
+    // Earth-Mover's Distance EMD = (1/(m−1))·Σ_i |CumP_i − CumQ_i|.
+    // Exact int64 by multiplying through both normalizations:
+    //   emd_q = (10⁶·Σ_i |cum_g(i)·N − cum_all(i)·n_g|) div (n_g·N·(m−1)).
+    // Bins are fixed-width over the exact cents range (global min/max
+    // broadcast as one row); the group×bin grid materializes ALL m bins
+    // per group (zero bins matter — an absent bin still shifts mass),
+    // cumulatives run per group over the m-row bin axis (bounded
+    // windows, parallel across groups). int64 bound: cum·N ≤ N² —
+    // holds to ~3·10⁹ rows; past that the same grid feeds DECIMAL(38). ----
+    "q216_t_closeness" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)").as("cents"))
+      val mm = cust.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val binned = cust.crossJoin(broadcast(mm))
+        .select(col("seg"),
+          expr("((cents - mn) * 10) div (mx - mn + 1)").as("bin"))
+        .groupBy("seg", "bin").agg(count(lit(1)).as("c_gb"))
+      val segs = binned.groupBy("seg").agg(sum("c_gb").as("n_g"))
+      val glob = binned.groupBy("bin").agg(sum("c_gb").as("c_b"))
+      val nAll = segs.agg(sum("n_g").as("nn"))
+      val grid = segs.crossJoin(broadcast(
+          s.range(0, 10).toDF("bin").select(col("bin").cast("bigint").as("bin"))))
+        .join(binned, Seq("seg", "bin"), "left_outer")
+        .join(broadcast(glob), Seq("bin"), "left_outer")
+        .na.fill(0L, Seq("c_gb", "c_b"))
+        .crossJoin(broadcast(nAll))
+      val wSeg = Window.partitionBy("seg").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val result = grid
+        .withColumn("cum_g", sum("c_gb").over(wSeg))
+        .withColumn("cum_all", sum("c_b").over(wSeg))
+        .groupBy(col("seg"))
+        .agg(max("n_g").as("n_g"), max("nn").as("nn"),
+          sum(abs(col("cum_g") * col("nn") - col("cum_all") * col("n_g")))
+            .as("raw"))
+        .select(col("seg"), col("n_g").cast("bigint").as("n_g"),
+          expr("(1000000 * raw) div (n_g * nn * 9)").cast("bigint").as("emd_q"))
+      result.orderBy("seg")
+    },
+
     // ---- schema-on-read JSON quarantine: the ingest pattern for a
     // semi-structured feed — parse the props JSON, route unparseable
     // rows to quarantine counts instead of failing the load. The
@@ -911,6 +956,42 @@ object CleanPack extends QueryPack {
          |       $welchT2Expr AS t2_q
          |FROM sums WHERE na > 1 AND nb > 1
          |ORDER BY exp_id""".stripMargin,
+
+    // same fixed-width bins over the exact cents range, same zero-bin
+    // grid, and the identical multiplied-through integer EMD
+    "q216_t_closeness" ->
+      """WITH cust AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM cust),
+        |binned AS (
+        |  SELECT seg, ((cents - mn) * 10) // (mx - mn + 1) AS bin,
+        |         CAST(count(*) AS BIGINT) AS c_gb
+        |  FROM cust CROSS JOIN mm GROUP BY 1, 2),
+        |segs AS (SELECT seg, CAST(sum(c_gb) AS BIGINT) AS n_g FROM binned GROUP BY 1),
+        |gtot AS (SELECT bin, CAST(sum(c_gb) AS BIGINT) AS c_b FROM binned GROUP BY 1),
+        |na AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn FROM segs),
+        |grid AS (
+        |  SELECT s.seg, s.n_g, g.b AS bin,
+        |         COALESCE(bn.c_gb, 0) AS c_gb, COALESCE(gl.c_b, 0) AS c_b, na.nn
+        |  FROM segs s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) g
+        |  LEFT JOIN binned bn ON bn.seg = s.seg AND bn.bin = g.b
+        |  LEFT JOIN gtot gl ON gl.bin = g.b
+        |  CROSS JOIN na),
+        |cums AS (
+        |  SELECT seg, n_g, nn,
+        |         sum(c_gb) OVER (PARTITION BY seg ORDER BY bin
+        |                         ROWS UNBOUNDED PRECEDING) AS cum_g,
+        |         sum(c_b) OVER (PARTITION BY seg ORDER BY bin
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_all
+        |  FROM grid)
+        |SELECT seg, CAST(max(n_g) AS BIGINT) AS n_g,
+        |       CAST((1000000 * sum(abs(cum_g * nn - cum_all * n_g)))
+        |            // (max(n_g) * max(nn) * 9) AS BIGINT) AS emd_q
+        |FROM cums GROUP BY seg
+        |ORDER BY seg""".stripMargin,
 
     // json_valid gates the extraction; the corruption lane is invalid
     // in both parsers by construction

@@ -541,10 +541,90 @@ object RelationalPack3 extends QueryPack {
         .select(col("p_brand"), col("p_partkey"), col("price_c"),
           col("p_size").cast("int").as("p_size"))
       result.orderBy("p_brand", "p_partkey")
+    },
+
+    // ---- data-quality expectation suite (the dbt-tests / Great-
+    // Expectations contract run, as one query): referential-integrity
+    // orphan counts across the star schema plus value-range and
+    // not-null assertions, each reported as (check, n_violations,
+    // n_scanned) — the table a warehouse gates its loads on. Shape:
+    // FK checks are LEFT ANTI joins with the dimension side broadcast
+    // (Catalyst picks it — the dims are key-only projections); value
+    // checks are conditional aggregates on a single scan each; the
+    // result is a fixed handful of rows whatever the data volume.
+    // Zero-violation rows are the contract PASSING — they must appear
+    // (an absent check is not a passed check). ----
+    "q217_dq_expectations" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val ords = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val ev = Tables.events(s, d)
+      def fkCheck(name: String, fact: DataFrame, key: String,
+                  dim: DataFrame, dimKey: String): DataFrame =
+        fact.join(dim.select(col(dimKey).as("__k")),
+            col(key) === col("__k"), "left_anti")
+          .agg(count(lit(1)).cast("bigint").as("n_violations"))
+          .crossJoin(fact.agg(count(lit(1)).cast("bigint").as("n_scanned")))
+          .select(lit(name).as("check"), col("n_violations"), col("n_scanned"))
+      def valCheck(name: String, df: DataFrame,
+                   bad: org.apache.spark.sql.Column): DataFrame =
+        df.agg(sum(when(bad, 1L).otherwise(0L)).cast("bigint").as("n_violations"),
+            count(lit(1)).cast("bigint").as("n_scanned"))
+          .select(lit(name).as("check"), col("n_violations"), col("n_scanned"))
+      val result =
+        fkCheck("lineitem_orphan_orderkey", li, "l_orderkey", ords, "o_orderkey")
+          .unionByName(fkCheck("orders_orphan_custkey", ords, "o_custkey",
+            cust, "c_custkey"))
+          .unionByName(fkCheck("events_user_not_customer", ev, "user_id",
+            cust, "c_custkey"))
+          .unionByName(valCheck("orders_nonpositive_total", ords,
+            col("o_totalprice") <= 0))
+          .unionByName(valCheck("customer_null_name", cust,
+            col("c_name").isNull || col("c_name") === ""))
+          .unionByName(valCheck("events_nonpositive_value", ev,
+            col("value") <= 0))
+      result.orderBy("check")
     }
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // same anti-join orphan counts and conditional value assertions
+    "q217_dq_expectations" ->
+      """WITH c1 AS (
+        |  SELECT 'lineitem_orphan_orderkey' AS "check",
+        |         CAST((SELECT count(*) FROM lineitem l
+        |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations,
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_scanned),
+        |c2 AS (
+        |  SELECT 'orders_orphan_custkey',
+        |         CAST((SELECT count(*) FROM orders o
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |         CAST((SELECT count(*) FROM orders) AS BIGINT)),
+        |c3 AS (
+        |  SELECT 'events_user_not_customer',
+        |         CAST((SELECT count(*) FROM events e
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                                 WHERE c.c_custkey = e.user_id)) AS BIGINT),
+        |         CAST((SELECT count(*) FROM events) AS BIGINT)),
+        |c4 AS (
+        |  SELECT 'orders_nonpositive_total',
+        |         CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+        |         CAST((SELECT count(*) FROM orders) AS BIGINT)),
+        |c5 AS (
+        |  SELECT 'customer_null_name',
+        |         CAST((SELECT count(*) FROM customer
+        |               WHERE c_name IS NULL OR c_name = '') AS BIGINT),
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT)),
+        |c6 AS (
+        |  SELECT 'events_nonpositive_value',
+        |         CAST((SELECT count(*) FROM events WHERE value <= 0) AS BIGINT),
+        |         CAST((SELECT count(*) FROM events) AS BIGINT))
+        |SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+        |UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6
+        |ORDER BY "check"""".stripMargin,
 
     // the INDEPENDENT quadratic dominance formulation (NOT EXISTS a
     // same-brand part better-or-equal on both axes, strictly on one) —
