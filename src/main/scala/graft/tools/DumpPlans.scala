@@ -63,7 +63,9 @@ object DumpPlans {
     "q201_quantile_sketch",   // native mergeable sketch (ObjectHashAggregate)
     "q202_containment",       // unfiltered shingle-id equi-join, int ratios
     "q205_skyline",           // per-brand RANGE cummax, never quadratic dominance
-    "q207_split_leakage"      // pair-artifact scan + 3-row split aggregate
+    "q207_split_leakage",     // pair-artifact scan + 3-row split aggregate
+    "q216_t_closeness",       // zero-bin grid + per-group bounded windows
+    "q217_dq_expectations"    // broadcast anti-join FK checks + value scans
   )
 
   def main(args: Array[String]): Unit = {
