@@ -855,6 +855,73 @@ object EventsPack extends QueryPack {
       result.orderBy("event_type")
     },
 
+    // ---- weekly cohort-retention matrix (the growth-accounting
+    // triangle every product dashboard renders: users grouped by
+    // first-seen week, tracked by activity in each subsequent week):
+    // (cohort_week, week_offset) → active users, cohort size, and the
+    // ×10⁶ retention rate. Shape: per-user first week is one min
+    // aggregate; the activity stream collapses to DISTINCT (user,
+    // week) pairs map-side BEFORE joining the cohort assignment (the
+    // dedup-then-join order keeps the join input linear in active
+    // user-weeks, not events); the matrix aggregate is weeks²-bounded.
+    // Offsets beyond the observation window don't appear — absence IS
+    // the triangle's edge. ----
+    "q220_cohort_retention" -> { (s, d) =>
+      val wkUs = 7L * 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("c_wk"))
+      val sizes = cohort.groupBy("c_wk").agg(count(lit(1)).as("n_cohort"))
+      val active = ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("c_wk"), (col("wk") - col("c_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val result = active.join(sizes, "c_wk")
+        .select(col("c_wk").cast("bigint").as("cohort_week"),
+          col("week_offset").cast("bigint").as("week_offset"),
+          col("n_active").cast("bigint").as("n_active"),
+          col("n_cohort").cast("bigint").as("n_cohort"),
+          expr("(1000000 * n_active) div n_cohort")
+            .cast("bigint").as("retention_q"))
+      result.orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- timeout-constrained funnel (the product-analytics upgrade
+    // over q36's any-time funnel: each step must land within a window
+    // of the PREVIOUS step — signup → first view ≤ 7 d later → first
+    // purchase ≤ 7 d after that view): stage populations and quantized
+    // step conversion rates. Shape: each stage is one filtered
+    // equi-join on user against the previous stage's one-row-per-user
+    // frame followed by a min-aggregate — sequential dependency
+    // expressed as a chain of bounded joins, no per-user event-history
+    // window, map-side combine everywhere. ----
+    "q219_timeout_funnel" -> { (s, d) =>
+      val wk = 7L * 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("s_us"))
+      val v0 = ev.filter(col("event_type") === "view")
+        .join(s0, "user_id")
+        .filter(col("us") >= col("s_us") && col("us") - col("s_us") <= wk)
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val p0 = ev.filter(col("event_type") === "purchase")
+        .join(v0, "user_id")
+        .filter(col("us") >= col("v_us") && col("us") - col("v_us") <= wk)
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val result = s0.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(v0.agg(count(lit(1)).as("n_view_7d")))
+        .crossJoin(p0.agg(count(lit(1)).as("n_purchase_7d")))
+        .select(col("n_signup").cast("bigint").as("n_signup"),
+          col("n_view_7d").cast("bigint").as("n_view_7d"),
+          col("n_purchase_7d").cast("bigint").as("n_purchase_7d"),
+          expr("(1000000 * n_view_7d) div n_signup")
+            .cast("bigint").as("cr_view_q"),
+          expr("(1000000 * n_purchase_7d) div greatest(n_view_7d, 1)")
+            .cast("bigint").as("cr_purchase_q"))
+      result
+    },
+
     // ---- signup→purchase conversion-latency percentiles through the
     // native quantile sketch: the product-analytics "time to convert"
     // distribution, computed the way it survives production scale —
@@ -1602,6 +1669,52 @@ object EventsPack extends QueryPack {
         |       CAST(p_q AS BIGINT) AS p_q
         |FROM rk WHERE rk <= 3
         |ORDER BY cur, rk""".stripMargin,
+
+    // same epoch-week grid, distinct user-weeks, and integer rates
+    "q220_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS c_wk FROM ev GROUP BY user_id),
+        |sizes AS (SELECT c_wk, CAST(count(*) AS BIGINT) AS n_cohort
+        |          FROM cohort GROUP BY c_wk),
+        |uw AS (SELECT DISTINCT user_id, wk FROM ev),
+        |active AS (
+        |  SELECT c.c_wk, u.wk - c.c_wk AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw u JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.c_wk AS BIGINT) AS cohort_week,
+        |       CAST(a.week_offset AS BIGINT) AS week_offset,
+        |       a.n_active, s.n_cohort,
+        |       CAST((1000000 * a.n_active) // s.n_cohort AS BIGINT) AS retention_q
+        |FROM active a JOIN sizes s USING (c_wk)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // same stage-chained filtered joins and integer conversion ratios
+    "q219_timeout_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |s0 AS (SELECT user_id, min(us) AS s_us FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |v0 AS (SELECT e.user_id, min(e.us) AS v_us
+        |       FROM ev e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.us >= s0.s_us
+        |         AND e.us - s0.s_us <= 604800000000
+        |       GROUP BY e.user_id),
+        |p0 AS (SELECT e.user_id, min(e.us) AS p_us
+        |       FROM ev e JOIN v0 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us >= v0.v_us
+        |         AND e.us - v0.v_us <= 604800000000
+        |       GROUP BY e.user_id),
+        |c AS (SELECT CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_signup,
+        |             CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_view_7d,
+        |             CAST((SELECT count(*) FROM p0) AS BIGINT) AS n_purchase_7d)
+        |SELECT n_signup, n_view_7d, n_purchase_7d,
+        |       CAST((1000000 * n_view_7d) // n_signup AS BIGINT) AS cr_view_q,
+        |       CAST((1000000 * n_purchase_7d) // greatest(n_view_7d, 1) AS BIGINT) AS cr_purchase_q
+        |FROM c""".stripMargin,
 
     // same first-signup/first-qualifying-purchase collapse and minute
     // quantization; nearest-rank quantiles replay the sketch's exact

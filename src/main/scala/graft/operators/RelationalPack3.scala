@@ -584,10 +584,70 @@ object RelationalPack3 extends QueryPack {
           .unionByName(valCheck("events_nonpositive_value", ev,
             col("value") <= 0))
       result.orderBy("check")
+    },
+
+    // ---- functional-dependency validation (the data-profiling step —
+    // cf. Papenbrock et al., "Functional dependency discovery", VLDB
+    // 2015 — run in VALIDATION mode over declared candidate FDs, the
+    // way a warehouse checks its assumed keys): for each candidate
+    // determinant → dependent pair, how many determinant groups map to
+    // MORE than one dependent value, and how bad is the worst group?
+    // Shape per FD: one map-side-combining distinct-pair collapse,
+    // then a groups-sized aggregate — never a pairwise comparison; the
+    // output is one row per declared FD. nation→region must HOLD
+    // (n_violating = 0, the passing contract row); brand→type and
+    // user→event-type are expected to fail — profiling reports the
+    // degree, not just the bit. ----
+    "q218_fd_profile" -> { (s, d) =>
+      def fd(name: String, df: DataFrame, det: String, dep: String): DataFrame = {
+        val pairs = df.select(col(det).as("k"), col(dep).as("v")).distinct()
+        pairs.groupBy("k").agg(count(lit(1)).as("n_vals"))
+          .agg(count(lit(1)).cast("bigint").as("n_groups"),
+            sum(when(col("n_vals") > 1, 1L).otherwise(0L))
+              .cast("bigint").as("n_violating"),
+            max("n_vals").cast("bigint").as("max_distinct"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+            col("max_distinct"))
+      }
+      val result =
+        fd("nation_to_region", Tables.nation(s, d), "n_nationkey", "n_regionkey")
+          .unionByName(fd("brand_to_type", Tables.part(s, d), "p_brand", "p_type"))
+          .unionByName(fd("cust_to_nation", Tables.customer(s, d),
+            "c_custkey", "c_nationkey"))
+          .unionByName(fd("user_to_event_type", Tables.events(s, d),
+            "user_id", "event_type"))
+          .unionByName(fd("order_to_status", Tables.orders(s, d),
+            "o_orderkey", "o_orderstatus"))
+      result.orderBy("fd")
     }
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // same distinct-pair collapse and per-FD group aggregate
+    "q218_fd_profile" ->
+      """WITH f1 AS (
+        |  SELECT 'nation_to_region' AS fd, k, CAST(count(*) AS BIGINT) AS n_vals
+        |  FROM (SELECT DISTINCT n_nationkey AS k, n_regionkey AS v FROM nation) GROUP BY 1, 2),
+        |f2 AS (
+        |  SELECT 'brand_to_type', k, CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT p_brand AS k, p_type AS v FROM part) GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT 'cust_to_nation', k, CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT c_custkey AS k, c_nationkey AS v FROM customer) GROUP BY 1, 2),
+        |f4 AS (
+        |  SELECT 'user_to_event_type', k, CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id AS k, event_type AS v FROM events) GROUP BY 1, 2),
+        |f5 AS (
+        |  SELECT 'order_to_status', k, CAST(count(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT o_orderkey AS k, o_orderstatus AS v FROM orders) GROUP BY 1, 2),
+        |allf AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+        |         UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       CAST(max(n_vals) AS BIGINT) AS max_distinct
+        |FROM allf GROUP BY fd
+        |ORDER BY fd""".stripMargin,
 
     // same anti-join orphan counts and conditional value assertions
     "q217_dq_expectations" ->
