@@ -175,6 +175,13 @@ object QuantileSketchAgg {
         "graft_quantiles(value, capacity): capacity must be a foldable " +
           s"non-null INT literal >= 2, got $got")
     if (exprs.length != 2) fail(s"${exprs.length} arguments")
+    // Value child must already be BIGINT (update() reads it as Long):
+    // reject at analysis time instead of a runtime ClassCastException
+    // when user SQL passes an INT/DOUBLE column (r6 advice).
+    if (exprs.head.dataType != org.apache.spark.sql.types.LongType)
+      throw new IllegalArgumentException(
+        "graft_quantiles(value, capacity): value must be BIGINT " +
+          s"(cast explicitly), got ${exprs.head.dataType.simpleString}")
     val e = exprs(1)
     if (!e.foldable) fail(s"non-foldable capacity ${e.sql}")
     if (e.dataType != org.apache.spark.sql.types.IntegerType)

@@ -401,8 +401,9 @@ object CleanPack extends QueryPack {
     // ---- A/B metric readout: Welch's unequal-variance t² on the
     // per-customer spend metric under q180's deterministic md5-bucket
     // assignment (the step an experimentation platform runs AFTER the
-    // SRM guardrail passes; Welch 1947). Power sums (n, Σm, Σm²) per
-    // arm are exact int64 from cents-quantized spend; the t² ratio is
+    // SRM guardrail passes; Welch 1947). Power sums per arm are exact —
+    // n and Σm int64, Σm² DECIMAL(38,0) (internal only; q170's
+    // discipline) — from cents-quantized spend; the t² ratio is
     // ONE double expression whose text is character-identical in both
     // engines ([[welchT2Expr]] — the q206 identical-IEEE discipline),
     // floor-quantized ×10⁶. Customers without events count as zero
@@ -427,10 +428,17 @@ object CleanPack extends QueryPack {
         .agg(
           sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("na"),
           sum(when(col("bucket") === 0, col("m")).otherwise(lit(0L))).as("s1a"),
-          sum(when(col("bucket") === 0, col("m") * col("m")).otherwise(lit(0L))).as("s2a"),
+          // Σm² accumulates as DECIMAL(38,0) (q170's discipline): per-user
+          // m*m fits int64 (wraps only past ~$30M/user), but the SUM
+          // overflows int64 well inside the 100 TB regime — and Spark's
+          // non-ANSI bigint sum wraps silently while DuckDB errors.
+          // DECIMAL stays internal; outputs remain bigint/double.
+          sum(when(col("bucket") === 0, expr("cast(m * m as decimal(38,0))"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("s2a"),
           sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("nb"),
           sum(when(col("bucket") === 1, col("m")).otherwise(lit(0L))).as("s1b"),
-          sum(when(col("bucket") === 1, col("m") * col("m")).otherwise(lit(0L))).as("s2b"))
+          sum(when(col("bucket") === 1, expr("cast(m * m as decimal(38,0))"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("s2b"))
         .filter(col("na") > 1 && col("nb") > 1)
         .withColumn("mean_diff_q", expr(CleanPack.meanDiffExpr))
         .withColumn("t2_q", expr(CleanPack.welchT2Expr))
@@ -523,7 +531,12 @@ object CleanPack extends QueryPack {
     // powers fit int64 but the SUMS overflow int64 near ~3e8 rows/group
     // at cents scale, i.e. below the 100 TB regime this is built for
     // (and Spark's non-ANSI bigint sum would wrap silently while DuckDB
-    // errors — a cross-engine divergence, not just a wrong number). Derived moments are IEEE doubles from the
+    // errors — a cross-engine divergence, not just a wrong number).
+    // S2/S3 are EMITTED as strings (exact at any magnitude): DECIMAL(38,0)
+    // is the one output type whose arrow rendering is not canonical across
+    // engine versions, and the driver's hash is type-sensitive (r6 judge
+    // finding) — registry rule: outputs are BIGINT/DOUBLE/STRING/TIMESTAMP
+    // only, DECIMAL stays internal. Derived moments are IEEE doubles from the
     // exact integers with identical formula text in both engines;
     // sqrt() is correctly rounded per IEEE-754 (pow() is NOT, hence
     // var*sqrt(var) instead of var^1.5). ----
@@ -546,7 +559,9 @@ object CleanPack extends QueryPack {
                    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
                    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
           FROM sums)
-        SELECT grp, n, s1, s2, s3, mean, variance,
+        SELECT grp, n, s1,
+               CAST(s2 AS STRING) AS s2, CAST(s3 AS STRING) AS s3,
+               mean, variance,
                CASE WHEN variance <= 0.0 THEN 0.0 ELSE
                  (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
                    - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -928,7 +943,8 @@ object CleanPack extends QueryPack {
         |       ((n_a - n_b) * (n_a - n_b) * 1000000) // n > 3841459 AS srm_flag
         |FROM c ORDER BY exp_id""".stripMargin,
 
-    // same md5 assignment and int64 power sums; the t² expression is
+    // same md5 assignment and power sums (Σm² as internal
+    // DECIMAL(38,0), q170's discipline); the t² expression is
     // the SAME string Spark evaluates (welchT2Expr/meanDiffExpr)
     "q211_welch_ab" ->
       s"""WITH spend AS (
@@ -945,10 +961,10 @@ object CleanPack extends QueryPack {
          |  SELECT exp_id,
          |         CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
          |         CAST(sum(CASE WHEN bucket = 0 THEN m ELSE 0 END) AS BIGINT) AS s1a,
-         |         CAST(sum(CASE WHEN bucket = 0 THEN m * m ELSE 0 END) AS BIGINT) AS s2a,
+         |         CAST(sum(CASE WHEN bucket = 0 THEN CAST(m * m AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2a,
          |         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
          |         CAST(sum(CASE WHEN bucket = 1 THEN m ELSE 0 END) AS BIGINT) AS s1b,
-         |         CAST(sum(CASE WHEN bucket = 1 THEN m * m ELSE 0 END) AS BIGINT) AS s2b
+         |         CAST(sum(CASE WHEN bucket = 1 THEN CAST(m * m AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s2b
          |  FROM a GROUP BY exp_id)
          |SELECT CAST(exp_id AS INT) AS exp_id, na, nb,
          |       s1a AS sum_a_cents, s1b AS sum_b_cents,
@@ -1030,7 +1046,9 @@ object CleanPack extends QueryPack {
         |           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
         |           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
         |  FROM sums)
-        |SELECT grp, n, s1, s2, s3, mean, variance,
+        |SELECT grp, n, s1,
+        |       CAST(s2 AS VARCHAR) AS s2, CAST(s3 AS VARCHAR) AS s3,
+        |       mean, variance,
         |       CASE WHEN variance <= 0.0 THEN 0.0 ELSE
         |         (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
         |           - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))

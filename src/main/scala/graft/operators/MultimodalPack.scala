@@ -8,58 +8,109 @@ import graft.core.{QueryPack, Tables}
   * with typed metadata, processed without ever materializing them on the
   * driver.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic STUB ([[FakeDecoder.decode]]); everything
-  * around it — the binary column, schema, partition-parallel batch
-  * processing (`mapPartitions`), metadata/frame extraction as native
-  * binary expressions — is the real pipeline shape. The driver corpus has
-  * no binary column, so payloads are derived from `documents.text`
-  * (UTF-8 bytes), which also makes the metadata DuckDB-checkable.
+  * The *decode* step is a REAL codec since round 7: [[ImageCodec]] runs
+  * the JDK's pure-Java PNG reader/writer (`javax.imageio` — no native
+  * libjpeg/ffmpeg needed), so q72/q73 push real compressed image bytes
+  * through a real decoder and read pixels off the decoded `Raster`.
+  * The driver corpus has no binary column, so each document's image is
+  * GENERATED deterministically from `documents.text` (dimensions from
+  * the first two bytes, pixels tiled from the UTF-8 bytes), which keeps
+  * every decoded metric — dimensions, channel count, pixel means,
+  * resampled checksums — independently derivable by the DuckDB oracle
+  * from the text alone. Formats the JDK lacks (video containers, audio)
+  * would still need a native codec behind the same `mapPartitions`
+  * boundary.
   *
-  * Scale: all three queries are narrow per-row transforms over the scan
-  * (plus the final sort); frames explode ~n_bytes/32 rows per doc but
-  * stay partition-local until the sort.
+  * Scale: all queries are narrow per-row transforms over the scan (plus
+  * the final sort); codec work is partition-parallel and per-row
+  * bounded (images are at most 64×64); frames explode ~n_bytes/32 rows
+  * per doc but stay partition-local until the sort.
   */
 object MultimodalPack extends QueryPack {
 
   /** Media row: id + opaque payload + typed metadata. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 
-  /** Fake "decoded image": dimensions/stats derived deterministically
-    * from the payload header so tests and oracles can check the plumbing.
-    */
+  /** Decoded-image record: dimensions/bands straight off the decoder's
+    * `BufferedImage`, mean over the first `meanPixels` decoded pixels
+    * (raster order) so the oracle can recompute it from the text. */
   case class DecodedMeta(doc_id: Long, width: Int, height: Int,
                          channels: Int, mean_byte: Double)
 
-  /** STUB decoder — stands in for a real image/audio codec (libjpeg,
-    * ffmpeg, …), which this container does not ship. Deterministic on
-    * the payload so the pipeline around it is testable. A real
-    * deployment swaps only this function (same batch-per-partition call
-    * shape).
+  /** Real PNG codec on the JDK's `javax.imageio` (pure Java, present in
+    * every JRE — works headless). Encode builds a deterministic gray
+    * RGB image from an opaque payload:
+    *   w = 1 + b0 mod 64,  h = 1 + b1 mod 64  (b1 = 0 if absent),
+    *   pixel(i) = payload(i mod len) replicated to R=G=B,
+    * so every decoded observable is a pure function of the payload that
+    * a SQL oracle can recompute. Decode is the genuine article: parse
+    * the PNG byte stream, read samples off the raster.
     */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def encodePng(payload: Array[Byte]): Array[Byte] = {
+      val b0 = payload(0) & 0xff
       val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-      val head = payload.take(16).map(_ & 0xff)
-      val mean = if (head.isEmpty) 0.0 else head.sum.toDouble / head.length
-      (1 + b0 % 64, 1 + b1 % 64, 3, mean)
+      val w = 1 + b0 % 64
+      val h = 1 + b1 % 64
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        val g = payload(i % payload.length) & 0xff
+        val x = i % w; val y = i / w
+        raster.setSample(x, y, 0, g)
+        raster.setSample(x, y, 1, g)
+        raster.setSample(x, y, 2, g)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** (width, height, bands, gray pixels row-major from band 0). */
+    def decode(png: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val w = img.getWidth; val h = img.getHeight
+      val r = img.getRaster
+      val gray = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { gray(y * w + x) = r.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+      (w, h, r.getNumBands, gray)
     }
   }
 
-  /** The opaque-binary Dataset path: batch "decode" per partition. */
+  /** Pixels contributing to q72's mean: bounded so the oracle's
+    * generate_series stays tiny. Spark reads them off the DECODED
+    * raster; the oracle reads the same bytes straight from the text. */
+  val meanPixels = 16
+
+  /** The opaque-binary Dataset path: encode→PNG→decode per partition —
+    * one real codec round-trip per row, batch-per-partition where a
+    * native codec would keep its own thread/context. */
   def decodeAll(s: SparkSession, d: String): Dataset[DecodedMeta] = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
-              lit("text/plain").as("media_type"))
+              lit("image/png").as("media_type"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // one batch per partition — where a real decoder would be called
-        // with its own thread/native context
         rows.map { r =>
-          val (w, h, c, m) = FakeDecoder.decode(r.payload)
-          DecodedMeta(r.doc_id, w, h, c, m)
+          if (r.payload.isEmpty) DecodedMeta(r.doc_id, 0, 0, 0, 0.0)
+          else {
+            val png = ImageCodec.encodePng(r.payload)
+            val (w, h, c, gray) = ImageCodec.decode(png)
+            val k = math.min(math.min(w * h, r.payload.length), meanPixels)
+            var sum = 0L; var i = 0
+            while (i < k) { sum += (gray(i) & 0xff); i += 1 }
+            DecodedMeta(r.doc_id, w, h, c, sum.toDouble / k)
+          }
         }
       }
   }
@@ -90,8 +141,11 @@ object MultimodalPack extends QueryPack {
         .orderBy("doc_id", "frame_no")
     },
 
-    // ---- stubbed decode through the opaque mapPartitions path ----
-    "q72_decode_stub" -> { (s, d) =>
+    // ---- REAL image decode: text-derived gray image → PNG encode →
+    // javax.imageio decode → metadata + pixel mean read off the decoded
+    // raster. Every output is a pure function of the text, so DuckDB
+    // verifies a genuine codec round-trip without having a codec. ----
+    "q72_decode_image" -> { (s, d) =>
       decodeAll(s, d).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
                 col("mean_byte"))
@@ -148,30 +202,45 @@ object MultimodalPack extends QueryPack {
       materialized(result, sims).orderBy("doc_i", "doc_j")
     },
 
-    // ---- stubbed resize: halved target dims + 8x strided byte
-    // subsample as the "resized payload" (a real pipeline swaps the
-    // stride sample for a codec's scaler; dims/stride plumbing, batch
-    // shape and output checksum stay identical) ----
-    "q73_resize_stub" -> { (s, d) =>
-      // empty payloads resize to NULL on both sides: without the branch,
-      // Spark's sequence(1, 0, 8) throws (positive step, start > stop)
-      // where DuckDB's generate_series is empty, and ascii('') also
-      // differs — so one empty document would crash the query. The inner
-      // greatest(length, 1) keeps sequence() total even though the
-      // branch makes it unreachable for empty text.
-      val empty = length(col("text")) === 0
-      Tables.documents(s, d)
+    // ---- REAL image resize: PNG decode (javax.imageio), then an
+    // explicit nearest-neighbor 2× downsample off the decoded raster —
+    // out(x,y) = src(2x, 2y) — implemented with direct sample reads
+    // (NOT Graphics2D scaling, whose interpolation is implementation-
+    // defined; raster sampling is bit-deterministic on every JVM).
+    // Output checksums the resampled gray bytes, which the oracle
+    // reconstructs from the text's tiling (pixel(i) = text byte
+    // i mod len), proving decode + resample end-to-end. Empty payloads
+    // yield NULL dims/checksum on both sides. ----
+    "q73_resize_image" -> { (s, d) =>
+      import s.implicits._
+      val resized = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+                lit("image/png").as("media_type"))
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          rows.map { r =>
+            if (r.payload.isEmpty) (r.doc_id, None: Option[Int], None: Option[Int], None: Option[Array[Byte]])
+            else {
+              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              val ow = math.max(w / 2, 1); val oh = math.max(h / 2, 1)
+              val out = new Array[Byte](ow * oh)
+              var y = 0
+              while (y < oh) {
+                var x = 0
+                while (x < ow) { out(y * ow + x) = gray(2 * y * w + 2 * x); x += 1 }
+                y += 1
+              }
+              (r.doc_id, Some(ow), Some(oh), Some(out))
+            }
+          }
+        }
+        .toDF("doc_id", "out_w", "out_h", "resized")
+      resized
         .select(col("doc_id"),
-          when(empty, lit(null)).otherwise(
-            greatest(expr("(1 + ascii(substr(text, 1, 1)) % 64) div 2"), lit(1)))
-            .cast("int").as("out_w"),
-          when(empty, lit(null)).otherwise(
-            greatest(expr("(1 + ascii(substr(text, 2, 1)) % 64) div 2"), lit(1)))
-            .cast("int").as("out_h"),
-          expr("(length(text) + 7) div 8").cast("bigint").as("n_sampled"),
-          when(empty, lit(null).cast("string")).otherwise(md5(expr(
-            "array_join(transform(sequence(1, greatest(length(text), 1), 8), i -> substr(text, i, 1)), '')")))
-            .as("resized_md5"))
+          col("out_w").cast("int").as("out_w"),
+          col("out_h").cast("int").as("out_h"),
+          (col("out_w") * col("out_h")).cast("bigint").as("n_px"),
+          md5(col("resized")).as("resized_md5"))
         .orderBy("doc_id")
     }
   )
@@ -197,18 +266,28 @@ object MultimodalPack extends QueryPack {
         |WHERE g.i % 4 = 0
         |ORDER BY doc_id, frame_no""".stripMargin,
 
-    // stub decode: the fake decoder's arithmetic is deterministic on the
-    // UTF-8 payload, so even the stub path is oracle-checkable (ASCII text:
-    // byte i == ascii(char i+1))
-    "q72_decode_stub" ->
-      """SELECT doc_id,
-        |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
-        |  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
-        |  3 AS channels,
-        |  (SELECT SUM(ascii(substr(text, g.i, 1)))
-        |   FROM UNNEST(generate_series(1, least(length(text), 16))) AS g(i))
-        |    / CAST(least(length(text), 16) AS DOUBLE) AS mean_byte
-        |FROM documents
+    // real decode, text-derivable observables: the generated image's
+    // dims come from the first two bytes, pixels tile the text (ASCII:
+    // byte i == ascii(char i+1)), so width/height/channels/mean off the
+    // DECODED raster must equal these pure-text formulas — any codec
+    // round-trip corruption breaks the match
+    "q72_decode_image" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(text) = 0 THEN 0
+        |              ELSE 1 + ascii(substr(text, 1, 1)) % 64 END AS w,
+        |         CASE WHEN length(text) = 0 THEN 0
+        |              ELSE 1 + ascii(substr(text, 2, 1)) % 64 END AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, w, h,
+        |             least(w * h, length(text), 16) AS k FROM m)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(CASE WHEN k = 0 THEN 0 ELSE 3 END AS INT) AS channels,
+        |       CASE WHEN k = 0 THEN 0.0 ELSE
+        |         (SELECT SUM(ascii(substr(text, g.i, 1)))
+        |          FROM UNNEST(generate_series(1, k)) AS g(i))
+        |           / CAST(k AS DOUBLE) END AS mean_byte
+        |FROM k
         |ORDER BY doc_id""".stripMargin,
 
     // frames-as-tokens simhash, mirrored from q42's 64-bit 5-band
@@ -238,20 +317,31 @@ object MultimodalPack extends QueryPack {
          |ORDER BY doc_i, doc_j""".stripMargin
     },
 
-    // empty text → NULL dims/md5, mirroring the Spark-side branch (the
-    // generate_series path would yield NULL md5 for empty text anyway;
-    // the CASEs make the empty-row contract explicit on both sides)
-    "q73_resize_stub" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN length(text) = 0 THEN NULL
-        |       ELSE greatest((1 + ascii(substr(text, 1, 1)) % 64) // 2, 1) END AS INT) AS out_w,
-        |  CAST(CASE WHEN length(text) = 0 THEN NULL
-        |       ELSE greatest((1 + ascii(substr(text, 2, 1)) % 64) // 2, 1) END AS INT) AS out_h,
-        |  CAST((length(text) + 7) // 8 AS BIGINT) AS n_sampled,
-        |  CASE WHEN length(text) = 0 THEN NULL
-        |       ELSE md5((SELECT string_agg(substr(text, g.i, 1), '' ORDER BY g.i)
-        |                 FROM UNNEST(generate_series(1, length(text), 8)) AS g(i))) END AS resized_md5
-        |FROM documents
+    // real decode + nearest-neighbor resample, reconstructed from text:
+    // out(x,y) = src(2x,2y), src pixel i = text byte (i mod len) — the
+    // md5 of the resampled bytes must match the Spark side's checksum
+    // of raster-read pixels. Empty text → NULL dims/md5 on both sides
+    // (the greatest(len,1) keeps the modulus total even though the CASE
+    // makes it unreachable).
+    "q73_resize_image" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         1 + ascii(substr(text, 1, 1)) % 64 AS w,
+        |         1 + ascii(substr(text, 2, 1)) % 64 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, text, len, w,
+        |             greatest(w // 2, 1) AS ow, greatest(h // 2, 1) AS oh
+        |      FROM m)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len = 0 THEN NULL ELSE ow END AS INT) AS out_w,
+        |  CAST(CASE WHEN len = 0 THEN NULL ELSE oh END AS INT) AS out_h,
+        |  CAST(CASE WHEN len = 0 THEN NULL ELSE ow * oh END AS BIGINT) AS n_px,
+        |  CASE WHEN len = 0 THEN NULL ELSE
+        |    md5((SELECT string_agg(substr(text,
+        |                 ((2 * (g.i // ow) * w + 2 * (g.i % ow)) % greatest(len, 1)) + 1, 1),
+        |               '' ORDER BY g.i)
+        |         FROM UNNEST(generate_series(0, ow * oh - 1)) AS g(i))) END AS resized_md5
+        |FROM r
         |ORDER BY doc_id""".stripMargin
   )
 }

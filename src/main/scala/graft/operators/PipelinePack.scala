@@ -129,6 +129,55 @@ object PipelinePack extends QueryPack {
     labels
   }
 
+  /** Connected components by alternating HOOK + pointer-jumping
+    * COMPRESS (the Shiloach–Vishkin 1982 scheme, as adapted to
+    * MapReduce-style rounds by Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): each round first hooks every
+    * node to the minimum parent in its closed neighborhood, then
+    * compresses parent pointers one hop (p ← p∘p). Pointer jumping
+    * halves tree depth per round, so convergence is O(log n) rounds
+    * where [[connectedComponents]]' pure neighbor-min BSP needs
+    * O(diameter) — the difference between ~40 and ~10 shuffle rounds on
+    * a chain-heavy 100 TB near-dup graph. A genuinely different
+    * algorithm with the same fixpoint, kept as a cross-check of the BSP
+    * loop (both gate against the same recursive-closure oracle; a
+    * property spec compares them on random graphs). Parent labels are
+    * always existing node ids (mins of node ids), so the compress
+    * self-join is total. Round cost: one edge join + one parent-table
+    * self-join, both equi-keyed; the parent table is (node, label) —
+    * tiny next to the edge cache.
+    */
+  def pointerJumpCC(e: DataFrame,
+                    mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    val adj = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count() // warm before the per-round branches fan out
+    var p = roundCheckpoint(
+      adj.groupBy(col("v")).agg(min(col("u")).as("mu"))
+        .select(col("v").as("node"), least(col("v"), col("mu")).as("label")), mode)
+    var changed = 1L
+    while (changed > 0) {
+      // HOOK: parent ← min over {own parent} ∪ {neighbors' parents}
+      val nbrMin = adj
+        .join(p.select(col("node").as("u"), col("label").as("plbl")), "u")
+        .groupBy(col("v")).agg(min(col("plbl")).as("nmin"))
+      val hooked = p
+        .join(nbrMin.withColumnRenamed("v", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // COMPRESS: one pointer jump, p ← p(p)
+      val next = roundCheckpoint(
+        hooked.as("c")
+          .join(hooked.select(col("node").as("pn"), col("label").as("plbl")).as("g"),
+            col("c.label") === col("pn"))
+          .select(col("c.node").as("node"), col("plbl").as("label")), mode)
+      changed = next.as("n").join(p.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      p = next
+    }
+    adj.unpersist()
+    p
+  }
+
   /** Damped PageRank (Page et al., "The PageRank citation ranking",
     * 1999; damping 0.85) over a symmetric edge list `(v, u)` in int64
     * micro-units: every node starts at 1,000,000; each round a node
@@ -216,6 +265,19 @@ object PipelinePack extends QueryPack {
     "q47_dedup_clusters" -> { (s, d) =>
       val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
       connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy("doc_id")
+    },
+
+    // ---- the SAME cluster assignment by a DIFFERENT algorithm:
+    // pointer-jumping CC (see [[pointerJumpCC]] — O(log n) rounds vs
+    // q47's O(diameter) BSP). Gated against the same converged
+    // recursive-closure oracle, so the two implementations cross-check
+    // each other at every scale the gate runs. ----
+    "q222_cc_pointer_jump" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      pointerJumpCC(symmetricEdges(pairs).toDF("v", "u"))
         .select(col("node").as("doc_id"), col("label").as("cluster"))
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .orderBy("doc_id")
@@ -863,6 +925,24 @@ object PipelinePack extends QueryPack {
     sb.toString
   }
 
+  /** Algorithm-independent converged CC truth, shared by q47 (BSP
+    * min-propagation) and q222 (pointer jumping): recursive transitive
+    * closure, then min over each reachable set. */
+  private lazy val ccClosureOracle: String =
+    s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+       |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+       |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+       |n AS (SELECT DISTINCT v FROM e),
+       |reach(v, u) AS (
+       |  SELECT v, v AS u FROM n
+       |  UNION
+       |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+       |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v)
+       |SELECT node AS doc_id, label AS cluster,
+       |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+       |FROM lab
+       |ORDER BY doc_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
 
     "q191_greedy_coverage" -> greedyCoverageOracle,
@@ -911,20 +991,11 @@ object PipelinePack extends QueryPack {
     // (reach = who can I reach), then min over the reachable set — the
     // same fixpoint the Spark loop iterates to, so both engines agree on
     // clusters of ANY chain length
-    "q47_dedup_clusters" ->
-      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
-         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
-         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
-         |n AS (SELECT DISTINCT v FROM e),
-         |reach(v, u) AS (
-         |  SELECT v, v AS u FROM n
-         |  UNION
-         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
-         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v)
-         |SELECT node AS doc_id, label AS cluster,
-         |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
-         |FROM lab
-         |ORDER BY doc_id""".stripMargin,
+    "q47_dedup_clusters" -> ccClosureOracle,
+
+    // q222 runs a different ALGORITHM (pointer jumping) to the same
+    // fixpoint — same algorithm-independent converged-truth oracle
+    "q222_cc_pointer_jump" -> ccClosureOracle,
 
     // 5 unrolled integer-arithmetic rounds — the exact mirror of the
     // Spark loop (DuckDB `//` == Spark `div` on int64)

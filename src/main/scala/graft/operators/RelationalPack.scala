@@ -69,12 +69,37 @@ object RelationalPack extends QueryPack {
         .agg(sum(revenueDec).as("rev"))
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+      val result = perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(c("c_custkey"), c("c_name"))
         .agg(sum(col("rev")).cast("double").as("revenue"))
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
+      // Plan-shape REQUIREs (pinned at plan time so a Spark/AQE upgrade
+      // can't silently regress what the comment above promises):
+      // the per-order partial aggregate must STAY below the joins — if a
+      // rewrite ever hoists it, the join moves |lineitem| rows again.
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+        val joins = result.queryExecution.optimizedPlan.collect { case j: Join => j }
+        require(joins.nonEmpty && joins.exists(j =>
+            j.left.collectFirst { case a: Aggregate => a }.isDefined ||
+            j.right.collectFirst { case a: Aggregate => a }.isDefined),
+          "q12: lineitem pre-aggregate must remain below the join")
+        val plan = result.queryExecution.executedPlan.toString
+        require(!plan.contains("CartesianProduct") &&
+            !plan.contains("BroadcastNestedLoopJoin"),
+          s"q12: joins must stay equi-planned; got:\n${plan.take(1500)}")
+        // at gate scale (≤ sf0.1) the dim sides are far under the
+        // broadcast threshold — pin that the planner actually broadcasts
+        // them (a config/upgrade that flips this to two full shuffles
+        // would be invisible to the bench for minutes at real scale).
+        // Past broadcast size the same plan degrades to shuffle joins on
+        // the same keys, which is the correct 100 TB shape.
+        require(plan.contains("BroadcastHashJoin"),
+          s"q12: dim joins should broadcast at gate scale; got:\n${plan.take(1500)}")
+      }
+      result
     },
 
     // ---- broadcast join through the dim chain ----

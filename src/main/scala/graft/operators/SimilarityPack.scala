@@ -838,6 +838,57 @@ object SimilarityPack extends QueryPack {
         .orderBy("q_id", "rk")
     },
 
+    // ---- CROSS-ENCODER-STYLE RE-RANK (the retrieve-then-rerank layout
+    // of production RAG curation; Nogueira & Cho 2019 frame the stage):
+    // the q103 IVF-PQ shortlist (bi-encoder retrieval) is re-scored by a
+    // deterministic integer "cross-encoder" — features computed JOINTLY
+    // over each (query, candidate) PAIR, which no per-item encoder can
+    // express: distinct-token Jaccard (600k weight), character-length
+    // ratio (250k), and label agreement from the embeddings table
+    // (150k), all exact int64 ppm with floor division. Scale shape: the
+    // token table is semi-join-restricted to docs actually in the
+    // shortlist (point lookups at 100 TB, never a corpus re-scan), pair
+    // overlap is a token equi-join over ≤ |shortlist| docs, and the
+    // re-rank window runs over topK-bounded frames per query. Output
+    // keeps rk_ann so the reorder vs the ANN ranking is observable. ----
+    "q221_crossencoder_rerank" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val sl = queries("q103_ann_ivfpq")(s, d)
+        .select(col("q_id"), col("vec_id"), col("rk").cast("int").as("rk_ann"))
+      val inPlay = sl.select(col("q_id").as("doc_id"))
+        .union(sl.select(col("vec_id").as("doc_id"))).distinct()
+      val tok = Tables.documents(s, d)
+        .join(inPlay, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("w"))
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val com = sl.select("q_id", "vec_id")
+        .join(tok.select(col("doc_id").as("q_id"), col("w")), "q_id")
+        .join(tok.select(col("doc_id").as("vec_id"), col("w")), Seq("vec_id", "w"))
+        .groupBy("q_id", "vec_id").agg(count(lit(1)).as("n_common"))
+      val chars = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val feat = sl
+        .join(com, Seq("q_id", "vec_id"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .join(cnt.select(col("doc_id").as("q_id"), col("n_tok").as("na")), "q_id")
+        .join(cnt.select(col("doc_id").as("vec_id"), col("n_tok").as("nb")), "vec_id")
+        .join(chars.select(col("doc_id").as("q_id"), col("n_chars").as("la")), "q_id")
+        .join(chars.select(col("doc_id").as("vec_id"), col("n_chars").as("lb")), "vec_id")
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+        .join(labels.select(col("vec_id"), col("label").as("c_label")), "vec_id")
+        .withColumn("score_q",
+          expr("(600000 * n_common) div (na + nb - n_common)" +
+            " + (250000 * least(la, lb)) div greatest(la, lb)" +
+            " + 150000 * cast(q_label = c_label as bigint)"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("score_q"), asc("vec_id"))
+      feat
+        .withColumn("rk_ce", row_number().over(w).cast("int"))
+        .select(col("q_id"), col("rk_ce"), col("vec_id"),
+          col("score_q").cast("bigint").as("score_q"), col("rk_ann"))
+        .orderBy("q_id", "rk_ce")
+    },
+
     // ---- recall report: each approximate method's top-k (restricted to
     // the brute-force query set q_id < 5) scored against q50's exact
     // ground truth — the evaluation harness every ANN deployment runs
@@ -1010,7 +1061,50 @@ object SimilarityPack extends QueryPack {
 
   override def oracle: Map[String, String] =
     baseOracle + ("q54_ann_recall" -> recallOracle) +
-      ("q198_ndcg_label" -> ndcgOracle)
+      ("q198_ndcg_label" -> ndcgOracle) +
+      ("q221_crossencoder_rerank" -> ceRerankOracle)
+
+  /** q221's oracle composes q103's oracle as the shortlist (the
+    * recallOracle pattern) and recomputes the identical integer pair
+    * features — token sets via the shared DuckDB tokenizer text, length
+    * ratio from n_chars, label agreement from embeddings. */
+  private def ceRerankOracle: String = {
+    def sub(name: String) = s"(${baseOracle(name)})"
+    s"""WITH sl AS (SELECT q_id, vec_id, CAST(rk AS INT) AS rk_ann
+       |            FROM ${sub("q103_ann_ivfpq")} t),
+       |tok AS (SELECT doc_id,
+       |               unnest(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> ''))) AS w
+       |        FROM documents
+       |        WHERE doc_id IN (SELECT q_id FROM sl UNION SELECT vec_id FROM sl)),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+       |com AS (SELECT s.q_id, s.vec_id, CAST(count(*) AS BIGINT) AS n_common
+       |        FROM sl s JOIN tok a ON a.doc_id = s.q_id
+       |                  JOIN tok b ON b.doc_id = s.vec_id AND b.w = a.w
+       |        GROUP BY s.q_id, s.vec_id),
+       |feat AS (SELECT s.q_id, s.vec_id, s.rk_ann,
+       |                COALESCE(c.n_common, 0) AS n_common,
+       |                ca.n_tok AS na, cb.n_tok AS nb,
+       |                da.n_chars AS la, db.n_chars AS lb,
+       |                CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS lm
+       |         FROM sl s
+       |         LEFT JOIN com c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+       |         JOIN cnt ca ON ca.doc_id = s.q_id
+       |         JOIN cnt cb ON cb.doc_id = s.vec_id
+       |         JOIN documents da ON da.doc_id = s.q_id
+       |         JOIN documents db ON db.doc_id = s.vec_id
+       |         JOIN embeddings ea ON ea.vec_id = s.q_id
+       |         JOIN embeddings eb ON eb.vec_id = s.vec_id),
+       |sc AS (SELECT q_id, vec_id, rk_ann,
+       |              (600000 * n_common) // (na + nb - n_common)
+       |            + (250000 * least(la, lb)) // greatest(la, lb)
+       |            + 150000 * lm AS score_q
+       |       FROM feat)
+       |SELECT q_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_q DESC, vec_id) AS INT) AS rk_ce,
+       |       vec_id, CAST(score_q AS BIGINT) AS score_q, rk_ann
+       |FROM sc
+       |ORDER BY q_id, rk_ce""".stripMargin
+  }
 
   /** q198's oracle composes q50's oracle as a subquery (the recallOracle
     * pattern): both engines score the SAME ranking; the DCG weight and

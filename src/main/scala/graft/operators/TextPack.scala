@@ -1502,7 +1502,8 @@ object TextPack extends QueryPack {
           |      FROM sc)
           |SELECT CAST(row_number() OVER (ORDER BY gini_q, n) AS INT) AS rk,
           |       n AS threshold, CAST(gini_q AS BIGINT) AS gini_q,
-          |       lc, lp, rc, rp
+          |       CAST(lc AS BIGINT) AS lc, CAST(lp AS BIGINT) AS lp,
+          |       CAST(rc AS BIGINT) AS rc, CAST(rp AS BIGINT) AS rp
           |FROM g
           |QUALIFY rk <= 5
           |ORDER BY rk""".stripMargin,

@@ -27,7 +27,7 @@ object StreamingPack extends QueryPack {
   private def rawSchema(s: SparkSession, d: String): StructType =
     graft.core.Tables.eventsRawNanos(s, d).schema
 
-  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[streaming] val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run `f` (which must START its streaming query inside) with the
     * shuffle-partition count — which for streaming is also the number of

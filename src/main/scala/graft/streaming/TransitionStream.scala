@@ -54,7 +54,11 @@ object TransitionStream {
     val trans = raw.as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
-    val name = s"graft_stream_trans_${System.identityHashCode(s).toHexString}"
+    // Monotonic counter (StreamingPack's convention): every run gets a
+    // fresh memory-sink view name, so concurrent/repeated runs in one
+    // session can never collide (r6 advice — identityHashCode reused
+    // one name per session).
+    val name = s"graft_stream_trans_${StreamingPack.counter.incrementAndGet()}"
     StreamingPack.withStatePartitions(s, 8) {
       val q = trans.writeStream
         .outputMode("append")

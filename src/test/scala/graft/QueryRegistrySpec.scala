@@ -30,6 +30,23 @@ class QueryRegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Output-type canonicalization policy (r6 judge finding, the
+    * q170/q196 class): every OUTPUT column must be a type whose arrow
+    * rendering is canonical across engines — never engine-inferred
+    * DECIMAL (DuckDB window/`sum` promotes to DECIMAL(38,0)/HUGEINT
+    * where Spark stays BIGINT; the driver's hash is type-sensitive).
+    * DECIMAL stays internal to a query; cast before the final select.
+    */
+  private def typeOk(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType | IntegerType | DoubleType | StringType | BooleanType |
+           TimestampType | TimestampNTZType | DateType | BinaryType => true
+      case ArrayType(e, _) => typeOk(e)
+      case _ => false
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001 with clean schema") {
       val df = fn(spark, sfDir)
@@ -37,6 +54,10 @@ class QueryRegistrySpec extends AnyFunSuite {
       assert(cols.distinct.length == cols.length, s"duplicate columns: ${cols.mkString(",")}")
       val ugly = cols.filter(c => c.contains("(") || c.contains(" ") || c.contains("AS "))
       assert(ugly.isEmpty, s"unaliased computed columns: ${ugly.mkString(",")}")
+      val badTypes = df.schema.fields.filterNot(f => typeOk(f.dataType))
+        .map(f => s"${f.name}: ${f.dataType.simpleString}")
+      assert(badTypes.isEmpty,
+        s"non-canonical output types (cast in the final select): ${badTypes.mkString(", ")}")
       assert(df.count() >= 0) // materializes the whole plan
     }
   }
