@@ -283,6 +283,63 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- INCREMENTAL connected-components maintenance: a corpus that
+    // ingests continuously cannot re-run CC over the full pair table on
+    // every delta. The stored assignment collapses to its STAR GRAPH
+    // (one node→label edge per node — at most n edges, depth 1), new
+    // edges are a deterministic ~10% md5-hash slice standing in for the
+    // latest ingest, and CC re-runs over star ∪ delta only. Labels are
+    // component minima and every star edge links a node to a member of
+    // its old component, so the merged result provably equals CC over
+    // the FULL graph — which is exactly what the oracle computes
+    // (ccClosureOracle, shared with q47/q222): the gate IS the
+    // incremental == full proof at every scale it runs. At 100 TB the
+    // star table is the stored artifact (q101's signature-store
+    // discipline) and the recompute touches O(n + ‖delta‖) edges, never
+    // the historical pair volume. ----
+    "q224_cc_incremental" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+        .withColumn("is_delta",
+          pmod(graft.functions.TextFunctions.hex64(md5(concat(
+            col("doc_i").cast("string"), lit(":"), col("doc_j").cast("string")))),
+            lit(10)) === 0)
+      val base = pairs.filter(!col("is_delta")).select("doc_i", "doc_j")
+      val delta = pairs.filter(col("is_delta")).select("doc_i", "doc_j")
+      val stored = pointerJumpCC(symmetricEdges(base).toDF("v", "u"))
+      val starEdges = stored.select(col("node").as("doc_i"), col("label").as("doc_j"))
+      pointerJumpCC(symmetricEdges(starEdges.unionByName(delta)).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy("doc_id")
+    },
+
+    // ---- LEAKAGE-FREE train/val/test split: assignment by near-dup
+    // CLUSTER, not by document — the curation practice that makes q207's
+    // split-leakage audit come back clean BY CONSTRUCTION (a near-dup
+    // pair can never straddle splits, because both members carry the
+    // same cluster id and the split is a pure function of the cluster).
+    // Docs with no near-dup edge are their own singleton cluster. The
+    // 80/10/10 cut is the deterministic md5-bucket assignment (q180's
+    // discipline), mirrored digit-for-digit in the oracle. One CC pass
+    // (amortized: the q47 assignment is the reusable artifact) + one
+    // hash per cluster — no per-doc randomness to leak or drift. ----
+    "q225_cluster_split" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val labels = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("h",
+          pmod(graft.functions.TextFunctions.hex64(md5(concat(
+            lit("split:"), col("cluster").cast("string")))), lit(10)))
+        .withColumn("split",
+          when(col("h") <= 7, lit("train"))
+            .when(col("h") === 8, lit("val")).otherwise(lit("test")))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- PageRank (5 rounds, damping 0.85) over the near-dup graph —
     // a graph-importance quality signal, and the second BSP-iterative
     // operator next to [[connectedComponents]]. All arithmetic is int64
@@ -996,6 +1053,32 @@ object PipelinePack extends QueryPack {
     // q222 runs a different ALGORITHM (pointer jumping) to the same
     // fixpoint — same algorithm-independent converged-truth oracle
     "q222_cc_pointer_jump" -> ccClosureOracle,
+
+    // q224's incremental star∪delta recompute must equal CC over the
+    // FULL graph — the shared converged-truth oracle IS that proof
+    "q224_cc_incremental" -> ccClosureOracle,
+
+    // same closure for clusters, then the identical md5-bucket digits
+    "q225_cluster_split" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |cl AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+         |h AS (SELECT doc_id, cluster,
+         |             CAST('0x' || substring(md5('split:' || CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS hb
+         |      FROM cl)
+         |SELECT doc_id, cluster,
+         |       CASE WHEN hb <= 7 THEN 'train'
+         |            WHEN hb = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM h
+         |ORDER BY doc_id""".stripMargin,
 
     // 5 unrolled integer-arithmetic rounds — the exact mirror of the
     // Spark loop (DuckDB `//` == Spark `div` on int64)

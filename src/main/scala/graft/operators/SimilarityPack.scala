@@ -889,6 +889,85 @@ object SimilarityPack extends QueryPack {
         .orderBy("q_id", "rk_ce")
     },
 
+    // ---- MMR DIVERSIFICATION (Carbonell & Goldstein, SIGIR 1998):
+    // the context-assembly stage after retrieve-then-rerank — greedy
+    // top-3 selection from q221's re-ranked shortlist balancing
+    // relevance against redundancy: pick argmax of
+    //   mmr = score_q − max_{s ∈ selected} jaccard_ppm(c, s) div 2
+    // (λ = 2/3 in the classical λ·rel − (1−λ)·sim form, scaled to stay
+    // all-int64). Without this, a near-dup-heavy shortlist fills the
+    // context window with three copies of the same document. k = 3
+    // rounds are UNROLLED — no driver loop — as join + deterministic
+    // argmax (ties to the smaller vec_id); the candidate-candidate
+    // similarity table is bounded by |shortlist|² per query, token
+    // overlap via the same semi-join-restricted token equi-join as
+    // q221. The oracle replays all three rounds over q221's composed
+    // oracle. ----
+    "q223_mmr_diversify" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val ce = queries("q221_crossencoder_rerank")(s, d)
+        .select(col("q_id"), col("vec_id"), col("score_q"))
+      val inPlay = ce.select(col("vec_id").as("doc_id")).distinct()
+      val tok = Tables.documents(s, d)
+        .join(inPlay, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("w"))
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val pairsQ = ce.select(col("q_id"), col("vec_id").as("va"))
+        .join(ce.select(col("q_id"), col("vec_id").as("vb")), "q_id")
+        .filter(col("va") =!= col("vb"))
+      val common = pairsQ
+        .join(tok.select(col("doc_id").as("va"), col("w")), "va")
+        .join(tok.select(col("doc_id").as("vb"), col("w")), Seq("vb", "w"))
+        .groupBy("q_id", "va", "vb").agg(count(lit(1)).as("nc"))
+      val sim = warmed(pairsQ
+        .join(common, Seq("q_id", "va", "vb"), "left")
+        .withColumn("nc", coalesce(col("nc"), lit(0L)))
+        .join(cnt.select(col("doc_id").as("va"), col("n_tok").as("na")), "va")
+        .join(cnt.select(col("doc_id").as("vb"), col("n_tok").as("nb")), "vb")
+        .select(col("q_id"), col("va"), col("vb"),
+          expr("(1000000 * nc) div (na + nb - nc)").as("jac_ppm")))
+      // round 1: pure relevance argmax
+      val s1 = ce.groupBy("q_id")
+        .agg(min(struct((-col("score_q")).as("ns"), col("vec_id").as("v"))).as("m"))
+        .select(col("q_id"), col("m.v").as("v1"), (-col("m.ns")).as("mmr1"))
+      // round 2: penalized by similarity to pick 1
+      val c2 = ce.join(s1, "q_id").filter(col("vec_id") =!= col("v1"))
+        .join(sim.select(col("q_id"), col("va").as("vec_id"),
+            col("vb").as("v1"), col("jac_ppm")),
+          Seq("q_id", "vec_id", "v1"), "left")
+        .withColumn("mmr",
+          col("score_q") - expr("coalesce(jac_ppm, 0) div 2"))
+      val s2 = c2.groupBy("q_id", "v1", "mmr1")
+        .agg(min(struct((-col("mmr")).as("ns"), col("vec_id").as("v"))).as("m"))
+        .select(col("q_id"), col("v1"), col("mmr1"),
+          col("m.v").as("v2"), (-col("m.ns")).as("mmr2"))
+      // round 3: penalized by the max similarity to either pick
+      val c3 = ce.join(s2, "q_id")
+        .filter(col("vec_id") =!= col("v1") && col("vec_id") =!= col("v2"))
+        .join(sim.select(col("q_id"), col("va").as("vec_id"),
+            col("vb").as("v1"), col("jac_ppm").as("j1")),
+          Seq("q_id", "vec_id", "v1"), "left")
+        .join(sim.select(col("q_id"), col("va").as("vec_id"),
+            col("vb").as("v2"), col("jac_ppm").as("j2")),
+          Seq("q_id", "vec_id", "v2"), "left")
+        .withColumn("mmr", col("score_q") -
+          expr("greatest(coalesce(j1, 0), coalesce(j2, 0)) div 2"))
+      val s3 = c3.groupBy("q_id", "v1", "v2", "mmr1", "mmr2")
+        .agg(min(struct((-col("mmr")).as("ns"), col("vec_id").as("v"))).as("m"))
+        .select(col("q_id"), col("v1"), col("v2"), col("mmr1"), col("mmr2"),
+          col("m.v").as("v3"), (-col("m.ns")).as("mmr3"))
+      val out = s3.select(col("q_id"), lit(1).as("pick_no"),
+          col("v1").as("vec_id"), col("mmr1").as("mmr_q"))
+        .unionByName(s3.select(col("q_id"), lit(2).as("pick_no"),
+          col("v2").as("vec_id"), col("mmr2").as("mmr_q")))
+        .unionByName(s3.select(col("q_id"), lit(3).as("pick_no"),
+          col("v3").as("vec_id"), col("mmr3").as("mmr_q")))
+        .select(col("q_id"), col("pick_no").cast("int").as("pick_no"),
+          col("vec_id"), col("mmr_q").cast("bigint").as("mmr_q"))
+      materialized(out, sim).orderBy("q_id", "pick_no")
+    },
+
     // ---- recall report: each approximate method's top-k (restricted to
     // the brute-force query set q_id < 5) scored against q50's exact
     // ground truth — the evaluation harness every ANN deployment runs
@@ -1062,7 +1141,59 @@ object SimilarityPack extends QueryPack {
   override def oracle: Map[String, String] =
     baseOracle + ("q54_ann_recall" -> recallOracle) +
       ("q198_ndcg_label" -> ndcgOracle) +
-      ("q221_crossencoder_rerank" -> ceRerankOracle)
+      ("q221_crossencoder_rerank" -> ceRerankOracle) +
+      ("q223_mmr_diversify" -> mmrOracle)
+
+  /** q223's oracle composes q221's oracle and replays the three greedy
+    * MMR rounds as unrolled CTEs — same integer penalty, same
+    * (mmr desc, vec_id asc) argmax tie-break. `ce`/`sim` are
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, and the six
+    * references to `ce` would otherwise re-expand the whole composed
+    * q103 subtree each time (file-handle exhaustion, not just wasted
+    * work). */
+  private def mmrOracle: String = {
+    s"""WITH ce AS MATERIALIZED (SELECT q_id, vec_id, score_q FROM ($ceRerankOracle) t),
+       |tok AS (SELECT doc_id,
+       |               unnest(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> ''))) AS w
+       |        FROM documents
+       |        WHERE doc_id IN (SELECT vec_id FROM ce)),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+       |pr AS (SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb
+       |       FROM ce a JOIN ce b ON b.q_id = a.q_id AND b.vec_id <> a.vec_id),
+       |cm AS (SELECT p.q_id, p.va, p.vb, CAST(count(*) AS BIGINT) AS nc
+       |       FROM pr p JOIN tok x ON x.doc_id = p.va
+       |                 JOIN tok y ON y.doc_id = p.vb AND y.w = x.w
+       |       GROUP BY p.q_id, p.va, p.vb),
+       |sim AS MATERIALIZED (SELECT p.q_id, p.va, p.vb,
+       |               (1000000 * COALESCE(c.nc, 0)) // (ca.n_tok + cb.n_tok - COALESCE(c.nc, 0)) AS jac_ppm
+       |        FROM pr p
+       |        LEFT JOIN cm c ON c.q_id = p.q_id AND c.va = p.va AND c.vb = p.vb
+       |        JOIN cnt ca ON ca.doc_id = p.va
+       |        JOIN cnt cb ON cb.doc_id = p.vb),
+       |s1 AS (SELECT q_id, vec_id AS v1, score_q AS mmr1 FROM (
+       |         SELECT q_id, vec_id, score_q,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY score_q DESC, vec_id) AS r
+       |         FROM ce) WHERE r = 1),
+       |c2 AS (SELECT ce.q_id, ce.vec_id, s1.v1, s1.mmr1,
+       |              ce.score_q - COALESCE(s.jac_ppm, 0) // 2 AS mmr
+       |       FROM ce JOIN s1 ON s1.q_id = ce.q_id AND ce.vec_id <> s1.v1
+       |       LEFT JOIN sim s ON s.q_id = ce.q_id AND s.va = ce.vec_id AND s.vb = s1.v1),
+       |s2 AS (SELECT q_id, v1, mmr1, vec_id AS v2, mmr AS mmr2 FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS r
+       |         FROM c2) WHERE r = 1),
+       |c3 AS (SELECT ce.q_id, ce.vec_id, s2.v1, s2.v2, s2.mmr1, s2.mmr2,
+       |              ce.score_q - greatest(COALESCE(sa.jac_ppm, 0), COALESCE(sb.jac_ppm, 0)) // 2 AS mmr
+       |       FROM ce JOIN s2 ON s2.q_id = ce.q_id AND ce.vec_id <> s2.v1 AND ce.vec_id <> s2.v2
+       |       LEFT JOIN sim sa ON sa.q_id = ce.q_id AND sa.va = ce.vec_id AND sa.vb = s2.v1
+       |       LEFT JOIN sim sb ON sb.q_id = ce.q_id AND sb.va = ce.vec_id AND sb.vb = s2.v2),
+       |s3 AS (SELECT q_id, v1, v2, mmr1, mmr2, vec_id AS v3, mmr AS mmr3 FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS r
+       |         FROM c3) WHERE r = 1)
+       |SELECT q_id, CAST(1 AS INT) AS pick_no, v1 AS vec_id, CAST(mmr1 AS BIGINT) AS mmr_q FROM s3
+       |UNION ALL SELECT q_id, CAST(2 AS INT), v2, CAST(mmr2 AS BIGINT) FROM s3
+       |UNION ALL SELECT q_id, CAST(3 AS INT), v3, CAST(mmr3 AS BIGINT) FROM s3
+       |ORDER BY q_id, pick_no""".stripMargin
+  }
 
   /** q221's oracle composes q103's oracle as the shortlist (the
     * recallOracle pattern) and recomputes the identical integer pair
@@ -1070,7 +1201,7 @@ object SimilarityPack extends QueryPack {
     * ratio from n_chars, label agreement from embeddings. */
   private def ceRerankOracle: String = {
     def sub(name: String) = s"(${baseOracle(name)})"
-    s"""WITH sl AS (SELECT q_id, vec_id, CAST(rk AS INT) AS rk_ann
+    s"""WITH sl AS MATERIALIZED (SELECT q_id, vec_id, CAST(rk AS INT) AS rk_ann
        |            FROM ${sub("q103_ann_ivfpq")} t),
        |tok AS (SELECT doc_id,
        |               unnest(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> ''))) AS w
