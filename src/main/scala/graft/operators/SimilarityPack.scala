@@ -905,13 +905,23 @@ object SimilarityPack extends QueryPack {
     // oracle. ----
     "q223_mmr_diversify" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
-      val ce = queries("q221_crossencoder_rerank")(s, d)
-        .select(col("q_id"), col("vec_id"), col("score_q"))
+      // Lineage truncation, not just caching: ce/sim/s3 are referenced
+      // by MANY downstream branches, and each reference embeds the full
+      // upstream LOGICAL tree (q221→q103's, with its thousand-literal
+      // codebook expressions) — Catalyst re-analyzes that tree per
+      // action, so a persist alone left 10+ s of pure PLANNING time
+      // (measured: every count over the persisted trees cost 0.4–1.7 s
+      // on 20-row data). localCheckpoint rewrites the plan to a short
+      // RDD scan; planDumpMode keeps the full tree explainable.
+      def cp(df: org.apache.spark.sql.DataFrame) =
+        if (graft.core.QueryPack.planDumpMode) df else df.localCheckpoint()
+      val ce = cp(queries("q221_crossencoder_rerank")(s, d)
+        .select(col("q_id"), col("vec_id"), col("score_q")))
       val inPlay = ce.select(col("vec_id").as("doc_id")).distinct()
-      val tok = Tables.documents(s, d)
+      val tok = cp(Tables.documents(s, d)
         .join(inPlay, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("w"))
+          explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("w")))
       val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
       val pairsQ = ce.select(col("q_id"), col("vec_id").as("va"))
         .join(ce.select(col("q_id"), col("vec_id").as("vb")), "q_id")
@@ -920,7 +930,7 @@ object SimilarityPack extends QueryPack {
         .join(tok.select(col("doc_id").as("va"), col("w")), "va")
         .join(tok.select(col("doc_id").as("vb"), col("w")), Seq("vb", "w"))
         .groupBy("q_id", "va", "vb").agg(count(lit(1)).as("nc"))
-      val sim = warmed(pairsQ
+      val sim = cp(pairsQ
         .join(common, Seq("q_id", "va", "vb"), "left")
         .withColumn("nc", coalesce(col("nc"), lit(0L)))
         .join(cnt.select(col("doc_id").as("va"), col("n_tok").as("na")), "va")
@@ -953,10 +963,13 @@ object SimilarityPack extends QueryPack {
           Seq("q_id", "vec_id", "v2"), "left")
         .withColumn("mmr", col("score_q") -
           expr("greatest(coalesce(j1, 0), coalesce(j2, 0)) div 2"))
-      val s3 = c3.groupBy("q_id", "v1", "v2", "mmr1", "mmr2")
+      // one row per query carrying all three picks — checkpointed so the
+      // three-branch output union reads stored blocks instead of
+      // re-planning and re-executing the nested round chain 3×
+      val s3 = cp(c3.groupBy("q_id", "v1", "v2", "mmr1", "mmr2")
         .agg(min(struct((-col("mmr")).as("ns"), col("vec_id").as("v"))).as("m"))
         .select(col("q_id"), col("v1"), col("v2"), col("mmr1"), col("mmr2"),
-          col("m.v").as("v3"), (-col("m.ns")).as("mmr3"))
+          col("m.v").as("v3"), (-col("m.ns")).as("mmr3")))
       val out = s3.select(col("q_id"), lit(1).as("pick_no"),
           col("v1").as("vec_id"), col("mmr1").as("mmr_q"))
         .unionByName(s3.select(col("q_id"), lit(2).as("pick_no"),
@@ -965,7 +978,7 @@ object SimilarityPack extends QueryPack {
           col("v3").as("vec_id"), col("mmr3").as("mmr_q")))
         .select(col("q_id"), col("pick_no").cast("int").as("pick_no"),
           col("vec_id"), col("mmr_q").cast("bigint").as("mmr_q"))
-      materialized(out, sim).orderBy("q_id", "pick_no")
+      materialized(out).orderBy("q_id", "pick_no")
     },
 
     // ---- recall report: each approximate method's top-k (restricted to

@@ -65,7 +65,10 @@ object DumpPlans {
     "q205_skyline",           // per-brand RANGE cummax, never quadratic dominance
     "q207_split_leakage",     // pair-artifact scan + 3-row split aggregate
     "q216_t_closeness",       // zero-bin grid + per-group bounded windows
-    "q217_dq_expectations"    // broadcast anti-join FK checks + value scans
+    "q217_dq_expectations",   // broadcast anti-join FK checks + value scans
+    "q221_crossencoder_rerank", // shortlist-restricted token equi-join pair features
+    "q223_mmr_diversify",     // 3 unrolled greedy rounds, argmax as min(struct)
+    "q225_cluster_split"      // CC labels + md5 bucket, leakage-free by construction
   )
 
   def main(args: Array[String]): Unit = {
