@@ -99,7 +99,17 @@ object DumpPlans {
       val mvConf = "spark.graft.mv.lineitem.path"
       val mvBefore = spark.conf.getOption(mvConf)
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // full-lineage trees of composed queries (q223 re-embeds the whole
+      // q221→q103 subtree per reference) run to 10⁵ lines — keep the
+      // record reviewable: the structural head is where pushdown,
+      // broadcasts, and join keys live
+      val maxLines = 600
+      val lines = full.linesIterator.toSeq
+      val txt = if (lines.size <= maxLines) full
+        else lines.take(maxLines).mkString("", "\n",
+          s"\n… truncated (${lines.size} lines total — composed full-lineage tree;" +
+            " the executed plan reads checkpointed intermediates)\n")
       mvBefore match {
         case Some(v) => spark.conf.set(mvConf, v)
         case None    => spark.conf.unset(mvConf)
