@@ -114,6 +114,44 @@ object CleanPack extends QueryPack {
         .orderBy("source", "status")
     },
 
+    // ---- ADDITIVE SET CHECKSUM — content-addressable corpus
+    // versioning (the homomorphic set-hash idea of LtHash/Bellare-
+    // Micciancio incremental hashing, in its simplest additive form):
+    // version_id = Σ h(doc) mod 2^60 over 60-bit content hashes, per
+    // source and corpus-wide (ROLLUP). Addition is commutative and
+    // associative, so the checksum merges map-side, is independent of
+    // partitioning/order, and updates INCREMENTALLY — adding or
+    // removing documents adds or subtracts their hashes, no rescan of
+    // the 100 TB history (q143's snapshot diff tells you WHAT changed;
+    // this tells you cheaply WHETHER anything changed). The query
+    // proves the homomorphism inside the gate: hash-derived even/odd
+    // halves must recombine to the full checksum
+    // (additivity_ok — asserted per row by both engines). Sums
+    // accumulate in DECIMAL(38,0) internally (q170's discipline —
+    // int64 would wrap near 2^3.5 docs/group at 60-bit hash scale);
+    // outputs are canonical BIGINT. ----
+    "q226_set_checksum" -> { (s, d) =>
+      val M = "1152921504606846976" // 2^60
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          hex64(md5(col("text"))).as("h"),
+          (pmod(hex64(md5(concat(lit("half:"), col("doc_id").cast("string")))),
+            lit(2)) === 0).as("even"))
+      docs.rollup("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(h as decimal(38,0))")).as("s_all"),
+          sum(when(col("even"), expr("cast(h as decimal(38,0))"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("s_even"))
+        .select(coalesce(col("source"), lit("__ALL__")).as("source"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          expr(s"cast(s_all % $M as bigint)").as("checksum"),
+          expr(s"cast(s_even % $M as bigint)").as("checksum_even"),
+          expr(s"cast((s_all - s_even) % $M as bigint)").as("checksum_odd"))
+        .withColumn("additivity_ok",
+          expr(s"pmod(checksum_even + checksum_odd, $M) = checksum"))
+        .orderBy("source")
+    },
+
     // ---- PII redaction (the scrubbing pass of C4/Dolma-style corpus
     // builds): regexp count + replace of emails, phone numbers, and
     // IPv4 literals. The corpus is synthetic and PII-free, so — like
@@ -972,6 +1010,29 @@ object CleanPack extends QueryPack {
          |       $welchT2Expr AS t2_q
          |FROM sums WHERE na > 1 AND nb > 1
          |ORDER BY exp_id""".stripMargin,
+
+    // same 60-bit content hashes, same DECIMAL accumulation, same
+    // ROLLUP total row, same 2^60 fold
+    "q226_set_checksum" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h,
+        |         CAST('0x' || substring(md5('half:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 AS even
+        |  FROM documents),
+        |agg AS (
+        |  SELECT COALESCE(source, '__ALL__') AS source,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_all,
+        |         CAST(sum(CASE WHEN even THEN CAST(h AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS s_even
+        |  FROM docs GROUP BY ROLLUP(source))
+        |SELECT source, n_docs,
+        |       CAST(s_all % 1152921504606846976 AS BIGINT) AS checksum,
+        |       CAST(s_even % 1152921504606846976 AS BIGINT) AS checksum_even,
+        |       CAST((s_all - s_even) % 1152921504606846976 AS BIGINT) AS checksum_odd,
+        |       (CAST(s_even % 1152921504606846976 AS BIGINT) + CAST((s_all - s_even) % 1152921504606846976 AS BIGINT)) % 1152921504606846976
+        |         = CAST(s_all % 1152921504606846976 AS BIGINT) AS additivity_ok
+        |FROM agg
+        |ORDER BY source""".stripMargin,
 
     // same fixed-width bins over the exact cents range, same zero-bin
     // grid, and the identical multiplied-through integer EMD

@@ -16,7 +16,75 @@ object RelationalPack3 extends QueryPack {
   private def views(s: SparkSession, d: String, ts: String*): Unit =
     ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
+  /** q228's sketch size. k-1 appears as the literal 255 and the exact
+    * threshold as 256 in BOTH engines' formula text. */
+  private val kmvK = 256
+
+  /** One KMV (k-minimum-values / bottom-k, Bar-Yossef et al. 2002)
+    * estimate row for a join edge: each side's distinct-key count and
+    * the key overlap estimated from 256 smallest 60-bit key hashes —
+    * the join-size planning sketch an optimizer service keeps per
+    * column pair. Deterministic by construction: both engines hash with
+    * the same md5 prefix, keep the same bottom-k (total order on h), and
+    * evaluate the same estimator text — so the gate compares ESTIMATES
+    * exactly, not just envelopes (the q104 exact-sketch discipline,
+    * stronger than q21's envelope). Sides with < k distinct keys are in
+    * the sketch's exact regime (estimate = count); the estimator is
+    * (k-1)·2^60 / h_k in IEEE doubles (both factors exactly
+    * representable; int64→double and the division are correctly rounded
+    * on every JVM/engine) floored to bigint. Intersection: ρ = members
+    * of the UNION's bottom-k present in both side sketches,
+    * est = ρ·est_union div k. Scale: each sketch is a TakeOrdered of
+    * 256 rows off a distinct-key scan — constant-size driver-free
+    * state per edge, mergeable by union, the exact shape a catalog
+    * keeps per 100 TB column. */
+  private def kmvEdge(edge: String, a: DataFrame, b: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.hex64
+    def hashed(df: DataFrame) = df.toDF("key")
+      .select(hex64(md5(concat(lit("jk:"), col("key").cast("string")))).as("h"))
+      .distinct()
+    val ha = hashed(a); val hb = hashed(b)
+    val ska = ha.orderBy("h").limit(kmvK)
+    val skb = hb.orderBy("h").limit(kmvK)
+    val sku = ska.unionByName(skb).distinct().orderBy("h").limit(kmvK)
+    val est = "cast(floor((255.0 * 1152921504606846976.0) / cast(%s as double)) as bigint)"
+    val exactA = ha.agg(count(lit(1)).as("exact_a"))
+    val exactB = hb.agg(count(lit(1)).as("exact_b"))
+    val exactC = ha.join(hb, "h").agg(count(lit(1)).as("exact_common"))
+    val tailA = ska.agg(max("h").as("hk_a"), count(lit(1)).as("ka"))
+    val tailB = skb.agg(max("h").as("hk_b"), count(lit(1)).as("kb"))
+    val tailU = sku.agg(max("h").as("hk_u"), count(lit(1)).as("ku"))
+    val rho = sku.join(ska, Seq("h"), "left_semi")
+      .join(skb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("rho"))
+    exactA.crossJoin(exactB).crossJoin(exactC)
+      .crossJoin(tailA).crossJoin(tailB).crossJoin(tailU).crossJoin(rho)
+      .select(lit(edge).as("edge"),
+        col("exact_a").cast("bigint").as("exact_a"),
+        expr(s"case when ka < 256 then ka else ${est.format("hk_a")} end")
+          .cast("bigint").as("est_a"),
+        col("exact_b").cast("bigint").as("exact_b"),
+        expr(s"case when kb < 256 then kb else ${est.format("hk_b")} end")
+          .cast("bigint").as("est_b"),
+        col("exact_common").cast("bigint").as("exact_common"),
+        expr(s"case when ku < 256 then rho else (rho * (${est.format("hk_u")})) div 256 end")
+          .cast("bigint").as("est_common"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- KMV join-size estimation across two star-schema edges — see
+    // [[kmvEdge]]. The pre-flight a planner runs before committing a
+    // 100 TB shuffle strategy, gated on exact estimator equality. ----
+    "q228_join_size_kmv" -> { (s, d) =>
+      kmvEdge("customer-orders",
+          Tables.customer(s, d).select("c_custkey"),
+          Tables.orders(s, d).select("o_custkey"))
+        .unionByName(kmvEdge("orders-lineitem",
+          Tables.orders(s, d).select("o_orderkey"),
+          Tables.lineitem(s, d).select("l_orderkey")))
+        .orderBy("edge")
+    },
 
     // ---- correlated EXISTS + NOT EXISTS (decorrelated by Catalyst into
     //      semi/anti joins — verify with .explain) ----
@@ -622,7 +690,49 @@ object RelationalPack3 extends QueryPack {
     }
   )
 
+  /** One edge of q228's oracle: the identical hash, bottom-k, and
+    * estimator text (sketches MATERIALIZED — each is referenced several
+    * times and DuckDB inlines plain CTEs per reference). */
+  private def kmvEdgeSql(edge: String, tableA: String, keyA: String,
+                         tableB: String, keyB: String): String = {
+    def hcte(t: String, k: String) =
+      s"SELECT DISTINCT CAST('0x' || substring(md5('jk:' || CAST($k AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM $t"
+    def est(tail: String) =
+      s"CAST(floor((255.0 * 1152921504606846976.0) / CAST(($tail) AS DOUBLE)) AS BIGINT)"
+    s"""(WITH ha AS MATERIALIZED (${hcte(tableA, keyA)}),
+       |hb AS MATERIALIZED (${hcte(tableB, keyB)}),
+       |ska AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 256),
+       |skb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 256),
+       |sku AS MATERIALIZED (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb) u
+       |                     ORDER BY h LIMIT 256),
+       |st AS MATERIALIZED (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ha) AS exact_a,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hb) AS exact_b,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ha JOIN hb USING (h)) AS exact_common,
+       |  (SELECT count(*) FROM ska) AS ka, (SELECT max(h) FROM ska) AS hk_a,
+       |  (SELECT count(*) FROM skb) AS kb, (SELECT max(h) FROM skb) AS hk_b,
+       |  (SELECT count(*) FROM sku) AS ku, (SELECT max(h) FROM sku) AS hk_u,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sku
+       |   WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) AS rho)
+       |SELECT '$edge' AS edge, exact_a,
+       |  CAST(CASE WHEN ka < 256 THEN ka ELSE ${est("hk_a")} END AS BIGINT) AS est_a,
+       |  exact_b,
+       |  CAST(CASE WHEN kb < 256 THEN kb ELSE ${est("hk_b")} END AS BIGINT) AS est_b,
+       |  exact_common,
+       |  CAST(CASE WHEN ku < 256 THEN rho ELSE (rho * (${est("hk_u")})) // 256 END AS BIGINT) AS est_common
+       |FROM st)""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+
+    // identical hash, bottom-k, and estimator text per edge — the gate
+    // compares the ESTIMATES exactly, not an envelope
+    "q228_join_size_kmv" ->
+      s"""SELECT * FROM (
+         |${kmvEdgeSql("customer-orders", "customer", "c_custkey", "orders", "o_custkey")}
+         |UNION ALL
+         |${kmvEdgeSql("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+         |) ORDER BY edge""".stripMargin,
 
     // same distinct-pair collapse and per-FD group aggregate
     "q218_fd_profile" ->

@@ -784,6 +784,51 @@ object TextPack extends QueryPack {
       result
     },
 
+    // ---- PRECISION-RECALL CURVE + F1 operating point of the same
+    // token-count signal q196 trains on and q197 ROC-scores (Davis &
+    // Goadrich, ICML 2006 on why PR complements ROC under class
+    // imbalance — exactly a quality-filter's regime): predict "en" iff
+    // token count >= threshold, thresholds = every distinct count.
+    // All counts come from the DISTINCT-VALUE histogram (the q171/q196
+    // discipline — the cumulative windows below run over the length
+    // VOCABULARY, bounded by thousands at any corpus size, never over
+    // document rows). TP/predicted-positive are suffix sums (ORDER BY
+    // n DESC); precision/recall/F1 are exact integer ppm with floor
+    // division, F1 composed from the ppm values with identical formula
+    // text in both engines. Output: top-10 thresholds by F1 (ties to
+    // the smaller threshold) — the operating-point table a filter
+    // deployment publishes next to q197's single AUC number. ----
+    "q227_pr_curve" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(size(tokens(col("text"))).cast("bigint").as("n"),
+          (col("lang") === "en").cast("bigint").as("pos"))
+      val vals = base.groupBy("n")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+      val tot = vals.agg(sum("p").as("pp"))
+      val w = Window.orderBy(desc("n"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals
+        .withColumn("ppos", sum("cnt").over(w))
+        .withColumn("tp", sum("p").over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("tp") > 0)
+        .withColumn("prec_ppm", expr("(1000000 * tp) div ppos"))
+        .withColumn("rec_ppm", expr("(1000000 * tp) div pp"))
+        .withColumn("f1_ppm",
+          expr("(2 * prec_ppm * rec_ppm) div (prec_ppm + rec_ppm)"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("f1_ppm"), asc("n"))))
+        .filter(col("rk") <= 10)
+        .select(col("rk").cast("int").as("rk"),
+          col("n").cast("bigint").as("threshold"),
+          col("ppos").cast("bigint").as("n_pred_pos"),
+          col("tp").cast("bigint").as("n_tp"),
+          col("prec_ppm").cast("bigint").as("prec_ppm"),
+          col("rec_ppm").cast("bigint").as("rec_ppm"),
+          col("f1_ppm").cast("bigint").as("f1_ppm"))
+        .orderBy("rk")
+    },
+
     // ---- grouped quantiles by the native mergeable sketch
     // ([[graft.functions.QuantileSketchAgg]] — a capacity-bounded
     // weighted value histogram, Ben-Haim & Tom-Tov JMLR 2010): the
@@ -1527,6 +1572,38 @@ object TextPack extends QueryPack {
           |SELECT CAST((1000000 * num2) // (2 * pp * nn) AS BIGINT) AS auc_q,
           |       pp AS n_pos, nn AS n_neg, n_scores
           |FROM agg CROSS JOIN tot""".stripMargin,
+
+      // identical distinct-value histogram, suffix sums ORDER BY n DESC,
+      // and ppm-composed F1 with the same formula text (window sums
+      // cast to BIGINT immediately — the q196 type lesson)
+      "q227_pr_curve" ->
+        """WITH base AS (
+          |  SELECT CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n,
+          |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          |  FROM documents),
+          |vals AS (SELECT n, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS p
+          |         FROM base GROUP BY n),
+          |tot AS (SELECT CAST(sum(p) AS BIGINT) AS pp FROM vals),
+          |cum AS (SELECT n,
+          |               CAST(sum(cnt) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ppos,
+          |               CAST(sum(p) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+          |        FROM vals),
+          |pr AS (SELECT c.n, ppos, tp,
+          |              (1000000 * tp) // ppos AS prec_ppm,
+          |              (1000000 * tp) // pp AS rec_ppm
+          |       FROM cum c CROSS JOIN tot WHERE tp > 0),
+          |f AS (SELECT n, ppos, tp, prec_ppm, rec_ppm,
+          |             (2 * prec_ppm * rec_ppm) // (prec_ppm + rec_ppm) AS f1_ppm
+          |      FROM pr)
+          |SELECT CAST(row_number() OVER (ORDER BY f1_ppm DESC, n) AS INT) AS rk,
+          |       n AS threshold, ppos AS n_pred_pos, tp AS n_tp,
+          |       CAST(prec_ppm AS BIGINT) AS prec_ppm,
+          |       CAST(rec_ppm AS BIGINT) AS rec_ppm,
+          |       CAST(f1_ppm AS BIGINT) AS f1_ppm
+          |FROM f
+          |QUALIFY rk <= 10
+          |ORDER BY rk""".stripMargin,
 
       // exact nearest-rank replay of the sketch's exact regime: rank =
       // ceil(W·p/1000) in the identical integer arithmetic, cumulated
