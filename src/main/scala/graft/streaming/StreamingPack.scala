@@ -444,7 +444,46 @@ object StreamingPack extends QueryPack {
       .orderBy("source")
   }
 
+  /** Streaming additive set checksum: q226's corpus-versioning hash
+    * maintained by a STREAMING grouped aggregate — per-source
+    * (n_docs, Σ h(doc)) accumulates in the state store across
+    * micro-batches (complete mode), the live "has anything changed"
+    * fingerprint an ingest pipeline exposes. Addition is linear, so
+    * micro-batch boundaries are invisible and the streamed sums equal
+    * the batch sums exactly — the oracle is q226's per-source slice
+    * (same hashes, same DECIMAL accumulation, same 2^60 fold; the
+    * ROLLUP total row and the even/odd homomorphism proof stay on the
+    * batch side). State per source: one count + one DECIMAL — constant
+    * however much text streams past (q106's contract). */
+  def streamChecksum(s: SparkSession, d: String): DataFrame = {
+    val docs = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val agg = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.hex64(md5(col("text"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(h as decimal(38,0))")).as("s_all"))
+    val name = s"graft_stream_checksum_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        expr("cast(s_all % 1152921504606846976 as bigint)").as("checksum"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_stream_checksum" -> ((s, d) => streamChecksum(s, d)),
     "q213_stream_markov" -> ((s, d) => TransitionStream.run(s, d)),
     "q204_stream_quantiles" -> ((s, d) => streamQuantiles(s, d)),
     "q195_stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
@@ -459,6 +498,19 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // linear sums: stream ≡ batch; q226's per-source slice (no ROLLUP
+    // row, no even/odd split — those stay on the batch side)
+    "q229_stream_checksum" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |              % 1152921504606846976 AS BIGINT) AS checksum
+        |FROM docs GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // batch islands sessionization with the same strict-gap rule: a new
     // session starts when the inter-event gap is >= 30 min
