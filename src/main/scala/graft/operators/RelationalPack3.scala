@@ -38,7 +38,7 @@ object RelationalPack3 extends QueryPack {
     * 256 rows off a distinct-key scan — constant-size driver-free
     * state per edge, mergeable by union, the exact shape a catalog
     * keeps per 100 TB column. */
-  private def kmvEdge(edge: String, a: DataFrame, b: DataFrame): DataFrame = {
+  private[graft] def kmvEdge(edge: String, a: DataFrame, b: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.hex64
     def hashed(df: DataFrame) = df.toDF("key")
       .select(hex64(md5(concat(lit("jk:"), col("key").cast("string")))).as("h"))
