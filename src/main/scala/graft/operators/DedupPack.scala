@@ -45,6 +45,10 @@ object DedupPack extends QueryPack {
   private val nPerm = 16 // MinHash permutations
   private val bandRows = 8 // rows per LSH band → 2 bands
 
+  /** q230's sweep: the (bands, rows) partitions of the 16-perm
+    * signature, most-precise to most-permissive. */
+  private val sweepConfigs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
   /** MinHash permutation p of a 32-char md5-hex column: rotate the hex
     * string left by 2p chars. One md5 per token total — the 16 "independent
     * permutations" are rotations of that single digest (each rotation leads
@@ -737,6 +741,75 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result).orderBy("n_truth")
     },
 
+    // ---- LSH BANDING PARAMETER SWEEP: the S-curve tuning table a
+    // dedup deployment publishes BEFORE committing banding parameters
+    // (Leskovec/Rajaraman/Ullman MMDS ch.3 — candidate probability
+    // 1−(1−J^r)^b). The SAME 16-perm signature store is re-banded four
+    // ways — (b=2,r=8) the production config, (4,4), (8,2), (16,1) —
+    // and each config's candidate set is scored precision/recall
+    // against the q129 two-generator exact-Jaccard ≥ 0.9 truth. Truth
+    // is computed ONCE (warmed) and every config's score is one
+    // band-equi-join + DISTINCT + one left-join aggregate — the r=1
+    // config is deliberately the permissive extreme (any single
+    // matching permutation ⇒ candidate), which is exactly what the
+    // sweep exists to quantify; its candidate volume is still
+    // band-join-bounded, never all-pairs. Output: 4 rows. ----
+    "q230_banding_sweep" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = fullSigStore(s, d)
+      val bands0 = fullBandIndex(s, d)
+      val candBase = bands0.as("a").join(bands0.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      val sp = ngramPairs(s, d).select("doc_i", "doc_j")
+      val da = docs.select(col("doc_id").as("doc_i"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      val truth = warmed(candBase.unionByName(sp).distinct()
+        .join(da, "doc_i").join(db, "doc_j")
+        .withColumn("n_common",
+          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
+        .filter(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.9)
+        .select("doc_i", "doc_j"))
+      val rows = sweepConfigs.map { case (b, r) =>
+        val keyCols = (0 until b).map(i =>
+          hex64(md5(concat_ws(",",
+            transform(slice(col("sigs"), i * r + 1, r), _.cast("string"))))))
+        val bands = docs
+          .select(col("doc_id"), posexplode(array(keyCols: _*)))
+          .toDF("doc_id", "band_id", "band_val")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+          .distinct()
+        cand
+          .join(truth.withColumn("t", lit(1L)), Seq("doc_i", "doc_j"), "left")
+          .agg(count(lit(1)).as("n_cand"),
+            coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_cand_true"))
+          .select(lit(f"b$b%02dr$r%02d").as("config"),
+            col("n_cand"), col("n_cand_true"))
+      }
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val out = rows.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTruth))
+        .select(col("config"),
+          col("n_cand").cast("bigint").as("n_cand"),
+          col("n_cand_true").cast("bigint").as("n_cand_true"),
+          col("n_truth").cast("bigint").as("n_truth"),
+          when(col("n_cand") > 0, expr("n_cand_true * 1000000 div n_cand"))
+            .otherwise(lit(0L)).cast("bigint").as("precision_ppm"),
+          when(col("n_truth") > 0, expr("n_cand_true * 1000000 div n_truth"))
+            .otherwise(lit(0L)).cast("bigint").as("recall_ppm"))
+      materialized(out, truth).orderBy("config")
+    },
+
     // ---- INCREMENTAL near-dup: a delta batch against the persisted
     // corpus index. The 100 TB operating mode of q41: the corpus's
     // signature store and LSH band index are build-once artifacts
@@ -1127,6 +1200,57 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |       CAST(CASE WHEN n_truth > 0 THEN n_cand_true * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
          |FROM nt, nc, ct
          |ORDER BY n_truth""".stripMargin,
+
+    // same re-banding of the 16-perm signature per config (sigs slice →
+    // md5 key), DISTINCT band-join candidates, and the q129 truth
+    // (MATERIALIZED — referenced by all four config rows + the count)
+    "q230_banding_sweep" -> {
+      def keySql(i: Int, r: Int) =
+        s"CAST('0x' || substring(md5(array_to_string(sigs[${i * r + 1}:${(i + 1) * r}], ',')), 1, 15) AS BIGINT)"
+      val cfg = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+      val cfgCtes = cfg.map { case (b, r) =>
+        val label = f"b$b%02dr$r%02d"
+        val bandSel = (0 until b).map(i =>
+          s"SELECT doc_id, $i AS band_id, ${keySql(i, r)} AS band_val FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""bands_$label AS (
+           |  $bandSel),
+           |cand_$label AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+           |  FROM bands_$label a JOIN bands_$label b
+           |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |row_$label AS (SELECT '$label' AS config,
+           |  CAST(count(*) AS BIGINT) AS n_cand,
+           |  CAST(sum(CASE WHEN t.doc_i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_true
+           |  FROM cand_$label c LEFT JOIN truth t ON t.doc_i = c.doc_i AND t.doc_j = c.doc_j)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unionRows = cfg.map { case (b, r) =>
+        f"SELECT * FROM row_b$b%02dr$r%02d" }.mkString("\n  UNION ALL ")
+      s"""WITH $minhashCtes
+         |candb AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |sp AS (SELECT doc_i, doc_j FROM (WITH $ngramPairsCtes
+         |       SELECT doc_i, doc_j FROM pairs) t),
+         |allcand AS (SELECT doc_i, doc_j FROM candb UNION SELECT doc_i, doc_j FROM sp),
+         |truth AS MATERIALIZED (
+         |  SELECT c.doc_i, c.doc_j
+         |  FROM allcand c
+         |  JOIN docs da ON da.doc_id = c.doc_i
+         |  JOIN docs db ON db.doc_id = c.doc_j
+         |  WHERE CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
+         |        (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) >= 0.9),
+         |$cfgCtes,
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |allrows AS (
+         |  $unionRows)
+         |SELECT config, n_cand, n_cand_true, n_truth,
+         |       CAST(CASE WHEN n_cand > 0 THEN n_cand_true * 1000000 // n_cand ELSE 0 END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN n_truth > 0 THEN n_cand_true * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM allrows CROSS JOIN nt
+         |ORDER BY config""".stripMargin
+    },
 
     // candidate CTE mirrors the Spark join literally: probe side a is
     // delta-only, b is the full band set, base-side matches take both
