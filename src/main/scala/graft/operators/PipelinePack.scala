@@ -605,6 +605,40 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- EXACT BUDGET APPORTIONMENT (largest-remainder / Hamilton
+    // method — the apportionment scheme with no population paradox at
+    // fixed budget): allocate a global sample budget of 1000 slots
+    // across sources proportionally to doc counts, in pure integers —
+    // base quota = (N·c_i) div C, then the leftover slots go +1 each to
+    // the largest remainders (ties to the smaller source name). The
+    // allocation step between q75's mixture weights (what share) and
+    // q124's priority sampling (which docs): Σ alloc = N EXACTLY, no
+    // float shares to mis-round. Shape: one corpus aggregate to a
+    // sources-sized frame; the remainder rank is a window over that
+    // bounded frame. ----
+    "q231_budget_apportion" -> { (s, d) =>
+      val budget = 1000L
+      val per = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val total = per.agg(sum("n_docs").as("total_docs"),
+        count(lit(1)).as("n_sources"))
+      val q = per.crossJoin(broadcast(total))
+        .withColumn("base_quota", expr(s"($budget * n_docs) div total_docs"))
+        .withColumn("rem", expr(s"($budget * n_docs) % total_docs"))
+      val leftW = Window.orderBy(desc("rem"), asc("source"))
+      q.withColumn("rem_rank", row_number().over(leftW))
+        .withColumn("n_left",
+          expr(s"$budget - sum(base_quota) over ()"))
+        .withColumn("extra",
+          when(col("rem_rank") <= col("n_left"), 1L).otherwise(0L))
+        .select(col("source"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("base_quota").cast("bigint").as("base_quota"),
+          col("extra").cast("bigint").as("extra"),
+          (col("base_quota") + col("extra")).cast("bigint").as("alloc"))
+        .orderBy("source")
+    },
+
     // ---- train/val/test split manifest: the deterministic 80/10/10
     // hash split (q66's bucket pattern — never random()) with the
     // per-split volume report a corpus build publishes. One scan, a
@@ -1057,6 +1091,26 @@ object PipelinePack extends QueryPack {
     // q224's incremental star∪delta recompute must equal CC over the
     // FULL graph — the shared converged-truth oracle IS that proof
     "q224_cc_incremental" -> ccClosureOracle,
+
+    // identical integer quota/remainder arithmetic and the same
+    // (rem desc, source) tie-break for the leftover slots
+    "q231_budget_apportion" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per),
+        |q AS (SELECT source, n_docs,
+        |             (1000 * n_docs) // total_docs AS base_quota,
+        |             (1000 * n_docs) % total_docs AS rem
+        |      FROM per CROSS JOIN tot),
+        |r AS (SELECT *,
+        |             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rem_rank,
+        |             1000 - CAST(sum(base_quota) OVER () AS BIGINT) AS n_left
+        |      FROM q)
+        |SELECT source, n_docs, CAST(base_quota AS BIGINT) AS base_quota,
+        |       CAST(CASE WHEN rem_rank <= n_left THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |       CAST(base_quota + CASE WHEN rem_rank <= n_left THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r
+        |ORDER BY source""".stripMargin,
 
     // same closure for clusters, then the identical md5-bucket digits
     "q225_cluster_split" ->
