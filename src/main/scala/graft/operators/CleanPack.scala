@@ -114,6 +114,51 @@ object CleanPack extends QueryPack {
         .orderBy("source", "status")
     },
 
+    // ---- TOKEN-FREQUENCY DRIFT between corpus versions: q143 tells
+    // you WHICH documents changed between snapshots and q226 WHETHER
+    // anything changed — this reports what the change did to the token
+    // DISTRIBUTION (the drift a tokenizer/quality-filter owner
+    // reviews before retraining on a new snapshot; q112's KL lens
+    // applied across versions instead of across sources). Same
+    // deterministic version simulation as q143 (md5-residue buckets:
+    // v1 drops vb=9, v2 drops vb=3 and revises vb=7). Per-token ppm in
+    // each version from full counts, Δppm exact integer; top-20 by
+    // |Δ| with a token tie-break. The rank window runs over the
+    // VOCABULARY-sized frequency frame (bounded), never over token
+    // instances. ----
+    "q232_vocab_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("vb", hex64(md5(col("doc_id").cast("string"))) % 10)
+      def freq(df: DataFrame) = df
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val f1 = freq(docs.filter(col("vb") =!= 9))
+      val f2 = freq(docs.filter(col("vb") =!= 3)
+        .withColumn("text",
+          when(col("vb") === 7, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))))
+      val t1 = f1.agg(sum("cnt").as("tot1"))
+      val t2 = f2.agg(sum("cnt").as("tot2"))
+      val joined = f1.withColumnRenamed("cnt", "c1")
+        .join(f2.withColumnRenamed("cnt", "c2"), Seq("w"), "full_outer")
+        .select(col("w"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .withColumn("ppm1", expr("(1000000 * c1) div tot1"))
+        .withColumn("ppm2", expr("(1000000 * c2) div tot2"))
+        .withColumn("delta_ppm", col("ppm2") - col("ppm1"))
+      joined
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("delta_ppm")).desc, col("w"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk").cast("int").as("rk"), col("w").as("token"),
+          col("c1").cast("bigint").as("c1"), col("c2").cast("bigint").as("c2"),
+          col("ppm1").cast("bigint").as("ppm1"),
+          col("ppm2").cast("bigint").as("ppm2"),
+          col("delta_ppm").cast("bigint").as("delta_ppm"))
+        .orderBy("rk")
+    },
+
     // ---- ADDITIVE SET CHECKSUM — content-addressable corpus
     // versioning (the homomorphic set-hash idea of LtHash/Bellare-
     // Micciancio incremental hashing, in its simplest additive form):
@@ -1010,6 +1055,38 @@ object CleanPack extends QueryPack {
          |       $welchT2Expr AS t2_q
          |FROM sums WHERE na > 1 AND nb > 1
          |ORDER BY exp_id""".stripMargin,
+
+    // same md5-residue version buckets, full-count ppm per version,
+    // and |Δppm| rank with the token tie-break
+    "q232_vocab_drift" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS vb
+        |  FROM documents),
+        |v1t AS (SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+        |        FROM docs WHERE vb <> 9),
+        |v2d AS (SELECT CASE WHEN vb = 7 THEN text || ' rev2' ELSE text END AS text
+        |        FROM docs WHERE vb <> 3),
+        |v2t AS (SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+        |        FROM v2d),
+        |f1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM v1t GROUP BY w),
+        |f2 AS (SELECT w, CAST(count(*) AS BIGINT) AS c2 FROM v2t GROUP BY w),
+        |t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS tot1 FROM f1),
+        |t2 AS (SELECT CAST(sum(c2) AS BIGINT) AS tot2 FROM f2),
+        |j AS (SELECT COALESCE(f1.w, f2.w) AS w,
+        |             COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+        |      FROM f1 FULL OUTER JOIN f2 ON f2.w = f1.w),
+        |p AS (SELECT w, c1, c2,
+        |             (1000000 * c1) // tot1 AS ppm1,
+        |             (1000000 * c2) // tot2 AS ppm2
+        |      FROM j CROSS JOIN t1 CROSS JOIN t2)
+        |SELECT CAST(row_number() OVER (ORDER BY abs(ppm2 - ppm1) DESC, w) AS INT) AS rk,
+        |       w AS token, c1, c2,
+        |       CAST(ppm1 AS BIGINT) AS ppm1, CAST(ppm2 AS BIGINT) AS ppm2,
+        |       CAST(ppm2 - ppm1 AS BIGINT) AS delta_ppm
+        |FROM p
+        |QUALIFY rk <= 20
+        |ORDER BY rk""".stripMargin,
 
     // same 60-bit content hashes, same DECIMAL accumulation, same
     // ROLLUP total row, same 2^60 fold

@@ -605,6 +605,30 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- CROSS-SOURCE COPY-DIRECTION MATRIX: q127 measures how much
+    // content two sources SHARE; this reports which way it flowed —
+    // for every cross-source near-dup pair (the shared shingle-pair
+    // artifact, Jaccard ≥ 0.5), the lower doc_id is the origin (crawl
+    // order is the ingest-time proxy; a real pipeline uses fetch
+    // timestamps on the same shape). Per (origin_source, copy_source):
+    // pair count and distinct copied docs — the provenance table that
+    // tells a curation team which feeds are mirrors/scrapes of which.
+    // Bounded output (≤ sources²); one artifact scan + two dim joins. ----
+    "q233_copy_direction" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_i"),
+          col("source").as("origin_source")), "doc_i")
+        .join(src.select(col("doc_id").as("doc_j"),
+          col("source").as("copy_source")), "doc_j")
+        .filter(col("origin_source") =!= col("copy_source"))
+        .groupBy("origin_source", "copy_source")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          countDistinct(col("doc_j")).cast("bigint").as("n_copied_docs"))
+        .orderBy("origin_source", "copy_source")
+    },
+
     // ---- EXACT BUDGET APPORTIONMENT (largest-remainder / Hamilton
     // method — the apportionment scheme with no population paradox at
     // fixed budget): allocate a global sample budget of 1000 slots
@@ -1091,6 +1115,20 @@ object PipelinePack extends QueryPack {
     // q224's incremental star∪delta recompute must equal CC over the
     // FULL graph — the shared converged-truth oracle IS that proof
     "q224_cc_incremental" -> ccClosureOracle,
+
+    // same pair artifact construction, same lower-id origin rule
+    "q233_copy_direction" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT a.source AS origin_source, b.source AS copy_source,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT p.doc_j) AS BIGINT) AS n_copied_docs
+         |FROM pairs p
+         |JOIN src a ON a.doc_id = p.doc_i
+         |JOIN src b ON b.doc_id = p.doc_j
+         |WHERE a.source <> b.source
+         |GROUP BY a.source, b.source
+         |ORDER BY origin_source, copy_source""".stripMargin,
 
     // identical integer quota/remainder arithmetic and the same
     // (rem desc, source) tie-break for the leftover slots
