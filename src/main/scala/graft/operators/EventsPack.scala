@@ -981,6 +981,41 @@ object EventsPack extends QueryPack {
       result
     },
 
+    // ---- JSON SCHEMA-ON-READ PROFILE: the key/type census of a
+    // semi-structured column — which keys exist, how often, and what
+    // types their values carry — the drift report that catches a
+    // producer silently adding/renaming fields before q181's
+    // quarantine starts filling (schema inference at ingest, profiled
+    // rather than assumed). The corpus's props are single-shape, so
+    // variants are synthesized deterministically from event_id (the
+    // q110/q143 injection pattern, identical expression both engines):
+    // four shapes mixing int/string/bool/absent keys. Keys via
+    // json_object_keys explode; the int-vs-other classification is one
+    // shared regex over the extracted value text. Bounded output
+    // (distinct keys); one scan + a keys-sized aggregate. ----
+    "q234_json_schema_profile" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("doc", expr(
+          """case pmod(event_id, 4)
+             when 0 then concat('{"k": ', get_json_object(props, '$.k'), ', "tag": "a"}')
+             when 1 then concat('{"k": ', get_json_object(props, '$.k'), ', "v": ', cast(cast(value as decimal(18,2)) * 100 as bigint), '}')
+             when 2 then '{"tag": "b", "flag": true}'
+             else props end"""))
+      val tot = ev.agg(count(lit(1)).as("n_rows"))
+      ev.select(explode(expr("json_object_keys(doc)")).as("key"), col("doc"))
+        .withColumn("val", expr("get_json_object(doc, concat('$.', key))"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_present"),
+          sum(when(expr("val rlike '^-?[0-9]+$'"), 1L).otherwise(0L)).as("n_int"))
+        .crossJoin(broadcast(tot))
+        .select(col("key"),
+          col("n_present").cast("bigint").as("n_present"),
+          expr("(1000000 * n_present) div n_rows").cast("bigint").as("presence_ppm"),
+          col("n_int").cast("bigint").as("n_int"),
+          (col("n_present") - col("n_int")).cast("bigint").as("n_other"))
+        .orderBy("key")
+    },
+
     // ---- per-user inter-event burstiness: index of dispersion of the
     // gap sequence (Fano factor, F = σ²/μ — Goh & Barabási, EPL 2008
     // frame bursty human activity exactly this way; F ≈ gap-scale for
@@ -1783,6 +1818,27 @@ object EventsPack extends QueryPack {
         |       CAST((1000000 * sum(abs(c - fc))) // sum(c) AS BIGINT) AS wape_q
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // same variant synthesis, key unnest, and int-classifier regex
+    "q234_json_schema_profile" ->
+      """WITH ev AS (
+        |  SELECT CASE event_id % 4
+        |    WHEN 0 THEN '{"k": ' || json_extract_string(props, '$.k') || ', "tag": "a"}'
+        |    WHEN 1 THEN '{"k": ' || json_extract_string(props, '$.k') || ', "v": ' || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || '}'
+        |    WHEN 2 THEN '{"tag": "b", "flag": true}'
+        |    ELSE props END AS doc
+        |  FROM events),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM ev),
+        |k AS (SELECT unnest(json_keys(doc)) AS key, doc FROM ev),
+        |x AS (SELECT key, json_extract_string(doc, '$.' || key) AS val FROM k),
+        |agg AS (SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+        |               CAST(sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int
+        |        FROM x GROUP BY key)
+        |SELECT key, n_present,
+        |       CAST((1000000 * n_present) // n_rows AS BIGINT) AS presence_ppm,
+        |       n_int, CAST(n_present - n_int AS BIGINT) AS n_other
+        |FROM agg CROSS JOIN tot
+        |ORDER BY key""".stripMargin,
 
     // same (us, event_id) stream order, same whole-minute gaps and the
     // identical integer dispersion ratio
