@@ -455,6 +455,40 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- EFFECTIVE-TOKEN DEDUP SAVINGS: the headline number of every
+    // dedup report — raw vs post-dedup token volume per source, where
+    // "post-dedup" keeps exactly each near-dup cluster's representative
+    // under q48's election rule (max n_chars, ties to the smaller
+    // doc_id; singletons represent themselves). This is the number that
+    // justifies the dedup stage's existence to a training-budget owner:
+    // how many tokens of the 100 TB corpus are actually NEW content.
+    // One CC pass (shared construction with q47/q48) + a per-cluster
+    // rank + a sources-sized aggregate. ----
+    "q235_effective_tokens" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val cc = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cl"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("bigint").as("n_toks"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cl"), col("doc_id")))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("raw_docs"),
+          sum("n_toks").cast("bigint").as("raw_tokens"),
+          sum(when(col("is_rep"), 1L).otherwise(0L)).cast("bigint").as("eff_docs"),
+          sum(when(col("is_rep"), col("n_toks")).otherwise(0L))
+            .cast("bigint").as("eff_tokens"))
+        .withColumn("savings_ppm",
+          expr("(1000000 * (raw_tokens - eff_tokens)) div raw_tokens")
+            .cast("bigint"))
+        .orderBy("source")
+    },
+
     // ---- benchmark contamination: n-gram overlap between a held-out
     // eval slice (doc_id % 97 == 0 stands in for an external benchmark
     // set) and the training pool. Candidates come from an inverted-index
@@ -1115,6 +1149,34 @@ object PipelinePack extends QueryPack {
     // q224's incremental star∪delta recompute must equal CC over the
     // FULL graph — the shared converged-truth oracle IS that proof
     "q224_cc_incremental" -> ccClosureOracle,
+
+    // same closure, same rep election, same savings arithmetic
+    "q235_effective_tokens" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |d AS (SELECT doc_id, source, n_chars,
+         |             CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |                                  w -> w <> '')) AS BIGINT) AS n_toks
+         |      FROM documents),
+         |cl AS (SELECT d.*, COALESCE(l.label, d.doc_id) AS cluster
+         |       FROM d LEFT JOIN lab l ON l.node = d.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |                                   ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM cl)
+         |SELECT source, CAST(count(*) AS BIGINT) AS raw_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS eff_docs,
+         |       CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS eff_tokens,
+         |       CAST((1000000 * (sum(n_toks) - sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END))) // sum(n_toks) AS BIGINT) AS savings_ppm
+         |FROM r GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     // same pair artifact construction, same lower-id origin rule
     "q233_copy_direction" ->

@@ -829,6 +829,36 @@ object TextPack extends QueryPack {
         .orderBy("rk")
     },
 
+    // ---- TOKEN-MASS-WEIGHTED length percentiles per source: at which
+    // document length does half (p50) / 90% of a source's TOKEN volume
+    // sit in shorter docs — the chunking/packing planner's view of a
+    // corpus ("most tokens live in docs of length X"), which the
+    // unweighted doc-count medians (q83/q171/q201) cannot answer
+    // because one long doc carries the token mass of hundreds of short
+    // ones. Exact integers over the per-source distinct-length
+    // histogram (q171 discipline — cumulative token mass runs over the
+    // length VOCABULARY, never doc rows): weighted p = min length with
+    // cum·k >= total·(k·p). ----
+    "q236_weighted_median" -> { (s, d) =>
+      val vals = Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+        .groupBy("source", "n").agg(count(lit(1)).as("cnt"))
+        .withColumn("wt", col("n") * col("cnt"))
+      val tot = vals.groupBy("source").agg(sum("wt").as("tw"))
+      val wcum = Window.partitionBy("source").orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals
+        .withColumn("cum", sum("wt").over(wcum))
+        .join(tot, "source")
+        .groupBy("source")
+        .agg(max("tw").cast("bigint").as("total_tokens"),
+          min(when(col("cum") * 2 >= col("tw"), col("n")))
+            .cast("bigint").as("wmed_len"),
+          min(when(col("cum") * 10 >= col("tw") * 9, col("n")))
+            .cast("bigint").as("wp90_len"))
+        .orderBy("source")
+    },
+
     // ---- grouped quantiles by the native mergeable sketch
     // ([[graft.functions.QuantileSketchAgg]] — a capacity-bounded
     // weighted value histogram, Ben-Haim & Tom-Tov JMLR 2010): the
@@ -1604,6 +1634,27 @@ object TextPack extends QueryPack {
           |FROM f
           |QUALIFY rk <= 10
           |ORDER BY rk""".stripMargin,
+
+      // identical per-source length histogram, token-mass cumulation,
+      // and min-CASE threshold picks (window sums cast immediately)
+      "q236_weighted_median" ->
+        """WITH t AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+          |                              w -> w <> '')) AS BIGINT) AS n
+          |  FROM documents),
+          |vals AS (SELECT source, n, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+          |w AS (SELECT source, n, n * cnt AS wt FROM vals),
+          |tot AS (SELECT source, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY source),
+          |cum AS (SELECT v.source, v.n, t.tw,
+          |               CAST(sum(v.wt) OVER (PARTITION BY v.source ORDER BY v.n
+          |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          |        FROM w v JOIN tot t USING (source))
+          |SELECT source, CAST(max(tw) AS BIGINT) AS total_tokens,
+          |       CAST(min(CASE WHEN cum * 2 >= tw THEN n END) AS BIGINT) AS wmed_len,
+          |       CAST(min(CASE WHEN cum * 10 >= tw * 9 THEN n END) AS BIGINT) AS wp90_len
+          |FROM cum GROUP BY source
+          |ORDER BY source""".stripMargin,
 
       // exact nearest-rank replay of the sketch's exact regime: rank =
       // ceil(W·p/1000) in the identical integer arithmetic, cumulated
