@@ -889,6 +889,31 @@ object SimilarityPack extends QueryPack {
         .orderBy("q_id", "rk_ce")
     },
 
+    // ---- MEAN-RECIPROCAL-RANK eval of the exact cosine ranking
+    // against label agreement (Voorhees, TREC-8 1999 — the first-hit
+    // metric): per query, the rank of the FIRST same-class candidate
+    // in the top-5, reciprocal in exact micro units (10⁶ div rank,
+    // 0 = no hit). Completes the retrieval-eval triplet next to q54's
+    // recall and q198's NDCG — MRR is the metric when one good context
+    // document suffices (RAG's regime), where NDCG rewards depth.
+    // Candidate rows are topK-bounded per query; one min-CASE argmin
+    // per query. ----
+    "q237_mrr" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val ql = labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val result = bruteTopK(vecs)
+        .join(labels, "vec_id")
+        .join(broadcast(ql), "q_id")
+        .groupBy("q_id", "q_label")
+        .agg(min(when(col("label") === col("q_label"), col("rk"))).as("fh"))
+        .select(col("q_id"), col("q_label").cast("int").as("q_label"),
+          coalesce(col("fh"), lit(0)).cast("bigint").as("first_hit_rank"),
+          when(col("fh").isNotNull, expr("1000000 div fh"))
+            .otherwise(lit(0L)).cast("bigint").as("rr_micro"))
+      materialized(result, vecs).orderBy("q_id")
+    },
+
     // ---- MMR DIVERSIFICATION (Carbonell & Goldstein, SIGIR 1998):
     // the context-assembly stage after retrieve-then-rerank — greedy
     // top-3 selection from q221's re-ranked shortlist balancing
@@ -1155,7 +1180,26 @@ object SimilarityPack extends QueryPack {
     baseOracle + ("q54_ann_recall" -> recallOracle) +
       ("q198_ndcg_label" -> ndcgOracle) +
       ("q221_crossencoder_rerank" -> ceRerankOracle) +
-      ("q223_mmr_diversify" -> mmrOracle)
+      ("q223_mmr_diversify" -> mmrOracle) +
+      ("q237_mrr" -> mrrOracle)
+
+  /** q237's oracle composes q50's oracle (the ndcgOracle pattern):
+    * identical first-hit argmin and micro-reciprocal. */
+  private def mrrOracle: String = {
+    def sub(name: String) = s"(${baseOracle(name)})"
+    s"""WITH top AS (SELECT q_id, rk, vec_id FROM ${sub("q50_ann_brute")} t),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |per AS (SELECT t.q_id, q.label AS q_label,
+       |               MIN(CASE WHEN c.label = q.label THEN t.rk END) AS fh
+       |        FROM top t JOIN lbl c USING (vec_id)
+       |             JOIN lbl q ON q.vec_id = t.q_id
+       |        GROUP BY t.q_id, q.label)
+       |SELECT q_id, CAST(q_label AS INT) AS q_label,
+       |       CAST(COALESCE(fh, 0) AS BIGINT) AS first_hit_rank,
+       |       CAST(CASE WHEN fh IS NOT NULL THEN 1000000 // fh ELSE 0 END AS BIGINT) AS rr_micro
+       |FROM per
+       |ORDER BY q_id""".stripMargin
+  }
 
   /** q223's oracle composes q221's oracle and replays the three greedy
     * MMR rounds as unrolled CTEs — same integer penalty, same

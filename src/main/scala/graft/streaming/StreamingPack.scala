@@ -482,7 +482,45 @@ object StreamingPack extends QueryPack {
       .orderBy("source")
   }
 
+  /** Streaming HLL: per-event-type distinct-user registers maintained
+    * by a STREAMING grouped aggregate — the 2 KiB register rows live in
+    * the state store across micro-batches (complete mode), the live
+    * cardinality monitor shape. Register max-merge is LINEAR, so
+    * micro-batch boundaries are invisible and the streamed registers
+    * equal the batch computation bit-for-bit — the oracle replays the
+    * md5/rho register chain directly (q149/q153's construction).
+    * Constant-size state per group however many users stream past —
+    * the q106 Count-Min contract for cardinality instead of
+    * frequency. */
+  def streamHll(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(graft.core.Tables.eventsRawNanos(s, d).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+    val agg = raw
+      .select(col("event_type").as("grp"), col("user_id").cast("string").as("key"))
+      .groupBy("grp")
+      .agg(graft.functions.GraftExpressions.hll(col("key"), 8).as("regs"))
+    val name = s"graft_stream_hll_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("grp"), posexplode(col("regs")).as(Seq("idx", "reg")))
+      .select(col("grp"), col("idx").cast("bigint").as("idx"), col("reg"))
+      .orderBy("grp", "idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_stream_hll" -> ((s, d) => streamHll(s, d)),
     "q229_stream_checksum" -> ((s, d) => streamChecksum(s, d)),
     "q213_stream_markov" -> ((s, d) => TransitionStream.run(s, d)),
     "q204_stream_quantiles" -> ((s, d) => streamQuantiles(s, d)),
@@ -498,6 +536,28 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // linear register max-merge: stream ≡ batch; the q149/q153 md5/rho
+    // register replay, per event type
+    "q238_stream_hll" ->
+      """WITH vals AS (
+        |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS key FROM events),
+        |hashed AS (
+        |  SELECT DISTINCT grp, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h
+        |  FROM vals),
+        |rhos AS (
+        |  SELECT grp, h % 256 AS idx,
+        |         CASE WHEN (h >> 8) = 0 THEN 53
+        |              ELSE 53 - length(bin(h >> 8)) END AS rho
+        |  FROM hashed),
+        |grps AS (SELECT DISTINCT grp FROM vals),
+        |idxs AS (SELECT unnest(generate_series(0, 255)) AS idx)
+        |SELECT g.grp, CAST(i.idx AS BIGINT) AS idx,
+        |       CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS reg
+        |FROM grps g CROSS JOIN idxs i
+        |LEFT JOIN rhos r ON r.grp = g.grp AND r.idx = i.idx
+        |GROUP BY g.grp, i.idx
+        |ORDER BY g.grp, i.idx""".stripMargin,
 
     // linear sums: stream ≡ batch; q226's per-source slice (no ROLLUP
     // row, no even/odd split — those stay on the batch side)
