@@ -889,6 +889,36 @@ object SimilarityPack extends QueryPack {
         .orderBy("q_id", "rk_ce")
     },
 
+    // ---- CLUSTER LABEL PURITY: per-IVF-cell majority-label fraction —
+    // the clustering-quality eval (purity is the standard external
+    // criterion; Manning/Raghavan/Schütze IIR §16.3) for the SAME
+    // trained partition that serves ANN search (q53/q103) and SemDeDup
+    // (q102). A curation team reads this before trusting within-cell
+    // dedup: a low-purity cell mixes classes, so cluster-local
+    // decisions there are suspect. Cells ∝ √N keeps the output
+    // bounded; the majority argmax is a window over the cells×labels
+    // frame, exact integer ppm. ----
+    "q239_cluster_purity" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val ranked = ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
+      val cells = ranked.filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"))
+      val cnt = cells.join(labels, "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cell").orderBy(desc("n"), asc("label"))
+      val result = cnt
+        .withColumn("n_vecs", sum("n").over(Window.partitionBy("cell")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell").cast("bigint").as("cell"),
+          col("n_vecs").cast("bigint").as("n_vecs"),
+          col("label").as("major_label"),
+          col("n").cast("bigint").as("n_major"),
+          expr("(1000000 * n) div n_vecs").cast("bigint").as("purity_ppm"))
+      materialized(result, ranked, vecs).orderBy("cell")
+    },
+
     // ---- MEAN-RECIPROCAL-RANK eval of the exact cosine ranking
     // against label agreement (Voorhees, TREC-8 1999 — the first-hit
     // metric): per query, the rank of the FIRST same-class candidate
@@ -1181,7 +1211,26 @@ object SimilarityPack extends QueryPack {
       ("q198_ndcg_label" -> ndcgOracle) +
       ("q221_crossencoder_rerank" -> ceRerankOracle) +
       ("q223_mmr_diversify" -> mmrOracle) +
-      ("q237_mrr" -> mrrOracle)
+      ("q237_mrr" -> mrrOracle) +
+      ("q239_cluster_purity" -> purityOracle)
+
+  /** q239's oracle: the q53/q102 trained model (ivfTrainCtes' `cells`)
+    * joined to labels, same majority argmax and ppm. */
+  private def purityOracle: String =
+    s"""WITH $ivfTrainCtes,
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |cl AS (SELECT c.cell, l.label FROM cells c JOIN lbl l USING (vec_id)),
+       |cnt AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+       |        FROM cl GROUP BY cell, label),
+       |r AS (SELECT cell, label, n,
+       |             CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs,
+       |             row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+       |      FROM cnt)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+       |       CAST(label AS BIGINT) AS major_label, n AS n_major,
+       |       CAST((1000000 * n) // n_vecs AS BIGINT) AS purity_ppm
+       |FROM r WHERE rn = 1
+       |ORDER BY cell""".stripMargin
 
   /** q237's oracle composes q50's oracle (the ndcgOracle pattern):
     * identical first-hit argmin and micro-reciprocal. */
