@@ -80,6 +80,37 @@ object CorePack extends QueryPack {
         .orderBy("word")
     },
 
+    // ---- SCHEMA-EVOLUTION READ (mergeSchema): two deterministic
+    // parquet batches with DIFFERENT schemas — v1 carries
+    // (o_orderkey, price_cents) for even orderkeys, v2 carries
+    // (o_orderkey, o_orderpriority) for odd — land in one dataset dir,
+    // and a mergeSchema scan reads the union schema with absent
+    // columns as NULL: the append-only ingest reality of a long-lived
+    // 100 TB dataset whose producers add fields over time. The gated
+    // aggregate proves the union row count, per-column presence, and
+    // the surviving values against the ORIGINAL table. Fixed per-corpus
+    // path, overwritten per run (the q02 sink discipline). ----
+    "q240_schema_merge" -> { (s, dir) =>
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_schema_merge_${graft.core.Artifacts.corpusKey(dir, "orders.parquet")}").toString
+      val orders = Tables.orders(s, dir)
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("price_cents"))
+        .write.mode("overwrite").parquet(s"$out/batch=v1")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/batch=v2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(when(col("price_cents").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_with_price"),
+          sum(when(col("o_orderpriority").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_with_priority"),
+          coalesce(sum(col("price_cents")), lit(0L))
+            .cast("bigint").as("sum_price_cents"))
+    },
+
     // ---- CSV sink+source round-trip: the documents table written as
     // quoted CSV (header, default quoting — the free-text column is the
     // stress case) and read back under an explicit schema; the gated
@@ -147,6 +178,17 @@ object CorePack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "q00_wordcount" -> wcOracle,
     "q01_mapreduce_wc" -> wcOracle,
+
+    // the merged read's observable facts recomputed from the ORIGINAL
+    // table: any mergeSchema row loss / misfill hash-fails here
+    "q240_schema_merge" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+        |                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS sum_price_cents
+        |FROM orders""".stripMargin,
     "q100_unicode_wordcount" ->
       """SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split_regex(
