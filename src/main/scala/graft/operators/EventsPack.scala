@@ -981,6 +981,37 @@ object EventsPack extends QueryPack {
       result
     },
 
+    // ---- SESSION DEPTH HISTOGRAM + BOUNCE RATE: the engagement-shape
+    // report product analytics publishes over sessionized streams —
+    // how many sessions are 1 event deep (bounces), 2, …, 10+. Reuses
+    // q32/q195's strict-gap islands rule (a session breaks at ≥ 30 min
+    // of silence); depths cap at 10 so the output is a fixed ≤10-row
+    // histogram whatever the volume; shares are exact integer ppm.
+    // Shape: ONE shuffle key (user) for the sessionization, then a
+    // bounded aggregate. ----
+    "q241_session_depth" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val depths = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(wo))
+        .withColumn("brk",
+          when(col("prev").isNull || col("us") - col("prev") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(wc))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("depth"))
+        .select(least(col("depth"), lit(10L)).as("depth_bucket"))
+      val tot = depths.agg(count(lit(1)).as("n_total"))
+      depths.groupBy("depth_bucket")
+        .agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(broadcast(tot))
+        .select(col("depth_bucket").cast("bigint").as("depth_bucket"),
+          col("n_sessions").cast("bigint").as("n_sessions"),
+          expr("(1000000 * n_sessions) div n_total")
+            .cast("bigint").as("share_ppm"))
+        .orderBy("depth_bucket")
+    },
+
     // ---- JSON SCHEMA-ON-READ PROFILE: the key/type census of a
     // semi-structured column — which keys exist, how often, and what
     // types their values carry — the drift report that catches a
@@ -1818,6 +1849,32 @@ object EventsPack extends QueryPack {
         |       CAST((1000000 * sum(abs(c - fc))) // sum(c) AS BIGINT) AS wape_q
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // same islands rule, same ≤10 depth cap and ppm shares
+    "q241_session_depth" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, us, event_id,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM o),
+        |dep AS (SELECT least(CAST(count(*) AS BIGINT), 10) AS depth_bucket
+        |        FROM g GROUP BY user_id, sid),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dep)
+        |SELECT depth_bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST((1000000 * count(*)) // n_total AS BIGINT) AS share_ppm
+        |FROM dep CROSS JOIN tot
+        |GROUP BY depth_bucket, n_total
+        |ORDER BY depth_bucket""".stripMargin,
 
     // same variant synthesis, key unnest, and int-classifier regex
     "q234_json_schema_profile" ->

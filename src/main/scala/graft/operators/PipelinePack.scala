@@ -455,6 +455,36 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- CLUSTER CHAINING AUDIT: connected-components dedup has a
+    // known failure mode — transitive CHAINS merge documents that are
+    // not pairwise similar (A~B, B~C, but A≁C), so a cluster's
+    // representative can silently stand in for docs it barely
+    // resembles. Per cluster: direct near-dup edges vs the k·(k−1)/2
+    // of a clique, missing fraction in exact ppm — missing_ppm = 0 is
+    // a clique (safe to collapse), high values flag chained blobs that
+    // LPA (q122) should split instead. Bounded output (one row per
+    // multi-doc cluster); one artifact scan + the shared CC pass. ----
+    "q242_chain_audit" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val cc = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("k"))
+      val direct = pairs
+        .join(cc.select(col("doc_id").as("doc_i"), col("cluster")), "doc_i")
+        .groupBy("cluster").agg(count(lit(1)).as("n_direct"))
+      sizes.join(direct, Seq("cluster"), "left")
+        .withColumn("n_direct", coalesce(col("n_direct"), lit(0L)))
+        .withColumn("n_possible", expr("k * (k - 1) div 2"))
+        .withColumn("missing_ppm",
+          expr("(1000000 * (n_possible - n_direct)) div n_possible"))
+        .select(col("cluster").cast("bigint").as("cluster"),
+          col("k").cast("bigint").as("k"),
+          col("n_direct").cast("bigint").as("n_direct"),
+          col("n_possible").cast("bigint").as("n_possible"),
+          col("missing_ppm").cast("bigint").as("missing_ppm"))
+        .orderBy("cluster")
+    },
+
     // ---- EFFECTIVE-TOKEN DEDUP SAVINGS: the headline number of every
     // dedup report — raw vs post-dedup token volume per source, where
     // "post-dedup" keeps exactly each near-dup cluster's representative
@@ -1149,6 +1179,29 @@ object PipelinePack extends QueryPack {
     // q224's incremental star∪delta recompute must equal CC over the
     // FULL graph — the shared converged-truth oracle IS that proof
     "q224_cc_incremental" -> ccClosureOracle,
+
+    // same closure, same per-cluster edge count vs clique arithmetic
+    "q242_chain_audit" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |sz AS (SELECT label AS cluster, CAST(count(*) AS BIGINT) AS k
+         |       FROM lab GROUP BY label),
+         |ed AS (SELECT l.label AS cluster, CAST(count(*) AS BIGINT) AS n_direct
+         |       FROM pairs p JOIN lab l ON l.node = p.doc_i GROUP BY l.label)
+         |SELECT s.cluster, s.k,
+         |       CAST(COALESCE(ed.n_direct, 0) AS BIGINT) AS n_direct,
+         |       CAST(s.k * (s.k - 1) // 2 AS BIGINT) AS n_possible,
+         |       CAST((1000000 * (s.k * (s.k - 1) // 2 - COALESCE(ed.n_direct, 0)))
+         |              // (s.k * (s.k - 1) // 2) AS BIGINT) AS missing_ppm
+         |FROM sz s LEFT JOIN ed ON ed.cluster = s.cluster
+         |ORDER BY s.cluster""".stripMargin,
 
     // same closure, same rep election, same savings arithmetic
     "q235_effective_tokens" ->
