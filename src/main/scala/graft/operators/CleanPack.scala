@@ -114,6 +114,38 @@ object CleanPack extends QueryPack {
         .orderBy("source", "status")
     },
 
+    // ---- EXACT 10%-TRIMMED MEAN per group — the third robust-center
+    // estimator next to MAD flags (q115) and winsorization (q166):
+    // where winsorize CLAMPS the tails, trimming DROPS the lowest and
+    // highest n div 10 observations by rank and averages the rest.
+    // Exact integers over the per-group value histogram (q83/q166
+    // discipline — never a per-row sort): each distinct value
+    // contributes q · |[cum−cnt+1, cum] ∩ (k, n−k]| computed by
+    // clamped interval arithmetic. int64 bound: 10⁶·Σkept cents holds
+    // to ~9·10¹² total cents per group (≈ sf600 here); past that the
+    // same histogram feeds a DECIMAL(38) reduction unchanged. ----
+    "q244_trimmed_mean" -> { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)").as("q"))
+      val vals = c.groupBy("grp", "q").agg(count(lit(1)).as("cnt"))
+      val tot = vals.groupBy("grp").agg(sum("cnt").as("n"))
+      val w = Window.partitionBy("grp").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals.withColumn("cum", sum("cnt").over(w))
+        .join(tot, "grp")
+        .withColumn("k", expr("n div 10"))
+        .withColumn("contrib",
+          expr("q * greatest(least(cum, n - k) - greatest(cum - cnt, k), 0)"))
+        .groupBy("grp")
+        .agg(max("n").as("n"), max("k").as("k"), sum("contrib").as("ts"))
+        .select(col("grp"), col("n").cast("bigint").as("n"),
+          col("k").cast("bigint").as("n_trimmed_each_side"),
+          expr("(1000000 * ts) div (n - 2 * k)")
+            .cast("bigint").as("trimmed_mean_micro"))
+        .orderBy("grp")
+    },
+
     // ---- TOKEN-FREQUENCY DRIFT between corpus versions: q143 tells
     // you WHICH documents changed between snapshots and q226 WHETHER
     // anything changed — this reports what the change did to the token
@@ -1055,6 +1087,27 @@ object CleanPack extends QueryPack {
          |       $welchT2Expr AS t2_q
          |FROM sums WHERE na > 1 AND nb > 1
          |ORDER BY exp_id""".stripMargin,
+
+    // same value histogram, clamped-interval trim, and micro division
+    "q244_trimmed_mean" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+        |  FROM lineitem),
+        |vals AS (SELECT grp, q, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM vals GROUP BY grp),
+        |cum AS (SELECT v.grp, v.q, v.cnt, t.n, t.n // 10 AS k,
+        |               CAST(sum(v.cnt) OVER (PARTITION BY v.grp ORDER BY v.q
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM vals v JOIN tot t USING (grp)),
+        |con AS (SELECT grp, n, k,
+        |               q * greatest(least(cum, n - k) - greatest(cum - cnt, k), 0) AS contrib
+        |        FROM cum)
+        |SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+        |       CAST((1000000 * CAST(sum(contrib) AS BIGINT)) // (max(n) - 2 * max(k)) AS BIGINT) AS trimmed_mean_micro
+        |FROM con GROUP BY grp
+        |ORDER BY grp""".stripMargin,
 
     // same md5-residue version buckets, full-count ppm per version,
     // and |Δppm| rank with the token tie-break

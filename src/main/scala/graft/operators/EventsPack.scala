@@ -981,6 +981,39 @@ object EventsPack extends QueryPack {
       result
     },
 
+    // ---- ROLLING Z-SCORE ANOMALY per (event_type, day) vs the
+    // trailing 7 days — the other standard drift detector next to
+    // q199's CUSUM (control-chart style: flag when today's spend sits
+    // ≥ 3σ from the trailing window). Exact int64 power sums (cents)
+    // over ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING per type (bounded
+    // day frames, parallel across types; current day excluded so the
+    // anomaly can't mask itself); the z ratio is ONE double expression
+    // with identical text in both engines (q211's shared-expression
+    // discipline): z_micro = 1e6·(n·x − s1)/sqrt(n·s2 − s1²), emitted
+    // for days with ≥ 3 trailing observations. ----
+    "q243_rolling_anomaly" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy("event_type", "day_id")
+        .agg(sum("cents").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day_id")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum("x").over(w))
+        .withColumn("s2", sum(expr("cast(x as decimal(38,0)) * x")).over(w))
+        .filter(col("n") >= 3)
+        .withColumn("z_micro", expr(EventsPack.rollingZExpr))
+        .select(col("event_type"), col("day_id").cast("bigint").as("day_id"),
+          col("x").cast("bigint").as("spend_cents"),
+          col("n").cast("bigint").as("n_trailing"),
+          col("z_micro"),
+          (abs(col("z_micro")) >= 3000000L).as("anomaly"))
+        .orderBy("event_type", "day_id")
+    },
+
     // ---- SESSION DEPTH HISTOGRAM + BOUNCE RATE: the engagement-shape
     // report product analytics publishes over sessionized streams —
     // how many sessions are 1 event deep (bounces), 2, …, 10+. Reuses
@@ -1158,6 +1191,17 @@ object EventsPack extends QueryPack {
     a.join(b, col("a_bkt") === col("b_bkt") && range)
       .unionByName(a.join(b, col("a_bkt") + 1 === col("b_bkt") && range))
   }
+
+  /** q243's z-score arithmetic, ONE string evaluated verbatim by both
+    * engines (the q211 welchT2Expr discipline): z·10⁶ with the
+    * degenerate zero-variance window mapped to 0. */
+  private[operators] val rollingZExpr: String =
+    "case when cast(n as double) * cast(s2 as double) - " +
+      "cast(s1 as double) * cast(s1 as double) <= 0.0 then cast(0 as bigint) " +
+      "else cast(floor(1000000.0 * " +
+      "(cast(n as double) * cast(x as double) - cast(s1 as double)) / " +
+      "sqrt(cast(n as double) * cast(s2 as double) - " +
+      "cast(s1 as double) * cast(s1 as double))) as bigint) end"
 
   /** q105 match window: 24 h in µs — the sf0.01 latency median is ~34 h,
     * so the tolerance genuinely splits the matched set (and leftOuter
@@ -1849,6 +1893,30 @@ object EventsPack extends QueryPack {
         |       CAST((1000000 * sum(abs(c - fc))) // sum(c) AS BIGINT) AS wape_q
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // same daily cents totals, same trailing ROWS frame, and the
+    // identical shared z expression text
+    "q243_rolling_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_id,
+         |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, day_id, x,
+         |         CAST(count(*) OVER w AS BIGINT) AS n,
+         |         CAST(sum(x) OVER w AS BIGINT) AS s1,
+         |         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) OVER w AS DECIMAL(38,0)) AS s2
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+         |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, CAST(day_id AS BIGINT) AS day_id,
+         |       x AS spend_cents, n AS n_trailing,
+         |       $rollingZExpr AS z_micro,
+         |       abs($rollingZExpr) >= 3000000 AS anomaly
+         |FROM win
+         |WHERE n >= 3
+         |ORDER BY event_type, day_id""".stripMargin,
 
     // same islands rule, same ≤10 depth cap and ppm shares
     "q241_session_depth" ->
