@@ -73,6 +73,31 @@ object RelationalPack3 extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- FK FAN-OUT PROFILE: the distribution of children per parent
+    // across the orders→lineitem edge, zero-child parents included
+    // (left join — an absent fan-out bucket 0 would hide orphan
+    // parents). The join-planning companion to q228's cardinality
+    // sketches and q218's FD profile: fan-out shape decides whether a
+    // parent-side broadcast explodes, and a heavy tail here is the
+    // skew q157 plans salts for. Bounded output (distinct fan-out
+    // values); one map-side-combining count + a histogram aggregate. ----
+    "q246_fk_fanout" -> { (s, d) =>
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
+      val fan = Tables.orders(s, d).select(col("o_orderkey"))
+        .join(cnt.withColumnRenamed("l_orderkey", "o_orderkey"),
+          Seq("o_orderkey"), "left")
+        .withColumn("fanout", coalesce(col("fanout"), lit(0L)))
+      val tot = fan.agg(count(lit(1)).as("n_orders_total"))
+      fan.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(tot))
+        .select(col("fanout").cast("bigint").as("fanout"),
+          col("n_orders").cast("bigint").as("n_orders"),
+          expr("(1000000 * n_orders) div n_orders_total")
+            .cast("bigint").as("share_ppm"))
+        .orderBy("fanout")
+    },
+
     // ---- KMV join-size estimation across two star-schema edges — see
     // [[kmvEdge]]. The pre-flight a planner runs before committing a
     // 100 TB shuffle strategy, gated on exact estimator equality. ----
@@ -724,6 +749,20 @@ object RelationalPack3 extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    // zero-child parents via the same left join
+    "q246_fk_fanout" ->
+      """WITH cnt AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout
+        |             FROM lineitem GROUP BY l_orderkey),
+        |fan AS (SELECT o.o_orderkey, COALESCE(c.fanout, 0) AS fanout
+        |        FROM orders o LEFT JOIN cnt c ON c.l_orderkey = o.o_orderkey),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders_total FROM fan)
+        |SELECT CAST(fanout AS BIGINT) AS fanout,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST((1000000 * count(*)) // n_orders_total AS BIGINT) AS share_ppm
+        |FROM fan CROSS JOIN tot
+        |GROUP BY fanout, n_orders_total
+        |ORDER BY fanout""".stripMargin,
 
     // identical hash, bottom-k, and estimator text per edge — the gate
     // compares the ESTIMATES exactly, not an envelope

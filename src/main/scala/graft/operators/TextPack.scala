@@ -829,6 +829,33 @@ object TextPack extends QueryPack {
         .orderBy("rk")
     },
 
+    // ---- N-GRAM NOVELTY CURVE: distinct vs total n-gram counts for
+    // n = 1..4 — the diversity/repetitiveness profile a corpus report
+    // publishes (the type/token ratio generalized over n; low
+    // distinct-fractions at high n flag boilerplate and template
+    // text, the signal behind Gopher's repetition filters at corpus
+    // rather than document level). Exact counts over 60-bit hashed
+    // n-gram ids (the q43 shingle-id discipline — distinct-counting
+    // 8-byte ids, never strings); each n is one explode + one distinct
+    // aggregate, ratios exact integer ppm. Output: 4 rows. ----
+    "q245_ngram_novelty" -> { (s, d) =>
+      val toks = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ws")))
+      val rows = (1 to 4).map { n =>
+        val grams = toks
+          .select(explode(wordShinglesOf(col("ws"), n)).as("g"))
+          .select(hex64(md5(col("g"))).as("gid"))
+        grams.agg(count(lit(1)).as("n_total"),
+            countDistinct(col("gid")).as("n_distinct"))
+          .select(lit(n).cast("bigint").as("n"),
+            col("n_total").cast("bigint").as("n_total"),
+            col("n_distinct").cast("bigint").as("n_distinct"),
+            expr("(1000000 * n_distinct) div n_total")
+              .cast("bigint").as("distinct_ppm"))
+      }
+      materialized(rows.reduce(_ unionByName _), toks).orderBy("n")
+    },
+
     // ---- TOKEN-MASS-WEIGHTED length percentiles per source: at which
     // document length does half (p50) / 90% of a source's TOKEN volume
     // sit in shorter docs — the chunking/packing planner's view of a
@@ -1634,6 +1661,26 @@ object TextPack extends QueryPack {
           |FROM f
           |QUALIFY rk <= 10
           |ORDER BY rk""".stripMargin,
+
+      // same n-gram windows over the token lists, same 60-bit hashed
+      // ids, same exact distinct counts per n
+      "q245_ngram_novelty" -> {
+        val tokCte =
+          """SELECT doc_id,
+            |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+            |                   w -> w <> '') AS ts
+            |FROM documents""".stripMargin
+        val arms = (1 to 4).map { n =>
+          val gram = (1 to n).map(o => s"ts[g.i + ${o - 1}]").mkString(" || ' ' || ")
+          val gid = s"CAST('0x' || substring(md5($gram), 1, 15) AS BIGINT)"
+          s"""SELECT CAST($n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_total,
+             |       CAST(count(DISTINCT $gid) AS BIGINT) AS n_distinct,
+             |       CAST((1000000 * count(DISTINCT $gid)) // count(*) AS BIGINT) AS distinct_ppm
+             |FROM tok, UNNEST(generate_series(1, greatest(len(ts) - ${n - 1}, 0))) AS g(i)"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH tok AS ($tokCte)\n$arms\nORDER BY n"
+      },
 
       // identical per-source length histogram, token-mass cumulation,
       // and min-CASE threshold picks (window sums cast immediately)
