@@ -981,6 +981,38 @@ object EventsPack extends QueryPack {
       result
     },
 
+    // ---- PARETO CONCENTRATION: how few users generate 50/80/95% of
+    // all events — the activity-concentration number behind bot
+    // triage, capacity planning, and "is the corpus a handful of power
+    // users" checks. The ranked cumulative share runs over ALL users
+    // through the distributed two-phase [[graft.functions.PrefixSum]]
+    // (never a single-task global window over user rows — q126's
+    // discipline); ranks come from a prefix sum of ones under the same
+    // (count desc, user asc) total order. Output: one row, exact
+    // integers. ----
+    "q248_pareto_concentration" -> { (s, d) =>
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      val tot = per.agg(sum("n_ev").as("total_ev"), count(lit(1)).as("n_users"))
+      val cum = graft.functions.PrefixSum.inclusive(per,
+        Seq(col("n_ev").desc, col("user_id").asc),
+        Seq((col("n_ev"), "cum_ev"), (lit(1L), "rk")))
+        .crossJoin(broadcast(tot))
+      cum.groupBy("n_users", "total_ev")
+        .agg(
+          min(when(col("cum_ev") * 100 >= col("total_ev") * 50, col("rk")))
+            .as("users_p50"),
+          min(when(col("cum_ev") * 100 >= col("total_ev") * 80, col("rk")))
+            .as("users_p80"),
+          min(when(col("cum_ev") * 100 >= col("total_ev") * 95, col("rk")))
+            .as("users_p95"))
+        .select(col("n_users").cast("bigint").as("n_users"),
+          col("total_ev").cast("bigint").as("total_ev"),
+          col("users_p50").cast("bigint").as("users_p50"),
+          col("users_p80").cast("bigint").as("users_p80"),
+          col("users_p95").cast("bigint").as("users_p95"))
+    },
+
     // ---- ROLLING Z-SCORE ANOMALY per (event_type, day) vs the
     // trailing 7 days — the other standard drift detector next to
     // q199's CUSUM (control-chart style: flag when today's spend sits
@@ -1893,6 +1925,25 @@ object EventsPack extends QueryPack {
         |       CAST((1000000 * sum(abs(c - fc))) // sum(c) AS BIGINT) AS wape_q
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // sequential row_number + running sum is the oracle's luxury (the
+    // q193 note); the Spark side produces identical ranks distributed
+    "q248_pareto_concentration" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+        |             FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(sum(n_ev) AS BIGINT) AS total_ev,
+        |               CAST(count(*) AS BIGINT) AS n_users FROM per),
+        |r AS (SELECT user_id, n_ev,
+        |             CAST(sum(n_ev) OVER (ORDER BY n_ev DESC, user_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ev,
+        |             CAST(row_number() OVER (ORDER BY n_ev DESC, user_id) AS BIGINT) AS rk
+        |      FROM per)
+        |SELECT t.n_users, t.total_ev,
+        |       CAST(min(CASE WHEN cum_ev * 100 >= t.total_ev * 50 THEN rk END) AS BIGINT) AS users_p50,
+        |       CAST(min(CASE WHEN cum_ev * 100 >= t.total_ev * 80 THEN rk END) AS BIGINT) AS users_p80,
+        |       CAST(min(CASE WHEN cum_ev * 100 >= t.total_ev * 95 THEN rk END) AS BIGINT) AS users_p95
+        |FROM r CROSS JOIN tot t
+        |GROUP BY t.n_users, t.total_ev""".stripMargin,
 
     // same daily cents totals, same trailing ROWS frame, and the
     // identical shared z expression text

@@ -73,6 +73,56 @@ object RelationalPack3 extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- HLL AUDIENCE OVERLAP: distinct-user intersection estimates
+    // for every event-type pair by inclusion–exclusion over merged
+    // registers — est(A∩B) = est(A) + est(B) − est(A∪B), where the
+    // union sketch is the element-wise register MAX (exact for HLL, the
+    // q153 linearity) — the audience-overlap question ("how many users
+    // do search AND purchase") answered from 2 KiB register files per
+    // segment, never a re-scan, exactly how audience systems do it at
+    // 100 TB. Estimates use q149's int64 fixed-point estimator chain
+    // (shared formula text); the exact intersection rides along as the
+    // honesty column. Register arrays stay in-plan (zip_with/aggregate
+    // HOFs over 256-element arrays — bounded, codegen'd). ----
+    "q247_hll_overlap" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      def zOf(c: String) =
+        s"aggregate($c, cast(0 as bigint), (acc, r) -> acc + shiftleft(1L, cast(53 - r as int)))"
+      def nzOf(c: String) = s"size(filter($c, r -> r = 0))"
+      def rawOf(z: String) =
+        s"718272L * (shiftleft(1L, 53) div greatest(shiftright($z, 16), 1L))"
+      def estOf(z: String, nz: String) =
+        s"cast(case when $nz > 0 and ${rawOf(z)} <= 640000000L " +
+          s"then cast(floor(256.0D * ln(256.0D / cast($nz as double)) * 1000000.0D) as bigint) " +
+          s"else ${rawOf(z)} end as bigint)"
+      val vals = Tables.events(s, d)
+        .select(col("event_type").as("grp"), col("user_id").cast("string").as("key"))
+        .distinct()
+      val regs = vals.groupBy("grp")
+        .agg(graft.functions.GraftExpressions.hll(col("key"), 8).as("regs"))
+      val exact = vals.select(col("grp").as("type_a"), col("key"))
+        .join(vals.select(col("grp").as("type_b"), col("key")), Seq("key"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(countDistinct("key").as("n_exact_common"))
+      regs.select(col("grp").as("type_a"), col("regs").as("ra"))
+        .join(regs.select(col("grp").as("type_b"), col("regs").as("rb")),
+          col("type_a") < col("type_b"))
+        .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+        .withColumn("est_a_micro", expr(estOf(zOf("ra"), nzOf("ra"))))
+        .withColumn("est_b_micro", expr(estOf(zOf("rb"), nzOf("rb"))))
+        .withColumn("est_union_micro", expr(estOf(zOf("ru"), nzOf("ru"))))
+        .withColumn("est_int_micro",
+          greatest(col("est_a_micro") + col("est_b_micro") - col("est_union_micro"),
+            lit(0L)).cast("bigint"))
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          col("est_a_micro"), col("est_b_micro"), col("est_union_micro"),
+          col("est_int_micro"),
+          coalesce(col("n_exact_common"), lit(0L)).cast("bigint").as("n_exact_common"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ---- FK FAN-OUT PROFILE: the distribution of children per parent
     // across the orders→lineitem edge, zero-child parents included
     // (left join — an absent fan-out bucket 0 would hide orphan
@@ -749,6 +799,55 @@ object RelationalPack3 extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    // same register construction per type and per pair (union = max),
+    // same int64 estimator chain, inclusion-exclusion at the end
+    "q247_hll_overlap" -> {
+      def summEst(regsCte: String, keyCols: String) =
+        s"""SELECT $keyCols,
+           |       CAST(CASE WHEN n_zero > 0 AND raw <= 640000000
+           |            THEN CAST(floor(256.0 * ln(256.0 / CAST(n_zero AS DOUBLE)) * 1000000.0) AS BIGINT)
+           |            ELSE raw END AS BIGINT) AS est_micro
+           |FROM (SELECT $keyCols,
+           |             CAST(718272 * ((1::BIGINT << 53) // greatest(z_scaled >> 16, 1)) AS BIGINT) AS raw,
+           |             n_zero
+           |      FROM (SELECT $keyCols,
+           |                   CAST(SUM(1::BIGINT << CAST(53 - reg AS INT)) AS BIGINT) AS z_scaled,
+           |                   CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+           |            FROM $regsCte GROUP BY $keyCols) s0) e0""".stripMargin
+      s"""WITH vals AS (SELECT DISTINCT event_type AS grp, CAST(user_id AS VARCHAR) AS key FROM events),
+         |hashed AS (SELECT DISTINCT grp, CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h FROM vals),
+         |rhos AS (SELECT grp, h % 256 AS idx,
+         |                CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rho
+         |         FROM hashed),
+         |grps AS (SELECT DISTINCT grp FROM vals),
+         |idxs AS (SELECT unnest(generate_series(0, 255)) AS idx),
+         |regs AS (SELECT g.grp, i.idx, CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS reg
+         |         FROM grps g CROSS JOIN idxs i
+         |         LEFT JOIN rhos r ON r.grp = g.grp AND r.idx = i.idx
+         |         GROUP BY g.grp, i.idx),
+         |est AS (${summEst("regs", "grp")}),
+         |prs AS (SELECT a.grp AS g1, b.grp AS g2 FROM grps a JOIN grps b ON a.grp < b.grp),
+         |uregs AS (SELECT p.g1, p.g2, i.idx, CAST(COALESCE(MAX(r.rho), 0) AS BIGINT) AS reg
+         |          FROM prs p CROSS JOIN idxs i
+         |          LEFT JOIN rhos r ON (r.grp = p.g1 OR r.grp = p.g2) AND r.idx = i.idx
+         |          GROUP BY p.g1, p.g2, i.idx),
+         |uest AS (${summEst("uregs", "g1, g2")}),
+         |ex AS (SELECT a.grp AS g1, b.grp AS g2, CAST(count(*) AS BIGINT) AS n_exact_common
+         |       FROM vals a JOIN vals b ON b.key = a.key AND a.grp < b.grp
+         |       GROUP BY a.grp, b.grp)
+         |SELECT p.g1 AS type_a, p.g2 AS type_b,
+         |       ea.est_micro AS est_a_micro, eb.est_micro AS est_b_micro,
+         |       u.est_micro AS est_union_micro,
+         |       CAST(greatest(ea.est_micro + eb.est_micro - u.est_micro, 0) AS BIGINT) AS est_int_micro,
+         |       CAST(COALESCE(ex.n_exact_common, 0) AS BIGINT) AS n_exact_common
+         |FROM prs p
+         |JOIN est ea ON ea.grp = p.g1
+         |JOIN est eb ON eb.grp = p.g2
+         |JOIN uest u ON u.g1 = p.g1 AND u.g2 = p.g2
+         |LEFT JOIN ex ON ex.g1 = p.g1 AND ex.g2 = p.g2
+         |ORDER BY type_a, type_b""".stripMargin
+    },
 
     // zero-child parents via the same left join
     "q246_fk_fanout" ->
