@@ -455,6 +455,67 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- CORPUS RELEASE REPORT — the one-page release gate a corpus
+    // build publishes (q58's manifest gives per-document verdicts;
+    // this is the corpus-level scoreboard): volumes raw and effective
+    // (q235's rep rule), the cluster-split sizes (q225's assignment),
+    // the additive content checksum (q226), and the leakage PROOF —
+    // cross-split near-dup pairs under a naive per-DOC hash split vs
+    // under the cluster-aware split, where the second row is 0 BY
+    // CONSTRUCTION (both members of any pair share a cluster, hence a
+    // split). One (metric, value) table, every number assembled from
+    // the established bounded constructions. ----
+    "q249_release_report" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val cc = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cl"))
+      val docs = warmed(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("bigint").as("n_toks"),
+          graft.functions.TextFunctions.hex64(md5(col("text"))).as("h"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cl"), col("doc_id")))
+        .withColumn("doc_split",
+          pmod(graft.functions.TextFunctions.hex64(md5(concat(lit("split:"),
+            col("doc_id").cast("string")))), lit(10)))
+        .withColumn("cl_split",
+          pmod(graft.functions.TextFunctions.hex64(md5(concat(lit("split:"),
+            col("cluster").cast("string")))), lit(10))))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val flagged = docs.withColumn("is_rep", row_number().over(w) === 1)
+      def leak(splitCol: String) = pairs
+        .join(docs.select(col("doc_id").as("doc_i"), col(splitCol).as("sa")), "doc_i")
+        .join(docs.select(col("doc_id").as("doc_j"), col(splitCol).as("sb")), "doc_j")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("v"))
+      def m(name: String, df: DataFrame) =
+        df.select(lit(name).as("metric"), col("v").cast("bigint").as("value"))
+      val out = Seq(
+        m("01_n_docs", docs.agg(count(lit(1)).as("v"))),
+        m("02_n_tokens", docs.agg(sum("n_toks").as("v"))),
+        m("03_n_tokens_effective",
+          flagged.filter(col("is_rep")).agg(sum("n_toks").as("v"))),
+        m("04_dedup_savings_ppm", flagged
+          .agg(sum("n_toks").as("t"),
+            sum(when(col("is_rep"), col("n_toks")).otherwise(0L)).as("e"))
+          .select(expr("(1000000 * (t - e)) div t").as("v"))),
+        m("05_n_docs_train",
+          docs.filter(col("cl_split") <= 7).agg(count(lit(1)).as("v"))),
+        m("06_n_docs_val",
+          docs.filter(col("cl_split") === 8).agg(count(lit(1)).as("v"))),
+        m("07_n_docs_test",
+          docs.filter(col("cl_split") === 9).agg(count(lit(1)).as("v"))),
+        m("08_leakage_pairs_doc_split", leak("doc_split")),
+        m("09_leakage_pairs_cluster_split", leak("cl_split")),
+        m("10_corpus_checksum", docs
+          .agg(sum(expr("cast(h as decimal(38,0))")).as("s"))
+          .select(expr("cast(s % 1152921504606846976 as bigint)").as("v")))
+      ).reduce(_ unionByName _)
+      materialized(out, docs).orderBy("metric")
+    },
+
     // ---- CLUSTER CHAINING AUDIT: connected-components dedup has a
     // known failure mode — transitive CHAINS merge documents that are
     // not pairwise similar (A~B, B~C, but A≁C), so a cluster's
@@ -1179,6 +1240,61 @@ object PipelinePack extends QueryPack {
     // q224's incremental star∪delta recompute must equal CC over the
     // FULL graph — the shared converged-truth oracle IS that proof
     "q224_cc_incremental" -> ccClosureOracle,
+
+    // same closure/rep/split/checksum constructions, one UNION ALL
+    // branch per metric; pairs and the labeled doc table MATERIALIZED
+    // (each feeds several branches — DuckDB inlines plain CTEs per
+    // reference)
+    "q249_release_report" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |pp AS MATERIALIZED (SELECT doc_i, doc_j FROM pairs),
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pp
+         |      UNION ALL SELECT doc_j, doc_i FROM pp),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r0.v, e2.u FROM reach r0 JOIN e e2 ON e2.v = r0.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |d AS (SELECT doc_id, n_chars,
+         |             CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |                                  w -> w <> '')) AS BIGINT) AS n_toks,
+         |             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+         |      FROM documents),
+         |sp AS MATERIALIZED (
+         |  SELECT d.*, COALESCE(l.label, d.doc_id) AS cluster,
+         |         CAST('0x' || substring(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS doc_split,
+         |         CAST('0x' || substring(md5('split:' || CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS cl_split
+         |  FROM d LEFT JOIN lab l ON l.node = d.doc_id),
+         |r AS MATERIALIZED (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster
+         |                               ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM sp)
+         |SELECT '01_n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM sp
+         |UNION ALL SELECT '02_n_tokens', CAST(sum(n_toks) AS BIGINT) FROM sp
+         |UNION ALL SELECT '03_n_tokens_effective',
+         |  CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) FROM r
+         |UNION ALL SELECT '04_dedup_savings_ppm',
+         |  CAST((1000000 * (sum(n_toks) - sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END))) // sum(n_toks) AS BIGINT) FROM r
+         |UNION ALL SELECT '05_n_docs_train',
+         |  CAST(sum(CASE WHEN cl_split <= 7 THEN 1 ELSE 0 END) AS BIGINT) FROM sp
+         |UNION ALL SELECT '06_n_docs_val',
+         |  CAST(sum(CASE WHEN cl_split = 8 THEN 1 ELSE 0 END) AS BIGINT) FROM sp
+         |UNION ALL SELECT '07_n_docs_test',
+         |  CAST(sum(CASE WHEN cl_split = 9 THEN 1 ELSE 0 END) AS BIGINT) FROM sp
+         |UNION ALL SELECT '08_leakage_pairs_doc_split',
+         |  CAST(count(*) AS BIGINT)
+         |  FROM pp p JOIN sp a ON a.doc_id = p.doc_i
+         |            JOIN sp b ON b.doc_id = p.doc_j
+         |  WHERE a.doc_split <> b.doc_split
+         |UNION ALL SELECT '09_leakage_pairs_cluster_split',
+         |  CAST(count(*) AS BIGINT)
+         |  FROM pp p JOIN sp a ON a.doc_id = p.doc_i
+         |            JOIN sp b ON b.doc_id = p.doc_j
+         |  WHERE a.cl_split <> b.cl_split
+         |UNION ALL SELECT '10_corpus_checksum',
+         |  CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % 1152921504606846976 AS BIGINT) FROM sp
+         |ORDER BY metric""".stripMargin,
 
     // same closure, same per-cluster edge count vs clique arithmetic
     "q242_chain_audit" ->
