@@ -52,4 +52,28 @@ class PointerJumpCcSpec extends AnyFunSuite {
       assert(pj == bsp, s"trial $trial diverged")
     }
   }
+
+  test("incremental star+delta recompute equals full CC on random graphs (q224's identity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // random ~20% delta slice standing in for the newest ingest
+      val (delta, base) = edges.partition(_ => rnd.nextInt(5) == 0)
+      if (base.nonEmpty && delta.nonEmpty) {
+        def sym(es: Seq[(Long, Long)]) =
+          es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("v", "u")
+        val stored = PipelinePack.pointerJumpCC(sym(base)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val starPlusDelta = stored.toSeq ++ delta
+        val incremental = PipelinePack.pointerJumpCC(sym(starPlusDelta))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = PipelinePack.connectedComponents(sym(edges))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incremental == full, s"trial $trial incremental != full")
+      }
+    }
+  }
 }
