@@ -114,6 +114,41 @@ object CleanPack extends QueryPack {
         .orderBy("source", "status")
     },
 
+    // ---- ONE-WAY ANOVA DECOMPOSITION of document length by source:
+    // how much of the corpus's token-count variance is EXPLAINED by
+    // which source a document came from (η² = SS_between/SS_total) —
+    // the "are sources actually different populations" number a
+    // mixture designer checks before stratifying (Fisher 1925 via the
+    // sufficient-statistic identity SS_b = Σ s1g²/ng − S1²/N). All
+    // inputs are exact int64 power sums; the per-group s1g²/ng terms
+    // are floor-quantized ×10⁶ PER GROUP before the integer sum (the
+    // q05/q196 per-term discipline — float sums across groups would be
+    // aggregation-order-dependent). int64 bound: 10⁶·s1g² holds to
+    // ~3·10⁶ tokens per source; past that the same sums feed
+    // DECIMAL(38) unchanged. Output: one row. ----
+    "q250_anova_decomposition" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          size(tokens(col("text"))).cast("bigint").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("ng"), sum("y").as("s1g"),
+          sum(expr("y * y")).as("s2g"))
+        .withColumn("tb_q", expr("(1000000 * s1g * s1g) div ng"))
+      per
+        .agg(count(lit(1)).as("k"), sum("ng").as("n"),
+          sum("s1g").as("s1"), sum("s2g").as("s2"), sum("tb_q").as("tb"))
+        .withColumn("sst_q",
+          expr("1000000 * s2 - (1000000 * s1 * s1) div n"))
+        .withColumn("ssb_q",
+          expr("greatest(tb - (1000000 * s1 * s1) div n, 0)"))
+        .select(col("n").cast("bigint").as("n"),
+          col("k").cast("bigint").as("k_sources"),
+          col("sst_q").cast("bigint").as("sst_q"),
+          col("ssb_q").cast("bigint").as("ssb_q"),
+          (col("sst_q") - col("ssb_q")).cast("bigint").as("ssw_q"),
+          expr("(1000000 * ssb_q) div sst_q").cast("bigint").as("eta2_micro"))
+    },
+
     // ---- EXACT 10%-TRIMMED MEAN per group — the third robust-center
     // estimator next to MAD flags (q115) and winsorization (q166):
     // where winsorize CLAMPS the tails, trimming DROPS the lowest and
@@ -1087,6 +1122,33 @@ object CleanPack extends QueryPack {
          |       $welchT2Expr AS t2_q
          |FROM sums WHERE na > 1 AND nb > 1
          |ORDER BY exp_id""".stripMargin,
+
+    // same power sums, same per-group floor quantization before the sum
+    "q250_anova_decomposition" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(y) AS BIGINT) AS s1g,
+        |         CAST(sum(y * y) AS BIGINT) AS s2g
+        |  FROM (SELECT source,
+        |               CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |                                    w -> w <> '')) AS BIGINT) AS y
+        |        FROM documents) t
+        |  GROUP BY source),
+        |q AS (SELECT ng, s1g, s2g, (1000000 * s1g * s1g) // ng AS tb_q FROM per),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |               CAST(sum(s1g) AS BIGINT) AS s1, CAST(sum(s2g) AS BIGINT) AS s2,
+        |               CAST(sum(tb_q) AS BIGINT) AS tb
+        |        FROM q),
+        |f AS (SELECT n, k,
+        |             1000000 * s2 - (1000000 * s1 * s1) // n AS sst_q,
+        |             greatest(tb - (1000000 * s1 * s1) // n, 0) AS ssb_q
+        |      FROM agg)
+        |SELECT n, k AS k_sources, CAST(sst_q AS BIGINT) AS sst_q,
+        |       CAST(ssb_q AS BIGINT) AS ssb_q,
+        |       CAST(sst_q - ssb_q AS BIGINT) AS ssw_q,
+        |       CAST((1000000 * ssb_q) // sst_q AS BIGINT) AS eta2_micro
+        |FROM f""".stripMargin,
 
     // same value histogram, clamped-interval trim, and micro division
     "q244_trimmed_mean" ->
