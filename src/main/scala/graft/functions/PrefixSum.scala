@@ -57,4 +57,55 @@ object PrefixSum {
       acc.withColumn(name, col(name) + col(s"__off_$name"))
     }.drop("__pid" +: values.map { case (_, name) => s"__off_$name" }: _*)
   }
+
+  /** Per-key inclusive running sums — the keyed analogue of [[inclusive]]
+    * for the `sum(x) OVER (PARTITION BY key ORDER BY k)` shape whose key
+    * has FEW distinct values over MANY rows (per-source cumsums at corpus
+    * scale: ~5 sources × 20 M docs each). The naive window funnels one
+    * key's entire row set through a single task; here every stage stays
+    * parallel:
+    *
+    *   1. range-partition by (keys ++ order) — each partition holds a
+    *      contiguous slice of one or more (key, order) runs;
+    *   2. per-partition running sums via a window PARTITIONed on
+    *      `(spark_partition_id(), keys)` — row-scale work, but bounded by
+    *      the partition size, never by a key's corpus share;
+    *   3. per-(partition, key) subtotals — a (numPartitions × keys-present)
+    *      row frame — get a per-key exclusive scan over partition id
+    *      (bounded by numPartitions rows per key) and broadcast back as
+    *      offsets.
+    *
+    * `order` must totally order rows WITHIN each key (unique tiebreak).
+    * Values must be non-negative integrals: phase 3 recovers each
+    * partition's subtotal as `max(running)`, exact only when the running
+    * sum is monotone (true for counts/sizes, the only callers).
+    */
+  def inclusivePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                      values: Seq[(Column, String)]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, keys.map(col) ++ order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid") +: keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.foldLeft(ranged) { case (acc, (v, name)) =>
+      acc.withColumn(name, sum(v).over(w))
+    }
+    // per-key exclusive scan over the tiny subtotal frame: partitioned by
+    // the key (so each key's offsets chain independently), ordered by
+    // partition id — numPartitions rows per key, never row-scale
+    val offW = Window.partitionBy(keys.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tots = values.map { case (_, name) => max(col(name)).as(s"__tot_$name") }
+    val offsets = local.groupBy(col("__pid") +: keys.map(col): _*)
+      .agg(tots.head, tots.tail: _*)
+    val withOff = values.foldLeft(offsets) { case (acc, (_, name)) =>
+      acc.withColumn(s"__off_$name",
+        coalesce(sum(col(s"__tot_$name")).over(offW), lit(0L)))
+    }.select((col("__pid") +: keys.map(col)) ++
+      values.map { case (_, name) => col(s"__off_$name") }: _*)
+    val joined = local.join(broadcast(withOff), "__pid" +: keys)
+    values.foldLeft(joined) { case (acc, (_, name)) =>
+      acc.withColumn(name, col(name) + col(s"__off_$name"))
+    }.drop("__pid" +: values.map { case (_, name) => s"__off_$name" }: _*)
+  }
 }

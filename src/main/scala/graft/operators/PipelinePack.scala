@@ -887,22 +887,25 @@ object PipelinePack extends QueryPack {
     // turns the cleaned corpus into fixed-length training sequences
     // (every GPT-style pipeline ends here — docs concatenated in order
     // and sliced every seqLen tokens, documents spanning chunk
-    // boundaries). Packing runs PER SOURCE (the shard unit): the
-    // prefix sum is a window keyed by source, so no global
-    // single-reducer cumsum — each shard packs independently, exactly
-    // how a 1000-executor job lays out shards. A doc touching k chunks
-    // emits k rows via sequence() (linear in corpus tokens / seqLen);
-    // per-chunk stats aggregate by (source, chunk). All integer
-    // arithmetic — exact in both engines. ----
+    // boundaries). Packing runs PER SOURCE (the shard unit), and the
+    // per-source running token total is the distributed two-phase
+    // [[graft.functions.PrefixSum.inclusivePerKey]] — a plain
+    // `sum OVER (PARTITION BY source ORDER BY doc_id)` would funnel
+    // each source's ENTIRE corpus through one window task (~20 M docs
+    // per source at 100 TB; the r7 verdict's q116 scale-killer), while
+    // the keyed scan keeps every stage bounded by partition size. A doc
+    // touching k chunks emits k rows via sequence() (linear in corpus
+    // tokens / seqLen); per-chunk stats aggregate by (source, chunk).
+    // All integer arithmetic — exact in both engines, and the two-phase
+    // regrouping is exact because int addition is associative. ----
     "q116_seq_pack" -> { (s, d) =>
       val seqLen = 512L
       val n = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(tokens(col("text"))).cast("bigint").as("n"))
         .where(col("n") > 0)
-      val cum = n
-        .withColumn("end_tok", sum("n").over(
-          Window.partitionBy("source").orderBy("doc_id")))
+      val cum = graft.functions.PrefixSum.inclusivePerKey(n,
+          Seq("source"), Seq(col("doc_id")), Seq((col("n"), "end_tok")))
         .withColumn("start_tok", col("end_tok") - col("n"))
       val spans = cum.select(col("source"), col("doc_id"),
           col("start_tok"), col("end_tok"),
@@ -911,12 +914,25 @@ object PipelinePack extends QueryPack {
         .withColumn("toks_in_chunk",
           least(col("end_tok"), (col("chunk_id") + 1) * seqLen) -
             greatest(col("start_tok"), col("chunk_id") * seqLen))
-      spans.groupBy("source", "chunk_id")
+      val result = spans.groupBy("source", "chunk_id")
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           sum("toks_in_chunk").cast("bigint").as("n_tokens"),
           min("doc_id").cast("bigint").as("first_doc"),
           max("doc_id").cast("bigint").as("last_doc"))
-        .orderBy("source", "chunk_id")
+      // Plan REQUIRE (r7 verdict item 1): no per-source row-scale window
+      // may creep back — every Window node must be PrefixSum machinery,
+      // identified by referencing the __pid column in its partition or
+      // order spec (the partition-local scan, or the numPartitions-row
+      // offset scan ordered by __pid).
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.nonEmpty && wins.forall(w =>
+            (w.partitionSpec ++ w.orderSpec)
+              .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q116: a non-PrefixSum window appeared (per-source row-scale cumsum regression)")
+      }
+      result.orderBy("source", "chunk_id")
     },
 
     // ---- small-file compaction planner — the OPTIMIZE/maintenance

@@ -609,14 +609,51 @@ object TextPack extends QueryPack {
       val wts = dbc.join(broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(sum(col("c") * col("lr_q")).cast("bigint").as("weight_q"))
-      val nsrc = wts.groupBy("source").agg(count(lit(1)).as("n_src"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(desc("weight_q"), asc("doc_id"))
-      val result = wts.join(nsrc, "source")
-        .withColumn("src_rank", row_number().over(w).cast("bigint"))
-        .withColumn("selected", col("src_rank") <= expr("(n_src + 4) div 5"))
-        .select(col("doc_id"), col("source"), col("weight_q"),
-                col("src_rank"), col("selected"))
+      // Top-20%-per-source selection WITHOUT the per-source full-rank
+      // window (the r7 verdict's q150 scale-killer: row_number over
+      // PARTITION BY source ranks a source's entire corpus in one task).
+      // Rank-free equivalent of `rank <= k` under (weight DESC, doc_id):
+      //   1. per-source k = ceil(n/5) (tiny aggregate);
+      //   2. per-source cutoff weight = the weight holding rank k, found
+      //      on the (source, weight) DISTINCT frame via the distributed
+      //      keyed PrefixSum (descending cumsum of tie counts — every
+      //      stage partition-bounded, never source-bounded);
+      //   3. weight > cutoff ⇒ selected; weight == cutoff ⇒ break ties
+      //      by doc_id within the ONE tie group per source — a window
+      //      PARTITIONed BY (source, weight_q), bounded by the tie
+      //      multiplicity at a single int64 weight, not by corpus size.
+      // Selection set is IDENTICAL to the old rank rule; the rank column
+      // itself (inherently a row-scale total order) is dropped.
+      val nsrc = wts.groupBy("source")
+        .agg(expr("(count(1) + 4) div 5").as("k"))
+      val vals = wts.groupBy("source", "weight_q")
+        .agg(count(lit(1)).as("cnt"))
+      val cut = graft.functions.PrefixSum.inclusivePerKey(vals,
+          Seq("source"), Seq(col("weight_q").desc), Seq((col("cnt"), "cum")))
+        .join(broadcast(nsrc), "source")
+        .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+        .select(col("source"), col("weight_q").as("cut_w"),
+          (col("k") - (col("cum") - col("cnt"))).as("need"))
+      val tieW = Window.partitionBy(col("source"), col("weight_q"))
+        .orderBy(asc("doc_id"))
+      val result = wts.join(broadcast(cut), "source")
+        .withColumn("tie_rk",
+          when(col("weight_q") === col("cut_w"), row_number().over(tieW)))
+        .withColumn("selected", col("weight_q") > col("cut_w") ||
+          (col("weight_q") === col("cut_w") && col("tie_rk") <= col("need")))
+        .select(col("doc_id"), col("source"), col("weight_q"), col("selected"))
+      // Plan REQUIRE (r7 verdict item 1): every Window must be PrefixSum
+      // machinery (__pid in its spec) or the tie-group window (weight_q
+      // in its PARTITION BY) — no per-source row-scale window.
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.nonEmpty && wins.forall(w =>
+            (w.partitionSpec ++ w.orderSpec)
+              .flatMap(_.references.toSeq).exists(_.name == "__pid") ||
+            w.partitionSpec.flatMap(_.references.toSeq).exists(_.name == "weight_q")),
+          "q150: a per-source row-scale window crept back in")
+      }
       materialized(result, dbc).orderBy("doc_id")
     },
 
@@ -1549,8 +1586,6 @@ object TextPack extends QueryPack {
           |        FROM dbc JOIN lr USING (b) GROUP BY 1, 2),
           |nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM wts GROUP BY 1)
           |SELECT w.doc_id, w.source, w.weight_q,
-          |       CAST(row_number() OVER (PARTITION BY w.source
-          |                               ORDER BY w.weight_q DESC, w.doc_id) AS BIGINT) AS src_rank,
           |       CAST(row_number() OVER (PARTITION BY w.source
           |                               ORDER BY w.weight_q DESC, w.doc_id) AS BIGINT)
           |         <= (n.n_src + 4) // 5 AS selected

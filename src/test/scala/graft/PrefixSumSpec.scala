@@ -31,4 +31,35 @@ class PrefixSumSpec extends AnyFunSuite {
       assert(got.toSeq === exp, s"n=$n")
     }
   }
+
+  test("per-key scan matches the per-key sequential definition") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(1, 7, 100, 3000)) {
+      val rows = (0 until n).map(i =>
+        (s"src${rnd.nextInt(4)}", i.toLong, rnd.nextInt(50).toLong))
+      val df = rows.toDF("src", "k", "v")
+      // ascending order key
+      val got = PrefixSum.inclusivePerKey(df, Seq("src"), Seq(col("k")),
+          Seq((col("v"), "cum")))
+        .select("src", "k", "cum")
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.zip(ordered.scanLeft(0L)(_ + _._3).tail)
+          .map { case ((_, k, _), c) => (src, k, c) }
+      }.sortBy(r => (r._1, r._2))
+      assert(got.toSeq === exp, s"n=$n asc")
+      // descending order key with unique tiebreak (the q150 shape)
+      val gotD = PrefixSum.inclusivePerKey(df, Seq("src"),
+          Seq(col("v").desc, col("k")), Seq((col("v"), "cum")))
+        .select("src", "k", "cum")
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val expD = rows.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+        val ordered = rs.sortBy { case (_, k, v) => (-v, k) }
+        ordered.zip(ordered.scanLeft(0L)(_ + _._3).tail)
+          .map { case ((_, k, _), c) => (src, k, c) }
+      }.sortBy(r => (r._1, r._2))
+      assert(gotD.toSeq === expD, s"n=$n desc")
+    }
+  }
 }
