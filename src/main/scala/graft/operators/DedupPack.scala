@@ -780,19 +780,36 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // config is deliberately the permissive extreme (any single
     // matching permutation ⇒ candidate), which is exactly what the
     // sweep exists to quantify; its candidate volume is still
-    // band-join-bounded, never all-pairs. Output: 4 rows. ----
+    // band-join-bounded, never all-pairs.
+    //
+    // Scale bound (r7 verdict item 3): a sweep is a TUNING DIAGNOSTIC,
+    // and the permissive (8,2)/(16,1) configs' candidate volume on a
+    // duplicate-heavy 100 TB corpus approaches cluster-size² — so those
+    // two configs run over a DETERMINISTIC md5 sample of the corpus
+    // (doc ids with hex64(md5(id)) ≡ 0 mod 4, ~25%; content-independent,
+    // engine-portable) and are scored against the truth pairs whose
+    // endpoints BOTH survive the sample, i.e. each config row is an
+    // internally-consistent P/R measurement on its own population. The
+    // production-candidate configs (2,8)/(4,4) stay full-corpus.
+    // n_truth is therefore per-config. Output: 4 rows. ----
     "q230_banding_sweep" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       val docs = fullSigStore(s, d)
       // truth from the shared once-per-corpus artifact
       // ([[jaccardTruthStore]] — q129 reads the same files); warmed
-      // because all four config rows and the count probe it
+      // because all four config rows and their count probes read it
       val truth = warmed(jaccardTruthStore(s, d))
+      def inSample(id: Column) = hex64(md5(id.cast("string"))) % 4 === 0
       val rows = sweepConfigs.map { case (b, r) =>
+        val permissive = r <= 2
+        val cfgDocs = if (permissive) docs.filter(inSample(col("doc_id"))) else docs
+        val cfgTruth = if (permissive)
+          truth.filter(inSample(col("doc_i")) && inSample(col("doc_j")))
+        else truth
         val keyCols = (0 until b).map(i =>
           hex64(md5(concat_ws(",",
             transform(slice(col("sigs"), i * r + 1, r), _.cast("string"))))))
-        val bands = docs
+        val bands = cfgDocs
           .select(col("doc_id"), posexplode(array(keyCols: _*)))
           .toDF("doc_id", "band_id", "band_val")
         val cand = bands.as("a").join(bands.as("b"),
@@ -802,15 +819,14 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
           .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
           .distinct()
         cand
-          .join(truth.withColumn("t", lit(1L)), Seq("doc_i", "doc_j"), "left")
+          .join(cfgTruth.withColumn("t", lit(1L)), Seq("doc_i", "doc_j"), "left")
           .agg(count(lit(1)).as("n_cand"),
             coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_cand_true"))
+          .crossJoin(cfgTruth.agg(count(lit(1)).as("n_truth")))
           .select(lit(f"b$b%02dr$r%02d").as("config"),
-            col("n_cand"), col("n_cand_true"))
+            col("n_cand"), col("n_cand_true"), col("n_truth"))
       }
-      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val out = rows.reduce(_ unionByName _)
-        .crossJoin(broadcast(nTruth))
         .select(col("config"),
           col("n_cand").cast("bigint").as("n_cand"),
           col("n_cand_true").cast("bigint").as("n_cand_true"),
@@ -1215,25 +1231,38 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
 
     // same re-banding of the 16-perm signature per config (sigs slice →
     // md5 key), DISTINCT band-join candidates, and the q129 truth
-    // (MATERIALIZED — referenced by all four config rows + the count)
+    // (MATERIALIZED — referenced by all four config rows + the counts);
+    // the permissive (8,2)/(16,1) configs apply the identical md5 mod-4
+    // doc sample to their band input AND their truth population, so
+    // n_truth is per-config exactly as on the Spark side
     "q230_banding_sweep" -> {
       def keySql(i: Int, r: Int) =
         s"CAST('0x' || substring(md5(array_to_string(sigs[${i * r + 1}:${(i + 1) * r}], ',')), 1, 15) AS BIGINT)"
+      def sampSql(idCol: String) =
+        s"CAST('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0"
       val cfg = Seq((2, 8), (4, 4), (8, 2), (16, 1))
       val cfgCtes = cfg.map { case (b, r) =>
         val label = f"b$b%02dr$r%02d"
+        val permissive = r <= 2
+        val docFilter = if (permissive) s"WHERE ${sampSql("doc_id")}" else ""
+        val truthSel =
+          if (permissive)
+            s"(SELECT * FROM truth WHERE ${sampSql("doc_i")} AND ${sampSql("doc_j")})"
+          else "truth"
         val bandSel = (0 until b).map(i =>
-          s"SELECT doc_id, $i AS band_id, ${keySql(i, r)} AS band_val FROM sigs")
+          s"SELECT doc_id, $i AS band_id, ${keySql(i, r)} AS band_val FROM sigs $docFilter")
           .mkString("\n  UNION ALL ")
-        s"""bands_$label AS (
+        s"""truth_$label AS MATERIALIZED (SELECT doc_i, doc_j FROM $truthSel t),
+           |bands_$label AS (
            |  $bandSel),
            |cand_$label AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
            |  FROM bands_$label a JOIN bands_$label b
            |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
            |row_$label AS (SELECT '$label' AS config,
            |  CAST(count(*) AS BIGINT) AS n_cand,
-           |  CAST(sum(CASE WHEN t.doc_i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_true
-           |  FROM cand_$label c LEFT JOIN truth t ON t.doc_i = c.doc_i AND t.doc_j = c.doc_j)"""
+           |  CAST(COALESCE(sum(CASE WHEN t.doc_i IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand_true,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth_$label) AS n_truth
+           |  FROM cand_$label c LEFT JOIN truth_$label t ON t.doc_i = c.doc_i AND t.doc_j = c.doc_j)"""
           .stripMargin
       }.mkString(",\n")
       val unionRows = cfg.map { case (b, r) =>
@@ -1254,13 +1283,12 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |  WHERE CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
          |        (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) >= 0.9),
          |$cfgCtes,
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
          |allrows AS (
          |  $unionRows)
          |SELECT config, n_cand, n_cand_true, n_truth,
          |       CAST(CASE WHEN n_cand > 0 THEN n_cand_true * 1000000 // n_cand ELSE 0 END AS BIGINT) AS precision_ppm,
          |       CAST(CASE WHEN n_truth > 0 THEN n_cand_true * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
-         |FROM allrows CROSS JOIN nt
+         |FROM allrows
          |ORDER BY config""".stripMargin
     },
 
