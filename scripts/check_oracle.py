@@ -68,9 +68,16 @@ def canon_type(t: pa.DataType) -> str:
 def norm(v):
     """Bit-exact normalization: floats compare by raw IEEE-754 bytes
     (±0.0 and NaN-payload sensitive, matching the driver's
-    representation hash); Decimals compare exactly, NOT via float."""
+    representation hash); Decimals compare exactly, NOT via float.
+    Recurses through list/tuple/dict cells so floats nested inside
+    array/struct/map columns get the same treatment as top-level ones
+    (a NaN inside an array would otherwise compare NaN != NaN)."""
     if isinstance(v, float):
         return struct.pack("<d", v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 

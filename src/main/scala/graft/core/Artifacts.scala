@@ -69,6 +69,35 @@ object Artifacts {
     }
   }
 
+  /** Per-run scratch sink path: `<tmpdir>/graft_run_<appId>/<name>`.
+    * Sink-roundtrip queries (q02, q240) write-then-read under here; the
+    * applicationId segment keeps two concurrent runs from interleaving
+    * one run's overwrite with the other's read-back, and ONE shutdown
+    * hook per JVM removes the whole per-run root so /tmp stays bounded
+    * (the old fixed-per-corpus paths traded the race for boundedness;
+    * this gets both).
+    */
+  def perRunSinkPath(spark: SparkSession, name: String): String = {
+    val runRoot = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_run_${spark.sparkContext.applicationId}")
+    lock.synchronized {
+      if (!hookInstalled) {
+        hookInstalled = true
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          if (Files.exists(runRoot)) {
+            import scala.jdk.CollectionConverters._
+            val w = Files.walk(runRoot)
+            try w.iterator().asScala.toSeq.reverse.foreach(p =>
+              try Files.delete(p) catch { case _: Exception => () })
+            finally w.close()
+          }
+        }))
+      }
+    }
+    runRoot.resolve(name).toString
+  }
+  @volatile private var hookInstalled = false
+
   /** Build-once: returns the path of artifact `name`, running
     * `build(tmpPath)` first if no complete artifact exists. `name` must
     * already include the corpus fingerprint (see [[corpusKey]]) AND a

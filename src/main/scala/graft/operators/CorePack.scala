@@ -65,11 +65,10 @@ object CorePack extends QueryPack {
     // (SourcesSpec); the write is per-partition parallel — the same
     // fan-out a 1000-executor job uses.
     "q02_text_sink_roundtrip" -> { (s, dir) =>
-      // one fixed path per corpus, overwritten each run — a fresh temp
-      // dir per invocation would accumulate a wordcount copy in /tmp for
-      // every Bench/Verify run, unbounded
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_text_sink_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}").toString
+      // per-run sink path (shutdown-hook-cleaned, concurrent-run-safe —
+      // see [[graft.core.Artifacts.perRunSinkPath]])
+      val out = graft.core.Artifacts.perRunSinkPath(s,
+        s"text_sink_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}")
       WordCount.documentsWordCount(s, dir)
         .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
         .write.mode("overwrite").text(out)
@@ -91,8 +90,11 @@ object CorePack extends QueryPack {
     // the surviving values against the ORIGINAL table. Fixed per-corpus
     // path, overwritten per run (the q02 sink discipline). ----
     "q240_schema_merge" -> { (s, dir) =>
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_schema_merge_${graft.core.Artifacts.corpusKey(dir, "orders.parquet")}").toString
+      // per-run sink path — two runs sharing one fixed path could
+      // interleave one run's two-batch overwrite with the other's
+      // mergeSchema scan ([[graft.core.Artifacts.perRunSinkPath]])
+      val out = graft.core.Artifacts.perRunSinkPath(s,
+        s"schema_merge_${graft.core.Artifacts.corpusKey(dir, "orders.parquet")}")
       val orders = Tables.orders(s, dir)
       orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
         .select(col("o_orderkey"),

@@ -1004,7 +1004,9 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // only. At 100 TB: the index artifact is bucket-partitioned storage,
     // probe fan-out is L×(b+1), never O(N²). ----
     "q45_dedup_embedding_lsh" -> { (s, d) =>
-      // one bucket-partitioned index artifact feeds probe + corpus sides
+      // one bucket-partitioned index artifact feeds probe + corpus sides;
+      // pin at plan time that it stays partition-prunable on bucket_0
+      SimilarityPack.requireBucketPruned(s, d)
       val vecs = SimilarityPack.persistedVecs(s, d)
       val result = SimilarityPack.nearDupPairs(vecs, SimilarityPack.bucketBits(s, d), 0.4)
       materialized(result, vecs).orderBy("vec_i", "vec_j")

@@ -89,8 +89,9 @@ object EventsPack extends QueryPack {
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id").as("r_user_id"), col("us").as("signup_us"))
         .distinct()
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_bucketed").toString
+      // per-run path ([[graft.core.Artifacts.perRunSinkPath]]): concurrent
+      // runs must not overwrite each other's bucketed table files
+      val base = graft.core.Artifacts.perRunSinkPath(s, "bucketed")
       def saveBucketed(df: DataFrame, tbl: String, key: String, time: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         df.write.mode("overwrite").option("path", s"$base/$tbl")

@@ -696,7 +696,7 @@ object PipelinePack extends QueryPack {
       val pow60 = lit(1152921504606846976L) // 2^60
       val byPriority = Window.partitionBy(col("source"))
         .orderBy(col("priority").desc, col("doc_id"))
-      Tables.documents(s, d)
+      val result = Tables.documents(s, d)
         .select(col("source"), col("doc_id"), col("n_chars"),
           (hex64(md5(concat(col("doc_id").cast("string"), lit(":ps1")))) + 1).as("hv"))
         .select(col("source"), col("doc_id"), col("n_chars"),
@@ -704,7 +704,18 @@ object PipelinePack extends QueryPack {
             col("hv").cast("double")).as("priority"))
         .withColumn("rk", row_number().over(byPriority).cast("bigint"))
         .filter(col("rk") <= k)
-        .orderBy("source", "rk")
+      // Plan REQUIRE (r7 verdict item 5): the CONSTANT-k rank filter must
+      // plan as WindowGroupLimit — the partial per-partition top-k that
+      // keeps each task's state at k rows instead of sorting a source's
+      // full corpus before the filter. A Spark upgrade or a rewrite that
+      // makes k non-constant would silently lose the partial and revert
+      // to the row-scale window this query's scale story depends on.
+      locally {
+        val plan = result.queryExecution.executedPlan.toString
+        require(plan.contains("WindowGroupLimit"),
+          s"q124: constant-k rank filter must plan a WindowGroupLimit partial top-k; got:\n${plan.take(1200)}")
+      }
+      result.orderBy("source", "rk")
     },
 
     // ---- mixture weights: per-language upsampling factors that turn the

@@ -95,9 +95,18 @@ object RelationalPack extends QueryPack {
         // them (a config/upgrade that flips this to two full shuffles
         // would be invisible to the bench for minutes at real scale).
         // Past broadcast size the same plan degrades to shuffle joins on
-        // the same keys, which is the correct 100 TB shape.
-        require(plan.contains("BroadcastHashJoin"),
-          s"q12: dim joins should broadcast at gate scale; got:\n${plan.take(1500)}")
+        // the same keys, which is the correct 100 TB shape — so this
+        // assert is CONDITIONAL on the session running the default
+        // autoBroadcastJoinThreshold (a tuned-down threshold or a bigger
+        // corpus legitimately shuffle-joins; only the no-nested-loop and
+        // agg-below-join requires are scale-independent).
+        val abtDefault = s.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
+          case "10485760" | "10MB" | "10m" | "10485760b" => true
+          case _ => false
+        }
+        if (abtDefault)
+          require(plan.contains("BroadcastHashJoin"),
+            s"q12: dim joins should broadcast at gate scale; got:\n${plan.take(1500)}")
       }
       result
     },
@@ -301,8 +310,9 @@ object RelationalPack extends QueryPack {
     // that neither side re-exchanges. The aggregate above the join
     // shuffles its classes-sized frame as usual. ----
     "q131_bucketed_join" -> { (s, d) =>
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_bucketed").toString
+      // per-run path ([[graft.core.Artifacts.perRunSinkPath]]): concurrent
+      // runs must not overwrite each other's bucketed table files
+      val base = graft.core.Artifacts.perRunSinkPath(s, "bucketed")
       def saveBucketed(df: DataFrame, tbl: String, key: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         df.write.mode("overwrite").option("path", s"$base/$tbl")

@@ -238,6 +238,23 @@ object SimilarityPack extends QueryPack {
       .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  /** Plan REQUIRE shared by q45/q51 (r7 verdict item 5): the ANN index
+    * artifact must stay partition-prunable on bucket_0 — a single-bucket
+    * probe of the stored artifact must show `PartitionFilters` binding
+    * bucket_0 at plan time (the q225 probe pattern; PLANS.md shows
+    * `PartitionFilters: [(bucket_0 = 3)]`). If the artifact write ever
+    * drops `partitionBy("bucket_0")`, every 100 TB single-bucket probe
+    * silently becomes a full index scan; this catches that without
+    * executing anything.
+    */
+  private[operators] def requireBucketPruned(s: SparkSession, d: String): Unit = {
+    val plan = annIndex(s, d).filter(col("bucket_0") === 3)
+      .queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters") &&
+        plan.replaceAll("#\\d+", "").contains("(bucket_0 = 3)"),
+      s"ANN index lost bucket_0 partition pruning; got:\n${plan.take(1200)}")
+  }
+
   /** q45's pair generator (DedupPack delegates here so the dedup query
     * shares the exact probe machinery): all (i < j) pairs whose buckets
     * are within Hamming 1 in at least one table, cosine-verified. */
@@ -776,6 +793,7 @@ object SimilarityPack extends QueryPack {
 
     // ---- LSH-bucketed ANN (scale path): L tables, single probe each ----
     "q51_ann_lsh" -> { (s, d) =>
+      requireBucketPruned(s, d)
       val vecs = persistedVecs(s, d)
       materialized(lshTopK(vecs, bucketBits(s, d)), vecs).orderBy("q_id", "rk")
     },
