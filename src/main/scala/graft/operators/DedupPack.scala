@@ -838,6 +838,60 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(out, truth).orderBy("config")
     },
 
+    // ---- PARAGRAPH-LEVEL BLOOM DEDUP — the Dolma pipeline's paragraph
+    // dedup mode (Soldaini et al. 2024, arXiv:2402.00159): the base
+    // corpus's paragraph fingerprints live in a BLOOM FILTER (bits, not
+    // ids — the state a 100 TB dedup service actually keeps resident);
+    // a delta batch (q101's doc_id%10==7 convention) probes the filter
+    // per paragraph and each delta doc reports its duplicated-paragraph
+    // fraction + keep verdict, the paragraph-granularity complement to
+    // q04 (segments) and q123 (rolling spans). The filter is built ONCE
+    // by the native linear-merge bloom aggregate and broadcast as one
+    // row; the probe is the codegen might-contain expression — a map
+    // stage over the delta, no shuffle. Bloom false positives are then
+    // removed EXACTLY the q121 way: paragraphs that pass the filter are
+    // verified by an equi-join against the base paragraph-id set, so
+    // the output is exact (the oracle runs the plain join) while the
+    // filter prunes the join's probe side to paragraphs it could not
+    // reject. Paragraph = 16-token non-overlapping chunk (the synthetic
+    // corpus has no newlines; q04's segment convention, coarser). ----
+    "q251_paragraph_bloom_dedup" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      import graft.functions.GraftExpressions.{bloom, bloomMightContain}
+      val paraLen = 16
+      def paras(docs: DataFrame): DataFrame = docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          when(size(col("toks")) > 0,
+            sequence(lit(0), ceil(size(col("toks")) / lit(paraLen.toDouble)).cast("int") - 1))
+            .otherwise(array().cast("array<int>")).as("idxs"))
+        .select(col("doc_id"), explode(col("idxs")).as("i"), col("toks"))
+        .select(col("doc_id"),
+          hex64(md5(concat_ws(" ",
+            slice(col("toks"), col("i") * paraLen + 1, lit(paraLen))))).as("pid"))
+      val basePids = paras(Tables.documents(s, d)
+        .filter(!isDelta(col("doc_id")))).select("pid").distinct()
+      val bf = basePids.agg(bloom(col("pid"), 1 << 20, 7).as("bf"))
+      // the delta's paragraph stream feeds the probe AND the per-doc
+      // denominator — computed once
+      val delta = warmed(paras(Tables.documents(s, d).filter(isDelta(col("doc_id")))))
+      val dupes = delta.crossJoin(broadcast(bf))
+        .where(bloomMightContain(col("bf"), col("pid"), 7))
+        .drop("bf")
+        .join(basePids.hint("shuffle_hash"), Seq("pid"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      val result = delta.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"))
+        .join(dupes, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup"))
+        .select(col("doc_id"),
+          col("n_paras").cast("bigint").as("n_paras"),
+          col("n_dup").cast("bigint").as("n_dup"),
+          expr("n_dup * 1000000 div n_paras").cast("bigint").as("dup_frac_ppm"))
+        .withColumn("keep", col("dup_frac_ppm") <= 300000)
+      materialized(result, delta).orderBy("doc_id")
+    },
+
     // ---- INCREMENTAL near-dup: a delta batch against the persisted
     // corpus index. The 100 TB operating mode of q41: the corpus's
     // signature store and LSH band index are build-once artifacts
@@ -1293,6 +1347,27 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM allrows
          |ORDER BY config""".stripMargin
     },
+
+    // the Bloom filter's false positives are removed by the exact
+    // base-set join on the Spark side, so the oracle IS the plain join:
+    // same 16-token chunking as q04's 4-token oracle, base set distinct,
+    // per-delta-doc left-join fold
+    "q251_paragraph_bloom_dedup" ->
+      s"""WITH tok AS ($duckToks),
+         |seg AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substring(md5(array_to_string(ts[(g.i * 16 + 1):((g.i + 1) * 16)], ' ')), 1, 15) AS BIGINT) AS pid
+         |  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 16.0) - 1 AS BIGINT))) AS g(i)),
+         |basep AS (SELECT DISTINCT pid FROM seg WHERE doc_id % $deltaMod <> $deltaRem),
+         |delta AS (SELECT doc_id, pid FROM seg WHERE doc_id % $deltaMod = $deltaRem)
+         |SELECT d.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_paras,
+         |       CAST(sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST((sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_frac_ppm,
+         |       (sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) <= 300000 AS keep
+         |FROM delta d LEFT JOIN basep b USING (pid)
+         |GROUP BY d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // candidate CTE mirrors the Spark join literally: probe side a is
     // delta-only, b is the full band set, base-side matches take both
