@@ -332,6 +332,99 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     s.read.parquet(path)
   }
 
+  // ---------- weighted MinHash (tf-idf-weighted Jaccard; q252/q253) ----------
+
+  /** Integer idf weight class of a shingle from its document frequency:
+    * rarer shingles weigh more (4 / 3 / 2 / 1 at df 1 / ≤3 / ≤9 / >9).
+    * Pure integer thresholds — engine-portable by construction. */
+  private def idfWeight(df: Column): Column =
+    when(df === 1, 4).when(df <= 3, 3).when(df <= 9, 2).otherwise(1)
+
+  /** Weighted-MinHash per-doc state `(doc_id, rid, n_reps, sigs)` as a
+    * once-per-corpus ARTIFACT — the weighted complement of
+    * [[fullSigStore]] for boilerplate-heavy corpora where unweighted
+    * resemblance (q41) over-scores docs sharing common template
+    * shingles. Weighted Jaccard with small INTEGER weights reduces
+    * EXACTLY to plain Jaccard over the weight-expanded multiset: each
+    * shingle is replicated w times under distinct rep ids
+    * (md5(sid#i) — the unary-expansion view of consistent weighted
+    * sampling, Haveliwala et al. 2000 / Ioffe 2010 restricted to
+    * integer weights), and since a shingle's weight depends only on
+    * the shingle — never the doc — Σ_common min(w) = |A∩B| over rep
+    * ids and Σ max(w) = |A∪B|. So the EXISTING 16-perm rotation
+    * signature, 2×8 banding, and codegen sorted-merge intersect apply
+    * unchanged over rep ids, and the oracle replays the identical
+    * construction. Weights come from the shingle document-frequency
+    * table (vocab-sized) off the shared [[docShingles]] artifact;
+    * expansion multiplies state by ≤4, changing no asymptotics.
+    */
+  private def weightedSigStore(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.Artifacts.materialize(
+      s"wminhash_sigs_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      val sh = docShingles(s, d)
+      val dfw = sh.groupBy("sid").agg(idfWeight(count(lit(1))).as("w"))
+      val rep = sh.join(dfw, "sid")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("w") - 1)).as("i"), col("sid"))
+        .select(col("doc_id"),
+          md5(concat_ws("#", col("sid").cast("string"), col("i").cast("string"))).as("h"))
+      // per-perm min over the ROTATED HEX STRING (then hex64), exactly
+      // the [[minhashDocs]]/oracle order — min(hex64(...)) would break
+      // ties differently in the (negligible but nonzero) 15-hex-char
+      // collision case
+      val aggs =
+        sort_array(collect_list(hex64(col("h")))).as("rid") +:
+        count(lit(1)).as("n_reps") +:
+        (0 until nPerm).map(p => hex64(min(rotHex(col("h"), p))).as(s"sig$p"))
+      rep.groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), col("rid"), col("n_reps"),
+          array((0 until nPerm).map(p => col(s"sig$p")): _*).as("sigs"))
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Emit-once band self-join over a [[minhashBands]] frame —
+    * the q41 candidate generator, shared by the weighted path. */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+
+  /** Exact weighted-Jaccard ≥ 0.8 truth pairs as a once-per-corpus
+    * artifact (q253's denominator) — the [[jaccardTruthStore]] recipe
+    * on the weighted state: candidates from TWO independent generators
+    * (the weighted band join and the shingle inverted index), exact-
+    * verified on rep ids. Coverage: weights lie in [1,4], so weighted
+    * J ≥ 0.8 forces plain shingle J ≥ 0.5 (worst case: common shingles
+    * at weight 4, uniques at 1 → u ≤ c) — far above [[ngramPairs]]'s
+    * 0.15 cut, so the union covers the truth set. */
+  private def weightedTruthStore(s: SparkSession, d: String): DataFrame = {
+    val path = graft.core.Artifacts.materialize(
+      s"wjacc08_truth_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = weightedSigStore(s, d)
+      val cand = bandCandidates(minhashBands(docs))
+      val sp = ngramPairs(s, d).select("doc_i", "doc_j")
+      val da = docs.select(col("doc_id").as("doc_i"),
+        col("rid").as("rid_a"), col("n_reps").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"),
+        col("rid").as("rid_b"), col("n_reps").as("n_b"))
+      cand.unionByName(sp).distinct()
+        .join(da, "doc_i").join(db, "doc_j")
+        .withColumn("w_common", graft.functions.GraftExpressions
+          .sortedLongIntersectCount(col("rid_a"), col("rid_b")).cast("bigint"))
+        .filter(expr("w_common * 1000000 div (n_a + n_b - w_common)") >= 800000)
+        .select("doc_i", "doc_j")
+        .repartition(4).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** [[minhashBands]] variant that CARRIES the per-doc verify state
     * (sigs/tid/n_toks) on every band row — for the streaming probe
     * (q139), where the band join's output cannot re-join its own stream
@@ -439,6 +532,55 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
        |  FROM cand c
        |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
        |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)""".stripMargin
+
+  /** DuckDB mirror of the weighted-MinHash pipeline — shingle df →
+    * integer idf weights → rep expansion → rotation signatures → 2×8
+    * bands → emit-once candidates → exact rep-intersect verify; ends in
+    * `wscored(doc_i, doc_j, est_matches, w_common, w_union)` with
+    * `cand`, `docs`, `sigs` in scope. Shared by the q252/q253 oracles.
+    */
+  private val wminhashCtes: String = {
+    val rotSql = "substring(h, 2*p + 1, 32 - 2*p) || substring(h, 1, 2*p)"
+    s"""tok AS ($duckToks),
+       |wsh0 AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS sg
+       |        FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
+       |wsh AS (SELECT doc_id, CAST('0x' || substring(md5(sg), 1, 15) AS BIGINT) AS sid FROM wsh0),
+       |dfw AS (SELECT sid, CASE WHEN count(*) = 1 THEN 4 WHEN count(*) <= 3 THEN 3
+       |                         WHEN count(*) <= 9 THEN 2 ELSE 1 END AS w
+       |        FROM wsh GROUP BY sid),
+       |rep AS (SELECT s.doc_id, md5(CAST(s.sid AS VARCHAR) || '#' || CAST(g.i AS VARCHAR)) AS h
+       |        FROM wsh s JOIN dfw USING (sid), UNNEST(generate_series(0, w - 1)) AS g(i)),
+       |docs AS (SELECT doc_id,
+       |                list_sort(list(CAST('0x' || substring(h, 1, 15) AS BIGINT))) AS rid,
+       |                CAST(count(*) AS BIGINT) AS n_reps
+       |         FROM rep GROUP BY doc_id),
+       |mh AS (SELECT doc_id, p, min($rotSql) AS sighex
+       |       FROM rep CROSS JOIN (SELECT unnest(generate_series(0, ${nPerm - 1})) AS p) perms
+       |       GROUP BY doc_id, p),
+       |sigs AS (SELECT doc_id,
+       |                list(CAST('0x' || substring(sighex, 1, 15) AS BIGINT) ORDER BY p) AS sigs
+       |         FROM mh GROUP BY doc_id),
+       |keys AS (SELECT doc_id,
+       |                CAST('0x' || substring(md5(array_to_string(sigs[1:$bandRows], ',')), 1, 15) AS BIGINT) AS b0,
+       |                CAST('0x' || substring(md5(array_to_string(sigs[${bandRows + 1}:${2 * bandRows}], ',')), 1, 15) AS BIGINT) AS b1
+       |         FROM sigs),
+       |bands AS (
+       |  SELECT doc_id, b0, 0 AS band_id, b0 AS band_val FROM keys
+       |  UNION ALL
+       |  SELECT doc_id, b0, 1, b1 FROM keys),
+       |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+       |wscored AS (
+       |  SELECT c.doc_i, c.doc_j,
+       |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
+       |    CAST(length(list_intersect(da.rid, db.rid)) AS BIGINT) AS w_common,
+       |    CAST(da.n_reps + db.n_reps - length(list_intersect(da.rid, db.rid)) AS BIGINT) AS w_union
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
+       |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)""".stripMargin
+  }
 
   /** DuckDB CTE chain ending in `pairs(doc_i, doc_j, shared, jaccard)` —
     * the oracle mirror of [[ngramPairs]], shared by q43/q46/q47 oracles.
@@ -890,6 +1032,59 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
           expr("n_dup * 1000000 div n_paras").cast("bigint").as("dup_frac_ppm"))
         .withColumn("keep", col("dup_frac_ppm") <= 300000)
       materialized(result, delta).orderBy("doc_id")
+    },
+
+    // ---- tf-idf-WEIGHTED MinHash near-dup (weighted Jaccard): q41's
+    // consensus improvement for boilerplate-heavy corpora — common
+    // template shingles (nav bars, license footers) carry weight 1
+    // while rare content shingles carry up to 4, so resemblance follows
+    // the CONTENT, not the boilerplate. Integer weights reduce weighted
+    // Jaccard exactly to plain Jaccard over rep-expanded ids (see
+    // [[weightedSigStore]]), so the whole q41 pipeline — 16-perm
+    // rotation signatures, 2×8 emit-once banding, est-matches prefilter,
+    // codegen sorted-merge intersect verify — runs unchanged over the
+    // weighted state artifact, and the oracle replays the identical
+    // construction. Threshold: weighted J ≥ 0.8 (integer ppm). ----
+    "q252_weighted_minhash" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = weightedSigStore(s, d)
+      val cand = bandCandidates(minhashBands(docs))
+      val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
+        col("rid").as("rid_a"), col("n_reps").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
+        col("rid").as("rid_b"), col("n_reps").as("n_b"))
+      val result = cand.join(da, "doc_i").join(db, "doc_j")
+        .withColumn("est_matches",
+          graft.functions.GraftExpressions.longArrayEqCount(col("sig_a"), col("sig_b")))
+        .filter(col("est_matches") >= 12) // est weighted-J ≥ 0.75
+        .withColumn("w_common", graft.functions.GraftExpressions
+          .sortedLongIntersectCount(col("rid_a"), col("rid_b")).cast("bigint"))
+        .withColumn("w_union", (col("n_a") + col("n_b") - col("w_common")).cast("bigint"))
+        .withColumn("wjacc_ppm", expr("w_common * 1000000 div w_union").cast("bigint"))
+        .filter(col("wjacc_ppm") >= 800000)
+        .select("doc_i", "doc_j", "est_matches", "w_common", "w_union", "wjacc_ppm")
+      materialized(result).orderBy("doc_i", "doc_j")
+    },
+
+    // ---- weighted-banding QUALITY harness — q129's P/R gate on the
+    // weighted pipeline: the weighted band join's candidates scored
+    // against exact weighted-Jaccard ≥ 0.8 truth
+    // ([[weightedTruthStore]]; two-generator coverage argument there).
+    // Bounded output: one row, all-integer ppm. ----
+    "q253_weighted_minhash_pr" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val cand = bandCandidates(minhashBands(weightedSigStore(s, d)))
+      val truth = warmed(weightedTruthStore(s, d))
+      val candTrue = cand.join(truth, Seq("doc_i", "doc_j"), "left_semi")
+      val result = truth.agg(count(lit(1)).cast("bigint").as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).cast("bigint").as("n_cand")))
+        .crossJoin(candTrue.agg(count(lit(1)).cast("bigint").as("n_cand_true")))
+        .select(col("n_truth"), col("n_cand"), col("n_cand_true"),
+          when(col("n_cand") > 0, expr("n_cand_true * 1000000 div n_cand"))
+            .otherwise(lit(0L)).cast("bigint").as("precision_ppm"),
+          when(col("n_truth") > 0, expr("n_cand_true * 1000000 div n_truth"))
+            .otherwise(lit(0L)).cast("bigint").as("recall_ppm"))
+      materialized(result, truth).orderBy("n_truth")
     },
 
     // ---- INCREMENTAL near-dup: a delta batch against the persisted
@@ -1368,6 +1563,42 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM delta d LEFT JOIN basep b USING (pid)
          |GROUP BY d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // identical weighted construction end-to-end (df → weight classes →
+    // rep expansion → rotation sigs → bands → verify); same est-matches
+    // and integer-ppm thresholds
+    "q252_weighted_minhash" ->
+      s"""WITH $wminhashCtes
+         |SELECT doc_i, doc_j, est_matches, w_common, w_union,
+         |       CAST(w_common * 1000000 // w_union AS BIGINT) AS wjacc_ppm
+         |FROM wscored
+         |WHERE est_matches >= 12 AND w_common * 1000000 // w_union >= 800000
+         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    // truth = (weighted band candidates ∪ shingle pairs) exact-verified
+    // at weighted-J ≥ 0.8 on rep ids — the q129 two-generator recipe;
+    // the spliced shingle-pair subquery keeps its own WITH scope
+    "q253_weighted_minhash_pr" ->
+      s"""WITH $wminhashCtes,
+         |sp AS (SELECT doc_i, doc_j FROM (WITH $ngramPairsCtes
+         |       SELECT doc_i, doc_j FROM pairs) t),
+         |allc AS (SELECT doc_i, doc_j FROM cand UNION SELECT doc_i, doc_j FROM sp),
+         |wtruth AS (
+         |  SELECT a.doc_i, a.doc_j
+         |  FROM allc a
+         |  JOIN docs da ON da.doc_id = a.doc_i
+         |  JOIN docs db ON db.doc_id = a.doc_j
+         |  WHERE (length(list_intersect(da.rid, db.rid)) * 1000000) //
+         |        (da.n_reps + db.n_reps - length(list_intersect(da.rid, db.rid))) >= 800000),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM wtruth),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_true
+         |       FROM cand JOIN wtruth USING (doc_i, doc_j))
+         |SELECT n_truth, n_cand, n_cand_true,
+         |       CAST(CASE WHEN n_cand > 0 THEN n_cand_true * 1000000 // n_cand ELSE 0 END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN n_truth > 0 THEN n_cand_true * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM nt, nc, ct
+         |ORDER BY n_truth""".stripMargin,
 
     // candidate CTE mirrors the Spark join literally: probe side a is
     // delta-only, b is the full band set, base-side matches take both
