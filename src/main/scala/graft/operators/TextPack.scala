@@ -691,6 +691,61 @@ object TextPack extends QueryPack {
       materialized(result, dbg).orderBy("doc_id")
     },
 
+    // ---- CCNet perplexity-tertile bucketing (Wenzek et al., LREC 2020
+    // — the head/middle/tail LM filter every CommonCrawl curation
+    // pipeline runs before training-data selection): each doc's
+    // bigram-LM perplexity proxy (negated average quantized log-prob;
+    // q117's scorer construction reused verbatim, so the two gates pin
+    // the same arithmetic) is bucketed per LANGUAGE into lowest /
+    // middle / highest thirds. Tertile cutoffs are the VALUES at
+    // per-lang ranks ceil(n/3) and ceil(2n/3), found on the
+    // (lang, ppl) DISTINCT frame via the keyed two-phase PrefixSum —
+    // the q150 cutoff recipe, never a per-lang row-scale rank window —
+    // and ties share a bucket by value, so the rule is deterministic
+    // in both engines. Per-doc output. ----
+    "q254_perplexity_filter" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dbg = warmed(docs
+        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
+      val c12 = dbg.groupBy("bg").agg(sum("c").as("c12"))
+      val c1 = docs
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      val scored = dbg
+        .join(c12, "bg")
+        .join(c1, expr("w = split_part(bg, ' ', 1)"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("bigint").as("n_bigrams"),
+          sum(col("c") * (qln(col("c12") + 1) - qln(col("c1") + col("v"))))
+            .cast("bigint").as("logprob_q"))
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          expr("(0 - logprob_q) div n_bigrams").cast("bigint").as("ppl_q"))
+      val vals = scored.groupBy("lang", "ppl_q").agg(count(lit(1)).as("c"))
+      val cum = graft.functions.PrefixSum.inclusivePerKey(vals,
+        Seq("lang"), Seq(col("ppl_q")), Seq((col("c"), "cum")))
+      val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      val cuts = cum.join(broadcast(nl), "lang")
+      def cutAt(k: org.apache.spark.sql.Column, name: String) = cuts
+        .filter(col("cum") >= k && col("cum") - col("c") < k)
+        .select(col("lang"), col("ppl_q").as(name))
+      val result = scored
+        .join(broadcast(cutAt(expr("(n + 2) div 3"), "cut1")), "lang")
+        .join(broadcast(cutAt(expr("(2 * n + 2) div 3"), "cut2")), "lang")
+        .withColumn("bucket",
+          when(col("ppl_q") <= col("cut1"), "head")
+            .when(col("ppl_q") <= col("cut2"), "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("ppl_q"), col("bucket"))
+      materialized(result, dbg).orderBy("doc_id")
+    },
+
     // ---- interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP
     // 1995; the Chen & Goodman 1998 formulation with fixed discount
     // D = 3/4): the estimator real LM-quality filters (KenLM) actually
@@ -1614,6 +1669,50 @@ object TextPack extends QueryPack {
           |         JOIN c1 ON c1.w = split_part(dbg.bg, ' ', 1)
           |         CROSS JOIN v
           |GROUP BY dbg.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // q117's scoring CTEs verbatim, then per-lang tertile cutoffs as
+      // values at ranks ceil(n/3)/ceil(2n/3) on the distinct-ppl frame
+      // (numerator of the average is nonnegative, so DuckDB's floor //
+      // equals Spark's truncating div)
+      "q254_perplexity_filter" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, ts[g.i] || ' ' || ts[g.i + 1] AS bg
+          |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |dbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+          |c12 AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c12 FROM dbg GROUP BY 1),
+          |tok AS (SELECT unnest(ts) AS w FROM toks),
+          |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+          |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+          |score AS (
+          |  SELECT dbg.doc_id,
+          |         CAST(SUM(dbg.c) AS BIGINT) AS n_bigrams,
+          |         CAST(SUM(dbg.c * (CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |                         - CAST(floor(ln(CAST(c1.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS logprob_q
+          |  FROM dbg JOIN c12 USING (bg)
+          |           JOIN c1 ON c1.w = split_part(dbg.bg, ' ', 1)
+          |           CROSS JOIN v
+          |  GROUP BY dbg.doc_id),
+          |sl AS (SELECT s.doc_id, d.lang,
+          |              CAST((0 - s.logprob_q) // s.n_bigrams AS BIGINT) AS ppl_q
+          |       FROM score s JOIN documents d USING (doc_id)),
+          |vals AS (SELECT lang, ppl_q, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1, 2),
+          |cum AS (SELECT lang, ppl_q, c,
+          |               sum(c) OVER (PARTITION BY lang ORDER BY ppl_q ROWS UNBOUNDED PRECEDING) AS cum
+          |        FROM vals),
+          |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sl GROUP BY 1),
+          |cut1 AS (SELECT c.lang, c.ppl_q AS cut1 FROM cum c JOIN nl USING (lang)
+          |         WHERE c.cum >= (n + 2) // 3 AND c.cum - c.c < (n + 2) // 3),
+          |cut2 AS (SELECT c.lang, c.ppl_q AS cut2 FROM cum c JOIN nl USING (lang)
+          |         WHERE c.cum >= (2 * n + 2) // 3 AND c.cum - c.c < (2 * n + 2) // 3)
+          |SELECT sl.doc_id, sl.lang, sl.ppl_q,
+          |       CASE WHEN sl.ppl_q <= cut1 THEN 'head'
+          |            WHEN sl.ppl_q <= cut2 THEN 'middle'
+          |            ELSE 'tail' END AS bucket
+          |FROM sl JOIN cut1 USING (lang) JOIN cut2 USING (lang)
           |ORDER BY doc_id""".stripMargin,
 
       // identical distinct-value cumulation and per-side floor division
