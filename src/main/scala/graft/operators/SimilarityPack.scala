@@ -798,6 +798,31 @@ object SimilarityPack extends QueryPack {
       materialized(lshTopK(vecs, bucketBits(s, d)), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- contrastive HARD-NEGATIVE mining: for each anchor, the top-3
+    // most-similar NON-near-duplicate neighbors in the cosine band
+    // [0.3, 0.7) — similar enough to be confusable, dissimilar enough
+    // to be true negatives: the pair-mining step of contrastive
+    // embedding training (DPR, Karpukhin et al. 2020; SimCSE-style
+    // curation). Candidates come from the multi-probe LSH tables
+    // (Hamming-1 flips — q52's probe shape over the same bucket-
+    // partitioned index artifact), so mining stays bucket-join-bounded
+    // at 100 TB: the band filter and cosine ranking only ever see
+    // candidates, and the constant-k rank filter plans as the
+    // WindowGroupLimit partial top-k. Cosines are exact fixed-point
+    // int64 dot products, bit-identical in both engines. ----
+    "q255_hard_negatives" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      val result = candidates(vecs, col("vec_id") < 20, bucketBits(s, d), maxHam = 1,
+          pairCond = col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .filter(col("cosine") >= 0.3 && col("cosine") < 0.7)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      materialized(result, vecs).orderBy("q_id", "rk")
+    },
+
     // ---- IVF (inverted-file) ANN with DATA-ADAPTIVE cells: ∝√N coarse
     // centroids trained by deterministic integer k-means (md5-ordered
     // seeds, truncated-int64-mean Lloyd rounds — every step is
@@ -1224,13 +1249,34 @@ object SimilarityPack extends QueryPack {
       .map(j => s"(p.tbl <= $j OR bit_count(xor(p.qb$j, c.cb$j)) > $maxHam)")
       .mkString(" AND ")
 
+  /** q255's oracle: q52's multi-probe candidate CTE with the hard-
+    * negative cosine band applied before the per-anchor top-3. */
+  private def hardNegOracle: String =
+    s"""WITH $vecsCte,
+       |${probesCte("WHERE c.vec_id < 20", maxHam = 1)},
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id,
+       |         ${dotQSql("p.qq", "c.q", dim)} / (p.qnorm * c.norm) AS cosine
+       |  FROM probes p JOIN cor c
+       |    ON c.ctbl = p.tbl AND c.cb = p.pb AND c.vec_id <> p.q_id
+       |   AND ${emitOnceSql(maxHam = 1)}),
+       |hard AS (SELECT * FROM cand WHERE cosine >= 0.3 AND cosine < 0.7),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM hard)
+       |SELECT q_id, rk, vec_id, cosine FROM ranked
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   override def oracle: Map[String, String] =
     baseOracle + ("q54_ann_recall" -> recallOracle) +
       ("q198_ndcg_label" -> ndcgOracle) +
       ("q221_crossencoder_rerank" -> ceRerankOracle) +
       ("q223_mmr_diversify" -> mmrOracle) +
       ("q237_mrr" -> mrrOracle) +
-      ("q239_cluster_purity" -> purityOracle)
+      ("q239_cluster_purity" -> purityOracle) +
+      ("q255_hard_negatives" -> hardNegOracle)
 
   /** q239's oracle: the q53/q102 trained model (ivfTrainCtes' `cells`)
     * joined to labels, same majority argmax and ppm. */
