@@ -741,6 +741,29 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")
     },
 
+    // ---- TEMPERATURE-SAMPLED language mix (the multilingual
+    // upsampling rule of XLM-R/mT5: p_l ∝ n_l^α, flattening the
+    // language distribution so low-resource languages aren't drowned;
+    // α = 1/2 here because sqrt is IEEE-exactly-rounded in BOTH engines
+    // — pow(x, 0.3) is not, and a ULP of divergence would hash-fail).
+    // sqrt(n) is floor-quantized to int64 micro-units BEFORE the
+    // normalizing sum, so the renormalization is exact integer ppm
+    // arithmetic: the languages-sized frame broadcasts, nothing
+    // depends on float summation order. q75's target-mix sibling. ----
+    "q257_temperature_mix" -> { (s, d) =>
+      val per = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val sq = per.withColumn("sq_q",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("bigint"))
+      val tot = sq.agg(sum("n_docs").as("n_tot"), sum("sq_q").as("sq_tot"))
+      sq.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs").cast("bigint").as("n_docs"),
+          expr("n_docs * 1000000 div n_tot").cast("bigint").as("natural_ppm"),
+          expr("sq_q * 1000000 div sq_tot").cast("bigint").as("temp_prob_ppm"))
+        .withColumn("upsampled", col("temp_prob_ppm") > col("natural_ppm"))
+        .orderBy("lang")
+    },
+
     // ---- CROSS-SOURCE COPY-DIRECTION MATRIX: q127 measures how much
     // content two sources SHARE; this reports which way it flowed —
     // for every cross-source near-dup pair (the shared shingle-pair
@@ -1681,6 +1704,23 @@ object PipelinePack extends QueryPack {
         |       CAST(greatest(wanted_tokens - n_tokens, 0) AS BIGINT) AS repeated_tokens
         |FROM plan
         |ORDER BY source""".stripMargin,
+
+    // identical sqrt floor-quantization (sqrt is exactly rounded in both
+    // engines), identical integer ppm renormalization
+    "q257_temperature_mix" ->
+      """WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |             FROM documents GROUP BY 1),
+        |sq AS (SELECT lang, n_docs,
+        |              CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS sq_q
+        |       FROM per),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+        |               CAST(SUM(sq_q) AS BIGINT) AS sq_tot FROM sq)
+        |SELECT s.lang, s.n_docs,
+        |       CAST(s.n_docs * 1000000 // t.n_tot AS BIGINT) AS natural_ppm,
+        |       CAST(s.sq_q * 1000000 // t.sq_tot AS BIGINT) AS temp_prob_ppm,
+        |       s.sq_q * 1000000 // t.sq_tot > s.n_docs * 1000000 // t.n_tot AS upsampled
+        |FROM sq s CROSS JOIN tot t
+        |ORDER BY lang""".stripMargin,
 
     "q75_mixture_weights" ->
       """WITH per AS (

@@ -288,6 +288,23 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- language-ID CONFUSION MATRIX: the q60 heuristic classifier
+    // evaluated against the labeled lang column — the eval table a
+    // curation team reads before trusting a language filter (which
+    // languages bleed into which, per-language hit rate). Composes the
+    // gated q60 exactly (same scores, same tiebreak); two map-side-
+    // combining aggregates over its output, bounded by languages². ----
+    "q256_langid_confusion" -> { (s, d) =>
+      val pred = queries("q60_lang_id")(s, d).select("doc_id", "lang", "pred_lang")
+      val cells = pred.groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          expr("n_docs * 1000000 div n_lang").cast("bigint").as("row_frac_ppm"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // ---- quality scoring: type-token ratio, token length, stopwords ----
     "q61_quality_score" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1455,6 +1472,17 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // q60's oracle spliced (own WITH scope), then the two bounded folds
+      "q256_langid_confusion" ->
+        s"""WITH h AS (SELECT lang, pred_lang FROM ($q60OracleSql) t),
+           |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+           |          FROM h GROUP BY 1, 2),
+           |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM h GROUP BY 1)
+           |SELECT c.lang, c.pred_lang, c.n_docs,
+           |       CAST(c.n_docs * 1000000 // t.n_lang AS BIGINT) AS row_frac_ppm
+           |FROM cells c JOIN tot t USING (lang)
+           |ORDER BY lang, pred_lang""".stripMargin,
 
       // single-node row_number() windows stand in for the distributed
       // PrefixSum ranks; same integer RRF arithmetic
