@@ -1034,6 +1034,37 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, delta).orderBy("doc_id")
     },
 
+    // ---- per-doc TOP-K SIMILAR DOCUMENTS — the "related documents"
+    // triage view a dedup reviewer works from (and the doc-level
+    // retrieval index a curation UI serves): every band-join candidate
+    // pair, BOTH orientations, exact-verified with the codegen
+    // intersect, ranked per source doc by integer Jaccard ppm with a
+    // CONSTANT k=3 — so the rank filter plans as the WindowGroupLimit
+    // partial top-k and each task keeps 3 rows, never a doc's full
+    // candidate list. Candidates stay band-join-bounded; ranking sees
+    // only verified-similar (≥ 0.3) neighbors. ----
+    "q258_similar_docs_topk" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = fullSigStore(s, d)
+      val pairs = bandCandidates(fullBandIndex(s, d))
+      val both = pairs.select(col("doc_i").as("src"), col("doc_j").as("nbr"))
+        .unionByName(pairs.select(col("doc_j").as("src"), col("doc_i").as("nbr")))
+      val da = docs.select(col("doc_id").as("src"), col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("nbr"), col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      val w = Window.partitionBy(col("src")).orderBy(desc("jacc_ppm"), asc("nbr"))
+      val result = both.join(da, "src").join(db, "nbr")
+        .withColumn("n_common", graft.functions.GraftExpressions
+          .sortedLongIntersectCount(col("tid_a"), col("tid_b")).cast("bigint"))
+        .withColumn("jacc_ppm",
+          expr("n_common * 1000000 div (n_a + n_b - n_common)").cast("bigint"))
+        .filter(col("jacc_ppm") >= 300000)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("src").as("doc_id"), col("rk"),
+          col("nbr").as("similar_doc"), col("n_common"), col("jacc_ppm"))
+      materialized(result).orderBy("doc_id", "rk")
+    },
+
     // ---- tf-idf-WEIGHTED MinHash near-dup (weighted Jaccard): q41's
     // consensus improvement for boilerplate-heavy corpora — common
     // template shingles (nav bars, license footers) carry weight 1
@@ -1563,6 +1594,32 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM delta d LEFT JOIN basep b USING (pid)
          |GROUP BY d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // same band-candidate CTE, both orientations, identical integer
+    // Jaccard ppm verify and per-source top-3
+    "q258_similar_docs_topk" ->
+      s"""WITH $minhashCtes
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |bothd AS (SELECT doc_i AS src, doc_j AS nbr FROM cand
+         |          UNION ALL SELECT doc_j, doc_i FROM cand),
+         |sc AS (
+         |  SELECT b.src, b.nbr,
+         |         CAST(length(list_intersect(da.tid, db.tid)) AS BIGINT) AS n_common,
+         |         CAST((length(list_intersect(da.tid, db.tid)) * 1000000) //
+         |              (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) AS BIGINT) AS jacc_ppm
+         |  FROM bothd b
+         |  JOIN docs da ON da.doc_id = b.src
+         |  JOIN docs db ON db.doc_id = b.nbr),
+         |r AS (
+         |  SELECT src, nbr, n_common, jacc_ppm,
+         |         CAST(row_number() OVER (PARTITION BY src ORDER BY jacc_ppm DESC, nbr) AS INT) AS rk
+         |  FROM sc WHERE jacc_ppm >= 300000)
+         |SELECT src AS doc_id, rk, nbr AS similar_doc, n_common, jacc_ppm
+         |FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
 
     // identical weighted construction end-to-end (df → weight classes →
     // rep expansion → rotation sigs → bands → verify); same est-matches
