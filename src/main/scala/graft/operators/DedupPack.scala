@@ -332,6 +332,30 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     s.read.parquet(path)
   }
 
+  // ---------- paragraph dedup machinery (q251 + streaming twin) ----------
+
+  /** Non-overlapping 16-token "paragraph" ids `(doc_id, pid)` of a
+    * documents frame — q04's segment construction at paragraph
+    * granularity (the synthetic corpus has no newlines). Shared by the
+    * batch (q251) and streaming (q259) Bloom dedup so the twins probe
+    * identical fingerprints. */
+  private[graft] val paraLen = 16
+  private[graft] def paragraphIds(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("toks"),
+      when(size(col("toks")) > 0,
+        sequence(lit(0), ceil(size(col("toks")) / lit(paraLen.toDouble)).cast("int") - 1))
+        .otherwise(array().cast("array<int>")).as("idxs"))
+    .select(col("doc_id"), explode(col("idxs")).as("i"), col("toks"))
+    .select(col("doc_id"),
+      hex64(md5(concat_ws(" ",
+        slice(col("toks"), col("i") * paraLen + 1, lit(paraLen))))).as("pid"))
+
+  /** Distinct base-corpus (non-delta) paragraph ids. */
+  private[graft] def baseParagraphIds(s: SparkSession, d: String): DataFrame =
+    paragraphIds(Tables.documents(s, d).filter(!isDelta(col("doc_id"))))
+      .select("pid").distinct()
+
   // ---------- weighted MinHash (tf-idf-weighted Jaccard; q252/q253) ----------
 
   /** Integer idf weight class of a shingle from its document frequency:
@@ -532,6 +556,26 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
        |  FROM cand c
        |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
        |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)""".stripMargin
+
+  /** q251's oracle SQL — ALSO the q259 streaming twin's oracle (the
+    * stream-static probe over one finite parquet micro-batch stream
+    * must equal the batch pass exactly; the shared SQL IS that gate). */
+  private[graft] val paraBloomOracleSql: String =
+    s"""WITH tok AS ($duckToks),
+       |seg AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(array_to_string(ts[(g.i * 16 + 1):((g.i + 1) * 16)], ' ')), 1, 15) AS BIGINT) AS pid
+       |  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 16.0) - 1 AS BIGINT))) AS g(i)),
+       |basep AS (SELECT DISTINCT pid FROM seg WHERE doc_id % $deltaMod <> $deltaRem),
+       |delta AS (SELECT doc_id, pid FROM seg WHERE doc_id % $deltaMod = $deltaRem)
+       |SELECT d.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_paras,
+       |       CAST(sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST((sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_frac_ppm,
+       |       (sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) <= 300000 AS keep
+       |FROM delta d LEFT JOIN basep b USING (pid)
+       |GROUP BY d.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the weighted-MinHash pipeline — shingle df →
     * integer idf weights → rep expansion → rotation signatures → 2×8
@@ -1000,23 +1044,12 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     "q251_paragraph_bloom_dedup" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       import graft.functions.GraftExpressions.{bloom, bloomMightContain}
-      val paraLen = 16
-      def paras(docs: DataFrame): DataFrame = docs
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          when(size(col("toks")) > 0,
-            sequence(lit(0), ceil(size(col("toks")) / lit(paraLen.toDouble)).cast("int") - 1))
-            .otherwise(array().cast("array<int>")).as("idxs"))
-        .select(col("doc_id"), explode(col("idxs")).as("i"), col("toks"))
-        .select(col("doc_id"),
-          hex64(md5(concat_ws(" ",
-            slice(col("toks"), col("i") * paraLen + 1, lit(paraLen))))).as("pid"))
-      val basePids = paras(Tables.documents(s, d)
-        .filter(!isDelta(col("doc_id")))).select("pid").distinct()
+      val basePids = baseParagraphIds(s, d)
       val bf = basePids.agg(bloom(col("pid"), 1 << 20, 7).as("bf"))
       // the delta's paragraph stream feeds the probe AND the per-doc
       // denominator — computed once
-      val delta = warmed(paras(Tables.documents(s, d).filter(isDelta(col("doc_id")))))
+      val delta = warmed(paragraphIds(
+        Tables.documents(s, d).filter(isDelta(col("doc_id")))))
       val dupes = delta.crossJoin(broadcast(bf))
         .where(bloomMightContain(col("bf"), col("pid"), 7))
         .drop("bf")
@@ -1578,22 +1611,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // base-set join on the Spark side, so the oracle IS the plain join:
     // same 16-token chunking as q04's 4-token oracle, base set distinct,
     // per-delta-doc left-join fold
-    "q251_paragraph_bloom_dedup" ->
-      s"""WITH tok AS ($duckToks),
-         |seg AS (
-         |  SELECT doc_id,
-         |         CAST('0x' || substring(md5(array_to_string(ts[(g.i * 16 + 1):((g.i + 1) * 16)], ' ')), 1, 15) AS BIGINT) AS pid
-         |  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 16.0) - 1 AS BIGINT))) AS g(i)),
-         |basep AS (SELECT DISTINCT pid FROM seg WHERE doc_id % $deltaMod <> $deltaRem),
-         |delta AS (SELECT doc_id, pid FROM seg WHERE doc_id % $deltaMod = $deltaRem)
-         |SELECT d.doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_paras,
-         |       CAST(sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-         |       CAST((sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_frac_ppm,
-         |       (sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) <= 300000 AS keep
-         |FROM delta d LEFT JOIN basep b USING (pid)
-         |GROUP BY d.doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "q251_paragraph_bloom_dedup" -> paraBloomOracleSql,
 
     // same band-candidate CTE, both orientations, identical integer
     // Jaccard ppm verify and per-source top-3

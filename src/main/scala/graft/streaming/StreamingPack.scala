@@ -519,7 +519,57 @@ object StreamingPack extends QueryPack {
       .orderBy("grp", "idx")
   }
 
+  /** Streaming twin of q251's paragraph-Bloom dedup: the delta arrives
+    * as a parquet STREAM while the base corpus's paragraph Bloom filter
+    * and exact id set are STATIC batch frames — the shape of a
+    * continuous ingest probing yesterday's persisted dedup state. Each
+    * micro-batch probes the broadcast filter per paragraph (map stage);
+    * filter passers are exact-verified by the stream-static equi-join
+    * and non-passers rejoin with hit 0, so the per-doc aggregate
+    * (complete mode) must equal batch q251 EXACTLY — the shared oracle
+    * is that gate. */
+  def streamParaBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupPack
+    graft.functions.GraftExpressions.ensure(s)
+    import graft.functions.GraftExpressions.{bloom, bloomMightContain}
+    val basePids = DedupPack.baseParagraphIds(s, d)
+    val bf = basePids.agg(bloom(col("pid"), 1 << 20, 7).as("bf"))
+    val delta = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) === lit(DedupPack.deltaRem))
+    val probed = DedupPack.paragraphIds(delta)
+      .crossJoin(broadcast(bf))
+      .withColumn("maybe", bloomMightContain(col("bf"), col("pid"), 7))
+      .drop("bf")
+    val verified = probed.filter(col("maybe"))
+      .join(basePids.withColumn("hit", lit(1L)), Seq("pid"), "left_outer")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .unionByName(probed.filter(!col("maybe"))
+        .select(col("doc_id"), lit(0L).as("hit")))
+    val agg = verified.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_paras"),
+        sum(col("hit")).cast("bigint").as("n_dup"))
+    val name = s"graft_stream_parabloom_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("n_paras"), col("n_dup"),
+        expr("n_dup * 1000000 div n_paras").cast("bigint").as("dup_frac_ppm"))
+      .withColumn("keep", col("dup_frac_ppm") <= 300000)
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_stream_para_bloom" -> ((s, d) => streamParaBloom(s, d)),
     "q238_stream_hll" -> ((s, d) => streamHll(s, d)),
     "q229_stream_checksum" -> ((s, d) => streamChecksum(s, d)),
     "q213_stream_markov" -> ((s, d) => TransitionStream.run(s, d)),
@@ -536,6 +586,10 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch: q251's oracle verbatim (the stream-static probe
+    // over the finite delta stream must reproduce the batch pass)
+    "q259_stream_para_bloom" -> graft.operators.DedupPack.paraBloomOracleSql,
 
     // linear register max-merge: stream ≡ batch; the q149/q153 md5/rho
     // register replay, per event type
