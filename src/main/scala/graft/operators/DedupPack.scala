@@ -1098,6 +1098,37 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result).orderBy("doc_id", "rk")
     },
 
+    // ---- MinHash ESTIMATOR CALIBRATION: for every band-join candidate
+    // pair, bucket by est_matches (the 16-perm signature agreement the
+    // production filter thresholds at 12) and report the bucket's count
+    // + exact-Jaccard mean/min/max in integer ppm — the calibration
+    // table that justifies (or indicts) the est >= 12 cut with data
+    // instead of the 1/16-resolution binomial argument. 17 output rows;
+    // candidates stay band-join-bounded, exact verify on candidates
+    // only (the measure-don't-guess discipline of q129/q54). ----
+    "q260_minhash_calibration" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = fullSigStore(s, d)
+      val cand = bandCandidates(fullBandIndex(s, d))
+      val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      val scored = cand.join(da, "doc_i").join(db, "doc_j")
+        .withColumn("est_matches",
+          graft.functions.GraftExpressions.longArrayEqCount(col("sig_a"), col("sig_b")))
+        .withColumn("n_common", graft.functions.GraftExpressions
+          .sortedLongIntersectCount(col("tid_a"), col("tid_b")).cast("bigint"))
+        .withColumn("jacc_ppm",
+          expr("n_common * 1000000 div (n_a + n_b - n_common)").cast("bigint"))
+      val result = scored.groupBy(col("est_matches").cast("int").as("est_matches"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          expr("sum(jacc_ppm) div count(1)").cast("bigint").as("mean_jacc_ppm"),
+          min("jacc_ppm").cast("bigint").as("min_jacc_ppm"),
+          max("jacc_ppm").cast("bigint").as("max_jacc_ppm"))
+      materialized(result).orderBy("est_matches")
+    },
+
     // ---- tf-idf-WEIGHTED MinHash near-dup (weighted Jaccard): q41's
     // consensus improvement for boilerplate-heavy corpora — common
     // template shingles (nav bars, license footers) carry weight 1
@@ -1612,6 +1643,31 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // same 16-token chunking as q04's 4-token oracle, base set distinct,
     // per-delta-doc left-join fold
     "q251_paragraph_bloom_dedup" -> paraBloomOracleSql,
+
+    // same band-candidate CTE and scoring arithmetic, folded per
+    // est_matches bucket (integer mean via sum div count)
+    "q260_minhash_calibration" ->
+      s"""WITH $minhashCtes
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |sc AS (
+         |  SELECT c.doc_i, c.doc_j,
+         |    CAST(length(list_filter(generate_series(1, $nPerm), i -> sa.sigs[i] = sb.sigs[i])) AS INT) AS est_matches,
+         |    CAST((length(list_intersect(da.tid, db.tid)) * 1000000) //
+         |         (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) AS BIGINT) AS jacc_ppm
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
+         |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)
+         |SELECT est_matches,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(jacc_ppm) // count(*) AS BIGINT) AS mean_jacc_ppm,
+         |       CAST(MIN(jacc_ppm) AS BIGINT) AS min_jacc_ppm,
+         |       CAST(MAX(jacc_ppm) AS BIGINT) AS max_jacc_ppm
+         |FROM sc
+         |GROUP BY est_matches
+         |ORDER BY est_matches""".stripMargin,
 
     // same band-candidate CTE, both orientations, identical integer
     // Jaccard ppm verify and per-source top-3
