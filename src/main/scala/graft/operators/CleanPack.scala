@@ -881,7 +881,7 @@ object CleanPack extends QueryPack {
   /** floor(CDF_Poisson(λ=1)(k) · 2^60) for k = 0..5 — the integer
     * thresholds the bootstrap weights compare 60-bit hashes against
     * (identical literals in the DuckDB oracle). */
-  private val poissonCdf60: Array[Long] = Array(
+  private[operators] val poissonCdf60: Array[Long] = Array(
     424136118829305344L, 848272237658610688L, 1060340297073263360L,
     1131029650211480832L, 1148701988496035200L, 1152236456152946048L)
 

@@ -305,6 +305,44 @@ object TextPack extends QueryPack {
         .orderBy("lang", "pred_lang")
     },
 
+    // ---- bootstrap CI for CLASSIFIER accuracy — q167's deterministic
+    // Poisson bootstrap (Chamandy et al. 2012) applied to the q60
+    // language classifier: 32 replicates of the accuracy, replicate
+    // weights drawn from each doc's own md5 id thresholded against
+    // integer Poisson(1) CDF constants (byte-identical in both
+    // engines), accuracy in integer ppm so the replicate table is
+    // exact. The spread of the 32 replicate accuracies is the
+    // uncertainty a curation team attaches to the filter's measured
+    // hit rate before trusting it corpus-wide. Same scale shape as
+    // q167: the 0/1 correctness stream explodes ×32 and map-side-
+    // combines into 32 constant-size groups. ----
+    "q261_langid_bootstrap" -> { (s, d) =>
+      val t = CleanPack.poissonCdf60
+      val pred = warmed(queries("q60_lang_id")(s, d)
+        .select(col("doc_id"),
+          when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("correct")))
+      val overall = pred.agg(
+        expr("sum(correct) * 1000000 div count(1)").cast("bigint").as("overall_acc_ppm"))
+      val weighted = pred
+        .select(col("doc_id"), col("correct"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .withColumn("h", hex64(md5(concat(
+          col("doc_id").cast("string"), lit(":lb"), col("r").cast("string")))))
+        .withColumn("w",
+          when(col("h") < t(0), 0L).when(col("h") < t(1), 1L)
+            .when(col("h") < t(2), 2L).when(col("h") < t(3), 3L)
+            .when(col("h") < t(4), 4L).when(col("h") < t(5), 5L)
+            .otherwise(6L))
+      val result = weighted.groupBy("r")
+        .agg(sum(col("w")).cast("bigint").as("n_eff"),
+          sum(col("w") * col("correct")).cast("bigint").as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000 div n_eff").cast("bigint"))
+        .crossJoin(broadcast(overall))
+        .select(col("r").cast("int").as("r"), col("n_eff"), col("n_correct"),
+          col("acc_ppm"), col("overall_acc_ppm"))
+      materialized(result, pred).orderBy("r")
+    },
+
     // ---- quality scoring: type-token ratio, token length, stopwords ----
     "q61_quality_score" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1472,6 +1510,37 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // q60's oracle spliced, then the q167 CDF-threshold replicate
+      // construction with the ':lb' salt and integer-ppm accuracy
+      "q261_langid_bootstrap" -> {
+        val t = CleanPack.poissonCdf60
+        s"""WITH pred AS (
+           |  SELECT doc_id, CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS correct
+           |  FROM ($q60OracleSql) t),
+           |overall AS (SELECT CAST(sum(correct) * 1000000 // count(*) AS BIGINT) AS overall_acc_ppm
+           |            FROM pred),
+           |rep AS (
+           |  SELECT doc_id, correct, g.r,
+           |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':lb' || CAST(g.r AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |  FROM pred, UNNEST(generate_series(0, 31)) AS g(r)),
+           |wtd AS (
+           |  SELECT r, correct,
+           |         CASE WHEN h < ${t(0)} THEN 0 WHEN h < ${t(1)} THEN 1
+           |              WHEN h < ${t(2)} THEN 2 WHEN h < ${t(3)} THEN 3
+           |              WHEN h < ${t(4)} THEN 4 WHEN h < ${t(5)} THEN 5
+           |              ELSE 6 END AS w
+           |  FROM rep),
+           |agg AS (
+           |  SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+           |         CAST(sum(w * correct) AS BIGINT) AS n_correct
+           |  FROM wtd GROUP BY r)
+           |SELECT CAST(r AS INT) AS r, n_eff, n_correct,
+           |       CAST(n_correct * 1000000 // n_eff AS BIGINT) AS acc_ppm,
+           |       overall_acc_ppm
+           |FROM agg, overall
+           |ORDER BY r""".stripMargin
+      },
 
       // q60's oracle spliced (own WITH scope), then the two bounded folds
       "q256_langid_confusion" ->
