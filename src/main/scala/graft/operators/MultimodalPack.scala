@@ -202,6 +202,52 @@ object MultimodalPack extends QueryPack {
       materialized(result, sims).orderBy("doc_i", "doc_j")
     },
 
+    // ---- ViT-style PATCH GRID off the real decoded raster: the
+    // patchify step every vision-transformer ingest runs — each decoded
+    // image is split into a 2×2 grid of ceil-half patches and each
+    // patch reports its pixel count + integer pixel sum (the exact
+    // pre-normalization patch statistics). Same codec path as q72/q73
+    // (PNG encode → javax.imageio decode → raster reads), same
+    // text-derivability: every pixel is payload[i mod len], so the
+    // oracle reconstructs each patch sum from the text alone and any
+    // codec or indexing slip hash-fails. Per-row bounded work behind
+    // the same mapPartitions codec boundary. ----
+    "q262_patch_grid" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+                lit("image/png").as("media_type"))
+        .as[MediaRow]
+        .mapPartitions { rs =>
+          rs.flatMap { r =>
+            if (r.payload.isEmpty) Iterator.empty
+            else {
+              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              val pw = (w + 1) / 2; val ph = (h + 1) / 2
+              val sums = Array.fill(4)(0L); val cnts = Array.fill(4)(0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = (y / ph) * 2 + (x / pw)
+                  sums(p) += (gray(y * w + x) & 0xff); cnts(p) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              (0 until 4).iterator.filter(p => cnts(p) > 0).map(p =>
+                (r.doc_id, p / 2, p % 2, cnts(p), sums(p)))
+            }
+          }
+        }
+        .toDF("doc_id", "py", "px", "n_px", "px_sum")
+        .select(col("doc_id"), col("py").cast("int").as("py"),
+          col("px").cast("int").as("px"),
+          col("n_px").cast("bigint").as("n_px"),
+          col("px_sum").cast("bigint").as("px_sum"))
+        .orderBy("doc_id", "py", "px")
+    },
+
     // ---- REAL image resize: PNG decode (javax.imageio), then an
     // explicit nearest-neighbor 2× downsample off the decoded raster —
     // out(x,y) = src(2x, 2y) — implemented with direct sample reads
@@ -289,6 +335,26 @@ object MultimodalPack extends QueryPack {
         |           / CAST(k AS DOUBLE) END AS mean_byte
         |FROM k
         |ORDER BY doc_id""".stripMargin,
+
+    // pixel(i) = text byte (i mod len); patch membership from the same
+    // ceil-half grid arithmetic — integer sums, exact compare
+    "q262_patch_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         1 + ascii(substr(text, 1, 1)) % 64 AS w,
+        |         1 + ascii(substr(text, 2, 1)) % 64 AS h
+        |  FROM documents WHERE length(text) > 0),
+        |pg AS (
+        |  SELECT doc_id,
+        |         (g.i // w) // ((h + 1) // 2) AS py,
+        |         (g.i % w) // ((w + 1) // 2) AS px,
+        |         ascii(substr(text, (g.i % len) + 1, 1)) AS v
+        |  FROM m, UNNEST(generate_series(0, w * h - 1)) AS g(i))
+        |SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM pg GROUP BY doc_id, py, px
+        |ORDER BY doc_id, py, px""".stripMargin,
 
     // frames-as-tokens simhash, mirrored from q42's 64-bit 5-band
     // construction (shared generators — the two oracles cannot drift)
