@@ -202,6 +202,38 @@ object MultimodalPack extends QueryPack {
       materialized(result, sims).orderBy("doc_i", "doc_j")
     },
 
+    // ---- AUDIO-modality feature extraction over raw PCM: RMS energy
+    // and zero-crossing rate — the two features every audio curation
+    // pipeline computes first (silence/noise gating, speech-vs-music
+    // heuristics). Raw PCM needs NO codec, so unlike compressed video/
+    // audio this lane runs fully real in the sandbox: the payload's
+    // bytes are interpreted as centered 8-bit samples (byte − 80, the
+    // printable-ASCII midpoint, so the synthetic corpus produces sign
+    // changes), energy is the exact int64 sum of squares, and a
+    // crossing is a strict sign flip between adjacent samples. All
+    // computed with codegen higher-order functions over the sample
+    // array — one narrow map stage, no shuffle before the sort. ----
+    "q263_audio_features" -> { (s, d) =>
+      val samples = expr(
+        "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)) - 80)")
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), samples.as("sm"))
+        .select(col("doc_id"),
+          size(col("sm")).cast("bigint").as("n_samples"),
+          expr("(size(sm) + 63) div 64").cast("bigint").as("n_frames"),
+          expr("aggregate(sm, 0L, (a, x) -> a + cast(x as bigint) * cast(x as bigint))")
+            .cast("bigint").as("energy"),
+          expr("""aggregate(
+                    zip_with(slice(sm, 1, size(sm) - 1), slice(sm, 2, size(sm) - 1),
+                             (a, b) -> if(a * b < 0, 1L, 0L)),
+                    0L, (acc, x) -> acc + x)""").cast("bigint").as("n_crossings"))
+        .withColumn("rms_mq",
+          floor(sqrt(col("energy").cast("double") / col("n_samples").cast("double"))
+            * lit(1000)).cast("bigint"))
+        .orderBy("doc_id")
+    },
+
     // ---- ViT-style PATCH GRID off the real decoded raster: the
     // patchify step every vision-transformer ingest runs — each decoded
     // image is split into a 2×2 grid of ceil-half patches and each
@@ -334,6 +366,28 @@ object MultimodalPack extends QueryPack {
         |          FROM UNNEST(generate_series(1, k)) AS g(i))
         |           / CAST(k AS DOUBLE) END AS mean_byte
         |FROM k
+        |ORDER BY doc_id""".stripMargin,
+
+    // same centered-sample interpretation, exact integer energy and
+    // strict-sign-flip crossings; sqrt of the int64-derived double is
+    // IEEE-exactly-rounded, so the floored milli-RMS matches bit-exactly
+    "q263_audio_features" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0),
+        |s AS (
+        |  SELECT doc_id, len,
+        |         list_transform(generate_series(1, len),
+        |                        i -> ascii(substr(text, CAST(i AS INT), 1)) - 80) AS sm
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(len AS BIGINT) AS n_samples,
+        |       CAST((len + 63) // 64 AS BIGINT) AS n_frames,
+        |       CAST(list_sum(list_transform(sm, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS energy,
+        |       CAST(COALESCE(list_sum(list_transform(generate_series(2, len),
+        |              i -> CASE WHEN sm[CAST(i AS INT)] * sm[CAST(i - 1 AS INT)] < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_crossings,
+        |       CAST(floor(sqrt(CAST(list_sum(list_transform(sm, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)
+        |                       / CAST(len AS DOUBLE)) * 1000) AS BIGINT) AS rms_mq
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
 
     // pixel(i) = text byte (i mod len); patch membership from the same
