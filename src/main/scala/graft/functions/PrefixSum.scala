@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Freeze the pid-stamped range-partitioned frame with an EAGER
+    * localCheckpoint before anything consumes it. The scan's phase-1
+    * window and phase-3 offset join both read the `__pid` column; if
+    * the range exchange is ever materialized twice (exchange reuse can
+    * fail across plan branches, and AQE may coalesce post-shuffle
+    * partitions per stage), the two materializations can SAMPLE
+    * DIFFERENT range boundaries — the offsets then describe a pid
+    * layout the window rows don't have, silently corrupting the
+    * running sums (caught by q264's sf0.1 gate; plain reruns pass, so
+    * the corruption is plan-shape-dependent). Checkpointing stamps the
+    * pids once and every consumer reads the same stored blocks.
+    * Respecting planDumpMode keeps the dump tool's lineage view.
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    if (graft.core.QueryPack.planDumpMode) df else df.localCheckpoint()
+
   /** Appends one inclusive-running-sum column per `(value, outName)`
     * pair, ordered by `order`. Values should be integral types —
     * integer addition is associative, so the two-phase regrouping is
@@ -35,8 +51,8 @@ object PrefixSum {
   def inclusive(df: DataFrame, order: Seq[Column],
                 values: Seq[(Column, String)]): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(n, order: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = pinned(df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id()))
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = values.foldLeft(ranged) { case (acc, (v, name)) =>
@@ -83,8 +99,8 @@ object PrefixSum {
   def inclusivePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                       values: Seq[(Column, String)]): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(n, keys.map(col) ++ order: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = pinned(df.repartitionByRange(n, keys.map(col) ++ order: _*)
+      .withColumn("__pid", spark_partition_id()))
     val w = Window.partitionBy(col("__pid") +: keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = values.foldLeft(ranged) { case (acc, (v, name)) =>

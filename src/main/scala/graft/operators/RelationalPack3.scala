@@ -161,6 +161,61 @@ object RelationalPack3 extends QueryPack {
         .orderBy("edge")
     },
 
+    // ---- RFM QUINTILE SEGMENTATION (recency / frequency / monetary —
+    // the classic customer-value partitioning every commerce warehouse
+    // maintains): per customer, days since last order (exact integer
+    // microsecond arithmetic), order count, and exact cents spend; each
+    // dimension scored 1–5 by VALUE-cutoff quintiles — cutoff k = the
+    // value at rank ceil(k·n/5), found on the distinct-value frame via
+    // the distributed two-phase PrefixSum (the q150/q254 rank-free
+    // recipe — no global row-scale ntile window, whose tie-splitting is
+    // engine-dependent anyway; ties here share a quintile by value, so
+    // the rule is deterministic in both engines). ----
+    "q264_rfm_segments" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val rfm = warmed(o.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+          count(lit(1)).cast("bigint").as("frequency"),
+          sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+            .cast("bigint").as("monetary_cents"))
+        .crossJoin(broadcast(o.agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("now_us"))))
+        .select(col("c_custkey"),
+          expr("(now_us - last_us) div 86400000000").cast("bigint").as("recency_days"),
+          col("frequency"), col("monetary_cents")))
+      // 1-row frame (cut1..cut4) of value cutoffs for one dimension —
+      // ONE aggregate (max over the rank-condition guard), never four
+      // filtered branches crossJoined: a 4-way self-join over shared
+      // lineage is exactly the attribute-rewrite trap that silently
+      // mismatched cutoffs at sf0.1 before this shape
+      def quintileCuts(valueCol: String, prefix: String): DataFrame = {
+        val vals = rfm.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+        val cum = graft.functions.PrefixSum.inclusive(vals,
+          Seq(col("v")), Seq((col("c"), "cum")))
+        val withN = cum.crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
+        val aggs = (1 to 4).map { k =>
+          val rk = expr(s"($k * n + 4) div 5")
+          max(when(col("cum") >= rk && col("cum") - col("c") < rk, col("v")))
+            .as(s"${prefix}_cut$k")
+        }
+        withN.agg(aggs.head, aggs.tail: _*)
+      }
+      def score(v: String, prefix: String) =
+        (lit(1) + (col(v) > col(s"${prefix}_cut1")).cast("int") +
+          (col(v) > col(s"${prefix}_cut2")).cast("int") +
+          (col(v) > col(s"${prefix}_cut3")).cast("int") +
+          (col(v) > col(s"${prefix}_cut4")).cast("int")).cast("int")
+      val result = rfm
+        .crossJoin(broadcast(quintileCuts("recency_days", "r")))
+        .crossJoin(broadcast(quintileCuts("frequency", "f")))
+        .crossJoin(broadcast(quintileCuts("monetary_cents", "m")))
+        .select(col("c_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          score("recency_days", "r").as("r_quintile"),
+          score("frequency", "f").as("f_quintile"),
+          score("monetary_cents", "m").as("m_quintile"))
+      materialized(result, rfm).orderBy("c_custkey")
+    },
+
     // ---- correlated EXISTS + NOT EXISTS (decorrelated by Catalyst into
     //      semi/anti joins — verify with .explain) ----
     "q90_exists" -> { (s, d) =>
@@ -1148,6 +1203,42 @@ object RelationalPack3 extends QueryPack {
         |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
         |                    AND o2.o_totalprice < 50000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // identical exact-integer R/F/M build, identical value-at-rank
+    // cutoff rule per dimension (single-node cum windows stand in for
+    // the distributed prefix scan)
+    "q264_rfm_segments" -> {
+      def dimCtes(dim: String, p: String) =
+        s"""${p}v AS (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+           |${p}cum AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM ${p}v),
+           |${p}cut AS (SELECT
+           |  ${(1 to 4).map(k => s"max(CASE WHEN cum >= ($k * n.n + 4) // 5 AND cum - c < ($k * n.n + 4) // 5 THEN v END) AS cut$k").mkString(",\n  ")}
+           |  FROM ${p}cum, n)""".stripMargin
+      def scoreSql(dim: String, a: String) =
+        s"CAST(1 ${(1 to 4).map(k => s"+ CASE WHEN b.$dim > $a.cut$k THEN 1 ELSE 0 END").mkString(" ")} AS INT)"
+      s"""WITH rfm AS (
+         |  SELECT o_custkey AS c_custkey,
+         |         max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+         |         CAST(count(*) AS BIGINT) AS frequency,
+         |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+         |  FROM orders GROUP BY o_custkey),
+         |nowus AS (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS now_us FROM orders),
+         |base AS (
+         |  SELECT c_custkey,
+         |         CAST((now_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+         |         frequency, monetary_cents
+         |  FROM rfm, nowus),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         |${dimCtes("recency_days", "r")},
+         |${dimCtes("frequency", "f")},
+         |${dimCtes("monetary_cents", "m")}
+         |SELECT b.c_custkey, b.recency_days, b.frequency, b.monetary_cents,
+         |       ${scoreSql("recency_days", "rcut")} AS r_quintile,
+         |       ${scoreSql("frequency", "fcut")} AS f_quintile,
+         |       ${scoreSql("monetary_cents", "mcut")} AS m_quintile
+         |FROM base b, rcut, fcut, mcut
+         |ORDER BY c_custkey""".stripMargin
+    },
 
     // the Bloom pre-filter never changes the answer (no false
     // negatives; false positives die in the join), so the oracle is
