@@ -72,6 +72,33 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- LAST-TOUCH ATTRIBUTION — the marketing-analytics staple that
+    // IS an as-of join: each purchase is attributed to the user's most
+    // recent STRICTLY-preceding click within a 1-hour window (the
+    // native AsOfJoinExec's allowEqual=false + tolerance modes doing
+    // exactly what they exist for), campaign read from the click's JSON
+    // props, revenue in exact cents, unmatched purchases reported as
+    // campaign -1. Clicks are pre-deduplicated per (user, ts) with a
+    // deterministic max-campaign rule — the as-of contract requires a
+    // unique right side. One merge + one campaigns-sized fold. ----
+    "q265_last_touch_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("revenue_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"),
+          (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("campaign0"))
+        .groupBy("c_user", "c_us").agg(max("campaign0").as("campaign"))
+      val j = graft.plans.GraftOps.asofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "p_us", "c_us",
+        allowEqual = false, leftOuter = true, tolerance = Some(3600000000L))
+      j.groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
+        .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+          coalesce(sum(col("revenue_cents")), lit(0L)).cast("bigint").as("revenue_cents"))
+        .orderBy("campaign")
+    },
+
     // ---- the 100 TB as-of story, DRIVER-GATED: both sides stored
     // bucketed by the join key and sorted by (key, time), so
     // AsOfJoinExec's ClusteredDistribution + required ordering are
@@ -1281,6 +1308,31 @@ object EventsPack extends QueryPack {
         |       CAST(us - signup_us AS BIGINT) AS latency_us
         |FROM m
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // correlated-argmax form of the strict (<) tolerance as-of, same
+    // (user, ts) max-campaign dedup, same -1 unmatched convention
+    "q265_last_touch_attribution" ->
+      """WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |             max(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS campaign
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (SELECT p.p_us, p.user_id, p.revenue_cents,
+        |             (SELECT max(c.c_us) FROM c
+        |              WHERE c.c_user = p.user_id AND c.c_us < p.p_us
+        |                AND p.p_us - c.c_us <= 3600000000) AS best_us
+        |      FROM p),
+        |j AS (SELECT m.revenue_cents,
+        |             (SELECT max(c.campaign) FROM c
+        |              WHERE c.c_user = m.user_id AND c.c_us = m.best_us) AS campaign
+        |      FROM m)
+        |SELECT CAST(COALESCE(campaign, -1) AS BIGINT) AS campaign,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(COALESCE(sum(revenue_cents), 0) AS BIGINT) AS revenue_cents
+        |FROM j
+        |GROUP BY 1
+        |ORDER BY campaign""".stripMargin,
 
     // the partitioned layout is physical; the oracle filters the flat
     // table — identical rows prove the pruned scan lost nothing
