@@ -615,6 +615,28 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- TOKENIZER FERTILITY per language — the tokenizer-equity
+    // metric multilingual reports publish (how many subwords the
+    // trained BPE spends per word in each language; high fertility =
+    // that language pays more compute per word): q114's equi-join
+    // apply of the trained word→n_syms state, folded per language in
+    // integer ppm. One vocab-sized join + a languages-sized fold. ----
+    "q266_tokenizer_fertility" -> { (s, d) =>
+      val wordLen = s.read.parquet(s"${bpeModelDir(s, d)}/state")
+        .select(col("w"),
+          size(split(trim(col("symstr")), " ")).cast("bigint").as("n_syms"))
+      val dw = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      dw.join(wordLen, "w")
+        .groupBy("lang")
+        .agg(sum("c").cast("bigint").as("n_words"),
+          sum(col("c") * col("n_syms")).cast("bigint").as("n_bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("n_bpe_tokens * 1000000 div n_words").cast("bigint"))
+        .orderBy("lang")
+    },
+
     // ---- DSIR importance resampling (Xie et al., "Data Selection for
     // Language Models via Importance Resampling", NeurIPS 2023,
     // arXiv:2302.03169): select pool documents whose hashed-n-gram
@@ -2190,6 +2212,20 @@ object TextPack extends QueryPack {
            |FROM dw JOIN wl USING (w)
            |GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin,
+
+      // q114's trained-state join keyed by lang instead of doc
+      "q266_tokenizer_fertility" ->
+        s"""WITH $bpeOracleCtes,
+           |wl AS (SELECT w, CAST(len(string_split(trim(symstr), ' ')) AS BIGINT) AS n_syms
+           |       FROM s$bpeRounds),
+           |dw AS (SELECT d.lang, t.w, CAST(count(*) AS BIGINT) AS c
+           |       FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2)
+           |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+           |       CAST(SUM(c * n_syms) AS BIGINT) AS n_bpe_tokens,
+           |       CAST(SUM(c * n_syms) * 1000000 // SUM(c) AS BIGINT) AS fertility_ppm
+           |FROM dw JOIN wl USING (w)
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin,
 
       // rebuild the identical CMS matrix cell-by-cell in SQL (same md5
       // row hashes), then the same min-over-rows probe — exact compare
