@@ -1067,6 +1067,29 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result, delta).orderBy("doc_id")
     },
 
+    // ---- NEAR-DUP THRESHOLD CURVE: how the duplicate-pair volume and
+    // the affected-document count shrink as the Jaccard threshold
+    // tightens (0.15 → 0.9) — the one-page curve a curation team reads
+    // before committing a dedup threshold, complementing q230's
+    // banding-parameter sweep (that one varies the CANDIDATE generator,
+    // this one the ACCEPTANCE bar over the exact pair table). Five
+    // folds over the once-per-corpus shingle-pair artifact; the curve
+    // starts at the artifact's own 0.15 floor by construction. ----
+    "q267_jaccard_threshold_curve" -> { (s, d) =>
+      val pairs = warmed(ngramPairs(s, d).select("doc_i", "doc_j", "jaccard"))
+      val rows = Seq(15, 30, 50, 70, 90).map { pct =>
+        val p = pairs.filter(col("jaccard") >= pct / 100.0)
+        p.agg(count(lit(1)).cast("bigint").as("n_pairs"))
+          .crossJoin(
+            p.select(explode(array(col("doc_i"), col("doc_j"))).as("dd"))
+              .distinct()
+              .agg(count(lit(1)).cast("bigint").as("n_docs_involved")))
+          .select(lit(pct).cast("int").as("threshold_pct"),
+            col("n_pairs"), col("n_docs_involved"))
+      }
+      materialized(rows.reduce(_ unionByName _), pairs).orderBy("threshold_pct")
+    },
+
     // ---- per-doc TOP-K SIMILAR DOCUMENTS — the "related documents"
     // triage view a dedup reviewer works from (and the doc-level
     // retrieval index a curation UI serves): every band-join candidate
@@ -1643,6 +1666,23 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // same 16-token chunking as q04's 4-token oracle, base set distinct,
     // per-delta-doc left-join fold
     "q251_paragraph_bloom_dedup" -> paraBloomOracleSql,
+
+    // same pair table, one arm per threshold (identical double
+    // comparisons — both engines compute the same jaccard doubles)
+    "q267_jaccard_threshold_curve" -> {
+      val arms = Seq(15, 30, 50, 70, 90).map { pct =>
+        s"""SELECT $pct AS threshold_pct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE jaccard >= $pct / 100.0) AS n_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (
+           |     SELECT doc_i AS dd FROM pairs WHERE jaccard >= $pct / 100.0
+           |     UNION SELECT doc_j FROM pairs WHERE jaccard >= $pct / 100.0) t) AS n_docs_involved"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ngramPairsCtes
+         |SELECT CAST(threshold_pct AS INT) AS threshold_pct, n_pairs, n_docs_involved
+         |FROM ($arms)
+         |ORDER BY threshold_pct""".stripMargin
+    },
 
     // same band-candidate CTE and scoring arithmetic, folded per
     // est_matches bucket (integer mean via sum div count)
