@@ -72,6 +72,66 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- EVENT-TYPE CO-OCCURRENCE PMI: which behaviors cluster in the
+    // same users (pointwise mutual information over per-user event-type
+    // presence) — the association table behind "users who error also
+    // churn" analyses. PMI = ln(n_ab·N / (n_a·n_b)), every ln
+    // floor(×1e6)-quantized PER TERM (the q05 discipline) so the score
+    // is exact int64 in both engines. Shape: the presence frame is one
+    // map-side-combining distinct; the pair join is keyed by user but
+    // its OUTPUT is types²-bounded (≤ 25 rows) — all aggregates fold
+    // map-side before the shuffle. ----
+    "q268_event_pmi" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val pres = warmed(Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct())
+      val nUsers = pres.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val perType = pres.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = pres.as("a").join(pres.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"),
+          col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          col("n_ab").cast("bigint").as("n_ab"),
+          (qln(col("n_ab")) + qln(col("n_users")) - qln(col("n_a")) - qln(col("n_b")))
+            .cast("bigint").as("pmi_q"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // ---- SIGNUP-COHORT REVENUE RETENTION: the cohort LTV matrix every
+    // growth team maintains — users grouped by signup week, purchase
+    // revenue folded per (cohort, weeks-since-signup), in exact cents
+    // with exact integer week arithmetic (microseconds div a week).
+    // Shape: one as-of-free equi-join (first signup per user is an
+    // argmin aggregate), then a (cohorts × weeks)-bounded fold. ----
+    "q269_cohort_ltv" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val weekUs = 604800000000L
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("signup_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      purchases.join(signup, "user_id")
+        .filter(col("p_us") >= col("signup_us"))
+        .select(expr(s"signup_us div $weekUs").cast("bigint").as("cohort_week"),
+          expr(s"(p_us - signup_us) div $weekUs").cast("bigint").as("weeks_since"),
+          col("cents"), col("user_id"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+          countDistinct(col("user_id")).cast("bigint").as("n_active_users"),
+          sum(col("cents")).cast("bigint").as("revenue_cents"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+
     // ---- LAST-TOUCH ATTRIBUTION — the marketing-analytics staple that
     // IS an as-of join: each purchase is attributed to the user's most
     // recent STRICTLY-preceding click within a 1-hour window (the
@@ -1308,6 +1368,45 @@ object EventsPack extends QueryPack {
         |       CAST(us - signup_us AS BIGINT) AS latency_us
         |FROM m
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // identical per-term ln quantization over the same presence counts
+    "q268_event_pmi" ->
+      """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM pres),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM pres GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |              CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM pres a JOIN pres b
+        |         ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, ta.n_t AS n_a, tb.n_t AS n_b, pr.n_ab,
+        |       CAST(CAST(floor(ln(CAST(pr.n_ab AS DOUBLE)) * 1e6) AS BIGINT)
+        |          + CAST(floor(ln(CAST(nu.n_users AS DOUBLE)) * 1e6) AS BIGINT)
+        |          - CAST(floor(ln(CAST(ta.n_t AS DOUBLE)) * 1e6) AS BIGINT)
+        |          - CAST(floor(ln(CAST(tb.n_t AS DOUBLE)) * 1e6) AS BIGINT) AS BIGINT) AS pmi_q
+        |FROM pr JOIN pt ta ON ta.event_type = pr.type_a
+        |        JOIN pt tb ON tb.event_type = pr.type_b
+        |        CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // same first-signup argmin, exact integer week buckets, exact cents
+    "q269_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |s AS (SELECT user_id, min(us) AS signup_us FROM ev
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, us AS p_us,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT CAST(signup_us // 604800000000 AS BIGINT) AS cohort_week,
+        |       CAST((p_us - signup_us) // 604800000000 AS BIGINT) AS weeks_since,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM p JOIN s USING (user_id)
+        |WHERE p_us >= signup_us
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     // correlated-argmax form of the strict (<) tolerance as-of, same
     // (user, ts) max-campaign dedup, same -1 unmatched convention
