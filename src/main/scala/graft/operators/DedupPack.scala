@@ -419,6 +419,30 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
         (col("a.band_id") === 0 || col("a.b0") =!= col("b.b0")))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
 
+  /** q252's verified weighted near-dup pairs — the full scored frame
+    * (doc_i, doc_j, est_matches, w_common, w_union, wjacc_ppm), est ≥
+    * 12 prefiltered and weighted-J ≥ 0.8 verified. Shared by the gated
+    * q252 and the q270 weighted-savings fold. */
+  private[graft] def weightedScoredPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val docs = weightedSigStore(s, d)
+    val cand = bandCandidates(minhashBands(docs))
+    val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
+      col("rid").as("rid_a"), col("n_reps").as("n_a"))
+    val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
+      col("rid").as("rid_b"), col("n_reps").as("n_b"))
+    cand.join(da, "doc_i").join(db, "doc_j")
+      .withColumn("est_matches",
+        graft.functions.GraftExpressions.longArrayEqCount(col("sig_a"), col("sig_b")))
+      .filter(col("est_matches") >= 12) // est weighted-J ≥ 0.75
+      .withColumn("w_common", graft.functions.GraftExpressions
+        .sortedLongIntersectCount(col("rid_a"), col("rid_b")).cast("bigint"))
+      .withColumn("w_union", (col("n_a") + col("n_b") - col("w_common")).cast("bigint"))
+      .withColumn("wjacc_ppm", expr("w_common * 1000000 div w_union").cast("bigint"))
+      .filter(col("wjacc_ppm") >= 800000)
+      .select("doc_i", "doc_j", "est_matches", "w_common", "w_union", "wjacc_ppm")
+  }
+
   /** Exact weighted-Jaccard ≥ 0.8 truth pairs as a once-per-corpus
     * artifact (q253's denominator) — the [[jaccardTruthStore]] recipe
     * on the weighted state: candidates from TWO independent generators
@@ -583,7 +607,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * `wscored(doc_i, doc_j, est_matches, w_common, w_union)` with
     * `cand`, `docs`, `sigs` in scope. Shared by the q252/q253 oracles.
     */
-  private val wminhashCtes: String = {
+  private[operators] val wminhashCtes: String = {
     val rotSql = "substring(h, 2*p + 1, 32 - 2*p) || substring(h, 1, 2*p)"
     s"""tok AS ($duckToks),
        |wsh0 AS (SELECT DISTINCT doc_id, ts[g.i] || ' ' || ts[g.i + 1] || ' ' || ts[g.i + 2] AS sg
@@ -1164,24 +1188,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // weighted state artifact, and the oracle replays the identical
     // construction. Threshold: weighted J ≥ 0.8 (integer ppm). ----
     "q252_weighted_minhash" -> { (s, d) =>
-      graft.functions.GraftExpressions.ensure(s)
-      val docs = weightedSigStore(s, d)
-      val cand = bandCandidates(minhashBands(docs))
-      val da = docs.select(col("doc_id").as("doc_i"), col("sigs").as("sig_a"),
-        col("rid").as("rid_a"), col("n_reps").as("n_a"))
-      val db = docs.select(col("doc_id").as("doc_j"), col("sigs").as("sig_b"),
-        col("rid").as("rid_b"), col("n_reps").as("n_b"))
-      val result = cand.join(da, "doc_i").join(db, "doc_j")
-        .withColumn("est_matches",
-          graft.functions.GraftExpressions.longArrayEqCount(col("sig_a"), col("sig_b")))
-        .filter(col("est_matches") >= 12) // est weighted-J ≥ 0.75
-        .withColumn("w_common", graft.functions.GraftExpressions
-          .sortedLongIntersectCount(col("rid_a"), col("rid_b")).cast("bigint"))
-        .withColumn("w_union", (col("n_a") + col("n_b") - col("w_common")).cast("bigint"))
-        .withColumn("wjacc_ppm", expr("w_common * 1000000 div w_union").cast("bigint"))
-        .filter(col("wjacc_ppm") >= 800000)
-        .select("doc_i", "doc_j", "est_matches", "w_common", "w_union", "wjacc_ppm")
-      materialized(result).orderBy("doc_i", "doc_j")
+      materialized(weightedScoredPairs(s, d)).orderBy("doc_i", "doc_j")
     },
 
     // ---- weighted-banding QUALITY harness — q129's P/R gate on the

@@ -580,6 +580,38 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     },
 
+    // ---- q235 UNDER THE WEIGHTED PAIR SET: effective-token savings
+    // when near-dup clusters come from tf-idf-weighted resemblance
+    // (q252's pairs) instead of plain shingle Jaccard — the comparison
+    // a curation team runs to decide whether weighting changes the
+    // dedup verdict enough to matter on a boilerplate-heavy corpus.
+    // Same CC pass, same q48 representative rule, same fold; only the
+    // edge set differs. ----
+    "q270_weighted_effective_tokens" -> { (s, d) =>
+      val pairs = DedupPack.weightedScoredPairs(s, d).select("doc_i", "doc_j")
+      val cc = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+        .select(col("node").as("doc_id"), col("label").as("cl"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("bigint").as("n_toks"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cl"), col("doc_id")))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("raw_docs"),
+          sum("n_toks").cast("bigint").as("raw_tokens"),
+          sum(when(col("is_rep"), 1L).otherwise(0L)).cast("bigint").as("eff_docs"),
+          sum(when(col("is_rep"), col("n_toks")).otherwise(0L))
+            .cast("bigint").as("eff_tokens"))
+        .withColumn("savings_ppm",
+          expr("(1000000 * (raw_tokens - eff_tokens)) div raw_tokens")
+            .cast("bigint"))
+        .orderBy("source")
+    },
+
     // ---- benchmark contamination: n-gram overlap between a held-out
     // eval slice (doc_id % 97 == 0 stands in for an external benchmark
     // set) and the training pool. Candidates come from an inverted-index
@@ -1374,6 +1406,36 @@ object PipelinePack extends QueryPack {
       s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
          |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
          |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |d AS (SELECT doc_id, source, n_chars,
+         |             CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+         |                                  w -> w <> '')) AS BIGINT) AS n_toks
+         |      FROM documents),
+         |cl AS (SELECT d.*, COALESCE(l.label, d.doc_id) AS cluster
+         |       FROM d LEFT JOIN lab l ON l.node = d.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |                                   ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM cl)
+         |SELECT source, CAST(count(*) AS BIGINT) AS raw_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS eff_docs,
+         |       CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS eff_tokens,
+         |       CAST((1000000 * (sum(n_toks) - sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END))) // sum(n_toks) AS BIGINT) AS savings_ppm
+         |FROM r GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    // q235's recursive-closure oracle over the weighted pair CTE chain
+    "q270_weighted_effective_tokens" ->
+      s"""WITH RECURSIVE ${DedupPack.wminhashCtes},
+         |wpairs AS (SELECT doc_i, doc_j FROM wscored
+         |           WHERE est_matches >= 12 AND w_common * 1000000 // w_union >= 800000),
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM wpairs
+         |      UNION ALL SELECT doc_j, doc_i FROM wpairs),
          |n AS (SELECT DISTINCT v FROM e),
          |reach(v, u) AS (
          |  SELECT v, v AS u FROM n
