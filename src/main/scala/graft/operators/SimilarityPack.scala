@@ -838,6 +838,48 @@ object SimilarityPack extends QueryPack {
       materialized(result, ranked, vecs).orderBy("q_id", "rk")
     },
 
+    // ---- IVF nprobe RECALL CURVE: recall@k of the trained IVF index
+    // at nprobe ∈ {1, 2, 4} against brute-force truth — the tuning
+    // curve (recall vs cells-read) an ANN deployment publishes before
+    // choosing its probe budget, extending q54's fixed-config recall
+    // report into the knob dimension. ONE model build (the shared
+    // ivfRanked assignment frame, warmed) feeds all three arms; truth
+    // is brute-force over the 20-query panel only (the q44/q54
+    // sample-scale discipline — at 100 TB the panel is a fixed query
+    // set, never the corpus). All candidate generation is cell-join
+    // bounded; recall in exact integer ppm. ----
+    "q271_ivf_nprobe_curve" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val ranked = warmed(ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d))))
+      val cells = ranked.filter(col("arn") === 1)
+        .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      val queriesDf = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+      val truth = warmed(queriesDf.join(vecs, col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("q_id", "vec_id"))
+      val rows = Seq(1, 2, 4).map { p =>
+        val probes = ranked.filter(col("vec_id") < 20 && col("arn") <= p)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"),
+            col("norm").as("qnorm"), col("cell").as("probe_cell"))
+        val top = probes.join(cells,
+            col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= topK)
+          .select("q_id", "vec_id")
+        top.join(truth, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_truth")))
+          .select(lit(p).cast("int").as("nprobe"), col("n_hits"), col("n_truth"),
+            expr("n_hits * 1000000 div n_truth").cast("bigint").as("recall_ppm"))
+      }
+      materialized(rows.reduce(_ unionByName _), ranked, truth).orderBy("nprobe")
+    },
+
     // ---- product-quantization ANN (asymmetric distance): 4×16-dim
     // subspaces, 16 integer-k-means centroids each, 4-code encodings,
     // broadcast query distance tables, approximate distance = sum of 4
@@ -1269,6 +1311,40 @@ object SimilarityPack extends QueryPack {
        |WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  /** q271's oracle: ivfTrainCtes' ranked/cells frames probed at each
+    * nprobe arm, brute truth over the same 20-query panel. */
+  private def nprobeCurveOracle: String = {
+    val armCtes = Seq(1, 2, 4).map { p =>
+      s"""cand_$p AS (
+         |  SELECT pr.vec_id AS q_id, c.vec_id,
+         |         ${dotQSql("pr.q", "c.q", dim)} / (pr.norm * c.norm) AS cosine
+         |  FROM ranked pr JOIN cells c ON c.cell = pr.cell
+         |  WHERE pr.arn <= $p AND pr.vec_id < 20 AND c.vec_id <> pr.vec_id),
+         |top_$p AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM cand_$p) t
+         |  WHERE rk <= $topK)""".stripMargin
+    }.mkString(",\n")
+    val arms = Seq(1, 2, 4).map { p =>
+      s"""SELECT $p AS nprobe,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM top_$p t JOIN bt USING (q_id, vec_id)) AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bt) AS n_truth""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfTrainCtes,
+       |bt AS (SELECT q_id, vec_id FROM (
+       |    SELECT q2.vec_id AS q_id, v.vec_id,
+       |           row_number() OVER (PARTITION BY q2.vec_id
+       |                              ORDER BY ${dotQSql("q2.q", "v.q", dim)} / (q2.norm * v.norm) DESC, v.vec_id) AS rk
+       |    FROM scored q2 JOIN scored v ON v.vec_id <> q2.vec_id AND q2.vec_id < 20) t
+       |  WHERE rk <= $topK),
+       |$armCtes
+       |SELECT CAST(nprobe AS INT) AS nprobe, n_hits, n_truth,
+       |       CAST(n_hits * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       |FROM ($arms)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   override def oracle: Map[String, String] =
     baseOracle + ("q54_ann_recall" -> recallOracle) +
       ("q198_ndcg_label" -> ndcgOracle) +
@@ -1276,7 +1352,8 @@ object SimilarityPack extends QueryPack {
       ("q223_mmr_diversify" -> mmrOracle) +
       ("q237_mrr" -> mrrOracle) +
       ("q239_cluster_purity" -> purityOracle) +
-      ("q255_hard_negatives" -> hardNegOracle)
+      ("q255_hard_negatives" -> hardNegOracle) +
+      ("q271_ivf_nprobe_curve" -> nprobeCurveOracle)
 
   /** q239's oracle: the q53/q102 trained model (ivfTrainCtes' `cells`)
     * joined to labels, same majority argmax and ppm. */
