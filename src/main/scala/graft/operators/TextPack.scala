@@ -343,6 +343,32 @@ object TextPack extends QueryPack {
       materialized(result, pred).orderBy("r")
     },
 
+    // ---- READABILITY metrics via the vowel-group syllable proxy (the
+    // computable core of Flesch/SMOG-class formulas — real syllable
+    // counting needs a dictionary; every large-scale readability filter
+    // uses exactly this proxy): per doc, word count, proxy-syllable
+    // total (each word ≥ 1), syllables-per-word in integer ppm, and the
+    // polysyllabic-word count (≥ 3 vowel groups — SMOG's ingredient).
+    // One map stage of codegen HOFs over the token array; regex
+    // semantics identical in both engines on the ASCII corpus. ----
+    "q272_reading_level" -> { (s, d) =>
+      val syl = expr(
+        """transform(toks, w ->
+          |  greatest(size(regexp_extract_all(w, '[aeiouAEIOU]+', 0)), 1))""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("sy", syl)
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_words"),
+          expr("aggregate(sy, 0L, (a, x) -> a + x)").cast("bigint").as("n_syllables"),
+          expr("aggregate(transform(sy, x -> if(x >= 3, 1L, 0L)), 0L, (a, x) -> a + x)")
+            .cast("bigint").as("n_polysyllabic"))
+        .withColumn("syll_per_word_ppm",
+          expr("n_syllables * 1000000 div n_words").cast("bigint"))
+        .orderBy("doc_id")
+    },
+
     // ---- quality scoring: type-token ratio, token length, stopwords ----
     "q61_quality_score" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1539,6 +1565,23 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // same vowel-group proxy per unnested token, same ≥1 floor and
+      // ≥3 polysyllable rule
+      "q272_reading_level" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |w AS (SELECT doc_id, greatest(len(regexp_extract_all(unnest(ts), '[aeiouAEIOU]+')), 1) AS sy
+          |      FROM toks WHERE len(ts) > 0)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(sum(sy) AS BIGINT) AS n_syllables,
+          |       CAST(sum(CASE WHEN sy >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_polysyllabic,
+          |       CAST(sum(sy) * 1000000 // count(*) AS BIGINT) AS syll_per_word_ppm
+          |FROM w
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin,
 
       // q60's oracle spliced, then the q167 CDF-threshold replicate
       // construction with the ':lb' salt and integer-ppm accuracy
