@@ -18,6 +18,7 @@ object SparkEntry {
     RelationalPack,
     RelationalPack2,
     RelationalPack3,
+    RelationalPack4,
     EventsPack,
     DedupPack,
     PipelinePack,

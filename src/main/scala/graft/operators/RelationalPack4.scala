@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{QueryPack, Tables}
+
+/** Fourth relational wave: the remaining TPC-H join classics expressible
+  * on the driver schema — Q7 (volume shipping between two nations), Q8
+  * (market share of one supplier nation inside a region), Q10 (returned
+  * items by customer), Q14 (promotion revenue share by month).
+  *
+  * All four are declared as SQL over temp views and share one body
+  * between the Spark query and the DuckDB oracle (only the integer
+  * division token differs: Spark `div`, DuckDB `//` — identical on the
+  * provably-nonnegative revenue cents used here). Revenue follows the
+  * repo-wide decimal-exact discipline: DOUBLE prices cast to
+  * DECIMAL(18,2) BEFORE multiply/sum so the aggregate is exact and
+  * order-independent in both engines; shares are integer ppm over exact
+  * bigint cents, never a float divide.
+  *
+  * Scale notes (the plans Catalyst picks here are the 100 TB plans):
+  * nation/region are broadcast dims; customer and supplier broadcast at
+  * gate scale and degrade to shuffled hash joins at cluster scale; the
+  * orders⋈lineitem spine is the one genuinely shuffled join, with the
+  * date-range predicates pushed to the parquet scans.
+  */
+object RelationalPack4 extends QueryPack {
+
+  private def views(s: SparkSession, d: String, ts: String*): Unit =
+    ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+
+  /** Exact line revenue: decimal before arithmetic (see RelationalPack). */
+  private val revDec =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  /** Same revenue in exact integer cents (DECIMAL(18,2) sums scale by 100
+    * to an integer-valued decimal — the BIGINT cast is exact). */
+  private def cents(sumExpr: String) = s"CAST(($sumExpr) * 100 AS BIGINT)"
+
+  // ---- TPC-H Q7: volume shipping between two trading nations, by
+  // direction and ship year. Reference semantics: revenue of lineitems
+  // whose supplier sits in one nation and ordering customer in the
+  // other, either direction, over a two-year ship window. ----
+  private def q7Sql(div: String) =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         CAST(year(l.l_shipdate) AS INT) AS l_year,
+       |         $revDec AS rev
+       |  FROM supplier s
+       |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+       |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+       |  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---- TPC-H Q8: market share of NATION_2 suppliers within ASIA-customer
+  // orders of STANDARD parts, per order year. Share as integer ppm over
+  // exact cents (numerator/denominator both nonnegative). ----
+  private def q8Sql(div: String) =
+    s"""SELECT o_year,
+       |       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+       |       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       |       ${cents(s"SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE CAST(0.00 AS DECIMAL(18,2)) END)")} * 1000000
+       |         $div ${cents("SUM(rev)")} AS share_ppm
+       |FROM (
+       |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |         n1.n_name AS supp_nation,
+       |         $revDec AS rev
+       |  FROM part p
+       |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+       |  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+       |  JOIN region r   ON r.r_regionkey = n2.n_regionkey
+       |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  // ---- TPC-H Q10: returned-item revenue by customer over one order
+  // quarter-pair — the classic "which customers returned the most"
+  // top-20. DESC order on an exact-decimal-summed double is
+  // cross-engine-stable; c_custkey breaks ties. ----
+  private def q10Sql(div: String) =
+    s"""SELECT c.c_custkey, c.c_name,
+       |       CAST(SUM($revDec) AS DOUBLE) AS revenue,
+       |       n.n_name,
+       |       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+       |FROM customer c
+       |JOIN orders o   ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN nation n   ON n.n_nationkey = c.c_nationkey
+       |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+       |  AND l.l_returnflag = 'R'
+       |GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+       |ORDER BY revenue DESC, c.c_custkey
+       |LIMIT 20""".stripMargin
+
+  // ---- TPC-H Q14: promotion revenue share, one row per ship month of
+  // 1997. p_type = 'PROMO' is the promo flag on this schema's flat type
+  // domain. Share in ppm over exact cents. ----
+  private def q14Sql(div: String) =
+    s"""SELECT ym,
+       |       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+       |       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       |       ${cents(s"SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0.00 AS DECIMAL(18,2)) END)")} * 1000000
+       |         $div ${cents("SUM(rev)")} AS promo_share_ppm
+       |FROM (
+       |  SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INT) AS ym,
+       |         p.p_type, $revDec AS rev
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |) promo
+       |GROUP BY ym
+       |ORDER BY ym""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_sql_q7" -> { (s, d) =>
+      views(s, d, "supplier", "lineitem", "orders", "customer", "nation")
+      s.sql(q7Sql("div"))
+    },
+    "q274_sql_q8" -> { (s, d) =>
+      views(s, d, "part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      s.sql(q8Sql("div"))
+    },
+    "q275_sql_q10" -> { (s, d) =>
+      views(s, d, "customer", "orders", "lineitem", "nation")
+      s.sql(q10Sql("div"))
+    },
+    "q276_sql_q14" -> { (s, d) =>
+      views(s, d, "lineitem", "part")
+      s.sql(q14Sql("div"))
+    }
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q273_sql_q7"  -> q7Sql("//"),
+    "q274_sql_q8"  -> q8Sql("//"),
+    "q275_sql_q10" -> q10Sql("//"),
+    "q276_sql_q14" -> q14Sql("//")
+  )
+}
