@@ -23,6 +23,26 @@ object EventsPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- DIURNAL ACTIVITY HEATMAP: events, distinct users and exact
+    // decimal value by (day-of-week, hour-of-day) — the load-shape
+    // profile capacity planning and anomaly baselines read. Calendar-
+    // bounded output (≤ 168 cells) off one map+agg pass; the distinct-
+    // user count is a partial-agg'd distinct over the cell grouping.
+    // Day-of-week is pinned to Sunday=0 in both engines (Spark
+    // dayofweek() is 1-based Sunday-first; DuckDB dayofweek() is
+    // 0-based Sunday-first). ----
+    "q278_activity_heatmap" -> { (s, d) =>
+      Tables.events(s, d)
+        .select((dayofweek(col("ts")) - 1).cast("int").as("dow"),
+          hour(col("ts")).cast("int").as("hod"),
+          col("user_id"), dec2(col("value")).as("v"))
+        .groupBy("dow", "hod")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          countDistinct(col("user_id")).cast("bigint").as("n_users"),
+          sum(col("v")).cast("double").as("total_value"))
+        .orderBy("dow", "hod")
+    },
+
     // ---- native AS-OF JOIN (custom whole-plan operator) ----
     // Two-table as-of: each purchase joined to the user's latest
     // prior-or-simultaneous signup. Unlike q38 (the single-table
@@ -1343,6 +1363,17 @@ object EventsPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // Sunday=0 on both sides: DuckDB dayofweek() is already 0-based
+    "q278_activity_heatmap" ->
+      """SELECT CAST(dayofweek(ts) AS INT) AS dow,
+        |       CAST(hour(ts) AS INT) AS hod,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY dow, hod""".stripMargin,
+
     // DuckDB's own ASOF JOIN — an independent implementation of the same
     // operator semantics, not a mirrored construction
     "q03_asof_join_native" -> asofOracleSql,

@@ -252,6 +252,33 @@ object TextPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- PER-SOURCE CHARACTER-CLASS PROFILE: digit / uppercase /
+    // whitespace / punctuation shares of each source's character mass,
+    // in integer ppm — the symbol-ratio corpus fingerprint (the
+    // Gopher-class filters threshold per-doc; data cards report it
+    // per-source). One map stage of codegen length arithmetic (each
+    // class counted as length(text) − length(class-stripped text)),
+    // then a 5-counter sum per source: no shuffle beyond the
+    // source-count agg, exact integers end-to-end. ----
+    "q277_charset_profile" -> { (s, d) =>
+      def stripped(re: String) = regexp_replace(col("text"), re, "")
+      Tables.documents(s, d)
+        .select(col("source"),
+          length(col("text")).cast("bigint").as("nc"),
+          (length(col("text")) - length(stripped("[0-9]"))).cast("bigint").as("nd"),
+          (length(col("text")) - length(stripped("[A-Z]"))).cast("bigint").as("nu"),
+          (length(col("text")) - length(stripped("(?U)\\s"))).cast("bigint").as("nw"),
+          (length(col("text")) - length(stripPunct(col("text")))).cast("bigint").as("np"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("nc").cast("bigint").as("n_chars"),
+          expr("sum(nd) * 1000000 div sum(nc)").cast("bigint").as("digit_ppm"),
+          expr("sum(nu) * 1000000 div sum(nc)").cast("bigint").as("upper_ppm"),
+          expr("sum(nw) * 1000000 div sum(nc)").cast("bigint").as("space_ppm"),
+          expr("sum(np) * 1000000 div sum(nc)").cast("bigint").as("punct_ppm"))
+        .orderBy("source")
+    },
+
     // ---- heuristic language-ID: stopword-profile argmax. Single
     // projection, zero shuffle (but the final sort): each profile is
     // scored inline against the doc's token set and the winner picked
@@ -1565,6 +1592,28 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // same length-difference counters; RE2 classes match the Java ones
+      // on the ASCII corpus (see QueryPack tokenization caveat)
+      "q277_charset_profile" ->
+        """WITH c AS (
+          |  SELECT source,
+          |         length(text) AS nc,
+          |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+          |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
+          |         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS nw,
+          |         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+          |  FROM documents)
+          |SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(nc) AS BIGINT) AS n_chars,
+          |       CAST(sum(nd) * 1000000 // sum(nc) AS BIGINT) AS digit_ppm,
+          |       CAST(sum(nu) * 1000000 // sum(nc) AS BIGINT) AS upper_ppm,
+          |       CAST(sum(nw) * 1000000 // sum(nc) AS BIGINT) AS space_ppm,
+          |       CAST(sum(np) * 1000000 // sum(nc) AS BIGINT) AS punct_ppm
+          |FROM c
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
 
       // same vowel-group proxy per unnested token, same ≥1 floor and
       // ≥3 polysyllable rule
