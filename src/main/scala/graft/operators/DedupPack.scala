@@ -1065,6 +1065,40 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // filter prunes the join's probe side to paragraphs it could not
     // reject. Paragraph = 16-token non-overlapping chunk (the synthetic
     // corpus has no newlines; q04's segment convention, coarser). ----
+    // ---- CORPUS-FREQUENCY BOILERPLATE AUDIT (the C4/CCNet boilerplate
+    // pass at paragraph granularity): a paragraph whose fingerprint
+    // appears in ≥ 2 DISTINCT documents is boilerplate/duplicated mass
+    // (headers, footers, templates — here q251's 16-token chunks);
+    // report per source the paragraph volume, the boilerplate share in
+    // ppm, and how many docs carry any. Scale shape: the paragraph-df
+    // table is paragraph-VOCABULARY-sized with map-side combine, the
+    // boilerplate set stays a TABLE joined back on int64 pid (never
+    // collected/broadcast-assumed), and everything else is per-source
+    // counters — no all-pairs, no windows. ----
+    "q280_boilerplate_audit" -> { (s, d) =>
+      val paras = warmed(paragraphIds(Tables.documents(s, d)))
+      val boiler = paras.groupBy("pid")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("pid"), lit(1L).as("b"))
+      val perDoc = paras.join(boiler, Seq("pid"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_para_d"),
+          sum(coalesce(col("b"), lit(0L))).as("n_boiler_d"))
+      val result = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(coalesce(col("n_para_d"), lit(0L))).cast("bigint").as("n_para"),
+          sum(coalesce(col("n_boiler_d"), lit(0L))).cast("bigint").as("n_boiler"),
+          sum((coalesce(col("n_boiler_d"), lit(0L)) > 0).cast("bigint"))
+            .cast("bigint").as("n_docs_hit"))
+        .withColumn("boiler_ppm",
+          when(col("n_para") > 0, expr("n_boiler * 1000000 div n_para"))
+            .otherwise(lit(0L)).cast("bigint"))
+      materialized(result, paras).orderBy("source")
+    },
+
     "q251_paragraph_bloom_dedup" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
       import graft.functions.GraftExpressions.{bloom, bloomMightContain}
@@ -1673,6 +1707,32 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // same 16-token chunking as q04's 4-token oracle, base set distinct,
     // per-delta-doc left-join fold
     "q251_paragraph_bloom_dedup" -> paraBloomOracleSql,
+
+    // q251's paragraph extraction, df ≥ 2 boilerplate set, per-source roll-up
+    "q280_boilerplate_audit" ->
+      s"""WITH tok AS ($duckToks),
+         |seg AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substring(md5(array_to_string(ts[(g.i * 16 + 1):((g.i + 1) * 16)], ' ')), 1, 15) AS BIGINT) AS pid
+         |  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(ts) / 16.0) - 1 AS BIGINT))) AS g(i)),
+         |boiler AS (
+         |  SELECT pid FROM seg GROUP BY pid HAVING count(DISTINCT doc_id) >= 2),
+         |perdoc AS (
+         |  SELECT s.doc_id, count(*) AS n_para_d,
+         |         sum(CASE WHEN b.pid IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler_d
+         |  FROM seg s LEFT JOIN boiler b USING (pid)
+         |  GROUP BY s.doc_id)
+         |SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(coalesce(p.n_para_d, 0)) AS BIGINT) AS n_para,
+         |       CAST(sum(coalesce(p.n_boiler_d, 0)) AS BIGINT) AS n_boiler,
+         |       CAST(sum(CASE WHEN coalesce(p.n_boiler_d, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+         |       CAST(CASE WHEN sum(coalesce(p.n_para_d, 0)) > 0
+         |                 THEN sum(coalesce(p.n_boiler_d, 0)) * 1000000 // sum(coalesce(p.n_para_d, 0))
+         |                 ELSE 0 END AS BIGINT) AS boiler_ppm
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY source""".stripMargin,
 
     // same pair table, one arm per threshold (identical double
     // comparisons — both engines compute the same jaccard doubles)

@@ -709,6 +709,46 @@ object SimilarityPack extends QueryPack {
       materialized(result, vecs).orderBy("q_id")
     },
 
+    // ---- k-NN CLASSIFICATION ACCURACY (leave-one-out, majority vote):
+    // the embedding-space labelability eval — top-5 cosine neighbors of
+    // each eval vector vote with their labels, ties to the smallest
+    // label, and per-class accuracy lands in integer ppm. The eval set
+    // is a deterministic 4% slice (vec_id % 25 = 0) — eval sets are
+    // constant-size by construction at any corpus scale, and the
+    // per-query windows are topK/votes-bounded. Scoring here is exact
+    // (the q50 brute baseline shape, int64 quantized dots); at 100 TB
+    // the same vote+accuracy tail composes onto the ANN shortlists of
+    // q51–q53 unchanged. ----
+    "q279_knn_accuracy" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val qs = vecs.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      val top = qs.join(vecs, col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("q_id", "vec_id")
+      val votes = top.join(labels, "vec_id")
+        .groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("nv"))
+      val wv = Window.partitionBy(col("q_id")).orderBy(desc("nv"), asc("label"))
+      val pred = votes.withColumn("r", row_number().over(wv))
+        .filter(col("r") === 1)
+        .select(col("q_id"), col("label").as("pred"))
+      val result = pred
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("truth")), "q_id")
+        .groupBy(col("truth"))
+        .agg(count(lit(1)).cast("bigint").as("n_eval"),
+          sum((col("pred") === col("truth")).cast("bigint")).cast("bigint").as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000 div n_eval").cast("bigint"))
+        .select(col("truth").cast("int").as("label"),
+          col("n_eval"), col("n_correct"), col("acc_ppm"))
+      materialized(result, vecs).orderBy("label")
+    },
+
     // ---- hard-negative mining (the contrastive-training data step —
     // cf. DPR/Contriever: for each anchor, the most similar vectors
     // with a DIFFERENT label are the negatives that teach the margin).
@@ -1805,6 +1845,35 @@ object SimilarityPack extends QueryPack {
          |${round(3, "v2")}
          |SELECT i, vq FROM v3 ORDER BY i""".stripMargin
     },
+
+    // same brute scoring on the 4% eval slice, same vote/tie rules
+    "q279_knn_accuracy" ->
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
+         |  FROM vecs v),
+         |labels AS (SELECT vec_id, label FROM embeddings),
+         |pairs AS (
+         |  SELECT qv.vec_id AS q_id, cv.vec_id AS vec_id,
+         |         ${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm) AS cosine
+         |  FROM scored qv JOIN scored cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id % 25 = 0),
+         |top AS (
+         |  SELECT q_id, vec_id FROM pairs
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= $topK),
+         |votes AS (
+         |  SELECT t.q_id, l.label, count(*) AS nv
+         |  FROM top t JOIN labels l USING (vec_id) GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT q_id, label AS pred FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY nv DESC, label) = 1)
+         |SELECT CAST(l.label AS INT) AS label,
+         |       CAST(count(*) AS BIGINT) AS n_eval,
+         |       CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+         |FROM pred p JOIN labels l ON l.vec_id = p.q_id
+         |GROUP BY 1
+         |ORDER BY label""".stripMargin,
 
     "q50_ann_brute" ->
       s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
