@@ -43,6 +43,35 @@ object EventsPack extends QueryPack {
         .orderBy("dow", "hod")
     },
 
+    // ---- ENGAGEMENT GINI (inequality of per-user activity) per event
+    // type: the Lorenz-curve concentration number next to q248's
+    // top-share view — Gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    // ascending per-user counts. The global rank i is the distributed
+    // two-phase [[graft.functions.PrefixSum.inclusivePerKey]] scan keyed
+    // by event_type (range partition + local window + offset broadcast —
+    // never a single-task per-type sort; q116/q150's r8 discipline).
+    // All-int64, one final division on a provably-nonnegative numerator
+    // (Chebyshev's sum inequality: the ascending order makes
+    // 2Σi·xᵢ ≥ (n+1)Σx). int64-exact while n·Σx per type ≤ 9·10¹⁸
+    // (through ~10⁹ users × 10⁹ events); past that the identical
+    // rank-sum widens to DECIMAL(38) internally (q170/q216 discipline).
+    "q282_engagement_gini" -> { (s, d) =>
+      val per = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("x"))
+      val ranked = graft.functions.PrefixSum.inclusivePerKey(per,
+        Seq("event_type"), Seq(col("x").asc, col("user_id").asc),
+        Seq((lit(1L), "rk")))
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_users"),
+          sum("x").cast("bigint").as("n_events"),
+          sum(col("rk") * col("x")).cast("bigint").as("rank_sum"))
+        .withColumn("gini_ppm",
+          expr("(1000000 * (2 * rank_sum - (n_users + 1) * n_events)) div (n_users * n_events)")
+            .cast("bigint"))
+        .orderBy("event_type")
+    },
+
     // ---- native AS-OF JOIN (custom whole-plan operator) ----
     // Two-table as-of: each purchase joined to the user's latest
     // prior-or-simultaneous signup. Unlike q38 (the single-table
@@ -1363,6 +1392,26 @@ object EventsPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // same ascending rank (a plain window here — the oracle runs on the
+    // bounded gate corpus), same single-division ppm
+    "q282_engagement_gini" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS rk
+        |  FROM per)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(x) AS BIGINT) AS n_events,
+        |       CAST(sum(rk * x) AS BIGINT) AS rank_sum,
+        |       CAST((1000000 * (2 * CAST(sum(rk * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT)))
+        |            // (count(*) * CAST(sum(x) AS BIGINT)) AS BIGINT) AS gini_ppm
+        |FROM ranked
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // Sunday=0 on both sides: DuckDB dayofweek() is already 0-based
     "q278_activity_heatmap" ->
       """SELECT CAST(dayofweek(ts) AS INT) AS dow,

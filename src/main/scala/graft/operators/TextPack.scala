@@ -279,6 +279,36 @@ object TextPack extends QueryPack {
         .orderBy("source")
     },
 
+    // ---- BIGRAM CONDITIONAL-ENTROPY RATE per source: H(next | current)
+    // over the token stream — the sequence-predictability health metric
+    // (templated/boilerplate sources sit near 0, natural prose high;
+    // the bigram complement to q111's char entropy and q112's unigram
+    // KL). N-scaled exact int64 via the established per-term
+    // floor(×1e6) ln quantization: ent_q = Σ_{w1,w2} c12·(qln(c1) −
+    // qln(c12)) in micro-nats, nonnegative by qln monotonicity, so the
+    // per-bigram rate divides exactly the same in both engines. Shape:
+    // one bigram-count aggregate (map-side combined), a context-total
+    // roll-up of THAT table (bigram-type-vocabulary-sized, never the
+    // corpus), one co-partitioned join on (source, w1). ----
+    "q281_bigram_entropy_rate" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val c12 = Tables.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy("source", "bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      val c1 = c12.groupBy("source", "w1").agg(sum("c12").as("c1"))
+      c12.join(c1, Seq("source", "w1"))
+        .groupBy("source")
+        .agg(sum("c12").cast("bigint").as("n_bigrams"),
+          count(lit(1)).cast("bigint").as("n_bigram_types"),
+          sum(col("c12") * (qln(col("c1")) - qln(col("c12"))))
+            .cast("bigint").as("ent_q"))
+        .withColumn("ent_rate_unat", expr("ent_q div n_bigrams").cast("bigint"))
+        .orderBy("source")
+    },
+
     // ---- heuristic language-ID: stopword-profile argmax. Single
     // projection, zero shuffle (but the final sort): each profile is
     // scored inline against the doc's token set and the winner picked
@@ -1592,6 +1622,27 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // same bigram counts, context roll-up and per-term ln quantization
+      "q281_bigram_entropy_rate" ->
+        """WITH tok AS (
+          |  SELECT source, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |bg AS (SELECT source, ts[g.i] AS w1, ts[g.i] || ' ' || ts[g.i + 1] AS b
+          |       FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)),
+          |c12 AS (SELECT source, w1, b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2, 3),
+          |c1 AS (SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1, 2)
+          |SELECT c12.source,
+          |       CAST(sum(c12) AS BIGINT) AS n_bigrams,
+          |       CAST(count(*) AS BIGINT) AS n_bigram_types,
+          |       CAST(sum(c12 * (CAST(floor(ln(CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |                     - CAST(floor(ln(CAST(c12 AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS ent_q,
+          |       CAST(sum(c12 * (CAST(floor(ln(CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |                     - CAST(floor(ln(CAST(c12 AS DOUBLE)) * 1e6) AS BIGINT)))
+          |            // sum(c12) AS BIGINT) AS ent_rate_unat
+          |FROM c12 JOIN c1 USING (source, w1)
+          |GROUP BY 1
+          |ORDER BY source""".stripMargin,
 
       // same length-difference counters; RE2 classes match the Java ones
       // on the ASCII corpus (see QueryPack tokenization caveat)
