@@ -121,6 +121,35 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- FORWARD AS-OF (conversion window): for each signup, the FIRST
+    // purchase at-or-after it within 7 days — the other direction of the
+    // as-of operator family (q03/q09/q105/q265 are all backward). No new
+    // physical operator needed: forward-nearest is backward-nearest on
+    // NEGATED time (greatest −t_p ≤ −t_s ⇔ least t_p ≥ t_s), so the same
+    // sort-merge [[graft.plans.AsOfJoinExec]] runs unchanged, tolerance
+    // included (−t_s − (−t_p) = t_p − t_s ≤ 7 d) — the direction flip is
+    // pure algebra at the API layer, the 100 TB cost model identical.
+    // Right side pre-deduped per (user, instant) to min event_id (the
+    // operator's tie rule is positional; make ties impossible instead).
+    "q283_asof_forward" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("us").as("signup_us"))
+        .withColumn("neg_us", -col("signup_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("r_user_id"), col("us").as("purchase_us"))
+        .agg(min("event_id").as("purchase_event_id"))
+        .withColumn("neg_pus", -col("purchase_us"))
+      graft.plans.GraftOps.asofJoin(signups, purchases,
+          Seq("user_id"), Seq("r_user_id"), "neg_us", "neg_pus",
+          allowEqual = true, leftOuter = true,
+          tolerance = Some(7L * 86400L * 1000000L))
+        .select(col("user_id"), col("event_id"), col("signup_us"),
+          col("purchase_event_id"), col("purchase_us"),
+          (col("purchase_us") - col("signup_us")).as("conversion_us"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- EVENT-TYPE CO-OCCURRENCE PMI: which behaviors cluster in the
     // same users (pointwise mutual information over per-user event-type
     // presence) — the association table behind "users who error also
@@ -1392,6 +1421,31 @@ object EventsPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // forward correlated-argmin definition (the q105 oracle pattern with
+    // the inequality flipped), inclusive 7-day window
+    "q283_asof_forward" ->
+      """WITH su AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS signup_us
+        |  FROM events WHERE event_type = 'signup'),
+        |pu AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |         min(event_id) AS purchase_event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |m AS (
+        |  SELECT s.user_id, s.event_id, p.purchase_event_id, p.purchase_us,
+        |         row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |                            ORDER BY p.purchase_us) AS rk
+        |  FROM su s JOIN pu p ON p.user_id = s.user_id
+        |    AND p.purchase_us >= s.signup_us
+        |    AND p.purchase_us <= s.signup_us + 604800000000)
+        |SELECT s.user_id, s.event_id, s.signup_us,
+        |       m.purchase_event_id, m.purchase_us,
+        |       m.purchase_us - s.signup_us AS conversion_us
+        |FROM su s LEFT JOIN (SELECT * FROM m WHERE rk = 1) m
+        |  USING (user_id, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // same ascending rank (a plain window here — the oracle runs on the
     // bounded gate corpus), same single-division ppm
     "q282_engagement_gini" ->

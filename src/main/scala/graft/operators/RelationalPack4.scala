@@ -128,7 +128,42 @@ object RelationalPack4 extends QueryPack {
        |GROUP BY ym
        |ORDER BY ym""".stripMargin
 
+  // ---- TPC-H Q2 flavor on this schema: for each part, the supplier
+  // with the lowest observed unit price (exact integer cents per unit).
+  // Greatest-1-per-group WITHOUT a row-scale window: a per-part min
+  // aggregate (map-side combined), an equi-join back on the min, and a
+  // second min over the tied suppliers — deterministic ties, no
+  // partition-by-part sort, the 100 TB shape for argmin-per-key. ----
+  private def q2Sql(div: String) =
+    s"""WITH offers AS (
+       |  SELECT l.l_partkey, l.l_suppkey,
+       |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           $div CAST(l.l_quantity AS BIGINT) AS unit_cents
+       |  FROM lineitem l),
+       |best AS (
+       |  SELECT l_partkey, MIN(unit_cents) AS min_unit_cents
+       |  FROM offers GROUP BY l_partkey),
+       |winner AS (
+       |  SELECT o.l_partkey, b.min_unit_cents, MIN(o.l_suppkey) AS best_suppkey
+       |  FROM offers o JOIN best b
+       |    ON b.l_partkey = o.l_partkey AND o.unit_cents = b.min_unit_cents
+       |  GROUP BY o.l_partkey, b.min_unit_cents),
+       |cnt AS (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_offers
+       |  FROM offers GROUP BY l_partkey)
+       |SELECT w.l_partkey AS p_partkey, p.p_name, p.p_brand,
+       |       w.min_unit_cents, w.best_suppkey, s.s_name, c.n_offers
+       |FROM winner w
+       |JOIN part p ON p.p_partkey = w.l_partkey
+       |JOIN supplier s ON s.s_suppkey = w.best_suppkey
+       |JOIN cnt c ON c.l_partkey = w.l_partkey
+       |ORDER BY p_partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_sql_q2_argmin" -> { (s, d) =>
+      views(s, d, "lineitem", "part", "supplier")
+      s.sql(q2Sql("div"))
+    },
     "q273_sql_q7" -> { (s, d) =>
       views(s, d, "supplier", "lineitem", "orders", "customer", "nation")
       s.sql(q7Sql("div"))
@@ -148,6 +183,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q284_sql_q2_argmin" -> q2Sql("//"),
     "q273_sql_q7"  -> q7Sql("//"),
     "q274_sql_q8"  -> q8Sql("//"),
     "q275_sql_q10" -> q10Sql("//"),
