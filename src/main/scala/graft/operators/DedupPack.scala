@@ -1065,6 +1065,39 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // filter prunes the join's probe side to paragraphs it could not
     // reject. Paragraph = 16-token non-overlapping chunk (the synthetic
     // corpus has no newlines; q04's segment convention, coarser). ----
+    // ---- LSH BAND-LOAD HISTOGRAM: log2-binned bucket-size distribution
+    // of the MinHash band index, per band — the shuffle-skew / candidate-
+    // volume diagnostic you read BEFORE running a band self-join at
+    // 100 TB (q230's candidate counts are exactly Σ sz·(sz−1)/2 over
+    // these buckets; a hot bucket here is tomorrow's straggler task).
+    // One group-by over the persisted band artifact, then a bands×12
+    // bounded roll-up; the log2 bin is a CASE chain on exact integers
+    // (never floor(log2(double)) — 2ᵏ boundaries aren't reliably exact
+    // through a float log). Per-bucket pair count sz·(sz−1) div 2 is
+    // exact (even product), summed in int64 — bounded by the corpus's
+    // actual candidate volume, the number this query exists to expose.
+    "q286_band_load_histogram" -> { (s, d) =>
+      val sz = fullBandIndex(s, d)
+        .groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("sz"))
+      val bin = when(col("sz") < 2, 0).when(col("sz") < 4, 1)
+        .when(col("sz") < 8, 2).when(col("sz") < 16, 3)
+        .when(col("sz") < 32, 4).when(col("sz") < 64, 5)
+        .when(col("sz") < 128, 6).when(col("sz") < 256, 7)
+        .when(col("sz") < 512, 8).when(col("sz") < 1024, 9)
+        .when(col("sz") < 2048, 10).otherwise(11)
+      sz.withColumn("bin", bin)
+        .groupBy("band_id", "bin")
+        .agg(count(lit(1)).cast("bigint").as("n_buckets"),
+          sum("sz").cast("bigint").as("n_rows"),
+          max("sz").cast("bigint").as("max_sz"),
+          sum(expr("sz * (sz - 1) div 2")).cast("bigint").as("n_pairs"))
+        .select(col("band_id").cast("int").as("band_id"),
+          col("bin").cast("int").as("bin"),
+          col("n_buckets"), col("n_rows"), col("max_sz"), col("n_pairs"))
+        .orderBy("band_id", "bin")
+    },
+
     // ---- CORPUS-FREQUENCY BOILERPLATE AUDIT (the C4/CCNet boilerplate
     // pass at paragraph granularity): a paragraph whose fingerprint
     // appears in ≥ 2 DISTINCT documents is boilerplate/duplicated mass
@@ -1707,6 +1740,27 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // same 16-token chunking as q04's 4-token oracle, base set distinct,
     // per-delta-doc left-join fold
     "q251_paragraph_bloom_dedup" -> paraBloomOracleSql,
+
+    // same band keys (minhashCtes), same integer log2 CASE bins
+    "q286_band_load_histogram" ->
+      s"""WITH $minhashCtes
+         |sz AS (SELECT band_id, band_val, CAST(count(*) AS BIGINT) AS sz
+         |       FROM bands GROUP BY 1, 2),
+         |binned AS (
+         |  SELECT band_id, sz,
+         |         CASE WHEN sz < 2 THEN 0 WHEN sz < 4 THEN 1 WHEN sz < 8 THEN 2
+         |              WHEN sz < 16 THEN 3 WHEN sz < 32 THEN 4 WHEN sz < 64 THEN 5
+         |              WHEN sz < 128 THEN 6 WHEN sz < 256 THEN 7 WHEN sz < 512 THEN 8
+         |              WHEN sz < 1024 THEN 9 WHEN sz < 2048 THEN 10 ELSE 11 END AS bin
+         |  FROM sz)
+         |SELECT CAST(band_id AS INT) AS band_id, CAST(bin AS INT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(sz) AS BIGINT) AS n_rows,
+         |       CAST(max(sz) AS BIGINT) AS max_sz,
+         |       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs
+         |FROM binned
+         |GROUP BY 1, 2
+         |ORDER BY band_id, bin""".stripMargin,
 
     // q251's paragraph extraction, df ≥ 2 boilerplate set, per-source roll-up
     "q280_boilerplate_audit" ->

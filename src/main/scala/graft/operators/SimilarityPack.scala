@@ -709,6 +709,31 @@ object SimilarityPack extends QueryPack {
       materialized(result, vecs).orderBy("q_id")
     },
 
+    // ---- EMBEDDING DIMENSION HEALTH: per-coordinate population stats
+    // over the fixed-point components — the dead/collapsed-dimension
+    // diagnostic (a dim whose mass sits at ~0, or whose range collapsed,
+    // signals an encoder fault) an embedding pipeline runs before any
+    // ANN index build. posexplode to (dim, x_q) then one dim-keyed
+    // aggregate: 64 output rows whatever the corpus size, all counters
+    // int64-exact (|x_q| ≤ ~2²⁰ for unit-scale embeddings, so even Σ|x|
+    // holds to ~10¹² vectors); no division anywhere — downstream readers
+    // derive means at report time. ----
+    "q285_embedding_dim_stats" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(quantize(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum("x").cast("bigint").as("sum_q"),
+          min("x").cast("bigint").as("min_q"),
+          max("x").cast("bigint").as("max_q"),
+          sum(abs(col("x"))).cast("bigint").as("sum_abs_q"),
+          sum((abs(col("x")) < lit(10000L)).cast("bigint"))
+            .cast("bigint").as("n_nearzero"))
+        .select(col("dim").cast("int").as("dim"), col("n"), col("sum_q"),
+          col("min_q"), col("max_q"), col("sum_abs_q"), col("n_nearzero"))
+        .orderBy("dim")
+    },
+
     // ---- k-NN CLASSIFICATION ACCURACY (leave-one-out, majority vote):
     // the embedding-space labelability eval — top-5 cosine neighbors of
     // each eval vector vote with their labels, ties to the smallest
@@ -1845,6 +1870,24 @@ object SimilarityPack extends QueryPack {
          |${round(3, "v2")}
          |SELECT i, vq FROM v3 ORDER BY i""".stripMargin
     },
+
+    // same ×1e6 floor quantization, posexplode mirrored as UNNEST with
+    // a 0-based position to match Spark's posexplode
+    "q285_embedding_dim_stats" ->
+      s"""WITH comp AS (
+         |  SELECT g.i - 1 AS dim, q[g.i] AS x
+         |  FROM (SELECT ${quantizeSql("embedding")} AS q FROM embeddings) v,
+         |       UNNEST(generate_series(1, $dim)) AS g(i))
+         |SELECT CAST(dim AS INT) AS dim,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(x) AS BIGINT) AS sum_q,
+         |       CAST(min(x) AS BIGINT) AS min_q,
+         |       CAST(max(x) AS BIGINT) AS max_q,
+         |       CAST(sum(abs(x)) AS BIGINT) AS sum_abs_q,
+         |       CAST(sum(CASE WHEN abs(x) < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_nearzero
+         |FROM comp
+         |GROUP BY dim
+         |ORDER BY dim""".stripMargin,
 
     // same brute scoring on the 4% eval slice, same vote/tie rules
     "q279_knn_accuracy" ->
