@@ -1117,6 +1117,56 @@ object PipelinePack extends QueryPack {
       materialized(result, docs).orderBy("source")
     },
 
+    // ---- CURATION FILTER FUNNEL (the RefinedWeb/Dolma-style attrition
+    // report): docs and tokens surviving each CUMULATIVE stage of the
+    // q65 gate chain followed by exact dedup on the survivors —
+    // raw → min-length → max-length → TTR → keep-first content-hash.
+    // Per doc ONE pass computes the deepest stage reached (the dedup
+    // keeper set is a group-min over survivors only — sequential
+    // semantics, dedup sees what the filters admitted); the funnel is
+    // then a ≤5-row suffix sum (stage k = levels ≥ k) over the bounded
+    // stage axis — the deliberately-global window runs over 5 rows,
+    // never data. ----
+    "q287_filter_funnel" -> { (s, d) =>
+      val flagged = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
+          tokens(col("text")).as("toks"), tokenSet(col("text")).as("tset"))
+        .select(col("doc_id"), col("h"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          (size(col("toks")) >= 20).as("p1"),
+          (col("n_chars") <= 1000).as("p2"),
+          (size(col("toks")) > 0 &&
+            size(col("tset")).cast("double") / size(col("toks")).cast("double") >= 0.3)
+            .as("p3"))
+      val keepers = flagged.filter(col("p1") && col("p2") && col("p3"))
+        .groupBy("h").agg(min("doc_id").as("keep_id"))
+      val lvl = flagged.join(keepers, Seq("h"), "left")
+        .withColumn("level",
+          when(!col("p1"), 0).when(!col("p2"), 1).when(!col("p3"), 2)
+            .when(col("doc_id") === col("keep_id"), 4).otherwise(3))
+      val per = lvl.groupBy("level")
+        .agg(count(lit(1)).as("c"), sum("n_tokens").as("t"))
+      val grid = s.range(0, 5).toDF("stage")
+        .select(col("stage").cast("int").as("stage"))
+      val g = grid.join(per, grid("stage") === per("level"), "left")
+        .select(col("stage"), coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("t"), lit(0L)).as("t"))
+      val w = Window.orderBy(col("stage").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.agg(sum("c").as("total"))
+      val result = g
+        .withColumn("n_docs", sum("c").over(w).cast("bigint"))
+        .withColumn("n_tokens", sum("t").over(w).cast("bigint"))
+        .crossJoin(broadcast(tot))
+        .select(col("stage"),
+          when(col("stage") === 0, "raw").when(col("stage") === 1, "min_len")
+            .when(col("stage") === 2, "max_len").when(col("stage") === 3, "ttr")
+            .otherwise("exact_dedup").as("stage_name"),
+          col("n_docs"), col("n_tokens"),
+          expr("n_docs * 1000000 div total").cast("bigint").as("docs_ppm"))
+      result.orderBy("stage")
+    },
+
     // ---- quality gate: boolean admission filter chain ----
     "q65_quality_gate" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1893,6 +1943,48 @@ object PipelinePack extends QueryPack {
         |FROM t
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same gate predicates (q65), same survivor-only keeper set, same
+    // 5-row suffix-sum funnel
+    "q287_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, md5(text) AS h,
+        |         len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |             w -> w <> '')) AS n_tokens,
+        |         len(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
+        |             w -> w <> ''))) AS n_distinct
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, h, n_tokens,
+        |         n_tokens >= 20 AS p1, n_chars <= 1000 AS p2,
+        |         CASE WHEN n_tokens = 0 THEN false
+        |              ELSE CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3 END AS p3
+        |  FROM t),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM f WHERE p1 AND p2 AND p3 GROUP BY h),
+        |lvl AS (
+        |  SELECT f.doc_id, f.n_tokens,
+        |         CASE WHEN NOT p1 THEN 0 WHEN NOT p2 THEN 1 WHEN NOT p3 THEN 2
+        |              WHEN f.doc_id = k.keep_id THEN 4 ELSE 3 END AS level
+        |  FROM f LEFT JOIN keep k USING (h)),
+        |per AS (SELECT level, CAST(count(*) AS BIGINT) AS c, CAST(sum(n_tokens) AS BIGINT) AS t
+        |        FROM lvl GROUP BY level),
+        |grid AS (SELECT unnest(generate_series(0, 4)) AS stage),
+        |g AS (SELECT grid.stage, coalesce(per.c, 0) AS c, coalesce(per.t, 0) AS t
+        |      FROM grid LEFT JOIN per ON per.level = grid.stage),
+        |suf AS (
+        |  SELECT stage,
+        |         sum(c) OVER (ORDER BY stage DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_docs,
+        |         sum(t) OVER (ORDER BY stage DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_tokens
+        |  FROM g),
+        |tot AS (SELECT sum(c) AS total FROM g)
+        |SELECT CAST(stage AS INT) AS stage,
+        |       CASE stage WHEN 0 THEN 'raw' WHEN 1 THEN 'min_len' WHEN 2 THEN 'max_len'
+        |                  WHEN 3 THEN 'ttr' ELSE 'exact_dedup' END AS stage_name,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_docs * 1000000 // total AS BIGINT) AS docs_ppm
+        |FROM suf CROSS JOIN tot
+        |ORDER BY stage""".stripMargin,
 
     "q65_quality_gate" ->
       """WITH t AS (
