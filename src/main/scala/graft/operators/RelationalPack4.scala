@@ -159,7 +159,31 @@ object RelationalPack4 extends QueryPack {
        |JOIN cnt c ON c.l_partkey = w.l_partkey
        |ORDER BY p_partkey""".stripMargin
 
+  // ---- TPC-H Q4 shape (order-priority checking): orders of one
+  // half-year with at least one SLOW line — shipped more than 60 days
+  // after the order date — counted by priority. The EXISTS decorrelates
+  // to a left-semi join on l_orderkey with the date predicate pushed to
+  // both scans; no new lineitem column needed on this schema (commitdate/
+  // receiptdate are absent — ship-lag vs order date carries the same
+  // "late fulfilment" semantics). ----
+  private def q4Sql(div: String) =
+    s"""SELECT o.o_orderpriority,
+       |       CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM orders o
+       |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o.o_orderpriority
+       |ORDER BY o.o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_sql_q4_exists" -> { (s, d) =>
+      views(s, d, "orders", "lineitem")
+      s.sql(q4Sql("div"))
+    },
     "q284_sql_q2_argmin" -> { (s, d) =>
       views(s, d, "lineitem", "part", "supplier")
       s.sql(q2Sql("div"))
@@ -183,6 +207,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q289_sql_q4_exists" -> q4Sql("//"),
     "q284_sql_q2_argmin" -> q2Sql("//"),
     "q273_sql_q7"  -> q7Sql("//"),
     "q274_sql_q8"  -> q8Sql("//"),

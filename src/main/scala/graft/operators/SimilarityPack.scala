@@ -734,6 +734,60 @@ object SimilarityPack extends QueryPack {
         .orderBy("dim")
     },
 
+    // ---- REDUNDANT-DIMENSION DETECTOR: top-20 most-correlated
+    // coordinate pairs of the embedding space — collapsed/duplicated
+    // dimensions are wasted index bytes and a PQ-subspace hazard. The
+    // moment sums come from a GRAM-MATRIX treeAggregate (the classic
+    // RowMatrix.computeGramianMatrix shape): each task folds its rows
+    // into ONE d + d(d+1)/2 int64 state (d = 64 → 2 KiB), merged
+    // tree-wise — O(d²) bounded state, no shuffle of per-row data, the
+    // only driver-side object a constant-size moment vector (the
+    // documented bounded-collect class). Pearson corr is then derived
+    // per pair from exact int64 moments with one double sqrt+divide
+    // (int64→double correctly rounded on both engines — the q228
+    // discipline); int64-exact while n·Σxᵢxⱼ ≤ 9·10¹⁸ (unit-scale
+    // embeddings: through ~10⁷ vectors; past that the same moments
+    // accumulate in 128-bit halves). ----
+    "q288_dim_correlation" -> { (s, d) =>
+      import s.implicits._
+      val nd = dim
+      val tri = nd * (nd + 1) / 2
+      val rows = Tables.embeddings(s, d)
+        .select(quantize(col("embedding")).as("q"))
+        .rdd.map(_.getSeq[Long](0).toArray)
+      val st = rows.treeAggregate(new Array[Long](1 + nd + tri))(
+        (a, x) => {
+          a(0) += 1L
+          var i = 0
+          var k = 1 + nd
+          while (i < nd) {
+            a(1 + i) += x(i)
+            var j = i
+            while (j < nd) { a(k) += x(i) * x(j); k += 1; j += 1 }
+            i += 1
+          }
+          a
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      val n = st(0)
+      def sx(i: Int): Long = st(1 + i)
+      def sxy(i: Int, j: Int): Long = // i <= j, row-major upper triangle
+        st(1 + nd + i * (2 * nd - i + 1) / 2 + (j - i))
+      val pairs = for { i <- 0 until nd; j <- (i + 1) until nd } yield {
+        val num = n * sxy(i, j) - sx(i) * sx(j)
+        val vx = n * sxy(i, i) - sx(i) * sx(i)
+        val vy = n * sxy(j, j) - sx(j) * sx(j)
+        val corr =
+          if (vx == 0L || vy == 0L) 0.0
+          else num.toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+        (i, j, n, sxy(i, j), num, corr)
+      }
+      pairs.toDF("i", "j", "n", "sxy", "num", "corr")
+        .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+          col("n"), col("sxy"), col("num"), col("corr"))
+        .orderBy(abs(col("corr")).desc, col("i"), col("j")).limit(20)
+    },
+
     // ---- k-NN CLASSIFICATION ACCURACY (leave-one-out, majority vote):
     // the embedding-space labelability eval — top-5 cosine neighbors of
     // each eval vector vote with their labels, ties to the smallest
@@ -1870,6 +1924,38 @@ object SimilarityPack extends QueryPack {
          |${round(3, "v2")}
          |SELECT i, vq FROM v3 ORDER BY i""".stripMargin
     },
+
+    // identical exact int64 moments (here via a grouped self-join), the
+    // same one-sqrt-one-divide double, the same top-20 rank
+    "q288_dim_correlation" ->
+      s"""WITH comp AS (
+         |  SELECT vec_id, g.i - 1 AS i, q[g.i] AS x
+         |  FROM (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings) v,
+         |       UNNEST(generate_series(1, $dim)) AS g(i)),
+         |stats AS (
+         |  SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM comp GROUP BY i),
+         |pr AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+         |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i < b.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.i, p.j, sa.n, p.sxy,
+         |         sa.n * p.sxy - sa.sx * sb.sx AS num,
+         |         sa.n * sa.sxx - sa.sx * sa.sx AS vx,
+         |         sb.n * sb.sxx - sb.sx * sb.sx AS vy
+         |  FROM pr p JOIN stats sa ON sa.i = p.i JOIN stats sb ON sb.i = p.j)
+         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, sxy, num,
+         |       CASE WHEN vx = 0 OR vy = 0 THEN 0.0
+         |            ELSE CAST(num AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+         |       END AS corr
+         |FROM scored
+         |QUALIFY row_number() OVER (
+         |  ORDER BY abs(CASE WHEN vx = 0 OR vy = 0 THEN 0.0
+         |                    ELSE CAST(num AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END) DESC,
+         |           i, j) <= 20
+         |ORDER BY abs(corr) DESC, i, j""".stripMargin,
 
     // same ×1e6 floor quantization, posexplode mirrored as UNNEST with
     // a 0-based position to match Spark's posexplode
