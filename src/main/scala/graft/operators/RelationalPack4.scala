@@ -179,7 +179,27 @@ object RelationalPack4 extends QueryPack {
        |GROUP BY o.o_orderpriority
        |ORDER BY o.o_orderpriority""".stripMargin
 
+  // ---- TPC-H Q6 (forecasting revenue change): pure scan-side
+  // filter + aggregate — no join at all. The POINT is the plan: every
+  // predicate (ship-year, discount band, quantity cap) must reach the
+  // parquet scan as a pushed filter, and the aggregate is a two-phase
+  // partial → final over whatever survives. Exact decimal product
+  // l_extendedprice × l_discount per the repo-wide discipline. ----
+  private def q6Sql(div: String) =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_sql_q6" -> { (s, d) =>
+      views(s, d, "lineitem")
+      s.sql(q6Sql("div"))
+    },
     "q289_sql_q4_exists" -> { (s, d) =>
       views(s, d, "orders", "lineitem")
       s.sql(q4Sql("div"))
@@ -207,6 +227,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q291_sql_q6" -> q6Sql("//"),
     "q289_sql_q4_exists" -> q4Sql("//"),
     "q284_sql_q2_argmin" -> q2Sql("//"),
     "q273_sql_q7"  -> q7Sql("//"),

@@ -44,6 +44,43 @@ object StreamingPack extends QueryPack {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming twin of q278's diurnal heatmap: complete-mode aggregation
+    * on derived CALENDAR keys (day-of-week × hour) rather than event-time
+    * windows — state is bounded by the 168-cell grid however long the
+    * stream runs, so no watermark is needed even in production. Distinct
+    * users stay on the batch side (a second stateful op behind the agg
+    * would need watermark plumbing; q39 shows the dedup-then-rollup
+    * composition) — the twin gates events and exact decimal value.
+    */
+  def streamHeatmap(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+    val agg = ev
+      .select((dayofweek(col("ts")) - 1).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hod"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(col("v")).as("sv"))
+    val name = s"graft_stream_heatmap_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .select(col("dow"), col("hod"), col("n_events"),
+        col("sv").cast("double").as("total_value"))
+      .orderBy("dow", "hod")
+  }
+
   /** Streaming tumbling 1-hour count per event type over the events table. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -569,6 +606,7 @@ object StreamingPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_stream_heatmap" -> ((s, d) => streamHeatmap(s, d)),
     "q259_stream_para_bloom" -> ((s, d) => streamParaBloom(s, d)),
     "q238_stream_hll" -> ((s, d) => streamHll(s, d)),
     "q229_stream_checksum" -> ((s, d) => streamChecksum(s, d)),
@@ -586,6 +624,17 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch on the bounded calendar grid: q278's oracle minus
+    // the distinct-user column (see streamHeatmap scaladoc)
+    "q290_stream_heatmap" ->
+      """SELECT CAST(dayofweek(ts) AS INT) AS dow,
+        |       CAST(hour(ts) AS INT) AS hod,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY dow, hod""".stripMargin,
 
     // stream ≡ batch: q251's oracle verbatim (the stream-static probe
     // over the finite delta stream must reproduce the batch pass)
