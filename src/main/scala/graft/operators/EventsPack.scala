@@ -575,6 +575,72 @@ object EventsPack extends QueryPack {
     // per-from row total (count * 1e6 div from_total — bit-identical
     // in both engines). Single shuffle key (user) for the sequencing,
     // then a 25-row matrix. ----
+    // ---- DAILY-VOLUME AUTOCORRELATION (lag-1 and lag-7): the
+    // periodicity probe a forecasting/anomaly stack runs on its
+    // per-type traffic series — high lag-7 means weekly seasonality
+    // (q214's model assumption, here measured instead of assumed). The
+    // series is the calendar-bounded daily-count frame; each lag is a
+    // self-equi-join on (type, day+lag); Pearson corr derives from six
+    // exact int64 moment sums with the one-sqrt-one-divide double of
+    // the q288 discipline (int64→double correctly rounded, identical
+    // expression text both engines). ----
+    "q292_volume_autocorr" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val withLag = daily.select(col("event_type"), col("day"), col("x"),
+        explode(array(lit(1), lit(7))).as("lag"))
+      val joined = withLag.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") === col("a.day") + col("a.lag"))
+        .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+          col("a.x").as("xa"), col("b.x").as("xb"))
+      joined.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n"), sum("xa").as("sa"), sum("xb").as("sb"),
+          sum(col("xa") * col("xa")).as("saa"),
+          sum(col("xb") * col("xb")).as("sbb"),
+          sum(col("xa") * col("xb")).as("sab"))
+        .select(col("event_type"), col("lag").cast("int").as("lag"),
+          col("n").cast("bigint").as("n_pairs"),
+          when(col("n") * col("saa") - col("sa") * col("sa") === 0 ||
+               col("n") * col("sbb") - col("sb") * col("sb") === 0, lit(0.0))
+            .otherwise((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") *
+                   (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")))
+            .as("corr"))
+        .orderBy("event_type", "lag")
+    },
+
+    // ---- SECOND-ORDER MARKOV TRANSITIONS: P(next | prev2, prev1) —
+    // one memory step deeper than q158/q203; the two-step context is
+    // what catches "view→cart→purchase vs view→cart→abandon" splits a
+    // first-order chain averages away. Same per-user (ts, event_id)
+    // window discipline; the transition table is types³-bounded
+    // (≤ 125 rows), so the per-context top-3 rank runs over ≤ 5 rows.
+    "q294_markov_second" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tri = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev1", lag(col("event_type"), 1).over(w))
+        .withColumn("prev2", lag(col("event_type"), 2).over(w))
+        .filter(col("prev1").isNotNull && col("prev2").isNotNull)
+        .groupBy(col("prev2"), col("prev1"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = tri.groupBy("prev2", "prev1").agg(sum("n_trans").as("tot"))
+      val wr = Window.partitionBy("prev2", "prev1")
+        .orderBy(col("n_trans").desc, col("next_type"))
+      tri.join(totals, Seq("prev2", "prev1"))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 3)
+        .select(col("prev2"), col("prev1"), col("next_type"),
+          col("n_trans").cast("bigint").as("n_trans"),
+          expr("n_trans * 1000000 div tot").cast("bigint").as("prob_ppm"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("prev2", "prev1", "rk")
+    },
+
     "q158_markov_transitions" -> { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       val trans = Tables.events(s, d)
@@ -1421,6 +1487,57 @@ object EventsPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // same daily counts, lag equi-join and moment-sum corr double
+    "q292_volume_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT unnest([1, 7]) AS lag),
+        |p AS (
+        |  SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+        |  FROM daily a CROSS JOIN l
+        |  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+        |         CAST(sum(xa * xa) AS BIGINT) AS saa, CAST(sum(xb * xb) AS BIGINT) AS sbb,
+        |         CAST(sum(xa * xb) AS BIGINT) AS sab
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag, n AS n_pairs,
+        |       CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN 0.0
+        |            ELSE CAST(n * sab - sa * sb AS DOUBLE)
+        |                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+        |       END AS corr
+        |FROM m
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // same two-step lag windows, types³-bounded counts, top-3 rank
+    "q294_markov_second" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |tri AS (
+        |  SELECT user_id, event_type AS next_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev1,
+        |         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev2
+        |  FROM seq),
+        |c AS (
+        |  SELECT prev2, prev1, next_type, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM tri WHERE prev1 IS NOT NULL AND prev2 IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |t AS (SELECT prev2, prev1, CAST(sum(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c.prev2, c.prev1, c.next_type, c.n_trans, t.tot,
+        |         CAST(row_number() OVER (PARTITION BY c.prev2, c.prev1
+        |                                 ORDER BY c.n_trans DESC, c.next_type) AS INT) AS rk
+        |  FROM c JOIN t USING (prev2, prev1))
+        |SELECT prev2, prev1, next_type, n_trans,
+        |       CAST(n_trans * 1000000 // tot AS BIGINT) AS prob_ppm, rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY prev2, prev1, rk""".stripMargin,
+
     // forward correlated-argmin definition (the q105 oracle pattern with
     // the inequality flipped), inclusive 7-day window
     "q283_asof_forward" ->

@@ -195,7 +195,41 @@ object RelationalPack4 extends QueryPack {
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24""".stripMargin
 
+  // ---- ORDER-TOTAL RECONCILIATION (referential data quality): per
+  // order status, how many orders' header total matches the sum of
+  // their line prices — the cross-table consistency check a warehouse
+  // runs after every load (q142 audits keys; this audits MONEY). All
+  // arithmetic in exact integer cents off decimal casts; orders with no
+  // lines surface as their own counter instead of vanishing into an
+  // inner join. One aggregate per table + one equi-join on orderkey. ----
+  private def reconSql(div: String) =
+    s"""WITH lines AS (
+       |  SELECT l_orderkey,
+       |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS line_cents
+       |  FROM lineitem GROUP BY l_orderkey),
+       |o AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+       |  FROM orders),
+       |j AS (
+       |  SELECT o.o_orderstatus, o.total_cents, l.line_cents
+       |  FROM o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey)
+       |SELECT o_orderstatus,
+       |       CAST(count(*) AS BIGINT) AS n_orders,
+       |       CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+       |       CAST(sum(CASE WHEN line_cents = total_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN line_cents > total_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       |       CAST(sum(CASE WHEN line_cents < total_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+       |       CAST(max(CASE WHEN line_cents IS NOT NULL THEN abs(line_cents - total_cents) ELSE 0 END) AS BIGINT) AS max_abs_diff_cents
+       |FROM j
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_order_total_recon" -> { (s, d) =>
+      views(s, d, "orders", "lineitem")
+      s.sql(reconSql("div"))
+    },
     "q291_sql_q6" -> { (s, d) =>
       views(s, d, "lineitem")
       s.sql(q6Sql("div"))
@@ -227,6 +261,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q293_order_total_recon" -> reconSql("//"),
     "q291_sql_q6" -> q6Sql("//"),
     "q289_sql_q4_exists" -> q4Sql("//"),
     "q284_sql_q2_argmin" -> q2Sql("//"),
