@@ -244,6 +244,50 @@ object MultimodalPack extends QueryPack {
     // oracle reconstructs each patch sum from the text alone and any
     // codec or indexing slip hash-fails. Per-row bounded work behind
     // the same mapPartitions codec boundary. ----
+    // ---- IMAGE SHARPNESS / EDGE ENERGY off the REAL decoded raster:
+    // per image, the L1 horizontal and vertical gradient sums — the
+    // blur/flat-image screen a vision-data pipeline runs before
+    // training (a near-zero gradient mass is a solid-color or
+    // heavily-blurred frame). Same mapPartitions codec boundary as
+    // q72/q262 (true PNG encode→decode per row, gradients read off the
+    // raster); the oracle reconstructs both sums from the payload
+    // tiling contract, proving decode + neighborhood addressing
+    // end-to-end. Per-row bounded work, embarrassingly parallel. ----
+    "q295_image_gradients" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+                lit("image/png").as("media_type"))
+        .as[MediaRow]
+        .mapPartitions { rs =>
+          rs.flatMap { r =>
+            if (r.payload.isEmpty) Iterator.empty
+            else {
+              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              var hg = 0L; var vg = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = gray(y * w + x) & 0xff
+                  if (x < w - 1) hg += math.abs((gray(y * w + x + 1) & 0xff) - v)
+                  if (y < h - 1) vg += math.abs((gray((y + 1) * w + x) & 0xff) - v)
+                  x += 1
+                }
+                y += 1
+              }
+              Iterator.single((r.doc_id, w, h, w.toLong * h, hg, vg))
+            }
+          }
+        }
+        .toDF("doc_id", "w", "h", "n_px", "hgrad_sum", "vgrad_sum")
+        .select(col("doc_id"), col("w").cast("int").as("w"),
+          col("h").cast("int").as("h"), col("n_px").cast("bigint").as("n_px"),
+          col("hgrad_sum").cast("bigint").as("hgrad_sum"),
+          col("vgrad_sum").cast("bigint").as("vgrad_sum"))
+        .orderBy("doc_id")
+    },
+
     "q262_patch_grid" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -392,6 +436,29 @@ object MultimodalPack extends QueryPack {
 
     // pixel(i) = text byte (i mod len); patch membership from the same
     // ceil-half grid arithmetic — integer sums, exact compare
+    // same tiling contract; neighbor pixels addressed as i+1 (same row)
+    // and i+w (next row) through the byte-replication formula
+    "q295_image_gradients" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         1 + ascii(substr(text, 1, 1)) % 64 AS w,
+        |         1 + ascii(substr(text, 2, 1)) % 64 AS h
+        |  FROM documents WHERE length(text) > 0),
+        |px AS (
+        |  SELECT doc_id, w, h, g.i AS i,
+        |         ascii(substr(text, (g.i % len) + 1, 1)) AS v,
+        |         CASE WHEN g.i % w < w - 1
+        |              THEN ascii(substr(text, ((g.i + 1) % len) + 1, 1)) END AS vr,
+        |         CASE WHEN g.i < w * (h - 1)
+        |              THEN ascii(substr(text, ((g.i + w) % len) + 1, 1)) END AS vd
+        |  FROM m, UNNEST(generate_series(0, w * h - 1)) AS g(i))
+        |SELECT doc_id, CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(CASE WHEN vr IS NULL THEN 0 ELSE abs(vr - v) END) AS BIGINT) AS hgrad_sum,
+        |       CAST(sum(CASE WHEN vd IS NULL THEN 0 ELSE abs(vd - v) END) AS BIGINT) AS vgrad_sum
+        |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q262_patch_grid" ->
       """WITH m AS (
         |  SELECT doc_id, text, length(text) AS len,
