@@ -244,6 +244,65 @@ object MultimodalPack extends QueryPack {
     // oracle reconstructs each patch sum from the text alone and any
     // codec or indexing slip hash-fails. Per-row bounded work behind
     // the same mapPartitions codec boundary. ----
+    // ---- AUDIO PITCH PROXY via lag autocorrelation: r(L) = Σ x·x₊L
+    // over the PCM stream (q263's byte-derived samples) at L ∈ {2,4,8};
+    // the dominant lag is the argmax (ties → smallest lag) — the
+    // periodicity detector behind cheap voiced/unvoiced and tone
+    // screens. Exact int64 (|x| ≤ 175 ⇒ each product ≤ 3·10⁴, summed
+    // over the doc's own length), one codegen HOF projection per lag —
+    // zero shuffle, embarrassingly parallel at any corpus size. ----
+    "q296_audio_autocorr" -> { (s, d) =>
+      val samples = expr(
+        "transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) - 80 as bigint))")
+      def ac(l: Int) = expr(
+        s"""aggregate(zip_with(slice(sm, 1, size(sm) - $l),
+           |                  slice(sm, ${l + 1}, size(sm) - $l),
+           |                  (a, b) -> a * b),
+           |          0L, (acc, x) -> acc + x)""".stripMargin)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 8)
+        .select(col("doc_id"), samples.as("sm"))
+        .select(col("doc_id"), size(col("sm")).cast("bigint").as("n_samples"),
+          ac(2).cast("bigint").as("r2"), ac(4).cast("bigint").as("r4"),
+          ac(8).cast("bigint").as("r8"))
+        .withColumn("best_lag",
+          when(col("r2") >= col("r4") && col("r2") >= col("r8"), 2)
+            .when(col("r4") >= col("r8"), 4).otherwise(8).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // ---- VIDEO SCENE-CHANGE DETECTION over the frame stream: frames
+    // are the 32-byte chunks of the payload (q74's frame convention);
+    // consecutive frames compare by L1 distance over their first
+    // min(len_k, len_k+1) bytes and a cut fires where the distance
+    // crosses the threshold (16 per byte × 32 = 512). Per video:
+    // frame count, cut count, max inter-frame distance — the
+    // shot-boundary pre-pass a video curation pipeline runs before
+    // frame sampling (q71 samples uniformly; cuts tell you WHERE to
+    // sample). One HOF projection, zero shuffle. ----
+    "q297_video_scene_cuts" -> { (s, d) =>
+      val diffs = expr(
+        """transform(sequence(0, int((length(text) + 31) div 32) - 2), k ->
+          |  aggregate(
+          |    zip_with(
+          |      transform(sequence(1, int(least(32, length(text) - (k + 1) * 32))),
+          |                i -> ascii(substr(text, k * 32 + i, 1))),
+          |      transform(sequence(1, int(least(32, length(text) - (k + 1) * 32))),
+          |                i -> ascii(substr(text, (k + 1) * 32 + i, 1))),
+          |      (a, b) -> cast(abs(a - b) as bigint)),
+          |    0L, (acc, x) -> acc + x))""".stripMargin)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 32)
+        .select(col("doc_id"), length(col("text")).as("len"), diffs.as("df"))
+        .select(col("doc_id"),
+          expr("(len + 31) div 32").cast("bigint").as("n_frames"),
+          size(col("df")).cast("bigint").as("n_diffs"),
+          expr("aggregate(transform(df, x -> if(x > 512, 1L, 0L)), 0L, (a, x) -> a + x)")
+            .cast("bigint").as("n_cuts"),
+          expr("array_max(df)").cast("bigint").as("max_diff"))
+        .orderBy("doc_id")
+    },
+
     // ---- IMAGE SHARPNESS / EDGE ENERGY off the REAL decoded raster:
     // per image, the L1 horizontal and vertical gradient sums — the
     // blur/flat-image screen a vision-data pipeline runs before
@@ -436,6 +495,50 @@ object MultimodalPack extends QueryPack {
 
     // pixel(i) = text byte (i mod len); patch membership from the same
     // ceil-half grid arithmetic — integer sums, exact compare
+    // same PCM byte contract (q263); per-lag list products, same
+    // smallest-lag tie rule
+    "q296_audio_autocorr" ->
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS n, text
+        |  FROM documents WHERE length(text) > 8),
+        |r AS (
+        |  SELECT doc_id, n,
+        |         CAST(list_sum(list_transform(generate_series(1, n - 2),
+        |           i -> (ascii(substr(text, i, 1)) - 80) * (ascii(substr(text, i + 2, 1)) - 80))) AS BIGINT) AS r2,
+        |         CAST(list_sum(list_transform(generate_series(1, n - 4),
+        |           i -> (ascii(substr(text, i, 1)) - 80) * (ascii(substr(text, i + 4, 1)) - 80))) AS BIGINT) AS r4,
+        |         CAST(list_sum(list_transform(generate_series(1, n - 8),
+        |           i -> (ascii(substr(text, i, 1)) - 80) * (ascii(substr(text, i + 8, 1)) - 80))) AS BIGINT) AS r8
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, r2, r4, r8,
+        |       CAST(CASE WHEN r2 >= r4 AND r2 >= r8 THEN 2
+        |                 WHEN r4 >= r8 THEN 4 ELSE 8 END AS INT) AS best_lag
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // same 32-byte frame convention (q74), L1 over the shorter frame,
+    // same 512 threshold
+    "q297_video_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len, (length(text) + 31) // 32 AS nf
+        |  FROM documents WHERE length(text) > 32),
+        |pairs AS (
+        |  SELECT doc_id, nf, g.k AS k, text,
+        |         least(32, len - (g.k + 1) * 32) AS m
+        |  FROM d, UNNEST(generate_series(0, nf - 2)) AS g(k)),
+        |diffs AS (
+        |  SELECT doc_id, nf, k,
+        |         CAST(sum(abs(ascii(substr(text, k * 32 + h.i, 1))
+        |                    - ascii(substr(text, (k + 1) * 32 + h.i, 1)))) AS BIGINT) AS df
+        |  FROM pairs, UNNEST(generate_series(1, m)) AS h(i)
+        |  GROUP BY doc_id, nf, k)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |       CAST(count(*) AS BIGINT) AS n_diffs,
+        |       CAST(sum(CASE WHEN df > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(max(df) AS BIGINT) AS max_diff
+        |FROM diffs GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // same tiling contract; neighbor pixels addressed as i+1 (same row)
     // and i+w (next row) through the byte-replication formula
     "q295_image_gradients" ->
