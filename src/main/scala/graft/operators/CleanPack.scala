@@ -330,6 +330,42 @@ object CleanPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- THEIL INEQUALITY DECOMPOSITION (Theil 1967) of character
+    // volume across sources: the within/between split of corpus-mass
+    // inequality — the "is the imbalance a few giant docs or a few
+    // giant SOURCES" read next to q282's Gini and q250's variance
+    // ANOVA. Per-term floor(×1e6) ln quantization keeps every term
+    // int64-exact (q05/q112 discipline); no division — the emitted
+    // terms are the X_s-scaled numerators, signs included:
+    //   within_q  = Σ_docs x·(qln(x) + qln(n_s) − qln(X_s))
+    //   between_q = X_s·(qln(X_s·N) − qln(X·n_s))
+    // Shape: one doc scan + a sources-sized broadcast join; int64-exact
+    // while x·|qln| and X_s·|Δqln| stay under 9·10¹⁸ (holds through
+    // ~10¹¹-char sources; DECIMAL(38) past that). ----
+    "q299_theil_decomposition" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("bigint").as("x"))
+        .filter(col("x") > 0)
+      val src = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum("x").as("xs"))
+      val tot = src.agg(sum("n_s").as("nn"), sum("xs").as("xx"))
+      val within = docs.join(broadcast(src), "source")
+        .groupBy("source")
+        .agg(sum(col("x") * (qln(col("x")) + qln(col("n_s")) - qln(col("xs"))))
+          .as("within_q"))
+      src.crossJoin(broadcast(tot))
+        .join(within, "source")
+        .select(col("source"),
+          col("n_s").cast("bigint").as("n_docs"),
+          col("xs").cast("bigint").as("sum_chars"),
+          col("within_q").cast("bigint").as("within_q"),
+          (col("xs") * (qln(col("xs") * col("nn")) - qln(col("xx") * col("n_s"))))
+            .cast("bigint").as("between_q"))
+        .orderBy("source")
+    },
+
     // ---- per-source distribution drift: KL(source ‖ corpus) over the
     // unigram distributions — the mixture diagnostic that flags an
     // ingestion source whose language shifted (scraper broke, spam
@@ -970,6 +1006,27 @@ object CleanPack extends QueryPack {
          |          BETWEEN n * $entLo AND n * $entHi) AS keep
          |FROM e
          |ORDER BY doc_id""".stripMargin,
+
+    // same per-term ln quantization, same scaled numerators
+    "q299_theil_decomposition" ->
+      """WITH docs AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE n_chars > 0),
+        |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(x) AS BIGINT) AS xs
+        |        FROM docs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn, CAST(sum(xs) AS BIGINT) AS xx FROM src),
+        |w AS (
+        |  SELECT d.source,
+        |         CAST(sum(d.x * (CAST(floor(ln(CAST(d.x AS DOUBLE)) * 1e6) AS BIGINT)
+        |                       + CAST(floor(ln(CAST(s.n_s AS DOUBLE)) * 1e6) AS BIGINT)
+        |                       - CAST(floor(ln(CAST(s.xs AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS within_q
+        |  FROM docs d JOIN src s USING (source)
+        |  GROUP BY 1)
+        |SELECT s.source, s.n_s AS n_docs, s.xs AS sum_chars, w.within_q,
+        |       CAST(s.xs * (CAST(floor(ln(CAST(s.xs * t.nn AS DOUBLE)) * 1e6) AS BIGINT)
+        |                  - CAST(floor(ln(CAST(t.xx * s.n_s AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS between_q
+        |FROM src s JOIN w USING (source) CROSS JOIN tot t
+        |ORDER BY source""".stripMargin,
 
     "q112_source_kl" ->
       """WITH tok AS (

@@ -1117,6 +1117,38 @@ object PipelinePack extends QueryPack {
       materialized(result, docs).orderBy("source")
     },
 
+    // ---- RENDEZVOUS (HRW) SHARD ASSIGNMENT + RESIZE DELTA: docs map
+    // to the shard whose hash h(doc:shard) is highest (Thaler-Ravishankar
+    // HRW — the consistent-placement scheme behind shard-local dedup
+    // stores and embedding indexes), evaluated at 16 and at 20 shards.
+    // The transition matrix PROVES the minimal-movement property the
+    // scheme is chosen for: a doc moves only when one of the 4 ADDED
+    // shards wins its rendezvous (expected moved ≈ 4/20), and every
+    // off-diagonal destination is a new shard — visible in the output,
+    // gate-checked. Argmax is the two-phase max+equi-join (never a
+    // per-doc rank window); the exploded frame is docs×20, a narrow
+    // map stage. ----
+    "q300_rendezvous_shards" -> { (s, d) =>
+      import graft.functions.TextFunctions.hex64
+      val ex = warmed(Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(19))).as("sh"))
+        .withColumn("h", hex64(md5(concat(col("doc_id").cast("string"),
+          lit(":shard:"), col("sh").cast("string"))))))
+      def argmax(src: DataFrame, name: String): DataFrame = {
+        val m = src.groupBy("doc_id").agg(max("h").as("m"))
+        src.join(m, "doc_id").filter(col("h") === col("m"))
+          .groupBy("doc_id").agg(min("sh").as(name))
+      }
+      val s16 = argmax(ex.filter(col("sh") < 16), "s16")
+      val s20 = argmax(ex, "s20")
+      val result = s16.join(s20, "doc_id")
+        .groupBy(col("s16"), col("s20"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .select(col("s16").cast("int").as("s16"), col("s20").cast("int").as("s20"),
+          (col("s16") =!= col("s20")).as("moved"), col("n_docs"))
+      materialized(result, ex).orderBy("s16", "s20")
+    },
+
     // ---- CURATION FILTER FUNNEL (the RefinedWeb/Dolma-style attrition
     // report): docs and tokens surviving each CUMULATIVE stage of the
     // q65 gate chain followed by exact dedup on the survivors —
@@ -1943,6 +1975,27 @@ object PipelinePack extends QueryPack {
         |FROM t
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same hash text, same max-then-min-shard argmax
+    "q300_rendezvous_shards" ->
+      """WITH ex AS (
+        |  SELECT doc_id, g.sh AS sh,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard:' || CAST(g.sh AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents, UNNEST(generate_series(0, 19)) AS g(sh)),
+        |m16 AS (SELECT doc_id, max(h) AS m FROM ex WHERE sh < 16 GROUP BY doc_id),
+        |a16 AS (SELECT e.doc_id, min(e.sh) AS s16
+        |        FROM ex e JOIN m16 t ON t.doc_id = e.doc_id AND e.h = t.m
+        |        WHERE e.sh < 16 GROUP BY e.doc_id),
+        |m20 AS (SELECT doc_id, max(h) AS m FROM ex GROUP BY doc_id),
+        |a20 AS (SELECT e.doc_id, min(e.sh) AS s20
+        |        FROM ex e JOIN m20 t ON t.doc_id = e.doc_id AND e.h = t.m
+        |        GROUP BY e.doc_id)
+        |SELECT CAST(s16 AS INT) AS s16, CAST(s20 AS INT) AS s20,
+        |       s16 <> s20 AS moved,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM a16 JOIN a20 USING (doc_id)
+        |GROUP BY 1, 2, 3
+        |ORDER BY s16, s20""".stripMargin,
 
     // same gate predicates (q65), same survivor-only keeper set, same
     // 5-row suffix-sum funnel

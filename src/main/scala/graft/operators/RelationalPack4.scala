@@ -225,7 +225,43 @@ object RelationalPack4 extends QueryPack {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  // ---- MARKET-BASKET BRAND LIFT (association rules over order
+  // baskets): for brand pairs co-purchased in ≥ 10 orders, lift =
+  // P(A∧B)/(P(A)·P(B)) in integer ppm — the co-merchandising signal.
+  // The basket frame is one DISTINCT (order, brand) projection; the
+  // pair table is an order-keyed self-join whose OUTPUT is brands²-
+  // bounded (≤ 300 rows) with map-side-combining counts, so the only
+  // corpus-scale shuffle is the distinct. Top-30 by exact-integer
+  // lift. int64-exact while n_ab·N ≤ 9·10¹²·10⁶ (through ~3·10⁶-order
+  // co-occurrence on 10⁶ baskets — wide of any gate corpus;
+  // DECIMAL(38) past that). ----
+  private def basketSql(div: String) =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l.l_orderkey, p.p_brand
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+       |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+       |bs AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY 1),
+       |pr AS (
+       |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       |         CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+       |  GROUP BY 1, 2)
+       |SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+       |       ba.nb AS n_a, bb.nb AS n_b, n.n_orders,
+       |       CAST(pr.n_ab * n.n_orders * 1000000 $div (ba.nb * bb.nb) AS BIGINT) AS lift_ppm
+       |FROM pr
+       |JOIN bs ba ON ba.p_brand = pr.brand_a
+       |JOIN bs bb ON bb.p_brand = pr.brand_b
+       |CROSS JOIN n
+       |WHERE pr.n_ab >= 10
+       |ORDER BY lift_ppm DESC, brand_a, brand_b
+       |LIMIT 30""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_basket_lift" -> { (s, d) =>
+      views(s, d, "lineitem", "part")
+      s.sql(basketSql("div"))
+    },
     "q293_order_total_recon" -> { (s, d) =>
       views(s, d, "orders", "lineitem")
       s.sql(reconSql("div"))
@@ -261,6 +297,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q298_basket_lift" -> basketSql("//"),
     "q293_order_total_recon" -> reconSql("//"),
     "q291_sql_q6" -> q6Sql("//"),
     "q289_sql_q4_exists" -> q4Sql("//"),
