@@ -121,6 +121,63 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- KAPLAN–MEIER SURVIVAL CURVE (discrete, right-censored) for
+    // signup→purchase conversion: S(d) = Π_{t≤d} (1 − events_t/risk_t),
+    // carried in LOG space as exact int64 micro-nats (per-term
+    // floor(×1e6) ln quantization of n−d and n — the q05 discipline
+    // applied to the product form; logS_q = Σ qln(n_t−d_t) − qln(n_t)).
+    // Censoring: a user who never converts is censored at the global
+    // observation end (one broadcast scalar). The day axis is the
+    // calendar-bounded grid, so the risk-set suffix sum and the logS
+    // prefix sum are windows over ≤ observation-span rows, never data.
+    // Survival analysis is the right tool wherever "time to X" has
+    // open-ended observations — conversion, churn, job completion.
+    // A day where EVERY remaining at-risk user converts sends lnS to
+    // −∞; the n−d factor clamps at 1 (S floors at 1/n_risk for that
+    // step) — stated convention, identical in both engines. ----
+    "q301_kaplan_meier" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val endUs = ev.agg(max("us").as("end_us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("su_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("pu_us"))
+      // first purchase at-or-after the first signup; absent → censored
+      // (conditional min keeps users whose only purchases PRECEDE signup)
+      val firstConv = su.join(pu, Seq("user_id"), "left")
+        .groupBy("user_id", "su_us")
+        .agg(min(when(col("pu_us") >= col("su_us"), col("pu_us"))).as("conv_us"))
+      val obs = firstConv.crossJoin(broadcast(endUs))
+        .select(col("user_id"),
+          when(col("conv_us").isNotNull,
+            expr("(conv_us - su_us) div 86400000000")).otherwise(
+            expr("(end_us - su_us) div 86400000000")).as("t_day"),
+          col("conv_us").isNotNull.as("converted"))
+      val perDay = obs.groupBy("t_day")
+        .agg(count(lit(1)).as("n_end"),
+          sum(col("converted").cast("bigint")).as("d_ev"))
+      val wRisk = Window.orderBy(col("t_day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLog = Window.orderBy(col("t_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // risk set = users still under observation at day start (suffix
+      // sum over the bounded day grid); both windows are span-bounded
+      val result = perDay
+        .withColumn("n_risk", sum("n_end").over(wRisk))
+        .withColumn("term_q",
+          when(col("d_ev") > 0,
+            qln(greatest(col("n_risk") - col("d_ev"), lit(1L))) - qln(col("n_risk")))
+            .otherwise(lit(0L)))
+        .withColumn("logs_q", sum("term_q").over(wLog))
+        .select(col("t_day").cast("bigint").as("t_day"),
+          col("n_risk").cast("bigint").as("n_risk"),
+          col("d_ev").cast("bigint").as("n_events"),
+          col("logs_q").cast("bigint").as("logs_q"))
+      result.orderBy("t_day")
+    },
+
     // ---- FORWARD AS-OF (conversion window): for each signup, the FIRST
     // purchase at-or-after it within 7 days — the other direction of the
     // as-of operator family (q03/q09/q105/q265 are all backward). No new
@@ -1537,6 +1594,46 @@ object EventsPack extends QueryPack {
         |       CAST(n_trans * 1000000 // tot AS BIGINT) AS prob_ppm, rk
         |FROM r WHERE rk <= 3
         |ORDER BY prev2, prev1, rk""".stripMargin,
+
+    // same conditional-min first conversion, censoring at the global
+    // max timestamp, suffix-sum risk sets, per-term ln quantization
+    "q301_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |e AS (SELECT max(us) AS end_us FROM ev),
+        |su AS (SELECT user_id, min(us) AS su_us FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, us AS pu_us FROM ev WHERE event_type = 'purchase'),
+        |fc AS (
+        |  SELECT su.user_id, su.su_us,
+        |         min(CASE WHEN pu.pu_us >= su.su_us THEN pu.pu_us END) AS conv_us
+        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        |  GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT user_id,
+        |         CASE WHEN conv_us IS NOT NULL THEN (conv_us - su_us) // 86400000000
+        |              ELSE (e.end_us - su_us) // 86400000000 END AS t_day,
+        |         conv_us IS NOT NULL AS converted
+        |  FROM fc CROSS JOIN e),
+        |pd AS (
+        |  SELECT t_day, CAST(count(*) AS BIGINT) AS n_end,
+        |         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d_ev
+        |  FROM obs GROUP BY 1),
+        |r AS (
+        |  SELECT t_day, d_ev,
+        |         sum(n_end) OVER (ORDER BY t_day DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM pd),
+        |lg AS (
+        |  SELECT t_day, n_risk, d_ev,
+        |         CASE WHEN d_ev > 0
+        |              THEN CAST(floor(ln(CAST(greatest(n_risk - d_ev, 1) AS DOUBLE)) * 1e6) AS BIGINT)
+        |                 - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+        |              ELSE 0 END AS term_q
+        |  FROM r)
+        |SELECT CAST(t_day AS BIGINT) AS t_day,
+        |       CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d_ev AS BIGINT) AS n_events,
+        |       CAST(sum(term_q) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS logs_q
+        |FROM lg
+        |ORDER BY t_day""".stripMargin,
 
     // forward correlated-argmin definition (the q105 oracle pattern with
     // the inequality flipped), inclusive 7-day window

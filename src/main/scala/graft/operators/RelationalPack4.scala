@@ -32,9 +32,12 @@ object RelationalPack4 extends QueryPack {
   private val revDec =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))"
 
-  /** Same revenue in exact integer cents (DECIMAL(18,2) sums scale by 100
-    * to an integer-valued decimal — the BIGINT cast is exact). */
-  private def cents(sumExpr: String) = s"CAST(($sumExpr) * 100 AS BIGINT)"
+  /** A [[revDec]] SUM in exact integer 10⁻⁴-dollar units: the product
+    * DECIMAL(18,2) × DECIMAL(4,2) carries scale 4, so ×10000 (not ×100!)
+    * is what lands on an integer-valued decimal — a ×100 cast would
+    * truncate on Spark but ROUND on DuckDB (observed one-off on q302's
+    * first gate). */
+  private def cents(sumExpr: String) = s"CAST(($sumExpr) * 10000 AS BIGINT)"
 
   // ---- TPC-H Q7: volume shipping between two trading nations, by
   // direction and ship year. Reference semantics: revenue of lineitems
@@ -257,7 +260,33 @@ object RelationalPack4 extends QueryPack {
        |ORDER BY lift_ppm DESC, brand_a, brand_b
        |LIMIT 30""".stripMargin
 
+  // ---- TPC-H Q11 flavor (important stock → important suppliers):
+  // each nation's suppliers whose revenue share of their nation exceeds
+  // 1.5% — the HAVING-over-derived-aggregate classic. Two stacked
+  // aggregates (supplier grain, then nation grain) + a broadcast nation
+  // dim; the share is exact integer ppm over exact cents so the
+  // threshold and ordering are engine-portable. ----
+  private def q11Sql(div: String) =
+    s"""WITH sr AS (
+       |  SELECT s.s_nationkey, l.l_suppkey,
+       |         ${cents(s"SUM($revDec)")} AS cents
+       |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  GROUP BY 1, 2),
+       |nt AS (SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS nat_cents
+       |       FROM sr GROUP BY 1)
+       |SELECT n.n_name, sr.l_suppkey AS s_suppkey, sr.cents AS rev_c4,
+       |       CAST(sr.cents * 1000000 $div nt.nat_cents AS BIGINT) AS share_ppm
+       |FROM sr
+       |JOIN nt ON nt.s_nationkey = sr.s_nationkey
+       |JOIN nation n ON n.n_nationkey = sr.s_nationkey
+       |WHERE sr.cents * 1000000 $div nt.nat_cents >= 15000
+       |ORDER BY n.n_name, share_ppm DESC, s_suppkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_sql_q11_share" -> { (s, d) =>
+      views(s, d, "lineitem", "supplier", "nation")
+      s.sql(q11Sql("div"))
+    },
     "q298_basket_lift" -> { (s, d) =>
       views(s, d, "lineitem", "part")
       s.sql(basketSql("div"))
@@ -297,6 +326,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q302_sql_q11_share" -> q11Sql("//"),
     "q298_basket_lift" -> basketSql("//"),
     "q293_order_total_recon" -> reconSql("//"),
     "q291_sql_q6" -> q6Sql("//"),
