@@ -606,6 +606,7 @@ object StreamingPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_stream_funnel" -> ((s, d) => FunnelStream.run(s, d)),
     "q290_stream_heatmap" -> ((s, d) => streamHeatmap(s, d)),
     "q259_stream_para_bloom" -> ((s, d) => streamParaBloom(s, d)),
     "q238_stream_hll" -> ((s, d) => streamHll(s, d)),
@@ -624,6 +625,30 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch: the chained-min funnel definition (inclusive time
+    // rule, 24 h per-step conversion window) — each stage's time is the
+    // min matching event within [t_prev, t_prev + 24 h]
+    "q303_stream_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.us >= t1.t AND e.us <= t1.t + 86400000000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN t2 ON t2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.us >= t2.t AND e.us <= t2.t + 86400000000 GROUP BY 1),
+        |t4 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN t3 ON t3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us >= t3.t AND e.us <= t3.t + 86400000000 GROUP BY 1),
+        |st AS (
+        |  SELECT t1.user_id,
+        |         CASE WHEN t4.t IS NOT NULL THEN 4 WHEN t3.t IS NOT NULL THEN 3
+        |              WHEN t2.t IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |  FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id
+        |          LEFT JOIN t3 ON t3.user_id = t1.user_id
+        |          LEFT JOIN t4 ON t4.user_id = t1.user_id)
+        |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+        |FROM st GROUP BY stage
+        |ORDER BY stage""".stripMargin,
 
     // stream ≡ batch on the bounded calendar grid: q278's oracle minus
     // the distinct-user column (see streamHeatmap scaladoc)
