@@ -1117,6 +1117,67 @@ object PipelinePack extends QueryPack {
       materialized(result, docs).orderBy("source")
     },
 
+    // ---- SOURCE MODULARITY of the near-dup graph (Newman & Girvan
+    // 2004): does duplication stay WITHIN sources or cross them? Each
+    // source is a community; its modularity contribution, scaled by
+    // (2m)² to stay in exact integers, is contrib_q = 4m·L_s − D_s²
+    // (L_s intra-source edges, D_s degree mass, m total edges) — sum
+    // over sources and divide by 4m² at report time for Newman's Q.
+    // A strongly negative cell = a source whose dup mass leaks across
+    // the corpus (the q127 hot-cell view, graph-theoretically scored).
+    // All frames are edge-bounded or sources-sized; int64-exact while
+    // 4m·L_s ≤ 9·10¹⁸ (m through ~1.5·10⁹ near-dup edges). ----
+    "q304_source_modularity" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val e = pairs
+        .join(src.toDF("doc_i", "src_i"), "doc_i")
+        .join(src.toDF("doc_j", "src_j"), "doc_j")
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = symmetricEdges(pairs).toDF("v", "u")
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val dmass = deg.join(src.toDF("v", "source"), "v")
+        .groupBy("source").agg(sum("deg").as("d_s"), count(lit(1)).as("n_nodes"))
+      val intra = e.filter(col("src_i") === col("src_j"))
+        .groupBy(col("src_i").as("source")).agg(count(lit(1)).as("l_s"))
+      dmass.join(intra, Seq("source"), "left").na.fill(0L, Seq("l_s"))
+        .crossJoin(broadcast(m))
+        .select(col("source"), col("n_nodes").cast("bigint").as("n_nodes"),
+          col("l_s").cast("bigint").as("intra_edges"),
+          col("d_s").cast("bigint").as("degree_sum"),
+          col("m").cast("bigint").as("n_edges"),
+          (lit(4L) * col("m") * col("l_s") - col("d_s") * col("d_s"))
+            .cast("bigint").as("contrib_q"))
+        .orderBy("source")
+    },
+
+    // ---- DEGREE ASSORTATIVITY (Newman 2002) of the near-dup graph:
+    // Pearson correlation of endpoint degrees over directed edge
+    // instances — positive r means big dup families attach to other
+    // big families (hub corpora dedup differently than chains). Exact
+    // int64 moment sums over the edge list, one sqrt+divide double
+    // (the q288 discipline). One row. ----
+    "q305_degree_assortativity" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val sym = symmetricEdges(pairs).toDF("v", "u")
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+      val ed = sym
+        .join(deg.toDF("v", "dx"), "v")
+        .join(deg.toDF("u", "dy"), "u")
+      ed.agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("n").cast("bigint").as("n_edge_ends"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+               col("n") * col("syy") - col("sy") * col("sy") === 0, lit(0.0))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("assortativity"))
+        .orderBy("n_edge_ends")
+    },
+
     // ---- RENDEZVOUS (HRW) SHARD ASSIGNMENT + RESIZE DELTA: docs map
     // to the shard whose hash h(doc:shard) is highest (Thaler-Ravishankar
     // HRW — the consistent-placement scheme behind shard-local dedup
@@ -1975,6 +2036,47 @@ object PipelinePack extends QueryPack {
         |FROM t
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same (2m)²-scaled contributions off the shared pair CTEs
+    "q304_source_modularity" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT p.doc_i, p.doc_j, da.source AS src_i, db.source AS src_j
+         |      FROM pairs p JOIN documents da ON da.doc_id = p.doc_i
+         |                   JOIN documents db ON db.doc_id = p.doc_j),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |sym AS (SELECT doc_i AS v FROM pairs UNION ALL SELECT doc_j FROM pairs),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY v),
+         |dm AS (SELECT d2.source, CAST(sum(deg) AS BIGINT) AS d_s, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM deg JOIN documents d2 ON d2.doc_id = deg.v GROUP BY 1),
+         |ie AS (SELECT src_i AS source, CAST(count(*) AS BIGINT) AS l_s
+         |       FROM e WHERE src_i = src_j GROUP BY 1)
+         |SELECT dm.source, dm.n_nodes,
+         |       CAST(coalesce(ie.l_s, 0) AS BIGINT) AS intra_edges,
+         |       dm.d_s AS degree_sum, mm.m AS n_edges,
+         |       CAST(4 * mm.m * coalesce(ie.l_s, 0) - dm.d_s * dm.d_s AS BIGINT) AS contrib_q
+         |FROM dm LEFT JOIN ie USING (source) CROSS JOIN mm
+         |ORDER BY source""".stripMargin,
+
+    // same directed edge-end moments, same one-divide double
+    "q305_degree_assortativity" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |sym AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |        UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY v),
+         |ed AS (SELECT dx.deg AS dx, dy.deg AS dy
+         |       FROM sym JOIN deg dx ON dx.v = sym.v JOIN deg dy ON dy.v = sym.u),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         |             CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+         |             CAST(sum(dx * dy) AS BIGINT) AS sxy
+         |      FROM ed)
+         |SELECT n AS n_edge_ends,
+         |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+         |            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         |       END AS assortativity
+         |FROM m
+         |ORDER BY n_edge_ends""".stripMargin,
 
     // same hash text, same max-then-min-shard argmax
     "q300_rendezvous_shards" ->
