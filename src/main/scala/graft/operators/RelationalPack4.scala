@@ -282,7 +282,52 @@ object RelationalPack4 extends QueryPack {
        |WHERE sr.cents * 1000000 $div nt.nat_cents >= 15000
        |ORDER BY n.n_name, share_ppm DESC, s_suppkey""".stripMargin
 
+  // ---- TPC-H Q18 (large-volume customers): orders whose total line
+  // quantity exceeds 250, with their customers — HAVING over a fact-
+  // grain aggregate, then dim joins on the (small) surviving set. The
+  // quantity sum is decimal-exact; the top-100 order is value-stable. ----
+  private def q18Sql(div: String) =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |  FROM lineitem
+       |  GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+       |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.sum_qty
+       |FROM big b
+       |JOIN orders o ON o.o_orderkey = b.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY o_totalprice DESC, o.o_orderkey
+       |LIMIT 100""".stripMargin
+
+  // ---- TPC-H Q17 (small-quantity-order revenue): lines whose quantity
+  // is below 20% of their part's average quantity — the correlated-
+  // average threshold pattern, decorrelated into a per-part aggregate
+  // joined back to the fact (exactly what Catalyst produces for the
+  // correlated subquery). avg enters as the single exact-decimal-sum /
+  // count double division, so the 0.2·avg threshold is bit-identical
+  // in both engines. ----
+  private def q17Sql(div: String) =
+    s"""WITH pa AS (
+       |  SELECT l_partkey,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       |FROM lineitem l
+       |JOIN pa ON pa.l_partkey = l.l_partkey
+       |WHERE l.l_quantity < 0.2 * pa.avg_qty""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_sql_q18_bigorders" -> { (s, d) =>
+      views(s, d, "lineitem", "orders", "customer")
+      s.sql(q18Sql("div"))
+    },
+    "q307_sql_q17_smallqty" -> { (s, d) =>
+      views(s, d, "lineitem")
+      s.sql(q17Sql("div"))
+    },
     "q302_sql_q11_share" -> { (s, d) =>
       views(s, d, "lineitem", "supplier", "nation")
       s.sql(q11Sql("div"))
@@ -326,6 +371,8 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q306_sql_q18_bigorders" -> q18Sql("//"),
+    "q307_sql_q17_smallqty" -> q17Sql("//"),
     "q302_sql_q11_share" -> q11Sql("//"),
     "q298_basket_lift" -> basketSql("//"),
     "q293_order_total_recon" -> reconSql("//"),
