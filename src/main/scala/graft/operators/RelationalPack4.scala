@@ -319,7 +319,75 @@ object RelationalPack4 extends QueryPack {
        |JOIN pa ON pa.l_partkey = l.l_partkey
        |WHERE l.l_quantity < 0.2 * pa.avg_qty""".stripMargin
 
+  // ---- TPC-H Q13 (customer order-count distribution): LEFT join so
+  // zero-order customers keep their c_count = 0 bucket, then the
+  // distribution-of-counts second aggregate. ----
+  private def q13Sql(div: String) =
+    s"""WITH co AS (
+       |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+       |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       |  GROUP BY c.c_custkey)
+       |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       |FROM co
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- TPC-H Q15 (top supplier): each supplier's revenue over one
+  // quarter; emit every supplier achieving the maximum (the spec's
+  // view + WHERE total = MAX shape, decorrelated to a broadcast scalar).
+  // Exact integer 10⁻⁴-dollar units make the MAX equality portable. ----
+  private def q15Sql(div: String) =
+    s"""WITH sr AS (
+       |  SELECT l_suppkey, ${cents(s"SUM($revDec)")} AS rev_c4
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey),
+       |mx AS (SELECT CAST(max(rev_c4) AS BIGINT) AS m FROM sr)
+       |SELECT s.s_suppkey, s.s_name, sr.rev_c4
+       |FROM sr JOIN mx ON sr.rev_c4 = mx.m
+       |JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+       |ORDER BY s.s_suppkey""".stripMargin
+
+  // ---- TPC-H Q22 (global sales opportunity): customers with
+  // above-average positive account balance and NO RECENT orders (none
+  // since 1999 — on this corpus every customer has SOME order, so the
+  // spec's lifetime-anti-join arm would be empty; the recency window
+  // keeps the identical scalar-correlated-average + NOT EXISTS shape
+  // with a populated answer). The average is one exact-decimal sum /
+  // count double; the anti-join decorrelates to a left-anti. ----
+  private def q22Sql(div: String) =
+    s"""WITH avgbal AS (
+       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+       |  FROM customer WHERE c_acctbal > 0.0),
+       |cand AS (
+       |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+       |  FROM customer c CROSS JOIN avgbal
+       |  WHERE c.c_acctbal > avgbal.a
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM orders o
+       |      WHERE o.o_custkey = c.c_custkey
+       |        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+       |SELECT n.n_name,
+       |       CAST(count(*) AS BIGINT) AS numcust,
+       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       |FROM cand JOIN nation n ON n.n_nationkey = cand.c_nationkey
+       |GROUP BY n.n_name
+       |ORDER BY n.n_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_sql_q13_custdist" -> { (s, d) =>
+      views(s, d, "customer", "orders")
+      s.sql(q13Sql("div"))
+    },
+    "q309_sql_q15_topsupp" -> { (s, d) =>
+      views(s, d, "lineitem", "supplier")
+      s.sql(q15Sql("div"))
+    },
+    "q310_sql_q22_opportunity" -> { (s, d) =>
+      views(s, d, "customer", "orders", "nation")
+      s.sql(q22Sql("div"))
+    },
     "q306_sql_q18_bigorders" -> { (s, d) =>
       views(s, d, "lineitem", "orders", "customer")
       s.sql(q18Sql("div"))
@@ -371,6 +439,9 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q308_sql_q13_custdist" -> q13Sql("//"),
+    "q309_sql_q15_topsupp" -> q15Sql("//"),
+    "q310_sql_q22_opportunity" -> q22Sql("//"),
     "q306_sql_q18_bigorders" -> q18Sql("//"),
     "q307_sql_q17_smallqty" -> q17Sql("//"),
     "q302_sql_q11_share" -> q11Sql("//"),
