@@ -279,6 +279,48 @@ object TextPack extends QueryPack {
         .orderBy("source")
     },
 
+    // ---- HAPAX LEGOMENA RATIO per source: the share of each source's
+    // vocabulary seen exactly once — the vocabulary-growth health read
+    // (natural text sits near 40–60%; templated/spun corpora collapse
+    // it). One (source, token) count aggregate with map-side combine,
+    // then a vocab-sized roll-up; exact integers end-to-end. ----
+    "q311_hapax_ratio" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").cast("bigint").as("n_tokens"),
+          count(lit(1)).cast("bigint").as("n_vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("bigint").as("n_hapax"))
+        .withColumn("hapax_ppm",
+          expr("n_hapax * 1000000 div n_vocab").cast("bigint"))
+        .orderBy("source")
+    },
+
+    // ---- HEAPS'-LAW FIT (Heaps 1978): vocabulary growth V = K·nᵝ
+    // across sources — log-log least squares over the 20 per-source
+    // (tokens, vocab) points, the companion to q210's Zipf fit (the two
+    // exponents are theoretically linked). Same milli-nat point
+    // quantization and the same single-division double slope text, so
+    // the fit is bit-identical in both engines; the point frame is
+    // sources-sized whatever the corpus. ----
+    "q312_heaps_fit" -> { (s, d) =>
+      val qln3 = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e3)).cast("bigint")
+      val pts = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("nt"), count(lit(1)).as("nv"))
+        .select(qln3(col("nt")).as("x"), qln3(col("nv")).as("y"))
+      pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("beta_q", expr(TextPack.zipfSlopeExpr))
+        .withColumn("lnk_q", expr(TextPack.zipfInterceptExpr))
+        .select(col("n").cast("bigint").as("n_points"),
+          col("beta_q"), col("lnk_q"))
+    },
+
     // ---- BIGRAM CONDITIONAL-ENTROPY RATE per source: H(next | current)
     // over the token stream — the sequence-predictability health metric
     // (templated/boilerplate sources sit near 0, natural prose high;
@@ -1622,6 +1664,39 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // same (source, token) counts, hapax = count-1 vocabulary slice
+      "q311_hapax_ratio" ->
+        """WITH tok AS (
+          |  SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)
+          |SELECT source,
+          |       CAST(sum(c) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) AS BIGINT) AS n_vocab,
+          |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hapax_ppm
+          |FROM wc GROUP BY source
+          |ORDER BY source""".stripMargin,
+
+      // same per-source (tokens, vocab) points, same milli-nat
+      // quantization and least-squares text as q210
+      "q312_heaps_fit" ->
+        s"""WITH tok AS (
+           |  SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+           |  FROM documents),
+           |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+           |per AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nv
+           |        FROM wc GROUP BY 1),
+           |pts AS (SELECT CAST(floor(ln(CAST(nt AS DOUBLE)) * 1e3) AS BIGINT) AS x,
+           |               CAST(floor(ln(CAST(nv AS DOUBLE)) * 1e3) AS BIGINT) AS y
+           |        FROM per),
+           |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |                CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+           |         FROM pts)
+           |SELECT n AS n_points, $zipfSlopeExpr AS beta_q, $zipfInterceptExpr AS lnk_q
+           |FROM sums""".stripMargin,
 
       // same bigram counts, context roll-up and per-term ln quantization
       "q281_bigram_entropy_rate" ->
