@@ -3,12 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{QueryPack, Tables}
 
-/** Fourth relational wave: the remaining TPC-H join classics expressible
-  * on the driver schema — Q7 (volume shipping between two nations), Q8
-  * (market share of one supplier nation inside a region), Q10 (returned
-  * items by customer), Q14 (promotion revenue share by month).
+/** Fourth relational wave: the remaining TPC-H classics expressible on
+  * the driver schema — Q2 (argmin cheapest supplier), Q4 (EXISTS late
+  * orders), Q6 (scan-aggregate), Q7 (nation-pair volume), Q8 (market
+  * share), Q10 (returned items), Q11 (HAVING share), Q13 (order-count
+  * distribution), Q14 (promo share), Q15 (top supplier), Q17
+  * (correlated-avg threshold), Q18 (large-volume HAVING), Q22
+  * (anti-join opportunity) — plus referential DQ (order-total
+  * reconciliation) and market-basket lift. Q9/Q12/Q16/Q19/Q20/Q21 need
+  * columns/tables this schema doesn't carry (partsupp, shipmode,
+  * commit/receipt dates, containers).
   *
-  * All four are declared as SQL over temp views and share one body
+  * All are declared as SQL over temp views and share one body
   * between the Spark query and the DuckDB oracle (only the integer
   * division token differs: Spark `div`, DuckDB `//` — identical on the
   * provably-nonnegative revenue cents used here). Revenue follows the

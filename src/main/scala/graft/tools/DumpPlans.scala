@@ -68,7 +68,13 @@ object DumpPlans {
     "q217_dq_expectations",   // broadcast anti-join FK checks + value scans
     "q221_crossencoder_rerank", // shortlist-restricted token equi-join pair features
     "q223_mmr_diversify",     // 3 unrolled greedy rounds, argmax as min(struct)
-    "q225_cluster_split"      // CC labels + md5 bucket, leakage-free by construction
+    "q225_cluster_split",     // CC labels + md5 bucket, leakage-free by construction
+    "q273_sql_q7",            // snowflake joins: broadcast dims, one shuffled spine
+    "q282_engagement_gini",   // keyed two-phase PrefixSum rank, no per-type sort task
+    "q284_sql_q2_argmin",     // greatest-1-per-group via min-agg + join-back
+    "q298_basket_lift",       // distinct baskets + brands^2-bounded pair join
+    "q300_rendezvous_shards", // HRW argmax via max-agg + equi-join, docs x 20 map
+    "q304_source_modularity"  // edge/degree aggregates, sources-sized roll-up
   )
 
   def main(args: Array[String]): Unit = {
