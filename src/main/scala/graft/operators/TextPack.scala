@@ -279,6 +279,62 @@ object TextPack extends QueryPack {
         .orderBy("source")
     },
 
+    // ---- TERM BURSTINESS (Church & Gale 1995): variance-to-mean ratio
+    // of per-document counts, per term — Poisson-like function words sit
+    // at VMR ≈ 1, topical/bursty terms well above; the lexical signal
+    // behind stopword induction and keyword weighting. Zeros enter the
+    // moments implicitly (VMR = (N·Σc² − C²)/(N·C) needs only the docs
+    // that CONTAIN the term), so the frames are vocab-sized off one
+    // (doc, term) aggregate. Support floor ≥ 50 total occurrences;
+    // top-20 by exact-integer VMR ppm via TakeOrdered. int64-exact
+    // while 10⁶·N·Σc² < 9·10¹⁸ (gate corpora by orders of magnitude;
+    // per-shard moments + DECIMAL(38) past ~10⁸ doc-occurrences). ----
+    "q313_term_burstiness" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val dc = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      dc.groupBy("w")
+        .agg(sum("c").as("c_total"), count(lit(1)).as("n_docs_with"),
+          sum(col("c") * col("c")).as("scc"))
+        .filter(col("c_total") >= 50)
+        .crossJoin(broadcast(nDocs))
+        .select(col("w"), col("c_total").cast("bigint").as("c_total"),
+          col("n_docs_with").cast("bigint").as("n_docs_with"),
+          expr("(1000000 * (nd * scc - c_total * c_total)) div (nd * c_total)")
+            .cast("bigint").as("vmr_ppm"))
+        .orderBy(col("vmr_ppm").desc, col("w")).limit(20)
+    },
+
+    // ---- SOURCE-CHARACTERISTIC KEYWORDS: top-3 terms per source by
+    // source-grain tf-idf (q76's per-document scoring lifted to the
+    // mixture grain — what a data card prints as "what is this source
+    // about"). idf over the 20-source axis, per-term qln-quantized to
+    // exact int64; the per-source top-3 is a rank-≤-3 window that
+    // Spark's WindowGroupLimit turns into a partial top-k before the
+    // exchange — no source's vocabulary is globally sorted. ----
+    "q314_source_keywords" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val df = sw.groupBy("w").agg(count(lit(1)).as("dfs"))
+      val nSrc = sw.select("source").distinct().agg(count(lit(1)).as("ns"))
+      val scored = sw.join(df, "w").crossJoin(broadcast(nSrc))
+        .filter(col("dfs") < col("ns")) // terms in every source carry zero idf
+        .select(col("source"), col("w"), col("tf"),
+          (col("tf") * (qln(col("ns")) - qln(col("dfs")))).as("score_q"))
+      val wr = Window.partitionBy("source")
+        .orderBy(col("score_q").desc, col("w"))
+      scored.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("int").as("rk"), col("w"),
+          col("tf").cast("bigint").as("tf"), col("score_q").cast("bigint").as("score_q"))
+        .orderBy("source", "rk")
+    },
+
     // ---- HAPAX LEGOMENA RATIO per source: the share of each source's
     // vocabulary seen exactly once — the vocabulary-growth health read
     // (natural text sits near 40–60%; templated/spun corpora collapse
@@ -1664,6 +1720,46 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // same (doc, term) counts and exact-integer VMR, same support floor
+      "q313_term_burstiness" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+          |dc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+          |m AS (
+          |  SELECT w, CAST(sum(c) AS BIGINT) AS c_total,
+          |         CAST(count(*) AS BIGINT) AS n_docs_with,
+          |         CAST(sum(c * c) AS BIGINT) AS scc
+          |  FROM dc GROUP BY w HAVING sum(c) >= 50)
+          |SELECT w, c_total, n_docs_with,
+          |       CAST((1000000 * (nd.nd * scc - c_total * c_total)) // (nd.nd * c_total) AS BIGINT) AS vmr_ppm
+          |FROM m CROSS JOIN nd
+          |ORDER BY vmr_ppm DESC, w
+          |LIMIT 20""".stripMargin,
+
+      // same source-grain tf-idf with per-term qln idf, same top-3 rank
+      "q314_source_keywords" ->
+        """WITH tok AS (
+          |  SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT w, CAST(count(*) AS BIGINT) AS dfs FROM sw GROUP BY 1),
+          |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM sw),
+          |scored AS (
+          |  SELECT sw.source, sw.w, sw.tf,
+          |         sw.tf * (CAST(floor(ln(CAST(ns.ns AS DOUBLE)) * 1e6) AS BIGINT)
+          |                - CAST(floor(ln(CAST(df.dfs AS DOUBLE)) * 1e6) AS BIGINT)) AS score_q
+          |  FROM sw JOIN df USING (w) CROSS JOIN ns
+          |  WHERE df.dfs < ns.ns),
+          |r AS (
+          |  SELECT source, w, tf, score_q,
+          |         CAST(row_number() OVER (PARTITION BY source ORDER BY score_q DESC, w) AS INT) AS rk
+          |  FROM scored)
+          |SELECT source, rk, w, tf, CAST(score_q AS BIGINT) AS score_q
+          |FROM r WHERE rk <= 3
+          |ORDER BY source, rk""".stripMargin,
 
       // same (source, token) counts, hapax = count-1 vocabulary slice
       "q311_hapax_ratio" ->
