@@ -308,31 +308,38 @@ object TextPack extends QueryPack {
     },
 
     // ---- SOURCE-CHARACTERISTIC KEYWORDS: top-3 terms per source by
-    // source-grain tf-idf (q76's per-document scoring lifted to the
-    // mixture grain — what a data card prints as "what is this source
-    // about"). idf over the 20-source axis, per-term qln-quantized to
-    // exact int64; the per-source top-3 is a rank-≤-3 window that
-    // Spark's WindowGroupLimit turns into a partial top-k before the
-    // exchange — no source's vocabulary is globally sorted. ----
+    // their pointwise KL contribution tf·ln(P_s(w)/P(w)) — the
+    // overrepresentation score (log-odds flavor) that stays
+    // discriminative even when every term occurs in every source
+    // (source-axis idf degenerates to zero there — measured: 0 rows at
+    // sf0.1). Factored per-term into qln-quantized int64 summands
+    // (q112's exact-KL discipline); the per-source top-3 is a
+    // rank-≤-3 window Spark plans as WindowGroupLimit partial top-k —
+    // no source's vocabulary is globally sorted. ----
     "q314_source_keywords" -> { (s, d) =>
       val qln = (x: org.apache.spark.sql.Column) =>
         floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
       val sw = Tables.documents(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("tf"))
-      val df = sw.groupBy("w").agg(count(lit(1)).as("dfs"))
-      val nSrc = sw.select("source").distinct().agg(count(lit(1)).as("ns"))
-      val scored = sw.join(df, "w").crossJoin(broadcast(nSrc))
-        .filter(col("dfs") < col("ns")) // terms in every source carry zero idf
+      val warm = warmed(sw)
+      val srcTot = warm.groupBy("source").agg(sum("tf").as("n_s"))
+      val cw = warm.groupBy("w").agg(sum("tf").as("c_w"))
+      val tot = cw.agg(sum("c_w").as("nn"))
+      val scored = warm
+        .join(broadcast(srcTot), "source")
+        .join(cw, "w")
+        .crossJoin(broadcast(tot))
         .select(col("source"), col("w"), col("tf"),
-          (col("tf") * (qln(col("ns")) - qln(col("dfs")))).as("score_q"))
+          (col("tf") * (qln(col("tf")) + qln(col("nn"))
+            - qln(col("n_s")) - qln(col("c_w")))).as("score_q"))
       val wr = Window.partitionBy("source")
         .orderBy(col("score_q").desc, col("w"))
-      scored.withColumn("rk", row_number().over(wr))
+      val result = scored.withColumn("rk", row_number().over(wr))
         .filter(col("rk") <= 3)
         .select(col("source"), col("rk").cast("int").as("rk"), col("w"),
           col("tf").cast("bigint").as("tf"), col("score_q").cast("bigint").as("score_q"))
-        .orderBy("source", "rk")
+      materialized(result, warm).orderBy("source", "rk")
     },
 
     // ---- HAPAX LEGOMENA RATIO per source: the share of each source's
@@ -1739,20 +1746,22 @@ object TextPack extends QueryPack {
           |ORDER BY vmr_ppm DESC, w
           |LIMIT 20""".stripMargin,
 
-      // same source-grain tf-idf with per-term qln idf, same top-3 rank
+      // same per-term-quantized KL-contribution scoring, same top-3 rank
       "q314_source_keywords" ->
         """WITH tok AS (
           |  SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
           |  FROM documents),
           |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-          |df AS (SELECT w, CAST(count(*) AS BIGINT) AS dfs FROM sw GROUP BY 1),
-          |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM sw),
+          |st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+          |cw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS nn FROM cw),
           |scored AS (
           |  SELECT sw.source, sw.w, sw.tf,
-          |         sw.tf * (CAST(floor(ln(CAST(ns.ns AS DOUBLE)) * 1e6) AS BIGINT)
-          |                - CAST(floor(ln(CAST(df.dfs AS DOUBLE)) * 1e6) AS BIGINT)) AS score_q
-          |  FROM sw JOIN df USING (w) CROSS JOIN ns
-          |  WHERE df.dfs < ns.ns),
+          |         sw.tf * (CAST(floor(ln(CAST(sw.tf AS DOUBLE)) * 1e6) AS BIGINT)
+          |                + CAST(floor(ln(CAST(tot.nn AS DOUBLE)) * 1e6) AS BIGINT)
+          |                - CAST(floor(ln(CAST(st.n_s AS DOUBLE)) * 1e6) AS BIGINT)
+          |                - CAST(floor(ln(CAST(cw.c_w AS DOUBLE)) * 1e6) AS BIGINT)) AS score_q
+          |  FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot),
           |r AS (
           |  SELECT source, w, tf, score_q,
           |         CAST(row_number() OVER (PARTITION BY source ORDER BY score_q DESC, w) AS INT) AS rk
