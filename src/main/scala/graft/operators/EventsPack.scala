@@ -62,14 +62,25 @@ object EventsPack extends QueryPack {
       val ranked = graft.functions.PrefixSum.inclusivePerKey(per,
         Seq("event_type"), Seq(col("x").asc, col("user_id").asc),
         Seq((lit(1L), "rk")))
-      ranked.groupBy("event_type")
+      val result = ranked.groupBy("event_type")
         .agg(count(lit(1)).cast("bigint").as("n_users"),
           sum("x").cast("bigint").as("n_events"),
           sum(col("rk") * col("x")).cast("bigint").as("rank_sum"))
         .withColumn("gini_ppm",
           expr("(1000000 * (2 * rank_sum - (n_users + 1) * n_events)) div (n_users * n_events)")
             .cast("bigint"))
-        .orderBy("event_type")
+      // Plan REQUIRE (q116's discipline): every Window here must be
+      // PrefixSum machinery (references __pid) — a plain rank window
+      // keyed only on event_type would be the single-task-per-type
+      // pathology this query exists to avoid.
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q282: a non-PrefixSum window appeared (per-type row-scale rank regression)")
+      }
+      result.orderBy("event_type")
     },
 
     // ---- native AS-OF JOIN (custom whole-plan operator) ----
