@@ -380,6 +380,19 @@ object SimilarityPack extends QueryPack {
     * vector. A no-op when N <= cap (sf0.01's 500 vectors all train). */
   private[graft] val pqTrainCap = 2048
 
+  /** q324's deterministic ±1 JL sign matrix: sgn(j,i) from the parity
+    * of the shared md5→int64 hash of "jl_j_i" — replayed verbatim by
+    * the oracle, broadcast everywhere it's used (r×[[dim]] rows). */
+  private def jlSigns(s: SparkSession, r: Int): DataFrame = {
+    import graft.functions.TextFunctions.hex64
+    s.range(1, r + 1).select(col("id").cast("int").as("j"))
+      .crossJoin(s.range(1, dim + 1).select(col("id").cast("int").as("i")))
+      .select(col("i"), col("j"),
+        when(hex64(md5(concat(lit("jl_"), col("j").cast("string"),
+          lit("_"), col("i").cast("string")))) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+  }
+
   /** Raw int64 squared L2 between two quantized arrays:
     * ‖a‖² + ‖b‖² − 2⟨a,b⟩, every term the native codegen dot kernel —
     * no doubles anywhere, so PQ is exact-integer end to end. */
@@ -707,6 +720,123 @@ object SimilarityPack extends QueryPack {
             expr("(1000000 * dcg_q) div idcg_q")).otherwise(lit(0L))
             .cast("bigint").as("ndcg_q"))
       materialized(result, vecs).orderBy("q_id")
+    },
+
+    // ---- IVF INDEX STALENESS AUDIT: retrain the trained model ONE
+    // more integer Lloyd round and measure, per cell, what fraction of
+    // its members would change cells — the drift metric an ANN service
+    // watches to decide when an index rebuild pays for itself (high
+    // moved_ppm = centroids no longer describe the data). Reuses the
+    // once-per-corpus ivfRanked artifact; the extra round is one
+    // centroid update (cells-sized) + one broadcast reassignment — the
+    // same bounded shapes as training, no new corpus-scale structure.
+    "q315_ivf_staleness" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val ranked = warmed(ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d))))
+      val cells = ranked.filter(col("arn") === 1)
+        .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+      val centx = updateCentroids(cells)
+      val reassigned = assignCells(vecs, centx)
+        .select(col("vec_id"), col("cell").as("cell_new"))
+      val result = cells.select(col("vec_id"), col("cell").as("cell_old"))
+        .join(reassigned, "vec_id")
+        .groupBy("cell_old")
+        .agg(count(lit(1)).cast("bigint").as("n_members"),
+          sum((col("cell_new") =!= col("cell_old")).cast("bigint"))
+            .cast("bigint").as("n_moved"))
+        .withColumn("moved_ppm",
+          expr("n_moved * 1000000 div n_members").cast("bigint"))
+        .select(col("cell_old").cast("int").as("cell"),
+          col("n_members"), col("n_moved"), col("moved_ppm"))
+      materialized(result, ranked, vecs).orderBy("cell")
+    },
+
+    // ---- DAVIES–BOULDIN CLUSTER SEPARATION (Davies & Bouldin, TPAMI
+    // 1979): per IVF cell, worst-case (scatter_i + scatter_j) / d(c_i,
+    // c_j)² over all other cells — the compactness-vs-separation index
+    // an ANN service reads next to q239's purity and q315's staleness
+    // before trusting a trained index. All integer: scatter = mean raw
+    // squared-L2 of members to their RECOMPUTED centroid (q315's centx,
+    // so the three index-health queries audit the same model state);
+    // the ratio is ×1000 floor-division on provably-nonnegative int64
+    // (scatter ≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴, ×1000 < 2⁶³). Shapes: one
+    // members⋈broadcast-centroid join + cells²-bounded pair frame. ----
+    "q323_davies_bouldin" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val ranked = warmed(ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d))))
+      val cells = ranked.filter(col("arn") === 1)
+        .select(col("vec_id"), col("q"), col("cell"))
+      val centx = updateCentroids(cells)
+      val scat = cells.join(broadcast(centx), "cell")
+        .select(col("cell"), l2Q(col("q"), col("cq")).as("d2"))
+        .groupBy("cell").agg(count(lit(1)).as("n"), sum("d2").as("sd2"))
+        .select(col("cell"), col("n"), expr("sd2 div n").as("scatter_q"))
+      val m = centx.select(col("cell").as("ci"), col("cq").as("cqi"))
+        .crossJoin(broadcast(centx.select(col("cell").as("cj"), col("cq").as("cqj"))))
+        .filter(col("ci") =!= col("cj"))
+        .select(col("ci"), col("cj"), l2Q(col("cqi"), col("cqj")).as("m2"))
+        .filter(col("m2") > 0)
+      val db = m
+        .join(scat.select(col("cell").as("ci"), col("scatter_q").as("si")), "ci")
+        .join(scat.select(col("cell").as("cj"), col("scatter_q").as("sj")), "cj")
+        .groupBy("ci").agg(max(expr("(si + sj) * 1000 div m2")).as("db_ppk"))
+      val result = scat
+        .join(db.select(col("ci").as("cell"), col("db_ppk")), Seq("cell"), "left")
+        .select(col("cell").cast("int").as("cell"),
+          col("n").cast("bigint").as("n_members"),
+          col("scatter_q").cast("bigint").as("scatter_q"),
+          coalesce(col("db_ppk"), lit(-1L)).cast("bigint").as("db_ppk"))
+      materialized(result, ranked, vecs).orderBy("cell")
+    },
+
+    // ---- JOHNSON–LINDENSTRAUSS DISTORTION AUDIT (JL 1984; Achlioptas
+    // 2003 ±1 projections): project the corpus to r=16 dims with a
+    // deterministic md5-seeded sign matrix and measure, over a fixed
+    // 32-vector panel's 496 pairs, how well r-dim squared distances
+    // preserve the 64-dim truth — the go/no-go check before shipping a
+    // cheaper projected index. distortion_ppk = (d2_proj·1000) div
+    // (r·d2_orig) at matched 10⁻⁶ scale-downs (both floor-divided AFTER
+    // squaring, so every operand is nonnegative int64; raw projections
+    // stay full-precision — |p| ≤ 64·10⁶ keeps Σ(Δp)² ≤ 2.6·10¹⁷).
+    // Shapes: the sign matrix is a 1024-row broadcast; projection is
+    // one narrow explode + map-side-combining sum per (vector, j);
+    // the pair frame is panel²-bounded. ----
+    "q324_jl_distortion" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val r = 16
+      val vecs = persistedVecs(s, d)
+      val panel = warmed(vecs
+        .select(col("vec_id"), col("q"),
+          graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))).as("h"))
+        .orderBy("h", "vec_id").limit(32)
+        .select(col("vec_id"), col("q")))
+      val signs = jlSigns(s, r)
+      val proj = panel
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "x")))
+        .withColumn("i", (col("i0") + 1).cast("int"))
+        .join(broadcast(signs), "i")
+        .groupBy("vec_id", "j").agg(sum(col("sgn") * col("x")).as("p"))
+      val d2p = proj.select(col("vec_id").as("va"), col("j"), col("p").as("pa"))
+        .join(proj.select(col("vec_id").as("vb"), col("j"), col("p").as("pb")), "j")
+        .filter(col("va") < col("vb"))
+        .groupBy("va", "vb")
+        .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("d2p_raw"))
+        .select(col("va"), col("vb"), expr("d2p_raw div 1000000").as("d2p_s"))
+      val d2o = panel.select(col("vec_id").as("va"), col("q").as("qa"))
+        .crossJoin(panel.select(col("vec_id").as("vb"), col("q").as("qb")))
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"), l2Q(col("qa"), col("qb")).as("d2o_raw"))
+        .select(col("va"), col("vb"), expr("d2o_raw div 1000000").as("d2o_s"))
+      val result = d2o.join(d2p, Seq("va", "vb"))
+        .filter(col("d2o_s") > 0)
+        .select(col("va").cast("bigint").as("vec_i"),
+          col("vb").cast("bigint").as("vec_j"),
+          col("d2o_s").cast("bigint").as("d2o_s"),
+          col("d2p_s").cast("bigint").as("d2p_s"),
+          expr(s"(d2p_s * 1000) div ($r * d2o_s)").cast("bigint").as("distortion_ppk"))
+      materialized(result, vecs).orderBy("vec_i", "vec_j")
     },
 
     // ---- EMBEDDING DIMENSION HEALTH: per-coordinate population stats
@@ -1923,6 +2053,97 @@ object SimilarityPack extends QueryPack {
          |${round(2, "v1")},
          |${round(3, "v2")}
          |SELECT i, vq FROM v3 ORDER BY i""".stripMargin
+    },
+
+    // the shared k-means replay plus ONE more update+assign round;
+    // identical truncated-int64 centroid means and argmax tie rule
+    "q315_ivf_staleness" -> {
+      val cosX = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+      s"""WITH $ivfTrainCtes,
+         |updx AS (SELECT cell, g.i AS i,
+         |                CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |         FROM cells, UNNEST(generate_series(1, $dim)) AS g(i)
+         |         GROUP BY cell, g.i),
+         |cqx AS (SELECT cell, list(v ORDER BY i) AS cq FROM updx GROUP BY cell),
+         |centx AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cqx c),
+         |rex AS (
+         |  SELECT v.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |                            ORDER BY $cosX DESC, c.cell) AS rn
+         |  FROM scored v CROSS JOIN centx c),
+         |newcell AS (SELECT vec_id, cell AS cell_new FROM rex WHERE rn = 1),
+         |j AS (SELECT o.cell AS cell_old, n.cell_new
+         |      FROM cells o JOIN newcell n USING (vec_id))
+         |SELECT CAST(cell_old AS INT) AS cell,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(CASE WHEN cell_new <> cell_old THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |       CAST(sum(CASE WHEN cell_new <> cell_old THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS moved_ppm
+         |FROM j GROUP BY cell_old
+         |ORDER BY cell""".stripMargin
+    },
+
+    // the same recomputed centroids (q315's updx), raw int64 squared-L2
+    // scatter and separation, identical ×1000 floor-divided ratio
+    "q323_davies_bouldin" -> {
+      def rl2(a: String, b: String) =
+        s"(SELECT SUM(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) FROM UNNEST(generate_series(1, $dim)) AS g(i))"
+      s"""WITH $ivfTrainCtes,
+         |updx AS (SELECT cell, g.i AS i,
+         |                CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |         FROM cells, UNNEST(generate_series(1, $dim)) AS g(i)
+         |         GROUP BY cell, g.i),
+         |cqx AS (SELECT cell, list(v ORDER BY i) AS cq FROM updx GROUP BY cell),
+         |md AS (SELECT c.cell, ${rl2("c.q", "x.cq")} AS d2
+         |       FROM cells c JOIN cqx x USING (cell)),
+         |scat AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         |                CAST(SUM(d2) // CAST(count(*) AS BIGINT) AS BIGINT) AS scatter_q
+         |         FROM md GROUP BY cell),
+         |m AS (SELECT a.cell AS ci, b.cell AS cj, CAST(${rl2("a.cq", "b.cq")} AS BIGINT) AS m2
+         |      FROM cqx a JOIN cqx b ON a.cell <> b.cell),
+         |db AS (SELECT si.cell AS cell,
+         |              CAST(MAX((si.scatter_q + sj.scatter_q) * 1000 // m.m2) AS BIGINT) AS db_ppk
+         |       FROM m JOIN scat si ON si.cell = m.ci JOIN scat sj ON sj.cell = m.cj
+         |       WHERE m.m2 > 0
+         |       GROUP BY si.cell)
+         |SELECT CAST(s.cell AS INT) AS cell, s.n_members, s.scatter_q,
+         |       COALESCE(d.db_ppk, CAST(-1 AS BIGINT)) AS db_ppk
+         |FROM scat s LEFT JOIN db d USING (cell)
+         |ORDER BY cell""".stripMargin
+    },
+
+    // the same md5-parity sign matrix, raw-projection pair distances,
+    // matched 10⁻⁶ scale-downs and ×1000 floor-divided ratio
+    "q324_jl_distortion" -> {
+      val r = 16
+      def rl2(a: String, b: String) =
+        s"(SELECT SUM(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) FROM UNNEST(generate_series(1, $dim)) AS g(i))"
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |hashed AS (SELECT vec_id, q,
+         |                  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |           FROM vecs),
+         |panel AS (SELECT vec_id, q FROM hashed
+         |          QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 32),
+         |signs AS (SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+         |                 CASE WHEN CAST('0x' || substring(md5('jl_' || CAST(j.j AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+         |                      THEN 1 ELSE -1 END AS sgn
+         |          FROM UNNEST(generate_series(1, $r)) AS j(j),
+         |               UNNEST(generate_series(1, $dim)) AS i(i)),
+         |proj AS (SELECT p.vec_id, s.j, CAST(SUM(s.sgn * p.q[s.i]) AS BIGINT) AS p
+         |         FROM panel p JOIN signs s ON TRUE
+         |         GROUP BY p.vec_id, s.j),
+         |d2p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |               CAST(SUM((a.p - b.p) * (a.p - b.p)) // 1000000 AS BIGINT) AS d2p_s
+         |        FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+         |        GROUP BY a.vec_id, b.vec_id),
+         |d2o AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |               CAST(${rl2("a.q", "b.q")} // 1000000 AS BIGINT) AS d2o_s
+         |        FROM panel a JOIN panel b ON a.vec_id < b.vec_id)
+         |SELECT CAST(o.va AS BIGINT) AS vec_i, CAST(o.vb AS BIGINT) AS vec_j,
+         |       o.d2o_s, p.d2p_s,
+         |       CAST(p.d2p_s * 1000 // ($r * o.d2o_s) AS BIGINT) AS distortion_ppk
+         |FROM d2o o JOIN d2p p ON p.va = o.va AND p.vb = o.vb
+         |WHERE o.d2o_s > 0
+         |ORDER BY vec_i, vec_j""".stripMargin
     },
 
     // identical exact int64 moments (here via a grouped self-join), the
