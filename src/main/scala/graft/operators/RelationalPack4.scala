@@ -10,9 +10,18 @@ import graft.core.{QueryPack, Tables}
   * distribution), Q14 (promo share), Q15 (top supplier), Q17
   * (correlated-avg threshold), Q18 (large-volume HAVING), Q22
   * (anti-join opportunity) — plus referential DQ (order-total
-  * reconciliation) and market-basket lift. Q9/Q12/Q16/Q19/Q20/Q21 need
-  * columns/tables this schema doesn't carry (partsupp, shipmode,
-  * commit/receipt dates, containers).
+  * reconciliation) and market-basket lift.
+  *
+  * Q9/Q12/Q16/Q19/Q20/Q21 reference columns/tables this schema doesn't
+  * carry (partsupp, shipmode, commit/receipt dates, containers), so they
+  * appear as SHAPE-PRESERVING ADAPTATIONS (q316–q321): the join topology,
+  * subquery pattern and aggregate structure of the spec query, with the
+  * missing column replaced by a semantically-equivalent stand-in on this
+  * schema — ship-lag-vs-orderdate for commit/receipt lateness (Q21) and
+  * shipmode buckets (Q12), min-observed-unit-price for ps_supplycost
+  * (Q9), negative account balance for the complaint filter (Q16),
+  * size/brand/quantity bands for the container disjunction (Q19), and
+  * shipped-quantity dominance for availqty excess (Q20).
   *
   * All are declared as SQL over temp views and share one body
   * between the Spark query and the DuckDB oracle (only the integer
@@ -381,7 +390,225 @@ object RelationalPack4 extends QueryPack {
        |GROUP BY n.n_name
        |ORDER BY n.n_name""".stripMargin
 
+  // ---- TPC-H Q21 shape (suppliers who kept orders waiting): for
+  // finished ('F') orders, count per supplier the lines where THIS
+  // supplier shipped late (> 45 days after the order date) while every
+  // OTHER supplier on the same order shipped on time — the classic
+  // EXISTS (someone else was on the order) + NOT EXISTS (no one else
+  // was late) double-correlation, decorrelated by Catalyst into a
+  // left-semi and a left-anti join on l_orderkey. Ship-lag stands in
+  // for the spec's receipt-vs-commit lateness (columns absent here);
+  // the subquery topology is the spec's. ----
+  private def q21Sql(div: String) =
+    s"""WITH lx AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+       |              THEN 1 ELSE 0 END AS is_late
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_orderstatus = 'F')
+       |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM lx l1
+       |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+       |WHERE l1.is_late = 1
+       |  AND EXISTS (
+       |    SELECT 1 FROM lx l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lx l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.is_late = 1)
+       |GROUP BY s.s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+
+  // ---- TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+  // an OR of three (brand, size-band, quantity-band) conjunctions
+  // spanning BOTH sides of the part⋈lineitem join — the planner test is
+  // that the disjunction still prunes at both scans (each disjunct's
+  // part-side and line-side conjuncts push independently) and the join
+  // stays a broadcast. Size/brand/quantity bands stand in for the
+  // spec's container/shipmode literals (absent columns). ----
+  private def q19Sql(div: String) =
+    s"""SELECT CAST(SUM($revDec) AS DOUBLE) AS revenue,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       |       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       |       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin
+
+  // ---- TPC-H Q16 shape (parts/supplier relationship): distinct
+  // suppliers per (brand, type, size) bucket over a size IN-list,
+  // excluding one brand and one type, and excluding "complaint"
+  // suppliers — negative account balance standing in for the spec's
+  // comment-LIKE filter. The NOT IN decorrelates to a broadcast
+  // left-anti join; count(DISTINCT) is the two-phase expand+agg. ----
+  private def q16Sql(div: String) =
+    s"""SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand <> 'Brand#5'
+       |  AND p.p_type <> 'PROMO'
+       |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+       |  AND l.l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       |GROUP BY p.p_brand, p.p_type, p.p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---- TPC-H Q9 shape (product-type profit by nation and year):
+  // profit = line revenue minus quantity × part cost, cost proxied by
+  // the part's MINIMUM OBSERVED unit price (exact integer cents — the
+  // q2 offers aggregate) since partsupp.ps_supplycost is absent. Keeps
+  // Q9's topology: fact ⋈ filtered part ⋈ supplier ⋈ nation ⋈ cost
+  // side-aggregate, grouped by (nation, year). All line profit in exact
+  // int64 10⁻⁴-dollar units (can be NEGATIVE — discounted revenue may
+  // dip below the undiscounted min-price cost; no integer division
+  // touches it). Per-group sums stay well under int64 at any gate
+  // corpus (|line| ≤ 10⁹ c4-units, lines ≤ 10⁷). ----
+  private def q9Sql(div: String) =
+    s"""WITH offers AS (
+       |  SELECT l_partkey,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |           $div CAST(l_quantity AS BIGINT) AS unit_cents
+       |  FROM lineitem),
+       |cost AS (
+       |  SELECT l_partkey, CAST(MIN(unit_cents) AS BIGINT) AS min_unit_cents
+       |  FROM offers GROUP BY l_partkey)
+       |SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+       |       CAST(SUM(CAST(($revDec) * 10000 AS BIGINT)
+       |                - CAST(l.l_quantity AS BIGINT) * c.min_unit_cents * 100)
+       |            AS BIGINT) AS profit_c4,
+       |       CAST(COUNT(*) AS BIGINT) AS n_lines
+       |FROM lineitem l
+       |JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |JOIN nation n   ON n.n_nationkey = s.s_nationkey
+       |JOIN cost c     ON c.l_partkey = l.l_partkey
+       |GROUP BY n.n_name, year(l.l_shipdate)
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---- TPC-H Q12 shape (shipping priority by mode): ship-lag buckets
+  // (FAST ≤ 30 d, MEDIUM ≤ 60 d, SLOW beyond) stand in for the absent
+  // l_shipmode; per bucket, the spec's high-priority vs low-priority
+  // line counts over one ship year. Interval comparisons (not datediff
+  // — its argument order differs across engines) keep the predicate
+  // engine-portable. ----
+  private def q12Sql(div: String) =
+    s"""SELECT lag_mode,
+       |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM (
+       |  SELECT o.o_orderpriority,
+       |         CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+       |              WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 'MEDIUM'
+       |              ELSE 'SLOW' END AS lag_mode
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+       |GROUP BY lag_mode
+       |ORDER BY lag_mode""".stripMargin
+
+  // ---- TPC-H Q20 shape (potential part promotion): suppliers holding
+  // a DOMINANT position in some contested promo part — shipped more
+  // than half of that part's 1997 volume against at least one
+  // competitor (shipped-quantity dominance standing in for the absent
+  // partsupp availqty excess). The spec's nested IN-subquery chain
+  // becomes two stacked aggregates + a DISTINCT semi-join into the
+  // supplier dim; quantities are exact int64. ----
+  private def q20Sql(div: String) =
+    s"""WITH pq AS (
+       |  SELECT l.l_partkey, l.l_suppkey,
+       |         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sq
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+       |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY l.l_partkey, l.l_suppkey),
+       |tot AS (
+       |  SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq,
+       |         CAST(count(*) AS BIGINT) AS n_supp
+       |  FROM pq GROUP BY l_partkey),
+       |dom AS (
+       |  SELECT DISTINCT pq.l_suppkey
+       |  FROM pq JOIN tot ON tot.l_partkey = pq.l_partkey
+       |  WHERE 2 * pq.sq > tot.tq AND tot.n_supp >= 2)
+       |SELECT s.s_suppkey, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+       |FROM supplier s
+       |JOIN dom ON dom.l_suppkey = s.s_suppkey
+       |ORDER BY s.s_suppkey""".stripMargin
+
+  // ---- BENFORD FIRST-DIGIT AUDIT (Benford 1938; the books-cooking /
+  // synthetic-data forensic every financial DQ suite runs): the
+  // distribution of leading digits of order totals vs Benford's law
+  // log10(1+1/d). First digit extracted by a pure-integer power-of-ten
+  // CASE ladder on exact cents (no log10/float — a float log at an
+  // exact power-of-ten boundary could flip the digit on one engine);
+  // expected shares are precomputed integer ppm literals (they sum to
+  // exactly 1 000 000). One scan + a 9-row aggregate; excess_ppm is a
+  // plain subtraction (may be negative — no division touches it). ----
+  private def benfordSql(div: String) = {
+    val pows = (14 to 1 by -1).map(p => math.pow(10, p).toLong)
+      .map(p => s"WHEN x >= $p THEN x $div $p").mkString("\n       |    ")
+    val exp = "CASE first_digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 " +
+      "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+      "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM orders WHERE o_totalprice > 0.0),
+       |d AS (
+       |  SELECT CAST(CASE
+       |    $pows
+       |    ELSE x END AS INT) AS first_digit
+       |  FROM c),
+       |g AS (
+       |  SELECT first_digit, CAST(count(*) AS BIGINT) AS n_orders
+       |  FROM d GROUP BY first_digit),
+       |n AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_tot FROM g)
+       |SELECT g.first_digit, g.n_orders,
+       |       CAST(g.n_orders * 1000000 $div n.n_tot AS BIGINT) AS observed_ppm,
+       |       CAST($exp AS BIGINT) AS benford_ppm,
+       |       CAST(g.n_orders * 1000000 $div n.n_tot AS BIGINT)
+       |         - CAST($exp AS BIGINT) AS excess_ppm
+       |FROM g CROSS JOIN n
+       |ORDER BY first_digit""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_benford_audit" -> { (s, d) =>
+      views(s, d, "orders")
+      s.sql(benfordSql("div"))
+    },
+    "q316_sql_q21_waiting" -> { (s, d) =>
+      views(s, d, "lineitem", "orders", "supplier")
+      s.sql(q21Sql("div"))
+    },
+    "q317_sql_q19_disjunct" -> { (s, d) =>
+      views(s, d, "lineitem", "part")
+      s.sql(q19Sql("div"))
+    },
+    "q318_sql_q16_suppcnt" -> { (s, d) =>
+      views(s, d, "lineitem", "part", "supplier")
+      s.sql(q16Sql("div"))
+    },
+    "q319_sql_q9_margin" -> { (s, d) =>
+      views(s, d, "lineitem", "part", "supplier", "nation")
+      s.sql(q9Sql("div"))
+    },
+    "q320_sql_q12_lagmode" -> { (s, d) =>
+      views(s, d, "lineitem", "orders")
+      s.sql(q12Sql("div"))
+    },
+    "q321_sql_q20_dominant" -> { (s, d) =>
+      views(s, d, "lineitem", "part", "supplier")
+      s.sql(q20Sql("div"))
+    },
     "q308_sql_q13_custdist" -> { (s, d) =>
       views(s, d, "customer", "orders")
       s.sql(q13Sql("div"))
@@ -445,6 +672,13 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q322_benford_audit"    -> benfordSql("//"),
+    "q316_sql_q21_waiting"  -> q21Sql("//"),
+    "q317_sql_q19_disjunct" -> q19Sql("//"),
+    "q318_sql_q16_suppcnt"  -> q16Sql("//"),
+    "q319_sql_q9_margin"    -> q9Sql("//"),
+    "q320_sql_q12_lagmode"  -> q12Sql("//"),
+    "q321_sql_q20_dominant" -> q20Sql("//"),
     "q308_sql_q13_custdist" -> q13Sql("//"),
     "q309_sql_q15_topsupp" -> q15Sql("//"),
     "q310_sql_q22_opportunity" -> q22Sql("//"),
