@@ -1423,6 +1423,32 @@ object EventsPack extends QueryPack {
     // gaps; heavier users need the same sums in DECIMAL(38). Shape:
     // one lag() window PER USER (bounded, parallel), then power sums
     // by one map-side-combining groupBy — the q200 discipline. ----
+    // ---- per-user ENGAGEMENT DIVERSITY: Shannon entropy (micro-nat,
+    // the q111 per-term floor(×1e6) ln quantization) and the Simpson
+    // concentration index Σc(c−1)/(n(n−1)) in exact integer ppm over
+    // each user's event-type mix — the "is this account a single-
+    // action bot or a broad user" read next to q209's burstiness.
+    // Shape: two stacked map-side-combining aggregates; per-user state
+    // is ≤ |event types| rows. Integer bounds: c(c−1)·10⁶ ≤ 10⁶·n² —
+    // safe through ~10⁶ events/user. ----
+    "q326_user_type_entropy" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+          sum(col("c") * qln(col("c"))).as("sclnc"),
+          sum(col("c") * (col("c") - 1)).as("spairs"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"),
+          col("n").cast("bigint").as("n_events"),
+          col("n_types").cast("bigint").as("n_types"),
+          (col("n") * qln(col("n")) - col("sclnc")).cast("bigint").as("ent_q"),
+          expr("(spairs * 1000000) div (n * (n - 1))").cast("bigint").as("simpson_ppm"))
+        .orderBy("user_id")
+    },
+
     "q209_gap_dispersion" -> { (s, d) =>
       val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       val gaps = Tables.events(s, d)
@@ -2526,6 +2552,24 @@ object EventsPack extends QueryPack {
         |       n_int, CAST(n_present - n_int AS BIGINT) AS n_other
         |FROM agg CROSS JOIN tot
         |ORDER BY key""".stripMargin,
+
+    // same per-term ln quantization (q111 idiom) and exact integer
+    // Simpson ppm
+    "q326_user_type_entropy" ->
+      """WITH cc AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc,
+        |         CAST(SUM(c * (c - 1)) AS BIGINT) AS spairs
+        |  FROM cc GROUP BY 1)
+        |SELECT user_id, n AS n_events, n_types,
+        |       n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - sclnc AS ent_q,
+        |       CAST((spairs * 1000000) // (n * (n - 1)) AS BIGINT) AS simpson_ppm
+        |FROM e WHERE n >= 2
+        |ORDER BY user_id""".stripMargin,
 
     // same (us, event_id) stream order, same whole-minute gaps and the
     // identical integer dispersion ratio

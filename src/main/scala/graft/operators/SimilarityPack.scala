@@ -839,6 +839,51 @@ object SimilarityPack extends QueryPack {
       materialized(result, vecs).orderBy("vec_i", "vec_j")
     },
 
+    // ---- SQ8 RECONSTRUCTION-ERROR AUDIT: per label class, the exact
+    // distribution of the 1-byte scalar quantizer's information loss —
+    // the error-budget read that justifies (or vetoes) shipping the
+    // q151 SQ8 index for a given corpus, next to q54's recall and
+    // q285's dimension health. Everything in the model's own 255-scaled
+    // integer units (x̂·255 = 255·mn + code·(mx−mn), the q151 decode):
+    // d2 = Σ(255x − 255x̂)² and the per-vector relative error
+    // d2·1000 div Σ(255x)², all provably-nonnegative int64 (d2 ≤
+    // 64·(mx−mn)² ≈ 2.6·10¹⁴; the norm term ≤ 4.2·10¹⁸). Shapes: the
+    // once-per-corpus SQ8 artifact joined back per dimension (narrow),
+    // then two stacked map-side-combining aggregates (vector grain →
+    // label grain). ----
+    "q325_sq8_error" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val dir = sq8ModelDir(s, d)
+      val par = s.read.parquet(s"$dir/params")
+      val codes = s.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("i", "code")))
+      val comp = vecs
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      val err = comp
+        .join(codes, Seq("vec_id", "i"))
+        .join(broadcast(par), "i")
+        .withColumn("xh", expr("255L * mn + code * (mx - mn)"))
+        .withColumn("e", expr("255L * x - xh"))
+        .groupBy("vec_id")
+        .agg(sum(expr("e * e")).as("d2"),
+          sum(expr("(255L * x) * (255L * x)")).as("n255"))
+        .withColumn("rel_ppk",
+          expr("CASE WHEN n255 = 0 THEN 0L ELSE (d2 * 1000) div n255 END"))
+      val result = err
+        .join(graft.core.Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("d2").as("sd2"), max("d2").as("mx2"),
+          sum("rel_ppk").as("srel"))
+        .select(col("label").cast("int").as("label"),
+          col("n").cast("bigint").as("n_vecs"),
+          expr("sd2 div n").cast("bigint").as("mean_err_q"),
+          col("mx2").cast("bigint").as("max_err_q"),
+          expr("srel div n").cast("bigint").as("mean_rel_ppk"))
+      materialized(result, vecs).orderBy("label")
+    },
+
     // ---- EMBEDDING DIMENSION HEALTH: per-coordinate population stats
     // over the fixed-point components — the dead/collapsed-dimension
     // diagnostic (a dim whose mass sits at ~0, or whose range collapsed,
@@ -2145,6 +2190,35 @@ object SimilarityPack extends QueryPack {
          |WHERE o.d2o_s > 0
          |ORDER BY vec_i, vec_j""".stripMargin
     },
+
+    // the q151 SQ8 replay (per-dim min/max params, floor-division
+    // codes, 255-scaled decode), then exact integer error moments
+    "q325_sq8_error" ->
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |comp AS (SELECT vec_id, g.i AS i, q[g.i] AS x
+         |         FROM vecs, UNNEST(generate_series(1, $dim)) AS g(i)),
+         |par AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i),
+         |xh AS (SELECT c.vec_id, c.i, c.x,
+         |              CASE WHEN p.mx = p.mn THEN 255 * p.mn
+         |                   ELSE 255 * p.mn + (((c.x - p.mn) * 255) // (p.mx - p.mn)) * (p.mx - p.mn)
+         |              END AS xh
+         |       FROM comp c JOIN par p USING (i)),
+         |err AS (SELECT vec_id,
+         |               CAST(SUM((255 * x - xh) * (255 * x - xh)) AS BIGINT) AS d2,
+         |               CAST(SUM((255 * x) * (255 * x)) AS BIGINT) AS n255
+         |        FROM xh GROUP BY vec_id),
+         |rel AS (SELECT vec_id, d2,
+         |               CASE WHEN n255 = 0 THEN 0
+         |                    ELSE CAST((d2 * 1000) // n255 AS BIGINT) END AS rel_ppk
+         |        FROM err)
+         |SELECT CAST(e.label AS INT) AS label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(r.d2) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_err_q,
+         |       CAST(MAX(r.d2) AS BIGINT) AS max_err_q,
+         |       CAST(SUM(r.rel_ppk) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_rel_ppk
+         |FROM rel r JOIN embeddings e USING (vec_id)
+         |GROUP BY e.label
+         |ORDER BY label""".stripMargin,
 
     // identical exact int64 moments (here via a grouped self-join), the
     // same one-sqrt-one-divide double, the same top-20 rank
