@@ -88,6 +88,39 @@ object PipelinePack extends QueryPack {
     pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
 
+  /** The q118/q328 word co-occurrence graph: one edge per ordered word
+    * pair (a < b) adjacent in ≥ 3 documents — linear in corpus tokens
+    * (adjacent bigrams, never within-doc all-pairs). */
+  private def cooccurEdges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
+      .select(col("doc_id"),
+        expr("split_part(bg, ' ', 1)").as("w1"),
+        expr("split_part(bg, ' ', 2)").as("w2"))
+      .where(col("w1") =!= col("w2"))
+      .select(col("doc_id"),
+        least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 3)
+      .select("a", "b")
+
+  /** Per-word triangle participation over an ordered (a < b) edge list:
+    * the compact-forward wedge-close join pair (scales by degree). */
+  private def perWordTriangles(edges: DataFrame): DataFrame = {
+    val tri = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(edges.as("e3"),
+        col("y") === col("e3.a") && col("z") === col("e3.b"))
+      .select("x", "y", "z")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("bigint").as("n_triangles"))
+  }
+
   /** Connected components over a symmetric edge list `(v, u)` by
     * min-label propagation iterated to FIXPOINT: every round each node
     * takes the minimum label over its neighborhood (self-loop included),
@@ -923,29 +956,35 @@ object PipelinePack extends QueryPack {
     // scales by degree, not by vertex count. Output: per-word triangle
     // participation. ----
     "q118_triangle_count" -> { (s, d) =>
-      val edges = warmed(Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
-        .select(col("doc_id"),
-          expr("split_part(bg, ' ', 1)").as("w1"),
-          expr("split_part(bg, ' ', 2)").as("w2"))
-        .where(col("w1") =!= col("w2"))
-        .select(col("doc_id"),
-          least(col("w1"), col("w2")).as("a"),
-          greatest(col("w1"), col("w2")).as("b"))
-        .distinct()
-        .groupBy("a", "b").agg(count(lit(1)).as("n_docs"))
-        .where(col("n_docs") >= 3)
-        .select("a", "b"))
-      val tri = edges.as("e1")
-        .join(edges.as("e2"),
-          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-        .join(edges.as("e3"),
-          col("y") === col("e3.a") && col("z") === col("e3.b"))
-        .select("x", "y", "z")
-      val result = tri.select(explode(array(col("x"), col("y"), col("z"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("bigint").as("n_triangles"))
+      val edges = warmed(cooccurEdges(s, d))
+      val result = perWordTriangles(edges)
+      materialized(result, edges).orderBy("w")
+    },
+
+    // ---- LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998): per
+    // word of the q118 co-occurrence graph, 2T_v / (deg_v·(deg_v−1)) in
+    // exact integer ppm — the "are my neighbors also neighbors of each
+    // other" community signal that separates hub words (high degree,
+    // low closure) from tight collocation cliques (high closure).
+    // Same ordered edge iterator as q118 (wedges scale by degree, not
+    // vertex count); degree is one explode+groupBy over the edge list;
+    // words whose neighborhoods close no triangle keep cc_ppm = 0 via
+    // the left join. deg ≥ 2 rows only (the coefficient is undefined
+    // below). int64: 2T·10⁶ ≤ 2·10⁶·deg² — safe through ~10⁶-degree
+    // hubs. ----
+    "q328_clustering_coeff" -> { (s, d) =>
+      val edges = warmed(cooccurEdges(s, d))
+      val deg = edges
+        .select(explode(array(col("a"), col("b"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("degree"))
+      val tri = perWordTriangles(edges)
+      val result = deg.filter(col("degree") >= 2)
+        .join(tri, Seq("w"), "left")
+        .select(col("w"),
+          col("degree").cast("bigint").as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).cast("bigint").as("n_triangles"),
+          expr("(2 * coalesce(n_triangles, 0L) * 1000000) div (degree * (degree - 1))")
+            .cast("bigint").as("cc_ppm"))
       materialized(result, edges).orderBy("w")
     },
 
@@ -1963,6 +2002,34 @@ object PipelinePack extends QueryPack {
         |SELECT w, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM (SELECT x AS w FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |GROUP BY w
+        |ORDER BY w""".stripMargin,
+
+    // same edge list, degree from both endpoints, identical ×10⁶
+    // floor-divided closure ratio
+    "q328_clustering_coeff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+        |  FROM documents),
+        |bgp AS (
+        |  SELECT DISTINCT doc_id, least(ts[g.i], ts[g.i + 1]) AS a, greatest(ts[g.i], ts[g.i + 1]) AS b
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)
+        |  WHERE ts[g.i] <> ts[g.i + 1]),
+        |e AS (SELECT a, b FROM bgp GROUP BY a, b HAVING count(*) >= 3),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT a AS w FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY w),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_triangles
+        |       FROM (SELECT x AS w FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |       GROUP BY w)
+        |SELECT d.w, d.degree,
+        |       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |       CAST((2 * COALESCE(p.n_triangles, 0) * 1000000) // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN pw p USING (w)
+        |WHERE d.degree >= 2
         |ORDER BY w""".stripMargin,
 
     // same file grouping, global running total, and floor-division bin

@@ -580,7 +580,52 @@ object RelationalPack4 extends QueryPack {
        |ORDER BY first_digit""".stripMargin
   }
 
+  // ---- ZONE-MAP SKIP EFFECTIVENESS (the min/max file-pruning audit
+  // behind every lakehouse format's file skipping — Moerkotte's
+  // small materialized aggregates, VLDB 1998): bucket orders into
+  // monthly "files", keep each file's (min, max) zone maps for
+  // o_orderdate and o_totalprice, and evaluate a panel of range
+  // predicates against the maps — a file is skippable iff its max
+  // falls below the predicate bound. On insertion-ordered data the
+  // date predicates prune almost everything and the value predicates
+  // almost nothing; this query MEASURES that contrast (the q154
+  // Z-order layout's motivation) in exact integer ppm. One scan +
+  // a months-sized zone-map frame × a constant predicate panel. ----
+  private def zonemapSql(div: String) =
+    s"""WITH f AS (
+       |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       |         CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mx_cents,
+       |         CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM orders GROUP BY ym),
+       |thr AS (
+       |  SELECT 'date>=1996-07' AS pred, 'date' AS kind, CAST(199607 AS BIGINT) AS bound
+       |  UNION ALL SELECT 'date>=1997-01', 'date', 199701
+       |  UNION ALL SELECT 'date>=1997-07', 'date', 199707
+       |  UNION ALL SELECT 'date>=1998-01', 'date', 199801
+       |  UNION ALL SELECT 'total>=10000.00', 'value', 1000000
+       |  UNION ALL SELECT 'total>=100000.00', 'value', 10000000),
+       |j AS (
+       |  SELECT t.pred, f.n_rows,
+       |         CASE WHEN (t.kind = 'date' AND f.ym < t.bound)
+       |                OR (t.kind = 'value' AND f.mx_cents < t.bound)
+       |              THEN 1 ELSE 0 END AS skipped
+       |  FROM f CROSS JOIN thr t)
+       |SELECT pred,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(SUM(skipped) AS BIGINT) AS n_skipped,
+       |       CAST(SUM(skipped) * 1000000 $div count(*) AS BIGINT) AS file_skip_ppm,
+       |       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       |       CAST(SUM(skipped * n_rows) AS BIGINT) AS rows_skipped,
+       |       CAST(SUM(skipped * n_rows) * 1000000 $div SUM(n_rows) AS BIGINT) AS row_skip_ppm
+       |FROM j
+       |GROUP BY pred
+       |ORDER BY pred""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_zonemap_skip" -> { (s, d) =>
+      views(s, d, "orders")
+      s.sql(zonemapSql("div"))
+    },
     "q322_benford_audit" -> { (s, d) =>
       views(s, d, "orders")
       s.sql(benfordSql("div"))
@@ -672,6 +717,7 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q329_zonemap_skip"     -> zonemapSql("//"),
     "q322_benford_audit"    -> benfordSql("//"),
     "q316_sql_q21_waiting"  -> q21Sql("//"),
     "q317_sql_q19_disjunct" -> q19Sql("//"),

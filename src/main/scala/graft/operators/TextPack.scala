@@ -1427,6 +1427,35 @@ object TextPack extends QueryPack {
       nbHeldOutScored(s, d).orderBy("doc_id")
     },
 
+    // ---- McNEMAR PAIRED TEST (McNemar 1947) between the two gated
+    // language classifiers — the q60 profile heuristic and the q119/
+    // q120 Naive-Bayes model — on the NB held-out fold: the b/c
+    // discordant-pair table and the χ² statistic (b−c)²/(b+c), the
+    // statistically-sound way to claim "classifier B beats A" on
+    // PAIRED predictions (marginal accuracies alone can't — q128/q256
+    // report those). All integer: indicator sums and a ×10⁶ floor
+    // division on a nonnegative numerator. Shape: two per-doc argmax
+    // streams equi-joined on doc_id, collapsed map-side to 4 counters. ----
+    "q327_mcnemar" -> { (s, d) =>
+      val h = queries("q60_lang_id")(s, d)
+        .select(col("doc_id"),
+          (col("pred_lang") === col("lang")).cast("long").as("hr"))
+      val nb = nbHeldOutScored(s, d)
+        .select(col("doc_id"),
+          (col("pred_lang") === col("true_lang")).cast("long").as("nr"))
+      h.join(nb, "doc_id")
+        .agg(sum(expr("hr * nr")).as("rr"),
+          sum(expr("(1 - hr) * (1 - nr)")).as("ww"),
+          sum(expr("hr * (1 - nr)")).as("b"),
+          sum(expr("(1 - hr) * nr")).as("c"))
+        .select(col("rr").cast("bigint").as("n_both_right"),
+          col("ww").cast("bigint").as("n_both_wrong"),
+          col("b").cast("bigint").as("n_h_only"),
+          col("c").cast("bigint").as("n_nb_only"),
+          expr("CASE WHEN b + c = 0 THEN 0L ELSE ((b - c) * (b - c) * 1000000) div (b + c) END")
+            .cast("bigint").as("mcnemar_q"))
+    },
+
     // ---- classifier EVAL: the confusion matrix + per-class recall of
     // the q119/q120 Naive-Bayes model on its held-out fold — the
     // measure-don't-guess step a production quality-classifier stage
@@ -2472,6 +2501,27 @@ object TextPack extends QueryPack {
           |FROM ranked
           |WHERE rk = 1
           |ORDER BY doc_id""".stripMargin,
+
+      // the same two argmax streams joined on doc_id; identical
+      // discordant-pair counters and ×10⁶ floor-divided statistic
+      "q327_mcnemar" ->
+        s"""WITH $nbOracleCtes,
+          |nb AS (SELECT doc_id,
+          |              CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS nr
+          |       FROM ranked WHERE rk = 1),
+          |h AS (SELECT doc_id,
+          |             CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS hr
+          |      FROM ($q60OracleSql) t),
+          |j AS (SELECT h.hr, nb.nr FROM nb JOIN h ON h.doc_id = nb.doc_id)
+          |SELECT CAST(SUM(hr * nr) AS BIGINT) AS n_both_right,
+          |       CAST(SUM((1 - hr) * (1 - nr)) AS BIGINT) AS n_both_wrong,
+          |       CAST(SUM(hr * (1 - nr)) AS BIGINT) AS n_h_only,
+          |       CAST(SUM((1 - hr) * nr) AS BIGINT) AS n_nb_only,
+          |       CAST(CASE WHEN SUM(hr * (1 - nr)) + SUM((1 - hr) * nr) = 0 THEN 0
+          |            ELSE ((SUM(hr * (1 - nr)) - SUM((1 - hr) * nr))
+          |                  * (SUM(hr * (1 - nr)) - SUM((1 - hr) * nr)) * 1000000)
+          |                 // (SUM(hr * (1 - nr)) + SUM((1 - hr) * nr)) END AS BIGINT) AS mcnemar_q
+          |FROM j""".stripMargin,
 
       // same argmax stream, folded to the classes² matrix; integer-ppm
       // recall (// is DuckDB integer division, div on the Spark side)
