@@ -597,6 +597,105 @@ object CleanPack extends QueryPack {
     // readout toward active users). Both experiments are fair coins
     // over the same population, so t² should be far under the 3.84
     // significance bar — the readout's own null check. ----
+    // ---- TWO-SAMPLE KOLMOGOROV–SMIRNOV (Kolmogorov 1933; Smirnov
+    // 1939) over every source pair's document-length distribution: the
+    // distribution-free drift test next to q112's KL (KL needs binning
+    // and is asymmetric; KS is the sup-norm on the empirical CDFs).
+    // Exact integers end to end: D·n_a·n_b = max_v |cum_a(v)·n_b −
+    // cum_b(v)·n_a| (every term a count product), reported as ×10⁶
+    // floor-divided ppm; the α=0.05 decision compares against
+    // c(α)·√((n_a+n_b)/(n_a·n_b)) — one sqrt+multiply+floor on exact
+    // integer ratios (correctly-rounded IEEE, the q175 rule), so both
+    // engines produce the identical bit. Scale shape: the corpus scan
+    // collapses to (source, length) counts map-side; the CDF window
+    // runs over the LENGTH VOCABULARY per source (bounded, parallel by
+    // source — the q148/q193 discipline); pairs are sources²-bounded.
+    // int64: cum·n ≤ N² — safe through ~3·10⁹ docs, DECIMAL(38)
+    // internally past that. ----
+    "q330_ks_statistic" -> { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val grid = cnt.select("n_chars").distinct()
+      val srcN = cnt.groupBy("source").agg(sum("c").as("n"))
+      val full = srcN.crossJoin(grid)
+        .join(cnt, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = full.withColumn("cum", sum("c").over(w))
+        .select(col("source"), col("n"), col("n_chars"), col("cum"))
+      val result = cum.as("a")
+        .join(cum.as("b"),
+          col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("dnum"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(max("dnum").as("dmax"))
+        .select(col("source_a"), col("source_b"),
+          col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          expr("(dmax * 1000000) div (n_a * n_b)").cast("bigint").as("d_ppm"),
+          floor(lit(1358000.0) *
+            sqrt((col("n_a") + col("n_b")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")))
+            .cast("bigint").as("crit_ppm"))
+        .withColumn("reject", col("d_ppm") > col("crit_ppm"))
+      result.orderBy("source_a", "source_b")
+    },
+
+    // ---- MANN–WHITNEY U (Mann & Whitney 1947) on the q211 experiment
+    // assignment: the rank-based A/B test that doesn't assume normal
+    // spend (heavy-tailed revenue is exactly where Welch misleads —
+    // the two tests ship side by side on the SAME md5 buckets). Exact
+    // integers via DOUBLED midranks over the spend-cents value
+    // vocabulary: 2r(v) = 2·below(v) + t(v) + 1 (integer even with
+    // .5 tie midranks), 2U_A = Σ_v a(v)·2r(v) − n_a(n_a+1); the
+    // tie-corrected normal z is the single sqrt+divide+floor on exact
+    // int64 inputs (q175 rule). Scale shape: user-grain aggregate →
+    // (experiment, cents-value) counts → a cumulative over the VALUE
+    // vocabulary (bounded by distinct spend values, parallel per
+    // experiment); never a per-user rank window. int64: Σt³ ≤ n³ —
+    // exact through ~2M users/arm, DECIMAL(38) internally past that. ----
+    "q331_mann_whitney" -> { (s, d) =>
+      val spend = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy("user_id").agg(sum("cents").as("cents"))
+      val assigned = Tables.customer(s, d)
+        .select(col("c_custkey"), explode(sequence(lit(1), lit(2))).as("exp_id"))
+        .withColumn("h", hex64(md5(concat(lit("exp"), col("exp_id"),
+          lit(":"), col("c_custkey")))))
+        .withColumn("bucket", pmod(col("h"), lit(2)))
+        .join(spend.withColumnRenamed("user_id", "c_custkey"),
+          Seq("c_custkey"), "left_outer")
+        .withColumn("m", coalesce(col("cents"), lit(0L)))
+      val byVal = assigned.groupBy("exp_id", "m")
+        .agg(sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("ct"))
+      val w = Window.partitionBy("exp_id").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byVal.withColumn("cumt", sum("ct").over(w))
+        .withColumn("tr2", lit(2L) * (col("cumt") - col("ct")) + col("ct") + 1L)
+      val result = ranked.groupBy("exp_id")
+        .agg(sum("ca").as("na"), sum(expr("ct - ca")).as("nb"),
+          sum(expr("ca * tr2")).as("r2a"),
+          sum(expr("ct * ct * ct - ct")).as("ties"))
+        .filter(col("na") > 1 && col("nb") > 1)
+        .withColumn("n", col("na") + col("nb"))
+        .withColumn("two_u_a", col("r2a") - col("na") * (col("na") + 1L))
+        .select(col("exp_id").cast("int").as("exp_id"),
+          col("na").cast("bigint").as("na"), col("nb").cast("bigint").as("nb"),
+          col("two_u_a").cast("bigint").as("two_u_a"),
+          col("ties").cast("bigint").as("tie_term"),
+          expr("""CAST(CASE WHEN (n * n * n - n) = ties THEN 0
+                 |     ELSE floor(CAST(two_u_a - na * nb AS DOUBLE) * 1000.0
+                 |          / (2.0 * sqrt(CAST(na * nb AS DOUBLE)
+                 |                        * CAST((n * n * n - n) - ties AS DOUBLE)
+                 |                        / CAST(12 * n * (n - 1) AS DOUBLE))))
+                 |     END AS BIGINT)""".stripMargin).as("z_milli"))
+      result.orderBy("exp_id")
+    },
+
     "q211_welch_ab" -> { (s, d) =>
       val spend = Tables.events(s, d)
         .select(col("user_id"),
@@ -1153,6 +1252,82 @@ object CleanPack extends QueryPack {
     // same md5 assignment and power sums (Σm² as internal
     // DECIMAL(38,0), q170's discipline); the t² expression is
     // the SAME string Spark evaluates (welchT2Expr/meanDiffExpr)
+    // same length-vocabulary CDF grid, exact count-product sup norm,
+    // identical one-sqrt critical value
+    "q330_ks_statistic" ->
+      """WITH cnt AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM cnt),
+        |srcn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |full0 AS (
+        |  SELECT s.source, s.n, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM srcn s CROSS JOIN grid g
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n, n_chars,
+        |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM full0),
+        |pd AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+        |         abs(a.cum * b.n - b.cum * a.n) AS dnum
+        |  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source),
+        |mx AS (SELECT source_a, source_b, n_a, n_b, CAST(MAX(dnum) AS BIGINT) AS dmax
+        |       FROM pd GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       CAST((dmax * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
+        |       CAST(floor(1358000.0 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS crit_ppm,
+        |       CAST((dmax * 1000000) // (n_a * n_b) AS BIGINT)
+        |         > CAST(floor(1358000.0 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS reject
+        |FROM mx
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // same md5 buckets, same doubled-midrank value-vocabulary scan,
+    // identical tie-corrected single-sqrt z
+    "q331_mann_whitney" ->
+      """WITH spend AS (
+        |  SELECT user_id, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |a0 AS (
+        |  SELECT c.c_custkey, g.e AS exp_id,
+        |         CAST('0x' || substring(md5('exp' || CAST(g.e AS VARCHAR) || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS bucket
+        |  FROM customer c, UNNEST(generate_series(1, 2)) AS g(e)),
+        |a AS (
+        |  SELECT a0.exp_id, a0.bucket, COALESCE(s.cents, 0) AS m
+        |  FROM a0 LEFT JOIN spend s ON s.user_id = a0.c_custkey),
+        |bv AS (
+        |  SELECT exp_id, m,
+        |         CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(count(*) AS BIGINT) AS ct
+        |  FROM a GROUP BY exp_id, m),
+        |rk AS (
+        |  SELECT exp_id, ca, ct,
+        |         2 * (CAST(SUM(ct) OVER (PARTITION BY exp_id ORDER BY m
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ct)
+        |           + ct + 1 AS tr2
+        |  FROM bv),
+        |ag AS (
+        |  SELECT exp_id,
+        |         CAST(SUM(ca) AS BIGINT) AS na,
+        |         CAST(SUM(ct - ca) AS BIGINT) AS nb,
+        |         CAST(SUM(ca * tr2) AS BIGINT) AS r2a,
+        |         CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS ties
+        |  FROM rk GROUP BY exp_id),
+        |fin AS (
+        |  SELECT exp_id, na, nb, na + nb AS n,
+        |         r2a - na * (na + 1) AS two_u_a, ties
+        |  FROM ag WHERE na > 1 AND nb > 1)
+        |SELECT CAST(exp_id AS INT) AS exp_id, na, nb, two_u_a, ties AS tie_term,
+        |       CAST(CASE WHEN (n * n * n - n) = ties THEN 0
+        |            ELSE floor(CAST(two_u_a - na * nb AS DOUBLE) * 1000.0
+        |                 / (2.0 * sqrt(CAST(na * nb AS DOUBLE)
+        |                               * CAST((n * n * n - n) - ties AS DOUBLE)
+        |                               / CAST(12 * n * (n - 1) AS DOUBLE))))
+        |            END AS BIGINT) AS z_milli
+        |FROM fin
+        |ORDER BY exp_id""".stripMargin,
+
     "q211_welch_ab" ->
       s"""WITH spend AS (
          |  SELECT user_id, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
