@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.QueryPack
@@ -605,7 +606,62 @@ object StreamingPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Streaming twin of q199's CUSUM changepoint: the (type, hour) count
+    * aggregate — the only corpus-scale work — runs INCREMENTALLY in the
+    * stream (complete-mode StateStore agg, state bounded by types ×
+    * hours); the n·cumsum − k·total scan and the argmax are the
+    * bounded finishing pass over the final state (the q290 heatmap
+    * pattern: heavy lifting in-flight, calendar-bounded batch tail).
+    * Live deployment would emit the running changepoint per trigger;
+    * the gate drains the static corpus and must reproduce the batch
+    * q199 answer bit-for-bit on the shared oracle. */
+  def streamCusum(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+    val agg = ev
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("c"))
+    val name = s"graft_stream_cusum_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the memory-sink MemoryPlan can't self-join (conflicting attribute
+    // refs on the tot/cumsum branches); pin the drained state — bounded
+    // by types × hours — as an RDD-backed frame first
+    val hourly = s.table(name).localCheckpoint()
+    val tot = hourly.groupBy("event_type")
+      .agg(sum("c").as("total"), count(lit(1)).as("n_hours"))
+    val wc = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wi = Window.partitionBy("event_type").orderBy("hr")
+    hourly.join(tot, "event_type")
+      .withColumn("cumc", sum("c").over(wc))
+      .withColumn("k", row_number().over(wi).cast("bigint"))
+      .withColumn("s_k", col("n_hours") * col("cumc") - col("k") * col("total"))
+      .filter(col("k") < col("n_hours"))
+      .groupBy("event_type")
+      .agg(max(struct(abs(col("s_k")).as("a"), (-col("hr")).as("nh"))).as("m"),
+        max(col("n_hours")).as("n_hours"), max(col("total")).as("total"))
+      .select(col("event_type"),
+        (-col("m.nh")).cast("bigint").as("change_hr"),
+        col("m.a").cast("bigint").as("cusum_abs"),
+        col("n_hours").cast("bigint").as("n_hours"),
+        col("total").cast("bigint").as("total"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_stream_cusum" -> ((s, d) => streamCusum(s, d)),
     "q303_stream_funnel" -> ((s, d) => FunnelStream.run(s, d)),
     "q290_stream_heatmap" -> ((s, d) => streamHeatmap(s, d)),
     "q259_stream_para_bloom" -> ((s, d) => streamParaBloom(s, d)),
@@ -625,6 +681,31 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch: q199's oracle verbatim — the streamed StateStore
+    // aggregate plus bounded tail must land on the batch CUSUM answer
+    "q332_stream_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1),
+        |cum AS (SELECT h.event_type, h.hr, t.n_hours, t.total,
+        |               sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.hr
+        |                              ROWS UNBOUNDED PRECEDING) AS cumc,
+        |               row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS k
+        |        FROM hourly h JOIN tot t USING (event_type)),
+        |sk AS (SELECT event_type, hr, n_hours, total,
+        |              n_hours * cumc - k * total AS s_k
+        |       FROM cum WHERE k < n_hours),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                    ORDER BY abs(s_k) DESC, hr) AS rn
+        |       FROM sk)
+        |SELECT event_type, CAST(hr AS BIGINT) AS change_hr,
+        |       CAST(abs(s_k) AS BIGINT) AS cusum_abs, n_hours, total
+        |FROM rk WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
 
     // stream ≡ batch: the chained-min funnel definition (inclusive time
     // rule, 24 h per-step conversion window) — each stage's time is the
