@@ -643,6 +643,47 @@ object CleanPack extends QueryPack {
       result.orderBy("source_a", "source_b")
     },
 
+    // ---- SPEARMAN RANK CORRELATION (Spearman 1904) between document
+    // length and lexical diversity (distinct-token count) — the
+    // length-vs-TTR confound every length-normalized quality metric
+    // (MTLD, root-TTR) exists to correct; measuring it on the corpus
+    // is how a curation team decides whether raw TTR is usable as a
+    // filter. Tie-aware via DOUBLED midranks over each variable's
+    // VALUE VOCABULARY (the q331 machinery — never a per-doc rank
+    // window); the Pearson formula on doubled ranks needs n·Σab ≈ 4n⁴
+    // — accumulated in DECIMAL(38,0) (q170/q211 discipline), with the
+    // final rho as one sqrt+divide+floor on exactly-representable
+    // inputs. Shapes: two vocab-bounded rank tables broadcast back
+    // onto the doc stream, one power-sum aggregate. ----
+    "q334_spearman_len_ttr" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("x"),
+          size(tokenSet(col("text"))).cast("bigint").as("y"))
+      def rankTab(df: DataFrame, c: String): DataFrame = {
+        // global window over the value VOCABULARY (bounded; q330 rule)
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.groupBy(c).agg(count(lit(1)).as("ct"))
+          .withColumn("cumt", sum("ct").over(w))
+          .select(col(c), (lit(2L) * (col("cumt") - col("ct")) + col("ct") + 1L)
+            .as(s"r2_$c"))
+      }
+      val ranked = base
+        .join(rankTab(base, "x"), "x")
+        .join(rankTab(base, "y"), "y")
+      val sums = ranked.agg(count(lit(1)).as("n"),
+        sum("r2_x").as("sa"), sum("r2_y").as("sb"),
+        sum(expr("cast(r2_x as decimal(38,0)) * r2_y")).as("sab"),
+        sum(expr("cast(r2_x as decimal(38,0)) * r2_x")).as("saa"),
+        sum(expr("cast(r2_y as decimal(38,0)) * r2_y")).as("sbb"))
+      sums.select(col("n").cast("bigint").as("n_docs"),
+        expr("""CAST(floor(1000.0 *
+               |  CAST(CAST(n AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+               |  / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
+               |       * CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)))
+               |AS BIGINT)""".stripMargin).as("rho_milli"))
+    },
+
     // ---- MANN–WHITNEY U (Mann & Whitney 1947) on the q211 experiment
     // assignment: the rank-based A/B test that doesn't assume normal
     // spend (heavy-tailed revenue is exactly where Welch misleads —
@@ -1282,6 +1323,33 @@ object CleanPack extends QueryPack {
         |         > CAST(floor(1358000.0 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS reject
         |FROM mx
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // same doubled-midrank vocabularies; HUGEINT mirrors the Spark
+    // side's DECIMAL(38,0) products (equal integers → identical doubles)
+    "q334_spearman_len_ttr" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(len(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> ''))) AS BIGINT) AS y
+        |  FROM documents),
+        |rx AS (SELECT x, 2 * (CAST(SUM(ct) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ct) + ct + 1 AS r2_x
+        |       FROM (SELECT x, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY x)),
+        |ry AS (SELECT y, 2 * (CAST(SUM(ct) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ct) + ct + 1 AS r2_y
+        |       FROM (SELECT y, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY y)),
+        |j AS (SELECT b.doc_id, rx.r2_x, ry.r2_y
+        |      FROM base b JOIN rx USING (x) JOIN ry USING (y)),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                CAST(SUM(r2_x) AS BIGINT) AS sa, CAST(SUM(r2_y) AS BIGINT) AS sb,
+        |                CAST(SUM(CAST(r2_x AS HUGEINT) * r2_y) AS HUGEINT) AS sab,
+        |                CAST(SUM(CAST(r2_x AS HUGEINT) * r2_x) AS HUGEINT) AS saa,
+        |                CAST(SUM(CAST(r2_y AS HUGEINT) * r2_y) AS HUGEINT) AS sbb
+        |         FROM j)
+        |SELECT n AS n_docs,
+        |       CAST(floor(1000.0 *
+        |         CAST(CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+        |         / sqrt(CAST(CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+        |              * CAST(CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE)))
+        |       AS BIGINT) AS rho_milli
+        |FROM sums""".stripMargin,
 
     // same md5 buckets, same doubled-midrank value-vocabulary scan,
     // identical tie-corrected single-sqrt z

@@ -839,6 +839,38 @@ object SimilarityPack extends QueryPack {
       materialized(result, vecs).orderBy("vec_i", "vec_j")
     },
 
+    // ---- NEAREST-CENTROID CLASSIFIER EVAL (the prototype baseline —
+    // Rocchio 1971; "prototypical networks" in the metric-learning
+    // frame): per label, the truncated-int64 mean vector; every corpus
+    // vector classified to its max-cosine prototype (ties → smallest
+    // label, the assignCells rule); output the labels²-bounded
+    // confusion matrix with integer-ppm recall — the linear-separability
+    // read next to q279's k-NN accuracy (k-NN is local, the centroid
+    // is global: disagreement between the two diagnoses cluster shape).
+    // Shapes: one label-keyed mean aggregate (labels-sized), one
+    // broadcast argmax scan, one matrix aggregate. ----
+    "q333_centroid_classifier" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val labeled = vecs.join(
+        graft.core.Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id")
+      val cent = updateCentroids(
+        labeled.select(col("vec_id"), col("q"), col("label").cast("int").as("cell")))
+      val pred = assignCells(labeled.select(col("vec_id"), col("q"), col("norm")), cent)
+        .select(col("vec_id"), col("cell").as("pred_label"))
+      val cm = labeled.select(col("vec_id"), col("label").cast("int").as("true_label"))
+        .join(pred, "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).cast("bigint").as("n_vecs"))
+      val tot = cm.groupBy("true_label").agg(sum("n_vecs").as("n_true"))
+      val result = cm.join(tot, "true_label")
+        .select(col("true_label"), col("pred_label").cast("int").as("pred_label"),
+          col("n_vecs"), col("n_true").cast("bigint").as("n_true"),
+          expr("n_vecs * 1000000 div n_true").cast("bigint").as("recall_ppm"))
+      materialized(result, vecs).orderBy("true_label", "pred_label")
+    },
+
     // ---- SQ8 RECONSTRUCTION-ERROR AUDIT: per label class, the exact
     // distribution of the 1-byte scalar quantizer's information loss —
     // the error-budget read that justifies (or vetoes) shipping the
@@ -2189,6 +2221,34 @@ object SimilarityPack extends QueryPack {
          |FROM d2o o JOIN d2p p ON p.va = o.va AND p.vb = o.vb
          |WHERE o.d2o_s > 0
          |ORDER BY vec_i, vec_j""".stripMargin
+    },
+
+    // label-keyed truncated-int64 mean prototypes, the assignCells
+    // (cosine desc, label) argmax, the q128-style ppm matrix
+    "q333_centroid_classifier" -> {
+      val cos = s"${dotQSql("l.q", "c.cq", dim)} / (l.norm * c.cnorm)"
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm FROM vecs v),
+         |lab AS (SELECT s.vec_id, s.q, s.norm, CAST(e.label AS INT) AS label
+         |        FROM scored s JOIN embeddings e USING (vec_id)),
+         |upd AS (SELECT label, g.i AS i,
+         |               CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |        FROM lab, UNNEST(generate_series(1, $dim)) AS g(i)
+         |        GROUP BY label, g.i),
+         |cqx AS (SELECT label, list(v ORDER BY i) AS cq FROM upd GROUP BY label),
+         |cent AS (SELECT label, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cqx c),
+         |asn AS (SELECT vec_id, true_label, pl FROM (
+         |    SELECT l.vec_id, l.label AS true_label, c.label AS pl,
+         |           row_number() OVER (PARTITION BY l.vec_id
+         |                              ORDER BY $cos DESC, c.label) AS rn
+         |    FROM lab l CROSS JOIN cent c) WHERE rn = 1),
+         |cm AS (SELECT true_label, pl AS pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+         |       FROM asn GROUP BY 1, 2),
+         |tt AS (SELECT true_label, CAST(SUM(n_vecs) AS BIGINT) AS n_true FROM cm GROUP BY 1)
+         |SELECT cm.true_label, CAST(cm.pred_label AS INT) AS pred_label, cm.n_vecs, tt.n_true,
+         |       CAST(cm.n_vecs * 1000000 // tt.n_true AS BIGINT) AS recall_ppm
+         |FROM cm JOIN tt USING (true_label)
+         |ORDER BY true_label, pred_label""".stripMargin
     },
 
     // the q151 SQ8 replay (per-dim min/max params, floor-division
