@@ -1072,6 +1072,91 @@ object EventsPack extends QueryPack {
       result.orderBy("event_type")
     },
 
+    // ---- MARKOV STATIONARY DISTRIBUTION: the long-run state occupancy
+    // π = πP of the q158/q203 transition chain, by 6 unrolled integer
+    // power-iteration rounds (the q175 discipline applied to the
+    // types²-bounded transition matrix): each round is one broadcast
+    // join + map-side sum with per-term floor division, then an exact
+    // ×10⁶ renormalization — deterministic in both engines, the oracle
+    // replays the rounds as unrolled CTEs. Shipped next to emp_ppm
+    // (the observed occupancy): π ≈ emp iff the chain is near
+    // stationary — divergence flags nonstationary traffic (onboarding
+    // flows, decaying features). Scale shape: the corpus scan collapses
+    // to the transition matrix map-side; every round runs on
+    // types²-bounded frames. ----
+    "q337_markov_stationary" -> { (s, d) =>
+      val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val seq0 = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wu))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("cur"), col("nxt"))
+      val tr = seq0.groupBy("cur", "nxt").agg(count(lit(1)).as("cnt"))
+      val rowTot = tr.groupBy("cur").agg(sum("cnt").as("tot"))
+      // tiny types² frame feeding every round — pin it (q175 rule)
+      val trp = tr.join(rowTot, "cur").localCheckpoint()
+      val states = trp.select(col("cur").as("state"))
+        .union(trp.select(col("nxt").as("state"))).distinct().localCheckpoint()
+      var pi = states.select(col("state"), lit(1000000L).as("pi"))
+      for (_ <- 1 to 6) {
+        val raw = trp.join(pi, col("cur") === col("state"))
+          .select(col("nxt"), expr("(pi * cnt) div tot").as("t"))
+          .groupBy("nxt").agg(sum("t").as("raw"))
+        val sr = raw.agg(sum("raw").as("sr"))
+        pi = states.join(raw.withColumnRenamed("nxt", "state"), Seq("state"), "left")
+          .na.fill(0L, Seq("raw"))
+          .crossJoin(broadcast(sr))
+          .select(col("state"), expr("(raw * 1000000) div sr").as("pi"))
+          .localCheckpoint()
+      }
+      val emp = Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+      val et = emp.agg(sum("n").as("nt"))
+      val result = pi.join(emp, col("state") === col("event_type"))
+        .crossJoin(broadcast(et))
+        .select(col("event_type"),
+          col("pi").cast("bigint").as("pi_ppm"),
+          expr("(n * 1000000) div nt").cast("bigint").as("emp_ppm"))
+      result.orderBy("event_type")
+    },
+
+    // ---- THEIL–SEN ROBUST TREND (Theil 1950; Sen 1968): the median of
+    // all pairwise day-slopes per event stream — the outlier-immune
+    // complement to q200's OLS (one traffic spike day drags OLS, moves
+    // Theil–Sen not at all; disagreement between the two flags the
+    // spike). Slopes quantized ×10⁶ by integer division (negative
+    // slopes truncate identically — both engines truncate toward
+    // zero); the median is the LOWER median by deterministic
+    // (slope, x_i, x_j) order. Scale shape: the corpus scan collapses
+    // to (type, day) counts map-side; the pair frame is CALENDAR²-
+    // bounded per type (≤ 0.5 M pairs for a decade of days — never
+    // corpus-scale), ranked by a per-type window over that bounded
+    // frame. ----
+    "q335_theilsen_trend" -> { (s, d) =>
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.day").as("xi"), col("b.day").as("xj"),
+          expr("(1000000 * (b.y - a.y)) div (b.day - a.day)").as("slope_q"))
+      val w = Window.partitionBy("event_type").orderBy("slope_q", "xi", "xj")
+      val stats = pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"))
+      val result = pairs.withColumn("rk", row_number().over(w))
+        .join(stats, "event_type")
+        .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+        .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")), "event_type")
+        .select(col("event_type"),
+          col("n_days").cast("bigint").as("n_days"),
+          col("n_pairs").cast("bigint").as("n_pairs"),
+          col("slope_q").cast("bigint").as("theilsen_slope_q"))
+      result.orderBy("event_type")
+    },
+
     // ---- per-stream daily trend by closed-form least squares (the
     // drift-monitoring number a pipeline dashboard wants: is this
     // source growing or dying?): slope/intercept of events-per-day over
@@ -2325,6 +2410,66 @@ object EventsPack extends QueryPack {
         |SELECT event_type, CAST(hr AS BIGINT) AS change_hr,
         |       CAST(abs(s_k) AS BIGINT) AS cusum_abs, n_hours, total
         |FROM rk WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // the six power-iteration rounds unrolled as CTEs: identical
+    // per-term floor divisions and ×10⁶ renormalizations
+    "q337_markov_stationary" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""raw$r AS (SELECT t.nxt AS state, CAST(SUM((p.pi * t.cnt) // t.tot) AS BIGINT) AS raw
+           |          FROM trp t JOIN pi${r - 1} p ON p.state = t.cur GROUP BY 1),
+           |sr$r AS (SELECT CAST(SUM(raw) AS BIGINT) AS sr FROM raw$r),
+           |pi$r AS (SELECT s.state, CAST((COALESCE(r.raw, 0) * 1000000) // q.sr AS BIGINT) AS pi
+           |         FROM states s LEFT JOIN raw$r r USING (state) CROSS JOIN sr$r q)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+         |  FROM events),
+         |seq AS (
+         |  SELECT event_type AS cur,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY us, event_id) AS nxt
+         |  FROM ev),
+         |tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS tot FROM tr GROUP BY 1),
+         |trp AS (SELECT t.cur, t.nxt, t.cnt, o.tot FROM tr t JOIN tot o USING (cur)),
+         |states AS (SELECT DISTINCT cur AS state FROM trp
+         |           UNION SELECT DISTINCT nxt FROM trp),
+         |pi0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM states),
+         |$rounds,
+         |emp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         |et AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM emp)
+         |SELECT p.state AS event_type, p.pi AS pi_ppm,
+         |       CAST((e.n * 1000000) // t.nt AS BIGINT) AS emp_ppm
+         |FROM pi6 p JOIN emp e ON e.event_type = p.state CROSS JOIN et t
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // same day grid, same quantized pairwise slopes, same lower-median
+    // (slope, x_i, x_j) rank rule
+    "q335_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.day AS xi, b.day AS xj,
+        |         CAST((1000000 * (b.y - a.y)) // (b.day - a.day) AS BIGINT) AS slope_q
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |rk AS (SELECT event_type, slope_q,
+        |              row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY slope_q, xi, xj) AS rk
+        |       FROM pairs)
+        |SELECT r.event_type, nd.n_days, st.n_pairs,
+        |       CAST(r.slope_q AS BIGINT) AS theilsen_slope_q
+        |FROM rk r JOIN st USING (event_type) JOIN nd USING (event_type)
+        |WHERE r.rk = (st.n_pairs + 1) // 2
         |ORDER BY event_type""".stripMargin,
 
     // same day grid and the identical integer normal-equation terms

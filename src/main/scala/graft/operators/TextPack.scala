@@ -532,6 +532,40 @@ object TextPack extends QueryPack {
     },
 
     // ---- quality scoring: type-token ratio, token length, stopwords ----
+    // ---- SOURCE TERM-PROFILE COSINE MATRIX: pairwise cosine of the
+    // sources' term-frequency vectors over the top-200 corpus words —
+    // the symmetric source-similarity read next to q112's (asymmetric,
+    // binned) KL and q314's keywords: which sources are stylistic
+    // twins and which contribute genuinely different text. Exact int64
+    // dot products and norms (≤ 200·c², double-exact under 2⁵³); the
+    // single sqrt·sqrt divide is the q175 rule. Scale shape: the corpus
+    // scan collapses to (source, word) counts map-side; the top-200
+    // vocabulary is a TakeOrdered; profiles are sources×200-bounded,
+    // pairs sources²-bounded. ----
+    "q336_source_term_cosine" -> { (s, d) =>
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val top = sw.groupBy("w").agg(sum("c").as("cf"))
+        .orderBy(col("cf").desc, col("w")).limit(200).select("w")
+      val prof = warmed(sw.join(broadcast(top), "w"))
+      val norms = prof.groupBy("source").agg(sum(expr("c * c")).as("s2"))
+      val pairs = prof.as("a")
+        .join(prof.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_terms"), sum(expr("a.c * b.c")).as("sab"))
+      val result = pairs
+        .join(norms.select(col("source").as("source_a"), col("s2").as("saa")), "source_a")
+        .join(norms.select(col("source").as("source_b"), col("s2").as("sbb")), "source_b")
+        .select(col("source_a"), col("source_b"),
+          col("n_shared_terms").cast("bigint").as("n_shared_terms"),
+          floor(lit(1000000.0) * col("sab").cast("double") /
+            (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+            .cast("bigint").as("cos_ppm"))
+      materialized(result, prof).orderBy("source_a", "source_b")
+    },
+
     "q61_quality_score" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -1951,6 +1985,32 @@ object TextPack extends QueryPack {
           |FROM r
           |ORDER BY rrf_q DESC, doc_id
           |LIMIT 50""".stripMargin,
+
+      // same top-200 (cf desc, word) vocabulary, exact integer dot and
+      // norms, identical sqrt·sqrt divide
+      "q336_source_term_cosine" ->
+        """WITH sw AS (
+          |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT source,
+          |               unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), x -> x <> '')) AS w
+          |        FROM documents)
+          |  GROUP BY 1, 2),
+          |top AS (
+          |  SELECT w FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS cf FROM sw GROUP BY w)
+          |  QUALIFY row_number() OVER (ORDER BY cf DESC, w) <= 200),
+          |prof AS (SELECT s.source, s.w, s.c FROM sw s JOIN top USING (w)),
+          |nr AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS s2 FROM prof GROUP BY 1),
+          |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+          |              CAST(count(*) AS BIGINT) AS n_shared_terms,
+          |              CAST(SUM(a.c * b.c) AS BIGINT) AS sab
+          |       FROM prof a JOIN prof b ON a.w = b.w AND a.source < b.source
+          |       GROUP BY 1, 2)
+          |SELECT pr.source_a, pr.source_b, pr.n_shared_terms,
+          |       CAST(floor(1000000.0 * CAST(pr.sab AS DOUBLE)
+          |            / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE)))) AS BIGINT) AS cos_ppm
+          |FROM pr JOIN nr na ON na.source = pr.source_a
+          |        JOIN nr nb ON nb.source = pr.source_b
+          |ORDER BY source_a, source_b""".stripMargin,
 
       "q61_quality_score" ->
         """WITH base AS (
