@@ -1072,6 +1072,64 @@ object EventsPack extends QueryPack {
       result.orderBy("event_type")
     },
 
+    // ---- HILL TAIL-INDEX ESTIMATOR (Hill 1975): the power-law
+    // exponent of the user-activity tail from the top-50 order
+    // statistics over the 51st as threshold — α̂ = k / Σ(ln xᵢ − ln x₍ₖ₊₁₎)
+    // — the "how heavy are the whales" number behind capacity planning
+    // and the q210 Zipf fit's per-user counterpart. Per-term floor(×1e6)
+    // ln quantization (q05 discipline) keeps the denominator int64-
+    // exact; the top-51 is one TakeOrderedAndProject over the user-
+    // grain aggregate (never a global sort). ----
+    "q338_hill_tail" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val act = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val top = act.orderBy(col("x").desc, col("user_id")).limit(51)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("x").desc, col("user_id"))))
+      val thr = top.filter(col("rk") === 51).select(col("x").as("xt"))
+      val den = top.filter(col("rk") <= 50)
+        .crossJoin(broadcast(thr))
+        .agg(sum(qln(col("x")) - qln(col("xt"))).as("dq"),
+          max(col("xt")).as("xt"))
+      val nu = act.agg(count(lit(1)).as("n_users"))
+      den.crossJoin(broadcast(nu))
+        .select(col("n_users").cast("bigint").as("n_users"),
+          lit(50L).as("k"),
+          col("xt").cast("bigint").as("x_threshold"),
+          col("dq").cast("bigint").as("denom_q"),
+          expr("CASE WHEN dq = 0 THEN 0L ELSE 50000000000 div dq END")
+            .cast("bigint").as("alpha_milli"))
+    },
+
+    // ---- TRANSITION LATENCY MATRIX: mean dwell time per (current →
+    // next) event-type transition — the q158/q203 chain annotated with
+    // TIME (which hops are instant UI steps vs day-scale considered
+    // decisions; the input a session-timeout choice, q32/q195, should
+    // be justified by). Exact integer micros, mean by truncating
+    // division. Shape: one per-user lead window (user-bounded), then
+    // a types²-bounded map-side-combining aggregate. ----
+    "q339_transition_latency" -> { (s, d) =>
+      val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val hops = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wu))
+        .withColumn("nus", lead(col("us"), 1).over(wu))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("cur"), col("nxt"),
+          (col("nus") - col("us")).as("gap_us"))
+      hops.groupBy("cur", "nxt")
+        .agg(count(lit(1)).as("n"), sum("gap_us").as("sg"),
+          max("gap_us").as("mx"))
+        .select(col("cur"), col("nxt"),
+          col("n").cast("bigint").as("n_transitions"),
+          expr("(sg div n) div 1000").cast("bigint").as("mean_gap_ms"),
+          expr("mx div 1000").cast("bigint").as("max_gap_ms"))
+        .orderBy("cur", "nxt")
+    },
+
     // ---- MARKOV STATIONARY DISTRIBUTION: the long-run state occupancy
     // π = πP of the q158/q203 transition chain, by 6 unrolled integer
     // power-iteration rounds (the q175 discipline applied to the
@@ -2411,6 +2469,46 @@ object EventsPack extends QueryPack {
         |       CAST(abs(s_k) AS BIGINT) AS cusum_abs, n_hours, total
         |FROM rk WHERE rn = 1
         |ORDER BY event_type""".stripMargin,
+
+    // same top-51 (x desc, user) order statistics and per-term ln
+    // quantization
+    "q338_hill_tail" ->
+      """WITH act AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |             FROM events GROUP BY 1),
+        |top AS (SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk
+        |        FROM act QUALIFY rk <= 51),
+        |thr AS (SELECT x AS xt FROM top WHERE rk = 51),
+        |den AS (SELECT CAST(SUM(CAST(floor(ln(CAST(t.x AS DOUBLE)) * 1e6) AS BIGINT)
+        |                      - CAST(floor(ln(CAST(h.xt AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS dq,
+        |               CAST(MAX(h.xt) AS BIGINT) AS xt
+        |        FROM top t CROSS JOIN thr h WHERE t.rk <= 50),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM act)
+        |SELECT nu.n_users, CAST(50 AS BIGINT) AS k, d.xt AS x_threshold,
+        |       d.dq AS denom_q,
+        |       CAST(CASE WHEN d.dq = 0 THEN 0 ELSE 50000000000 // d.dq END AS BIGINT) AS alpha_milli
+        |FROM den d CROSS JOIN nu""".stripMargin,
+
+    // same (us, event_id) stream order, exact integer micro gaps and
+    // truncating mean
+    "q339_transition_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |hops AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS gap_us
+        |  FROM ev),
+        |ag AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(SUM(gap_us) AS BIGINT) AS sg,
+        |              CAST(MAX(gap_us) AS BIGINT) AS mx
+        |       FROM hops WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n AS n_transitions,
+        |       CAST((sg // n) // 1000 AS BIGINT) AS mean_gap_ms,
+        |       CAST(mx // 1000 AS BIGINT) AS max_gap_ms
+        |FROM ag
+        |ORDER BY cur, nxt""".stripMargin,
 
     // the six power-iteration rounds unrolled as CTEs: identical
     // per-term floor divisions and ×10⁶ renormalizations

@@ -632,7 +632,14 @@ object RelationalPack4 extends QueryPack {
     },
     "q316_sql_q21_waiting" -> { (s, d) =>
       views(s, d, "lineitem", "orders", "supplier")
-      s.sql(q21Sql("div"))
+      val result = s.sql(q21Sql("div"))
+      // the whole point of the Q21 shape: both correlated subqueries
+      // must DECORRELATE (a per-row re-execution would be quadratic at
+      // scale) — pin the semi/anti join pair at plan time
+      val plan = result.queryExecution.executedPlan.toString
+      require(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        s"q316: EXISTS/NOT EXISTS must decorrelate to semi/anti joins; got:\n${plan.take(1500)}")
+      result
     },
     "q317_sql_q19_disjunct" -> { (s, d) =>
       views(s, d, "lineitem", "part")
@@ -644,7 +651,15 @@ object RelationalPack4 extends QueryPack {
     },
     "q319_sql_q9_margin" -> { (s, d) =>
       views(s, d, "lineitem", "part", "supplier", "nation")
-      s.sql(q9Sql("div"))
+      val result = s.sql(q9Sql("div"))
+      // five-way join spine: every join must stay equi-planned (the
+      // q12 scale-independent require — a nested-loop anywhere here is
+      // quadratic at 100 TB)
+      val plan = result.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"q319: joins must stay equi-planned; got:\n${plan.take(1500)}")
+      result
     },
     "q320_sql_q12_lagmode" -> { (s, d) =>
       views(s, d, "lineitem", "orders")
