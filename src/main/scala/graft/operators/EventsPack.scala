@@ -1072,6 +1072,60 @@ object EventsPack extends QueryPack {
       result.orderBy("event_type")
     },
 
+    // ---- POPULATION STABILITY INDEX (the model-monitoring drift
+    // standard — banking scorecards since the 90s; PSI > 0.25 = "model
+    // inputs moved, retrain"): the event-value distribution of the
+    // second half of the time span vs the first, over DECILE bins of
+    // the reference period. All integer: decile boundaries from the
+    // reference cum table (smallest value with 10·cum ≥ k·N), per-bin
+    // shares as clamped ppm (max(1, ·) — the standard zero-bin guard),
+    // per-term PSI contribution (Δppm)·(Δqln) with the q05 ln
+    // quantization — both factors share sign, so every term is ≥ 0
+    // like the real PSI. Shapes: scan → (value, period) counts
+    // map-side; the CDF window runs over the value VOCABULARY; bins
+    // are a 9-row broadcast. ----
+    "q340_psi_drift" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("us"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val span = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      val vc = warmed(ev.crossJoin(broadcast(span))
+        .withColumn("isref", (col("us") < expr("(mn + mx) div 2")).cast("long"))
+        .groupBy("cents", "isref").agg(count(lit(1)).as("c")))
+      val na = vc.filter(col("isref") === 1).agg(sum("c").as("na"))
+      val nb = vc.filter(col("isref") === 0).agg(sum("c").as("nb"))
+      val wv = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.filter(col("isref") === 1)
+        .withColumn("cum", sum("c").over(wv))
+        .crossJoin(broadcast(na))
+      val bounds = cum
+        .crossJoin(broadcast(s.range(1, 10).select(col("id").as("k"))))
+        .filter(col("cum") * 10 >= col("k") * col("na"))
+        .groupBy("k").agg(min("cents").as("bk"))
+      val binOf = vc.select("cents").distinct()
+        .crossJoin(broadcast(bounds))
+        .groupBy("cents")
+        .agg(sum((col("cents") >= col("bk")).cast("long")).as("bin"))
+      val bc = vc.join(binOf, "cents")
+        .groupBy("bin")
+        .agg(sum(when(col("isref") === 1, col("c")).otherwise(0L)).as("nra"),
+          sum(when(col("isref") === 0, col("c")).otherwise(0L)).as("nrb"))
+      val result = bc.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .withColumn("pa", greatest(lit(1L), expr("(nra * 1000000) div na")))
+        .withColumn("pb", greatest(lit(1L), expr("(nrb * 1000000) div nb")))
+        .select(col("bin").cast("bigint").as("bin"),
+          col("nra").cast("bigint").as("n_ref"),
+          col("nrb").cast("bigint").as("n_cur"),
+          col("pa").cast("bigint").as("ref_ppm"),
+          col("pb").cast("bigint").as("cur_ppm"),
+          ((col("pa") - col("pb")) * (qln(col("pa")) - qln(col("pb"))))
+            .cast("bigint").as("psi_term_q"))
+      materialized(result, vc).orderBy("bin")
+    },
+
     // ---- HILL TAIL-INDEX ESTIMATOR (Hill 1975): the power-law
     // exponent of the user-activity tail from the top-50 order
     // statistics over the 51st as threshold — α̂ = k / Σ(ln xᵢ − ln x₍ₖ₊₁₎)
@@ -2469,6 +2523,46 @@ object EventsPack extends QueryPack {
         |       CAST(abs(s_k) AS BIGINT) AS cusum_abs, n_hours, total
         |FROM rk WHERE rn = 1
         |ORDER BY event_type""".stripMargin,
+
+    // same midpoint split, reference-decile boundary rule, clamped ppm
+    // and per-term (Δppm)·(Δqln) contributions
+    "q340_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |span AS (SELECT CAST(min(us) AS BIGINT) AS mn, CAST(max(us) AS BIGINT) AS mx FROM ev),
+        |vc AS (SELECT cents,
+        |              CASE WHEN us < (s.mn + s.mx) // 2 THEN 1 ELSE 0 END AS isref,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM ev CROSS JOIN span s GROUP BY 1, 2),
+        |na AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM vc WHERE isref = 1),
+        |nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM vc WHERE isref = 0),
+        |cum AS (SELECT cents,
+        |               CAST(SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM vc WHERE isref = 1),
+        |bounds AS (SELECT k.k, CAST(MIN(cents) AS BIGINT) AS bk
+        |           FROM cum CROSS JOIN na CROSS JOIN UNNEST(generate_series(1, 9)) AS k(k)
+        |           WHERE cum * 10 >= k.k * na.na
+        |           GROUP BY k.k),
+        |binof AS (SELECT v.cents,
+        |                 CAST(SUM(CASE WHEN v.cents >= b.bk THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        |          FROM (SELECT DISTINCT cents FROM vc) v CROSS JOIN bounds b
+        |          GROUP BY v.cents),
+        |bc AS (SELECT bin,
+        |              CAST(SUM(CASE WHEN isref = 1 THEN c ELSE 0 END) AS BIGINT) AS nra,
+        |              CAST(SUM(CASE WHEN isref = 0 THEN c ELSE 0 END) AS BIGINT) AS nrb
+        |       FROM vc JOIN binof USING (cents) GROUP BY bin),
+        |pp AS (SELECT bin, nra, nrb,
+        |              GREATEST(1, (nra * 1000000) // na.na) AS pa,
+        |              GREATEST(1, (nrb * 1000000) // nb.nb) AS pb
+        |       FROM bc CROSS JOIN na CROSS JOIN nb)
+        |SELECT bin, nra AS n_ref, nrb AS n_cur,
+        |       CAST(pa AS BIGINT) AS ref_ppm, CAST(pb AS BIGINT) AS cur_ppm,
+        |       CAST((pa - pb) * (CAST(floor(ln(CAST(pa AS DOUBLE)) * 1e6) AS BIGINT)
+        |                       - CAST(floor(ln(CAST(pb AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS psi_term_q
+        |FROM pp
+        |ORDER BY bin""".stripMargin,
 
     // same top-51 (x desc, user) order statistics and per-term ln
     // quantization
