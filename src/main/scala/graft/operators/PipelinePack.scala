@@ -91,7 +91,7 @@ object PipelinePack extends QueryPack {
   /** The q118/q328 word co-occurrence graph: one edge per ordered word
     * pair (a < b) adjacent in ≥ 3 documents — linear in corpus tokens
     * (adjacent bigrams, never within-doc all-pairs). */
-  private def cooccurEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def cooccurEdges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 2)).as("bg"))
@@ -109,7 +109,7 @@ object PipelinePack extends QueryPack {
 
   /** Per-word triangle participation over an ordered (a < b) edge list:
     * the compact-forward wedge-close join pair (scales by degree). */
-  private def perWordTriangles(edges: DataFrame): DataFrame = {
+  private[graft] def perWordTriangles(edges: DataFrame): DataFrame = {
     val tri = edges.as("e1")
       .join(edges.as("e2"),
         col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))

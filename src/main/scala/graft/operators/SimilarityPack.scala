@@ -383,7 +383,7 @@ object SimilarityPack extends QueryPack {
   /** q324's deterministic ±1 JL sign matrix: sgn(j,i) from the parity
     * of the shared md5→int64 hash of "jl_j_i" — replayed verbatim by
     * the oracle, broadcast everywhere it's used (r×[[dim]] rows). */
-  private def jlSigns(s: SparkSession, r: Int): DataFrame = {
+  private[graft] def jlSigns(s: SparkSession, r: Int): DataFrame = {
     import graft.functions.TextFunctions.hex64
     s.range(1, r + 1).select(col("id").cast("int").as("j"))
       .crossJoin(s.range(1, dim + 1).select(col("id").cast("int").as("i")))
