@@ -1072,6 +1072,49 @@ object EventsPack extends QueryPack {
       result.orderBy("event_type")
     },
 
+    // ---- BINARY-SEGMENTATION CHANGEPOINTS (Scott & Knott 1974; the
+    // standard recursion over a single-changepoint statistic): one
+    // level of recursion over q199's integer CUSUM — find each
+    // stream's global changepoint, split there, re-run the identical
+    // statistic inside each half — the two-regime-shift detector
+    // (ramp-up + incident) a single CUSUM pass cannot localize.
+    // Everything stays the q199 exact-integer machinery; segments are
+    // window partitions keyed by (type, segment), still CALENDAR-
+    // bounded per task. Sub-segments with a single hour produce no
+    // candidate k < n and drop identically in both engines. ----
+    "q341_binary_segmentation" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      def top(h: DataFrame): DataFrame = {
+        val tot = h.groupBy("event_type", "seg")
+          .agg(sum("c").as("total"), count(lit(1)).as("n_hours"))
+        val wc = Window.partitionBy("event_type", "seg").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wi = Window.partitionBy("event_type", "seg").orderBy("hr")
+        h.join(tot, Seq("event_type", "seg"))
+          .withColumn("cumc", sum("c").over(wc))
+          .withColumn("k", row_number().over(wi).cast("bigint"))
+          .withColumn("s_k", col("n_hours") * col("cumc") - col("k") * col("total"))
+          .filter(col("k") < col("n_hours"))
+          .groupBy("event_type", "seg")
+          .agg(max(struct(abs(col("s_k")).as("a"), (-col("hr")).as("nh"))).as("m"))
+          .select(col("event_type"), col("seg"),
+            (-col("m.nh")).as("change_hr"), col("m.a").as("cusum_abs"))
+      }
+      val cp0 = top(hourly.withColumn("seg", lit(0)))
+      val h1 = hourly
+        .join(cp0.select(col("event_type"), col("change_hr").as("cp")), "event_type")
+        .withColumn("seg", when(col("hr") <= col("cp"), lit(1)).otherwise(lit(2)))
+        .select("event_type", "seg", "hr", "c")
+      val result = cp0.unionByName(top(h1))
+        .select(col("event_type"), col("seg").cast("int").as("seg"),
+          col("change_hr").cast("bigint").as("change_hr"),
+          col("cusum_abs").cast("bigint").as("cusum_abs"))
+      result.orderBy("event_type", "seg")
+    },
+
     // ---- POPULATION STABILITY INDEX (the model-monitoring drift
     // standard — banking scorecards since the 90s; PSI > 0.25 = "model
     // inputs moved, retrain"): the event-value distribution of the
@@ -2523,6 +2566,53 @@ object EventsPack extends QueryPack {
         |       CAST(abs(s_k) AS BIGINT) AS cusum_abs, n_hours, total
         |FROM rk WHERE rn = 1
         |ORDER BY event_type""".stripMargin,
+
+    // q199's chain run at level 0, the split on its changepoint, the
+    // identical chain re-run per (type, segment)
+    "q341_binary_segmentation" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot0 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+        |                CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1),
+        |cum0 AS (SELECT h.event_type, h.hr, t.n_hours, t.total,
+        |                sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.hr
+        |                               ROWS UNBOUNDED PRECEDING) AS cumc,
+        |                row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS k
+        |         FROM hourly h JOIN tot0 t USING (event_type)),
+        |sk0 AS (SELECT event_type, hr, n_hours * cumc - k * total AS s_k
+        |        FROM cum0 WHERE k < n_hours),
+        |cp0 AS (SELECT event_type, hr AS change_hr, abs(s_k) AS cusum_abs FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                       ORDER BY abs(s_k) DESC, hr) AS rn
+        |          FROM sk0) WHERE rn = 1),
+        |h1 AS (SELECT h.event_type,
+        |              CASE WHEN h.hr <= c.change_hr THEN 1 ELSE 2 END AS seg,
+        |              h.hr, h.c
+        |       FROM hourly h JOIN cp0 c USING (event_type)),
+        |tot1 AS (SELECT event_type, seg, CAST(sum(c) AS BIGINT) AS total,
+        |                CAST(count(*) AS BIGINT) AS n_hours FROM h1 GROUP BY 1, 2),
+        |cum1 AS (SELECT h.event_type, h.seg, h.hr, t.n_hours, t.total,
+        |                sum(h.c) OVER (PARTITION BY h.event_type, h.seg ORDER BY h.hr
+        |                               ROWS UNBOUNDED PRECEDING) AS cumc,
+        |                row_number() OVER (PARTITION BY h.event_type, h.seg ORDER BY h.hr) AS k
+        |         FROM h1 h JOIN tot1 t USING (event_type, seg)),
+        |sk1 AS (SELECT event_type, seg, hr, n_hours * cumc - k * total AS s_k
+        |        FROM cum1 WHERE k < n_hours),
+        |cp1 AS (SELECT event_type, seg, hr AS change_hr, abs(s_k) AS cusum_abs FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY event_type, seg
+        |                                       ORDER BY abs(s_k) DESC, hr) AS rn
+        |          FROM sk1) WHERE rn = 1)
+        |SELECT event_type, CAST(0 AS INT) AS seg,
+        |       CAST(change_hr AS BIGINT) AS change_hr,
+        |       CAST(cusum_abs AS BIGINT) AS cusum_abs
+        |FROM cp0
+        |UNION ALL
+        |SELECT event_type, CAST(seg AS INT), CAST(change_hr AS BIGINT),
+        |       CAST(cusum_abs AS BIGINT)
+        |FROM cp1
+        |ORDER BY event_type, seg""".stripMargin,
 
     // same midpoint split, reference-decile boundary rule, clamped ppm
     // and per-term (Δppm)·(Δqln) contributions

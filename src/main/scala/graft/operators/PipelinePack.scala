@@ -303,6 +303,26 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- NEAR-DUP CLUSTER-SIZE HISTOGRAM: the distribution of q47's
+    // component sizes — the one-table answer to "is duplication a long
+    // tail of pairs or a few viral mega-clusters", which decides the
+    // rep-picking strategy (q48) and warns of the skew the q286
+    // band-load audit sees on the LSH side. Exact-size rows (sizes are
+    // few distinct values), n_docs = size × cluster count; singletons
+    // are docs outside the pair graph (corpus minus Σ n_docs). Shape:
+    // the shared CC labels collapse to a components-sized frame, then
+    // a sizes-sized one. ----
+    "q342_cluster_size_histogram" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val lab = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+      val result = lab.groupBy("label").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").cast("bigint").as("cluster_size"),
+          col("n_clusters").cast("bigint").as("n_clusters"),
+          (col("sz") * col("n_clusters")).cast("bigint").as("n_docs"))
+      result.orderBy("cluster_size")
+    },
+
     // ---- the SAME cluster assignment by a DIFFERENT algorithm:
     // pointer-jumping CC (see [[pointerJumpCC]] — O(log n) rounds vs
     // q47's O(diameter) BSP). Gated against the same converged
@@ -1448,6 +1468,24 @@ object PipelinePack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // the q47 recursive closure folded to sizes
+    "q342_cluster_size_histogram" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |cs AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY label)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM cs
+         |GROUP BY sz
+         |ORDER BY cluster_size""".stripMargin,
 
     "q191_greedy_coverage" -> greedyCoverageOracle,
     "q107_source_datacard" ->
