@@ -218,6 +218,51 @@ object EventsPack extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- NEAREST-IN-TIME as-of (pandas merge_asof direction='nearest')
+    // composed from the NATIVE operator's two directions: backward
+    // (greatest purchase ≤ signup) and forward (q283's negated-time
+    // trick), both 7-day-tolerance left-outer, then a per-row pick of
+    // the smaller |Δt| with ties to backward — the standard sensor-
+    // alignment semantics, built from two sort-merge passes instead of
+    // a new physical operator (each pass is the exchange-free
+    // [[graft.plans.AsOfJoinExec]] cost model). Oracle: the correlated
+    // argmin over |Δ| with the same tie rule. ----
+    "q345_asof_nearest" -> { (s, d) =>
+      val tol = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("us").as("signup_us"))
+        .withColumn("neg_us", -col("signup_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("r_user_id"), col("us").as("purchase_us"))
+        .agg(min("event_id").as("purchase_event_id"))
+        .withColumn("neg_pus", -col("purchase_us"))
+      val back = graft.plans.GraftOps.asofJoin(signups, purchases,
+          Seq("user_id"), Seq("r_user_id"), "signup_us", "purchase_us",
+          allowEqual = true, leftOuter = true, tolerance = Some(tol))
+        .select(col("user_id"), col("event_id"), col("signup_us"),
+          col("purchase_event_id").as("b_id"), col("purchase_us").as("b_us"))
+      val fwd = graft.plans.GraftOps.asofJoin(signups, purchases,
+          Seq("user_id"), Seq("r_user_id"), "neg_us", "neg_pus",
+          allowEqual = true, leftOuter = true, tolerance = Some(tol))
+        .select(col("user_id"), col("event_id"),
+          col("purchase_event_id").as("f_id"), col("purchase_us").as("f_us"))
+      back.join(fwd, Seq("user_id", "event_id"))
+        .withColumn("pick_b",
+          col("b_us").isNotNull &&
+            (col("f_us").isNull ||
+              (col("signup_us") - col("b_us")) <= (col("f_us") - col("signup_us"))))
+        .select(col("user_id"), col("event_id"), col("signup_us"),
+          when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("nearest_event_id"),
+          when(col("pick_b"), col("b_us")).otherwise(col("f_us")).as("nearest_us"),
+          (when(col("pick_b"), col("b_us")).otherwise(col("f_us")) - col("signup_us"))
+            .as("delta_us"),
+          when(col("pick_b"), lit("backward"))
+            .when(col("f_us").isNotNull, lit("forward"))
+            .otherwise(lit("none")).as("direction"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- EVENT-TYPE CO-OCCURRENCE PMI: which behaviors cluster in the
     // same users (pointwise mutual information over per-user event-type
     // presence) — the association table behind "users who error also
@@ -1911,6 +1956,35 @@ object EventsPack extends QueryPack {
         |       CAST(sum(term_q) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS logs_q
         |FROM lg
         |ORDER BY t_day""".stripMargin,
+
+    // correlated argmin over |Δt| with the backward-wins tie rule
+    "q345_asof_nearest" ->
+      """WITH su AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS signup_us
+        |  FROM events WHERE event_type = 'signup'),
+        |pu AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+        |         min(event_id) AS purchase_event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |m AS (
+        |  SELECT s.user_id, s.event_id, p.purchase_event_id, p.purchase_us,
+        |         row_number() OVER (PARTITION BY s.user_id, s.event_id
+        |                            ORDER BY abs(p.purchase_us - s.signup_us),
+        |                                     CASE WHEN p.purchase_us <= s.signup_us
+        |                                          THEN 0 ELSE 1 END) AS rk
+        |  FROM su s JOIN pu p ON p.user_id = s.user_id
+        |    AND abs(p.purchase_us - s.signup_us) <= 604800000000)
+        |SELECT s.user_id, s.event_id, s.signup_us,
+        |       m.purchase_event_id AS nearest_event_id,
+        |       m.purchase_us AS nearest_us,
+        |       m.purchase_us - s.signup_us AS delta_us,
+        |       CASE WHEN m.purchase_us IS NULL THEN 'none'
+        |            WHEN m.purchase_us <= s.signup_us THEN 'backward'
+        |            ELSE 'forward' END AS direction
+        |FROM su s LEFT JOIN (SELECT * FROM m WHERE rk = 1) m
+        |  USING (user_id, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // forward correlated-argmin definition (the q105 oracle pattern with
     // the inequality flipped), inclusive 7-day window

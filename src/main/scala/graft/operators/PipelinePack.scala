@@ -303,6 +303,31 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- REP-RULE SURVIVORSHIP AUDIT: per near-dup cluster, which doc
+    // survives under the two standard representative rules — smallest
+    // id (stable/reproducible) vs longest text (information-preserving,
+    // ties to smallest id) — and whether they AGREE. High disagreement
+    // means the rep choice materially changes the released corpus and
+    // deserves a policy decision, not a default (the q48 rule audited
+    // rather than assumed). Shape: CC labels joined to doc lengths,
+    // one components-sized argmax aggregate. ----
+    "q343_rep_survivorship" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val lab = connectedComponents(symmetricEdges(pairs).toDF("v", "u"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val result = lab.join(docs, col("node") === col("doc_id"))
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("sz"),
+          min("doc_id").as("rep_by_id"),
+          max(struct(col("n_chars").as("a"), (-col("doc_id")).as("nb"))).as("m"))
+        .select(col("cluster").cast("bigint").as("cluster"),
+          col("sz").cast("bigint").as("cluster_size"),
+          col("rep_by_id").cast("bigint").as("rep_by_id"),
+          (-col("m.nb")).cast("bigint").as("rep_by_len"),
+          (col("rep_by_id") === -col("m.nb")).as("agree"))
+      result.orderBy("cluster")
+    },
+
     // ---- NEAR-DUP CLUSTER-SIZE HISTOGRAM: the distribution of q47's
     // component sizes — the one-table answer to "is duplication a long
     // tail of pairs or a few viral mega-clusters", which decides the
@@ -1468,6 +1493,30 @@ object PipelinePack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // the q47 closure joined to lengths; (n_chars desc, doc) argmax
+    "q343_rep_survivorship" ->
+      s"""WITH RECURSIVE ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |n AS (SELECT DISTINCT v FROM e),
+         |reach(v, u) AS (
+         |  SELECT v, v AS u FROM n
+         |  UNION
+         |  SELECT r.v, e2.u FROM reach r JOIN e e2 ON e2.v = r.u),
+         |lab AS (SELECT v AS node, min(u) AS label FROM reach GROUP BY v),
+         |ld AS (SELECT l.label, l.node, d.n_chars,
+         |              row_number() OVER (PARTITION BY l.label
+         |                                 ORDER BY d.n_chars DESC, l.node) AS rk
+         |       FROM lab l JOIN documents d ON d.doc_id = l.node)
+         |SELECT CAST(label AS BIGINT) AS cluster,
+         |       CAST(count(*) AS BIGINT) AS cluster_size,
+         |       CAST(min(node) AS BIGINT) AS rep_by_id,
+         |       CAST(min(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS rep_by_len,
+         |       min(node) = min(CASE WHEN rk = 1 THEN node END) AS agree
+         |FROM ld
+         |GROUP BY label
+         |ORDER BY cluster""".stripMargin,
 
     // the q47 recursive closure folded to sizes
     "q342_cluster_size_histogram" ->

@@ -622,6 +622,32 @@ object RelationalPack4 extends QueryPack {
        |ORDER BY pred""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- REVENUE CONCENTRATION: Herfindahl–Hirschman index + CR10 over
+    // customer revenue shares — the "how dependent are we on whales"
+    // numbers (HHI is the antitrust standard; CR10 the account-risk
+    // one), the relational twin of q248's source-concentration Pareto.
+    // Exact cents; shares as truncated ppm (Σ share_ppm² div 10⁶ — each
+    // term ≤ 10¹², the sum bounded by 10⁶·max share). The top-10 is a
+    // TakeOrderedAndProject, never a global sort. ----
+    "q344_revenue_hhi" -> { (s, d) =>
+      val cust = graft.core.Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("cents"))
+      import org.apache.spark.sql.functions._
+      val tot = cust.agg(sum("cents").as("tot"), count(lit(1)).as("n_customers"))
+      val hhi = cust.crossJoin(broadcast(tot))
+        .select(expr("(cents * 1000000) div tot").as("sp"))
+        .agg(sum(expr("sp * sp")).as("s2"))
+      val top10 = cust.orderBy(col("cents").desc, col("o_custkey")).limit(10)
+        .agg(sum("cents").as("c10"))
+      hhi.crossJoin(broadcast(tot)).crossJoin(broadcast(top10))
+        .select(col("n_customers").cast("bigint").as("n_customers"),
+          col("tot").cast("bigint").as("total_cents"),
+          expr("s2 div 1000000").cast("bigint").as("hhi_ppm"),
+          expr("(c10 * 1000000) div tot").cast("bigint").as("cr10_ppm"))
+    },
     "q329_zonemap_skip" -> { (s, d) =>
       views(s, d, "orders")
       s.sql(zonemapSql("div"))
@@ -732,6 +758,22 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q344_revenue_hhi" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+        |               CAST(count(*) AS BIGINT) AS n_customers FROM cust),
+        |sp AS (SELECT (c.cents * 1000000) // t.tot AS sp FROM cust c CROSS JOIN tot t),
+        |hhi AS (SELECT CAST(SUM(sp * sp) AS BIGINT) AS s2 FROM sp),
+        |t10 AS (SELECT CAST(SUM(cents) AS BIGINT) AS c10
+        |        FROM (SELECT cents, o_custkey FROM cust
+        |              QUALIFY row_number() OVER (ORDER BY cents DESC, o_custkey) <= 10))
+        |SELECT t.n_customers, t.tot AS total_cents,
+        |       CAST(h.s2 // 1000000 AS BIGINT) AS hhi_ppm,
+        |       CAST((x.c10 * 1000000) // t.tot AS BIGINT) AS cr10_ppm
+        |FROM hhi h CROSS JOIN tot t CROSS JOIN t10 x""".stripMargin,
     "q329_zonemap_skip"     -> zonemapSql("//"),
     "q322_benford_audit"    -> benfordSql("//"),
     "q316_sql_q21_waiting"  -> q21Sql("//"),
