@@ -597,6 +597,41 @@ object CleanPack extends QueryPack {
     // readout toward active users). Both experiments are fair coins
     // over the same population, so t² should be far under the 3.84
     // significance bar — the readout's own null check. ----
+    // ---- NEYMAN ALLOCATION AUDIT (Neyman 1934): the variance-optimal
+    // stratified-sampling allocation n_h ∝ N_h·S_h over sources vs the
+    // naive proportional N_h share — the design table behind q66's
+    // stratified sample (high-variance strata deserve MORE than their
+    // proportional share; the delta column says how much the naive
+    // design wastes). Exact integer moments per stratum; S_h is the
+    // single correctly-rounded sqrt (q175 rule); the allocation weight
+    // is floor-quantized ×10³ per stratum BEFORE the integer share
+    // division, so no cross-stratum double summation order exists.
+    // Shape: one map-side-combining moment aggregate, then a
+    // sources-sized frame. ----
+    "q346_neyman_allocation" -> { (s, d) =>
+      val mom = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("bigint").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(expr("x * x")).as("s2"))
+        .filter(col("n") >= 2)
+      val wq = mom.withColumn("aq",
+        floor(col("n").cast("double") *
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) * lit(1e3))
+          .cast("bigint"))
+      val tot = wq.agg(sum("aq").as("ta"), sum("n").as("tn"))
+      val result = wq.crossJoin(broadcast(tot))
+        .select(col("source"),
+          col("n").cast("bigint").as("n_docs"),
+          col("aq").cast("bigint").as("neyman_weight_q"),
+          expr("(aq * 1000000) div ta").cast("bigint").as("neyman_ppm"),
+          expr("(n * 1000000) div tn").cast("bigint").as("proportional_ppm"),
+          (expr("(aq * 1000000) div ta") - expr("(n * 1000000) div tn"))
+            .cast("bigint").as("delta_ppm"))
+      result.orderBy("source")
+    },
+
     // ---- TWO-SAMPLE KOLMOGOROV–SMIRNOV (Kolmogorov 1933; Smirnov
     // 1939) over every source pair's document-length distribution: the
     // distribution-free drift test next to q112's KL (KL needs binning
@@ -1293,6 +1328,28 @@ object CleanPack extends QueryPack {
     // same md5 assignment and power sums (Σm² as internal
     // DECIMAL(38,0), q170's discipline); the t² expression is
     // the SAME string Spark evaluates (welchT2Expr/meanDiffExpr)
+    // same integer moments, single sqrt, ×10³ per-stratum quantization
+    // before the integer share division
+    "q346_neyman_allocation" ->
+      """WITH mom AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+        |  FROM (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents)
+        |  GROUP BY source HAVING count(*) >= 2),
+        |wq AS (
+        |  SELECT source, n,
+        |         CAST(floor(CAST(n AS DOUBLE)
+        |              * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |                     / CAST(n * (n - 1) AS DOUBLE)) * 1e3) AS BIGINT) AS aq
+        |  FROM mom),
+        |tot AS (SELECT CAST(SUM(aq) AS BIGINT) AS ta, CAST(SUM(n) AS BIGINT) AS tn FROM wq)
+        |SELECT w.source, w.n AS n_docs, w.aq AS neyman_weight_q,
+        |       CAST((w.aq * 1000000) // t.ta AS BIGINT) AS neyman_ppm,
+        |       CAST((w.n * 1000000) // t.tn AS BIGINT) AS proportional_ppm,
+        |       CAST((w.aq * 1000000) // t.ta - (w.n * 1000000) // t.tn AS BIGINT) AS delta_ppm
+        |FROM wq w CROSS JOIN tot t
+        |ORDER BY source""".stripMargin,
+
     // same length-vocabulary CDF grid, exact count-product sup norm,
     // identical one-sqrt critical value
     "q330_ks_statistic" ->

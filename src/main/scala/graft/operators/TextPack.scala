@@ -532,6 +532,50 @@ object TextPack extends QueryPack {
     },
 
     // ---- quality scoring: type-token ratio, token length, stopwords ----
+    // ---- JENSEN–SHANNON DIVERGENCE MATRIX (Lin 1991): the symmetric,
+    // bounded, zero-tolerant divergence between source unigram
+    // distributions — the principled middle ground between q112's KL
+    // (asymmetric, zero-hostile) and q336's cosine (shape-blind to the
+    // tail). Emitted as the two EXACT scaled numerators per pair
+    // (the q299 Theil treatment — no cross-engine division):
+    //   jsa_q = Σ_{w: a>0} a·(qln(2·a·N_b) − qln(a·N_b + b·N_a))
+    // and symmetrically jsb_q; JS nats = (jsa/N_a + jsb/N_b) / 2·10⁶.
+    // Per-term qln on int64 products ≤ 10¹² keeps every term exact.
+    // Shape: (source, word) counts map-side; the directed frame is
+    // vocab × (sources−1)-bounded; pairs sources²-bounded. ----
+    "q347_js_divergence" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val sw = warmed(Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val ns = sw.groupBy("source").agg(sum("c").as("n"))
+      val dir = sw.join(broadcast(ns), "source")
+        .join(broadcast(ns.select(col("source").as("other"), col("n").as("n_o"))),
+          col("source") =!= col("other"))
+        .join(sw.select(col("source").as("other"), col("w"), col("c").as("c_o")),
+          Seq("other", "w"), "left")
+        .na.fill(0L, Seq("c_o"))
+        .withColumn("term",
+          col("c") * (qln(lit(2L) * col("c") * col("n_o")) -
+            qln(col("c") * col("n_o") + col("c_o") * col("n"))))
+      val parts = dir.groupBy("source", "other").agg(sum("term").as("js_part"))
+      val a = parts.filter(col("source") < col("other"))
+        .select(col("source").as("source_a"), col("other").as("source_b"),
+          col("js_part").as("jsa_q"))
+      val b = parts.filter(col("source") > col("other"))
+        .select(col("other").as("source_a"), col("source").as("source_b"),
+          col("js_part").as("jsb_q"))
+      val result = a.join(b, Seq("source_a", "source_b"))
+        .join(ns.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+        .join(ns.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+        .select(col("source_a"), col("source_b"),
+          col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          col("jsa_q").cast("bigint").as("jsa_q"),
+          col("jsb_q").cast("bigint").as("jsb_q"))
+      materialized(result, sw).orderBy("source_a", "source_b")
+    },
+
     // ---- SOURCE TERM-PROFILE COSINE MATRIX: pairwise cosine of the
     // sources' term-frequency vectors over the top-200 corpus words —
     // the symmetric source-similarity read next to q112's (asymmetric,
@@ -1985,6 +2029,38 @@ object TextPack extends QueryPack {
           |FROM r
           |ORDER BY rrf_q DESC, doc_id
           |LIMIT 50""".stripMargin,
+
+      // same directed scaled numerators, same per-term qln, assembled
+      // per unordered pair
+      "q347_js_divergence" ->
+        """WITH sw AS (
+          |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT source,
+          |               unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), x -> x <> '')) AS w
+          |        FROM documents)
+          |  GROUP BY 1, 2),
+          |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+          |dir AS (
+          |  SELECT a.source, o.source AS other, a.c, na.n AS n_a, o.n AS n_o,
+          |         COALESCE(b.c, 0) AS c_o
+          |  FROM sw a
+          |  JOIN ns na ON na.source = a.source
+          |  JOIN ns o ON o.source <> a.source
+          |  LEFT JOIN sw b ON b.source = o.source AND b.w = a.w),
+          |parts AS (
+          |  SELECT source, other,
+          |         CAST(SUM(c * (CAST(floor(ln(CAST(2 * c * n_o AS DOUBLE)) * 1e6) AS BIGINT)
+          |                     - CAST(floor(ln(CAST(c * n_o + c_o * n_a AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS js_part
+          |  FROM dir GROUP BY 1, 2)
+          |SELECT ta.source AS source_a, ta.other AS source_b,
+          |       na.n AS n_a, nb.n AS n_b,
+          |       ta.js_part AS jsa_q, tb.js_part AS jsb_q
+          |FROM parts ta
+          |JOIN parts tb ON tb.source = ta.other AND tb.other = ta.source
+          |JOIN ns na ON na.source = ta.source
+          |JOIN ns nb ON nb.source = ta.other
+          |WHERE ta.source < ta.other
+          |ORDER BY source_a, source_b""".stripMargin,
 
       // same top-200 (cf desc, word) vocabulary, exact integer dot and
       // norms, identical sqrt·sqrt divide
