@@ -597,6 +597,58 @@ object CleanPack extends QueryPack {
     // readout toward active users). Both experiments are fair coins
     // over the same population, so t² should be far under the 3.84
     // significance bar — the readout's own null check. ----
+    // ---- BROWN–FORSYTHE VARIANCE HOMOGENEITY (Brown & Forsythe 1974;
+    // Levene's test on MEDIAN-centered deviations): are the sources'
+    // length SPREADS equal? — the assumption check q250's ANOVA and
+    // q211's pooled comparisons quietly lean on (and the robust-center
+    // variant that survives the skewed length distributions real
+    // corpora have). Exact integer medians (value-vocabulary CDF) and
+    // |x−med| moments; the per-source F terms are floor-quantized to
+    // int64 BEFORE the cross-source sum (no double summation-order
+    // hazard, the q346 rule); one final double ratio. ----
+    "q350_brown_forsythe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("bigint").as("x"))
+      val cnt = docs.groupBy("source", "x").agg(count(lit(1)).as("ct"))
+      val wv = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnt.withColumn("cum", sum("ct").over(wv))
+      val nsrc = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val med = cum.join(nsrc, "source")
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("source").agg(min("x").as("med"))
+      val per = docs.join(broadcast(med), "source")
+        .select(col("source"), col("med"), abs(col("x") - col("med")).as("z"))
+        .groupBy("source")
+        .agg(max("med").as("med"), count(lit(1)).as("n"),
+          sum("z").as("sz"), sum(expr("z * z")).as("qz"))
+      val glob = per.agg(sum("n").as("nn"), sum("sz").as("ss"),
+        count(lit(1)).as("k"))
+      val terms = per.crossJoin(broadcast(glob))
+        .withColumn("dev",
+          col("sz").cast("double") / col("n").cast("double") -
+            col("ss").cast("double") / col("nn").cast("double"))
+        .withColumn("bf_term_q",
+          floor(col("n").cast("double") * col("dev") * col("dev")).cast("bigint"))
+        .withColumn("within_term_q",
+          floor(col("qz").cast("double") -
+            col("sz").cast("double") * col("sz").cast("double") /
+              col("n").cast("double")).cast("bigint"))
+      val fstat = terms.agg(sum("bf_term_q").as("sb"), sum("within_term_q").as("sw"),
+          max("nn").as("nn"), max("k").as("k"))
+        .select(expr("""CAST(CASE WHEN sw = 0 THEN 0
+               |     ELSE floor(1000.0 * CAST((nn - k) AS DOUBLE) * CAST(sb AS DOUBLE)
+               |          / (CAST((k - 1) AS DOUBLE) * CAST(sw AS DOUBLE)))
+               |     END AS BIGINT)""".stripMargin).as("f_milli"))
+      val result = terms.crossJoin(broadcast(fstat))
+        .select(col("source"),
+          col("n").cast("bigint").as("n_docs"),
+          col("med").cast("bigint").as("median_len"),
+          col("sz").cast("bigint").as("sum_absdev"),
+          col("bf_term_q"), col("within_term_q"), col("f_milli"))
+      result.orderBy("source")
+    },
+
     // ---- NEYMAN ALLOCATION AUDIT (Neyman 1934): the variance-optimal
     // stratified-sampling allocation n_h ∝ N_h·S_h over sources vs the
     // naive proportional N_h share — the design table behind q66's
@@ -1328,6 +1380,48 @@ object CleanPack extends QueryPack {
     // same md5 assignment and power sums (Σm² as internal
     // DECIMAL(38,0), q170's discipline); the t² expression is
     // the SAME string Spark evaluates (welchT2Expr/meanDiffExpr)
+    // same vocabulary medians, integer |x−med| moments, per-source
+    // floor-quantized F terms, identical final double ratio
+    "q350_brown_forsythe" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |cnt AS (SELECT source, x, CAST(count(*) AS BIGINT) AS ct FROM docs GROUP BY 1, 2),
+        |cum AS (SELECT source, x,
+        |               CAST(SUM(ct) OVER (PARTITION BY source ORDER BY x
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM cnt),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY 1),
+        |med AS (SELECT c.source, CAST(MIN(c.x) AS BIGINT) AS med
+        |        FROM cum c JOIN ns USING (source)
+        |        WHERE c.cum * 2 >= ns.n GROUP BY c.source),
+        |per AS (SELECT d.source, CAST(MAX(m.med) AS BIGINT) AS med,
+        |               CAST(count(*) AS BIGINT) AS n,
+        |               CAST(SUM(abs(d.x - m.med)) AS BIGINT) AS sz,
+        |               CAST(SUM(abs(d.x - m.med) * abs(d.x - m.med)) AS BIGINT) AS qz
+        |        FROM docs d JOIN med m USING (source) GROUP BY d.source),
+        |gl AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sz) AS BIGINT) AS ss,
+        |                CAST(count(*) AS BIGINT) AS k FROM per),
+        |terms AS (
+        |  SELECT p.source, p.med, p.n, p.sz, p.qz, g.nn, g.k,
+        |         CAST(floor(CAST(p.n AS DOUBLE)
+        |              * (CAST(p.sz AS DOUBLE) / CAST(p.n AS DOUBLE) - CAST(g.ss AS DOUBLE) / CAST(g.nn AS DOUBLE))
+        |              * (CAST(p.sz AS DOUBLE) / CAST(p.n AS DOUBLE) - CAST(g.ss AS DOUBLE) / CAST(g.nn AS DOUBLE)))
+        |              AS BIGINT) AS bf_term_q,
+        |         CAST(floor(CAST(p.qz AS DOUBLE)
+        |              - CAST(p.sz AS DOUBLE) * CAST(p.sz AS DOUBLE) / CAST(p.n AS DOUBLE)) AS BIGINT) AS within_term_q
+        |  FROM per p CROSS JOIN gl g),
+        |fs AS (SELECT CAST(SUM(bf_term_q) AS BIGINT) AS sb,
+        |              CAST(SUM(within_term_q) AS BIGINT) AS sw,
+        |              CAST(MAX(nn) AS BIGINT) AS nn, CAST(MAX(k) AS BIGINT) AS k
+        |       FROM terms)
+        |SELECT t.source, t.n AS n_docs, t.med AS median_len, t.sz AS sum_absdev,
+        |       t.bf_term_q, t.within_term_q,
+        |       CAST(CASE WHEN f.sw = 0 THEN 0
+        |            ELSE floor(1000.0 * CAST((f.nn - f.k) AS DOUBLE) * CAST(f.sb AS DOUBLE)
+        |                 / (CAST((f.k - 1) AS DOUBLE) * CAST(f.sw AS DOUBLE)))
+        |            END AS BIGINT) AS f_milli
+        |FROM terms t CROSS JOIN fs f
+        |ORDER BY t.source""".stripMargin,
+
     // same integer moments, single sqrt, ×10³ per-stratum quantization
     // before the integer share division
     "q346_neyman_allocation" ->

@@ -303,6 +303,27 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- CROSS-SOURCE DUPLICATION MATRIX: near-dup pair counts by
+    // (source, source) — the provenance view of the dup graph (intra-
+    // source pairs = boilerplate within a crawl; cross-source pairs =
+    // syndication/mirroring between feeds, the pairs that make source-
+    // stratified splits leak, q145/q207). Shape: the shared pair
+    // artifact joined twice against the doc→source map, folded to a
+    // sources²-bounded matrix. ----
+    "q348_cross_source_dups" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val result = pairs
+        .join(src.select(col("doc_id").as("doc_i"), col("source").as("s_i")), "doc_i")
+        .join(src.select(col("doc_id").as("doc_j"), col("source").as("s_j")), "doc_j")
+        .select(least(col("s_i"), col("s_j")).as("source_a"),
+          greatest(col("s_i"), col("s_j")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+        .withColumn("intra", col("source_a") === col("source_b"))
+      result.orderBy("source_a", "source_b")
+    },
+
     // ---- REP-RULE SURVIVORSHIP AUDIT: per near-dup cluster, which doc
     // survives under the two standard representative rules — smallest
     // id (stable/reproducible) vs longest text (information-preserving,
@@ -1493,6 +1514,21 @@ object PipelinePack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // the shared pair table joined to sources, least/greatest fold
+    "q348_cross_source_dups" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |m AS (
+         |  SELECT least(di.source, dj.source) AS source_a,
+         |         greatest(di.source, dj.source) AS source_b
+         |  FROM pairs p
+         |  JOIN documents di ON di.doc_id = p.doc_i
+         |  JOIN documents dj ON dj.doc_id = p.doc_j)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       source_a = source_b AS intra
+         |FROM m
+         |GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // the q47 closure joined to lengths; (n_chars desc, doc) argmax
     "q343_rep_survivorship" ->

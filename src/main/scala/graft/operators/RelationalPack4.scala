@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
 
 /** Fourth relational wave: the remaining TPC-H classics expressible on
@@ -648,6 +649,41 @@ object RelationalPack4 extends QueryPack {
           expr("s2 div 1000000").cast("bigint").as("hhi_ppm"),
           expr("(c10 * 1000000) div tot").cast("bigint").as("cr10_ppm"))
     },
+    // ---- REPEAT-PURCHASE INTERVAL BY SEGMENT: per market segment, the
+    // exact lower-median and truncated-mean day gap between a
+    // customer's consecutive orders — the reorder-cadence number
+    // behind replenishment campaigns (and the priors for q38/q345's
+    // as-of tolerances). Shapes: one per-customer lag window (bounded
+    // by a customer's own orders), (segment, gap) counts map-side,
+    // the CDF window over the GAP vocabulary (calendar-bounded). ----
+    "q349_repeat_interval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ords = graft.core.Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+          col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+      val gaps = ords.withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"), (col("day") - col("prev")).as("gap"))
+      val seg = graft.core.Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+      val gs = gaps.join(seg, "o_custkey")
+      val cnt = gs.groupBy("segment", "gap").agg(count(lit(1)).as("ct"))
+      val wv = Window.partitionBy("segment").orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnt.withColumn("cum", sum("ct").over(wv))
+      val tot = gs.groupBy("segment").agg(count(lit(1)).as("n"), sum("gap").as("sg"))
+      val med = cum.join(tot, "segment")
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("segment").agg(min("gap").as("median_gap_days"))
+      tot.join(med, "segment")
+        .select(col("segment"),
+          col("n").cast("bigint").as("n_gaps"),
+          expr("sg div n").cast("bigint").as("mean_gap_days"),
+          col("median_gap_days").cast("bigint").as("median_gap_days"))
+        .orderBy("segment")
+    },
     "q329_zonemap_skip" -> { (s, d) =>
       views(s, d, "orders")
       s.sql(zonemapSql("div"))
@@ -758,6 +794,35 @@ object RelationalPack4 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q349_repeat_interval" ->
+      """WITH ords AS (
+        |  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |         o_orderkey
+        |  FROM orders),
+        |gaps AS (
+        |  SELECT o_custkey,
+        |         day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+        |  FROM ords),
+        |gs AS (SELECT c.c_mktsegment AS segment, g.gap
+        |       FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+        |       WHERE g.gap IS NOT NULL),
+        |cnt AS (SELECT segment, gap, CAST(count(*) AS BIGINT) AS ct FROM gs GROUP BY 1, 2),
+        |cum AS (SELECT segment, gap,
+        |               CAST(SUM(ct) OVER (PARTITION BY segment ORDER BY gap
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM cnt),
+        |tot AS (SELECT segment, CAST(count(*) AS BIGINT) AS n, CAST(SUM(gap) AS BIGINT) AS sg
+        |        FROM gs GROUP BY 1),
+        |med AS (SELECT c.segment, CAST(MIN(c.gap) AS BIGINT) AS median_gap_days
+        |        FROM cum c JOIN tot t USING (segment)
+        |        WHERE c.cum * 2 >= t.n
+        |        GROUP BY c.segment)
+        |SELECT t.segment, t.n AS n_gaps,
+        |       CAST(t.sg // t.n AS BIGINT) AS mean_gap_days,
+        |       m.median_gap_days
+        |FROM tot t JOIN med m USING (segment)
+        |ORDER BY segment""".stripMargin,
+
     "q344_revenue_hhi" ->
       """WITH cust AS (
         |  SELECT o_custkey,
