@@ -74,7 +74,13 @@ object DumpPlans {
     "q284_sql_q2_argmin",     // greatest-1-per-group via min-agg + join-back
     "q298_basket_lift",       // distinct baskets + brands^2-bounded pair join
     "q300_rendezvous_shards", // HRW argmax via max-agg + equi-join, docs x 20 map
-    "q304_source_modularity"  // edge/degree aggregates, sources-sized roll-up
+    "q304_source_modularity", // edge/degree aggregates, sources-sized roll-up
+    "q316_sql_q21_waiting",   // Q21 shape: EXISTS/NOT EXISTS -> semi+anti joins (REQUIREd)
+    "q319_sql_q9_margin",     // Q9 shape: 5-way equi-join spine + cost side-aggregate
+    "q330_ks_statistic",      // per-source CDF windows over the length vocabulary
+    "q336_source_term_cosine",// TakeOrdered top-200 vocab, broadcast profile joins
+    "q344_revenue_hhi",       // TakeOrdered top-10 + map-side share aggregate
+    "q345_asof_nearest"       // two native as-of passes composed, no new exchange
   )
 
   def main(args: Array[String]): Unit = {
