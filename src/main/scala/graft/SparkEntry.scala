@@ -26,6 +26,7 @@ object SparkEntry {
     TextPack,
     RetrievalPack,
     CleanPack,
+    AnalyticsPack,
     MultimodalPack,
     graft.streaming.StreamingPack
   )
