@@ -135,6 +135,112 @@ object AnalyticsPack extends QueryPack {
             "* (cast(n0 as double) - (cast(ty as double) + cast(txy as double))))) as bigint)"))
             .as("tau_b_milli"))
       result.orderBy("n_months")
+    },
+
+    // ---- CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker, WSDM
+    // 2013) on the q180/q211 experimentation stack: adjust each
+    // customer's experiment-period spend by their PRE-period spend
+    // (θ = cov(x,y)/var(x), ŷ = y − θ(x − x̄)) — the standard trick
+    // that cuts A/B readout variance by the covariate's ρ². Buckets
+    // are q180's deterministic md5 coin; covariate = 1995–97 spend,
+    // metric = 1998+ spend, customers without orders count as zero on
+    // both sides (left join + coalesce — q211's no-activity-bias
+    // rule). Cross products Σxy, Σx², Σy² accumulate in DECIMAL(38,0)
+    // (cents² over 10⁵ customers ≈ 10²² — past int64; the q170/q334
+    // discipline, HUGEINT on the oracle side), and θ, ρ², and the
+    // adjusted difference are single-row double expressions on those
+    // exact sums. Scale shape: two map-side-combining aggregates
+    // (per-customer, then global+per-arm) — no window, no pair join. ----
+    "q353_cuped" -> { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate").cast("timestamp").as("od"),
+          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val perCust = Tables.customer(s, d).select("c_custkey")
+        .join(spend, Seq("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          coalesce(sum(when(col("od") < lit("1998-01-01").cast("timestamp"),
+            col("cents"))), lit(0L)).as("x"),
+          coalesce(sum(when(col("od") >= lit("1998-01-01").cast("timestamp"),
+            col("cents"))), lit(0L)).as("y"))
+        .withColumn("bucket",
+          pmod(graft.functions.TextFunctions.hex64(
+            md5(concat(lit("cuped:"), col("c_custkey")))), lit(2)))
+      val glob = perCust.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      val arms = perCust.groupBy("bucket")
+        .agg(count(lit(1)).as("na"), sum("x").as("sxa"), sum("y").as("sya"))
+      val a0 = arms.filter(col("bucket") === 0)
+        .select(col("na").as("n_a"), col("sxa").as("sx_a"), col("sya").as("sy_a"))
+      val a1 = arms.filter(col("bucket") === 1)
+        .select(col("na").as("n_b"), col("sxa").as("sx_b"), col("sya").as("sy_b"))
+      val result = glob.crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+        .withColumn("theta_ppm", expr(
+          "cast(floor(1000000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) " +
+            "/ (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) as bigint)"))
+        .withColumn("rho2_ppm", expr(
+          "cast(floor(1000000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) " +
+            "* (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) " +
+            "/ ((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) " +
+            "* (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))) as bigint)"))
+        .withColumn("raw_diff_micro", expr(
+          "cast(floor(1000000.0 * (cast(sy_a as double) / cast(n_a as double) - cast(sy_b as double) / cast(n_b as double))) as bigint)"))
+        .withColumn("adj_diff_micro", expr(
+          "cast(floor(1000000.0 * ((cast(sy_a as double) / cast(n_a as double) - cast(sy_b as double) / cast(n_b as double)) " +
+            "- ((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) " +
+            "/ (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) " +
+            "* (cast(sx_a as double) / cast(n_a as double) - cast(sx_b as double) / cast(n_b as double)))) as bigint)"))
+        .select(col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          col("sy_a").cast("bigint").as("sum_y_a_cents"),
+          col("sy_b").cast("bigint").as("sum_y_b_cents"),
+          col("theta_ppm"), col("rho2_ppm"),
+          col("raw_diff_micro"), col("adj_diff_micro"))
+      result.orderBy("n_a")
+    },
+
+    // ---- EWMA VOLUME FORECAST (half-life-one exponential smoothing,
+    // exact integer form): per-month order volume smoothed over a
+    // TRAILING 31-MONTH window with weights 2^(30−lag), normalized by
+    // the window's realized weight sum — an α=1/2 EWMA whose tail
+    // truncation (< 2⁻³⁰) is made EXACT by renormalization, so every
+    // engine computes identical integers (the q257 power-of-two
+    // temperature rule; no pow(), no recurrence). One-step-ahead
+    // forecast error |x_{i+1} − ewma_i| is the backtest column. Scale
+    // shape: the corpus scan collapses map-side to ~10² month rows;
+    // the weight convolution is a calendar²-bounded pair join (the
+    // q335 discipline) and the month index is a window over the month
+    // CALENDAR, not over rows. ----
+    "q354_ewma_forecast" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate").cast("timestamp")).as("mon"))
+        .groupBy("mon").agg(count(lit(1)).as("x"))
+      // month index over the bounded calendar (q330 vocabulary rule)
+      val wi = Window.orderBy("mon")
+      val idx = m.withColumn("i", row_number().over(wi))
+      val anchor = idx.select(col("mon").as("mon_a"), col("i").as("ia"),
+        col("x").as("xa"))
+      val hist = idx.select(col("i").as("ib"), col("x").as("xb"))
+      val conv = anchor.join(broadcast(hist),
+          col("ib") <= col("ia") && col("ib") >= col("ia") - 30)
+        .groupBy("mon_a", "ia", "xa")
+        .agg(
+          sum(expr("xb * shiftleft(cast(1 as bigint), 30 - cast(ia - ib as int))")).as("num"),
+          sum(expr("shiftleft(cast(1 as bigint), 30 - cast(ia - ib as int))")).as("den"))
+        .withColumn("ewma_milli", expr("(1000 * num) div den"))
+      val nxt = idx.select((col("i") - 1).as("ia"), col("x").as("x_next"))
+      val result = conv.join(broadcast(nxt), Seq("ia"), "left")
+        .select(col("mon_a").cast("date").as("mon"),
+          col("xa").cast("bigint").as("n_orders"),
+          col("ewma_milli").cast("bigint").as("ewma_milli"),
+          coalesce(col("x_next"), lit(-1L)).cast("bigint").as("next_actual"),
+          coalesce(abs(lit(1000L) * col("x_next") - col("ewma_milli")), lit(-1L))
+            .cast("bigint").as("abs_err_milli"))
+      result.orderBy("mon")
     }
   )
 
@@ -194,6 +300,69 @@ object AnalyticsPack extends QueryPack {
         |       CAST(pr.ty + pr.txy AS BIGINT) AS ties_y,
         |       CAST(floor(1000.0 * (cast(nc as double) - cast(nd as double)) / sqrt((cast(n0 as double) - (cast(tx as double) + cast(txy as double))) * (cast(n0 as double) - (cast(ty as double) + cast(txy as double))))) AS BIGINT) AS tau_b_milli
         |FROM nm CROSS JOIN pr
-        |ORDER BY n_months""".stripMargin
+        |ORDER BY n_months""".stripMargin,
+
+    // same md5 coin, same cents quantization, HUGEINT cross products
+    // mirroring Spark's DECIMAL(38,0) (equal integers → identical
+    // doubles), identical single-row θ/ρ²/diff expressions
+    "q353_cuped" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS c_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |pc AS (
+        |  SELECT c.c_custkey,
+        |         CAST(COALESCE(SUM(CASE WHEN s.od < TIMESTAMP '1998-01-01' THEN s.cents END), 0) AS BIGINT) AS x,
+        |         CAST(COALESCE(SUM(CASE WHEN s.od >= TIMESTAMP '1998-01-01' THEN s.cents END), 0) AS BIGINT) AS y
+        |  FROM customer c LEFT JOIN spend s USING (c_custkey)
+        |  GROUP BY c.c_custkey),
+        |pb AS (
+        |  SELECT x, y,
+        |         CAST('0x' || substring(md5('cuped:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS bucket
+        |  FROM pc),
+        |gl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM pb),
+        |ar AS (SELECT bucket, CAST(count(*) AS BIGINT) AS na,
+        |              CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+        |       FROM pb GROUP BY bucket)
+        |SELECT a0.na AS n_a, a1.na AS n_b,
+        |       a0.sya AS sum_y_a_cents, a1.sya AS sum_y_b_cents,
+        |       CAST(floor(1000000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) AS BIGINT) AS theta_ppm,
+        |       CAST(floor(1000000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / ((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))) AS BIGINT) AS rho2_ppm,
+        |       CAST(floor(1000000.0 * (cast(a0.sya as double) / cast(a0.na as double) - cast(a1.sya as double) / cast(a1.na as double))) AS BIGINT) AS raw_diff_micro,
+        |       CAST(floor(1000000.0 * ((cast(a0.sya as double) / cast(a0.na as double) - cast(a1.sya as double) / cast(a1.na as double)) - ((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) * (cast(a0.sxa as double) / cast(a0.na as double) - cast(a1.sxa as double) / cast(a1.na as double)))) AS BIGINT) AS adj_diff_micro
+        |FROM gl
+        |CROSS JOIN (SELECT * FROM ar WHERE bucket = 0) a0
+        |CROSS JOIN (SELECT * FROM ar WHERE bucket = 1) a1
+        |ORDER BY n_a""".stripMargin,
+
+    // same observed-month index, same power-of-two weight convolution
+    // (DuckDB << mirrors Spark shiftleft — identical integer op),
+    // identical renormalized integer division
+    "q354_ewma_forecast" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mon,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT mon, x,
+        |               CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i
+        |        FROM m),
+        |conv AS (
+        |  SELECT a.mon AS mon, a.i AS ia, a.x AS xa,
+        |         CAST(SUM(b.x * (CAST(1 AS BIGINT) << CAST(30 - (a.i - b.i) AS INT))) AS BIGINT) AS num,
+        |         CAST(SUM(CAST(1 AS BIGINT) << CAST(30 - (a.i - b.i) AS INT)) AS BIGINT) AS den
+        |  FROM idx a JOIN idx b ON b.i <= a.i AND b.i >= a.i - 30
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(c.mon AS DATE) AS mon, c.xa AS n_orders,
+        |       CAST((1000 * c.num) // c.den AS BIGINT) AS ewma_milli,
+        |       CAST(COALESCE(n.x, -1) AS BIGINT) AS next_actual,
+        |       CAST(COALESCE(abs(1000 * n.x - (1000 * c.num) // c.den), -1) AS BIGINT) AS abs_err_milli
+        |FROM conv c LEFT JOIN idx n ON n.i = c.ia + 1
+        |ORDER BY c.mon""".stripMargin
   )
 }
