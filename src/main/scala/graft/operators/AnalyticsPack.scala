@@ -241,6 +241,44 @@ object AnalyticsPack extends QueryPack {
           coalesce(abs(lit(1000L) * col("x_next") - col("ewma_milli")), lit(-1L))
             .cast("bigint").as("abs_err_milli"))
       result.orderBy("mon")
+    },
+
+    // ---- BIPARTITE RESOURCE-ALLOCATION AFFINITY (Zhou, Ren, Medo &
+    // Zhang 2007 — bipartite projection with resource-allocation
+    // weighting; the Adamic–Adar/RA family of link predictors): which
+    // customer PAIRS share the most informative co-purchased parts?
+    // RA(a,b) = Σ_{z ∈ common parts} 1/deg(z) — rare parts carry the
+    // signal, popular parts next to none, which the weighting encodes
+    // and the popularity CAP enforces mechanically: parts bought by
+    // > 48 customers are excluded BEFORE the wedge self-join (they
+    // contribute < 1/48 each while costing deg² join rows — the
+    // standard hub guard that keeps the projection O(parts · cap²),
+    // LINEAR in catalog size at 100 TB, never Σ deg² over hubs).
+    // Weights are exact integers (10⁹ // deg, the engine-portable
+    // reciprocal quantization); top-50 with a full deterministic tie
+    // order (score desc, then both keys) plans as TakeOrdered. ----
+    "q355_copurchase_ra_affinity" -> { (s, d) =>
+      val cp = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          "l_orderkey")
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val pdeg = cp.groupBy("p").agg(count(lit(1)).as("dz"))
+        .filter(col("dz") >= 2 && col("dz") <= 48)
+      val cpf = cp.join(pdeg, "p")
+      val a = cpf.select(col("p"), col("c").as("ca"), col("dz"))
+      val b = cpf.select(col("p"), col("c").as("cb"))
+      val scored = a.join(b, "p").filter(col("ca") < col("cb"))
+        .groupBy("ca", "cb")
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000000 div dz")).as("ra_q"))
+      val result = scored
+        .select(col("ca").cast("bigint").as("cust_a"),
+          col("cb").cast("bigint").as("cust_b"),
+          col("n_common").cast("bigint").as("n_common_parts"),
+          col("ra_q").cast("bigint").as("ra_q"))
+      result.orderBy(desc("ra_q"), col("cust_a"), col("cust_b")).limit(50)
     }
   )
 
@@ -363,6 +401,25 @@ object AnalyticsPack extends QueryPack {
         |       CAST(COALESCE(n.x, -1) AS BIGINT) AS next_actual,
         |       CAST(COALESCE(abs(1000 * n.x - (1000 * c.num) // c.den), -1) AS BIGINT) AS abs_err_milli
         |FROM conv c LEFT JOIN idx n ON n.i = c.ia + 1
-        |ORDER BY c.mon""".stripMargin
+        |ORDER BY c.mon""".stripMargin,
+
+    // same distinct bipartite edges, same 2..48 popularity cap before
+    // the wedge join, same 10⁹//deg integer weights and tie order
+    "q355_copurchase_ra_affinity" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |pd AS (SELECT p, CAST(count(*) AS BIGINT) AS dz
+        |       FROM cp GROUP BY p HAVING count(*) BETWEEN 2 AND 48),
+        |cpf AS (SELECT cp.c, cp.p, pd.dz FROM cp JOIN pd USING (p)),
+        |w AS (SELECT a.c AS ca, b.c AS cb, a.dz
+        |      FROM cpf a JOIN cpf b ON a.p = b.p AND a.c < b.c),
+        |sc AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS n_common,
+        |              CAST(SUM(1000000000 // dz) AS BIGINT) AS ra_q
+        |       FROM w GROUP BY ca, cb)
+        |SELECT CAST(ca AS BIGINT) AS cust_a, CAST(cb AS BIGINT) AS cust_b,
+        |       n_common AS n_common_parts, ra_q
+        |FROM sc
+        |ORDER BY ra_q DESC, cust_a, cust_b LIMIT 50""".stripMargin
   )
 }

@@ -1476,6 +1476,61 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
           col("n_hits").cast("double") / col("n_truth").cast("double"))
         .select("n_hits", "n_truth", "recall")
       materialized(result, truth, vecs).orderBy("n_hits")
+    },
+
+    // ---- BLOCKING-QUALITY AUDIT (Christen 2012, "Data Matching" ch.4:
+    // reduction ratio + pairs completeness): before a record-linkage /
+    // dedup deployment commits to a cheap BLOCKING key, it measures (a)
+    // how many candidate pairs the key avoids vs the N²/2 cross product
+    // (reduction ratio) and (b) what fraction of TRUE duplicate pairs
+    // land in the same block anyway (pairs completeness — recall the
+    // blocking scheme can never exceed). Three schemes are scored side
+    // by side: `lang`, `len32` (n_chars div 32), and their conjunction.
+    // Truth = the shared exact-Jaccard ≥ 0.9 artifact
+    // ([[jaccardTruthStore]] — the q129/q230 labeled store). Candidate
+    // VOLUME is computed from block-size COUNTS (Σ bn·(bn−1)/2) — pairs
+    // are never enumerated, so the audit is one groupBy over N rows per
+    // scheme regardless of block skew; completeness is two equi-joins
+    // of the bounded truth table against the key table. Everything is
+    // exact integer counts and ppm floor-divisions. ----
+    "q356_blocking_quality" -> { (s, d) =>
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 32").as("lenb"))
+      val keys = meta.select(col("doc_id"), lit("lang").as("scheme"),
+          col("lang").as("k"))
+        .unionByName(meta.select(col("doc_id"), lit("len32").as("scheme"),
+          col("lenb").cast("string").as("k")))
+        .unionByName(meta.select(col("doc_id"), lit("lang_len32").as("scheme"),
+          concat(col("lang"), lit(":"), col("lenb")).as("k")))
+      val per = keys.groupBy("scheme", "k").agg(count(lit(1)).as("bn"))
+        .groupBy("scheme")
+        .agg(count(lit(1)).as("n_blocks"), max("bn").as("max_block"),
+          sum(expr("(bn * (bn - 1)) div 2")).as("n_cand_pairs"))
+      val truth = jaccardTruthStore(s, d)
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val found = truth
+        .join(keys.select(col("doc_id").as("doc_i"), col("scheme"),
+          col("k").as("ki")), "doc_i")
+        .join(keys.select(col("doc_id").as("doc_j"), col("scheme"),
+          col("k").as("kj")), Seq("doc_j", "scheme"))
+        .filter(col("ki") === col("kj"))
+        .groupBy("scheme").agg(count(lit(1)).as("n_found"))
+      val ntot = meta.agg(count(lit(1)).as("nd"))
+      val result = per.join(found, Seq("scheme"), "left")
+        .na.fill(0L, Seq("n_found"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(ntot))
+        .select(col("scheme"),
+          col("n_blocks").cast("bigint").as("n_blocks"),
+          col("max_block").cast("bigint").as("max_block"),
+          col("n_cand_pairs").cast("bigint").as("n_cand_pairs"),
+          expr("cast(1000000 - (n_cand_pairs * 1000000) div ((nd * (nd - 1)) div 2) as bigint)")
+            .as("reduction_ppm"),
+          col("n_truth").cast("bigint").as("n_truth"),
+          col("n_found").cast("bigint").as("n_found"),
+          when(col("n_truth") > 0,
+            expr("(n_found * 1000000) div n_truth")).otherwise(lit(0L))
+            .cast("bigint").as("completeness_ppm"))
+      materialized(result).orderBy("scheme")
     }
   )
 
@@ -1671,6 +1726,52 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |       CAST(CASE WHEN n_truth > 0 THEN n_cand_true * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
          |FROM nt, nc, ct
          |ORDER BY n_truth""".stripMargin,
+
+    // q129's two-generator truth chain (MATERIALIZED — referenced by
+    // the count and the completeness join), block-size counting (pairs
+    // never enumerated), identical ppm floor-divisions
+    "q356_blocking_quality" ->
+      s"""WITH $minhashCtes
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |sp AS (SELECT doc_i, doc_j FROM (WITH $ngramPairsCtes
+         |       SELECT doc_i, doc_j FROM pairs) t),
+         |allcand AS (SELECT doc_i, doc_j FROM cand UNION SELECT doc_i, doc_j FROM sp),
+         |truth AS MATERIALIZED (
+         |  SELECT c.doc_i, c.doc_j
+         |  FROM allcand c
+         |  JOIN docs da ON da.doc_id = c.doc_i
+         |  JOIN docs db ON db.doc_id = c.doc_j
+         |  WHERE CAST(length(list_intersect(da.tid, db.tid)) AS DOUBLE) /
+         |        (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) >= 0.9),
+         |meta AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) // 32 AS lenb FROM documents),
+         |keysx AS (
+         |  SELECT doc_id, 'lang' AS scheme, lang AS k FROM meta
+         |  UNION ALL SELECT doc_id, 'len32', CAST(lenb AS VARCHAR) FROM meta
+         |  UNION ALL SELECT doc_id, 'lang_len32', lang || ':' || CAST(lenb AS VARCHAR) FROM meta),
+         |per AS (SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+         |               CAST(MAX(bn) AS BIGINT) AS max_block,
+         |               CAST(SUM((bn * (bn - 1)) // 2) AS BIGINT) AS n_cand_pairs
+         |        FROM (SELECT scheme, k, CAST(count(*) AS BIGINT) AS bn
+         |              FROM keysx GROUP BY 1, 2) b GROUP BY scheme),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |fnd AS (SELECT ka.scheme, CAST(count(*) AS BIGINT) AS n_found
+         |        FROM truth t
+         |        JOIN keysx ka ON ka.doc_id = t.doc_i
+         |        JOIN keysx kb ON kb.doc_id = t.doc_j AND kb.scheme = ka.scheme AND kb.k = ka.k
+         |        GROUP BY ka.scheme),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM meta)
+         |SELECT p.scheme, p.n_blocks, p.max_block, p.n_cand_pairs,
+         |       CAST(1000000 - (p.n_cand_pairs * 1000000) // ((nd.nd * (nd.nd - 1)) // 2) AS BIGINT) AS reduction_ppm,
+         |       nt.n_truth,
+         |       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+         |       CAST(CASE WHEN nt.n_truth > 0
+         |            THEN (COALESCE(f.n_found, 0) * 1000000) // nt.n_truth
+         |            ELSE 0 END AS BIGINT) AS completeness_ppm
+         |FROM per p LEFT JOIN fnd f USING (scheme) CROSS JOIN nt CROSS JOIN nd
+         |ORDER BY p.scheme""".stripMargin,
 
     // same re-banding of the 16-perm signature per config (sigs slice →
     // md5 key), DISTINCT band-join candidates, and the q129 truth
