@@ -31,6 +31,15 @@ object AnalyticsPack extends QueryPack {
       |  WHEN 22 THEN 33924 WHEN 23 THEN 35172 WHEN 24 THEN 36415
       |  WHEN 25 THEN 37652 ELSE 0 END""".stripMargin
 
+  /** Count of trailing one-bits of a nonneg int64, as a 16-step CASE
+    * ladder (k ones ⇔ h mod 2^(k+1) = 2^k − 1; capped at 16, reached
+    * with probability 2⁻¹⁶) — a geometric(1/2) draw from hash bits,
+    * generated ONCE and run verbatim by both engines. */
+  private[operators] def trailingOnesCase(h: String): String =
+    "CASE " + (0 until 16).map(k =>
+      s"WHEN $h % ${1L << (k + 1)} = ${(1L << k) - 1} THEN $k")
+      .mkString(" ") + " ELSE 16 END"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- KRUSKAL–WALLIS k-GROUP RANK TEST (Kruskal & Wallis 1952) on
@@ -279,6 +288,78 @@ object AnalyticsPack extends QueryPack {
           col("n_common").cast("bigint").as("n_common_parts"),
           col("ra_q").cast("bigint").as("ra_q"))
       result.orderBy(desc("ra_q"), col("cust_a"), col("cust_b")).limit(50)
+    },
+
+    // ---- DIFFERENTIALLY-PRIVATE COUNT RELEASE, two-sided-geometric
+    // mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
+    // analogue of Laplace; ε = ln 2 here): the privacy-release step the
+    // k-anonymity suite (q182/q190/q216) prepares for. Noise must be
+    // SAMPLED in production; for an engine gate it is DERIVED
+    // deterministically from md5 bits — a geometric(1/2) draw is the
+    // count of trailing one-bits of a uniform integer (exact, both
+    // engines run the identical 16-step CASE ladder), and the
+    // difference of two independent draws IS the two-sided geometric.
+    // The audit table shows true count, both draws, the released count
+    // and its nonnegative clamp per (lang, source) cell — a bounded
+    // release surface computed in one map-side aggregate. ----
+    "q357_dp_geometric_release" -> { (s, d) =>
+      val cells = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("h1", graft.functions.TextFunctions.hex64(
+          md5(concat(lit("dp1:"), col("lang"), lit(":"), col("source")))))
+        .withColumn("h2", graft.functions.TextFunctions.hex64(
+          md5(concat(lit("dp2:"), col("lang"), lit(":"), col("source")))))
+        .withColumn("g_up", expr(AnalyticsPack.trailingOnesCase("h1")))
+        .withColumn("g_down", expr(AnalyticsPack.trailingOnesCase("h2")))
+      val result = cells.select(col("lang"), col("source"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("g_up").cast("bigint").as("g_up"),
+        col("g_down").cast("bigint").as("g_down"),
+        (col("n_docs") + col("g_up") - col("g_down")).cast("bigint").as("released"),
+        greatest(col("n_docs") + col("g_up") - col("g_down"), lit(0L))
+          .cast("bigint").as("released_clamped"))
+      result.orderBy("lang", "source")
+    },
+
+    // ---- LABEL-CENTROID COSINE MATRIX over the embeddings table: the
+    // class-geometry audit next to q323's Davies–Bouldin and q333's
+    // centroid classifier — which label pairs are embedded close enough
+    // to confuse a prototype-based retriever? Centroid normalization
+    // cancels in cosine, so the matrix needs only per-(label, dim)
+    // integer SUMS of the shared 1e-6 fixed-point quantization
+    // ([[graft.functions.VectorFunctions]] — float→int64 exact, any
+    // aggregation order). Cross products Σ sa·sb accumulate in
+    // DECIMAL(38,0) (sums of 2e8-scale ints squared pass 2^53; q334's
+    // HUGEINT-mirror discipline) and each pair's cosine is one
+    // sqrt/divide double expression on those exact integers. Scale
+    // shape: one narrow posexplode → (label, dim) map-side sum —
+    // labels·dims rows — then a labels²·dims self-join. ----
+    "q358_label_centroid_cosine" -> { (s, d) =>
+      val sums = Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(graft.functions.VectorFunctions.quantize(col("embedding"))))
+        .groupBy("label", "pos").agg(sum("col").as("sv"))
+      val nrm = sums.groupBy("label")
+        .agg(sum(expr("cast(sv as decimal(38,0)) * sv")).as("nrm2"))
+      val cnt = Tables.embeddings(s, d).groupBy("label")
+        .agg(count(lit(1)).as("n"))
+      val dots = sums.as("a")
+        .join(sums.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+        .agg(sum(expr("cast(a.sv as decimal(38,0)) * b.sv")).as("sab"))
+      val result = dots
+        .join(nrm.select(col("label").as("la"), col("nrm2").as("naa")), "la")
+        .join(nrm.select(col("label").as("lb"), col("nrm2").as("nbb")), "lb")
+        .join(cnt.select(col("label").as("la"), col("n").as("n_a")), "la")
+        .join(cnt.select(col("label").as("lb"), col("n").as("n_b")), "lb")
+        .select(col("la").cast("int").as("label_a"),
+          col("lb").cast("int").as("label_b"),
+          col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          expr(("cast(floor(1000000.0 * cast(sab as double) " +
+            "/ (sqrt(cast(naa as double)) * sqrt(cast(nbb as double)))) as bigint)"))
+            .as("cosine_micro"))
+      result.orderBy("label_a", "label_b")
     }
   )
 
@@ -420,6 +501,47 @@ object AnalyticsPack extends QueryPack {
         |SELECT CAST(ca AS BIGINT) AS cust_a, CAST(cb AS BIGINT) AS cust_b,
         |       n_common AS n_common_parts, ra_q
         |FROM sc
-        |ORDER BY ra_q DESC, cust_a, cust_b LIMIT 50""".stripMargin
+        |ORDER BY ra_q DESC, cust_a, cust_b LIMIT 50""".stripMargin,
+
+    // same md5-bit geometric draws (identical generated CASE ladder),
+    // same clamp
+    "q357_dp_geometric_release" ->
+      s"""WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST('0x' || substring(md5('dp1:' || lang || ':' || source), 1, 15) AS BIGINT) AS h1,
+        |         CAST('0x' || substring(md5('dp2:' || lang || ':' || source), 1, 15) AS BIGINT) AS h2
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, source, n_docs,
+        |             CAST(${trailingOnesCase("h1")} AS BIGINT) AS g_up,
+        |             CAST(${trailingOnesCase("h2")} AS BIGINT) AS g_down
+        |      FROM cells)
+        |SELECT lang, source, n_docs, g_up, g_down,
+        |       CAST(n_docs + g_up - g_down AS BIGINT) AS released,
+        |       CAST(greatest(n_docs + g_up - g_down, 0) AS BIGINT) AS released_clamped
+        |FROM g ORDER BY lang, source""".stripMargin,
+
+    // same 1e-6 fixed-point quantization, HUGEINT cross products
+    // mirroring DECIMAL(38,0), identical sqrt/divide cosine (pos is
+    // 1-based here vs 0-based posexplode — a join key internal to each
+    // engine, never output)
+    "q358_label_centroid_cosine" ->
+      s"""WITH q AS (SELECT label, ${graft.functions.VectorFunctions.quantizeSql("embedding")} AS qv FROM embeddings),
+        |sums AS (SELECT label, g.i AS pos, CAST(SUM(qv[g.i]) AS BIGINT) AS sv
+        |         FROM q, UNNEST(generate_series(1, 64)) AS g(i) GROUP BY 1, 2),
+        |nrm AS (SELECT label, CAST(SUM(CAST(sv AS HUGEINT) * sv) AS HUGEINT) AS nrm2 FROM sums GROUP BY label),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+        |dots AS (SELECT a.label AS la, b.label AS lb,
+        |                CAST(SUM(CAST(a.sv AS HUGEINT) * b.sv) AS HUGEINT) AS sab
+        |         FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+        |         GROUP BY 1, 2)
+        |SELECT CAST(d.la AS INT) AS label_a, CAST(d.lb AS INT) AS label_b,
+        |       ca.n AS n_a, cb.n AS n_b,
+        |       CAST(floor(1000000.0 * cast(sab as double) / (sqrt(cast(naa as double)) * sqrt(cast(nbb as double)))) AS BIGINT) AS cosine_micro
+        |FROM dots d
+        |JOIN (SELECT label, nrm2 AS naa FROM nrm) na ON na.label = d.la
+        |JOIN (SELECT label, nrm2 AS nbb FROM nrm) nb ON nb.label = d.lb
+        |JOIN cnt ca ON ca.label = d.la
+        |JOIN cnt cb ON cb.label = d.lb
+        |ORDER BY label_a, label_b""".stripMargin
   )
 }
