@@ -21,6 +21,59 @@ object EventsPack extends QueryPack {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Shared signup→purchase survival observation table, collapsed to the
+    * per-day grid: `(t_day, n_end = observations ending that day,
+    * d_ev = conversions that day)`. Censoring: a user who never converts
+    * after their first signup is censored at the global observation end
+    * (one broadcast scalar). Used by q301 (Kaplan–Meier) and q359
+    * (Nelson–Aalen) — the per-day frame is calendar-span-bounded, so
+    * both estimators' windows run over ≤ observation-span rows. */
+  private def survivalPerDay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val endUs = ev.agg(max("us").as("end_us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("su_us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pu_us"))
+    // first purchase at-or-after the first signup; absent → censored
+    // (conditional min keeps users whose only purchases PRECEDE signup)
+    val firstConv = su.join(pu, Seq("user_id"), "left")
+      .groupBy("user_id", "su_us")
+      .agg(min(when(col("pu_us") >= col("su_us"), col("pu_us"))).as("conv_us"))
+    val obs = firstConv.crossJoin(broadcast(endUs))
+      .select(col("user_id"),
+        when(col("conv_us").isNotNull,
+          expr("(conv_us - su_us) div 86400000000")).otherwise(
+          expr("(end_us - su_us) div 86400000000")).as("t_day"),
+        col("conv_us").isNotNull.as("converted"))
+    obs.groupBy("t_day")
+      .agg(count(lit(1)).as("n_end"),
+        sum(col("converted").cast("bigint")).as("d_ev"))
+  }
+
+  /** DuckDB mirror of [[survivalPerDay]] — CTE chain ending in
+    * `pd(t_day, n_end, d_ev)`; trailing comma included. */
+  private val survivalPerDayCtes: String =
+    """ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |e AS (SELECT max(us) AS end_us FROM ev),
+      |su AS (SELECT user_id, min(us) AS su_us FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT user_id, us AS pu_us FROM ev WHERE event_type = 'purchase'),
+      |fc AS (
+      |  SELECT su.user_id, su.su_us,
+      |         min(CASE WHEN pu.pu_us >= su.su_us THEN pu.pu_us END) AS conv_us
+      |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+      |  GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT user_id,
+      |         CASE WHEN conv_us IS NOT NULL THEN (conv_us - su_us) // 86400000000
+      |              ELSE (e.end_us - su_us) // 86400000000 END AS t_day,
+      |         conv_us IS NOT NULL AS converted
+      |  FROM fc CROSS JOIN e),
+      |pd AS (
+      |  SELECT t_day, CAST(count(*) AS BIGINT) AS n_end,
+      |         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d_ev
+      |  FROM obs GROUP BY 1),""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- DIURNAL ACTIVITY HEATMAP: events, distinct users and exact
@@ -149,26 +202,7 @@ object EventsPack extends QueryPack {
     "q301_kaplan_meier" -> { (s, d) =>
       val qln = (x: org.apache.spark.sql.Column) =>
         floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
-      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
-      val endUs = ev.agg(max("us").as("end_us"))
-      val su = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("us").as("su_us"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("us").as("pu_us"))
-      // first purchase at-or-after the first signup; absent → censored
-      // (conditional min keeps users whose only purchases PRECEDE signup)
-      val firstConv = su.join(pu, Seq("user_id"), "left")
-        .groupBy("user_id", "su_us")
-        .agg(min(when(col("pu_us") >= col("su_us"), col("pu_us"))).as("conv_us"))
-      val obs = firstConv.crossJoin(broadcast(endUs))
-        .select(col("user_id"),
-          when(col("conv_us").isNotNull,
-            expr("(conv_us - su_us) div 86400000000")).otherwise(
-            expr("(end_us - su_us) div 86400000000")).as("t_day"),
-          col("conv_us").isNotNull.as("converted"))
-      val perDay = obs.groupBy("t_day")
-        .agg(count(lit(1)).as("n_end"),
-          sum(col("converted").cast("bigint")).as("d_ev"))
+      val perDay = survivalPerDay(s, d)
       val wRisk = Window.orderBy(col("t_day").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wLog = Window.orderBy(col("t_day"))
@@ -186,6 +220,37 @@ object EventsPack extends QueryPack {
           col("n_risk").cast("bigint").as("n_risk"),
           col("d_ev").cast("bigint").as("n_events"),
           col("logs_q").cast("bigint").as("logs_q"))
+      result.orderBy("t_day")
+    },
+
+    // ---- NELSON–AALEN CUMULATIVE HAZARD (Nelson 1972; Aalen 1978) on
+    // the SAME signup→purchase survival table as q301 ([[survivalPerDay]]
+    // — shared construction, shared censoring convention): Ĥ(t) =
+    // Σ_{t_i ≤ t} d_i/n_i, the estimator survival texts recommend over
+    // −ln Ŝ at small risk sets. Unlike q301's log-space product, every
+    // term here is PURE INTEGER — hazard increments floor-quantized to
+    // nano units ((d·10⁹) div n) and Greenwood-style variance terms to
+    // pico ((d·10¹²) div n²) BEFORE the prefix sum over the bounded day
+    // grid, so no transcendental enters at all (the q346 no-double-sum
+    // rule taken to its clean extreme). ----
+    "q359_nelson_aalen" -> { (s, d) =>
+      val perDay = survivalPerDay(s, d)
+      val wRisk = Window.orderBy(col("t_day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wCum = Window.orderBy(col("t_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val result = perDay
+        .withColumn("n_risk", sum("n_end").over(wRisk))
+        .withColumn("term_nano", expr("(d_ev * 1000000000) div n_risk"))
+        .withColumn("var_pico", expr("(d_ev * 1000000000000) div (n_risk * n_risk)"))
+        .withColumn("h_nano", sum("term_nano").over(wCum))
+        .withColumn("hvar_pico", sum("var_pico").over(wCum))
+        .select(col("t_day").cast("bigint").as("t_day"),
+          col("n_risk").cast("bigint").as("n_risk"),
+          col("d_ev").cast("bigint").as("n_events"),
+          col("term_nano").cast("bigint").as("term_nano"),
+          col("h_nano").cast("bigint").as("h_nano"),
+          col("hvar_pico").cast("bigint").as("hvar_pico"))
       result.orderBy("t_day")
     },
 
@@ -1920,25 +1985,7 @@ object EventsPack extends QueryPack {
     // same conditional-min first conversion, censoring at the global
     // max timestamp, suffix-sum risk sets, per-term ln quantization
     "q301_kaplan_meier" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |e AS (SELECT max(us) AS end_us FROM ev),
-        |su AS (SELECT user_id, min(us) AS su_us FROM ev WHERE event_type = 'signup' GROUP BY 1),
-        |pu AS (SELECT user_id, us AS pu_us FROM ev WHERE event_type = 'purchase'),
-        |fc AS (
-        |  SELECT su.user_id, su.su_us,
-        |         min(CASE WHEN pu.pu_us >= su.su_us THEN pu.pu_us END) AS conv_us
-        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
-        |  GROUP BY 1, 2),
-        |obs AS (
-        |  SELECT user_id,
-        |         CASE WHEN conv_us IS NOT NULL THEN (conv_us - su_us) // 86400000000
-        |              ELSE (e.end_us - su_us) // 86400000000 END AS t_day,
-        |         conv_us IS NOT NULL AS converted
-        |  FROM fc CROSS JOIN e),
-        |pd AS (
-        |  SELECT t_day, CAST(count(*) AS BIGINT) AS n_end,
-        |         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d_ev
-        |  FROM obs GROUP BY 1),
+      s"""WITH $survivalPerDayCtes
         |r AS (
         |  SELECT t_day, d_ev,
         |         sum(n_end) OVER (ORDER BY t_day DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
@@ -1955,6 +2002,28 @@ object EventsPack extends QueryPack {
         |       CAST(d_ev AS BIGINT) AS n_events,
         |       CAST(sum(term_q) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS logs_q
         |FROM lg
+        |ORDER BY t_day""".stripMargin,
+
+    // same shared survival per-day grid; pure-integer nano/pico hazard
+    // quantization before the prefix sums
+    "q359_nelson_aalen" ->
+      s"""WITH $survivalPerDayCtes
+        |r AS (
+        |  SELECT t_day, d_ev,
+        |         sum(n_end) OVER (ORDER BY t_day DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM pd),
+        |t AS (
+        |  SELECT t_day, n_risk, d_ev,
+        |         (d_ev * 1000000000) // n_risk AS term_nano,
+        |         (d_ev * 1000000000000) // (n_risk * n_risk) AS var_pico
+        |  FROM r)
+        |SELECT CAST(t_day AS BIGINT) AS t_day,
+        |       CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d_ev AS BIGINT) AS n_events,
+        |       CAST(term_nano AS BIGINT) AS term_nano,
+        |       CAST(sum(term_nano) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS h_nano,
+        |       CAST(sum(var_pico) OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hvar_pico
+        |FROM t
         |ORDER BY t_day""".stripMargin,
 
     // correlated argmin over |Δt| with the backward-wins tie rule
