@@ -360,6 +360,81 @@ object AnalyticsPack extends QueryPack {
             "/ (sqrt(cast(naa as double)) * sqrt(cast(nbb as double)))) as bigint)"))
             .as("cosine_micro"))
       result.orderBy("label_a", "label_b")
+    },
+
+    // ---- STL-LITE SEASONAL DECOMPOSITION (the classical
+    // moving-average decomposition underlying STL — Cleveland 1990 §2's
+    // baseline): monthly order volume = TREND (13-month centered moving
+    // average — the odd-window variant, stated convention) + SEASONAL
+    // (per month-of-year mean of the detrended series) + RESIDUAL. The
+    // q214/q243 anomaly lanes assume a deseasonalized signal; this is
+    // the table that produces one. All integer milli-units: the MA is
+    // (1000·Σ) div 13, seasonal means are integer div over the ≤12
+    // month-of-year groups, residual is a subtraction — no doubles
+    // anywhere. Only months with a FULL 13-month window are emitted
+    // (edge months have no defined trend; both engines apply the same
+    // count(*)=13 guard). Windows run over the bounded month calendar
+    // (the q330 vocabulary rule). ----
+    "q360_stl_decomposition" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate").cast("timestamp")).as("mon"))
+        .groupBy("mon").agg(count(lit(1)).as("x"))
+      val wMa = Window.orderBy("mon").rowsBetween(-6, 6)
+      val tr = m
+        .withColumn("wsum", sum("x").over(wMa))
+        .withColumn("wcnt", count(lit(1)).over(wMa))
+        .filter(col("wcnt") === 13)
+        .withColumn("trend_milli", expr("(1000 * wsum) div 13"))
+        .withColumn("detr_milli", lit(1000L) * col("x") - col("trend_milli"))
+        .withColumn("moy", month(col("mon")))
+      val seas = tr.groupBy("moy")
+        .agg(expr("sum(detr_milli) div count(1)").as("seas_milli"))
+      val result = tr.join(broadcast(seas), "moy")
+        .select(col("mon").cast("date").as("mon"),
+          col("x").cast("bigint").as("n_orders"),
+          col("trend_milli").cast("bigint").as("trend_milli"),
+          col("seas_milli").cast("bigint").as("seas_milli"),
+          (col("detr_milli") - col("seas_milli")).cast("bigint").as("resid_milli"))
+      result.orderBy("mon")
+    },
+
+    // ---- LAGGED CROSS-CORRELATION (CCF) between daily SIGNUP and
+    // PURCHASE volume — does purchase activity lead or lag signups, and
+    // by how many days? The cross-signal complement to q292's
+    // autocorrelation, and the diagnostic behind every "conversion
+    // latency" hypothesis (q215 measures per-user latency; the CCF
+    // shows it in the aggregate signals). For each lag in −6..+6 the
+    // aligned day pairs' Pearson r comes from exact integer power sums
+    // (daily counts ≤ 10⁴ ⇒ every sum < 2⁵³) and ONE double
+    // sqrt/divide expression per lag row, floor-quantized ×10³. Day
+    // pairs are calendar²-bounded (the q335 discipline); the day grid
+    // itself is one map-side count aggregate. ----
+    "q361_signal_ccf" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val daily = ev.groupBy("day").agg(
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("xs"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ys"))
+      val wi = Window.orderBy("day")
+      val idx = daily.withColumn("i", row_number().over(wi))
+      val lags = idx.sparkSession.range(-6, 7).select(col("id").as("lag"))
+      val a = idx.select(col("i").as("ia"), col("xs").as("xa"))
+      val b = idx.select(col("i").as("ib"), col("ys").as("yb"))
+      val pairs = broadcast(lags).crossJoin(a)
+        .join(broadcast(b), col("ib") === col("ia") + col("lag"))
+      val sums = pairs.groupBy("lag").agg(
+        count(lit(1)).as("n"),
+        sum("xa").as("sx"), sum("yb").as("sy"),
+        sum(expr("xa * yb")).as("sxy"),
+        sum(expr("xa * xa")).as("sxx"),
+        sum(expr("yb * yb")).as("syy"))
+      val result = sums.select(col("lag").cast("bigint").as("lag"),
+        col("n").cast("bigint").as("n_pairs"),
+        expr(("cast(floor(1000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) " +
+          "/ sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) " +
+          "* (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))) as bigint)"))
+          .as("r_milli"))
+      result.orderBy("lag")
     }
   )
 
@@ -542,6 +617,56 @@ object AnalyticsPack extends QueryPack {
         |JOIN (SELECT label, nrm2 AS nbb FROM nrm) nb ON nb.label = d.lb
         |JOIN cnt ca ON ca.label = d.la
         |JOIN cnt cb ON cb.label = d.lb
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // same 13-month centered MA with the count=13 full-window guard,
+    // same integer milli division (// and div both truncate toward zero
+    // on the signed detrended values — verified engine behavior)
+    "q360_stl_decomposition" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mon,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT mon, x,
+        |         sum(x) OVER w AS wsum,
+        |         count(*) OVER w AS wcnt,
+        |         month(mon) AS moy
+        |  FROM m WINDOW w AS (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+        |tf AS (SELECT mon, x, moy,
+        |              (1000 * wsum) // 13 AS trend_milli,
+        |              1000 * x - (1000 * wsum) // 13 AS detr_milli
+        |       FROM tr WHERE wcnt = 13),
+        |se AS (SELECT moy, SUM(detr_milli) // count(*) AS seas_milli FROM tf GROUP BY moy)
+        |SELECT CAST(tf.mon AS DATE) AS mon, tf.x AS n_orders,
+        |       CAST(tf.trend_milli AS BIGINT) AS trend_milli,
+        |       CAST(se.seas_milli AS BIGINT) AS seas_milli,
+        |       CAST(tf.detr_milli - se.seas_milli AS BIGINT) AS resid_milli
+        |FROM tf JOIN se USING (moy)
+        |ORDER BY mon""".stripMargin,
+
+    // same day grid, same lag fan-out and aligned-pair power sums,
+    // identical per-lag Pearson expression
+    "q361_signal_ccf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS xs,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ys
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, xs, ys,
+        |               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |        FROM daily),
+        |lg AS (SELECT CAST(unnest(generate_series(-6, 6)) AS BIGINT) AS lag),
+        |pr AS (SELECT l.lag, a.xs AS xa, b.ys AS yb
+        |       FROM lg l CROSS JOIN idx a JOIN idx b ON b.i = a.i + l.lag),
+        |sums AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |                CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(yb) AS BIGINT) AS sy,
+        |                CAST(SUM(xa * yb) AS BIGINT) AS sxy,
+        |                CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+        |                CAST(SUM(yb * yb) AS BIGINT) AS syy
+        |         FROM pr GROUP BY lag)
+        |SELECT lag, n AS n_pairs,
+        |       CAST(floor(1000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))) AS BIGINT) AS r_milli
+        |FROM sums ORDER BY lag""".stripMargin
   )
 }
