@@ -35,7 +35,7 @@ object AnalyticsPack extends QueryPack {
     * ladder (k ones ⇔ h mod 2^(k+1) = 2^k − 1; capped at 16, reached
     * with probability 2⁻¹⁶) — a geometric(1/2) draw from hash bits,
     * generated ONCE and run verbatim by both engines. */
-  private[operators] def trailingOnesCase(h: String): String =
+  private[graft] def trailingOnesCase(h: String): String =
     "CASE " + (0 until 16).map(k =>
       s"WHEN $h % ${1L << (k + 1)} = ${(1L << k) - 1} THEN $k")
       .mkString(" ") + " ELSE 16 END"
