@@ -435,6 +435,60 @@ object AnalyticsPack extends QueryPack {
           "* (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))) as bigint)"))
           .as("r_milli"))
       result.orderBy("lag")
+    },
+
+    // ---- GUIRAUD ROOT-TTR (Guiraud 1954): V/√N lexical diversity per
+    // document, aggregated per source — the LENGTH-NORMALIZED diversity
+    // index the raw TTR confound q334 MEASURES calls for (raw V/N
+    // falls mechanically with N; V/√N is stable under doubling for
+    // Zipfian text, so cross-source comparisons stop rewarding short
+    // docs). Per-doc values are floor-quantized to micro BEFORE any
+    // cross-row aggregation (one sqrt+divide on exact ints — the q175
+    // correctly-rounded-sqrt rule), then integer mean/min/max per
+    // source. One scan, map-side collapse; no windows, no joins. ----
+    "q362_root_ttr" -> { (s, d) =>
+      import graft.functions.TextFunctions.{tokens, tokenSet}
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          size(tokens(col("text"))).cast("bigint").as("n"),
+          size(tokenSet(col("text"))).cast("bigint").as("v"))
+        .filter(col("n") > 0)
+        .withColumn("rttr_micro", expr(
+          "cast(floor(1000000.0 * cast(v as double) / sqrt(cast(n as double))) as bigint)"))
+      val result = per.groupBy("source").agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          expr("sum(rttr_micro) div count(1)").cast("bigint").as("mean_rttr_micro"),
+          min("rttr_micro").cast("bigint").as("min_rttr_micro"),
+          max("rttr_micro").cast("bigint").as("max_rttr_micro"))
+      result.orderBy("source")
+    },
+
+    // ---- PERCENT_RANK / CUME_DIST SURFACE over the order calendar:
+    // within each YEAR, where does each month's volume sit in the
+    // year's distribution? Completes the engine's window-function
+    // surface (rank/dense_rank/ntile/frames live in q22/q88/q99; the
+    // two relative-position functions were the gap) on a partition
+    // axis that stays CALENDAR-BOUNDED at any corpus size — ≤ 12 rows
+    // per partition, the explicit antithesis of the per-source
+    // row-scale windows the r7 review flagged. The (volume, month)
+    // order key is total, so both functions are deterministic; their
+    // exact-rational doubles are floor-quantized ×10⁶ (identical IEEE
+    // division on small ints). ----
+    "q363_percent_rank_calendar" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .select(year(col("o_orderdate").cast("timestamp")).as("yr"),
+          month(col("o_orderdate").cast("timestamp")).as("mo"))
+        .groupBy("yr", "mo").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("yr").orderBy("x", "mo")
+      val result = m
+        .withColumn("pr_micro",
+          floor(percent_rank().over(w) * lit(1e6)).cast("bigint"))
+        .withColumn("cd_micro",
+          floor(cume_dist().over(w) * lit(1e6)).cast("bigint"))
+        .select(col("yr").cast("int").as("yr"), col("mo").cast("int").as("mo"),
+          col("x").cast("bigint").as("n_orders"),
+          col("pr_micro"), col("cd_micro"))
+      result.orderBy("yr", "mo")
     }
   )
 
@@ -667,6 +721,37 @@ object AnalyticsPack extends QueryPack {
         |         FROM pr GROUP BY lag)
         |SELECT lag, n AS n_pairs,
         |       CAST(floor(1000.0 * (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * (cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))) AS BIGINT) AS r_milli
-        |FROM sums ORDER BY lag""".stripMargin
+        |FROM sums ORDER BY lag""".stripMargin,
+
+    // same tokenization (ASCII corpus — the QueryPack oracle-layer
+    // note), same per-doc micro quantization before the integer mean
+    "q362_root_ttr" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS BIGINT) AS n,
+        |         CAST(len(list_distinct(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> ''))) AS BIGINT) AS v
+        |  FROM documents),
+        |q AS (SELECT source,
+        |             CAST(floor(1000000.0 * cast(v as double) / sqrt(cast(n as double))) AS BIGINT) AS rttr_micro
+        |      FROM per WHERE n > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(rttr_micro) // count(*) AS BIGINT) AS mean_rttr_micro,
+        |       CAST(MIN(rttr_micro) AS BIGINT) AS min_rttr_micro,
+        |       CAST(MAX(rttr_micro) AS BIGINT) AS max_rttr_micro
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // same total (volume, month) order key, same ×10⁶ floor on the
+    // exact-rational window doubles
+    "q363_percent_rank_calendar" ->
+      """WITH m AS (
+        |  SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
+        |         month(CAST(o_orderdate AS TIMESTAMP)) AS mo,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, x AS n_orders,
+        |       CAST(floor(percent_rank() OVER (PARTITION BY yr ORDER BY x, mo) * 1e6) AS BIGINT) AS pr_micro,
+        |       CAST(floor(cume_dist() OVER (PARTITION BY yr ORDER BY x, mo) * 1e6) AS BIGINT) AS cd_micro
+        |FROM m
+        |ORDER BY yr, mo""".stripMargin
   )
 }
