@@ -489,6 +489,64 @@ object AnalyticsPack extends QueryPack {
           col("x").cast("bigint").as("n_orders"),
           col("pr_micro"), col("cd_micro"))
       result.orderBy("yr", "mo")
+    },
+
+    // ---- BRIER SCORE DECOMPOSITION (Murphy 1973: reliability −
+    // resolution + uncertainty) for a frequency forecaster of
+    // signup→7-day-purchase conversion: train the per-WEEKDAY
+    // conversion rate on the md5-even half of users, score the odd
+    // half — the calibration readout q172 gives the NB classifier,
+    // here for a probabilistic forecaster with a PROPER score. The
+    // weekday is computed as (days-since-epoch mod 7) — pure integer,
+    // identical in both engines (dayofweek() numbering differs
+    // between them). Rates are ppm integers; the per-bin reliability
+    // n_k(p_k−o_k)² and resolution n_k(o_k−ō)² terms are integer
+    // products floor-divided ×10⁻⁶ PER BIN before any cross-bin sum
+    // (the q346 rule), and uncertainty ō(10⁶−ō)//10⁶ is one global
+    // integer expression. Scale shape: two map-side aggregates over
+    // the signup stream — the bin axis is 7 rows. ----
+    "q364_brier_decomposition" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("su_us"), min("ts").as("su_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("pu_us"))
+      val obs = su.join(pu, Seq("user_id"), "left")
+        .groupBy("user_id", "su_us", "su_ts")
+        .agg(max(when(col("pu_us") >= col("su_us") &&
+          col("pu_us") < col("su_us") + lit(604800000000L), 1L)
+          .otherwise(0L)).as("conv"))
+        .na.fill(0L, Seq("conv"))
+        .select(col("user_id"),
+          pmod(datediff(to_date(col("su_ts")), lit("1970-01-01").cast("date")),
+            lit(7)).as("wd"),
+          col("conv"),
+          pmod(graft.functions.TextFunctions.hex64(
+            md5(concat(lit("brier:"), col("user_id")))), lit(2)).as("split"))
+      val train = obs.filter(col("split") === 0).groupBy("wd")
+        .agg(count(lit(1)).as("n_train"), sum("conv").as("c_train"))
+        .withColumn("p_ppm", expr("(c_train * 1000000) div n_train"))
+      val eval0 = obs.filter(col("split") === 1).groupBy("wd")
+        .agg(count(lit(1)).as("n_eval"), sum("conv").as("c_eval"))
+        .withColumn("o_ppm", expr("(c_eval * 1000000) div n_eval"))
+      val glob = eval0.agg(sum("n_eval").as("ne"), sum("c_eval").as("ce"))
+        .withColumn("obar_ppm", expr("(ce * 1000000) div ne"))
+      val result = train.join(eval0, "wd").crossJoin(broadcast(glob))
+        .withColumn("rel_q", expr(
+          "(n_eval * (p_ppm - o_ppm) * (p_ppm - o_ppm)) div 1000000"))
+        .withColumn("res_q", expr(
+          "(n_eval * (o_ppm - obar_ppm) * (o_ppm - obar_ppm)) div 1000000"))
+        .withColumn("unc_q", expr("(obar_ppm * (1000000 - obar_ppm)) div 1000000"))
+        .select(col("wd").cast("int").as("wd"),
+          col("n_train").cast("bigint").as("n_train"),
+          col("p_ppm").cast("bigint").as("p_ppm"),
+          col("n_eval").cast("bigint").as("n_eval"),
+          col("o_ppm").cast("bigint").as("o_ppm"),
+          col("rel_q").cast("bigint").as("rel_q"),
+          col("res_q").cast("bigint").as("res_q"),
+          col("obar_ppm").cast("bigint").as("obar_ppm"),
+          col("unc_q").cast("bigint").as("unc_q"))
+      result.orderBy("wd")
     }
   )
 
@@ -752,6 +810,41 @@ object AnalyticsPack extends QueryPack {
         |       CAST(floor(percent_rank() OVER (PARTITION BY yr ORDER BY x, mo) * 1e6) AS BIGINT) AS pr_micro,
         |       CAST(floor(cume_dist() OVER (PARTITION BY yr ORDER BY x, mo) * 1e6) AS BIGINT) AS cd_micro
         |FROM m
-        |ORDER BY yr, mo""".stripMargin
+        |ORDER BY yr, mo""".stripMargin,
+
+    // same epoch-mod-7 weekday, same md5 split coin, same per-bin
+    // integer reliability/resolution quantization
+    "q364_brier_decomposition" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |su AS (SELECT user_id, min(us) AS su_us, min(t) AS su_ts
+        |       FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, us AS pu_us FROM ev WHERE event_type = 'purchase'),
+        |obs AS (
+        |  SELECT su.user_id,
+        |         (CAST(su.su_ts AS DATE) - DATE '1970-01-01') % 7 AS wd,
+        |         COALESCE(max(CASE WHEN pu.pu_us >= su.su_us
+        |                            AND pu.pu_us < su.su_us + 604800000000 THEN 1 ELSE 0 END), 0) AS conv,
+        |         CAST('0x' || substring(md5('brier:' || CAST(su.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS split
+        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+        |  GROUP BY 1, 2, 4),
+        |tr AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_train,
+        |              CAST(SUM(conv) AS BIGINT) AS c_train,
+        |              CAST((SUM(conv) * 1000000) // count(*) AS BIGINT) AS p_ppm
+        |       FROM obs WHERE split = 0 GROUP BY wd),
+        |evl AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_eval,
+        |               CAST(SUM(conv) AS BIGINT) AS c_eval,
+        |               CAST((SUM(conv) * 1000000) // count(*) AS BIGINT) AS o_ppm
+        |        FROM obs WHERE split = 1 GROUP BY wd),
+        |gl AS (SELECT CAST(SUM(n_eval) AS BIGINT) AS ne, CAST(SUM(c_eval) AS BIGINT) AS ce,
+        |              CAST((SUM(c_eval) * 1000000) // SUM(n_eval) AS BIGINT) AS obar_ppm
+        |       FROM evl)
+        |SELECT CAST(t.wd AS INT) AS wd, t.n_train, t.p_ppm, e.n_eval, e.o_ppm,
+        |       CAST((e.n_eval * (t.p_ppm - e.o_ppm) * (t.p_ppm - e.o_ppm)) // 1000000 AS BIGINT) AS rel_q,
+        |       CAST((e.n_eval * (e.o_ppm - g.obar_ppm) * (e.o_ppm - g.obar_ppm)) // 1000000 AS BIGINT) AS res_q,
+        |       g.obar_ppm,
+        |       CAST((g.obar_ppm * (1000000 - g.obar_ppm)) // 1000000 AS BIGINT) AS unc_q
+        |FROM tr t JOIN evl e USING (wd) CROSS JOIN gl g
+        |ORDER BY wd""".stripMargin
   )
 }
