@@ -547,6 +547,101 @@ object AnalyticsPack extends QueryPack {
           col("obar_ppm").cast("bigint").as("obar_ppm"),
           col("unc_q").cast("bigint").as("unc_q"))
       result.orderBy("wd")
+    },
+
+    // ---- CLIFF'S DELTA EFFECT SIZE (Cliff 1993) for the q211 A/B
+    // readout: δ = P(X_a > X_b) − P(X_a < X_b), the ordinal effect size
+    // reviewers ask for NEXT to the Welch significance number (t² says
+    // "real", δ says "how big" without assuming normality — apt for
+    // heavy-tailed spend). Computed EXACTLY from the q331 doubled-
+    // midrank machinery over the pooled spend-value vocabulary: 2U_a =
+    // S2_a − n_a(n_a+1) and n_gt − n_lt = 2U_a − n_a·n_b (ties cancel),
+    // so δ needs no pair enumeration at all — one rank-table join and
+    // integer arithmetic, with Romano 2006's magnitude bands applied to
+    // |δ| in milli. Same deterministic md5 buckets and zero-fill
+    // convention as q180/q211/q353. ----
+    "q365_cliffs_delta" -> { (s, d) =>
+      val spend = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy("user_id").agg(sum("cents").as("cents"))
+      val assigned = Tables.customer(s, d)
+        .select(col("c_custkey"))
+        .withColumn("bucket", pmod(graft.functions.TextFunctions.hex64(
+          md5(concat(lit("exp1:"), col("c_custkey")))), lit(2)))
+        .join(spend.withColumnRenamed("user_id", "c_custkey"),
+          Seq("c_custkey"), "left")
+        .select(col("bucket"), coalesce(col("cents"), lit(0L)).as("m"))
+      val vc = assigned.groupBy("m").agg(count(lit(1)).as("ct"))
+      val wv = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r2 = vc.withColumn("cum", sum("ct").over(wv))
+        .select(col("m"),
+          (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"))
+      val per = assigned.groupBy("bucket", "m").agg(count(lit(1)).as("cs"))
+        .join(r2, "m")
+        .groupBy("bucket").agg(sum("cs").as("n"), sum(col("cs") * col("r2")).as("s2"))
+      val a0 = per.filter(col("bucket") === 0)
+        .select(col("n").as("n_a"), col("s2").as("s2_a"))
+      val a1 = per.filter(col("bucket") === 1).select(col("n").as("n_b"))
+      val result = a0.crossJoin(broadcast(a1))
+        .withColumn("u2_a", col("s2_a") - col("n_a") * (col("n_a") + 1L))
+        .withColumn("delta_milli",
+          expr("((u2_a - n_a * n_b) * 1000) div (n_a * n_b)"))
+        .withColumn("magnitude", expr(
+          """CASE WHEN abs(delta_milli) < 147 THEN 'negligible'
+            |     WHEN abs(delta_milli) < 330 THEN 'small'
+            |     WHEN abs(delta_milli) < 474 THEN 'medium'
+            |     ELSE 'large' END""".stripMargin))
+        .select(col("n_a").cast("bigint").as("n_a"),
+          col("n_b").cast("bigint").as("n_b"),
+          col("u2_a").cast("bigint").as("u2_a"),
+          col("delta_milli").cast("bigint").as("delta_milli"),
+          col("magnitude"))
+      result.orderBy("n_a")
+    },
+
+    // ---- CROSS-SOURCE QUANTILE-NORMALIZATION TABLE: for each source,
+    // map its document-length DECILES onto the POOLED corpus deciles —
+    // the lookup table a mixing pipeline applies when one source's
+    // length distribution must be aligned to the corpus before
+    // length-based quality gates (q340's PSI detects the drift; this
+    // table is the CORRECTION for it). Decile q of a distribution is
+    // min{x : 10·cum(x) ≥ q·n} — exact integers off the same
+    // per-source length-vocabulary CDF machinery as q330 (windows over
+    // the bounded VALUE vocabulary, parallel by source; the pooled CDF
+    // is one more vocabulary-sized frame). Output is sources×9 rows. ----
+    "q366_quantile_normalize" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("bigint").as("x"))
+      def deciles(cnt: DataFrame, part: Seq[String]): DataFrame = {
+        val w = if (part.isEmpty) Window.orderBy("x")
+          else Window.partitionBy(part.map(col): _*).orderBy("x")
+        val keyCols = (part.map(col) :+ col("x") :+ col("cum") :+ col("n"))
+        val cum = cnt
+          .withColumn("cum", sum("ct").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(keyCols: _*)
+        val qs = cum.sparkSession.range(1, 10).select(col("id").as("q"))
+        cum.crossJoin(broadcast(qs))
+          .filter(col("cum") * 10 >= col("q") * col("n"))
+          .groupBy((part.map(col) :+ col("q")): _*)
+          .agg(min("x").as("dec"))
+      }
+      val srcCnt = docs.groupBy("source", "x").agg(count(lit(1)).as("ct"))
+        .join(docs.groupBy("source").agg(count(lit(1)).as("n")), "source")
+      val poolCnt = docs.groupBy("x").agg(count(lit(1)).as("ct"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      val sd = deciles(srcCnt, Seq("source"))
+        .select(col("source"), col("q"), col("dec").as("src_val"))
+      val pd = deciles(poolCnt, Seq.empty)
+        .select(col("q"), col("dec").as("pooled_val"))
+      val result = sd.join(broadcast(pd), "q")
+        .select(col("source"), col("q").cast("int").as("decile"),
+          col("src_val").cast("bigint").as("src_val"),
+          col("pooled_val").cast("bigint").as("pooled_val"),
+          (col("src_val") - col("pooled_val")).cast("bigint").as("shift"))
+      result.orderBy("source", "decile")
     }
   )
 
@@ -845,6 +940,69 @@ object AnalyticsPack extends QueryPack {
         |       g.obar_ppm,
         |       CAST((g.obar_ppm * (1000000 - g.obar_ppm)) // 1000000 AS BIGINT) AS unc_q
         |FROM tr t JOIN evl e USING (wd) CROSS JOIN gl g
-        |ORDER BY wd""".stripMargin
+        |ORDER BY wd""".stripMargin,
+
+    // same pooled doubled-midrank vocabulary, same 2U identity and
+    // Romano magnitude bands (// and div both truncate toward zero on
+    // the signed numerator)
+    "q365_cliffs_delta" ->
+      """WITH spend AS (
+        |  SELECT user_id, CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |asg AS (
+        |  SELECT CAST('0x' || substring(md5('exp1:' || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS bucket,
+        |         COALESCE(s.cents, 0) AS m
+        |  FROM customer c LEFT JOIN spend s ON s.user_id = c.c_custkey),
+        |vc AS (SELECT m, CAST(count(*) AS BIGINT) AS ct FROM asg GROUP BY m),
+        |r2 AS (SELECT m, 2 * (CAST(SUM(ct) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ct) + ct + 1 AS r2
+        |       FROM vc),
+        |per AS (SELECT b.bucket, CAST(SUM(b.cs) AS BIGINT) AS n,
+        |               CAST(SUM(b.cs * r2.r2) AS BIGINT) AS s2
+        |        FROM (SELECT bucket, m, CAST(count(*) AS BIGINT) AS cs
+        |              FROM asg GROUP BY 1, 2) b
+        |        JOIN r2 USING (m) GROUP BY b.bucket),
+        |j AS (SELECT a.n AS n_a, a.s2 AS s2_a, bb.n AS n_b,
+        |             a.s2 - a.n * (a.n + 1) AS u2_a
+        |      FROM (SELECT * FROM per WHERE bucket = 0) a
+        |      CROSS JOIN (SELECT * FROM per WHERE bucket = 1) bb)
+        |SELECT n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+        |       CAST(((u2_a - n_a * n_b) * 1000) // (n_a * n_b) AS BIGINT) AS delta_milli,
+        |       CASE WHEN abs(((u2_a - n_a * n_b) * 1000) // (n_a * n_b)) < 147 THEN 'negligible'
+        |            WHEN abs(((u2_a - n_a * n_b) * 1000) // (n_a * n_b)) < 330 THEN 'small'
+        |            WHEN abs(((u2_a - n_a * n_b) * 1000) // (n_a * n_b)) < 474 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM j
+        |ORDER BY n_a""".stripMargin,
+
+    // same per-source and pooled CDF grids, same min{x : 10·cum ≥ q·n}
+    // decile rule
+    "q366_quantile_normalize" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |sc AS (SELECT source, x, CAST(count(*) AS BIGINT) AS ct FROM docs GROUP BY 1, 2),
+        |sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY 1),
+        |scum AS (SELECT sc.source, sc.x, sn.n,
+        |                CAST(SUM(sc.ct) OVER (PARTITION BY sc.source ORDER BY sc.x
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |         FROM sc JOIN sn USING (source)),
+        |qs AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS q),
+        |sd AS (SELECT s.source, q.q, CAST(MIN(s.x) AS BIGINT) AS src_val
+        |       FROM scum s CROSS JOIN qs q
+        |       WHERE s.cum * 10 >= q.q * s.n
+        |       GROUP BY 1, 2),
+        |pc AS (SELECT x, CAST(count(*) AS BIGINT) AS ct FROM docs GROUP BY 1),
+        |pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        |pcum AS (SELECT pc.x, pn.n,
+        |                CAST(SUM(pc.ct) OVER (ORDER BY pc.x
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |         FROM pc CROSS JOIN pn),
+        |pd AS (SELECT q.q, CAST(MIN(p.x) AS BIGINT) AS pooled_val
+        |       FROM pcum p CROSS JOIN qs q
+        |       WHERE p.cum * 10 >= q.q * p.n
+        |       GROUP BY 1)
+        |SELECT sd.source, CAST(sd.q AS INT) AS decile, sd.src_val,
+        |       pd.pooled_val,
+        |       CAST(sd.src_val - pd.pooled_val AS BIGINT) AS shift
+        |FROM sd JOIN pd USING (q)
+        |ORDER BY sd.source, decile""".stripMargin
   )
 }
