@@ -642,6 +642,78 @@ object AnalyticsPack extends QueryPack {
           col("pooled_val").cast("bigint").as("pooled_val"),
           (col("src_val") - col("pooled_val")).cast("bigint").as("shift"))
       result.orderBy("source", "decile")
+    },
+
+    // ---- SHINGLE-UNIQUENESS CURVE (w-shingling, Broder 1997 §2): for
+    // w ∈ {2,3,4}, how much of the corpus's shingle mass is duplicated
+    // and how much of the vocabulary is singleton — the diagnostic that
+    // picks the shingle width BEFORE q230's banding sweep tunes (b, r)
+    // on top of it (too-small w ⇒ everything collides; the curve shows
+    // where uniqueness saturates). Exact counts off one tokenize pass
+    // per width: the (w, shingle) groupBy collapses map-side, and every
+    // output is a ppm floor-division of exact int64 counts. ----
+    "q367_shingle_uniqueness" -> { (s, d) =>
+      import graft.functions.TextFunctions.{tokens, wordShinglesOf}
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      val sh = Seq(2, 3, 4).map { w =>
+        toks.select(lit(w).as("w"),
+          explode(wordShinglesOf(col("ts"), w)).as("sgl"))
+      }.reduce(_ unionByName _)
+      val counts = sh.groupBy("w", "sgl").agg(count(lit(1)).as("ct"))
+      val result = counts.groupBy("w")
+        .agg(sum("ct").as("n_total"), count(lit(1)).as("n_distinct"),
+          sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n_singleton"))
+        .select(col("w").cast("int").as("w"),
+          col("n_total").cast("bigint").as("n_total"),
+          col("n_distinct").cast("bigint").as("n_distinct"),
+          col("n_singleton").cast("bigint").as("n_singleton"),
+          expr("((n_total - n_distinct) * 1000000) div n_total")
+            .cast("bigint").as("dup_mass_ppm"),
+          expr("(n_singleton * 1000000) div n_distinct")
+            .cast("bigint").as("singleton_ppm"))
+      result.orderBy("w")
+    },
+
+    // ---- DKW MEDIAN CONFIDENCE BAND (Dvoretzky–Kiefer–Wolfowitz 1956
+    // with Massart 1990's tight constant): a DISTRIBUTION-FREE 95%
+    // band around each source's median document length — sup-norm CDF
+    // uncertainty ε = √(ln(2/α)/2n) mapped through the empirical CDF
+    // inverse, so the bound is exact-finite-sample, no normality and
+    // no bootstrap resampling (the q167/q261 lanes' assumptions-free
+    // cousin). ε is one sqrt on a full-precision double literal over
+    // n (identical text both engines, floor-ppm); the three inverse-
+    // CDF lookups reuse the per-source length-vocabulary machinery
+    // (q330/q366 — windows over the bounded value vocabulary only).
+    // The upper rank clamps at n (a band reaching past the sample
+    // maximum returns the maximum — stated convention). ----
+    "q368_dkw_median_band" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("bigint").as("x"))
+      val cnt = docs.groupBy("source", "x").agg(count(lit(1)).as("ct"))
+        .join(docs.groupBy("source").agg(count(lit(1)).as("n")), "source")
+      val w = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cnt.withColumn("cum", sum("ct").over(w))
+        .withColumn("eps_ppm", expr(
+          "cast(floor(1000000.0 * sqrt(3.6888794541139363 / (2.0 * cast(n as double)))) as bigint)"))
+        .withColumn("f_lo", greatest(lit(500000L) - col("eps_ppm"), lit(0L)))
+        .withColumn("f_hi", least(lit(500000L) + col("eps_ppm"), lit(1000000L)))
+      val med = cum.filter(col("cum") * 2 >= col("n"))
+        .groupBy("source").agg(min("x").as("median_len"))
+      val lo = cum.filter(col("cum") * 1000000L >= col("f_lo") * col("n"))
+        .groupBy("source").agg(min("x").as("lo_val"))
+      val hi = cum.filter(col("cum") * 1000000L >= col("f_hi") * col("n"))
+        .groupBy("source").agg(min("x").as("hi_val"))
+      val base = cum.groupBy("source")
+        .agg(max("n").as("n_docs"), max("eps_ppm").as("eps_ppm"))
+      val result = base.join(med, "source").join(lo, "source").join(hi, "source")
+        .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+          col("eps_ppm").cast("bigint").as("eps_ppm"),
+          col("median_len").cast("bigint").as("median_len"),
+          col("lo_val").cast("bigint").as("lo_val"),
+          col("hi_val").cast("bigint").as("hi_val"))
+      result.orderBy("source")
     }
   )
 
@@ -1003,6 +1075,61 @@ object AnalyticsPack extends QueryPack {
         |       pd.pooled_val,
         |       CAST(sd.src_val - pd.pooled_val AS BIGINT) AS shift
         |FROM sd JOIN pd USING (q)
-        |ORDER BY sd.source, decile""".stripMargin
+        |ORDER BY sd.source, decile""".stripMargin,
+
+    // same tokenization and w-gram construction (ASCII corpus — the
+    // QueryPack oracle-layer note), same ppm floor-divisions
+    "q367_shingle_uniqueness" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT 2 AS w, array_to_string(ts[g.i:g.i+1], ' ') AS sgl
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)
+        |  UNION ALL
+        |  SELECT 3, array_to_string(ts[g.i:g.i+2], ' ')
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+        |  UNION ALL
+        |  SELECT 4, array_to_string(ts[g.i:g.i+3], ' ')
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 3, 0))) AS g(i)),
+        |counts AS (SELECT w, sgl, CAST(count(*) AS BIGINT) AS ct FROM sh GROUP BY 1, 2)
+        |SELECT CAST(w AS INT) AS w,
+        |       CAST(SUM(ct) AS BIGINT) AS n_total,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(SUM(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+        |       CAST(((SUM(ct) - count(*)) * 1000000) // SUM(ct) AS BIGINT) AS dup_mass_ppm,
+        |       CAST((SUM(CASE WHEN ct = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS singleton_ppm
+        |FROM counts GROUP BY w ORDER BY w""".stripMargin,
+
+    // same vocabulary CDF, same full-precision ln(40) literal inside
+    // the one-sqrt ε, same clamped inverse-CDF rank rule
+    "q368_dkw_median_band" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |cnt AS (SELECT source, x, CAST(count(*) AS BIGINT) AS ct FROM docs GROUP BY 1, 2),
+        |sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY 1),
+        |cum AS (
+        |  SELECT c.source, c.x, sn.n,
+        |         CAST(SUM(c.ct) OVER (PARTITION BY c.source ORDER BY c.x
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(floor(1000000.0 * sqrt(3.6888794541139363 / (2.0 * cast(sn.n as double)))) AS BIGINT) AS eps_ppm
+        |  FROM cnt c JOIN sn USING (source)),
+        |cl AS (SELECT source, x, n, cum, eps_ppm,
+        |              greatest(500000 - eps_ppm, 0) AS f_lo,
+        |              least(500000 + eps_ppm, 1000000) AS f_hi
+        |       FROM cum),
+        |med AS (SELECT source, CAST(MIN(x) AS BIGINT) AS median_len FROM cl
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |lo AS (SELECT source, CAST(MIN(x) AS BIGINT) AS lo_val FROM cl
+        |       WHERE cum * 1000000 >= f_lo * n GROUP BY 1),
+        |hi AS (SELECT source, CAST(MIN(x) AS BIGINT) AS hi_val FROM cl
+        |       WHERE cum * 1000000 >= f_hi * n GROUP BY 1),
+        |base AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |                CAST(MAX(eps_ppm) AS BIGINT) AS eps_ppm
+        |         FROM cl GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.eps_ppm, m.median_len, l.lo_val, h.hi_val
+        |FROM base b JOIN med m USING (source) JOIN lo l USING (source)
+        |JOIN hi h USING (source)
+        |ORDER BY b.source""".stripMargin
   )
 }
