@@ -80,7 +80,13 @@ object DumpPlans {
     "q330_ks_statistic",      // per-source CDF windows over the length vocabulary
     "q336_source_term_cosine",// TakeOrdered top-200 vocab, broadcast profile joins
     "q344_revenue_hhi",       // TakeOrdered top-10 + map-side share aggregate
-    "q345_asof_nearest"       // two native as-of passes composed, no new exchange
+    "q345_asof_nearest",      // two native as-of passes composed, no new exchange
+    "q351_kruskal_wallis",    // map-side (source,length) collapse, vocab windows only
+    "q353_cuped",             // two map-side-combining aggregates, DECIMAL(38) products
+    "q355_copurchase_ra_affinity", // capped wedge join + TakeOrderedAndProject top-50
+    "q356_blocking_quality",  // block-size counting (no pair enumeration) + truth joins
+    "q360_stl_decomposition", // calendar-bounded MA window + broadcast seasonal join
+    "q364_brier_decomposition" // two signup-stream aggregates, 7-row bin axis
   )
 
   def main(args: Array[String]): Unit = {
