@@ -287,7 +287,14 @@ object AnalyticsPack extends QueryPack {
           col("cb").cast("bigint").as("cust_b"),
           col("n_common").cast("bigint").as("n_common_parts"),
           col("ra_q").cast("bigint").as("ra_q"))
-      result.orderBy(desc("ra_q"), col("cust_a"), col("cust_b")).limit(50)
+        .orderBy(desc("ra_q"), col("cust_a"), col("cust_b")).limit(50)
+      // the top-50 must plan as TakeOrderedAndProject (partial per-
+      // partition top-k, never a full global sort of the wedge
+      // aggregate) — the claim that makes the 100 TB shape cheap
+      require(result.queryExecution.executedPlan.toString
+          .contains("TakeOrderedAndProject"),
+        "q355: top-k must plan as TakeOrderedAndProject")
+      result
     },
 
     // ---- DIFFERENTIALLY-PRIVATE COUNT RELEASE, two-sided-geometric
