@@ -721,8 +721,111 @@ object AnalyticsPack extends QueryPack {
           col("lo_val").cast("bigint").as("lo_val"),
           col("hi_val").cast("bigint").as("hi_val"))
       result.orderBy("source")
+    },
+
+    // ---- JARQUE–BERA NORMALITY TEST (Jarque & Bera 1980) of document
+    // length per source — the omnibus skewness+kurtosis gate that a
+    // "lengths look log-normal-ish, is a Gaussian assumption remotely
+    // tenable?" decision (e.g. z-score outlier gates like q243) should
+    // be checked against. One aggregate of exact power sums through x⁴
+    // (q170's discipline extended one order: s3/s4 accumulate in
+    // DECIMAL(38,0) — hugeint on the oracle side — so the cross-group
+    // sum is exact and order-independent at any corpus size); the
+    // derived moments / JB statistic are IEEE doubles from the exact
+    // integers with the SAME formula text in both engines (sqrt only —
+    // correctly rounded where pow is not). Scale shape: one map-side-
+    // combining aggregate, sources-bounded output. ----
+    "q369_jarque_bera" -> { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(jarqueBeraSql)
+    },
+
+    // ---- MANN–KENDALL TREND TEST (Mann 1945; Kendall 1975) on daily
+    // event volume — the nonparametric is-traffic-drifting monitor
+    // that complements q335's Theil–Sen SLOPE with a significance
+    // DECISION (and unlike q200's least-squares slope it needs no
+    // linearity or normality). S and the tie-corrected 18·Var(S) are
+    // exact int64 (day pairs are calendar²-bounded, the q335 rule);
+    // the normal-approximation z uses the standard ±1 continuity
+    // correction and ONE sqrt on exact integers. ----
+    "q370_mann_kendall" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(mannKendallSql)
     }
   )
+
+  /** q369: ONE SQL text run verbatim by Spark and DuckDB (the q170
+    * shared-expression discipline; no engine-specific cast names are
+    * needed because the exact DECIMAL sums stay internal). */
+  private val jarqueBeraSql: String =
+    """WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS q FROM documents),
+      |sums AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(q) AS BIGINT) AS s1,
+      |         CAST(sum(q * q) AS BIGINT) AS s2,
+      |         sum(CAST(q AS DECIMAL(38,0)) * q * q) AS s3,
+      |         sum(CAST(q AS DECIMAL(38,0)) * q * q * q) AS s4
+      |  FROM c GROUP BY source),
+      |m AS (
+      |  SELECT source, n,
+      |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM sums),
+      |cm AS (
+      |  SELECT source, n, mean,
+      |         r2 - mean * mean AS m2,
+      |         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+      |         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+      |            - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m),
+      |g AS (
+      |  SELECT source, n, mean, m2,
+      |         CASE WHEN m2 <= 0.0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END AS g1,
+      |         CASE WHEN m2 <= 0.0 THEN 0.0 ELSE m4 / (m2 * m2) - 3.0 END AS g2
+      |  FROM cm)
+      |SELECT source, n AS n_docs, mean, m2 AS variance, g1 AS skewness,
+      |       g2 AS kurtosis_excess,
+      |       CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0) AS jb,
+      |       CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+      |         > 5.991464547107979 AS reject_normal
+      |FROM g ORDER BY source""".stripMargin
+
+  /** q370: ONE SQL text for both engines; sign() is avoided (Spark
+    * returns DOUBLE) in favor of a portable CASE comparison. */
+  private val mannKendallSql: String =
+    """WITH days AS (
+      |  SELECT date_trunc('day', ts) AS dy, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |pr AS (
+      |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+      |                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM days a JOIN days b ON a.dy < b.dy),
+      |vc AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM days GROUP BY x),
+      |tie AS (SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tsum
+      |        FROM vc WHERE c > 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days),
+      |v AS (SELECT nn.n, pr.s_stat,
+      |             nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tsum AS var18
+      |      FROM nn CROSS JOIN pr CROSS JOIN tie)
+      |SELECT n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+      |       CAST(floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+      |                                 WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+      |                                 ELSE 0.0 END)
+      |                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) AS z_milli,
+      |       CASE WHEN floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+      |                                      WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+      |                                      ELSE 0.0 END)
+      |                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)) > 1960
+      |              THEN 'increasing'
+      |            WHEN floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+      |                                      WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+      |                                      ELSE 0.0 END)
+      |                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)) < -1960
+      |              THEN 'decreasing'
+      |            ELSE 'none' END AS trend
+      |FROM v ORDER BY n_days""".stripMargin
 
   override def oracle: Map[String, String] = Map(
 
@@ -1137,6 +1240,13 @@ object AnalyticsPack extends QueryPack {
         |SELECT b.source, b.n_docs, b.eps_ppm, m.median_len, l.lo_val, h.hi_val
         |FROM base b JOIN med m USING (source) JOIN lo l USING (source)
         |JOIN hi h USING (source)
-        |ORDER BY b.source""".stripMargin
+        |ORDER BY b.source""".stripMargin,
+
+    // the Spark side runs the SAME string on a temp view — exact
+    // DECIMAL power sums, identical double formula text
+    "q369_jarque_bera" -> jarqueBeraSql,
+
+    // same shared string: exact S / 18·Var(S), one sqrt
+    "q370_mann_kendall" -> mannKendallSql
   )
 }
