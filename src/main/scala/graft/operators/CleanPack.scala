@@ -49,6 +49,34 @@ object CleanPack extends QueryPack {
     "cast(floor(1000000.0 * (cast(s1a as double) / cast(na as double) - " +
       "cast(s1b as double) / cast(nb as double))) as bigint)"
 
+  /** Per-source-pair KS sup-norm numerators, shared by q330 (per-test
+    * decision) and q371 (BH-FDR over the family): `(source_a, source_b,
+    * n_a, n_b, dmax)` where dmax = max_v |cum_a(v)·n_b − cum_b(v)·n_a|
+    * — every term an exact count product. The CDF window runs over the
+    * LENGTH VOCABULARY per source (bounded, parallel by source); pairs
+    * are sources²-bounded. */
+  private def ksPairStats(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val grid = cnt.select("n_chars").distinct()
+    val srcN = cnt.groupBy("source").agg(sum("c").as("n"))
+    val full = srcN.crossJoin(grid)
+      .join(cnt, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.withColumn("cum", sum("c").over(w))
+      .select(col("source"), col("n"), col("n_chars"), col("cum"))
+    cum.as("a")
+      .join(cum.as("b"),
+        col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("dnum"))
+      .groupBy("source_a", "source_b", "n_a", "n_b")
+      .agg(max("dnum").as("dmax"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- referential-integrity audit: orphan counts across every FK
@@ -700,25 +728,7 @@ object CleanPack extends QueryPack {
     // int64: cum·n ≤ N² — safe through ~3·10⁹ docs, DECIMAL(38)
     // internally past that. ----
     "q330_ks_statistic" -> { (s, d) =>
-      val cnt = Tables.documents(s, d)
-        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
-      val grid = cnt.select("n_chars").distinct()
-      val srcN = cnt.groupBy("source").agg(sum("c").as("n"))
-      val full = srcN.crossJoin(grid)
-        .join(cnt, Seq("source", "n_chars"), "left")
-        .na.fill(0L, Seq("c"))
-      val w = Window.partitionBy("source").orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = full.withColumn("cum", sum("c").over(w))
-        .select(col("source"), col("n"), col("n_chars"), col("cum"))
-      val result = cum.as("a")
-        .join(cum.as("b"),
-          col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
-        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-          col("a.n").as("n_a"), col("b.n").as("n_b"),
-          abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("dnum"))
-        .groupBy("source_a", "source_b", "n_a", "n_b")
-        .agg(max("dnum").as("dmax"))
+      val result = ksPairStats(s, d)
         .select(col("source_a"), col("source_b"),
           col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
           expr("(dmax * 1000000) div (n_a * n_b)").cast("bigint").as("d_ppm"),
@@ -727,6 +737,49 @@ object CleanPack extends QueryPack {
               (col("n_a") * col("n_b")).cast("double")))
             .cast("bigint").as("crit_ppm"))
         .withColumn("reject", col("d_ppm") > col("crit_ppm"))
+      result.orderBy("source_a", "source_b")
+    },
+
+    // ---- BENJAMINI–HOCHBERG FDR CONTROL (Benjamini & Hochberg 1995)
+    // over the q330 family of pairwise KS tests: 20 sources means 190
+    // simultaneous tests — per-test α=0.05 expects ~9 false drift
+    // alarms on a healthy corpus, so the monitoring decision needs a
+    // multiple-testing correction. p-values stay in the LOG DOMAIN to
+    // avoid exp() (not correctly rounded, unlike sqrt): the KS tail
+    // bound p = 2·exp(−2·D²·n_a·n_b/(n_a+n_b)) becomes ln p = ln 2 −
+    // 2·dmax²/(n_a·n_b·(n_a+n_b)) — pure arithmetic on exact integers
+    // plus literal constants — and the BH step-up test p(k) ≤ kα/m
+    // becomes ln_p ≤ ln k + ln α − ln m, where ln() touches only
+    // INTEGER-valued doubles (the NB-scoring qln precedent both
+    // engines already agree on bit-exactly). The rank window runs over
+    // the sources²-bounded pair frame (q127 rule); reject = rank ≤
+    // kmax where kmax is the largest step-up rank that passes. ----
+    "q371_ks_fdr" -> { (s, d) =>
+      val lnp = ksPairStats(s, d)
+        .withColumn("d_ppm",
+          expr("(dmax * 1000000) div (n_a * n_b)").cast("bigint"))
+        .withColumn("ln_p_micro", expr(
+          "cast(floor(1000000.0 * (0.6931471805599453 - " +
+            "2.0 * cast(dmax as double) * cast(dmax as double) / " +
+            "(cast(n_a as double) * cast(n_b as double) * " +
+            "(cast(n_a as double) + cast(n_b as double))))) as bigint)"))
+      // bounded frame: pairs are sources²-bounded, so the global rank
+      // window is a q127-class bounded window, not a row-scale sort
+      val ranked = lnp
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ln_p_micro"), col("source_a"), col("source_b"))))
+        .crossJoin(broadcast(lnp.agg(count(lit(1)).as("m"))))
+        .withColumn("bh_micro", expr(
+          "cast(floor(1000000.0 * (ln(cast(rk as double)) - " +
+            "2.9957322735539909 - ln(cast(m as double)))) as bigint)"))
+      val kmax = ranked
+        .agg(max(when(col("ln_p_micro") <= col("bh_micro"), col("rk"))
+          .otherwise(lit(0))).as("kmax"))
+      val result = ranked.crossJoin(broadcast(kmax))
+        .select(col("source_a"), col("source_b"), col("d_ppm"),
+          col("ln_p_micro"), col("rk").cast("int").as("rk"),
+          col("bh_micro").cast("bigint").as("bh_micro"),
+          (col("rk") <= col("kmax")).as("reject_fdr"))
       result.orderBy("source_a", "source_b")
     },
 
@@ -1474,6 +1527,49 @@ object CleanPack extends QueryPack {
         |         > CAST(floor(1358000.0 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS reject
         |FROM mx
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // same exact dmax frame, same log-domain tail bound (ln 2 and
+    // ln 0.05 as full-precision literals; ln() only on integer-valued
+    // doubles), same bounded-frame step-up rank
+    "q371_ks_fdr" ->
+      """WITH cnt AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM cnt),
+        |srcn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |full0 AS (
+        |  SELECT s.source, s.n, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM srcn s CROSS JOIN grid g
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n, n_chars,
+        |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM full0),
+        |pd AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+        |         abs(a.cum * b.n - b.cum * a.n) AS dnum
+        |  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source),
+        |mx AS (SELECT source_a, source_b, n_a, n_b, CAST(MAX(dnum) AS BIGINT) AS dmax
+        |       FROM pd GROUP BY 1, 2, 3, 4),
+        |lp AS (
+        |  SELECT source_a, source_b,
+        |         CAST((dmax * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
+        |         CAST(floor(1000000.0 * (0.6931471805599453 - 2.0 * CAST(dmax AS DOUBLE) * CAST(dmax AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))) AS BIGINT) AS ln_p_micro
+        |  FROM mx),
+        |rnk AS (
+        |  SELECT *, row_number() OVER (ORDER BY ln_p_micro, source_a, source_b) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM lp),
+        |bh AS (
+        |  SELECT *, CAST(floor(1000000.0 * (ln(CAST(rk AS DOUBLE)) - 2.9957322735539909 - ln(CAST(m AS DOUBLE)))) AS BIGINT) AS bh_micro
+        |  FROM rnk),
+        |km AS (SELECT CAST(MAX(CASE WHEN ln_p_micro <= bh_micro THEN rk ELSE 0 END) AS BIGINT) AS kmax FROM bh)
+        |SELECT b.source_a, b.source_b, b.d_ppm, b.ln_p_micro,
+        |       CAST(b.rk AS INT) AS rk, b.bh_micro,
+        |       b.rk <= km.kmax AS reject_fdr
+        |FROM bh b CROSS JOIN km
+        |ORDER BY b.source_a, b.source_b""".stripMargin,
 
     // same doubled-midrank vocabularies; HUGEINT mirrors the Spark
     // side's DECIMAL(38,0) products (equal integers → identical doubles)
