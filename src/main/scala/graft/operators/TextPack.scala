@@ -1777,6 +1777,99 @@ object TextPack extends QueryPack {
         .withColumn("keep",
           col("dup_bigram_frac") <= 0.05 && col("top_bigram_frac") <= 0.06)
         .orderBy("doc_id")
+    },
+
+    // ---- GOOD–TURING FREQUENCY SMOOTHING TABLE (Good 1953; Gale &
+    // Sampson 1995's Simple GT regime for small r) per source: the
+    // frequency-of-frequencies N_r for r = 1..5, the unseen-mass
+    // estimate P₀ = N₁/N, and the smoothed counts r* = (r+1)·N_{r+1}/N_r
+    // — the LM-smoothing companion to q188's Kneser–Ney (KN discounts
+    // are themselves derived from N₁/N₂ in the same way) and the
+    // principled version of the "how much probability mass do unseen
+    // tokens deserve" question q119's Laplace term answers crudely.
+    // The event unit is the TRIGRAM shingle (q367's w=3), not the
+    // unigram: this corpus's closed 31-word vocabulary has no rare
+    // unigrams at scale (N₁..N₅ empty ⇒ a vacuous gate), while the
+    // shingle vocabulary grows with the corpus — which is also the
+    // regime GT smoothing exists for. Exact integers end to end (milli
+    // floor-division for r*); shapes: the (source, shingle) count
+    // collapses map-side, the freq-of-frequencies table is a roll-up
+    // of THAT vocab-sized frame, and the r ≤ 5 slice is a
+    // 5-row-per-source join. ----
+    "q372_good_turing" -> { (s, d) =>
+      import graft.functions.TextFunctions.wordShinglesOf
+      val cw = Tables.documents(s, d)
+        .select(col("source"),
+          explode(wordShinglesOf(tokens(col("text")), 3)).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val warm = warmed(cw.groupBy("source", "c").agg(count(lit(1)).as("n_r")))
+      val tot = warm.groupBy("source")
+        .agg(sum(col("c") * col("n_r")).as("n_tokens"),
+          sum("n_r").as("n_types"),
+          sum(when(col("c") === 1, col("n_r")).otherwise(0L)).as("n1"))
+      val a = warm.filter(col("c").between(1, 5))
+        .select(col("source"), col("c").as("r"), col("n_r"))
+      val b = warm.filter(col("c").between(2, 6))
+        .select(col("source"), (col("c") - 1).as("r"), col("n_r").as("n_r_next"))
+      val result = a.join(b, Seq("source", "r"), "left")
+        .na.fill(0L, Seq("n_r_next"))
+        .join(tot, "source")
+        .select(col("source"), col("r").cast("int").as("r"),
+          col("n_r").cast("bigint").as("n_r"),
+          col("n_r_next").cast("bigint").as("n_r_next"),
+          expr("((r + 1) * n_r_next * 1000) div n_r").cast("bigint")
+            .as("gt_star_milli"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_types").cast("bigint").as("n_types"),
+          expr("(n1 * 1000000) div n_tokens").cast("bigint").as("p0_ppm"))
+      materialized(result, warm).orderBy("source", "r")
+    },
+
+    // ---- NEGATIVE-SAMPLING DISTRIBUTION TABLE (word2vec, Mikolov et
+    // al. 2013 §2.2): the unigram^(3/4) sampling weights and their
+    // cumulative ranges — the alias/CDF table a skip-gram or
+    // contrastive-training job samples negatives from. c^0.75 is
+    // computed as sqrt(sqrt(c³)) — two CORRECTLY-ROUNDED sqrts instead
+    // of the unspecified-rounding pow() (the q257 temperature-mix
+    // trick) — then floor-quantized to integer micro-weights so the
+    // cumulative sum is exact. The CDF over the token vocabulary runs
+    // through the distributed two-phase [[graft.functions.PrefixSum]]
+    // (never a single-task vocabulary sort — enforced by a plan
+    // REQUIRE), and the emitted head is a top-50 TakeOrdered, also
+    // plan-REQUIREd. ----
+    "q373_neg_sampling" -> { (s, d) =>
+      val cw = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("w_micro", expr(
+          "cast(floor(1000000.0 * sqrt(sqrt(cast(c as double) * " +
+            "cast(c as double) * cast(c as double)))) as bigint)"))
+      val cum = graft.functions.PrefixSum.inclusive(cw,
+        Seq(col("w_micro").desc, col("w")), Seq((col("w_micro"), "cum_hi")))
+      val tot = cum.agg(sum("w_micro").as("total_micro"))
+      val result = cum.crossJoin(broadcast(tot))
+        .select(col("w"), col("c").cast("bigint").as("c"),
+          col("w_micro"),
+          (col("cum_hi") - col("w_micro")).cast("bigint").as("cum_lo"),
+          col("cum_hi").cast("bigint").as("cum_hi"),
+          expr("(w_micro * 1000000) div total_micro").cast("bigint")
+            .as("share_ppm"),
+          col("total_micro").cast("bigint").as("total_micro"))
+        .orderBy(col("w_micro").desc, col("w")).limit(50)
+      // Plan REQUIREs: (a) every window is PrefixSum machinery (the
+      // q116 gate — no single-task vocabulary cumsum may creep back);
+      // (b) the head emit is a distributed partial top-k.
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q373: a non-PrefixSum window appeared (vocab-scale single-task cumsum regression)")
+        val phys = result.queryExecution.executedPlan.toString
+        require(phys.contains("TakeOrderedAndProject"),
+          "q373: top-50 head must plan as TakeOrderedAndProject")
+      }
+      result
     }
   )
 
@@ -1890,6 +1983,55 @@ object TextPack extends QueryPack {
           |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hapax_ppm
           |FROM wc GROUP BY source
           |ORDER BY source""".stripMargin,
+
+      // same trigram-shingle vocabulary (the q367 w=3 construction),
+      // same roll-up, same exact milli floor-division r*
+      "q372_good_turing" ->
+        """WITH tok AS (
+          |  SELECT source, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |sh AS (
+          |  SELECT source, array_to_string(ts[g.i:g.i+2], ' ') AS w
+          |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
+          |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2),
+          |fof AS (SELECT source, c, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1, 2),
+          |tot AS (SELECT source, CAST(SUM(c * n_r) AS BIGINT) AS n_tokens,
+          |               CAST(SUM(n_r) AS BIGINT) AS n_types,
+          |               CAST(SUM(CASE WHEN c = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+          |        FROM fof GROUP BY 1),
+          |a AS (SELECT source, c AS r, n_r FROM fof WHERE c BETWEEN 1 AND 5),
+          |b AS (SELECT source, c - 1 AS r, n_r AS n_r_next FROM fof WHERE c BETWEEN 2 AND 6)
+          |SELECT a.source, CAST(a.r AS INT) AS r,
+          |       a.n_r,
+          |       CAST(COALESCE(b.n_r_next, 0) AS BIGINT) AS n_r_next,
+          |       CAST(((a.r + 1) * COALESCE(b.n_r_next, 0) * 1000) // a.n_r AS BIGINT) AS gt_star_milli,
+          |       t.n_tokens, t.n_types,
+          |       CAST((t.n1 * 1000000) // t.n_tokens AS BIGINT) AS p0_ppm
+          |FROM a LEFT JOIN b ON a.source = b.source AND a.r = b.r
+          |JOIN tot t ON t.source = a.source
+          |ORDER BY a.source, r""".stripMargin,
+
+      // same double-sqrt c^0.75 micro weights; the oracle's vocabulary
+      // window replays the distributed prefix scan
+      "q373_neg_sampling" ->
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+          |wg AS (SELECT w, c,
+          |              CAST(floor(1000000.0 * sqrt(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS BIGINT) AS w_micro
+          |       FROM wc),
+          |cum AS (SELECT *, CAST(SUM(w_micro) OVER (ORDER BY w_micro DESC, w
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi
+          |        FROM wg),
+          |tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS total_micro FROM wg)
+          |SELECT w, c, w_micro,
+          |       CAST(cum_hi - w_micro AS BIGINT) AS cum_lo, cum_hi,
+          |       CAST((w_micro * 1000000) // total_micro AS BIGINT) AS share_ppm,
+          |       total_micro
+          |FROM cum CROSS JOIN tot
+          |ORDER BY w_micro DESC, w
+          |LIMIT 50""".stripMargin,
 
       // same per-source (tokens, vocab) points, same milli-nat
       // quantization and least-squares text as q210
