@@ -1815,6 +1815,57 @@ object EventsPack extends QueryPack {
           expr("(1000000 * (n * sg2 - sg * sg)) div (n * sg)")
             .cast("bigint").as("fano_q"))
       result.orderBy("user_id")
+    },
+
+    // ---- INTER-EVENT BURSTINESS per event type (Barabási 2005's
+    // heavy-tailed human-activity signature, made decision-grade
+    // WITHOUT exp(): for an exponential/Poisson process the median gap
+    // is exactly mean·ln 2, so the MEDIAN-TO-EXPONENTIAL-MEDIAN ratio
+    // — observed median over mean·ln2 — reads < 1000 milli for bursty
+    // head-heavy streams and ≈ 1000 for memoryless ones. ln 2 enters
+    // as a full-precision literal; no transcendental is EVALUATED, so
+    // both engines floor the same product (the q371 log-domain
+    // discipline). CV² of the gaps (the classic burstiness scalar)
+    // rides along from the same exact sums, DECIMAL(38,0)/HUGEINT for
+    // the sg² cross term. Shapes: per-(user, type) lag gaps (per-user
+    // history, bounded), gap-SECOND value-vocabulary median windows
+    // per type (q171's histogram median), sources-of-truth all exact
+    // int64. The complement to q209: Fano there is per USER on counts;
+    // this is per TYPE on gaps. ----
+    "q374_gap_burstiness" -> { (s, d) =>
+      val wu = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(wu))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), expr("(us - prev) div 1000000").as("g"))
+      val hist = warmed(gaps.groupBy("event_type", "g").agg(count(lit(1)).as("ct")))
+      val sums = hist.groupBy("event_type")
+        .agg(sum("ct").as("n"), sum(col("g") * col("ct")).as("sg"),
+          sum(expr("cast(g as decimal(38,0)) * g * ct")).as("sg2"))
+        .filter(col("n") >= 3 && col("sg") > 0)
+      val wv = Window.partitionBy("event_type").orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist.withColumn("cum", sum("ct").over(wv))
+        .join(sums.select("event_type", "n"), "event_type")
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("event_type").agg(min("g").as("median_g"))
+      val result = sums.join(med, "event_type")
+        .select(col("event_type"),
+          col("n").cast("bigint").as("n_gaps"),
+          col("sg").cast("bigint").as("sum_gap_s"),
+          expr("(sg * 1000) div n").cast("bigint").as("mean_gap_milli_s"),
+          col("median_g").cast("bigint").as("median_gap_s"),
+          expr("cast(floor(1000.0 * cast(cast(n as decimal(38,0)) * sg2 " +
+            "- cast(sg as decimal(38,0)) * sg as double) / " +
+            "cast(cast(sg as decimal(38,0)) * sg as double)) as bigint)")
+            .as("cv2_milli"),
+          expr("cast(floor(1000.0 * cast(median_g * n as double) / " +
+            "(cast(sg as double) * 0.6931471805599453)) as bigint)")
+            .as("burst_milli"))
+      materialized(result, hist).orderBy("event_type")
     }
   )
 
@@ -3160,6 +3211,39 @@ object EventsPack extends QueryPack {
         |SELECT user_id, n AS n_gaps, sg AS sum_gap_min,
         |       CAST((1000000 * (n * sg2 - sg * sg)) // (n * sg) AS BIGINT) AS fano_q
         |FROM sums WHERE n >= 3 AND sg > 0
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // same per-(user, type) stream order, whole-second gaps, histogram
+    // median, HUGEINT cross terms mirroring DECIMAL(38,0), and the
+    // identical ln2-literal burst ratio
+    "q374_gap_burstiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |g0 AS (
+        |  SELECT event_type,
+        |         (us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY us, event_id)) // 1000000 AS g
+        |  FROM ev),
+        |hist AS (SELECT event_type, g, CAST(count(*) AS BIGINT) AS ct
+        |         FROM g0 WHERE g IS NOT NULL GROUP BY 1, 2),
+        |sums AS (SELECT event_type, CAST(sum(ct) AS BIGINT) AS n,
+        |                CAST(sum(g * ct) AS BIGINT) AS sg,
+        |                CAST(sum(CAST(g AS HUGEINT) * g * ct) AS HUGEINT) AS sg2
+        |         FROM hist GROUP BY 1
+        |         HAVING sum(ct) >= 3 AND sum(g * ct) > 0),
+        |cum AS (SELECT h.event_type, h.g, s.n,
+        |               CAST(SUM(h.ct) OVER (PARTITION BY h.event_type ORDER BY h.g
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM hist h JOIN sums s USING (event_type)),
+        |med AS (SELECT event_type, CAST(MIN(g) AS BIGINT) AS median_g
+        |        FROM cum WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT s.event_type, s.n AS n_gaps, s.sg AS sum_gap_s,
+        |       CAST((s.sg * 1000) // s.n AS BIGINT) AS mean_gap_milli_s,
+        |       m.median_g AS median_gap_s,
+        |       CAST(floor(1000.0 * CAST(CAST(s.n AS HUGEINT) * s.sg2 - CAST(s.sg AS HUGEINT) * s.sg AS DOUBLE) / CAST(CAST(s.sg AS HUGEINT) * s.sg AS DOUBLE)) AS BIGINT) AS cv2_milli,
+        |       CAST(floor(1000.0 * CAST(m.median_g * s.n AS DOUBLE) / (CAST(s.sg AS DOUBLE) * 0.6931471805599453)) AS BIGINT) AS burst_milli
+        |FROM sums s JOIN med m USING (event_type)
+        |ORDER BY s.event_type""".stripMargin
   )
 }
