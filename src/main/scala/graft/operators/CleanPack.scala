@@ -783,6 +783,89 @@ object CleanPack extends QueryPack {
       result.orderBy("source_a", "source_b")
     },
 
+    // ---- SORTED-NEIGHBORHOOD RECORD LINKAGE (Hernández & Stolfo,
+    // SIGMOD 1995 merge/purge): the OTHER classic blocking strategy
+    // next to q113's symmetric-delete index — sort clean ∪ dirty
+    // records by the match key and compare only records ≤ w positions
+    // apart. The audit reports, per window offset k ∈ {1,2,3}: pair
+    // volume, cross-side candidates, DL ≤ 2 matches (the codegen
+    // Damerau–Levenshtein kernel), true matches, and CUMULATIVE recall
+    // — which exposes the method's textbook failure mode: a corruption
+    // in the sort-key PREFIX (here the deliberate char-5 deletion on
+    // every 4th record) sorts the record far from its mate and no
+    // affordable window recovers it, while late-position transpositions
+    // are caught at offset 1. Scale shape: the global sort RANK comes
+    // from the distributed two-phase [[graft.functions.PrefixSum]]
+    // (plan-REQUIREd — never a single-task row_number), and the
+    // neighbor join is k equi-joins on the integer rank, so the whole
+    // pipeline is rank-partitioned row-scale work with no all-pairs
+    // block. ----
+    "q375_sorted_neighborhood" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val clean = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val dirty = clean
+        .withColumn("p", expr("cast(10 + c_custkey % 7 as int)"))
+        .withColumn("swapped",
+          expr("concat(substr(c_name, 1, p - 1), substr(c_name, p + 1, 1), " +
+            "substr(c_name, p, 1), substr(c_name, p + 2))"))
+        .select(col("c_custkey"),
+          expr("CASE WHEN c_custkey % 4 = 0 " +
+            "THEN concat(substr(swapped, 1, 4), substr(swapped, 6)) " +
+            "ELSE swapped END").as("c_name"))
+      val records = clean.withColumn("tag", lit("clean"))
+        .unionByName(dirty.withColumn("tag", lit("dirty")))
+      val ranked = graft.functions.PrefixSum.inclusive(records,
+        Seq(col("c_name"), col("tag"), col("c_custkey")),
+        Seq((lit(1L), "rk")))
+      val probes = ranked.select(col("c_custkey").as("key_a"),
+          col("c_name").as("name_a"), col("tag").as("tag_a"),
+          explode(expr("sequence(1, 3)")).as("k"),
+          col("rk").as("rk_a"))
+        .withColumn("rk_b", col("rk_a") + col("k"))
+      val pairs = probes.join(
+        ranked.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+          col("tag").as("tag_b"), col("rk").as("rk_b")), "rk_b")
+        .withColumn("cross", col("tag_a") =!= col("tag_b"))
+        .withColumn("dl", graft.functions.GraftExpressions
+          .damerauLevenshtein(col("name_a"), col("name_b")).cast("bigint"))
+        .withColumn("hit", col("cross") && col("dl") <= 2)
+        .withColumn("true_pair", col("hit") && col("key_a") === col("key_b"))
+      val perK = warmed(pairs.groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cross"), 1L).otherwise(0L)).as("n_cross"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_dl2_matches"),
+          sum(when(col("true_pair"), 1L).otherwise(0L)).as("n_true_pairs")))
+      // cumulative distinct-recall: the true-match set is tiny (≤ one
+      // per dirty record), so the per-k distinct roll-up is bounded
+      val found = pairs.filter(col("true_pair"))
+        .select(col("k"), when(col("tag_a") === "dirty", col("key_a"))
+          .otherwise(col("key_b")).as("dk"))
+      val ks = perK.select("k")
+      val cum = ks.as("x").join(found.as("f"), col("f.k") <= col("x.k"), "left")
+        .groupBy(col("x.k").as("k"))
+        .agg(countDistinct(col("f.dk")).as("cum_found"))
+      val nd = dirty.agg(count(lit(1)).as("n_dirty"))
+      val result = perK.join(cum, "k").crossJoin(broadcast(nd))
+        .select(col("k").cast("int").as("k"),
+          col("n_pairs").cast("bigint").as("n_pairs"),
+          col("n_cross").cast("bigint").as("n_cross"),
+          col("n_dl2_matches").cast("bigint").as("n_dl2_matches"),
+          col("n_true_pairs").cast("bigint").as("n_true_pairs"),
+          col("cum_found").cast("bigint").as("cum_found"),
+          expr("(cum_found * 1000000) div n_dirty").cast("bigint")
+            .as("cum_recall_ppm"))
+      // Plan REQUIRE: every window is PrefixSum machinery (no global
+      // row_number over the record stream may creep back)
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q375: a non-PrefixSum window appeared (row-scale global rank regression)")
+      }
+      materialized(result, perK).orderBy("k")
+    },
+
     // ---- SPEARMAN RANK CORRELATION (Spearman 1904) between document
     // length and lexical diversity (distinct-token count) — the
     // length-vs-TTR confound every length-normalized quality metric
@@ -1570,6 +1653,48 @@ object CleanPack extends QueryPack {
         |       b.rk <= km.kmax AS reject_fdr
         |FROM bh b CROSS JOIN km
         |ORDER BY b.source_a, b.source_b""".stripMargin,
+
+    // same corruption text, same (name, tag, key) total sort order
+    // (the oracle's row_number replays the distributed prefix-sum
+    // rank), same native-DL-vs-duckdb damerau_levenshtein verify
+    "q375_sorted_neighborhood" ->
+      """WITH clean AS (SELECT c_custkey, c_name FROM customer),
+        |d0 AS (SELECT c_custkey, CAST(10 + c_custkey % 7 AS INT) AS p, c_name FROM customer),
+        |sw AS (SELECT c_custkey,
+        |              concat(substr(c_name, 1, p - 1), substr(c_name, p + 1, 1), substr(c_name, p, 1), substr(c_name, p + 2)) AS swapped
+        |       FROM d0),
+        |dirty AS (SELECT c_custkey,
+        |                 CASE WHEN c_custkey % 4 = 0 THEN concat(substr(swapped, 1, 4), substr(swapped, 6)) ELSE swapped END AS c_name
+        |          FROM sw),
+        |records AS (
+        |  SELECT c_custkey, c_name, 'clean' AS tag FROM clean
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'dirty' AS tag FROM dirty),
+        |ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY c_name, tag, c_custkey) AS BIGINT) AS rk FROM records),
+        |pairs AS (
+        |  SELECT g.k, a.tag AS tag_a, b.tag AS tag_b,
+        |         a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |         CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dl
+        |  FROM ranked a, UNNEST(generate_series(1, 3)) AS g(k)
+        |  JOIN ranked b ON b.rk = a.rk + g.k),
+        |ann AS (SELECT *, (tag_a <> tag_b AND dl <= 2) AS hit,
+        |               (tag_a <> tag_b AND dl <= 2 AND key_a = key_b) AS tp
+        |        FROM pairs),
+        |perk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |                CAST(SUM(CASE WHEN tag_a <> tag_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+        |                CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dl2_matches,
+        |                CAST(SUM(CASE WHEN tp THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+        |         FROM ann GROUP BY k),
+        |found AS (SELECT k, CASE WHEN tag_a = 'dirty' THEN key_a ELSE key_b END AS dk
+        |          FROM ann WHERE tp),
+        |cum AS (SELECT p.k, CAST(count(DISTINCT f.dk) AS BIGINT) AS cum_found
+        |        FROM perk p LEFT JOIN found f ON f.k <= p.k GROUP BY p.k),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dirty FROM customer)
+        |SELECT CAST(p.k AS INT) AS k, p.n_pairs, p.n_cross, p.n_dl2_matches,
+        |       p.n_true_pairs, c.cum_found,
+        |       CAST((c.cum_found * 1000000) // nd.n_dirty AS BIGINT) AS cum_recall_ppm
+        |FROM perk p JOIN cum c USING (k) CROSS JOIN nd
+        |ORDER BY k""".stripMargin,
 
     // same doubled-midrank vocabularies; HUGEINT mirrors the Spark
     // side's DECIMAL(38,0) products (equal integers → identical doubles)
