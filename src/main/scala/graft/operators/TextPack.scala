@@ -1870,6 +1870,94 @@ object TextPack extends QueryPack {
           "q373: top-50 head must plan as TakeOrderedAndProject")
       }
       result
+    },
+
+    // ---- 5-FOLD CROSS-VALIDATED NB ACCURACY BY COUNT SUBTRACTION:
+    // q119/q120 train on one fixed 80% split; CV reports the accuracy's
+    // VARIANCE across folds — the number that tells a curation team
+    // whether the quality classifier's measured accuracy is stable or
+    // an artifact of one split. The trick that makes 5 folds cost ONE
+    // training pass: per-(class, token, fold) counts are additive, so
+    // fold f's training counts are total − fold-f (leave-own-fold-out
+    // by subtraction — no 5× rescan; the same additivity that powers
+    // the q153 HLL rollup). Per-fold vocabulary size, class totals and
+    // priors all derive from the same cube by grid-join + subtraction.
+    // Scoring reuses q120's semantics verbatim (Laplace qln terms,
+    // (score desc, lang) argmax); all frames past the corpus scan are
+    // vocab×folds-sized. ----
+    "q376_nb_cv_kfold" -> { (s, d) =>
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 5).as("fold"), col("lang"),
+          tokens(col("text")).as("ts"))
+      val tw = all.select(col("fold"), col("lang"), explode(col("ts")).as("w"))
+      val clwA = warmed(tw.groupBy("lang", "w").agg(count(lit(1)).as("c_all")))
+      val clwF = warmed(tw.groupBy("lang", "w", "fold").agg(count(lit(1)).as("c_f")))
+      val folds = all.select("fold").distinct()
+      val ldocA = all.groupBy("lang").agg(count(lit(1)).as("nd_all"))
+      val ldocF = all.groupBy("lang", "fold").agg(count(lit(1)).as("nd_f"))
+      val lgrid = ldocA.crossJoin(folds)
+        .join(ldocF, Seq("lang", "fold"), "left")
+        .select(col("lang"), col("fold"),
+          (col("nd_all") - coalesce(col("nd_f"), lit(0L))).as("nd_train"))
+      val ntr = lgrid.groupBy("fold")
+        .agg(sum("nd_train").as("n_train"),
+          sum(when(col("nd_train") > 0, 1L).otherwise(0L)).as("n_langs"))
+      val clG = clwA.groupBy("lang").agg(sum("c_all").as("cl_all"))
+        .crossJoin(folds)
+        .join(clwF.groupBy("lang", "fold").agg(sum("c_f").as("cl_f")),
+          Seq("lang", "fold"), "left")
+        .select(col("lang"), col("fold"),
+          (col("cl_all") - coalesce(col("cl_f"), lit(0L))).as("cl_train"))
+      val vF = clwA.groupBy("w").agg(sum("c_all").as("cw_all"))
+        .crossJoin(folds)
+        .join(clwF.groupBy("w", "fold").agg(sum("c_f").as("cw_f")),
+          Seq("w", "fold"), "left")
+        .groupBy("fold")
+        .agg(sum(when(col("cw_all") - coalesce(col("cw_f"), lit(0L)) > 0, 1L)
+          .otherwise(0L)).as("v"))
+      val classes = lgrid.filter(col("nd_train") > 0)
+        .join(ntr, "fold").join(clG, Seq("lang", "fold")).join(vF, "fold")
+        .select(col("lang"), col("fold"),
+          (qln(col("nd_train") + 1) - qln(col("n_train") + col("n_langs")))
+            .as("prior_q"),
+          qln(col("cl_train") + col("v")).as("denom_q"))
+      val dwc = all.select(col("doc_id"), col("fold"), explode(col("ts")).as("w"))
+        .groupBy("doc_id", "fold", "w").agg(count(lit(1)).as("c"))
+      val matched = dwc.join(clwA, "w")
+        .join(clwF, Seq("w", "lang", "fold"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") *
+          qln(col("c_all") - coalesce(col("c_f"), lit(0L)) + 1)).as("m"))
+      val scored = all
+        .select(col("doc_id"), col("fold"), col("lang").as("true_lang"),
+          size(col("ts")).cast("bigint").as("n_tok"))
+        .join(broadcast(classes), "fold")
+        .join(matched, Seq("doc_id", "lang"), "left")
+        .withColumn("score_q",
+          col("prior_q") + coalesce(col("m"), lit(0L)) -
+            col("n_tok") * col("denom_q"))
+      val pred = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
+        .filter(col("rk") === 1)
+      val acc = pred.groupBy("fold")
+        .agg(count(lit(1)).as("n_held"),
+          sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_held"))
+      val tot = acc.agg(count(lit(1)).as("nf"), sum("acc_ppm").as("sa"),
+        sum(col("acc_ppm") * col("acc_ppm")).as("saa"))
+      val result = acc.crossJoin(broadcast(tot))
+        .select(col("fold").cast("int").as("fold"),
+          col("n_held").cast("bigint").as("n_held"),
+          col("n_correct").cast("bigint").as("n_correct"),
+          col("acc_ppm").cast("bigint").as("acc_ppm"),
+          expr("sa div nf").cast("bigint").as("mean_acc_ppm"),
+          expr("cast(floor(sqrt(cast(nf * saa - sa * sa as double)) " +
+            "/ cast(nf as double)) as bigint)").as("sd_acc_ppm"))
+      materialized(result, clwA, clwF).orderBy("fold")
     }
   )
 
@@ -2010,6 +2098,81 @@ object TextPack extends QueryPack {
           |FROM a LEFT JOIN b ON a.source = b.source AND a.r = b.r
           |JOIN tot t ON t.source = a.source
           |ORDER BY a.source, r""".stripMargin,
+
+      // same leave-own-fold-out count subtraction off the identical
+      // (class, token, fold) cube; same Laplace qln scoring and
+      // (score desc, lang) argmax as the q120 oracle
+      "q376_nb_cv_kfold" ->
+        """WITH toks AS (
+          |  SELECT doc_id, doc_id % 5 AS fold, lang,
+          |         list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
+          |  FROM documents),
+          |tw AS (SELECT fold, lang, unnest(ts) AS w FROM toks),
+          |clwa AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_all FROM tw GROUP BY 1, 2),
+          |clwf AS (SELECT lang, w, fold, CAST(count(*) AS BIGINT) AS c_f FROM tw GROUP BY 1, 2, 3),
+          |folds AS (SELECT DISTINCT fold FROM toks),
+          |ldoca AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd_all FROM toks GROUP BY 1),
+          |ldocf AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS nd_f FROM toks GROUP BY 1, 2),
+          |lgrid AS (
+          |  SELECT l.lang, f.fold, l.nd_all - COALESCE(d.nd_f, 0) AS nd_train
+          |  FROM ldoca l CROSS JOIN folds f
+          |  LEFT JOIN ldocf d ON d.lang = l.lang AND d.fold = f.fold),
+          |ntr AS (SELECT fold, CAST(SUM(nd_train) AS BIGINT) AS n_train,
+          |               CAST(SUM(CASE WHEN nd_train > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs
+          |        FROM lgrid GROUP BY 1),
+          |clg AS (
+          |  SELECT a.lang, f.fold, a.cl_all - COALESCE(c.cl_f, 0) AS cl_train
+          |  FROM (SELECT lang, CAST(SUM(c_all) AS BIGINT) AS cl_all FROM clwa GROUP BY 1) a
+          |  CROSS JOIN folds f
+          |  LEFT JOIN (SELECT lang, fold, CAST(SUM(c_f) AS BIGINT) AS cl_f FROM clwf GROUP BY 1, 2) c
+          |    ON c.lang = a.lang AND c.fold = f.fold),
+          |vf AS (
+          |  SELECT f.fold,
+          |         CAST(SUM(CASE WHEN a.cw_all - COALESCE(x.cw_f, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+          |  FROM (SELECT w, CAST(SUM(c_all) AS BIGINT) AS cw_all FROM clwa GROUP BY 1) a
+          |  CROSS JOIN folds f
+          |  LEFT JOIN (SELECT w, fold, CAST(SUM(c_f) AS BIGINT) AS cw_f FROM clwf GROUP BY 1, 2) x
+          |    ON x.w = a.w AND x.fold = f.fold
+          |  GROUP BY 1),
+          |classes AS (
+          |  SELECT g.lang, g.fold,
+          |         CAST(floor(ln(CAST(g.nd_train + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          |           - CAST(floor(ln(CAST(n.n_train + n.n_langs AS DOUBLE)) * 1e6) AS BIGINT) AS prior_q,
+          |         CAST(floor(ln(CAST(c.cl_train + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS denom_q
+          |  FROM lgrid g JOIN ntr n USING (fold)
+          |  JOIN clg c ON c.lang = g.lang AND c.fold = g.fold
+          |  JOIN vf v ON v.fold = g.fold
+          |  WHERE g.nd_train > 0),
+          |dw AS (SELECT doc_id, fold, unnest(ts) AS w FROM toks),
+          |dwc AS (SELECT doc_id, fold, w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY 1, 2, 3),
+          |matched AS (
+          |  SELECT d.doc_id, a.lang,
+          |         CAST(SUM(d.c * CAST(floor(ln(CAST(a.c_all - COALESCE(ff.c_f, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS m
+          |  FROM dwc d JOIN clwa a ON a.w = d.w
+          |  LEFT JOIN clwf ff ON ff.w = d.w AND ff.lang = a.lang AND ff.fold = d.fold
+          |  GROUP BY 1, 2),
+          |docs0 AS (SELECT doc_id, fold, lang AS true_lang, CAST(len(ts) AS BIGINT) AS n_tok FROM toks),
+          |scored AS (
+          |  SELECT d.doc_id, d.fold, d.true_lang, c.lang,
+          |         c.prior_q + COALESCE(m.m, 0) - d.n_tok * c.denom_q AS score_q
+          |  FROM docs0 d JOIN classes c ON c.fold = d.fold
+          |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = c.lang),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, lang) AS rk
+          |  FROM scored),
+          |acc AS (
+          |  SELECT fold, CAST(count(*) AS BIGINT) AS n_held,
+          |         CAST(SUM(CASE WHEN lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+          |         CAST(SUM(CASE WHEN lang = true_lang THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_ppm
+          |  FROM ranked WHERE rk = 1 GROUP BY fold),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS nf, CAST(SUM(acc_ppm) AS BIGINT) AS sa,
+          |               CAST(SUM(acc_ppm * acc_ppm) AS BIGINT) AS saa
+          |        FROM acc)
+          |SELECT CAST(a.fold AS INT) AS fold, a.n_held, a.n_correct, a.acc_ppm,
+          |       CAST(t.sa // t.nf AS BIGINT) AS mean_acc_ppm,
+          |       CAST(floor(sqrt(CAST(t.nf * t.saa - t.sa * t.sa AS DOUBLE)) / CAST(t.nf AS DOUBLE)) AS BIGINT) AS sd_acc_ppm
+          |FROM acc a CROSS JOIN tot t
+          |ORDER BY fold""".stripMargin,
 
       // same double-sqrt c^0.75 micro weights; the oracle's vocabulary
       // window replays the distributed prefix scan
