@@ -1243,6 +1243,49 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result).orderBy("est_matches")
     },
 
+    // ---- b-BIT MINHASH CALIBRATION (Li & König, WWW 2010): store only
+    // the LOWEST BIT of each of the 16 permutation minima — 2 bytes of
+    // signature per doc instead of 128 — and estimate Jaccard through
+    // the collision-corrected identity E[A₁/k] = (1+J)/2 ⇒ Ĵ =
+    // 2·A₁/k − 1 (clamped at 0). The calibration table buckets the
+    // band-join candidates by the 1-bit agreement count A₁ and reports
+    // the estimator next to exact-Jaccard stats — q260's harness run
+    // on the 64×-compressed signature, measuring what the storage
+    // saving costs in resolution (the b=1 estimator's variance is
+    // ~4× the full-width one at the same k, visible in the bucket
+    // spreads). LSB extraction is `sig & 1` — two's-complement bitwise
+    // AND, identical on negative int64 in both engines (unlike `%`,
+    // whose sign convention would split odd values by sign). ----
+    "q377_bbit_minhash" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val docs = fullSigStore(s, d)
+      val cand = bandCandidates(fullBandIndex(s, d))
+      val lsb = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => x.bitwiseAND(lit(1L)))
+      val da = docs.select(col("doc_id").as("doc_i"), lsb(col("sigs")).as("b_a"),
+        col("tid").as("tid_a"), col("n_toks").as("n_a"))
+      val db = docs.select(col("doc_id").as("doc_j"), lsb(col("sigs")).as("b_b"),
+        col("tid").as("tid_b"), col("n_toks").as("n_b"))
+      val scored = cand.join(da, "doc_i").join(db, "doc_j")
+        .withColumn("a1",
+          graft.functions.GraftExpressions.longArrayEqCount(col("b_a"), col("b_b")))
+        .withColumn("n_common", graft.functions.GraftExpressions
+          .sortedLongIntersectCount(col("tid_a"), col("tid_b")).cast("bigint"))
+        .withColumn("jacc_ppm",
+          expr("n_common * 1000000 div (n_a + n_b - n_common)").cast("bigint"))
+      val result = scored.groupBy(col("a1").cast("int").as("a1_matches"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          expr("sum(jacc_ppm) div count(1)").cast("bigint").as("mean_jacc_ppm"),
+          min("jacc_ppm").cast("bigint").as("min_jacc_ppm"),
+          max("jacc_ppm").cast("bigint").as("max_jacc_ppm"))
+        .withColumn("est_j_ppm",
+          greatest(lit(0L), expr(s"((2 * a1_matches - $nPerm) * 1000000) div $nPerm"))
+            .cast("bigint"))
+        .select("a1_matches", "est_j_ppm", "n_pairs",
+          "mean_jacc_ppm", "min_jacc_ppm", "max_jacc_ppm")
+      materialized(result).orderBy("a1_matches")
+    },
+
     // ---- tf-idf-WEIGHTED MinHash near-dup (weighted Jaccard): q41's
     // consensus improvement for boilerplate-heavy corpora — common
     // template shingles (nav bars, license footers) carry weight 1
@@ -1930,6 +1973,32 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM sc
          |GROUP BY est_matches
          |ORDER BY est_matches""".stripMargin,
+
+    // same band candidates; 1-bit agreement via two's-complement & 1
+    // on the identical signatures, same clamped 2A/k − 1 estimator
+    "q377_bbit_minhash" ->
+      s"""WITH $minhashCtes
+         |cand AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |          AND (a.band_id = 0 OR a.b0 <> b.b0)),
+         |sc AS (
+         |  SELECT c.doc_i, c.doc_j,
+         |    CAST(length(list_filter(generate_series(1, $nPerm), i -> (sa.sigs[i] & 1) = (sb.sigs[i] & 1))) AS INT) AS a1,
+         |    CAST((length(list_intersect(da.tid, db.tid)) * 1000000) //
+         |         (da.n_toks + db.n_toks - length(list_intersect(da.tid, db.tid))) AS BIGINT) AS jacc_ppm
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_i JOIN sigs sb ON sb.doc_id = c.doc_j
+         |  JOIN docs da ON da.doc_id = c.doc_i JOIN docs db ON db.doc_id = c.doc_j)
+         |SELECT CAST(a1 AS INT) AS a1_matches,
+         |       CAST(greatest(0, ((2 * a1 - $nPerm) * 1000000) // $nPerm) AS BIGINT) AS est_j_ppm,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(jacc_ppm) // count(*) AS BIGINT) AS mean_jacc_ppm,
+         |       CAST(MIN(jacc_ppm) AS BIGINT) AS min_jacc_ppm,
+         |       CAST(MAX(jacc_ppm) AS BIGINT) AS max_jacc_ppm
+         |FROM sc
+         |GROUP BY a1
+         |ORDER BY a1_matches""".stripMargin,
 
     // same band-candidate CTE, both orientations, identical integer
     // Jaccard ppm verify and per-source top-3
