@@ -383,6 +383,58 @@ object MultimodalPack extends QueryPack {
         .orderBy("doc_id", "py", "px")
     },
 
+    // ---- LUMINANCE HISTOGRAM + RMS CONTRAST per image, off the REAL
+    // decoded raster (the q72 javax.imageio path): the 8-bin intensity
+    // profile plus root-mean-square contrast — the exposure/flat-image
+    // screen a vision-data curation pass runs before spending encoder
+    // compute (all-dark, all-blown, or zero-contrast images are
+    // drop-on-sight). Bins are v >> 5 (pure integer), the contrast is
+    // ONE sqrt over exact int64 power sums (floor-milli), and every
+    // observable is a pure function of the payload the SQL oracle
+    // recomputes from the text tiling. Per-partition codec boundary,
+    // one output row per image. ----
+    "q378_luminance_profile" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+                lit("image/png").as("media_type"))
+        .as[MediaRow]
+        .mapPartitions { rs =>
+          rs.flatMap { r =>
+            if (r.payload.isEmpty) Iterator.empty
+            else {
+              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              val bins = Array.fill(8)(0L)
+              var s1 = 0L; var s2 = 0L
+              var i = 0
+              while (i < w * h) {
+                val v = gray(i) & 0xff
+                bins(v >> 5) += 1L
+                s1 += v; s2 += v.toLong * v
+                i += 1
+              }
+              Iterator.single((r.doc_id, w.toLong * h, s1, s2,
+                bins(0), bins(1), bins(2), bins(3),
+                bins(4), bins(5), bins(6), bins(7)))
+            }
+          }
+        }
+        .toDF("doc_id", "n_px", "px_sum", "px_sum2",
+          "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+        .withColumn("contrast_milli", expr(
+          "cast(floor(1000.0 * sqrt(cast(n_px * px_sum2 - px_sum * px_sum as double)) " +
+            "/ cast(n_px as double)) as bigint)"))
+        .select(col("doc_id"), col("n_px").cast("bigint").as("n_px"),
+          col("px_sum").cast("bigint").as("px_sum"),
+          col("px_sum2").cast("bigint").as("px_sum2"),
+          col("b0").cast("bigint").as("b0"), col("b1").cast("bigint").as("b1"),
+          col("b2").cast("bigint").as("b2"), col("b3").cast("bigint").as("b3"),
+          col("b4").cast("bigint").as("b4"), col("b5").cast("bigint").as("b5"),
+          col("b6").cast("bigint").as("b6"), col("b7").cast("bigint").as("b7"),
+          col("contrast_milli"))
+        .orderBy("doc_id")
+    },
+
     // ---- REAL image resize: PNG decode (javax.imageio), then an
     // explicit nearest-neighbor 2× downsample off the decoded raster —
     // out(x,y) = src(2x, 2y) — implemented with direct sample reads
@@ -579,6 +631,35 @@ object MultimodalPack extends QueryPack {
         |       CAST(sum(v) AS BIGINT) AS px_sum
         |FROM pg GROUP BY doc_id, py, px
         |ORDER BY doc_id, py, px""".stripMargin,
+
+    // same payload tiling; v//32 bins and the identical one-sqrt
+    // floor-milli RMS contrast over exact power sums
+    "q378_luminance_profile" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         1 + ascii(substr(text, 1, 1)) % 64 AS w,
+        |         1 + ascii(substr(text, 2, 1)) % 64 AS h
+        |  FROM documents WHERE length(text) > 0),
+        |px AS (
+        |  SELECT doc_id, ascii(substr(text, (g.i % len) + 1, 1)) AS v
+        |  FROM m, UNNEST(generate_series(0, w * h - 1)) AS g(i)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+        |         CAST(sum(v) AS BIGINT) AS px_sum,
+        |         CAST(sum(v * v) AS BIGINT) AS px_sum2,
+        |         CAST(sum(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |         CAST(sum(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |         CAST(sum(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |         CAST(sum(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |         CAST(sum(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        |         CAST(sum(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+        |         CAST(sum(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+        |         CAST(sum(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, n_px, px_sum, px_sum2, b0, b1, b2, b3, b4, b5, b6, b7,
+        |       CAST(floor(1000.0 * sqrt(CAST(n_px * px_sum2 - px_sum * px_sum AS DOUBLE)) / CAST(n_px AS DOUBLE)) AS BIGINT) AS contrast_milli
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
 
     // frames-as-tokens simhash, mirrored from q42's 64-bit 5-band
     // construction (shared generators — the two oracles cannot drift)
