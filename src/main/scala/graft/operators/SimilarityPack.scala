@@ -682,6 +682,49 @@ object SimilarityPack extends QueryPack {
       materialized(bruteTopK(vecs), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- MATRYOSHKA TRUNCATION RECALL CURVE (Kusupati et al.,
+    // NeurIPS 2022): recall@5 of cosine retrieval over the FIRST
+    // d ∈ {8,16,32,64} dimensions against the full-64-dim truth — the
+    // measurement behind the shortlist-with-truncated-prefix /
+    // re-rank-with-full-vector serving layout (a d-dim prefix scan
+    // reads d/64 of the index bytes; this table says what that buys
+    // and costs on THIS corpus). Same exact int64 fixed-point dots as
+    // every embedding query (prefix slices of the quantized vector;
+    // norms recomputed per truncation), per-(dim, query) rank windows
+    // over the 5-query panel, all-integer recall ppm. The dim=64 row
+    // is the identity sanity lane (recall ≡ 10⁶). ----
+    "q379_matryoshka_recall" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val truth = warmed(bruteTopK(vecs)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit")))
+      val perDim = Seq(8, 16, 32, 64).map { dm =>
+        val base = vecs.select(col("vec_id"), expr(s"slice(q, 1, $dm)").as("qd"))
+          .withColumn("normd", sqrt(normSqQ(col("qd"))))
+        val qs = base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qd").as("qq"),
+            col("normd").as("qnorm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+        qs.join(base, col("vec_id") =!= col("q_id"))
+          .withColumn("cosine",
+            cosineQ(col("qq"), col("qd"), col("qnorm"), col("normd")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= topK)
+          .select(lit(dm).as("dim"), col("q_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val result = perDim
+        .join(broadcast(truth), Seq("q_id", "vec_id"), "left")
+        .groupBy("dim")
+        .agg(countDistinct("q_id").cast("bigint").as("n_queries"),
+          count(lit(1)).cast("bigint").as("n_retrieved"),
+          sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hits"))
+        .withColumn("recall_ppm",
+          expr("(n_hits * 1000000) div n_retrieved").cast("bigint"))
+        .select(col("dim").cast("int").as("dim"), col("n_queries"),
+          col("n_retrieved"), col("n_hits"), col("recall_ppm"))
+      materialized(result, vecs, truth).orderBy("dim")
+    },
+
     // ---- NDCG@5 retrieval evaluation (Järvelin & Kekäläinen, TOIS
     // 2002) of the exact cosine ranking against label agreement — the
     // "does nearest-neighbor retrieval surface same-class items" number
@@ -2376,6 +2419,46 @@ object SimilarityPack extends QueryPack {
          |SELECT q_id, rk, vec_id, cosine FROM ranked
          |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+
+    // same quantized prefixes, per-dim norms, identical cosine text;
+    // dims unrolled as literal branches
+    "q379_matryoshka_recall" -> {
+      val branches = Seq(8, 16, 32, 64).map { dm =>
+        s"""  SELECT $dm AS dim, q_id, vec_id FROM (
+           |    SELECT qv.vec_id AS q_id, cv.vec_id AS vec_id,
+           |           ${dotQSql("qv.qd", "cv.qd", dm)} / (qv.normd * cv.normd) AS cosine
+           |    FROM (SELECT vec_id, qd, sqrt(${dotQSql("t.qd", "t.qd", dm)}) AS normd
+           |          FROM (SELECT vec_id, q[1:$dm] AS qd FROM vecs) t) qv
+           |    JOIN (SELECT vec_id, qd, sqrt(${dotQSql("t.qd", "t.qd", dm)}) AS normd
+           |          FROM (SELECT vec_id, q[1:$dm] AS qd FROM vecs) t) cv
+           |      ON cv.vec_id <> qv.vec_id
+           |    WHERE qv.vec_id < 5)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= $topK""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
+         |  FROM vecs v),
+         |fp AS (
+         |  SELECT qv.vec_id AS q_id, cv.vec_id AS vec_id,
+         |         ${dotQSql("qv.q", "cv.q", dim)} / (qv.norm * cv.norm) AS cosine
+         |  FROM scored qv JOIN scored cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < 5),
+         |truth AS (
+         |  SELECT q_id, vec_id FROM fp
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= $topK),
+         |per AS (
+         |$branches
+         |)
+         |SELECT CAST(p.dim AS INT) AS dim,
+         |       CAST(count(DISTINCT p.q_id) AS BIGINT) AS n_queries,
+         |       CAST(count(*) AS BIGINT) AS n_retrieved,
+         |       CAST(SUM(CASE WHEN t.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |       CAST((SUM(CASE WHEN t.q_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM per p LEFT JOIN truth t ON t.q_id = p.q_id AND t.vec_id = p.vec_id
+         |GROUP BY p.dim
+         |ORDER BY dim""".stripMargin
+    },
 
     // replays the SQ8 model exactly: per-dim min/max over the quantized
     // components, floor-division codes, scaled-by-255 decode, int64
