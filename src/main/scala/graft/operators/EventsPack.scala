@@ -1866,6 +1866,54 @@ object EventsPack extends QueryPack {
             "(cast(sg as double) * 0.6931471805599453)) as bigint)")
             .as("burst_milli"))
       materialized(result, hist).orderBy("event_type")
+    },
+
+    // ---- MASE FORECAST EVALUATION (Hyndman & Koehler 2006): the
+    // scale-free companion to q214's WAPE and q364's Brier — mean
+    // absolute error of the seasonal-naive (lag-24 h) forecaster on
+    // the EVAL window, scaled by the SAME forecaster's in-sample
+    // (train-window) error, so 1000 milli = "no better than the naive
+    // baseline was on data it saw". The hour axis is materialized as
+    // an explicit per-type GRID (calendar-bounded sequence) so silent
+    // gap-hours count as zero instead of vanishing from the join (the
+    // q214 gap lesson taken one step further); the 70% train cutoff is
+    // exact integer arithmetic on epoch-hours; every error term and
+    // the final milli ratio are exact int64. ----
+    "q380_mase_seasonal" -> { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      val bounds = cnt.groupBy("event_type")
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .withColumn("cutoff", expr("mn + ((mx - mn) * 7) div 10"))
+      val grid = bounds
+        .select(col("event_type"), col("cutoff"),
+          explode(expr("sequence(mn + 24, mx)")).as("h"))
+      val errs = grid
+        .join(cnt, Seq("event_type", "h"), "left")
+        .withColumnRenamed("c", "c_now")
+        .join(cnt.select(col("event_type"), (col("h") + 24).as("h"),
+          col("c").as("c_prev")), Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), col("cutoff"),
+          abs(coalesce(col("c_now"), lit(0L)) -
+            coalesce(col("c_prev"), lit(0L))).as("e"))
+      val result = errs.groupBy("event_type")
+        .agg(sum(when(col("h") < col("cutoff"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("h") >= col("cutoff"), 1L).otherwise(0L)).as("n_eval"),
+          sum(when(col("h") < col("cutoff"), col("e")).otherwise(0L))
+            .as("err_train"),
+          sum(when(col("h") >= col("cutoff"), col("e")).otherwise(0L))
+            .as("err_eval"))
+        .filter(col("err_train") > 0 && col("n_eval") > 0)
+        .select(col("event_type"),
+          col("n_train").cast("bigint").as("n_train"),
+          col("n_eval").cast("bigint").as("n_eval"),
+          col("err_train").cast("bigint").as("err_train"),
+          col("err_eval").cast("bigint").as("err_eval"),
+          expr("(1000 * err_eval * n_train) div (err_train * n_eval)")
+            .cast("bigint").as("mase_milli"))
+      result.orderBy("event_type")
     }
   )
 
@@ -3244,6 +3292,39 @@ object EventsPack extends QueryPack {
         |       CAST(floor(1000.0 * CAST(CAST(s.n AS HUGEINT) * s.sg2 - CAST(s.sg AS HUGEINT) * s.sg AS DOUBLE) / CAST(CAST(s.sg AS HUGEINT) * s.sg AS DOUBLE)) AS BIGINT) AS cv2_milli,
         |       CAST(floor(1000.0 * CAST(m.median_g * s.n AS DOUBLE) / (CAST(s.sg AS DOUBLE) * 0.6931471805599453)) AS BIGINT) AS burst_milli
         |FROM sums s JOIN med m USING (event_type)
-        |ORDER BY s.event_type""".stripMargin
+        |ORDER BY s.event_type""".stripMargin,
+
+    // same epoch-hour axis, same explicit gap-filling grid, same
+    // integer 70% cutoff and exact milli ratio
+    "q380_mase_seasonal" ->
+      """WITH cnt AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx,
+        |         MIN(h) + ((MAX(h) - MIN(h)) * 7) // 10 AS cutoff
+        |  FROM cnt GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, cutoff, UNNEST(generate_series(mn + 24, mx)) AS h
+        |  FROM bounds),
+        |errs AS (
+        |  SELECT g.event_type, g.h, g.cutoff,
+        |         abs(COALESCE(a.c, 0) - COALESCE(p.c, 0)) AS e
+        |  FROM grid g
+        |  LEFT JOIN cnt a ON a.event_type = g.event_type AND a.h = g.h
+        |  LEFT JOIN cnt p ON p.event_type = g.event_type AND p.h + 24 = g.h),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CASE WHEN h < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |         CAST(SUM(CASE WHEN h >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        |         CAST(SUM(CASE WHEN h < cutoff THEN e ELSE 0 END) AS BIGINT) AS err_train,
+        |         CAST(SUM(CASE WHEN h >= cutoff THEN e ELSE 0 END) AS BIGINT) AS err_eval
+        |  FROM errs GROUP BY 1)
+        |SELECT event_type, n_train, n_eval, err_train, err_eval,
+        |       CAST((1000 * err_eval * n_train) // (err_train * n_eval) AS BIGINT) AS mase_milli
+        |FROM agg
+        |WHERE err_train > 0 AND n_eval > 0
+        |ORDER BY event_type""".stripMargin
   )
 }
