@@ -817,6 +817,37 @@ object RelationalPack3 extends QueryPack {
           .unionByName(fd("order_to_status", Tables.orders(s, d),
             "o_orderkey", "o_orderstatus"))
       result.orderBy("fd")
+    },
+
+    // ---- FUNCTIONAL-DEPENDENCY DISCOVERY (the TANE/profiling
+    // counterpart to q218's validation of DECLARED FDs): for EVERY
+    // ordered attribute pair (A → B) over the part dimension's
+    // descriptive columns, compare |distinct A| with |distinct (A,B)|
+    // — equal means the FD holds exactly; the surplus counts
+    // lhs-groups that map to >1 rhs value (the violation degree a
+    // schema-inference tool ranks candidates by). The mfgr attribute
+    // is derived (first digit of brand), so brand → mfgr must hold by
+    // construction while mfgr → brand must not — a built-in positive
+    // and negative control. One table scan exploded ×12 map-side;
+    // the distinct-collapse is the only shuffle; output is pairs²-
+    // bounded. ----
+    "q381_fd_discovery" -> { (s, d) =>
+      val p = Tables.part(s, d).select(
+        expr("substr(p_brand, 7, 1)").as("mfgr"), col("p_brand").as("brand"),
+        col("p_type").as("type"), col("p_size").cast("string").as("size"))
+      val attrs = Seq("mfgr", "brand", "type", "size")
+      val combos = for { a <- attrs; b <- attrs if a != b } yield
+        struct(lit(a).as("lhs"), lit(b).as("rhs"),
+          col(a).as("av"), col(b).as("bv"))
+      val long = p.select(explode(array(combos: _*)).as("t")).select("t.*")
+      val result = long.groupBy("lhs", "rhs")
+        .agg(countDistinct(col("av")).cast("bigint").as("n_lhs"),
+          countDistinct(concat_ws("|", col("av"), col("bv")))
+            .cast("bigint").as("n_pairs"))
+        .withColumn("holds", col("n_pairs") === col("n_lhs"))
+        .withColumn("extra_pairs",
+          (col("n_pairs") - col("n_lhs")).cast("bigint"))
+      result.orderBy("lhs", "rhs")
     }
   )
 
@@ -951,6 +982,27 @@ object RelationalPack3 extends QueryPack {
         |       CAST(max(n_vals) AS BIGINT) AS max_distinct
         |FROM allf GROUP BY fd
         |ORDER BY fd""".stripMargin,
+
+    // same 12 ordered pairs over the same derived attribute frame;
+    // the pipe-concat distinct mirrors Spark's concat_ws
+    "q381_fd_discovery" -> {
+      val cols = Map("mfgr" -> "substr(p_brand, 7, 1)", "brand" -> "p_brand",
+        "type" -> "p_type", "size" -> "CAST(p_size AS VARCHAR)")
+      val attrs = Seq("mfgr", "brand", "type", "size")
+      val branches = (for { a <- attrs; b <- attrs if a != b } yield
+        s"""  SELECT '$a' AS lhs, '$b' AS rhs,
+           |         CAST(count(DISTINCT ${cols(a)}) AS BIGINT) AS n_lhs,
+           |         CAST(count(DISTINCT ${cols(a)} || '|' || ${cols(b)}) AS BIGINT) AS n_pairs
+           |  FROM part""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$branches
+         |)
+         |SELECT lhs, rhs, n_lhs, n_pairs,
+         |       n_pairs = n_lhs AS holds,
+         |       CAST(n_pairs - n_lhs AS BIGINT) AS extra_pairs
+         |FROM u
+         |ORDER BY lhs, rhs""".stripMargin
+    },
 
     // same anti-join orphan counts and conditional value assertions
     "q217_dq_expectations" ->
