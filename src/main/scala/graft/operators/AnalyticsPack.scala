@@ -751,6 +751,21 @@ object AnalyticsPack extends QueryPack {
     "q370_mann_kendall" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events")
       s.sql(mannKendallSql)
+    },
+
+    // ---- WILSON SCORE INTERVALS (Wilson 1927) for the per-weekday
+    // purchase share: the proportion CI that stays inside [0,1] and
+    // behaves at small n where the normal (Wald) interval collapses —
+    // the per-cell uncertainty a weekday-mix dashboard should print
+    // next to every rate (q364's Brier forecaster implicitly assumes
+    // these cells are estimated well; this query says how well). k and
+    // n are exact int64 event counts; the interval is ONE sqrt inside
+    // a fixed z=1.96 formula whose text both engines run verbatim
+    // (weekday from the q364 epoch-mod-7 trick, portable across the
+    // engines' dayofweek numbering). ----
+    "q382_wilson_intervals" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(wilsonSql("unix_micros(ts)"))
     }
   )
 
@@ -826,6 +841,34 @@ object AnalyticsPack extends QueryPack {
       |              THEN 'decreasing'
       |            ELSE 'none' END AS trend
       |FROM v ORDER BY n_days""".stripMargin
+
+  /** q382: one SQL template; the only engine-specific token is the
+    * epoch-micros extractor (`unix_micros` vs `epoch_us`) — day index,
+    * Wilson algebra and every literal are character-identical. Integer
+    * day = floor(double division) because `div`/`//` spell differently
+    * across the engines; micros < 2^53 so the double path is exact. */
+  private[operators] def wilsonSql(us: String): String =
+    s"""WITH e AS (
+       |  SELECT (CAST(floor(CAST($us AS DOUBLE) / 86400000000.0) AS BIGINT) + 4) % 7 AS dow,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+       |  FROM events),
+       |agg AS (
+       |  SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(SUM(is_p) AS BIGINT) AS k
+       |  FROM e GROUP BY dow),
+       |w AS (
+       |  SELECT dow, n, k,
+       |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+       |         3.8416 / CAST(n AS DOUBLE) AS zzn
+       |  FROM agg)
+       |SELECT CAST(dow AS INT) AS dow, n AS n_events, k AS n_purchases,
+       |       CAST(((k * 1000000) - ((k * 1000000) % n)) / n AS BIGINT) AS p_ppm,
+       |       CAST(floor(1000000.0 * ((ph + zzn / 2.0
+       |              - 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + zzn / (4.0 * CAST(n AS DOUBLE))))
+       |            / (1.0 + zzn))) AS BIGINT) AS wilson_lo_ppm,
+       |       CAST(floor(1000000.0 * ((ph + zzn / 2.0
+       |              + 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + zzn / (4.0 * CAST(n AS DOUBLE))))
+       |            / (1.0 + zzn))) AS BIGINT) AS wilson_hi_ppm
+       |FROM w ORDER BY dow""".stripMargin
 
   override def oracle: Map[String, String] = Map(
 
@@ -1247,6 +1290,9 @@ object AnalyticsPack extends QueryPack {
     "q369_jarque_bera" -> jarqueBeraSql,
 
     // same shared string: exact S / 18·Var(S), one sqrt
-    "q370_mann_kendall" -> mannKendallSql
+    "q370_mann_kendall" -> mannKendallSql,
+
+    // identical template; only the micros extractor differs
+    "q382_wilson_intervals" -> wilsonSql("epoch_us(CAST(ts AS TIMESTAMP))")
   )
 }
