@@ -1038,6 +1038,55 @@ object PipelinePack extends QueryPack {
     // the left join. deg ≥ 2 rows only (the coefficient is undefined
     // below). int64: 2T·10⁶ ≤ 2·10⁶·deg² — safe through ~10⁶-degree
     // hubs. ----
+    // ---- COMMON-NEIGHBORS LINK PREDICTION AUDIT (Liben-Nowell &
+    // Kleinberg, CIKM 2003) on the near-dup graph: hold out an md5-
+    // residue 20% of the edges, score every non-adjacent 2-hop pair of
+    // the TRAIN graph by its common-neighbor count, and measure
+    // precision/recall of "CN ≥ t" against the held-out edges — the
+    // does-transitivity-predict-missing-duplicates check that says
+    // whether cluster-closure (q47's CC) is recovering real edges or
+    // inventing them (q242's chaining audit asks the dual question).
+    // Shapes: the wedge join is two passes over the train edge list
+    // (compact-forward — scales by degree, and near-dup components are
+    // cluster-sized, q342); the candidate set is 2-hop-bounded, never
+    // all-pairs; thresholds are 4 bounded aggregates over the scored
+    // frame. The split hash is the engine-portable 60-bit md5 id. ----
+    "q383_link_prediction" -> { (s, d) =>
+      import graft.functions.TextFunctions.hex64
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val tagged = warmed(pairs.withColumn("h",
+        hex64(md5(concat(col("doc_i"), lit(":"), col("doc_j")))) % 5))
+      val train = tagged.filter(col("h") =!= 0).select("doc_i", "doc_j")
+      val probe = tagged.filter(col("h") === 0).select("doc_i", "doc_j")
+      val adj = train.select(col("doc_i").as("w"), col("doc_j").as("x"))
+        .unionByName(train.select(col("doc_j").as("w"), col("doc_i").as("x")))
+      val wedges = adj.as("e1").join(adj.as("e2"),
+          col("e1.w") === col("e2.w") && col("e1.x") < col("e2.x"))
+        .select(col("e1.x").as("doc_i"), col("e2.x").as("doc_j"))
+      val cn = wedges.groupBy("doc_i", "doc_j").agg(count(lit(1)).as("cn"))
+        .join(train, Seq("doc_i", "doc_j"), "left_anti")
+      val scoredC = warmed(cn.join(
+        probe.withColumn("hit", lit(1L)), Seq("doc_i", "doc_j"), "left"))
+      val nProbe = probe.agg(count(lit(1)).as("n_probe"))
+      val result = Seq(1, 2, 3, 4).map { t =>
+        scoredC.filter(col("cn") >= t)
+          .agg(count(lit(1)).as("n_pred"),
+            // sum over an EMPTY slice is NULL — coalesce so a threshold
+            // with no candidates reports 0, matching the oracle
+            coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hits"))
+          .select(lit(t).as("t"), col("n_pred"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nProbe))
+        .select(col("t").cast("int").as("t"),
+          col("n_pred").cast("bigint").as("n_pred"),
+          col("n_hits").cast("bigint").as("n_hits"),
+          when(col("n_pred") > 0, expr("(n_hits * 1000000) div n_pred"))
+            .otherwise(lit(0L)).cast("bigint").as("precision_ppm"),
+          when(col("n_probe") > 0, expr("(n_hits * 1000000) div n_probe"))
+            .otherwise(lit(0L)).cast("bigint").as("recall_ppm"))
+      materialized(result, tagged, scoredC).orderBy("t")
+    },
+
     "q328_clustering_coeff" -> { (s, d) =>
       val edges = warmed(cooccurEdges(s, d))
       val deg = edges
@@ -2129,6 +2178,37 @@ object PipelinePack extends QueryPack {
 
     // same edge list, degree from both endpoints, identical ×10⁶
     // floor-divided closure ratio
+    // same pair table, same 60-bit md5 split, same wedge join and
+    // threshold aggregates
+    "q383_link_prediction" ->
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |tg AS (SELECT doc_i, doc_j,
+         |              CAST('0x' || substring(md5(CAST(doc_i AS VARCHAR) || ':' || CAST(doc_j AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS h
+         |       FROM pairs),
+         |train AS (SELECT doc_i, doc_j FROM tg WHERE h <> 0),
+         |probe AS (SELECT doc_i, doc_j FROM tg WHERE h = 0),
+         |adj AS (SELECT doc_i AS w, doc_j AS x FROM train
+         |        UNION ALL SELECT doc_j AS w, doc_i AS x FROM train),
+         |wed AS (SELECT e1.x AS doc_i, e2.x AS doc_j
+         |        FROM adj e1 JOIN adj e2 ON e1.w = e2.w AND e1.x < e2.x),
+         |cn0 AS (SELECT doc_i, doc_j, CAST(count(*) AS BIGINT) AS cn FROM wed GROUP BY 1, 2),
+         |cn AS (SELECT c.* FROM cn0 c
+         |       WHERE NOT EXISTS (SELECT 1 FROM train t
+         |                         WHERE t.doc_i = c.doc_i AND t.doc_j = c.doc_j)),
+         |sc AS (SELECT c.cn, CASE WHEN p.doc_i IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM cn c LEFT JOIN probe p ON p.doc_i = c.doc_i AND p.doc_j = c.doc_j),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM probe),
+         |th AS (SELECT UNNEST([1, 2, 3, 4]) AS t),
+         |agg AS (SELECT th.t,
+         |               CAST(SUM(CASE WHEN sc.cn >= th.t THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         |               CAST(SUM(CASE WHEN sc.cn >= th.t THEN sc.hit ELSE 0 END) AS BIGINT) AS n_hits
+         |        FROM th LEFT JOIN sc ON true GROUP BY th.t)
+         |SELECT CAST(a.t AS INT) AS t, a.n_pred, a.n_hits,
+         |       CAST(CASE WHEN a.n_pred > 0 THEN (a.n_hits * 1000000) // a.n_pred ELSE 0 END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN np.n_probe > 0 THEN (a.n_hits * 1000000) // np.n_probe ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM agg a CROSS JOIN np
+         |ORDER BY t""".stripMargin,
+
     "q328_clustering_coeff" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
