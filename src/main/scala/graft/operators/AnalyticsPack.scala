@@ -766,6 +766,25 @@ object AnalyticsPack extends QueryPack {
     "q382_wilson_intervals" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events")
       s.sql(wilsonSql("unix_micros(ts)"))
+    },
+
+    // ---- WALD SPRT SEQUENTIAL SRM MONITOR (Wald 1945): the sequential
+    // version of q180's one-shot sample-ratio-mismatch χ² — instead of
+    // testing once at the end, accumulate the Bernoulli log-likelihood
+    // ratio of "arm-B share is 0.5" (H0) vs "0.55" (H1) day by day and
+    // stop the FIRST day the LLR crosses Wald's α=β=0.05 boundaries
+    // ±ln 19. This is the always-valid early-abort an experimentation
+    // platform runs while an A/B test is live (a broken randomizer is
+    // caught in days, not at readout). No transcendental is evaluated:
+    // LLR = K·ln(1.1) + (N−K)·ln(0.9) with the two log-constants as
+    // full-precision literals over exact cumulative int64 counts (the
+    // q371/q374 discipline); the daily cumsum runs over the
+    // calendar-bounded day vocabulary. Deterministic md5 arm
+    // assignment (q180's coin). ----
+    "q384_sprt_srm" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(sprtSql("unix_micros(ts)",
+        "CAST(conv(substring(md5(concat('sprt:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
     }
   )
 
@@ -869,6 +888,39 @@ object AnalyticsPack extends QueryPack {
        |              + 1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) + zzn / (4.0 * CAST(n AS DOUBLE))))
        |            / (1.0 + zzn))) AS BIGINT) AS wilson_hi_ppm
        |FROM w ORDER BY dow""".stripMargin
+
+  /** q384: one SQL template; engine-specific tokens are the micros
+    * extractor and the 60-bit md5 arm hash. ln(1.1)/ln(0.9)/±ln(19)
+    * enter as full-precision literals, so the LLR is pure arithmetic
+    * over exact cumulative counts. The cumsum window runs over the
+    * DAY vocabulary (calendar-bounded). */
+  private[operators] def sprtSql(us: String, h60: String): String =
+    s"""WITH e AS (
+       |  SELECT CAST(floor(CAST($us AS DOUBLE) / 86400000000.0) AS BIGINT) AS day,
+       |         CASE WHEN ($h60) % 2 = 1 THEN 1 ELSE 0 END AS in_b
+       |  FROM events),
+       |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(SUM(in_b) AS BIGINT) AS k
+       |          FROM e GROUP BY day),
+       |cum AS (
+       |  SELECT day,
+       |         CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nn,
+       |         CAST(SUM(k) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kk
+       |  FROM daily),
+       |llr AS (
+       |  SELECT day, nn, kk,
+       |         CAST(floor(1000000.0 * (CAST(kk AS DOUBLE) * 0.09531017980432486
+       |              + CAST(nn - kk AS DOUBLE) * (-0.10536051565782631))) AS BIGINT) AS llr_micro
+       |  FROM cum),
+       |dec AS (
+       |  SELECT *, CASE WHEN llr_micro >= 2944438 THEN 'accept_h1'
+       |                 WHEN llr_micro <= -2944439 THEN 'accept_h0'
+       |                 ELSE 'continue' END AS decision
+       |  FROM llr),
+       |fd AS (SELECT CAST(COALESCE(MIN(CASE WHEN decision <> 'continue' THEN day END), -1) AS BIGINT) AS first_decision_day
+       |       FROM dec)
+       |SELECT d.day, d.nn AS n_cum, d.kk AS k_cum, d.llr_micro, d.decision,
+       |       f.first_decision_day
+       |FROM dec d CROSS JOIN fd f ORDER BY d.day""".stripMargin
 
   override def oracle: Map[String, String] = Map(
 
@@ -1293,6 +1345,10 @@ object AnalyticsPack extends QueryPack {
     "q370_mann_kendall" -> mannKendallSql,
 
     // identical template; only the micros extractor differs
-    "q382_wilson_intervals" -> wilsonSql("epoch_us(CAST(ts AS TIMESTAMP))")
+    "q382_wilson_intervals" -> wilsonSql("epoch_us(CAST(ts AS TIMESTAMP))"),
+
+    // identical template; engine-specific micros extractor + md5 hash
+    "q384_sprt_srm" -> sprtSql("epoch_us(CAST(ts AS TIMESTAMP))",
+      "CAST('0x' || substring(md5('sprt:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)")
   )
 }
