@@ -894,7 +894,7 @@ object AnalyticsPack extends QueryPack {
     * enter as full-precision literals, so the LLR is pure arithmetic
     * over exact cumulative counts. The cumsum window runs over the
     * DAY vocabulary (calendar-bounded). */
-  private[operators] def sprtSql(us: String, h60: String): String =
+  private[graft] def sprtSql(us: String, h60: String): String =
     s"""WITH e AS (
        |  SELECT CAST(floor(CAST($us AS DOUBLE) / 86400000000.0) AS BIGINT) AS day,
        |         CASE WHEN ($h60) % 2 = 1 THEN 1 ELSE 0 END AS in_b

@@ -660,7 +660,60 @@ object StreamingPack extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q386: STREAMING SPRT — q384's sequential sample-ratio monitor with
+    * the per-day (n, k) counts accumulated in the StateStore across
+    * micro-batches (complete-mode grouped aggregate; counts are linear,
+    * so stream ≡ batch exactly) and the Wald LLR/boundary pass run as
+    * the bounded finishing step over the drained day-vocabulary frame
+    * (the q332 shape). Shares q384's oracle VERBATIM — the gate IS the
+    * stream-equals-batch proof. */
+  def streamSprt(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.core.Tables.normalizeEventTs(s.readStream
+      .schema(rawSchema(s, d))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+    val agg = ev
+      .select(expr("cast(floor(cast(unix_micros(ts) as double) / 86400000000.0) as bigint)").as("day"),
+        expr("CASE WHEN CAST(conv(substring(md5(concat('sprt:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END").as("in_b"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("in_b").as("k"))
+    val name = s"graft_stream_sprt_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // bounded finishing pass over the drained day-vocabulary frame
+    val daily = s.table(name).localCheckpoint()
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = daily
+      .withColumn("nn", sum("n").over(wc).cast("bigint"))
+      .withColumn("kk", sum("k").over(wc).cast("bigint"))
+      .withColumn("llr_micro", expr(
+        "cast(floor(1000000.0 * (cast(kk as double) * 0.09531017980432486 " +
+          "+ cast(nn - kk as double) * (-0.10536051565782631))) as bigint)"))
+      .withColumn("decision",
+        when(col("llr_micro") >= 2944438L, "accept_h1")
+          .when(col("llr_micro") <= -2944439L, "accept_h0")
+          .otherwise("continue"))
+    val fd = dec.agg(coalesce(
+      min(when(col("decision") =!= "continue", col("day"))), lit(-1L))
+      .cast("bigint").as("first_decision_day"))
+    dec.crossJoin(broadcast(fd))
+      .select(col("day").cast("bigint").as("day"), col("nn").as("n_cum"),
+        col("kk").as("k_cum"), col("llr_micro"), col("decision"),
+        col("first_decision_day"))
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
     "q332_stream_cusum" -> ((s, d) => streamCusum(s, d)),
     "q303_stream_funnel" -> ((s, d) => FunnelStream.run(s, d)),
     "q290_stream_heatmap" -> ((s, d) => streamHeatmap(s, d)),
@@ -681,6 +734,13 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch: q384's oracle verbatim — linear per-day counts in
+    // the StateStore plus the bounded Wald tail must land on the batch
+    // SPRT answer exactly
+    "q386_stream_sprt" -> graft.operators.AnalyticsPack.sprtSql(
+      "epoch_us(CAST(ts AS TIMESTAMP))",
+      "CAST('0x' || substring(md5('sprt:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"),
 
     // stream ≡ batch: q199's oracle verbatim — the streamed StateStore
     // aggregate plus bounded tail must land on the batch CUSUM answer
