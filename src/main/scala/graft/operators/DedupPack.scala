@@ -1286,6 +1286,42 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       materialized(result).orderBy("a1_matches")
     },
 
+    // ---- CROSS-LINGUAL NEAR-DUP CONTAMINATION MATRIX: the slice of
+    // the shared near-dup pair artifact whose two sides carry DIFFERENT
+    // language labels — in a production corpus these are translations,
+    // boilerplate shared across language editions, or (most often)
+    // lang-ID errors on duplicated content, and they leak through any
+    // per-language dedup partition (running q41 within lang shards
+    // would NEVER compare these pairs; this query measures what that
+    // sharding would miss). The lang axis complement of q127's
+    // inter-SOURCE overlap and q233's copy-direction matrix. Pure
+    // artifact read + two broadcast-able lang joins; output is
+    // langs²-bounded; exact integer ppm off the stored (shared, n_i,
+    // n_j) counts. ----
+    "q385_xlang_contamination" -> { (s, d) =>
+      val pairs = ngramPairs(s, d)
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val x = pairs
+        .join(broadcast(langs.toDF("doc_i", "lang_i")), "doc_i")
+        .join(broadcast(langs.toDF("doc_j", "lang_j")), "doc_j")
+        .withColumn("jacc_ppm",
+          expr("shared * 1000000 div (n_i + n_j - shared)").cast("bigint"))
+      val tot = x.agg(count(lit(1)).as("n_all"))
+      val result = x.filter(col("lang_i") =!= col("lang_j"))
+        .withColumn("lang_a", least(col("lang_i"), col("lang_j")))
+        .withColumn("lang_b", greatest(col("lang_i"), col("lang_j")))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          expr("sum(jacc_ppm) div count(1)").cast("bigint").as("mean_jacc_ppm"),
+          max("jacc_ppm").cast("bigint").as("max_jacc_ppm"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang_a"), col("lang_b"), col("n_pairs"),
+          col("mean_jacc_ppm"), col("max_jacc_ppm"),
+          expr("(n_pairs * 1000000) div n_all").cast("bigint")
+            .as("share_of_all_pairs_ppm"))
+      result.orderBy("lang_a", "lang_b")
+    },
+
     // ---- tf-idf-WEIGHTED MinHash near-dup (weighted Jaccard): q41's
     // consensus improvement for boilerplate-heavy corpora — common
     // template shingles (nav bars, license footers) carry weight 1
@@ -1973,6 +2009,33 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
          |FROM sc
          |GROUP BY est_matches
          |ORDER BY est_matches""".stripMargin,
+
+    // same pair table, same unordered lang-pair fold, exact ppm off the
+    // identical (shared, n_i, n_j) counts
+    "q385_xlang_contamination" ->
+      s"""WITH $ngramPairsCtes,
+         |lx AS (
+         |  SELECT p.doc_i, p.doc_j, p.shared, ci.n_sh AS n_i, cj.n_sh AS n_j,
+         |         da.lang AS lang_i, db.lang AS lang_j,
+         |         CAST(p.shared * 1000000 // (ci.n_sh + cj.n_sh - p.shared) AS BIGINT) AS jacc_ppm
+         |  FROM pairs p
+         |  JOIN counts ci ON ci.doc_id = p.doc_i
+         |  JOIN counts cj ON cj.doc_id = p.doc_j
+         |  JOIN documents da ON da.doc_id = p.doc_i
+         |  JOIN documents db ON db.doc_id = p.doc_j),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM lx),
+         |xp AS (
+         |  SELECT least(lang_i, lang_j) AS lang_a, greatest(lang_i, lang_j) AS lang_b,
+         |         jacc_ppm
+         |  FROM lx WHERE lang_i <> lang_j)
+         |SELECT lang_a, lang_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(jacc_ppm) // count(*) AS BIGINT) AS mean_jacc_ppm,
+         |       CAST(MAX(jacc_ppm) AS BIGINT) AS max_jacc_ppm,
+         |       CAST((count(*) * 1000000) // MAX(tot.n_all) AS BIGINT) AS share_of_all_pairs_ppm
+         |FROM xp CROSS JOIN tot
+         |GROUP BY lang_a, lang_b
+         |ORDER BY lang_a, lang_b""".stripMargin,
 
     // same band candidates; 1-bit agreement via two's-complement & 1
     // on the identical signatures, same clamped 2A/k − 1 estimator
