@@ -763,6 +763,25 @@ object RelationalPack4 extends QueryPack {
       views(s, d, "orders", "lineitem")
       s.sql(reconSql("div"))
     },
+
+    // ---- ORDER-BACKLOG AGING CURVE: for every month-start snapshot,
+    // the orders already placed but not yet shipped (no lineitem
+    // shipped before the snapshot), with exact open value and 30/90-day
+    // aging buckets — the point-in-time open-inventory read every
+    // warehouse publishes (the FACT-side companion to q177's SCD2
+    // point-in-time audit, which probes the dimension). The snapshot
+    // grid is the calendar-bounded month vocabulary derived from the
+    // data, so the placed-before-snapshot join expands the fact table
+    // by at most #months (the q167 bounded-explode rationale) and
+    // collapses map-side into months × buckets groups. Day ages are
+    // exact integer micros arithmetic (no engine datediff semantics);
+    // money is cents-exact. ----
+    "q387_backlog_aging" -> { (s, d) =>
+      views(s, d, "orders", "lineitem")
+      // o_orderdate reads as TIMESTAMP_NTZ; the session is UTC-pinned,
+      // so the cast to TIMESTAMP is instant-preserving
+      s.sql(backlogSql("div", c => s"unix_micros(CAST($c AS TIMESTAMP))"))
+    },
     "q291_sql_q6" -> { (s, d) =>
       views(s, d, "lineitem")
       s.sql(q6Sql("div"))
@@ -792,6 +811,35 @@ object RelationalPack4 extends QueryPack {
       s.sql(q14Sql("div"))
     }
   )
+
+  /** q387 template: `div` is the integer-division token; `us` maps a
+    * timestamp expression to epoch micros (`unix_micros` / `epoch_us`).
+    * Everything else — month grid, open predicate, cents, age buckets —
+    * is character-identical. */
+  private def backlogSql(div: String, us: String => String): String =
+    s"""WITH fs AS (SELECT l_orderkey AS ok, MIN(l_shipdate) AS first_ship
+       |            FROM lineitem GROUP BY 1),
+       |o AS (SELECT o_orderkey, o_orderdate,
+       |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |             ${us("o_orderdate")} AS od_us
+       |      FROM orders),
+       |ms AS (SELECT snap, ${us("snap")} AS snap_us
+       |       FROM (SELECT DISTINCT date_trunc('month', o_orderdate) AS snap FROM orders)),
+       |open0 AS (
+       |  SELECT m.snap, o.cents,
+       |         (m.snap_us - o.od_us) $div 86400000000 AS age_days
+       |  FROM ms m JOIN o ON o.od_us < m.snap_us
+       |  LEFT JOIN fs ON fs.ok = o.o_orderkey AND ${us("fs.first_ship")} < m.snap_us
+       |  WHERE fs.ok IS NULL)
+       |SELECT CAST(snap AS TIMESTAMP) AS snap,
+       |       CAST(count(*) AS BIGINT) AS n_open,
+       |       CAST(SUM(cents) AS BIGINT) AS open_value_cents,
+       |       CAST(SUM(CASE WHEN age_days < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_age_lt30,
+       |       CAST(SUM(CASE WHEN age_days >= 30 AND age_days < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_age_30_90,
+       |       CAST(SUM(CASE WHEN age_days >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_age_ge90
+       |FROM open0
+       |GROUP BY snap
+       |ORDER BY snap""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q349_repeat_interval" ->
@@ -855,6 +903,7 @@ object RelationalPack4 extends QueryPack {
     "q302_sql_q11_share" -> q11Sql("//"),
     "q298_basket_lift" -> basketSql("//"),
     "q293_order_total_recon" -> reconSql("//"),
+    "q387_backlog_aging" -> backlogSql("//", c => s"epoch_us(CAST($c AS TIMESTAMP))"),
     "q291_sql_q6" -> q6Sql("//"),
     "q289_sql_q4_exists" -> q4Sql("//"),
     "q284_sql_q2_argmin" -> q2Sql("//"),
