@@ -397,6 +397,64 @@ object EventsPack extends QueryPack {
     // campaign -1. Clicks are pre-deduplicated per (user, ts) with a
     // deterministic max-campaign rule — the as-of contract requires a
     // unique right side. One merge + one campaigns-sized fold. ----
+    // ---- FIRST-TOUCH vs LAST-TOUCH ATTRIBUTION CONTRAST, both sides
+    // through the NATIVE as-of operator: last touch is the standard
+    // backward as-of within a 24-h window; first touch is the
+    // forward as-of FROM THE WINDOW START (purchase−24 h) on the
+    // negated time axis (q283's trick), whose tolerance lands exactly
+    // on the purchase instant — so both attribution models cost one
+    // exchange-free sort-merge pass each, no per-purchase window scan.
+    // The per-type contrast (and the single-touch overlap, where the
+    // same event wins both models) is the marketing-analytics
+    // model-sensitivity table: a large first-vs-last delta means the
+    // attribution model choice, not the data, drives the budget.
+    // Touches are pre-collapsed to unique (user, instant) with a
+    // min-event-id tie rule, so both as-ofs are deterministic. ----
+    "q388_touch_attribution_contrast" -> { (s, d) =>
+      val tol = 86400000000L
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us").as("p_us"))
+        .agg(min("event_id").as("p_id"))
+        .withColumn("neg_start", -(col("p_us") - lit(tol)))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id").as("t_user"), col("us").as("t_us"))
+        .agg(min(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("t_user"), col("t_us"),
+          col("m.event_id").as("t_id"), col("m.event_type").as("t_type"))
+        .withColumn("neg_tus", -col("t_us"))
+      val last = graft.plans.GraftOps.asofJoin(purchases, touches,
+          Seq("user_id"), Seq("t_user"), "p_us", "t_us",
+          allowEqual = true, leftOuter = true, tolerance = Some(tol))
+        .select(col("user_id"), col("p_us"), col("p_id"),
+          col("t_id").as("l_id"), col("t_type").as("l_type"))
+      val first = graft.plans.GraftOps.asofJoin(purchases, touches,
+          Seq("user_id"), Seq("t_user"), "neg_start", "neg_tus",
+          allowEqual = true, leftOuter = true, tolerance = Some(tol))
+        .select(col("user_id"), col("p_us"), col("p_id"),
+          col("t_id").as("f_id"), col("t_type").as("f_type"))
+      val j = warmed(last.join(first, Seq("user_id", "p_us", "p_id")))
+      val f = j.filter(col("f_id").isNotNull)
+        .groupBy(col("f_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_first"))
+      val l = j.filter(col("l_id").isNotNull)
+        .groupBy(col("l_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_last"))
+      val sm = j.filter(col("f_id") === col("l_id"))
+        .groupBy(col("f_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_single_touch"))
+      val result = f.join(l, Seq("touch_type"), "full_outer")
+        .join(sm, Seq("touch_type"), "full_outer")
+        .select(col("touch_type"),
+          coalesce(col("n_first"), lit(0L)).cast("bigint").as("n_first"),
+          coalesce(col("n_last"), lit(0L)).cast("bigint").as("n_last"),
+          coalesce(col("n_single_touch"), lit(0L)).cast("bigint")
+            .as("n_single_touch"),
+          (coalesce(col("n_first"), lit(0L)) - coalesce(col("n_last"), lit(0L)))
+            .cast("bigint").as("first_minus_last"))
+      materialized(result, j).orderBy("touch_type")
+    },
+
     "q265_last_touch_attribution" -> { (s, d) =>
       val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -2277,6 +2335,50 @@ object EventsPack extends QueryPack {
 
     // correlated-argmax form of the strict (<) tolerance as-of, same
     // (user, ts) max-campaign dedup, same -1 unmatched convention
+    // same unique-(user, instant) touch table with min-event-id ties;
+    // both as-of directions mirrored as correlated max/min over the
+    // same 24-h window
+    "q388_touch_attribution_contrast" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, us AS p_us, CAST(MIN(event_id) AS BIGINT) AS p_id
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tr AS (SELECT user_id AS t_user, us AS t_us, event_id AS t_id, event_type AS t_type,
+        |              row_number() OVER (PARTITION BY user_id, us ORDER BY event_id) AS rk
+        |       FROM ev WHERE event_type IN ('click', 'view')),
+        |t AS (SELECT t_user, t_us, t_id, t_type FROM tr WHERE rk = 1),
+        |lm AS (SELECT p.*, (SELECT max(t.t_us) FROM t
+        |                    WHERE t.t_user = p.user_id AND t.t_us <= p.p_us
+        |                      AND p.p_us - t.t_us <= 86400000000) AS l_us
+        |       FROM p),
+        |fm AS (SELECT p.user_id AS u2, p.p_us AS p2_us, p.p_id AS p2_id,
+        |              (SELECT min(t.t_us) FROM t
+        |               WHERE t.t_user = p.user_id AND t.t_us >= p.p_us - 86400000000
+        |                 AND t.t_us <= p.p_us) AS f_us
+        |       FROM p),
+        |lt AS (SELECT m.user_id, m.p_us, m.p_id, t.t_id AS l_id, t.t_type AS l_type
+        |       FROM lm m LEFT JOIN t ON t.t_user = m.user_id AND t.t_us = m.l_us),
+        |ft AS (SELECT m.u2, m.p2_us, m.p2_id, t.t_id AS f_id, t.t_type AS f_type
+        |       FROM fm m LEFT JOIN t ON t.t_user = m.u2 AND t.t_us = m.f_us),
+        |j AS (SELECT lt.*, ft.f_id, ft.f_type
+        |      FROM lt JOIN ft ON ft.u2 = lt.user_id AND ft.p2_us = lt.p_us AND ft.p2_id = lt.p_id),
+        |f AS (SELECT f_type AS touch_type, CAST(count(*) AS BIGINT) AS n_first
+        |      FROM j WHERE f_id IS NOT NULL GROUP BY 1),
+        |l AS (SELECT l_type AS touch_type, CAST(count(*) AS BIGINT) AS n_last
+        |      FROM j WHERE l_id IS NOT NULL GROUP BY 1),
+        |sm AS (SELECT f_type AS touch_type, CAST(count(*) AS BIGINT) AS n_single_touch
+        |       FROM j WHERE f_id = l_id GROUP BY 1)
+        |SELECT COALESCE(f.touch_type, l.touch_type, sm.touch_type) AS touch_type,
+        |       CAST(COALESCE(f.n_first, 0) AS BIGINT) AS n_first,
+        |       CAST(COALESCE(l.n_last, 0) AS BIGINT) AS n_last,
+        |       CAST(COALESCE(sm.n_single_touch, 0) AS BIGINT) AS n_single_touch,
+        |       CAST(COALESCE(f.n_first, 0) - COALESCE(l.n_last, 0) AS BIGINT) AS first_minus_last
+        |FROM f
+        |FULL OUTER JOIN l ON l.touch_type = f.touch_type
+        |FULL OUTER JOIN sm ON sm.touch_type = COALESCE(f.touch_type, l.touch_type)
+        |ORDER BY touch_type""".stripMargin,
+
     "q265_last_touch_attribution" ->
       """WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
         |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents
