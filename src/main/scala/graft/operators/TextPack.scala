@@ -881,6 +881,55 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- BPE MERGE-BUDGET COMPRESSION CURVE: corpus fertility
+    // (subwords per word) and symbol-vocabulary size at merge budgets
+    // k ∈ {0, 2, 4, 6} — the how-many-merges-do-we-need sizing curve a
+    // tokenizer-training run reads before committing to a vocab size
+    // (fertility falls as merges land; the curve's knee is the budget
+    // that pays). Replays the TRAINED merge table (a bpeRounds-row
+    // artifact — the one driver-side collect here, bounded by
+    // construction) as cumulative replace projections over the
+    // word-frequency table, so each budget costs one vocab-sized scan;
+    // the corpus itself is scanned once for the word counts. The
+    // oracle recomputes the same states from its own unrolled training
+    // replay — two independent constructions must agree. ----
+    "q389_bpe_budget_curve" -> { (s, d) =>
+      val budgets = Seq(0, 2, 4, 6)
+      val merges = s.read.parquet(s"${bpeModelDir(s, d)}/merges")
+        .select("round", "left_sym", "right_sym")
+        .collect()
+        .map(r => (r.getAs[Number]("round").intValue,
+          r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .sortBy(_._1)
+      val words = warmed(Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), concat(lit(" "),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+          lit(" ")).as("symstr")))
+      val exprByK = scala.collection.mutable.Map(0 -> "symstr")
+      var e = "symstr"
+      merges.foreach { case (r, l, rr) =>
+        e = s"replace($e, ' $l $rr ', ' $l$rr ')"
+        if (budgets.contains(r)) exprByK(r) = e
+      }
+      val perK = budgets.map { k =>
+        val base = words.select(col("cnt"),
+          expr(s"split(trim(${exprByK(k)}), ' ')").as("syms"))
+        val a = base.agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * size(col("syms"))).as("n_bpe_tokens"))
+        val v = base.select(explode(col("syms")).as("sym"))
+          .agg(countDistinct("sym").as("n_symbols"))
+        a.crossJoin(v).select(lit(k).as("merge_budget"),
+          col("n_words").cast("bigint").as("n_words"),
+          col("n_bpe_tokens").cast("bigint").as("n_bpe_tokens"),
+          expr("n_bpe_tokens * 1000000 div n_words").cast("bigint")
+            .as("fertility_ppm"),
+          col("n_symbols").cast("bigint").as("n_symbols"))
+      }.reduce(_ unionByName _)
+      materialized(perK, words).orderBy("merge_budget")
+    },
+
     // ---- TOKENIZER FERTILITY per language — the tokenizer-equity
     // metric multilingual reports publish (how many subwords the
     // trained BPE spends per word in each language; high fertility =
@@ -2098,6 +2147,28 @@ object TextPack extends QueryPack {
           |FROM a LEFT JOIN b ON a.source = b.source AND a.r = b.r
           |JOIN tot t ON t.source = a.source
           |ORDER BY a.source, r""".stripMargin,
+
+      // independent construction: the oracle retrains the merges as
+      // unrolled CTE rounds (the q108/q114 replay) and reads the same
+      // budget states off s0/s2/s4/s6
+      "q389_bpe_budget_curve" ->
+        s"""WITH $bpeOracleCtes,
+           |allk AS (
+           |  SELECT 0 AS k, symstr, cnt FROM s0
+           |  UNION ALL SELECT 2, symstr, cnt FROM s2
+           |  UNION ALL SELECT 4, symstr, cnt FROM s4
+           |  UNION ALL SELECT 6, symstr, cnt FROM s6),
+           |base AS (SELECT k, cnt, string_split(trim(symstr), ' ') AS syms FROM allk),
+           |a AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n_words,
+           |             CAST(SUM(cnt * len(syms)) AS BIGINT) AS n_bpe_tokens
+           |      FROM base GROUP BY k),
+           |v AS (SELECT k, CAST(count(DISTINCT u.sym) AS BIGINT) AS n_symbols
+           |      FROM base, UNNEST(syms) AS u(sym) GROUP BY k)
+           |SELECT CAST(a.k AS INT) AS merge_budget, a.n_words, a.n_bpe_tokens,
+           |       CAST(a.n_bpe_tokens * 1000000 // a.n_words AS BIGINT) AS fertility_ppm,
+           |       v.n_symbols
+           |FROM a JOIN v USING (k)
+           |ORDER BY merge_budget""".stripMargin,
 
       // same leave-own-fold-out count subtraction off the identical
       // (class, token, fold) cube; same Laplace qln scoring and
