@@ -1274,6 +1274,46 @@ object CleanPack extends QueryPack {
             .cast("bigint").as("dl"))
         .withColumn("gain", (col("lev") - col("dl")).cast("bigint"))
       result.orderBy("c_custkey")
+    },
+
+    // ---- JARO–WINKLER SIMILARITY kernel gate (Jaro 1989; Winkler
+    // 1990): the prefix-weighted linkage metric next to q184's
+    // Damerau–Levenshtein — JW rewards shared prefixes (human-keyed
+    // identifiers corrupt at the tail far more often than the head),
+    // DL prices raw edits; production matchers threshold both. The
+    // native [[graft.functions.JaroWinklerMilli]] computes the whole
+    // metric in EXACT integer arithmetic (rational Jaro, integer boost
+    // test, half-up ×1000 rounding — no float ever formed) inside
+    // whole-stage codegen; DuckDB's independent double-valued
+    // jaro_winkler_similarity is the oracle, so two implementations of
+    // the published algorithm must agree on every pair. Two lanes:
+    // each corrupted name against its own clean mate (high JW) and
+    // against the NEXT key's clean name (the serial-number near-miss
+    // that separates the metrics). Map-only stage. ----
+    "q390_jw_metric" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val c = Tables.table(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val dirty = c
+        .withColumn("p", expr("cast(10 + c_custkey % 7 as int)"))
+        .withColumn("swapped",
+          expr("concat(substr(c_name, 1, p - 1), substr(c_name, p + 1, 1), " +
+            "substr(c_name, p, 1), substr(c_name, p + 2))"))
+        .select(col("c_custkey"),
+          expr("CASE WHEN c_custkey % 3 = 0 " +
+            "THEN concat(substr(swapped, 1, 4), substr(swapped, 6)) " +
+            "ELSE swapped END").as("dirty"))
+      val own = c.join(dirty, "c_custkey").withColumn("lane", lit("own"))
+      val nxt = c.select((col("c_custkey") - 1).as("c_custkey"), col("c_name"))
+        .join(dirty, "c_custkey").withColumn("lane", lit("next"))
+      val result = own.unionByName(nxt)
+        .select(col("c_custkey"), col("lane"),
+          graft.functions.GraftExpressions
+            .damerauLevenshtein(col("c_name"), col("dirty"))
+            .cast("bigint").as("dl"),
+          graft.functions.GraftExpressions
+            .jaroWinklerMilli(col("c_name"), col("dirty"))
+            .cast("bigint").as("jw_milli"))
+      result.orderBy("c_custkey", "lane")
     }
   )
 
@@ -2112,6 +2152,34 @@ object CleanPack extends QueryPack {
         |       CAST(levenshtein(c_name, dirty) AS BIGINT) AS lev,
         |       CAST(damerau_levenshtein(c_name, dirty) AS BIGINT) AS dl,
         |       CAST(levenshtein(c_name, dirty) - damerau_levenshtein(c_name, dirty) AS BIGINT) AS gain
-        |FROM dd ORDER BY c_custkey""".stripMargin
+        |FROM dd ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB's own jaro_winkler_similarity (double) vs the native
+    // exact-integer kernel — independent implementations of the
+    // published algorithm; half-up milli rounding on both sides
+    "q390_jw_metric" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, CAST(10 + c_custkey % 7 AS INT) AS p FROM customer),
+        |sw AS (
+        |  SELECT c_custkey,
+        |         concat(substr(c_name, 1, p - 1), substr(c_name, p + 1, 1),
+        |                substr(c_name, p, 1), substr(c_name, p + 2)) AS swapped
+        |  FROM c),
+        |dd AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0
+        |              THEN concat(substr(swapped, 1, 4), substr(swapped, 6))
+        |              ELSE swapped END AS dirty
+        |  FROM sw),
+        |u AS (
+        |  SELECT c.c_custkey, 'own' AS lane, c.c_name, dd.dirty
+        |  FROM customer c JOIN dd ON dd.c_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT c.c_custkey - 1 AS c_custkey, 'next' AS lane, c.c_name, dd.dirty
+        |  FROM customer c JOIN dd ON dd.c_custkey = c.c_custkey - 1)
+        |SELECT c_custkey, lane,
+        |       CAST(damerau_levenshtein(c_name, dirty) AS BIGINT) AS dl,
+        |       CAST(round(jaro_winkler_similarity(c_name, dirty) * 1000) AS BIGINT) AS jw_milli
+        |FROM u ORDER BY c_custkey, lane""".stripMargin
   )
 }

@@ -115,6 +115,24 @@ class Wave5Spec extends AnyFunSuite {
     assert(r(0).getAs[Long]("burst_milli") == 1442L)
   }
 
+  test("JaroWinklerKernel reproduces the textbook values") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val jw = (a: String, b: String) =>
+      graft.functions.JaroWinklerKernel.milli(u(a), u(b))
+    // Winkler 1990's canonical pairs
+    assert(jw("MARTHA", "MARHTA") == 961L) // jaro 17/18, prefix 3
+    assert(jw("DIXON", "DICKSONX") == 813L) // jaro 23/30, prefix 2
+    assert(jw("abc", "abc") == 1000L)
+    assert(jw("", "") == 1000L)
+    assert(jw("abc", "") == 0L)
+    assert(jw("abc", "xyz") == 0L)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply:
+    // jaro(ab, ba) has m=0 within the window (bound 0) -> 0
+    assert(jw("ab", "ba") == 0L)
+    // symmetric
+    assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
+  }
+
   test("q375 sorted-neighborhood finds transposed mates, misses prefix-damaged ones") {
     // keys 1..12; k%4==0 (4,8,12) get the char-5 prefix deletion and
     // sort before every intact "Customer#..." record — unreachable at
