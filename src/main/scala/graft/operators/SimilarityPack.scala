@@ -1373,6 +1373,47 @@ object SimilarityPack extends QueryPack {
       materialized(result, ranked, vecs).orderBy("cell")
     },
 
+    // ---- ADJUSTED RAND INDEX (Hubert & Arabie 1985) between the
+    // trained IVF cell assignment and the label partition — the
+    // chance-corrected clustering agreement that q239's per-cell
+    // purity cannot give (purity is gamed by many tiny cells; ARI's
+    // expected-index correction is exactly the anti-gaming term). All
+    // pair counts are exact int64 C(x,2) sums over the cells×labels
+    // contingency (bounded frame); the final ARI is ONE double
+    // expression over four exact integers, identical text in both
+    // engines. On random embeddings the honest answer is ≈ 0 — the
+    // gate pins that the estimator and its correction agree
+    // cross-engine, not that the clustering is good. ----
+    "q393_ari_ivf_labels" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val ranked = ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
+      val cells = ranked.filter(col("arn") === 1).select(col("vec_id"), col("cell"))
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"))
+      val nij = warmed(cells.join(labels, "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("n")))
+      val sij = nij.agg(sum(expr("n * (n - 1) div 2")).as("s_nij"),
+        sum("n").as("n_total"))
+      val sa = nij.groupBy("cell").agg(sum("n").as("a"))
+        .agg(sum(expr("a * (a - 1) div 2")).as("s_a"))
+      val sb = nij.groupBy("label").agg(sum("n").as("b"))
+        .agg(sum(expr("b * (b - 1) div 2")).as("s_b"))
+      val ariExpr =
+        "cast(floor(1000.0 * (cast(s_nij as double) - cast(s_a as double) * cast(s_b as double) " +
+          "/ (cast(n_total as double) * (cast(n_total as double) - 1.0) / 2.0)) " +
+          "/ ((cast(s_a as double) + cast(s_b as double)) / 2.0 " +
+          "- cast(s_a as double) * cast(s_b as double) " +
+          "/ (cast(n_total as double) * (cast(n_total as double) - 1.0) / 2.0))) as bigint)"
+      val result = sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .select(col("n_total").cast("bigint").as("n_total"),
+          col("s_nij").cast("bigint").as("s_nij"),
+          col("s_a").cast("bigint").as("s_a"),
+          col("s_b").cast("bigint").as("s_b"),
+          expr(ariExpr).as("ari_milli"))
+      materialized(result, nij, vecs).orderBy("n_total")
+    },
+
     // ---- MEAN-RECIPROCAL-RANK eval of the exact cosine ranking
     // against label agreement (Voorhees, TREC-8 1999 — the first-hit
     // metric): per query, the rank of the FIRST same-class candidate
@@ -1722,7 +1763,27 @@ object SimilarityPack extends QueryPack {
       ("q237_mrr" -> mrrOracle) +
       ("q239_cluster_purity" -> purityOracle) +
       ("q255_hard_negatives" -> hardNegOracle) +
-      ("q271_ivf_nprobe_curve" -> nprobeCurveOracle)
+      ("q271_ivf_nprobe_curve" -> nprobeCurveOracle) +
+      ("q393_ari_ivf_labels" -> ariOracle)
+
+  /** q393's oracle: the same trained cells (ivfTrainCtes) and label
+    * join, exact C(x,2) pair sums, identical single-row ARI text. */
+  private def ariOracle: String =
+    s"""WITH $ivfTrainCtes,
+       |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |cl AS (SELECT c.cell, l.label FROM cells c JOIN lbl l USING (vec_id)),
+       |nij AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+       |        FROM cl GROUP BY cell, label),
+       |sij AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s_nij,
+       |               CAST(SUM(n) AS BIGINT) AS n_total FROM nij),
+       |sa AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS s_a
+       |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS a FROM nij GROUP BY cell)),
+       |sb AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS s_b
+       |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS b FROM nij GROUP BY label))
+       |SELECT n_total, s_nij, s_a, s_b,
+       |       CAST(floor(1000.0 * (CAST(s_nij AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0) / 2.0)) / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0 - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0) / 2.0))) AS BIGINT) AS ari_milli
+       |FROM sij CROSS JOIN sa CROSS JOIN sb
+       |ORDER BY n_total""".stripMargin
 
   /** q239's oracle: the q53/q102 trained model (ivfTrainCtes' `cells`)
     * joined to labels, same majority argmax and ppm. */
