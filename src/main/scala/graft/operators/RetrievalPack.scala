@@ -49,44 +49,72 @@ object RetrievalPack extends QueryPack {
     // engines; the final score re-floors the product, and ranking uses
     // only the quantized score with a doc_id tie-break. ----
     "q163_bm25" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
-      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      // query terms: df ranks 10..14 — a bounded TakeOrdered slice (14
-      // rows cross any corpus size), then a 14-row window for the rank
-      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
-        .withColumn("q_rank", row_number().over(
-          Window.orderBy(col("df").desc, col("w"))))
-        .filter(col("q_rank").between(10, 14))
-      val scored = tf
-        .join(broadcast(qterms), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_q",
-          floor(log(
-            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-              (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
-            .cast("bigint"))
-        .withColumn("tfnorm",
-          (col("cnt").cast("double") * lit(k1 + 1.0)) /
-            (col("cnt").cast("double") + lit(k1) * (lit(1.0 - b) +
-              lit(b) * (col("dl").cast("double") * col("n_docs").cast("double") /
-                col("sum_dl").cast("double")))))
-        .withColumn("score_q",
-          floor(col("idf_q").cast("double") * col("tfnorm")).cast("bigint"))
-      val ranked = scored
-        .withColumn("doc_rank", row_number().over(
-          Window.partitionBy(col("q_rank")).orderBy(col("score_q").desc, col("doc_id"))))
-        .filter(col("doc_rank") <= 10)
-      ranked
+      bm25TopDocs(s, d)
         .select(col("q_rank").cast("int").as("q_rank"), col("w").as("term"),
           col("doc_rank").cast("int").as("doc_rank"), col("doc_id"),
           col("cnt"), col("dl"), col("df"), col("score_q"))
         .orderBy("q_rank", "doc_rank")
+    },
+
+    // ---- DIRICHLET-SMOOTHED QUERY LIKELIHOOD retrieval (Zhai &
+    // Lafferty, SIGIR 2001; μ = 2000, the standard setting): the other
+    // classical probabilistic ranking next to q163's BM25, over the
+    // SAME deterministic query panel so the two models are directly
+    // comparable (q392 quantifies their rank agreement). The smoothed
+    // log-probability ln((c + μ·cf/N)/(dl + μ)) is factored to
+    // qln(c·N + μ·cf) − qln(N·(dl + μ)) so ln() touches only
+    // INTEGER-valued doubles (the NB qln contract) and the score is
+    // exact int64. Same shapes as BM25: broadcast panel join, topK
+    // windows over panel-bounded groups. ----
+    "q391_dirichlet_ql" -> { (s, d) =>
+      qlTopDocs(s, d)
+        .select(col("q_rank").cast("int").as("q_rank"), col("w").as("term"),
+          col("doc_rank").cast("int").as("doc_rank"), col("doc_id"),
+          col("cnt"), col("dl"), col("cf"), col("score_q"))
+        .orderBy("q_rank", "doc_rank")
+    },
+
+    // ---- RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010)
+    // between the BM25 and Dirichlet-QL top-10 lists per query — the
+    // top-weighted agreement measure for indefinite rankings (Kendall
+    // needs conjoint lists; RBO handles the disjoint tails two
+    // retrieval models produce). Truncated at depth 10 with p = 0.9;
+    // the geometric weights enter as PRECOMPUTED integer literals
+    // (floor(10⁸·(1−p)p^{d−1})) and each depth's term is the exact
+    // integer (overlap_d · w_d) div d, so the sum is order-independent
+    // int64 — no engine evaluates a power. Both rankings are
+    // 10-rows-per-query frames; everything here is panel-bounded. ----
+    "q392_rbo_rankings" -> { (s, d) =>
+      val wts = Seq(10000000L, 9000000L, 8100000L, 7290000L, 6561000L,
+        5904900L, 5314410L, 4782969L, 4304672L, 3874204L)
+      val a = bm25TopDocs(s, d).select(col("q_rank"), col("doc_id"),
+        col("doc_rank").as("ra"))
+      val bq = qlTopDocs(s, d).select(col("q_rank"), col("doc_id"),
+        col("doc_rank").as("rb"))
+      val pairs = a.join(bq, Seq("q_rank", "doc_id"), "full_outer")
+      val ov = pairs
+        .select(col("q_rank"), col("ra"), col("rb"),
+          explode(expr("sequence(1, 10)")).as("d"))
+        .filter(col("ra") <= col("d") && col("rb") <= col("d"))
+        .groupBy("q_rank", "d").agg(count(lit(1)).as("ov"))
+      val grid = a.select("q_rank").distinct()
+        .select(col("q_rank"), explode(expr("sequence(1, 10)")).as("d"))
+      val wArr = array(wts.map(lit): _*)
+      val terms = grid.join(ov, Seq("q_rank", "d"), "left")
+        .na.fill(0L, Seq("ov"))
+        .withColumn("wd", element_at(wArr, col("d")))
+        .withColumn("term", expr("(ov * wd) div d"))
+      val result = terms.groupBy("q_rank")
+        .agg(max(when(col("d") === 1, col("ov"))).as("overlap_1"),
+          max(when(col("d") === 5, col("ov"))).as("overlap_5"),
+          max(when(col("d") === 10, col("ov"))).as("overlap_10"),
+          sum("term").as("rbo_e8"))
+        .select(col("q_rank").cast("int").as("q_rank"),
+          col("overlap_1").cast("bigint").as("overlap_1"),
+          col("overlap_5").cast("bigint").as("overlap_5"),
+          col("overlap_10").cast("bigint").as("overlap_10"),
+          col("rbo_e8").cast("bigint").as("rbo_e8"))
+      result.orderBy("q_rank")
     },
 
     // ---- Robust winnowing (MOSS): guaranteed-density fingerprint
@@ -252,11 +280,126 @@ object RetrievalPack extends QueryPack {
   /** DuckDB token-list CTE body (the shared oracle tokenization — same
     * regex pipeline as [[graft.functions.TextFunctions.tokens]]; see the
     * ASCII-corpus caveat in [[graft.core.QueryPack]]). */
+  /** Shared retrieval substrate: per-doc term frequencies, doc lengths,
+    * corpus stats, and the deterministic query panel (df ranks 10..14 —
+    * a bounded TakeOrdered slice, 14 rows at any corpus size, then a
+    * 14-row window for the rank). Used by q163/q391/q392. */
+  private def retrievalBase(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
+      .withColumn("q_rank", row_number().over(
+        Window.orderBy(col("df").desc, col("w"))))
+      .filter(col("q_rank").between(10, 14))
+    (tf, dl, stats, qterms)
+  }
+
+  /** q163's ranked frame (panel term × top-10 docs, BM25 scores). */
+  private def bm25TopDocs(s: SparkSession, d: String): DataFrame = {
+    val (tf, dl, stats, qterms) = retrievalBase(s, d)
+    val scored = tf
+      .join(broadcast(qterms), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q",
+        floor(log(
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
+          .cast("bigint"))
+      .withColumn("tfnorm",
+        (col("cnt").cast("double") * lit(k1 + 1.0)) /
+          (col("cnt").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") * col("n_docs").cast("double") /
+              col("sum_dl").cast("double")))))
+      .withColumn("score_q",
+        floor(col("idf_q").cast("double") * col("tfnorm")).cast("bigint"))
+    scored
+      .withColumn("doc_rank", row_number().over(
+        Window.partitionBy(col("q_rank")).orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("doc_rank") <= 10)
+  }
+
+  /** q391's ranked frame: Dirichlet-smoothed query likelihood (μ=2000)
+    * over the same panel, scores exact int64 via integer-argument qln. */
+  private def qlTopDocs(s: SparkSession, d: String): DataFrame = {
+    val (tf, dl, stats, qterms) = retrievalBase(s, d)
+    val cf = tf.groupBy("w").agg(sum("cnt").as("cf"))
+    val scored = tf
+      .join(broadcast(qterms), "w")
+      .join(broadcast(cf), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_q", expr(
+        "cast(floor(ln(cast(cnt * sum_dl + 2000 * cf as double)) * 1e6) as bigint)" +
+          " - cast(floor(ln(cast(sum_dl * (dl + 2000) as double)) * 1e6) as bigint)"))
+    scored
+      .withColumn("doc_rank", row_number().over(
+        Window.partitionBy(col("q_rank")).orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("doc_rank") <= 10)
+  }
+
   private val duckToks =
     """SELECT doc_id,
       |       list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'),
       |                   w -> w <> '') AS ts
       |FROM documents""".stripMargin
+
+  /** Shared oracle CTE prefix mirroring [[retrievalBase]]. */
+  private def retrievalBaseCtes: String =
+    s"""tok AS ($duckToks),
+       |tf0 AS (SELECT doc_id, unnest(ts) AS w FROM tok),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM tf0 GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |qsel AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 14),
+       |qterms AS (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS q_rank FROM qsel),
+       |q AS (SELECT * FROM qterms WHERE q_rank BETWEEN 10 AND 14)""".stripMargin
+
+  private def bm25OracleSql: String =
+    s"""WITH $retrievalBaseCtes,
+       |scored AS (
+       |  SELECT q.q_rank, q.w, t.doc_id, t.cnt, dl.dl, q.df,
+       |         CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) /
+       |                       (CAST(q.df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_q,
+       |         (CAST(t.cnt AS DOUBLE) * ${k1 + 1.0}) /
+       |           (CAST(t.cnt AS DOUBLE) + $k1 * (${1.0 - b} +
+       |             $b * (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+       |               CAST(sum_dl AS DOUBLE)))) AS tfnorm
+       |  FROM tf t JOIN q ON q.w = t.w JOIN dl ON dl.doc_id = t.doc_id, stats),
+       |final AS (
+       |  SELECT q_rank, w, doc_id, cnt, dl, df,
+       |         CAST(floor(CAST(idf_q AS DOUBLE) * tfnorm) AS BIGINT) AS score_q
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_rank ORDER BY score_q DESC, doc_id) AS doc_rank
+       |  FROM final)
+       |SELECT CAST(q_rank AS INT) AS q_rank, w AS term, CAST(doc_rank AS INT) AS doc_rank,
+       |       doc_id, cnt, dl, df, score_q
+       |FROM ranked WHERE doc_rank <= 10
+       |ORDER BY q_rank, doc_rank""".stripMargin
+
+  private def qlOracleSql: String =
+    s"""WITH $retrievalBaseCtes,
+       |cf AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS cf FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT q.q_rank, q.w, t.doc_id, t.cnt, dl.dl, cf.cf,
+       |         CAST(floor(ln(CAST(t.cnt * sum_dl + 2000 * cf.cf AS DOUBLE)) * 1e6) AS BIGINT)
+       |           - CAST(floor(ln(CAST(sum_dl * (dl.dl + 2000) AS DOUBLE)) * 1e6) AS BIGINT) AS score_q
+       |  FROM tf t JOIN q ON q.w = t.w JOIN cf ON cf.w = t.w
+       |  JOIN dl ON dl.doc_id = t.doc_id, stats),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_rank ORDER BY score_q DESC, doc_id) AS doc_rank
+       |  FROM scored)
+       |SELECT CAST(q_rank AS INT) AS q_rank, w AS term, CAST(doc_rank AS INT) AS doc_rank,
+       |       doc_id, cnt, dl, cf, score_q
+       |FROM ranked WHERE doc_rank <= 10
+       |ORDER BY q_rank, doc_rank""".stripMargin
 
   override def oracle: Map[String, String] = Map(
 
@@ -293,36 +436,45 @@ object RetrievalPack extends QueryPack {
         |FROM agg JOIN q3 ON q3.q_rank = agg.q_rank
         |ORDER BY q_rank""".stripMargin,
 
-    "q163_bm25" ->
-      s"""WITH tok AS ($duckToks),
-         |tf0 AS (SELECT doc_id, unnest(ts) AS w FROM tok),
-         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM tf0 GROUP BY doc_id, w),
-         |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         |qsel AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 14),
-         |qterms AS (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS q_rank FROM qsel),
-         |q AS (SELECT * FROM qterms WHERE q_rank BETWEEN 10 AND 14),
-         |scored AS (
-         |  SELECT q.q_rank, q.w, t.doc_id, t.cnt, dl.dl, q.df,
-         |         CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) /
-         |                       (CAST(q.df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_q,
-         |         (CAST(t.cnt AS DOUBLE) * ${k1 + 1.0}) /
-         |           (CAST(t.cnt AS DOUBLE) + $k1 * (${1.0 - b} +
-         |             $b * (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
-         |               CAST(sum_dl AS DOUBLE)))) AS tfnorm
-         |  FROM tf t JOIN q ON q.w = t.w JOIN dl ON dl.doc_id = t.doc_id, stats),
-         |final AS (
-         |  SELECT q_rank, w, doc_id, cnt, dl, df,
-         |         CAST(floor(CAST(idf_q AS DOUBLE) * tfnorm) AS BIGINT) AS score_q
-         |  FROM scored),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_rank ORDER BY score_q DESC, doc_id) AS doc_rank
-         |  FROM final)
-         |SELECT CAST(q_rank AS INT) AS q_rank, w AS term, CAST(doc_rank AS INT) AS doc_rank,
-         |       doc_id, cnt, dl, df, score_q
-         |FROM ranked WHERE doc_rank <= 10
-         |ORDER BY q_rank, doc_rank""".stripMargin,
+    "q163_bm25" -> bm25OracleSql,
+
+    // same integer-argument qln factorization, same panel, same top-10
+    "q391_dirichlet_ql" -> qlOracleSql,
+
+    // both rankings recomputed (materialized — each referenced per
+    // depth), same literal weight ladder and exact per-depth terms
+    "q392_rbo_rankings" ->
+      s"""WITH a AS MATERIALIZED (SELECT q_rank, doc_id, doc_rank AS ra FROM ($bm25OracleSql) t),
+         |b AS MATERIALIZED (SELECT q_rank, doc_id, doc_rank AS rb FROM ($qlOracleSql) t),
+         |pairs AS (
+         |  SELECT COALESCE(a.q_rank, b.q_rank) AS q_rank,
+         |         COALESCE(a.doc_id, b.doc_id) AS doc_id, a.ra, b.rb
+         |  FROM a FULL OUTER JOIN b ON b.q_rank = a.q_rank AND b.doc_id = a.doc_id),
+         |ov AS (
+         |  SELECT q_rank, g.d, CAST(count(*) AS BIGINT) AS ov
+         |  FROM pairs, UNNEST(generate_series(1, 10)) AS g(d)
+         |  WHERE ra <= g.d AND rb <= g.d
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT DISTINCT a.q_rank, g.d
+         |  FROM a, UNNEST(generate_series(1, 10)) AS g(d)),
+         |wt(d, wd) AS (VALUES (1, 10000000), (2, 9000000), (3, 8100000),
+         |  (4, 7290000), (5, 6561000), (6, 5904900), (7, 5314410),
+         |  (8, 4782969), (9, 4304672), (10, 3874204)),
+         |terms AS (
+         |  SELECT g.q_rank, g.d, COALESCE(o.ov, 0) AS ov,
+         |         (COALESCE(o.ov, 0) * wt.wd) // g.d AS term
+         |  FROM grid g
+         |  LEFT JOIN ov o ON o.q_rank = g.q_rank AND o.d = g.d
+         |  JOIN wt ON wt.d = g.d)
+         |SELECT CAST(q_rank AS INT) AS q_rank,
+         |       CAST(MAX(CASE WHEN d = 1 THEN ov END) AS BIGINT) AS overlap_1,
+         |       CAST(MAX(CASE WHEN d = 5 THEN ov END) AS BIGINT) AS overlap_5,
+         |       CAST(MAX(CASE WHEN d = 10 THEN ov END) AS BIGINT) AS overlap_10,
+         |       CAST(SUM(term) AS BIGINT) AS rbo_e8
+         |FROM terms
+         |GROUP BY q_rank
+         |ORDER BY q_rank""".stripMargin,
 
     "q164_winnow_fingerprint" ->
       s"""WITH tok AS ($duckToks),
