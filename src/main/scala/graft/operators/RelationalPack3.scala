@@ -848,8 +848,127 @@ object RelationalPack3 extends QueryPack {
         .withColumn("extra_pairs",
           (col("n_pairs") - col("n_lhs")).cast("bigint"))
       result.orderBy("lhs", "rhs")
+    },
+
+    // ---- HISTOGRAM SELECTIVITY-ESTIMATION AUDIT: a 20-bucket
+    // equi-width histogram of order value (the optimizer-statistics
+    // structure behind every cost-based range-predicate estimate),
+    // probed with four data-derived range predicates — estimated rows
+    // by the textbook fully-covered-buckets + linear-interpolated-edge
+    // rule vs the exact count, error in ppm. This measures how far the
+    // within-bucket-uniform assumption drifts on a real (bell-ish)
+    // value distribution — the number a stats-collection cadence
+    // decision needs. ONE SQL text both engines run verbatim (the
+    // q369 discipline): bucket ids and bounds avoid the div-token
+    // divergence via exact-double floor division; exact counts are a
+    // 4×-bounded predicate scan. ----
+    "q394_selectivity_audit" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(selectivitySql)
+    },
+
+    // ---- JOIN-CARDINALITY ESTIMATOR AUDIT (Selinger et al. 1979):
+    // the System-R uniform-key estimate |A ⋈ B| ≈ |A|·|B| / max(ndv_A,
+    // ndv_B) checked against the exact join count for every star-schema
+    // FK edge — the audit that says which edges the uniform assumption
+    // misprices (skewed fan-outs, q246's territory) and by how much
+    // (est/actual in milli). ONE shared SQL text; exact counts are
+    // equi-join aggregates, the estimate is one floor on an
+    // exactly-representable double product. ----
+    "q395_join_card_audit" -> { (s, d) =>
+      Seq("orders", "lineitem", "customer", "part", "supplier")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+      s.sql(joinCardSql)
     }
   )
+
+  /** q394: one SQL text for both engines. */
+  private val selectivitySql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |mm AS (SELECT CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+      |              CAST(count(*) AS BIGINT) AS n FROM c),
+      |hist AS (
+      |  SELECT CAST(floor(CAST(v - mn AS DOUBLE) * 20.0 / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT) AS bkt,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM c CROSS JOIN mm GROUP BY 1),
+      |cum AS (
+      |  SELECT bkt, cnt,
+      |         CAST(COALESCE(SUM(cnt) OVER (ORDER BY bkt
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+      |  FROM hist),
+      |preds AS (
+      |  SELECT 1 AS pred_id, 5 AS p1, 25 AS p2
+      |  UNION ALL SELECT 2, 25, 50
+      |  UNION ALL SELECT 3, 50, 75
+      |  UNION ALL SELECT 4, 40, 95),
+      |pr AS (
+      |  SELECT pred_id,
+      |         mn + CAST(floor(CAST(mx - mn AS DOUBLE) * CAST(p1 AS DOUBLE) / 100.0) AS BIGINT) AS lo,
+      |         mn + CAST(floor(CAST(mx - mn AS DOUBLE) * CAST(p2 AS DOUBLE) / 100.0) AS BIGINT) AS hi
+      |  FROM preds CROSS JOIN mm),
+      |bounds AS (
+      |  SELECT pred_id, 'lo' AS side, lo AS x FROM pr
+      |  UNION ALL SELECT pred_id, 'hi' AS side, hi AS x FROM pr),
+      |bk AS (
+      |  SELECT b.pred_id, b.side, b.x,
+      |         LEAST(CAST(floor(CAST(b.x - mn AS DOUBLE) * 20.0 / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT), 19) AS k
+      |  FROM bounds b CROSS JOIN mm),
+      |fx AS (
+      |  SELECT bk.pred_id, bk.side,
+      |         CAST(cu.below AS DOUBLE) + CAST(cu.cnt AS DOUBLE) *
+      |           (CAST(bk.x - mm.mn AS DOUBLE) * 20.0 / CAST(mm.mx - mm.mn + 1 AS DOUBLE) - CAST(bk.k AS DOUBLE)) AS f
+      |  FROM bk JOIN cum cu ON cu.bkt = bk.k CROSS JOIN mm),
+      |est AS (
+      |  SELECT l.pred_id, CAST(floor(h.f - l.f) AS BIGINT) AS est_rows
+      |  FROM fx l JOIN fx h ON h.pred_id = l.pred_id
+      |  WHERE l.side = 'lo' AND h.side = 'hi'),
+      |ex AS (
+      |  SELECT p.pred_id,
+      |         CAST(SUM(CASE WHEN c.v >= p.lo AND c.v < p.hi THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+      |  FROM pr p CROSS JOIN c GROUP BY 1)
+      |SELECT CAST(p.pred_id AS INT) AS pred_id, p.lo, p.hi,
+      |       e.est_rows, x.exact_rows,
+      |       CAST(floor(CAST(abs(e.est_rows - x.exact_rows) AS DOUBLE) * 1000000.0
+      |            / CAST(x.exact_rows AS DOUBLE)) AS BIGINT) AS err_ppm
+      |FROM pr p JOIN est e ON e.pred_id = p.pred_id
+      |JOIN ex x ON x.pred_id = p.pred_id
+      |ORDER BY pred_id""".stripMargin
+
+  /** q395: one SQL text for both engines; one branch per FK edge. */
+  private val joinCardSql: String = {
+    def edge(name: String, ta: String, ka: String, tb: String, kb: String) =
+      s"""  SELECT '$name' AS edge,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM $ta) AS n_a,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM $tb) AS n_b,
+         |         (SELECT CAST(count(DISTINCT $ka) AS BIGINT) FROM $ta) AS ndv_a,
+         |         (SELECT CAST(count(DISTINCT $kb) AS BIGINT) FROM $tb) AS ndv_b,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM (SELECT $ka AS jk FROM $ta) a
+         |          JOIN (SELECT $kb AS jk FROM $tb) b ON a.jk = b.jk) AS actual_rows""".stripMargin
+    val branches = Seq(
+      edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      // the deliberate NON-key edge: qty×size is where the uniform
+      // assumption breaks (skewed value frequencies on both sides)
+      edge("qty_size_nonkey", "lineitem", "CAST(l_quantity AS BIGINT)",
+        "part", "CAST(p_size AS BIGINT)")
+    ).mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$branches
+       |)
+       |SELECT edge, n_a, n_b, ndv_a, ndv_b, actual_rows,
+       |       CAST(floor(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |            / CAST(GREATEST(ndv_a, ndv_b) AS DOUBLE)) AS BIGINT) AS est_rows,
+       |       CAST(floor(1000.0 * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |            / CAST(GREATEST(ndv_a, ndv_b) AS DOUBLE))
+       |            / CAST(actual_rows AS DOUBLE)) AS BIGINT) AS est_over_actual_milli
+       |FROM u
+       |ORDER BY edge""".stripMargin
+  }
 
   /** One edge of q228's oracle: the identical hash, bottom-k, and
     * estimator text (sketches MATERIALIZED — each is referenced several
@@ -982,6 +1101,10 @@ object RelationalPack3 extends QueryPack {
         |       CAST(max(n_vals) AS BIGINT) AS max_distinct
         |FROM allf GROUP BY fd
         |ORDER BY fd""".stripMargin,
+
+    // the Spark side runs the SAME strings on temp views
+    "q394_selectivity_audit" -> selectivitySql,
+    "q395_join_card_audit" -> joinCardSql,
 
     // same 12 ordered pairs over the same derived attribute frame;
     // the pipe-concat distinct mirrors Spark's concat_ws
