@@ -879,8 +879,59 @@ object RelationalPack3 extends QueryPack {
       Seq("orders", "lineitem", "customer", "part", "supplier")
         .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
       s.sql(joinCardSql)
+    },
+
+    // ---- PEARSON CORRELATION MATRIX of the lineitem measures
+    // (quantity, extended price, discount, tax) — the numeric-column
+    // dependence profile an ANALYZE-stats pass (q156) stops short of,
+    // and the input a feature-selection or synthetic-data-validation
+    // step reads first. ONE scan computes all 14 exact power sums
+    // (4 sums, 4 squares, 6 cross products — cents-quantized int64
+    // into DECIMAL(38,0)/HUGEINT accumulators, the q334 discipline);
+    // the 6 pair rows unpivot from the single-row sum frame and each r
+    // is one sqrt over exact integers with identical formula text. ----
+    "q396_corr_matrix" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(corrMatrixSql(x => s"CAST($x AS DECIMAL(38,0))"))
     }
   )
+
+  /** q396 template: `big` maps an int64 expression to the wide exact
+    * accumulator type (Spark DECIMAL(38,0) / DuckDB HUGEINT — equal
+    * integers render to identical doubles). */
+  private def corrMatrixSql(big: String => String): String = {
+    val cols = Seq("qty", "price", "disc", "tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val crossSums = pairs.map { case (a, b) =>
+      s"SUM(${big(a)} * $b) AS sp_${a}_$b" }.mkString(",\n|         ")
+    val branches = pairs.map { case (a, b) =>
+      s"""  SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |         s_$a AS sx, s_$b AS sy, ss_$a AS sxx, ss_$b AS syy,
+         |         sp_${a}_$b AS sxy
+         |  FROM s""".stripMargin }.mkString("\nUNION ALL\n")
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price,
+       |         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS disc,
+       |         CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS tax
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         ${cols.map(x => s"CAST(SUM($x) AS BIGINT) AS s_$x").mkString(",\n|         ")},
+       |         ${cols.map(x => s"SUM(${big(x)} * $x) AS ss_$x").mkString(",\n|         ")},
+       |         $crossSums
+       |  FROM c),
+       |p AS (
+       |$branches
+       |)
+       |SELECT col_a, col_b, n,
+       |       CAST(floor(1000.0 * CAST(${big("n")} * sxy - ${big("sx")} * sy AS DOUBLE)
+       |            / sqrt(CAST(${big("n")} * sxx - ${big("sx")} * sx AS DOUBLE)
+       |                 * CAST(${big("n")} * syy - ${big("sy")} * sy AS DOUBLE))) AS BIGINT) AS r_milli
+       |FROM p
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 
   /** q394: one SQL text for both engines. */
   private val selectivitySql: String =
@@ -1105,6 +1156,9 @@ object RelationalPack3 extends QueryPack {
     // the Spark side runs the SAME strings on temp views
     "q394_selectivity_audit" -> selectivitySql,
     "q395_join_card_audit" -> joinCardSql,
+
+    // identical template; HUGEINT mirrors the DECIMAL(38,0) accumulators
+    "q396_corr_matrix" -> corrMatrixSql(x => s"CAST($x AS HUGEINT)"),
 
     // same 12 ordered pairs over the same derived attribute frame;
     // the pipe-concat distinct mirrors Spark's concat_ws

@@ -86,7 +86,13 @@ object DumpPlans {
     "q355_copurchase_ra_affinity", // capped wedge join + TakeOrderedAndProject top-50
     "q356_blocking_quality",  // block-size counting (no pair enumeration) + truth joins
     "q360_stl_decomposition", // calendar-bounded MA window + broadcast seasonal join
-    "q364_brier_decomposition" // two signup-stream aggregates, 7-row bin axis
+    "q364_brier_decomposition", // two signup-stream aggregates, 7-row bin axis
+    "q373_neg_sampling",      // PrefixSum vocab CDF + TakeOrdered head (both REQUIREd)
+    "q375_sorted_neighborhood", // PrefixSum global rank + k rank-offset equi-joins
+    "q376_nb_cv_kfold",       // one training pass, fold cube by count subtraction
+    "q383_link_prediction",   // train-edge wedge join, 2-hop-bounded candidates
+    "q388_touch_attribution_contrast", // two native as-of passes (backward + negated fwd)
+    "q391_dirichlet_ql"       // broadcast panel join, integer-qln scoring
   )
 
   def main(args: Array[String]): Unit = {
