@@ -1846,17 +1846,18 @@ object TextPack extends QueryPack {
     // of THAT vocab-sized frame, and the r ≤ 5 slice is a
     // 5-row-per-source join. ----
     "q372_good_turing" -> { (s, d) =>
-      import graft.functions.TextFunctions.{hex64, wordShinglesOf}
-      // shingles collapse to 60-bit md5 ids BEFORE the count shuffle —
-      // 8-byte keys instead of ~20-char strings (the q41/q43 id rule;
-      // was the bench's #2 line at 13.9 s with string keys, ~3 s with
-      // ids; any collision collides identically in the oracle's md5)
-      val cw = Tables.documents(s, d)
-        .select(col("source"),
-          explode(wordShinglesOf(tokens(col("text")), 3)).as("sgl"))
-        .select(col("source"), hex64(md5(col("sgl"))).as("w"))
+      import graft.functions.TextFunctions.wordShinglesOf
+      // the token array MUST be a cached column: projection collapse
+      // would otherwise inline tokens() into every shingle element_at
+      // (≈3 full-regex re-tokenizations per shingle — the q164 HOF-CSE
+      // trap; measured 13.9 s cold at sf0.1 inlined vs ~3 s cached)
+      val tokf = warmed(Tables.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("ts")))
+      val cw = tokf
+        .select(col("source"), explode(wordShinglesOf(col("ts"), 3)).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
       val warm = warmed(cw.groupBy("source", "c").agg(count(lit(1)).as("n_r")))
+      tokf.unpersist()
       val tot = warm.groupBy("source")
         .agg(sum(col("c") * col("n_r")).as("n_tokens"),
           sum("n_r").as("n_types"),
@@ -2126,16 +2127,14 @@ object TextPack extends QueryPack {
           |FROM wc GROUP BY source
           |ORDER BY source""".stripMargin,
 
-      // same trigram-shingle vocabulary (the q367 w=3 construction)
-      // collapsed to the same 60-bit md5 ids, same roll-up, same exact
-      // milli floor-division r*
+      // same trigram-shingle vocabulary (the q367 w=3 construction),
+      // same roll-up, same exact milli floor-division r*
       "q372_good_turing" ->
         """WITH tok AS (
           |  SELECT source, list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '') AS ts
           |  FROM documents),
           |sh AS (
-          |  SELECT source,
-          |         CAST('0x' || substring(md5(array_to_string(ts[g.i:g.i+2], ' ')), 1, 15) AS BIGINT) AS w
+          |  SELECT source, array_to_string(ts[g.i:g.i+2], ' ') AS w
           |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)),
           |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2),
           |fof AS (SELECT source, c, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1, 2),
