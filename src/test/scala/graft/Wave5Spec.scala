@@ -115,6 +115,24 @@ class Wave5Spec extends AnyFunSuite {
     assert(r(0).getAs[Long]("burst_milli") == 1442L)
   }
 
+  test("q376 fold 0 equals q120's fixed-split classifier exactly") {
+    // q120 trains on doc_id % 5 != 0 and scores fold 0 — exactly
+    // q376's leave-own-fold-out run for fold 0, so the count-
+    // subtraction cube must reproduce q120's (n_held, n_correct)
+    // bit-for-bit on the driver corpus.
+    val d = "/root/testdata/sf0.001"
+    val cv = graft.operators.TextPack.queries("q376_nb_cv_kfold")(spark, d)
+      .filter(org.apache.spark.sql.functions.col("fold") === 0).collect()
+    assert(cv.length == 1)
+    val q120 = graft.operators.TextPack.queries("q120_nb_classify")(spark, d)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("correct").as("c"))
+      .collect()(0)
+    assert(cv(0).getAs[Long]("n_held") == q120.getAs[Long]("n"))
+    assert(cv(0).getAs[Long]("n_correct") == q120.getAs[Long]("c"))
+  }
+
   test("JaroWinklerKernel reproduces the textbook values") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     val jw = (a: String, b: String) =>
