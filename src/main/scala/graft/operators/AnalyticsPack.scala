@@ -768,6 +768,71 @@ object AnalyticsPack extends QueryPack {
       s.sql(wilsonSql("unix_micros(ts)"))
     },
 
+    // ---- QINI UPLIFT CURVE (Radcliffe 2007): cumulative incremental
+    // responders by score decile under the deterministic md5 A/B
+    // assignment — the standard uplift-model evaluation (here the
+    // "model" is the pre-period-spend prior, q353's covariate; on a
+    // null treatment the honest curve wiggles around 0, and the gate
+    // pins that both engines compute the SAME wiggle). The score rank
+    // is the distributed PrefixSum (plan-REQUIREd — pre-period spend
+    // is near-unique, so a value-vocabulary window would be row-scale);
+    // deciles, arm counts and responder counts are exact int64; the
+    // Qini value is one double expression per decile row. ----
+    "q397_qini_uplift" -> { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          col("o_orderdate").cast("timestamp").as("od"))
+      val pre = spend.filter(col("od") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("c_custkey").agg(sum("cents").as("x"))
+      val post = spend.filter(col("od") >= lit("1998-01-01").cast("timestamp"))
+        .select("c_custkey").distinct().withColumn("y", lit(1L))
+      val users = Tables.customer(s, d).select(col("c_custkey"))
+        .join(pre, Seq("c_custkey"), "left").na.fill(0L, Seq("x"))
+        .join(post, Seq("c_custkey"), "left").na.fill(0L, Seq("y"))
+        .withColumn("arm", graft.functions.TextFunctions.hex64(
+          md5(concat(lit("qini:"), col("c_custkey")))) % 2)
+      val ranked = graft.functions.PrefixSum.inclusive(users,
+        Seq(col("x").desc, col("c_custkey")), Seq((lit(1L), "rk")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val dec = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rk - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("rt"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("rc"))
+      // cumulative over the 10-row decile frame (bounded window)
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val result = dec
+        .withColumn("nt_cum", sum("nt").over(wc))
+        .withColumn("nc_cum", sum("nc").over(wc))
+        .withColumn("rt_cum", sum("rt").over(wc))
+        .withColumn("rc_cum", sum("rc").over(wc))
+        .select(col("decile").cast("int").as("decile"),
+          col("nt").cast("bigint").as("nt"), col("nc").cast("bigint").as("nc"),
+          col("rt").cast("bigint").as("rt"), col("rc").cast("bigint").as("rc"),
+          col("nt_cum").cast("bigint").as("nt_cum"),
+          col("nc_cum").cast("bigint").as("nc_cum"),
+          col("rt_cum").cast("bigint").as("rt_cum"),
+          col("rc_cum").cast("bigint").as("rc_cum"),
+          expr("cast(floor(1000.0 * (cast(rt_cum as double) " +
+            "- cast(rc_cum as double) * cast(nt_cum as double) / cast(nc_cum as double))) as bigint)")
+            .as("qini_milli"))
+      // Plan REQUIRE: the rank must be PrefixSum machinery or the tiny
+      // decile cumsum — no row-scale single-task sort may creep back
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq)
+            .exists(a => a.name == "__pid" || a.name == "decile")),
+          "q397: a non-PrefixSum row-scale window appeared")
+      }
+      result.orderBy("decile")
+    },
+
     // ---- WALD SPRT SEQUENTIAL SRM MONITOR (Wald 1945): the sequential
     // version of q180's one-shot sample-ratio-mismatch χ² — instead of
     // testing once at the end, accumulate the Bernoulli log-likelihood
@@ -1349,6 +1414,49 @@ object AnalyticsPack extends QueryPack {
 
     // identical template; engine-specific micros extractor + md5 hash
     "q384_sprt_srm" -> sprtSql("epoch_us(CAST(ts AS TIMESTAMP))",
-      "CAST('0x' || substring(md5('sprt:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)")
+      "CAST('0x' || substring(md5('sprt:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"),
+
+    // same md5 coin, same pre/post split and exact decile counts; the
+    // oracle's row_number replays the distributed prefix-sum rank
+    "q397_qini_uplift" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(o_orderdate AS TIMESTAMP) AS od
+        |  FROM orders),
+        |pre AS (SELECT c_custkey, CAST(SUM(cents) AS BIGINT) AS x
+        |        FROM spend WHERE od < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |post AS (SELECT DISTINCT c_custkey, 1 AS y
+        |         FROM spend WHERE od >= TIMESTAMP '1998-01-01'),
+        |u AS (
+        |  SELECT c.c_custkey, COALESCE(p.x, 0) AS x, COALESCE(q.y, 0) AS y,
+        |         CAST('0x' || substring(md5('qini:' || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+        |  FROM customer c
+        |  LEFT JOIN pre p ON p.c_custkey = c.c_custkey
+        |  LEFT JOIN post q ON q.c_custkey = c.c_custkey),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY x DESC, c_custkey) AS BIGINT) AS rk,
+        |             CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM u),
+        |dec AS (
+        |  SELECT ((rk - 1) * 10) // n AS decile,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS rt,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS rc
+        |  FROM r GROUP BY 1),
+        |cum AS (
+        |  SELECT *,
+        |         CAST(SUM(nt) OVER w AS BIGINT) AS nt_cum,
+        |         CAST(SUM(nc) OVER w AS BIGINT) AS nc_cum,
+        |         CAST(SUM(rt) OVER w AS BIGINT) AS rt_cum,
+        |         CAST(SUM(rc) OVER w AS BIGINT) AS rc_cum
+        |  FROM dec
+        |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(decile AS INT) AS decile, nt, nc, rt, rc,
+        |       nt_cum, nc_cum, rt_cum, rc_cum,
+        |       CAST(floor(1000.0 * (CAST(rt_cum AS DOUBLE)
+        |            - CAST(rc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE) / CAST(nc_cum AS DOUBLE))) AS BIGINT) AS qini_milli
+        |FROM cum
+        |ORDER BY decile""".stripMargin
   )
 }

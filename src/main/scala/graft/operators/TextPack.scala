@@ -881,6 +881,31 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- YULE'S K (Yule 1944) per source: the size-invariant
+    // vocabulary-concentration characteristic K = 10⁴·(Σc² − N)/N² —
+    // unlike raw TTR (and closing the richness triplet with q362's
+    // Guiraud and q311's hapax ratio), K is stable under corpus growth,
+    // so per-source values are comparable across sources of very
+    // different volumes. Exact int64 power sums off the one
+    // (source, token) count aggregate; one double division at the end.
+    // ----
+    "q398_yules_k" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("source"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_types").cast("bigint").as("n_types"),
+          col("s2").cast("bigint").as("s2"),
+          expr("cast(floor(10000000.0 * cast(s2 - n_tokens as double) " +
+            "/ (cast(n_tokens as double) * cast(n_tokens as double))) as bigint)")
+            .as("yules_k_milli"))
+        .orderBy("source")
+    },
+
     // ---- BPE MERGE-BUDGET COMPRESSION CURVE: corpus fertility
     // (subwords per word) and symbol-vocabulary size at merge budgets
     // k ∈ {0, 2, 4, 6} — the how-many-merges-do-we-need sizing curve a
@@ -2153,6 +2178,23 @@ object TextPack extends QueryPack {
           |FROM a LEFT JOIN b ON a.source = b.source AND a.r = b.r
           |JOIN tot t ON t.source = a.source
           |ORDER BY a.source, r""".stripMargin,
+
+      // same (source, token) counts, same exact power sums and the
+      // identical single-division K text
+      "q398_yules_k" ->
+        """WITH tok AS (
+          |  SELECT source, unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+          |  FROM documents),
+          |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |         CAST(count(*) AS BIGINT) AS n_types,
+          |         CAST(SUM(c * c) AS BIGINT) AS s2
+          |  FROM wc GROUP BY source)
+          |SELECT source, n_tokens, n_types, s2,
+          |       CAST(floor(10000000.0 * CAST(s2 - n_tokens AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS yules_k_milli
+          |FROM agg
+          |ORDER BY source""".stripMargin,
 
       // independent construction: the oracle retrains the merges as
       // unrolled CTE rounds (the q108/q114 replay) and reads the same
