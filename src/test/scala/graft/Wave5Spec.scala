@@ -151,6 +151,27 @@ class Wave5Spec extends AnyFunSuite {
     assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
   }
 
+  test("JaroWinkler codegen path agrees with the interpreted kernel on random pairs") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def str() = (0 until rnd.nextInt(20))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val pairs = Seq.fill(300)((str(), str()))
+    graft.functions.GraftExpressions.ensure(spark)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.GraftExpressions.jaroWinklerMilli(col("a"), col("b")).as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      val ref = graft.functions.JaroWinklerKernel.milli(u(a), u(b))
+      assert(got((a, b)) == ref, s"codegen vs eval diverge on ($a, $b)")
+      assert(ref >= 0L && ref <= 1000L)
+      assert(ref == graft.functions.JaroWinklerKernel.milli(u(b), u(a)), "asymmetric")
+    }
+  }
+
   test("q375 sorted-neighborhood finds transposed mates, misses prefix-damaged ones") {
     // keys 1..12; k%4==0 (4,8,12) get the char-5 prefix deletion and
     // sort before every intact "Customer#..." record — unreachable at
