@@ -504,15 +504,43 @@ case class NfcNormalize(child: Expression)
   * above the 0.7 boost threshold.
   */
 object JaroWinklerKernel {
+  /** Round-half-up ×1000 value off the exact rational. */
   def milli(a: org.apache.spark.unsafe.types.UTF8String,
             b: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val r = rational1000(a, b)
+    (2L * r(0) + r(1)) / (2L * r(1))
+  }
+
+  /** Distance of the EXACT ×1000 Jaro–Winkler rational to its nearest
+    * half-milli rounding boundary, in nano-milli units (ppb of one
+    * milli). The q390 gate aggregates the corpus MINIMUM of this and
+    * requires it to dwarf double rounding error (~1e-12 milli for
+    * DuckDB's double-valued kernel), turning the "no pair sits on a
+    * boundary" corpus precondition from an empirical observation into
+    * an enforced gate check. For v = num/den the nearest odd multiple
+    * of den to 2000·v's numerator 2·num is at |((2·num) mod (2·den))
+    * − den|; integers (e.g. the exact 1000 of equal strings) sit a
+    * full 0.5 milli = 5e8 ppb away. */
+  def boundaryGapPpb(a: org.apache.spark.unsafe.types.UTF8String,
+                     b: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val r = rational1000(a, b)
+    val m = (2L * r(0)) % (2L * r(1))
+    (math.abs(m - r(1)).toDouble * 1e9 / (2.0 * r(1))).toLong
+  }
+
+  /** The exact ×1000 Jaro–Winkler value as a rational num/den (packed
+    * Array(num, den)) — ENTIRELY INTEGER, shared by [[milli]] and
+    * [[boundaryGapPpb]] so the gated value and its boundary-distance
+    * precondition derive from the same arithmetic. */
+  private def rational1000(a: org.apache.spark.unsafe.types.UTF8String,
+                           b: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
     val l1 = a.numBytes(); val l2 = b.numBytes()
     if (l1 > 4096 || l2 > 4096)
       throw new IllegalArgumentException(
         s"graft_jaro_winkler_milli: input exceeds 4096 bytes ($l1, $l2) — " +
           "this kernel is for short keys, not documents")
-    if (l1 == 0 && l2 == 0) return 1000L
-    if (l1 == 0 || l2 == 0) return 0L
+    if (l1 == 0 && l2 == 0) return Array(1000L, 1L)
+    if (l1 == 0 || l2 == 0) return Array(0L, 1L)
     var bound = math.max(l1, l2) / 2 - 1
     if (bound < 0) bound = 0
     val af = new Array[Boolean](l1); val bf = new Array[Boolean](l2)
@@ -530,7 +558,7 @@ object JaroWinklerKernel {
       }
       i += 1
     }
-    if (m == 0) return 0L
+    if (m == 0) return Array(0L, 1L)
     var t = 0; var k = 0
     i = 0
     while (i < l1) {
@@ -547,10 +575,14 @@ object JaroWinklerKernel {
     var p = 0
     val pmax = math.min(4, math.min(l1, l2))
     while (p < pmax && a.getByte(p) == b.getByte(p)) p += 1
+    // ×1000 value as one rational: boosted = 100(10−p)·num/den + 100p
+    // = (100(10−p)·num + 100p·den)/den; plain = 1000·num/den. The
+    // +100p integer shift commutes with round-half-up, so milli()
+    // over this rational is bit-identical to the pre-refactor form.
     if (10L * num > 7L * den)
-      (2L * 100L * (10L - p) * num + den) / (2L * den) + 100L * p
+      Array(100L * (10L - p) * num + 100L * p * den, den)
     else
-      (2L * 1000L * num + den) / (2L * den)
+      Array(1000L * num, den)
   }
 }
 
@@ -579,6 +611,34 @@ case class JaroWinklerMilli(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerMilli =
+    copy(left = l, right = r)
+}
+
+/** Distance (ppb of one milli) of the exact Jaro–Winkler rational to
+  * its nearest half-milli rounding boundary — the enforcement arm of
+  * [[JaroWinklerMilli]]'s cross-engine gate: q390 aggregates the
+  * corpus minimum and REQUIREs it to exceed double rounding error, so
+  * a new corpus with a boundary-straddling pair fails loudly at gate
+  * time instead of flaking the hash compare. */
+case class JaroWinklerBoundaryGapPpb(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always strings
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_jaro_winkler_boundary_gap_ppb"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    JaroWinklerKernel.boundaryGapPpb(
+      x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      y.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.JaroWinklerKernel.boundaryGapPpb($a, $b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerBoundaryGapPpb =
     copy(left = l, right = r)
 }
 
@@ -620,6 +680,8 @@ object GraftExpressions {
       exprs => NfcNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_jaro_winkler_milli",
       exprs => JaroWinklerMilli(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler_boundary_gap_ppb",
+      exprs => JaroWinklerBoundaryGapPpb(exprs(0), exprs(1)), "built-in")
   }
 
   /** Idempotent; call before building a plan that uses the accessors. */
@@ -683,4 +745,7 @@ object GraftExpressions {
 
   def jaroWinklerMilli(a: Column, b: Column): Column =
     call_function("graft_jaro_winkler_milli", a, b)
+
+  def jaroWinklerBoundaryGapPpb(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler_boundary_gap_ppb", a, b)
 }

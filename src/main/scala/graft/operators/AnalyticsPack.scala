@@ -817,8 +817,13 @@ object AnalyticsPack extends QueryPack {
           col("nc_cum").cast("bigint").as("nc_cum"),
           col("rt_cum").cast("bigint").as("rt_cum"),
           col("rc_cum").cast("bigint").as("rc_cum"),
-          expr("cast(floor(1000.0 * (cast(rt_cum as double) " +
-            "- cast(rc_cum as double) * cast(nt_cum as double) / cast(nc_cum as double))) as bigint)")
+          // guard: a decile prefix with zero control-arm customers
+          // (nc_cum = 0) must pin qini to a DEFINED value on both
+          // engines — Spark clamps floor(Infinity) while DuckDB
+          // raises on CAST(Infinity AS BIGINT)
+          expr("CASE WHEN nc_cum > 0 THEN cast(floor(1000.0 * (cast(rt_cum as double) " +
+            "- cast(rc_cum as double) * cast(nt_cum as double) / cast(nc_cum as double))) as bigint) " +
+            "ELSE cast(0 as bigint) END")
             .as("qini_milli"))
       // Plan REQUIRE: the rank must be PrefixSum machinery or the tiny
       // decile cumsum — no row-scale single-task sort may creep back
@@ -907,24 +912,19 @@ object AnalyticsPack extends QueryPack {
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days),
       |v AS (SELECT nn.n, pr.s_stat,
       |             nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tsum AS var18
-      |      FROM nn CROSS JOIN pr CROSS JOIN tie)
-      |SELECT n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
-      |       CAST(floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
-      |                                 WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
-      |                                 ELSE 0.0 END)
-      |                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) AS z_milli,
-      |       CASE WHEN floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
-      |                                      WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
-      |                                      ELSE 0.0 END)
-      |                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)) > 1960
-      |              THEN 'increasing'
-      |            WHEN floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
-      |                                      WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
-      |                                      ELSE 0.0 END)
-      |                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)) < -1960
-      |              THEN 'decreasing'
+      |      FROM nn CROSS JOIN pr CROSS JOIN tie),
+      |z AS (SELECT n, s_stat, var18,
+      |             CASE WHEN var18 <= 0 THEN CAST(0 AS BIGINT)
+      |                  ELSE CAST(floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+      |                                                 WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+      |                                                 ELSE 0.0 END)
+      |                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END AS z_milli
+      |      FROM v)
+      |SELECT n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18, z_milli,
+      |       CASE WHEN z_milli > 1960 THEN 'increasing'
+      |            WHEN z_milli < -1960 THEN 'decreasing'
       |            ELSE 'none' END AS trend
-      |FROM v ORDER BY n_days""".stripMargin
+      |FROM z ORDER BY n_days""".stripMargin
 
   /** q382: one SQL template; the only engine-specific token is the
     * epoch-micros extractor (`unix_micros` vs `epoch_us`) — day index,
@@ -1454,8 +1454,10 @@ object AnalyticsPack extends QueryPack {
         |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT CAST(decile AS INT) AS decile, nt, nc, rt, rc,
         |       nt_cum, nc_cum, rt_cum, rc_cum,
-        |       CAST(floor(1000.0 * (CAST(rt_cum AS DOUBLE)
-        |            - CAST(rc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE) / CAST(nc_cum AS DOUBLE))) AS BIGINT) AS qini_milli
+        |       CASE WHEN nc_cum > 0
+        |            THEN CAST(floor(1000.0 * (CAST(rt_cum AS DOUBLE)
+        |                 - CAST(rc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE) / CAST(nc_cum AS DOUBLE))) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS qini_milli
         |FROM cum
         |ORDER BY decile""".stripMargin
   )

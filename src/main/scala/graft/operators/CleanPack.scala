@@ -1305,6 +1305,24 @@ object CleanPack extends QueryPack {
       val own = c.join(dirty, "c_custkey").withColumn("lane", lit("own"))
       val nxt = c.select((col("c_custkey") - 1).as("c_custkey"), col("c_name"))
         .join(dirty, "c_custkey").withColumn("lane", lit("next"))
+      // Corpus-precondition REQUIRE (enforced, not just documented):
+      // the exact-integer kernel and DuckDB's double-valued oracle can
+      // only disagree on a pair whose exact similarity sits within
+      // double rounding error (~1e-12 milli ≈ 0.001 ppb) of a
+      // half-milli boundary. Aggregate the corpus MINIMUM boundary
+      // distance and fail loudly if any pair comes within 10 ppb —
+      // a new name corpus that straddles a boundary turns into a
+      // clear gate error instead of a mysterious hash flake.
+      locally {
+        val minGap = own.unionByName(nxt)
+          .agg(min(graft.functions.GraftExpressions
+            .jaroWinklerBoundaryGapPpb(col("c_name"), col("dirty"))).as("g"))
+          .head.getLong(0)
+        require(minGap >= 10L,
+          s"q390 corpus precondition violated: a name pair's exact Jaro-Winkler " +
+            s"sits $minGap ppb from a half-milli rounding boundary - the " +
+            "double-valued oracle may round it differently")
+      }
       val result = own.unionByName(nxt)
         .select(col("c_custkey"), col("lane"),
           graft.functions.GraftExpressions

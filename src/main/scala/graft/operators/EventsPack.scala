@@ -1945,7 +1945,13 @@ object EventsPack extends QueryPack {
       val bounds = cnt.groupBy("event_type")
         .agg(min("h").as("mn"), max("h").as("mx"))
         .withColumn("cutoff", expr("mn + ((mx - mn) * 7) div 10"))
+      // Guard: Spark's sequence(lo, hi) defaults to step -1 when
+      // hi < lo (a DESCENDING series), while DuckDB's
+      // generate_series(lo, hi) is empty — an event type spanning
+      // under 24 h must vanish from BOTH engines, so filter the
+      // bound explicitly before exploding.
       val grid = bounds
+        .filter(col("mx") >= col("mn") + 24)
         .select(col("event_type"), col("cutoff"),
           explode(expr("sequence(mn + 24, mx)")).as("h"))
       val errs = grid
@@ -3409,7 +3415,7 @@ object EventsPack extends QueryPack {
         |  FROM cnt GROUP BY 1),
         |grid AS (
         |  SELECT event_type, cutoff, UNNEST(generate_series(mn + 24, mx)) AS h
-        |  FROM bounds),
+        |  FROM bounds WHERE mx >= mn + 24),
         |errs AS (
         |  SELECT g.event_type, g.h, g.cutoff,
         |         abs(COALESCE(a.c, 0) - COALESCE(p.c, 0)) AS e

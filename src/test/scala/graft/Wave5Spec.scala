@@ -151,6 +151,32 @@ class Wave5Spec extends AnyFunSuite {
     assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
   }
 
+  test("JaroWinkler boundary-gap measures distance to the half-milli rounding edge") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val gap = (a: String, b: String) =>
+      graft.functions.JaroWinklerKernel.boundaryGapPpb(u(a), u(b))
+    // integer-valued similarities sit a full half milli from any
+    // boundary: 0.5 milli = 5e8 ppb
+    assert(gap("abc", "abc") == 500000000L)
+    assert(gap("", "") == 500000000L)
+    assert(gap("abc", "xyz") == 500000000L)
+    // MARTHA/MARHTA: exact rational 622800/648 = 961 + 1/9 milli;
+    // nearest half boundary is 961.5, distance 0.5 - 1/9 = 7/18 milli
+    // = 388,888,888 ppb (floored)
+    assert(gap("MARTHA", "MARHTA") == 388888888L)
+    // the gap is always <= half a milli and never negative
+    val rnd = new scala.util.Random(7)
+    def str() = (0 until rnd.nextInt(20))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    Seq.fill(500)((str(), str())).foreach { case (a, b) =>
+      val g = gap(a, b)
+      assert(g >= 0L && g <= 500000000L, s"gap out of range on ($a, $b): $g")
+      // consistency with the rounded value: shifting the exact
+      // rational by less than the gap can never change milli()
+      assert(g == gap(b, a), "gap asymmetric")
+    }
+  }
+
   test("JaroWinkler codegen path agrees with the interpreted kernel on random pairs") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
