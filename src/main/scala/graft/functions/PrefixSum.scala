@@ -96,6 +96,41 @@ object PrefixSum {
     * partition's subtotal as `max(running)`, exact only when the running
     * sum is monotone (true for counts/sizes, the only callers).
     */
+  /** Distributed EXCLUSIVE running maximum over a total order — the max
+    * monoid run through the same two-phase scan as [[inclusive]]. A
+    * `max(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`
+    * with no PARTITION BY funnels the input through one task; here the
+    * shape is the same three parallel stages, and max being associative
+    * AND idempotent makes phase 2 even simpler than the sum's: a
+    * partition's contribution to later partitions is just its raw max,
+    * and offsets combine with the local scan via `greatest`.
+    *
+    * Appends `outName` = max of `value` over all STRICTLY preceding rows
+    * in `order` (which must be a total order — include a unique
+    * tiebreak), with `neutral` for the globally first row. `value` must
+    * be an integral type.
+    */
+  def exclusiveMax(df: DataFrame, order: Seq[Column], value: Column,
+                   outName: String, neutral: Long): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = pinned(df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn(outName,
+      coalesce(max(value).over(w), lit(neutral)))
+    // phase 2: per-partition RAW maxima (idempotence: no running form
+    // needed) get their own tiny exclusive max-scan over the pid frame
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).agg(max(value).as("__tot"))
+      .withColumn("__off", coalesce(max(col("__tot")).over(offW), lit(neutral)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outName, greatest(col(outName), col("__off")))
+      .drop("__pid", "__off")
+  }
+
   def inclusivePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                       values: Seq[(Column, String)]): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

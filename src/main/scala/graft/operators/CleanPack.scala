@@ -1332,6 +1332,78 @@ object CleanPack extends QueryPack {
             .jaroWinklerMilli(col("c_name"), col("dirty"))
             .cast("bigint").as("jw_milli"))
       result.orderBy("c_custkey", "lane")
+    },
+
+    // ---- FELLEGI–SUNTER m/u WEIGHT ESTIMATION (Fellegi & Sunter 1969,
+    // JASA 64): the probabilistic-linkage table behind every production
+    // record matcher — per comparison field, P(agree | match) from
+    // labeled matched pairs and P(agree | nonmatch) from a random-pair
+    // sample, and the field's log-odds match weight as their ratio.
+    // File B is a deterministic corruption of customer (q184's
+    // adjacent-swap + every-3rd deletion, plus every-11th total name
+    // replacement, every-5th nation shift, every-7th segment suffix) so
+    // ground truth is the shared key. Agreement predicates are EXACT
+    // integers cross-engine: Damerau–Levenshtein <= 2 for names (the
+    // codegen native; no float similarity near a threshold), equality
+    // for nation/segment. The nonmatch sample is the scale-safe part:
+    // instead of all-pairs-in-block, pair records whose independent
+    // salted 60-bit md5 hashes collide mod n (one-row count frame
+    // broadcast to both sides) — an equi-join on ~n buckets of ~1 row
+    // each, expected ~n sampled pairs at ANY corpus size, never n².
+    // Ratios are integer ppm; the weight is m_ppm*1000 div u_ppm
+    // (guarded: -1 when the u-sample never agrees). ----
+    "q401_fellegi_sunter" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val a = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_nationkey").cast("int").as("nat"),
+        col("c_mktsegment").as("seg"))
+      val b = a
+        .withColumn("p", expr("cast(10 + k % 7 as int)"))
+        .withColumn("swapped",
+          expr("concat(substr(name, 1, p - 1), substr(name, p + 1, 1), " +
+            "substr(name, p, 1), substr(name, p + 2))"))
+        .select(col("k"),
+          expr("CASE WHEN k % 11 = 0 THEN 'ANONYMOUS' " +
+            "WHEN k % 3 = 0 THEN concat(substr(swapped, 1, 4), substr(swapped, 6)) " +
+            "ELSE swapped END").as("name_d"),
+          expr("CAST(CASE WHEN k % 5 = 0 THEN (nat + 7) % 25 ELSE nat END AS INT)")
+            .as("nat_d"),
+          expr("CASE WHEN k % 7 = 0 THEN concat(seg, 'X') ELSE seg END").as("seg_d"))
+      val nn = a.agg(count(lit(1)).as("r"))
+      val m = a.join(b, "k")
+      val ua = a.crossJoin(broadcast(nn)).withColumn("hu",
+        graft.functions.TextFunctions.hex64(
+          md5(concat(lit("fsu:"), col("k").cast("string")))) % col("r")).drop("r")
+      val ub = b.crossJoin(broadcast(nn)).withColumn("hv",
+        graft.functions.TextFunctions.hex64(
+          md5(concat(lit("fsv:"), col("k").cast("string")))) % col("r")).drop("r")
+      val u = ua.join(ub.withColumnRenamed("k", "k2"),
+        col("hu") === col("hv") && col("k") =!= col("k2"))
+      def stats(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(when(graft.functions.GraftExpressions
+          .damerauLevenshtein(col("name"), col("name_d")) <= 2, 1L)
+          .otherwise(0L)).as("name_c"),
+        sum(when(col("nat") === col("nat_d"), 1L).otherwise(0L)).as("nat_c"),
+        sum(when(col("seg") === col("seg_d"), 1L).otherwise(0L)).as("seg_c"))
+      val msf = stats(m).select(col("n").as("n_m"), col("name_c").as("m_name"),
+        col("nat_c").as("m_nat"), col("seg_c").as("m_seg"))
+      val usf = stats(u).select(col("n").as("n_u"), col("name_c").as("u_name"),
+        col("nat_c").as("u_nat"), col("seg_c").as("u_seg"))
+      val result = msf.crossJoin(usf)
+        .selectExpr(
+          "stack(3, 'name', m_name, u_name, 'nation', m_nat, u_nat, " +
+            "'segment', m_seg, u_seg) as (field, m_cnt, u_cnt)",
+          "n_m", "n_u")
+        .select(col("field"), col("m_cnt").cast("bigint").as("m_cnt"),
+          col("n_m").cast("bigint").as("n_m"),
+          col("u_cnt").cast("bigint").as("u_cnt"),
+          col("n_u").cast("bigint").as("n_u"))
+        .withColumn("m_ppm", expr("(m_cnt * 1000000) div n_m"))
+        .withColumn("u_ppm", expr("(u_cnt * 1000000) div n_u"))
+        .withColumn("weight_milli",
+          expr("CASE WHEN u_ppm > 0 THEN (m_ppm * 1000) div u_ppm ELSE -1 END"))
+      result.orderBy("field")
     }
   )
 
@@ -2198,6 +2270,60 @@ object CleanPack extends QueryPack {
         |SELECT c_custkey, lane,
         |       CAST(damerau_levenshtein(c_name, dirty) AS BIGINT) AS dl,
         |       CAST(round(jaro_winkler_similarity(c_name, dirty) * 1000) AS BIGINT) AS jw_milli
-        |FROM u ORDER BY c_custkey, lane""".stripMargin
+        |FROM u ORDER BY c_custkey, lane""".stripMargin,
+
+    // same corruption, same truth join, same salted-hash nonmatch
+    // sample, same exact-integer agreement predicates and ppm ratios
+    "q401_fellegi_sunter" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         CAST(c_nationkey AS INT) AS nat, c_mktsegment AS seg
+        |  FROM customer),
+        |b0 AS (SELECT k, name, CAST(10 + k % 7 AS INT) AS p, nat, seg FROM a),
+        |sw AS (SELECT k,
+        |              concat(substr(name, 1, p - 1), substr(name, p + 1, 1),
+        |                     substr(name, p, 1), substr(name, p + 2)) AS swapped,
+        |              nat, seg
+        |       FROM b0),
+        |b AS (SELECT k,
+        |             CASE WHEN k % 11 = 0 THEN 'ANONYMOUS'
+        |                  WHEN k % 3 = 0 THEN concat(substr(swapped, 1, 4), substr(swapped, 6))
+        |                  ELSE swapped END AS name_d,
+        |             CAST(CASE WHEN k % 5 = 0 THEN (nat + 7) % 25 ELSE nat END AS INT) AS nat_d,
+        |             CASE WHEN k % 7 = 0 THEN seg || 'X' ELSE seg END AS seg_d
+        |      FROM sw),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS r FROM a),
+        |m AS (SELECT a.name, b.name_d, a.nat, b.nat_d, a.seg, b.seg_d
+        |      FROM a JOIN b ON b.k = a.k),
+        |u AS (SELECT a.name, b.name_d, a.nat, b.nat_d, a.seg, b.seg_d
+        |      FROM a, b, nn
+        |      WHERE a.k <> b.k
+        |        AND CAST('0x' || substring(md5('fsu:' || CAST(a.k AS VARCHAR)), 1, 15) AS BIGINT) % nn.r
+        |          = CAST('0x' || substring(md5('fsv:' || CAST(b.k AS VARCHAR)), 1, 15) AS BIGINT) % nn.r),
+        |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_m,
+        |              CAST(SUM(CASE WHEN damerau_levenshtein(name, name_d) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS m_name,
+        |              CAST(SUM(CASE WHEN nat = nat_d THEN 1 ELSE 0 END) AS BIGINT) AS m_nat,
+        |              CAST(SUM(CASE WHEN seg = seg_d THEN 1 ELSE 0 END) AS BIGINT) AS m_seg
+        |       FROM m),
+        |us AS (SELECT CAST(count(*) AS BIGINT) AS n_u,
+        |              CAST(SUM(CASE WHEN damerau_levenshtein(name, name_d) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS u_name,
+        |              CAST(SUM(CASE WHEN nat = nat_d THEN 1 ELSE 0 END) AS BIGINT) AS u_nat,
+        |              CAST(SUM(CASE WHEN seg = seg_d THEN 1 ELSE 0 END) AS BIGINT) AS u_seg
+        |       FROM u),
+        |rows0 AS (
+        |  SELECT 'name' AS field, ms.m_name AS m_cnt, ms.n_m, us.u_name AS u_cnt, us.n_u FROM ms, us
+        |  UNION ALL
+        |  SELECT 'nation', ms.m_nat, ms.n_m, us.u_nat, us.n_u FROM ms, us
+        |  UNION ALL
+        |  SELECT 'segment', ms.m_seg, ms.n_m, us.u_seg, us.n_u FROM ms, us),
+        |rows1 AS (
+        |  SELECT field, m_cnt, n_m, u_cnt, n_u,
+        |         (m_cnt * 1000000) // n_m AS m_ppm,
+        |         (u_cnt * 1000000) // n_u AS u_ppm
+        |  FROM rows0)
+        |SELECT field, m_cnt, n_m, u_cnt, n_u, m_ppm, u_ppm,
+        |       CASE WHEN u_ppm > 0 THEN (m_ppm * 1000) // u_ppm ELSE -1 END AS weight_milli
+        |FROM rows1
+        |ORDER BY field""".stripMargin
   )
 }

@@ -533,6 +533,49 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- HITS HUBS & AUTHORITIES (Kleinberg 1999, JACM 46(5)): the
+    // mutually-reinforcing importance pair on the DIRECTED customer →
+    // part co-purchase bipartite graph (edge = customer ever bought the
+    // part) — the sixth BSP-iterative graph primitive, and the one
+    // PageRank cannot replace: a part is authoritative when BROAD
+    // buyers (hubs) pick it, a customer is a hub when they pick
+    // authoritative parts. 2 synchronous rounds of the power iteration,
+    // all int64: raw scores are exact sums of micro-unit scores over
+    // in-/out-edges, and the per-half-step L∞ normalization is integer
+    // `(1e6·raw) div max(raw)` — a broadcast join against a ONE-ROW max
+    // frame (bounded per-round scalar, never a row-scale window), so
+    // the fixed-round result is bit-identical across engines and the
+    // oracle unrolls the same 2 rounds with scalar subqueries. Each
+    // half-step is one equi-join on the edge key + a map-side-combining
+    // sum — a hub's edge fan-in collapses before the shuffle. ----
+    "q400_hits" -> { (s, d) =>
+      val e = warmed(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p")),
+          "o_orderkey")
+        .select("c", "p").distinct())
+      var h = e.select("c").distinct().withColumn("h", lit(1000000L))
+      var a: DataFrame = null
+      for (_ <- 1 to 2) {
+        val ar = e.join(h, "c").groupBy("p").agg(sum("h").as("raw"))
+        val amax = ar.agg(max("raw").as("mx"))
+        a = ar.crossJoin(broadcast(amax))
+          .select(col("p"), expr("(1000000 * raw) div mx").as("a"))
+          .localCheckpoint()
+        val hr = e.join(a, "p").groupBy("c").agg(sum("a").as("raw"))
+        val hmax = hr.agg(max("raw").as("mx"))
+        h = hr.crossJoin(broadcast(hmax))
+          .select(col("c"), expr("(1000000 * raw) div mx").as("h"))
+          .localCheckpoint()
+      }
+      val result = a.select(lit("auth").as("entity"),
+          col("p").cast("bigint").as("id"), col("a").cast("bigint").as("score_q"))
+        .unionByName(h.select(lit("hub").as("entity"),
+          col("c").cast("bigint").as("id"), col("h").cast("bigint").as("score_q")))
+      materialized(result, e).orderBy("entity", "id")
+    },
+
     // ---- cluster representatives: the terminal dedup-pipeline output.
     // Every doc gets its connected-component label (singletons label
     // themselves) and each cluster elects ONE representative — longest
@@ -1563,6 +1606,30 @@ object PipelinePack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // same 2 unrolled HITS rounds: exact micro-unit sums, scalar-max
+    // L-infinity normalization via integer division
+    "q400_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT e.p, CAST(SUM(h0.h) AS BIGINT) AS raw
+        |        FROM e JOIN h0 USING (c) GROUP BY e.p),
+        |a1 AS (SELECT p, (1000000 * raw) // (SELECT MAX(raw) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS raw
+        |        FROM e JOIN a1 USING (p) GROUP BY e.c),
+        |h1 AS (SELECT c, (1000000 * raw) // (SELECT MAX(raw) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS raw
+        |        FROM e JOIN h1 USING (c) GROUP BY e.p),
+        |a2 AS (SELECT p, (1000000 * raw) // (SELECT MAX(raw) FROM a2r) AS a FROM a2r),
+        |h2r AS (SELECT e.c, CAST(SUM(a2.a) AS BIGINT) AS raw
+        |        FROM e JOIN a2 USING (p) GROUP BY e.c),
+        |h2 AS (SELECT c, (1000000 * raw) // (SELECT MAX(raw) FROM h2r) AS h FROM h2r)
+        |SELECT 'auth' AS entity, CAST(p AS BIGINT) AS id, CAST(a AS BIGINT) AS score_q FROM a2
+        |UNION ALL
+        |SELECT 'hub', CAST(c AS BIGINT), CAST(h AS BIGINT) FROM h2
+        |ORDER BY entity, id""".stripMargin,
 
     // the shared pair table joined to sources, least/greatest fold
     "q348_cross_source_dups" ->

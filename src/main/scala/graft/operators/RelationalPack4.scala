@@ -809,6 +809,45 @@ object RelationalPack4 extends QueryPack {
     "q276_sql_q14" -> { (s, d) =>
       views(s, d, "lineitem", "part")
       s.sql(q14Sql("div"))
+    },
+
+    // ---- 2-D SKYLINE / PARETO FRONTIER (Börzsönyi 2001 "The Skyline
+    // Operator"): parts no other part beats on BOTH price (minimize)
+    // and size (maximize) — the catalog-curation query behind "best
+    // value at every price point". The textbook single-pass algorithm
+    // is a full sort + running max (one task at cluster scale); here
+    // the decomposition keeps every stage parallel: (1) per-price max
+    // size — a map-side-combining groupBy on the price vocabulary;
+    // (2) the EXCLUSIVE running max over strictly-cheaper prices via
+    // the distributed two-phase [[graft.functions.PrefixSum.exclusiveMax]]
+    // (max is associative + idempotent, so partition offsets are raw
+    // maxima); (3) one equi-join back on price. A part survives iff it
+    // attains its price's max size AND that max strictly beats every
+    // cheaper price's. Exact int64 cents (decimal-cast discipline);
+    // duplicate (price, size) pairs are mutually non-dominating and
+    // both kept. Plan REQUIRE: every window is either __pid-partitioned
+    // (the scan's phase-1/2) — a global-sort row-scale window must not
+    // creep back. ----
+    "q399_skyline" -> { (s, d) =>
+      val p = Tables.table(s, d, "part").select(
+        col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("p_size").cast("bigint").as("size"))
+      val g = p.groupBy("cents").agg(max("size").as("gmax"))
+      val scanned = graft.functions.PrefixSum.exclusiveMax(
+        g, Seq(col("cents")), col("gmax"), "prevmax", -1L)
+      val result = p.join(scanned, "cents")
+        .filter(col("size") === col("gmax") && col("gmax") > col("prevmax"))
+        .select(col("p_partkey"), col("cents").as("price_cents"), col("size"))
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q399: a non-PrefixSum row-scale window appeared")
+      }
+      result.orderBy("price_cents", "p_partkey")
     }
   )
 
@@ -910,6 +949,24 @@ object RelationalPack4 extends QueryPack {
     "q273_sql_q7"  -> q7Sql("//"),
     "q274_sql_q8"  -> q8Sql("//"),
     "q275_sql_q10" -> q10Sql("//"),
-    "q276_sql_q14" -> q14Sql("//")
+    "q276_sql_q14" -> q14Sql("//"),
+
+    // same per-price max + exclusive running max over cheaper prices;
+    // the oracle's plain window replays the distributed two-phase scan
+    "q399_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |g AS (SELECT cents, MAX(size) AS gmax FROM p GROUP BY 1),
+        |x AS (SELECT cents, gmax,
+        |             COALESCE(MAX(gmax) OVER (ORDER BY cents
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prevmax
+        |      FROM g)
+        |SELECT p.p_partkey, p.cents AS price_cents, p.size
+        |FROM p JOIN x ON x.cents = p.cents
+        |WHERE p.size = x.gmax AND x.gmax > x.prevmax
+        |ORDER BY price_cents, p_partkey""".stripMargin
   )
 }

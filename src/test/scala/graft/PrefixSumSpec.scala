@@ -32,6 +32,33 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("exclusive max-scan matches the sequential definition") {
+    val rnd = new scala.util.Random(13)
+    for (n <- Seq(1, 5, 100, 3000)) {
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      val df = rows.toDF("k", "v")
+      val got = PrefixSum.exclusiveMax(df, Seq(col("k")), col("v"),
+          "prevmax", -1L)
+        .select("k", "prevmax")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      // sequential exclusive running max in k order
+      val ordered = rows.sortBy(_._1)
+      val exp = ordered.zip(ordered.scanLeft(-1L)((m, r) => math.max(m, r._2)))
+        .map { case ((k, _), m) => (k, m) }
+      assert(got.toSeq === exp, s"n=$n")
+      // a non-trivial order (v desc, k tiebreak): prevmax in that order
+      // is the max v among strictly earlier rows
+      val got2 = PrefixSum.exclusiveMax(df, Seq(col("v").desc, col("k")),
+          col("k"), "prevk", Long.MinValue)
+        .select("k", "prevk")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val ordered2 = rows.sortBy { case (k, v) => (-v, k) }
+      val exp2 = ordered2.zip(ordered2.scanLeft(Long.MinValue)((m, r) => math.max(m, r._1)))
+        .map { case ((k, _), m) => (k, m) }.sortBy(_._1)
+      assert(got2.toSeq === exp2, s"n=$n order2")
+    }
+  }
+
   test("per-key scan matches the per-key sequential definition") {
     val rnd = new scala.util.Random(11)
     for (n <- Seq(1, 7, 100, 3000)) {
