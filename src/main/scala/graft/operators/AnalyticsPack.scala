@@ -855,6 +855,95 @@ object AnalyticsPack extends QueryPack {
       Tables.events(s, d).createOrReplaceTempView("events")
       s.sql(sprtSql("unix_micros(ts)",
         "CAST(conv(substring(md5(concat('sprt:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+    },
+
+    // ---- PERMUTATION TEST (Fisher 1935; the exact-inference
+    // workhorse): is the observed treatment/control conversion gap
+    // explainable by the assignment alone? 63 deterministic
+    // pseudo-permutations of the arm labels (salted md5 coins, b =
+    // 1..63; b = 0 IS the observed assignment) re-split the SAME users,
+    // and the p-value is the rank of the observed |rate gap| among the
+    // permuted ones — assumption-free where q180's chi-square leans on
+    // asymptotics. Everything is exact integer: per-b counts collapse
+    // map-side (the 64x explode never reaches a shuffle at row scale),
+    // and |d_b| >= |d_0| on rate DIFFERENCES compares via
+    // cross-multiplied DECIMAL products, no float division ever. The
+    // add-one p estimator (Phipson & Smyth 2010) keeps p valid. ----
+    "q402_perm_test" -> { (s, d) =>
+      val conv = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_custkey")).distinct()
+        .withColumn("y", lit(1L))
+      val users = Tables.customer(s, d).select(col("c_custkey"))
+        .join(conv, Seq("c_custkey"), "left").na.fill(0L, Seq("y"))
+      val ex = users.withColumn("b", explode(expr("sequence(0, 63)")))
+        .withColumn("arm", graft.functions.TextFunctions.hex64(
+          md5(concat(lit("perm:"), col("b").cast("string"), lit(":"),
+            col("c_custkey").cast("string")))) % 2)
+      val per = ex.groupBy("b").agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("rt"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("rc"))
+        .withColumn("diff", expr("rt * nc - rc * nt"))
+        .withColumn("den", expr("nt * nc"))
+      val obs = per.filter(col("b") === 0)
+        .select(col("diff").as("diff0"), col("den").as("den0"))
+      val flagged = per.crossJoin(broadcast(obs))
+        .withColumn("exceeds", expr(
+          "CAST(abs(diff) AS DECIMAL(19,0)) * den0 >= CAST(abs(diff0) AS DECIMAL(19,0)) * den"))
+      val pc = flagged.filter(col("b") >= 1 && col("exceeds"))
+        .agg(count(lit(1)).as("n_exceed"))
+      val result = flagged.crossJoin(broadcast(pc))
+        .select(col("b").cast("bigint").as("b"),
+          col("nt"), col("nc"), col("rt"), col("rc"), col("diff"), col("den"),
+          col("exceeds"),
+          expr("(1000 * (1 + n_exceed)) div 64").cast("bigint").as("p_milli"))
+      result.orderBy("b")
+    },
+
+    // ---- STRATIFIED / IPW AVERAGE TREATMENT EFFECT (Horvitz &
+    // Thompson 1952; Imbens & Rubin ch.17): the causal companion to
+    // q353's CUPED (variance) and q397's Qini (ranking) — the overall
+    // conversion lift under the deterministic md5 arm, adjusted by
+    // nation strata. With EXACT within-stratum propensities
+    // e_s = nt_s/n_s, the IPW estimator algebraically collapses to the
+    // stratified one: ate = sum_s (n_s/N) * (rt_s/nt_s - rc_s/nc_s), so
+    // one map-side-combining groupBy on the 25-value nation vocabulary
+    // is the whole computation. Rate gaps are integer ppm via the
+    // sign/abs division discipline (both engines then truncate
+    // identically on provably-nonnegative operands); strata missing an
+    // arm contribute 0 (guarded). int64 throughout at gate scale; the
+    // products bound as n_s^2 * 1e6 — widen to DECIMAL(38,0) beyond
+    // ~1e7-user strata. ----
+    "q403_ipw_ate" -> { (s, d) =>
+      val conv = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_custkey")).distinct()
+        .withColumn("y", lit(1L))
+      val users = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("int").as("nat"))
+        .join(conv, Seq("c_custkey"), "left").na.fill(0L, Seq("y"))
+        .withColumn("arm", graft.functions.TextFunctions.hex64(
+          md5(concat(lit("ipw:"), col("c_custkey").cast("string")))) % 2)
+      val strata = users.groupBy("nat").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("rt"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("rc"))
+        .withColumn("dd_ppm", expr(
+          "CASE WHEN nt > 0 AND nc > 0 THEN " +
+            "CASE WHEN rt * nc - rc * nt >= 0 " +
+            "THEN (1000000 * (rt * nc - rc * nt)) div (nt * nc) " +
+            "ELSE -((1000000 * (rc * nt - rt * nc)) div (nt * nc)) END " +
+            "ELSE 0 END"))
+        .withColumn("contrib", expr("n * dd_ppm"))
+      val tot = strata.agg(sum("contrib").as("sc"), sum("n").as("nn"))
+      val result = strata.crossJoin(broadcast(tot))
+        .withColumn("ate_ppm", expr(
+          "CASE WHEN sc >= 0 THEN sc div nn ELSE -((-sc) div nn) END"))
+        .select(col("nat"), col("n"), col("nt"), col("nc"), col("rt"),
+          col("rc"), col("dd_ppm"), col("ate_ppm"))
+      result.orderBy("nat")
     }
   )
 
@@ -1459,6 +1548,70 @@ object AnalyticsPack extends QueryPack {
         |                 - CAST(rc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE) / CAST(nc_cum AS DOUBLE))) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS qini_milli
         |FROM cum
-        |ORDER BY decile""".stripMargin
+        |ORDER BY decile""".stripMargin,
+
+    // same 64 salted md5 coins, same exact cross-multiplied compare
+    // (HUGEINT mirrors Spark's DECIMAL products), same add-one p
+    "q402_perm_test" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT user_id AS c_custkey, CAST(1 AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |users AS (
+        |  SELECT c.c_custkey, COALESCE(v.y, 0) AS y
+        |  FROM customer c LEFT JOIN conv v ON v.c_custkey = c.c_custkey),
+        |bs AS (SELECT UNNEST(generate_series(0, 63)) AS b),
+        |ex AS (
+        |  SELECT u.c_custkey, u.y, bs.b,
+        |         CAST('0x' || substring(md5('perm:' || CAST(bs.b AS VARCHAR) || ':' || CAST(u.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+        |  FROM users u CROSS JOIN bs),
+        |per AS (
+        |  SELECT b,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS rt,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS rc
+        |  FROM ex GROUP BY b),
+        |per2 AS (SELECT *, rt * nc - rc * nt AS diff, nt * nc AS den FROM per),
+        |obs AS (SELECT diff AS diff0, den AS den0 FROM per2 WHERE b = 0),
+        |fl AS (
+        |  SELECT p.*,
+        |         CAST(abs(p.diff) AS HUGEINT) * o.den0 >= CAST(abs(o.diff0) AS HUGEINT) * p.den AS exceeds
+        |  FROM per2 p CROSS JOIN obs o),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS n_exceed FROM fl WHERE b >= 1 AND exceeds)
+        |SELECT CAST(f.b AS BIGINT) AS b, f.nt, f.nc, f.rt, f.rc, f.diff, f.den, f.exceeds,
+        |       CAST((1000 * (1 + pc.n_exceed)) // 64 AS BIGINT) AS p_milli
+        |FROM fl f CROSS JOIN pc
+        |ORDER BY b""".stripMargin,
+
+    // same md5 coin, same nation strata, same sign/abs integer ppm
+    "q403_ipw_ate" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT user_id AS c_custkey, CAST(1 AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |users AS (
+        |  SELECT c.c_custkey, CAST(c.c_nationkey AS INT) AS nat, COALESCE(v.y, 0) AS y,
+        |         CAST('0x' || substring(md5('ipw:' || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+        |  FROM customer c LEFT JOIN conv v ON v.c_custkey = c.c_custkey),
+        |strata AS (
+        |  SELECT nat, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS rt,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS rc
+        |  FROM users GROUP BY nat),
+        |st2 AS (
+        |  SELECT *,
+        |         CASE WHEN nt > 0 AND nc > 0 THEN
+        |           CASE WHEN rt * nc - rc * nt >= 0
+        |                THEN (1000000 * (rt * nc - rc * nt)) // (nt * nc)
+        |                ELSE -((1000000 * (rc * nt - rt * nc)) // (nt * nc)) END
+        |           ELSE 0 END AS dd_ppm
+        |  FROM strata),
+        |st3 AS (SELECT *, n * dd_ppm AS contrib FROM st2),
+        |tot AS (SELECT CAST(SUM(contrib) AS BIGINT) AS sc, CAST(SUM(n) AS BIGINT) AS nn FROM st3)
+        |SELECT s.nat, s.n, s.nt, s.nc, s.rt, s.rc, CAST(s.dd_ppm AS BIGINT) AS dd_ppm,
+        |       CAST(CASE WHEN t.sc >= 0 THEN t.sc // t.nn ELSE -((-t.sc) // t.nn) END AS BIGINT) AS ate_ppm
+        |FROM st3 s CROSS JOIN tot t
+        |ORDER BY nat""".stripMargin
   )
 }

@@ -2038,6 +2038,39 @@ object TextPack extends QueryPack {
           expr("cast(floor(sqrt(cast(nf * saa - sa * sa as double)) " +
             "/ cast(nf as double)) as bigint)").as("sd_acc_ppm"))
       materialized(result, clwA, clwF).orderBy("fold")
+    },
+
+    // ---- ATKINSON INEQUALITY INDEX, aversion ε = 2 (Atkinson 1970,
+    // JET 2): the welfare-founded inequality measure next to the Gini
+    // and Lorenz views of doc-length concentration — at ε = 2 it is
+    // EXACTLY 1 − H/μ (harmonic over arithmetic mean), which makes it
+    // the one Atkinson member computable with NO transcendental: the
+    // reciprocal sum uses the exact integer `1e12 div n_chars` per doc
+    // (a map stage), per-group sums accumulate in DECIMAL(38,0)
+    // (q170/q211 discipline), and the final index is ONE exact integral
+    // division of decimal products — bit-identical cross-engine, no
+    // float ever aggregated. Per source plus the ALL row (two
+    // vocabulary-bounded aggregates over one scan). A high Atkinson(2)
+    // flags a corpus whose short-doc tail would dominate a
+    // token-budgeted training mix. ----
+    "q404_atkinson" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("source"), col("n_chars"),
+          expr("1000000000000 div n_chars").as("r_pico"))
+      def aggOf(df: DataFrame, grp: org.apache.spark.sql.Column) =
+        df.groupBy(grp.as("source")).agg(
+        count(lit(1)).as("n"),
+        sum("n_chars").as("s1"),
+        sum(col("r_pico").cast("decimal(38,0)")).as("srp"))
+      val result = aggOf(docs, col("source"))
+        .unionByName(aggOf(docs, lit("ALL")))
+        .select(col("source"), col("n").cast("bigint").as("n_docs"),
+          expr("(s1 * 1000) div n").cast("bigint").as("mean_milli"),
+          expr("(CAST(n AS DECIMAL(38,0)) * 1000000000000000 div srp)")
+            .cast("bigint").as("harmonic_milli"),
+          expr("1000000 - (CAST(1000000000000000000 AS DECIMAL(38,0)) * n * n " +
+            "div (srp * s1))").cast("bigint").as("atkinson2_micro"))
+      result.orderBy("source")
     }
   )
 
@@ -2095,6 +2128,28 @@ object TextPack extends QueryPack {
   override def oracle: Map[String, String] = {
     Map(
       "q60_lang_id" -> q60OracleSql,
+
+      // same exact reciprocal pico-units, HUGEINT mirrors the Spark
+      // DECIMAL(38,0) sums, identical integral-division index text
+      "q404_atkinson" ->
+        """WITH docs AS (
+          |  SELECT source, n_chars, 1000000000000 // n_chars AS r_pico
+          |  FROM documents WHERE n_chars > 0),
+          |g AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(SUM(n_chars) AS BIGINT) AS s1,
+          |         SUM(CAST(r_pico AS HUGEINT)) AS srp
+          |  FROM docs GROUP BY source
+          |  UNION ALL
+          |  SELECT 'ALL', CAST(count(*) AS BIGINT),
+          |         CAST(SUM(n_chars) AS BIGINT),
+          |         SUM(CAST(r_pico AS HUGEINT))
+          |  FROM docs)
+          |SELECT source, n AS n_docs,
+          |       CAST((s1 * 1000) // n AS BIGINT) AS mean_milli,
+          |       CAST(CAST(n AS HUGEINT) * 1000000000000000 // srp AS BIGINT) AS harmonic_milli,
+          |       CAST(1000000 - CAST(1000000000000000000 AS HUGEINT) * n * n // (srp * s1) AS BIGINT) AS atkinson2_micro
+          |FROM g ORDER BY source""".stripMargin,
 
       // same (doc, term) counts and exact-integer VMR, same support floor
       "q313_term_burstiness" ->
