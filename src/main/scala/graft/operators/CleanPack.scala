@@ -783,6 +783,46 @@ object CleanPack extends QueryPack {
       result.orderBy("source_a", "source_b")
     },
 
+    // ---- HOLM STEP-DOWN FWER CONTROL (Holm 1979, Scand. J. Stat.)
+    // over the same q330/q371 KS family: where Benjamini–Hochberg
+    // bounds the false-discovery RATE (exploration mode), Holm bounds
+    // the familywise error — the correction a "halt the pipeline on
+    // drift" decision needs, since one false halt is the costly event.
+    // Same log-domain discipline as q371 (ln p and ln(α/(m−k+1)) =
+    // ln α − ln(m−k+1), ln only on INTEGER-valued doubles), same
+    // sources²-bounded rank window; the STEP-DOWN rule rejects the
+    // prefix of ranks before the FIRST failure (one min-aggregate),
+    // unlike BH's step-up max. Always rejects a subset of q371's
+    // (Holm ≤ BH pointwise) — the gate corpus pins both sides of that
+    // containment. ----
+    "q407_holm_fwer" -> { (s, d) =>
+      val lnp = ksPairStats(s, d)
+        .withColumn("d_ppm",
+          expr("(dmax * 1000000) div (n_a * n_b)").cast("bigint"))
+        .withColumn("ln_p_micro", expr(
+          "cast(floor(1000000.0 * (0.6931471805599453 - " +
+            "2.0 * cast(dmax as double) * cast(dmax as double) / " +
+            "(cast(n_a as double) * cast(n_b as double) * " +
+            "(cast(n_a as double) + cast(n_b as double))))) as bigint)"))
+      val ranked = lnp
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ln_p_micro"), col("source_a"), col("source_b"))))
+        .crossJoin(broadcast(lnp.agg(count(lit(1)).as("m"))))
+        .withColumn("holm_micro", expr(
+          "cast(floor(1000000.0 * (-2.9957322735539909 - " +
+            "ln(cast(m - rk + 1 as double)))) as bigint)"))
+        .withColumn("pass", col("ln_p_micro") <= col("holm_micro"))
+      val kstop = ranked.agg(
+        coalesce(min(when(!col("pass"), col("rk"))),
+          max(col("rk")) + 1).as("kstop"))
+      val result = ranked.crossJoin(broadcast(kstop))
+        .select(col("source_a"), col("source_b"), col("d_ppm"),
+          col("ln_p_micro"), col("rk").cast("int").as("rk"),
+          col("holm_micro").cast("bigint").as("holm_micro"),
+          (col("rk") < col("kstop")).as("reject_fwer"))
+      result.orderBy("source_a", "source_b")
+    },
+
     // ---- SORTED-NEIGHBORHOOD RECORD LINKAGE (Hernández & Stolfo,
     // SIGMOD 1995 merge/purge): the OTHER classic blocking strategy
     // next to q113's symmetric-delete index — sort clean ∪ dirty
@@ -1783,6 +1823,48 @@ object CleanPack extends QueryPack {
         |       b.rk <= km.kmax AS reject_fdr
         |FROM bh b CROSS JOIN km
         |ORDER BY b.source_a, b.source_b""".stripMargin,
+
+    // same KS pair frame and log-domain p's as q371; Holm threshold
+    // ln α − ln(m−k+1), step-down prefix via the first-failure min
+    "q407_holm_fwer" ->
+      """WITH cnt AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM cnt),
+        |srcn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |full0 AS (
+        |  SELECT s.source, s.n, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM srcn s CROSS JOIN grid g
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n, n_chars,
+        |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM full0),
+        |pd AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+        |         abs(a.cum * b.n - b.cum * a.n) AS dnum
+        |  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source),
+        |mx AS (SELECT source_a, source_b, n_a, n_b, CAST(MAX(dnum) AS BIGINT) AS dmax
+        |       FROM pd GROUP BY 1, 2, 3, 4),
+        |lp AS (
+        |  SELECT source_a, source_b,
+        |         CAST((dmax * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
+        |         CAST(floor(1000000.0 * (0.6931471805599453 - 2.0 * CAST(dmax AS DOUBLE) * CAST(dmax AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))) AS BIGINT) AS ln_p_micro
+        |  FROM mx),
+        |rnk AS (
+        |  SELECT *, row_number() OVER (ORDER BY ln_p_micro, source_a, source_b) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM lp),
+        |hm AS (
+        |  SELECT *, CAST(floor(1000000.0 * (-2.9957322735539909 - ln(CAST(m - rk + 1 AS DOUBLE)))) AS BIGINT) AS holm_micro
+        |  FROM rnk),
+        |ks AS (SELECT CAST(COALESCE(MIN(CASE WHEN ln_p_micro > holm_micro THEN rk END), MAX(rk) + 1) AS BIGINT) AS kstop FROM hm)
+        |SELECT h.source_a, h.source_b, h.d_ppm, h.ln_p_micro,
+        |       CAST(h.rk AS INT) AS rk, h.holm_micro,
+        |       h.rk < ks.kstop AS reject_fwer
+        |FROM hm h CROSS JOIN ks
+        |ORDER BY h.source_a, h.source_b""".stripMargin,
 
     // same corruption text, same (name, tag, key) total sort order
     // (the oracle's row_number replays the distributed prefix-sum

@@ -576,6 +576,48 @@ object PipelinePack extends QueryPack {
       materialized(result, e).orderBy("entity", "id")
     },
 
+    // ---- CURRICULUM INTERLEAVE SCHEDULE (Bengio et al. 2009
+    // "Curriculum learning" + the source-balanced batch mixing every
+    // large LM run does): a deterministic global training order that
+    // is (a) easy-to-hard WITHIN each source (here: n_chars as the
+    // difficulty proxy, unique doc_id tiebreak) and (b) round-robin
+    // ACROSS sources, so no batch prefix is ever single-source. The
+    // per-source rank is the keyed distributed PrefixSum (the q150
+    // lesson — a per-source row_number window would funnel each
+    // source's corpus through one task), the source index is a window
+    // over the SOURCE VOCABULARY (bounded), and the interleaved
+    // position is pure rank arithmetic: (rk-1)·K + src_idx. Positions
+    // of unequal-size sources leave holes once a source is exhausted —
+    // the schedule is a priority, not a dense array index. Plan
+    // REQUIRE: every window is __pid-partitioned or source-vocab-only.
+    // ----
+    "q405_curriculum" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = graft.functions.PrefixSum.inclusivePerKey(docs,
+        Seq("source"), Seq(col("n_chars"), col("doc_id")),
+        Seq((lit(1L), "rk")))
+      val srcs = docs.select("source").distinct()
+      val idx = srcs.withColumn("src_idx",
+        row_number().over(Window.orderBy("source")).cast("bigint") - 1)
+      val k = idx.agg(count(lit(1)).as("k"))
+      val result = ranked.join(broadcast(idx), "source").crossJoin(broadcast(k))
+        .withColumn("position", expr("(rk - 1) * k + src_idx"))
+        .select(col("doc_id"), col("source"),
+          col("rk").cast("bigint").as("rk"),
+          col("src_idx").cast("bigint").as("src_idx"),
+          col("position").cast("bigint").as("position"))
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall { w =>
+          val refs = (w.partitionSpec ++ w.orderSpec).flatMap(_.references.toSeq).map(_.name).toSet
+          refs.contains("__pid") || refs.subsetOf(Set("source"))
+        }, "q405: a row-scale window appeared outside the PrefixSum/vocab frames")
+      }
+      result.orderBy("position", "doc_id")
+    },
+
     // ---- cluster representatives: the terminal dedup-pipeline output.
     // Every doc gets its connected-component label (singletons label
     // themselves) and each cluster elects ONE representative — longest
@@ -1606,6 +1648,22 @@ object PipelinePack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // same per-source rank, same alphabetic source index, same
+    // rank-arithmetic interleave
+    "q405_curriculum" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |idx AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM idx)
+        |SELECT r.doc_id, r.source, r.rk, i.src_idx,
+        |       (r.rk - 1) * k.k + i.src_idx AS position
+        |FROM ranked r JOIN idx i USING (source) CROSS JOIN k
+        |ORDER BY position, doc_id""".stripMargin,
 
     // same 2 unrolled HITS rounds: exact micro-unit sums, scalar-max
     // L-infinity normalization via integer division

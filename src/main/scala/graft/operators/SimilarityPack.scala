@@ -1106,6 +1106,50 @@ object SimilarityPack extends QueryPack {
       materialized(result, vecs).orderBy("q_id", "rk")
     },
 
+    // ---- TRIPLET MINING (Schroff et al. 2015, FaceNet; Hermans 2017
+    // "In Defense of the Triplet Loss" batch-hard): for each anchor,
+    // the HARDEST POSITIVE (same label, LOWEST cosine — the in-class
+    // outlier the margin must still pull in) and the HARDEST NEGATIVE
+    // (different label, HIGHEST cosine — q174's miner reduced to its
+    // argmax), plus the violates flag (cos_neg >= cos_pos: the triplet
+    // the loss actually trains on). Completes the contrastive data
+    // step next to q174 (negatives-only) and q255 (semi-hard band).
+    // Scale shape: NO per-anchor rank window — both argmaxes are
+    // map-side-combining struct aggregates (min(struct(cos, id)) /
+    // max(struct(cos, -id)) for the asc-id tiebreak), so a corpus-size
+    // candidate set per anchor collapses before the shuffle; the
+    // anchor panel is the q50 eval-set shape (mining runs per training
+    // batch, and the LSH/IVF candidate paths compose as pre-filters at
+    // corpus x corpus scale). Cosines are the exact fixed-point dots
+    // over correctly-rounded sqrt norms — deterministic doubles,
+    // bit-identical cross-engine. ----
+    "q406_triplet_mining" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"))
+      val cand = vecs.join(labels, "vec_id")
+      val anchors = cand.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("norm").as("qnorm"), col("label").as("q_label"))
+      val scored = anchors.join(cand, col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      val hp = scored.filter(col("label") === col("q_label"))
+        .groupBy("q_id", "q_label")
+        .agg(min(struct(col("cosine"), col("vec_id"))).as("h"))
+        .select(col("q_id"), col("q_label"),
+          col("h.vec_id").as("pos_id"), col("h.cosine").as("cos_pos"))
+      val hn = scored.filter(col("label") =!= col("q_label"))
+        .groupBy("q_id")
+        .agg(max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("h"))
+        .select(col("q_id"), (-col("h.nid")).as("neg_id"),
+          col("h.cosine").as("cos_neg"))
+      val result = hp.join(hn, "q_id")
+        .withColumn("violates", col("cos_neg") >= col("cos_pos"))
+        .select(col("q_id"), col("q_label"), col("pos_id"), col("cos_pos"),
+          col("neg_id"), col("cos_neg"), col("violates"))
+      materialized(result, vecs).orderBy("q_id")
+    },
+
     // ---- top principal component by POWER ITERATION (the PageRank
     // discipline applied to linear algebra): three unrolled rounds of
     // v <- normalize(X^T (X v)) over the quantized embedding matrix,
@@ -1764,7 +1808,38 @@ object SimilarityPack extends QueryPack {
       ("q239_cluster_purity" -> purityOracle) +
       ("q255_hard_negatives" -> hardNegOracle) +
       ("q271_ivf_nprobe_curve" -> nprobeCurveOracle) +
-      ("q393_ari_ivf_labels" -> ariOracle)
+      ("q393_ari_ivf_labels" -> ariOracle) +
+      ("q406_triplet_mining" -> tripletOracle)
+
+  /** q406's oracle: same quantized dots and norms, same panel; the
+    * argmax/argmin replay as rank-1 windows (oracle scale is free). */
+  private def tripletOracle: String =
+    s"""WITH vq AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |                   ${quantizeSql("embedding")} AS q
+       |            FROM embeddings),
+       |vs AS (SELECT vec_id, label, q,
+       |              sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
+       |       FROM vq v),
+       |an AS (SELECT vec_id AS q_id, label AS q_label, q AS qq, norm AS qnorm
+       |       FROM vs WHERE vec_id < 20),
+       |sc AS (SELECT a.q_id, a.q_label, c.vec_id, c.label,
+       |              ${dotQSql("a.qq", "c.q", dim)} / (a.qnorm * c.norm) AS cosine
+       |       FROM an a JOIN vs c ON c.vec_id <> a.q_id),
+       |hp AS (SELECT q_id, q_label, vec_id AS pos_id, cosine AS cos_pos
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY cosine ASC, vec_id) AS rk
+       |             FROM sc WHERE label = q_label) t
+       |       WHERE rk = 1),
+       |hn AS (SELECT q_id, vec_id AS neg_id, cosine AS cos_neg
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY cosine DESC, vec_id) AS rk
+       |             FROM sc WHERE label <> q_label) t
+       |       WHERE rk = 1)
+       |SELECT hp.q_id, hp.q_label, hp.pos_id, hp.cos_pos,
+       |       hn.neg_id, hn.cos_neg,
+       |       hn.cos_neg >= hp.cos_pos AS violates
+       |FROM hp JOIN hn USING (q_id)
+       |ORDER BY q_id""".stripMargin
 
   /** q393's oracle: the same trained cells (ivfTrainCtes) and label
     * join, exact C(x,2) pair sums, identical single-row ARI text. */
