@@ -906,6 +906,72 @@ object CleanPack extends QueryPack {
       materialized(result, perK).orderBy("k")
     },
 
+    // ---- KENDALL'S TAU-B (Kendall 1938; tie correction Kendall 1945)
+    // between bucketed doc length and token count — completing the
+    // correlation triple next to Pearson (q396) and Spearman (q334):
+    // tau is the probability-scale concordance measure whose pairwise
+    // definition (sign agreement over all C(N,2) pairs) looks
+    // quadratic but collapses to VALUE-VOCABULARY work on a
+    // contingency grid: C = Σ n_xy · F(x-1,y-1) and D = Σ n_xy ·
+    // (A(x-1) - F(x-1,y)) where F is the dense grid's 2-D CDF — built
+    // by two chained cumsums whose window partitions are each bounded
+    // by ONE variable's vocabulary (the q371-oracle discipline), never
+    // by corpus size. Values are bucketed (chars/16, tokens/8) to keep
+    // the dense grid vocab² small; tau-b of the bucketed variables is
+    // the reported statistic (documented, not a hidden approximation).
+    // Tie terms n1/n2 are exact row/col-total sums; the final tau is
+    // one sqrt+divide+floor on exact int64s (q334's rule). ----
+    "q409_kendall_tau" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(
+          expr("n_chars div 16").cast("bigint").as("x"),
+          size(tokens(col("text"))).cast("bigint").as("yt"))
+        .select(col("x"), expr("yt div 8").cast("bigint").as("y"))
+      val cells = base.groupBy("x", "y").agg(count(lit(1)).as("nc"))
+      val xs = cells.select("x").distinct()
+      val ys = cells.select("y").distinct()
+      val grid = xs.crossJoin(ys).join(cells, Seq("x", "y"), "left")
+        .na.fill(0L, Seq("nc"))
+      // 2-D CDF by chained vocab-bounded cumsums, then strict prefixes
+      // by lags over the DENSE grid (well-defined because every (x,y)
+      // vocabulary combination is present)
+      val wY = Window.partitionBy("x").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wXcum = Window.partitionBy("y").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wXlag = Window.partitionBy("y").orderBy("x")
+      val wYlag = Window.partitionBy("x").orderBy("y")
+      val f = grid
+        .withColumn("cy", sum("nc").over(wY))
+        .withColumn("f", sum("cy").over(wXcum))
+        .withColumn("f_xm1", coalesce(lag("f", 1).over(wXlag), lit(0L)))
+        .withColumn("f_xm1_ym1", coalesce(lag("f_xm1", 1).over(wYlag), lit(0L)))
+      val rows0 = base.groupBy("x").agg(count(lit(1)).as("tx"))
+      val wXv = Window.orderBy("x") // x-vocabulary frame, bounded
+      val arow = rows0.withColumn("a_xm1",
+        coalesce(sum("tx").over(wXv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val joined = f.join(broadcast(arow.select("x", "a_xm1")), "x")
+        .withColumn("cterm", col("nc") * col("f_xm1_ym1"))
+        .withColumn("dterm", col("nc") * (col("a_xm1") - col("f_xm1")))
+      val cd = joined.agg(sum("cterm").as("c"), sum("dterm").as("d"))
+      val n1 = rows0.agg(sum(expr("tx * (tx - 1) div 2")).as("n1"))
+      val n2 = base.groupBy("y").agg(count(lit(1)).as("ty"))
+        .agg(sum(expr("ty * (ty - 1) div 2")).as("n2"))
+      val nn = base.agg(count(lit(1)).as("n"))
+      val result = cd.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .crossJoin(broadcast(nn))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("n").cast("bigint").as("n_docs"),
+          col("c").cast("bigint").as("concordant"),
+          col("d").cast("bigint").as("discordant"),
+          col("n1").cast("bigint").as("ties_x"),
+          col("n2").cast("bigint").as("ties_y"),
+          expr("CASE WHEN n0 > n1 AND n0 > n2 THEN " +
+            "cast(floor(1000.0 * cast(c - d as double) / " +
+            "sqrt(cast(n0 - n1 as double) * cast(n0 - n2 as double))) as bigint) " +
+            "ELSE 0 END").as("tau_b_milli"))
+      result.orderBy("n_docs")
+    },
+
     // ---- SPEARMAN RANK CORRELATION (Spearman 1904) between document
     // length and lexical diversity (distinct-token count) — the
     // length-vs-TTR confound every length-normalized quality metric
@@ -1907,6 +1973,44 @@ object CleanPack extends QueryPack {
         |       CAST((c.cum_found * 1000000) // nd.n_dirty AS BIGINT) AS cum_recall_ppm
         |FROM perk p JOIN cum c USING (k) CROSS JOIN nd
         |ORDER BY k""".stripMargin,
+
+    // same bucketing, same dense grid, same chained vocab-bounded
+    // cumsums and strict-prefix lags, identical sqrt/divide/floor text
+    "q409_kendall_tau" ->
+      """WITH base AS (
+        |  SELECT n_chars // 16 AS x,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS BIGINT) // 8 AS y
+        |  FROM documents),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nc FROM base GROUP BY 1, 2),
+        |xs AS (SELECT DISTINCT x FROM cells),
+        |ys AS (SELECT DISTINCT y FROM cells),
+        |grid AS (SELECT xs.x, ys.y, COALESCE(c.nc, 0) AS nc
+        |         FROM xs CROSS JOIN ys LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y),
+        |f0 AS (SELECT x, y, nc,
+        |              CAST(SUM(nc) OVER (PARTITION BY x ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+        |       FROM grid),
+        |f1 AS (SELECT *, CAST(SUM(cy) OVER (PARTITION BY y ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f
+        |       FROM f0),
+        |f2 AS (SELECT *, COALESCE(lag(f, 1) OVER (PARTITION BY y ORDER BY x), 0) AS f_xm1 FROM f1),
+        |f3 AS (SELECT *, COALESCE(lag(f_xm1, 1) OVER (PARTITION BY x ORDER BY y), 0) AS f_xm1_ym1 FROM f2),
+        |rows0 AS (SELECT x, CAST(count(*) AS BIGINT) AS tx FROM base GROUP BY x),
+        |arow AS (SELECT x, CAST(COALESCE(SUM(tx) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a_xm1 FROM rows0),
+        |j AS (SELECT f3.*, arow.a_xm1 FROM f3 JOIN arow USING (x)),
+        |cd AS (SELECT CAST(SUM(nc * f_xm1_ym1) AS BIGINT) AS c,
+        |              CAST(SUM(nc * (a_xm1 - f_xm1)) AS BIGINT) AS d
+        |       FROM j),
+        |t1 AS (SELECT CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS n1 FROM rows0),
+        |t2 AS (SELECT CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS n2
+        |       FROM (SELECT y, CAST(count(*) AS BIGINT) AS ty FROM base GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |fin AS (SELECT n, c, d, n1, n2, n * (n - 1) // 2 AS n0
+        |        FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nn)
+        |SELECT n AS n_docs, c AS concordant, d AS discordant,
+        |       n1 AS ties_x, n2 AS ties_y,
+        |       CASE WHEN n0 > n1 AND n0 > n2
+        |            THEN CAST(floor(1000.0 * CAST(c - d AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))) AS BIGINT)
+        |            ELSE 0 END AS tau_b_milli
+        |FROM fin ORDER BY n_docs""".stripMargin,
 
     // same doubled-midrank vocabularies; HUGEINT mirrors the Spark
     // side's DECIMAL(38,0) products (equal integers → identical doubles)

@@ -1069,6 +1069,56 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_i", "doc_j")
     },
 
+    // ---- GREEDY TOKEN-BUDGET CURATION: select the highest-quality
+    // documents whose CUMULATIVE token count fits a global budget (30%
+    // of the corpus here) — the doc-level selection step between
+    // q132's per-source epoch allocator and q124's fixed-k sampler,
+    // and the shape every "keep the best B tokens" curation run needs.
+    // Quality proxy: mean token length in milli (a crude fluency
+    // stand-in — the op under test is the BUDGETED GREEDY SELECTION;
+    // any per-doc score column composes). The global quality-ordered
+    // running token total is the distributed two-phase
+    // [[graft.functions.PrefixSum]] (a bare ORDER BY cumsum would
+    // funnel the corpus through one task); the budget is a broadcast
+    // one-row frame; selection is cum <= B. Reported per source: doc
+    // and token counts, selected counts, and the selected token share
+    // — the mix-shift a quality-ranked cut induces. Plan REQUIRE: all
+    // windows __pid-bound. ----
+    "q408_token_budget_select" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("bigint").as("n_tok"), col("n_chars"))
+        .withColumn("quality_milli",
+          expr("(n_chars * 1000) div greatest(n_tok, 1)"))
+      val tot = docs.agg(sum("n_tok").as("tt"))
+      val ranked = graft.functions.PrefixSum.inclusive(docs,
+        Seq(col("quality_milli").desc, col("doc_id")),
+        Seq((col("n_tok"), "cum_tok")))
+      val sel = ranked.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(tt * 3) div 10"))
+        .withColumn("selected", col("cum_tok") <= col("budget"))
+      val result = sel.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_sel"),
+          sum("n_tok").as("tok_total"),
+          sum(when(col("selected"), col("n_tok")).otherwise(0L)).as("tok_sel"),
+          max("budget").as("budget"))
+        .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+          col("n_sel").cast("bigint").as("n_sel"),
+          col("tok_total").cast("bigint").as("tok_total"),
+          col("tok_sel").cast("bigint").as("tok_sel"),
+          expr("(tok_sel * 1000000) div tok_total").cast("bigint")
+            .as("sel_share_ppm"),
+          col("budget").cast("bigint").as("budget"))
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q408: a non-PrefixSum row-scale window appeared")
+      }
+      result.orderBy("source")
+    },
+
     // ---- token-budget epoch scheduling (Muennighoff et al., "Scaling
     // Data-Constrained Language Models", arXiv:2305.16264): given
     // per-source token volumes, integer mixture weights, and a token
@@ -1648,6 +1698,33 @@ object PipelinePack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // same quality proxy, same global quality-ordered running token
+    // total (plain window replays the distributed scan), same budget
+    "q408_token_budget_select" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS BIGINT) AS n_tok,
+        |         n_chars
+        |  FROM documents),
+        |q AS (SELECT *, (n_chars * 1000) // greatest(n_tok, 1) AS quality_milli FROM docs),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM q),
+        |r AS (SELECT *, CAST(SUM(n_tok) OVER (ORDER BY quality_milli DESC, doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |      FROM q),
+        |sel AS (SELECT r.*, (tot.tt * 3) // 10 AS budget,
+        |               r.cum_tok <= (tot.tt * 3) // 10 AS selected
+        |        FROM r CROSS JOIN tot)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |       CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+        |       CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT) AS tok_sel,
+        |       CAST((SUM(CASE WHEN selected THEN n_tok ELSE 0 END) * 1000000) // SUM(n_tok) AS BIGINT) AS sel_share_ppm,
+        |       CAST(MAX(budget) AS BIGINT) AS budget
+        |FROM sel
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // same per-source rank, same alphabetic source index, same
     // rank-arithmetic interleave

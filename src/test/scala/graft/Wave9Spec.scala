@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent validations for the round-9 operators: the skyline
+  * against a brute-force dominance check, Kendall's tau-b against the
+  * O(n²) pairwise definition on the real sf0.001 corpus, triplet-mining
+  * invariants, curriculum-interleave structure, HITS normalization
+  * bounds, the token-budget greedy prefix property, and the
+  * Holm-vs-BH containment.
+  */
+class Wave9Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q399 skyline equals the brute-force Pareto frontier") {
+    val rows = SparkEntry.queries("q399_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = graft.core.Tables.part(spark, sf)
+      .selectExpr("p_partkey",
+        "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        "CAST(p_size AS BIGINT) AS size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)): Boolean = all.exists { o =>
+      o._1 != p._1 && o._2 <= p._2 && o._3 >= p._3 &&
+        (o._2 < p._2 || o._3 > p._3)
+    }
+    val expected = all.filterNot(dominated)
+      .map(p => (p._1, p._2, p._3)).sortBy(p => (p._2, p._1))
+    assert(rows.toSeq === expected.toSeq)
+    assert(rows.nonEmpty)
+  }
+
+  test("q409 Kendall tau-b matches the O(n^2) pairwise definition") {
+    val out = SparkEntry.queries("q409_kendall_tau")(spark, sf).collect()(0)
+    // recompute the bucketed (x, y) pairs exactly as the query does
+    import org.apache.spark.sql.functions._
+    val pts = graft.core.Tables.documents(spark, sf)
+      .select(expr("n_chars div 16").cast("long").as("x"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("yt"))
+      .selectExpr("x", "yt div 8 AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val s = (pts(i)._1 - pts(j)._1).sign * (pts(i)._2 - pts(j)._2).sign
+      if (s > 0) c += 1 else if (s < 0) d += 1
+      if (pts(i)._1 == pts(j)._1) tx += 1
+      if (pts(i)._2 == pts(j)._2) ty += 1
+    }
+    assert(out.getAs[Long]("concordant") == c)
+    assert(out.getAs[Long]("discordant") == d)
+    assert(out.getAs[Long]("ties_x") == tx)
+    assert(out.getAs[Long]("ties_y") == ty)
+    val n0 = pts.length.toLong * (pts.length - 1) / 2
+    val tau = math.floor(1000.0 * (c - d).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)).toLong
+    assert(out.getAs[Long]("tau_b_milli") == tau)
+  }
+
+  test("q406 triplet invariants: labels, violates flag, hardest-direction") {
+    val rows = SparkEntry.queries("q406_triplet_mining")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cosPos = r.getAs[Double]("cos_pos")
+      val cosNeg = r.getAs[Double]("cos_neg")
+      assert(r.getAs[Boolean]("violates") == (cosNeg >= cosPos))
+      assert(r.getAs[Long]("pos_id") != r.getAs[Long]("q_id"))
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("q_id"))
+      assert(cosPos >= -1.0001 && cosPos <= 1.0001)
+      assert(cosNeg >= -1.0001 && cosNeg <= 1.0001)
+    }
+  }
+
+  test("q405 curriculum: per-source ranks dense from 1, interleave round-robin") {
+    val rows = SparkEntry.queries("q405_curriculum")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("rk"), r.getAs[Long]("src_idx"), r.getAs[Long]("position")))
+    val k = rows.map(_._4).max + 1
+    // ranks dense 1..n_s per source
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // position arithmetic and uniqueness
+    rows.foreach { case (_, _, rk, idx, pos) => assert(pos == (rk - 1) * k + idx) }
+    assert(rows.map(_._5).distinct.length == rows.length)
+    // the first k positions (when every source is nonempty) are the
+    // k distinct sources' rank-1 docs — the round-robin property
+    val firstK = rows.sortBy(_._5).take(k.toInt)
+    assert(firstK.map(_._2).distinct.length == k.toInt)
+    assert(firstK.forall(_._3 == 1L))
+  }
+
+  test("q400 HITS: scores in (0, 1e6], max normalized to exactly 1e6") {
+    val rows = SparkEntry.queries("q400_hits")(spark, sf).collect()
+      .map(r => (r.getAs[String]("entity"), r.getAs[Long]("score_q")))
+    for (ent <- Seq("auth", "hub")) {
+      val ss = rows.filter(_._1 == ent).map(_._2)
+      assert(ss.nonEmpty)
+      assert(ss.max == 1000000L, s"$ent max must be the L-inf normalizer")
+      assert(ss.forall(v => v >= 0L && v <= 1000000L))
+    }
+  }
+
+  test("q408 greedy budget: selection is a quality-ordered prefix within budget") {
+    val res = SparkEntry.queries("q408_token_budget_select")(spark, sf).collect()
+    val totTok = res.map(_.getAs[Long]("tok_total")).sum
+    val selTok = res.map(_.getAs[Long]("tok_sel")).sum
+    val budget = res.head.getAs[Long]("budget")
+    assert(budget == totTok * 3 / 10)
+    assert(selTok <= budget)
+    // greedy: adding the next-best doc would exceed the budget, so the
+    // selected mass is within one max-doc of it
+    val maxDoc = graft.core.Tables.documents(spark, sf)
+      .selectExpr("size(filter(split(regexp_replace(text, '(?U)[^\\\\w\\\\s]', ''), '(?U)\\\\s+'), w -> length(w) > 0)) AS t")
+      .agg(org.apache.spark.sql.functions.max("t")).collect()(0).getInt(0).toLong
+    assert(selTok + maxDoc >= budget)
+  }
+
+  test("q407 Holm rejects a subset of q371 BH rejections") {
+    val bh = SparkEntry.queries("q371_ks_fdr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Boolean]("reject_fdr")).toMap
+    val holm = SparkEntry.queries("q407_holm_fwer")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Boolean]("reject_fwer")).toMap
+    assert(holm.keySet == bh.keySet)
+    holm.foreach { case (k, rej) => if (rej) assert(bh(k), s"Holm rejected $k but BH did not") }
+  }
+}
