@@ -713,6 +713,7 @@ object StreamingPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
     "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
     "q332_stream_cusum" -> ((s, d) => streamCusum(s, d)),
     "q303_stream_funnel" -> ((s, d) => FunnelStream.run(s, d)),
@@ -734,6 +735,12 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch: q399's oracle verbatim — the per-band state-store
+    // frontiers plus the exclusiveMax merge must land on the batch
+    // skyline exactly
+    "q410_stream_skyline" ->
+      graft.operators.RelationalPack4.oracle("q399_skyline"),
 
     // stream ≡ batch: q384's oracle verbatim — linear per-day counts in
     // the StateStore plus the bounded Wald tail must land on the batch

@@ -117,6 +117,35 @@ class Wave9Spec extends AnyFunSuite {
     assert(selTok + maxDoc >= budget)
   }
 
+  test("SkylineStream.update emits exactly the frontier-entering points across batches") {
+    import graft.streaming.SkylineStream
+    import graft.streaming.SkylineStream.{Pt, Frontier}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[Frontier](
+      org.apache.spark.api.java.Optional.empty[Frontier](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // batch 1: B shares A's price with a smaller size -> dominated on
+    // arrival, never emitted
+    val out1 = SkylineStream.update(0L,
+      Iterator(Pt(1L, 100L, 5L), Pt(2L, 100L, 3L)), st).toList
+    assert(out1.map(_.p_partkey) == List(1L))
+    assert(st.get.pts.toSet == Set((100L, 5L)))
+    // batch 2: (90, 5) strictly dominates the stored frontier point
+    // (enters + prunes it); an exact re-arrival of (100, 5) is now
+    // dominated and silent
+    val out2 = SkylineStream.update(0L,
+      Iterator(Pt(3L, 90L, 5L), Pt(4L, 100L, 5L)), st).toList
+    assert(out2.map(_.p_partkey) == List(3L))
+    assert(st.get.pts.toSet == Set((90L, 5L)))
+    // batch 3: an equal point to the frontier (neither strict) is
+    // mutually non-dominating and must be emitted
+    val out3 = SkylineStream.update(0L, Iterator(Pt(5L, 90L, 5L)), st).toList
+    assert(out3.map(_.p_partkey) == List(5L))
+    assert(st.get.pts.toSet == Set((90L, 5L)))
+  }
+
   test("q407 Holm rejects a subset of q371 BH rejections") {
     val bh = SparkEntry.queries("q371_ks_fdr")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Boolean]("reject_fdr")).toMap
