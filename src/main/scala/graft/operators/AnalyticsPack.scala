@@ -901,6 +901,50 @@ object AnalyticsPack extends QueryPack {
       result.orderBy("b")
     },
 
+    // ---- CRAMÉR'S V (Cramér 1946 §21.9): the normalized strength of
+    // association between two CATEGORICAL columns — the χ² test (q172's
+    // family) says "dependent or not", V says HOW dependent on a [0,1]
+    // scale comparable across tables, which is what a schema-profiling
+    // pass stores per column pair. Computed on nation × market segment
+    // over customer: the DENSE category grid (vocab × vocab, zero cells
+    // INCLUDED — an empty cell still contributes its expectation to
+    // χ²), each cell's (o·n − rt·ct)²/(rt·ct·n) term exact via
+    // DECIMAL(38,0)/HUGEINT products floor-quantized to micro, summed
+    // as int64; V is one sqrt on the exact ratio. Cell terms: o·n fits
+    // int64 through ~3e9 rows (DECIMAL beyond, noted); the grid is
+    // vocabulary-bounded (25×5), never row-scale. χ²₀.₀₅(96 dof) =
+    // 119.871 enters as a literal for the independence decision. ----
+    "q411_cramers_v" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("bigint").as("nat"),
+          col("c_mktsegment").as("seg"))
+      val cells = base.groupBy("nat", "seg").agg(count(lit(1)).as("o"))
+      val rows0 = base.groupBy("nat").agg(count(lit(1)).as("rt"))
+      val cols0 = base.groupBy("seg").agg(count(lit(1)).as("ct"))
+      val nn = base.agg(count(lit(1)).as("n"))
+      val grid = rows0.crossJoin(cols0)
+        .join(cells, Seq("nat", "seg"), "left").na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(nn))
+        .withColumn("term_micro", expr(
+          "(CAST(o * n - rt * ct AS DECIMAL(38,0)) * (o * n - rt * ct) * 1000000) " +
+            "div (CAST(rt AS DECIMAL(38,0)) * ct * n)"))
+      val dims = grid.agg(
+        countDistinct("nat").as("r"), countDistinct("seg").as("c"),
+        sum("term_micro").as("chi2_micro"))
+      val result = dims.crossJoin(broadcast(nn))
+        .withColumn("mindim", expr("least(r - 1, c - 1)"))
+        .select(col("n").cast("bigint").as("n_rows"),
+          col("r").cast("bigint").as("n_cats_a"),
+          col("c").cast("bigint").as("n_cats_b"),
+          expr("(r - 1) * (c - 1)").cast("bigint").as("dof"),
+          col("chi2_micro").cast("bigint").as("chi2_micro"),
+          expr("cast(floor(1000.0 * sqrt(cast(chi2_micro as double) / " +
+            "(1000000.0 * cast(n as double) * cast(mindim as double)))) as bigint)")
+            .as("v_milli"),
+          (col("chi2_micro") > lit(119871000L)).as("reject_indep"))
+      result.orderBy("n_rows")
+    },
+
     // ---- STRATIFIED / IPW AVERAGE TREATMENT EFFECT (Horvitz &
     // Thompson 1952; Imbens & Rubin ch.17): the causal companion to
     // q353's CUPED (variance) and q397's Qini (ranking) — the overall
@@ -1549,6 +1593,42 @@ object AnalyticsPack extends QueryPack {
         |            ELSE CAST(0 AS BIGINT) END AS qini_milli
         |FROM cum
         |ORDER BY decile""".stripMargin,
+
+    // same dense category grid with zero cells, same exact
+    // micro-quantized cell terms (HUGEINT mirrors DECIMAL(38,0)),
+    // identical sqrt text and 119.871 literal
+    "q411_cramers_v" ->
+      """WITH base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg
+        |  FROM customer),
+        |cells AS (SELECT nat, seg, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+        |rows0 AS (SELECT nat, CAST(count(*) AS BIGINT) AS rt FROM base GROUP BY 1),
+        |cols0 AS (SELECT seg, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |grid AS (
+        |  SELECT r.nat, c.seg, r.rt, c.ct, COALESCE(x.o, 0) AS o, nn.n
+        |  FROM rows0 r CROSS JOIN cols0 c
+        |  LEFT JOIN cells x ON x.nat = r.nat AND x.seg = c.seg
+        |  CROSS JOIN nn),
+        |terms AS (
+        |  SELECT n,
+        |         CAST((CAST(o * n - rt * ct AS HUGEINT) * (o * n - rt * ct) * 1000000)
+        |              // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS term_micro,
+        |         nat, seg
+        |  FROM grid),
+        |agg AS (
+        |  SELECT MAX(n) AS n,
+        |         CAST(count(DISTINCT nat) AS BIGINT) AS r,
+        |         CAST(count(DISTINCT seg) AS BIGINT) AS c,
+        |         CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+        |  FROM terms)
+        |SELECT n AS n_rows, r AS n_cats_a, c AS n_cats_b,
+        |       (r - 1) * (c - 1) AS dof, chi2_micro,
+        |       CAST(floor(1000.0 * sqrt(CAST(chi2_micro AS DOUBLE) /
+        |            (1000000.0 * CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))) AS BIGINT) AS v_milli,
+        |       chi2_micro > 119871000 AS reject_indep
+        |FROM agg
+        |ORDER BY n_rows""".stripMargin,
 
     // same 64 salted md5 coins, same exact cross-multiplied compare
     // (HUGEINT mirrors Spark's DECIMAL products), same add-one p

@@ -811,6 +811,113 @@ object EventsPack extends QueryPack {
     // per-from row total (count * 1e6 div from_total — bit-identical
     // in both engines). Single shuffle key (user) for the sequencing,
     // then a 25-row matrix. ----
+    // ---- WALD–WOLFOWITZ RUNS TEST (Wald & Wolfowitz 1940) on the
+    // daily event-volume sequence: is the above/below-median pattern
+    // RANDOM, or does it clump (trend/regimes) or alternate
+    // (overdispersion)? The distribution-free randomness check next to
+    // q370's trend direction and q199's changepoint location. Median =
+    // exact lower median off the daily-count VALUE VOCABULARY (the
+    // q374 cum trick); ties at the median are dropped (standard);
+    // runs count R = 1 + sign changes via ONE lag over the
+    // calendar-bounded day frame. z is the textbook normal
+    // approximation — μ = A/n + 1, σ² = A(A−n)/(n²(n−1)) with
+    // A = 2·n₊·n₋ exact int64 — evaluated as one identical
+    // divide/sqrt/floor text on exact integers in both engines;
+    // degenerate all-one-side series (σ = 0) pins z to 0. ----
+    "q412_runs_test" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val nn = daily.agg(count(lit(1)).as("nd"))
+      // exact lower median over the count vocabulary
+      val vc = daily.groupBy("x").agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = vc.withColumn("cum", sum("c").over(wv))
+        .crossJoin(broadcast(nn))
+        .filter(col("cum") * 2 >= col("nd"))
+        .agg(min("x").as("med"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter(col("x") =!= col("med"))
+        .withColumn("sgn", when(col("x") > col("med"), 1L).otherwise(0L))
+      val wd = Window.orderBy("day") // calendar-bounded day frame
+      val runs = signed
+        .withColumn("chg",
+          when(lag("sgn", 1).over(wd).isNull ||
+            lag("sgn", 1).over(wd) =!= col("sgn"), 1L).otherwise(0L))
+        .agg(sum("chg").as("runs"),
+          sum(col("sgn")).as("n_above"),
+          sum(lit(1L) - col("sgn")).as("n_below"))
+      val result = runs
+        .withColumn("n", col("n_above") + col("n_below"))
+        .withColumn("a", lit(2L) * col("n_above") * col("n_below"))
+        .select(col("n").cast("bigint").as("n_days"),
+          col("n_above").cast("bigint").as("n_above"),
+          col("n_below").cast("bigint").as("n_below"),
+          col("runs").cast("bigint").as("runs"),
+          expr("CASE WHEN n > 1 AND a > n THEN " +
+            "cast(floor(1000.0 * (cast(runs as double) - (cast(a as double) / cast(n as double) + 1.0)) / " +
+            "sqrt(cast(a as double) * (cast(a as double) - cast(n as double)) / " +
+            "(cast(n as double) * cast(n as double) * (cast(n as double) - 1.0)))) as bigint) " +
+            "ELSE 0 END").as("z_milli"))
+        .withColumn("random_at_05",
+          col("z_milli") >= -1960L && col("z_milli") <= 1960L)
+      result.orderBy("n_days")
+    },
+
+    // ---- LJUNG–BOX PORTMANTEAU TEST (Ljung & Box 1978) at lags 1–7
+    // on the gap-filled daily event-count series: q292 measures two
+    // autocorrelations, this is the DECISION over the whole ACF head —
+    // "is this series white noise?", the residual-diagnostic every
+    // forecasting stack runs after fitting (q214/q380's naive models
+    // included). The day axis is the DENSE calendar grid per the q380
+    // lesson (gap days count as zero, not absent); autocorrelations
+    // avoid fractional means by the n-scaled identity r_k =
+    // Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)² — exact int64 numerators
+    // (safe through ~1e5 daily counts × 1e3 days; DECIMAL beyond),
+    // floor-quantized to micro via sign/abs division; Q = n(n+2)·Σ
+    // r_k²/(n−k) assembled from the quantized r's in pure integer
+    // arithmetic. χ²₀.₀₅(7) = 14.067 enters as a literal. ----
+    "q413_ljung_box" -> { (s, d) =>
+      val raw = Tables.events(s, d)
+        .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val bounds = raw.agg(min("day").as("mn"), max("day").as("mx"))
+      val grid = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+        .join(raw, Seq("day"), "left").na.fill(0L, Seq("c"))
+      val st = grid.agg(count(lit(1)).as("n"), sum("c").as("s"))
+      val cent = grid.crossJoin(broadcast(st))
+        .withColumn("e", col("n") * col("c") - col("s"))
+        .select("day", "e", "n")
+      val den = cent.agg(sum(col("e") * col("e")).as("den"), max("n").as("n"))
+      val lagged = cent.select(col("day"), col("e"))
+        .withColumn("lag", explode(expr("sequence(1, 7)")))
+        .select(col("lag"), (col("day") + col("lag")).as("day"),
+          col("e").as("ea"))
+        .join(cent.select(col("day"), col("e").as("eb")), "day")
+      val nums = lagged.groupBy("lag").agg(sum(col("ea") * col("eb")).as("num"))
+      val rk = nums.crossJoin(broadcast(den))
+        .withColumn("r_micro", expr(
+          "CASE WHEN den <= 0 THEN 0 " +
+            "WHEN num >= 0 THEN (CAST(num AS DECIMAL(38,0)) * 1000000) div den " +
+            "ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000) div den) END"))
+        .withColumn("term_nano", expr("(r_micro * r_micro) div (n - lag)"))
+      val qstat = rk.agg(sum("term_nano").as("tsum"), max("n").as("n"),
+          count(lit(1)).as("n_lags"))
+        .withColumn("q_milli", expr("(n * (n + 2) * tsum) div 1000000000"))
+      val result = qstat
+        .select(col("n").cast("bigint").as("n_days"),
+          col("n_lags").cast("bigint").as("n_lags"),
+          col("q_milli").cast("bigint").as("q_milli"),
+          (col("q_milli") > lit(14067L)).as("reject_white_noise"))
+      val perLag = rk.select(col("lag").cast("bigint").as("lag"),
+        col("r_micro").cast("bigint").as("r_micro"))
+      // one frame: per-lag ACF rows plus the portmanteau verdict
+      perLag.crossJoin(broadcast(result)).orderBy("lag")
+    },
+
     // ---- DAILY-VOLUME AUTOCORRELATION (lag-1 and lag-7): the
     // periodicity probe a forecasting/anomaly stack runs on its
     // per-type traffic series — high lag-7 means weekly seasonality
@@ -2094,6 +2201,84 @@ object EventsPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+
+    // same exact vocabulary median, same tie-drop, same one-lag runs
+    // count and identical divide/sqrt/floor z text
+    "q412_runs_test" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |vc AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY x),
+        |cumv AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM vc),
+        |med AS (SELECT CAST(MIN(x) AS BIGINT) AS med FROM cumv CROSS JOIN nn WHERE cum * 2 >= nd),
+        |signed AS (
+        |  SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS sgn
+        |  FROM daily CROSS JOIN med WHERE x <> med),
+        |chg AS (
+        |  SELECT sgn, CASE WHEN lag(sgn, 1) OVER (ORDER BY day) IS NULL
+        |                     OR lag(sgn, 1) OVER (ORDER BY day) <> sgn
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM signed),
+        |agg AS (
+        |  SELECT CAST(SUM(chg) AS BIGINT) AS runs,
+        |         CAST(SUM(sgn) AS BIGINT) AS n_above,
+        |         CAST(SUM(1 - sgn) AS BIGINT) AS n_below
+        |  FROM chg),
+        |fin AS (SELECT *, n_above + n_below AS n, 2 * n_above * n_below AS a FROM agg)
+        |SELECT n AS n_days, n_above, n_below, runs,
+        |       CASE WHEN n > 1 AND a > n THEN
+        |         CAST(floor(1000.0 * (CAST(runs AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)) /
+        |              sqrt(CAST(a AS DOUBLE) * (CAST(a AS DOUBLE) - CAST(n AS DOUBLE)) /
+        |                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS BIGINT)
+        |         ELSE 0 END AS z_milli,
+        |       CASE WHEN n > 1 AND a > n THEN
+        |         CAST(floor(1000.0 * (CAST(runs AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)) /
+        |              sqrt(CAST(a AS DOUBLE) * (CAST(a AS DOUBLE) - CAST(n AS DOUBLE)) /
+        |                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS BIGINT)
+        |         ELSE 0 END BETWEEN -1960 AND 1960 AS random_at_05
+        |FROM fin
+        |ORDER BY n_days""".stripMargin,
+
+    // same dense calendar grid, same n-scaled exact ACF numerators
+    // (HUGEINT mirrors DECIMAL(38,0)), same quantized-r portmanteau
+    "q413_ljung_box" ->
+      """WITH raw AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM raw),
+        |grid AS (
+        |  SELECT g.day, COALESCE(r.c, 0) AS c
+        |  FROM (SELECT UNNEST(generate_series(mn, mx)) AS day FROM bounds) g
+        |  LEFT JOIN raw r ON r.day = g.day),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s FROM grid),
+        |cent AS (SELECT day, n * c - s AS e, n FROM grid CROSS JOIN st),
+        |den AS (SELECT CAST(SUM(e * e) AS BIGINT) AS den, MAX(n) AS n FROM cent),
+        |lagged AS (
+        |  SELECT g.lag, a.e AS ea, b.e AS eb
+        |  FROM (SELECT UNNEST(generate_series(1, 7)) AS lag) g
+        |  CROSS JOIN cent a
+        |  JOIN cent b ON b.day = a.day + g.lag),
+        |nums AS (SELECT lag, CAST(SUM(ea * eb) AS BIGINT) AS num FROM lagged GROUP BY lag),
+        |rk AS (
+        |  SELECT lag, num, den.den, den.n,
+        |         CASE WHEN den.den <= 0 THEN 0
+        |              WHEN num >= 0 THEN CAST((CAST(num AS HUGEINT) * 1000000) // den.den AS BIGINT)
+        |              ELSE -CAST((CAST(-num AS HUGEINT) * 1000000) // den.den AS BIGINT) END AS r_micro
+        |  FROM nums CROSS JOIN den),
+        |rk2 AS (SELECT *, (r_micro * r_micro) // (n - lag) AS term_nano FROM rk),
+        |qs AS (SELECT CAST(SUM(term_nano) AS BIGINT) AS tsum, MAX(n) AS n,
+        |              CAST(count(*) AS BIGINT) AS n_lags
+        |       FROM rk2)
+        |SELECT CAST(r.lag AS BIGINT) AS lag, r.r_micro,
+        |       CAST(q.n AS BIGINT) AS n_days, q.n_lags,
+        |       CAST((q.n * (q.n + 2) * q.tsum) // 1000000000 AS BIGINT) AS q_milli,
+        |       (q.n * (q.n + 2) * q.tsum) // 1000000000 > 14067 AS reject_white_noise
+        |FROM rk2 r CROSS JOIN qs q
+        |ORDER BY lag""".stripMargin,
+
     // same daily counts, lag equi-join and moment-sum corr double
     "q292_volume_autocorr" ->
       """WITH daily AS (
