@@ -1106,6 +1106,52 @@ object SimilarityPack extends QueryPack {
       materialized(result, vecs).orderBy("q_id", "rk")
     },
 
+    // ---- DBSCAN over the LSH neighbor graph (Ester et al., KDD 1996):
+    // density-based clustering with ε = "cosine ≥ 0.4" and minPts = 3 —
+    // the clustering family member IVF/CC/LPA cannot replace: it finds
+    // arbitrarily-shaped dense regions and, unlike every partitioner,
+    // has an explicit NOISE verdict (the outlier lane a curation
+    // pipeline actually wants). The ε-neighborhood relation is q45's
+    // multi-probe LSH candidate generator (bucket-partitioned artifact,
+    // probe fan-out L×(b+1), never O(N²)) with exact fixed-point cosine
+    // verify — so this is the SCALE path's DBSCAN, and its oracle
+    // mirrors the candidate set exactly (the q45 discipline; recall vs
+    // the brute ε-graph is q08's measured 0.88+ story). Cores = degree
+    // ≥ minPts (one map-side-combining count); core clusters =
+    // [[PipelinePack.connectedComponents]] over core-core edges
+    // (min-label fixpoint ≡ the oracle's recursive min-closure);
+    // isolated cores label themselves; borders take the MIN core
+    // neighbor's cluster (deterministic tie rule); everything else is
+    // noise (-1). ----
+    "q414_dbscan" -> { (s, d) =>
+      requireBucketPruned(s, d)
+      val vecs = persistedVecs(s, d)
+      val prs = warmed(nearDupPairs(vecs, bucketBits(s, d), 0.4)
+        .select("vec_i", "vec_j"))
+      val sym = prs.select(col("vec_i").as("v"), col("vec_j").as("u"))
+        .unionByName(prs.select(col("vec_j").as("v"), col("vec_i").as("u")))
+      val core = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select("v")
+      val coreEdges = sym.join(core, "v")
+        .join(core.withColumnRenamed("v", "u"), "u").select("v", "u")
+      val cc = PipelinePack.connectedComponents(coreEdges)
+      val coreLab = core.join(cc, core("v") === cc("node"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("cluster"))
+      val nbCl = sym
+        .join(coreLab.select(col("v").as("u"), col("cluster").as("ncl")), "u")
+        .groupBy("v").agg(min("ncl").as("bcl"))
+      val result = Tables.embeddings(s, d).select(col("vec_id"))
+        .join(coreLab.select(col("v").as("vec_id"), col("cluster").as("ccl")),
+          Seq("vec_id"), "left")
+        .join(nbCl.select(col("v").as("vec_id"), col("bcl")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("ccl").isNotNull, lit("core"))
+            .when(col("bcl").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("ccl"), col("bcl"), lit(-1L)).cast("bigint").as("cluster"))
+      materialized(result, vecs, prs).orderBy("vec_id")
+    },
+
     // ---- TRIPLET MINING (Schroff et al. 2015, FaceNet; Hermans 2017
     // "In Defense of the Triplet Loss" batch-hard): for each anchor,
     // the HARDEST POSITIVE (same label, LOWEST cosine — the in-class
@@ -1809,7 +1855,45 @@ object SimilarityPack extends QueryPack {
       ("q255_hard_negatives" -> hardNegOracle) +
       ("q271_ivf_nprobe_curve" -> nprobeCurveOracle) +
       ("q393_ari_ivf_labels" -> ariOracle) +
-      ("q406_triplet_mining" -> tripletOracle)
+      ("q406_triplet_mining" -> tripletOracle) +
+      ("q414_dbscan" -> dbscanOracle)
+
+  /** q414's oracle: the exact q45 candidate set (nearDupOracle) as the
+    * ε-relation, recursive min-closure over core-core edges for the
+    * core clusters, min core neighbor for borders. Every CTE up to the
+    * recursion is MATERIALIZED: DuckDB inlines CTEs by default, and
+    * re-evaluating the LSH-cosine candidate subquery inside each
+    * recursion round turns a seconds-long closure into minutes. */
+  private def dbscanOracle: String =
+    s"""WITH RECURSIVE cand AS MATERIALIZED (
+       |  SELECT vec_i, vec_j FROM (${nearDupOracle(0.4)})),
+       |sym AS MATERIALIZED (
+       |  SELECT vec_i AS v, vec_j AS u FROM cand
+       |  UNION ALL SELECT vec_j, vec_i FROM cand),
+       |core AS MATERIALIZED (
+       |  SELECT v FROM (SELECT v, CAST(count(*) AS BIGINT) AS deg
+       |                 FROM sym GROUP BY v) WHERE deg >= 3),
+       |ce AS MATERIALIZED (
+       |  SELECT s.v, s.u FROM sym s
+       |  JOIN core a ON a.v = s.v JOIN core b ON b.v = s.u),
+       |reach(v, u) AS (
+       |  SELECT v, v AS u FROM core
+       |  UNION
+       |  SELECT r.v, e2.u FROM reach r JOIN ce e2 ON e2.v = r.u),
+       |lab AS MATERIALIZED (
+       |  SELECT v, CAST(min(u) AS BIGINT) AS cluster FROM reach GROUP BY v),
+       |nb AS MATERIALIZED (
+       |  SELECT s.v, CAST(MIN(l.cluster) AS BIGINT) AS bcl
+       |  FROM sym s JOIN lab l ON l.v = s.u GROUP BY s.v)
+       |SELECT a.vec_id,
+       |       CASE WHEN l.cluster IS NOT NULL THEN 'core'
+       |            WHEN n2.bcl IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       COALESCE(l.cluster, n2.bcl, -1) AS cluster
+       |FROM embeddings a
+       |LEFT JOIN lab l ON l.v = a.vec_id
+       |LEFT JOIN nb n2 ON n2.v = a.vec_id
+       |ORDER BY vec_id""".stripMargin
 
   /** q406's oracle: same quantized dots and norms, same panel; the
     * argmax/argmin replay as rank-1 windows (oracle scale is free). */

@@ -38,6 +38,10 @@ object DumpPlans {
     "q123_substr_dedup",    // rolling-span argmin + dup-only coverage explode
     "q124_priority_sample", // WindowGroupLimit partial top-k before the exchange
     "q126_vocab_coverage",  // two-phase distributed prefix sum, no global window
+    "q399_skyline",         // per-price max + distributed exclusiveMax scan
+    "q405_curriculum",      // keyed PrefixSum rank + vocab-bounded source index
+    "q408_token_budget_select", // global quality-ordered PrefixSum + broadcast budget
+    "q414_dbscan",          // LSH candidate ε-graph + CC over core-core edges
     "q127_source_overlap",  // shingle-artifact self-join, sources^2-bounded
     "q129_minhash_pr",      // shared sig/band artifacts, two-generator truth
     "q130_compaction_plan", // metadata-scale prefix sum, floor-division bins
