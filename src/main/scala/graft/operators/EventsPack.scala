@@ -811,6 +811,24 @@ object EventsPack extends QueryPack {
     // per-from row total (count * 1e6 div from_total — bit-identical
     // in both engines). Single shuffle key (user) for the sequencing,
     // then a 25-row matrix. ----
+    // ---- LONGEST CONSECUTIVE-DAY STREAK per user, by RECURSIVE CTE:
+    // Spark 4's WITH RECURSIVE surface exercised end-to-end with ONE
+    // SQL text shared verbatim with DuckDB (only the epoch-day
+    // extractor token differs) — the engagement metric every retention
+    // dashboard carries, here as the recursion-lane twin of the
+    // gaps-and-islands technique (q152's family). The recursion is
+    // SAFE by construction: seeds are streak STARTS (no previous day),
+    // each row extends to at most ONE successor (day+1 equi-join), and
+    // the day chain is acyclic — so UNION ALL (the only recursion mode
+    // Spark supports; UNION-dedup is rejected) terminates in
+    // max-streak-length rounds with total row volume = Σ streak
+    // lengths = |user-day pairs|. Each round is one (user_id, day)
+    // equi-join — partitioned, never a cross product. ----
+    "q415_streak_recursive" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(streakSql("datediff(CAST(ts AS DATE), DATE '1970-01-01')"))
+    },
+
     // ---- WALD–WOLFOWITZ RUNS TEST (Wald & Wolfowitz 1940) on the
     // daily event-volume sequence: is the above/below-median pattern
     // RANDOM, or does it clump (trend/regimes) or alternate
@@ -863,6 +881,56 @@ object EventsPack extends QueryPack {
             "ELSE 0 END").as("z_milli"))
         .withColumn("random_at_05",
           col("z_milli") >= -1960L && col("z_milli") <= 1960L)
+      result.orderBy("n_days")
+    },
+
+    // ---- PETTITT CHANGEPOINT TEST (Pettitt 1979, Applied Statistics
+    // 28): the rank-based single-changepoint locator next to q199's
+    // CUSUM — Mann–Whitney-founded, so it detects a LEVEL SHIFT
+    // without assuming normality or caring about outliers the way a
+    // mean-based statistic does. U_t = 2·Σ_{i≤t} rank(x_i) − t(n+1)
+    // computed EXACTLY via DOUBLED midranks over the daily-count value
+    // vocabulary (the q331/q334 machinery: r2 = 2·(cum − ct) + ct + 1,
+    // so U_t = Σ r2_i − t·(n+1) is pure int64); K = max |U_t| over the
+    // calendar-bounded day frame, earliest day on ties. The
+    // significance tail p ≈ 2·exp(−6K²/(n³+n²)) stays in the LOG
+    // domain (ln 2 literal, no exp ever evaluated — the q371
+    // discipline): ln_p_micro = 1e6·(ln2 − 6K²/(n³+n²)), reject at
+    // ln 0.05. ----
+    "q417_pettitt" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val vc = daily.groupBy("x").agg(count(lit(1)).as("ct"))
+      val wv = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranks = vc.withColumn("cum", sum("ct").over(wv))
+        .withColumn("r2", lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L)
+        .select("x", "r2")
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val wd = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wdRank = Window.orderBy("day")
+      val u = daily.join(broadcast(ranks), "x").crossJoin(broadcast(nn))
+        .withColumn("t", row_number().over(wdRank).cast("bigint"))
+        .withColumn("sr2", sum("r2").over(wd))
+        .withColumn("u", col("sr2") - col("t") * (col("n") + 1L))
+        .filter(col("t") < col("n")) // U_n = 0 by construction; exclude
+      val k = u.agg(max(abs(col("u"))).as("k"))
+      val result = u.crossJoin(broadcast(k))
+        .filter(abs(col("u")) === col("k"))
+        .groupBy("n", "k")
+        .agg(min("day").as("change_day"))
+        .select(col("n").cast("bigint").as("n_days"),
+          col("k").cast("bigint").as("k_stat"),
+          col("change_day").cast("bigint").as("change_day"),
+          expr("cast(floor(1000000.0 * (0.6931471805599453 - " +
+            "6.0 * cast(k as double) * cast(k as double) / " +
+            "(cast(n as double) * cast(n as double) * cast(n as double) " +
+            "+ cast(n as double) * cast(n as double)))) as bigint)")
+            .as("ln_p_micro"))
+        .withColumn("reject_stable", col("ln_p_micro") <= lit(-2995732L))
       result.orderBy("n_days")
     },
 
@@ -2200,7 +2268,76 @@ object EventsPack extends QueryPack {
       |  ON p.user_id = s.r_user_id AND p.us >= s.signup_us
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q415 template: ONE text for both engines; `day` is the
+    * engine-specific epoch-day extractor (Spark datediff vs DuckDB
+    * epoch_us floor-div). Seeds at streak starts; single-successor
+    * UNION ALL recursion (see the q415 comment for the safety
+    * argument). */
+  private[operators] def streakSql(day: String): String =
+    s"""WITH RECURSIVE days AS (
+       |  SELECT DISTINCT user_id, CAST($day AS BIGINT) AS day FROM events),
+       |starts AS (
+       |  SELECT d.user_id, d.day
+       |  FROM days d LEFT JOIN days p
+       |    ON p.user_id = d.user_id AND p.day = d.day - 1
+       |  WHERE p.user_id IS NULL),
+       |streak(user_id, start_day, day, len) AS (
+       |  SELECT user_id, day, day, CAST(1 AS BIGINT) FROM starts
+       |  UNION ALL
+       |  SELECT s.user_id, s.start_day, n.day, s.len + 1
+       |  FROM streak s JOIN days n
+       |    ON n.user_id = s.user_id AND n.day = s.day + 1),
+       |best AS (
+       |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_len
+       |  FROM streak GROUP BY user_id),
+       |fin AS (
+       |  SELECT b.user_id, b.max_len, CAST(MIN(s.start_day) AS BIGINT) AS start_day
+       |  FROM best b JOIN streak s
+       |    ON s.user_id = b.user_id AND s.len = b.max_len
+       |  GROUP BY b.user_id, b.max_len)
+       |SELECT user_id, max_len, start_day FROM fin
+       |ORDER BY user_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+
+    // shared recursive text verbatim; only the epoch-day token differs
+    "q415_streak_recursive" ->
+      streakSql("epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"),
+
+    // same doubled-midrank vocabulary ranks, same calendar-bounded
+    // cumsum U_t, same log-domain tail with identical literals
+    "q417_pettitt" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |vc AS (SELECT x, CAST(count(*) AS BIGINT) AS ct FROM daily GROUP BY x),
+        |ranks AS (
+        |  SELECT x, 2 * (CAST(SUM(ct) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ct) + ct + 1 AS r2
+        |  FROM vc),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |u AS (
+        |  SELECT d.day, nn.n,
+        |         CAST(row_number() OVER (ORDER BY d.day) AS BIGINT) AS t,
+        |         CAST(SUM(r.r2) OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sr2
+        |  FROM daily d JOIN ranks r ON r.x = d.x CROSS JOIN nn),
+        |u2 AS (SELECT day, n, sr2 - t * (n + 1) AS u FROM u WHERE t < n),
+        |k AS (SELECT CAST(MAX(abs(u)) AS BIGINT) AS k FROM u2),
+        |fin AS (
+        |  SELECT u2.n, k.k, CAST(MIN(u2.day) AS BIGINT) AS change_day
+        |  FROM u2 CROSS JOIN k WHERE abs(u2.u) = k.k
+        |  GROUP BY u2.n, k.k)
+        |SELECT n AS n_days, k AS k_stat, change_day,
+        |       CAST(floor(1000000.0 * (0.6931471805599453 -
+        |            6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) /
+        |            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |             + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS ln_p_micro,
+        |       CAST(floor(1000000.0 * (0.6931471805599453 -
+        |            6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) /
+        |            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |             + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) <= -2995732 AS reject_stable
+        |FROM fin
+        |ORDER BY n_days""".stripMargin,
 
     // same exact vocabulary median, same tie-drop, same one-lag runs
     // count and identical divide/sqrt/floor z text

@@ -811,6 +811,22 @@ object RelationalPack4 extends QueryPack {
       s.sql(q14Sql("div"))
     },
 
+    // ---- LATERAL correlated top-N (SQL:2003 lateral derived tables,
+    // the "top 2 per group" idiom): per-nation two highest account
+    // balances via `, LATERAL (... ORDER BY ... LIMIT 2)` — ONE SQL
+    // text shared verbatim between Spark 4's lateral-join surface and
+    // DuckDB, exercising correlated-subquery planning that none of the
+    // window-based top-k queries (q22/q124) touch. Exact cents
+    // ordering with the custkey tiebreak makes the LIMIT
+    // deterministic. Scale: the OUTER side is the nation vocabulary
+    // (bounded — 25 rows fan out to 25 correlated probes); for a
+    // row-scale outer the WindowGroupLimit partial top-k (q124) is the
+    // right plan, not LATERAL. ----
+    "q416_lateral_topn" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(lateralTopnSql)
+    },
+
     // ---- 2-D SKYLINE / PARETO FRONTIER (Börzsönyi 2001 "The Skyline
     // Operator"): parts no other part beats on BOTH price (minimize)
     // and size (maximize) — the catalog-curation query behind "best
@@ -880,7 +896,23 @@ object RelationalPack4 extends QueryPack {
        |GROUP BY snap
        |ORDER BY snap""".stripMargin
 
+  /** q416: ONE text, both engines (no tokens differ). */
+  private val lateralTopnSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS INT) AS nat,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |nats AS (SELECT DISTINCT nat FROM c)
+      |SELECT n.nat, x.c_custkey, x.cents
+      |FROM nats n, LATERAL (
+      |  SELECT c_custkey, cents FROM c WHERE c.nat = n.nat
+      |  ORDER BY cents DESC, c_custkey LIMIT 2) x
+      |ORDER BY nat, cents DESC, c_custkey""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+
+    // the identical shared text
+    "q416_lateral_topn" -> lateralTopnSql,
     "q349_repeat_interval" ->
       """WITH ords AS (
         |  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
