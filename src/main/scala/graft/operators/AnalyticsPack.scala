@@ -753,6 +753,77 @@ object AnalyticsPack extends QueryPack {
       s.sql(mannKendallSql)
     },
 
+    // ---- SEASONAL MANN–KENDALL (Hirsch & Slack 1984): q370's trend
+    // test made immune to PERIODIC structure — S and the tie-corrected
+    // 18·Var(S) are computed PER DAY-OF-WEEK stratum (pairs only
+    // compare same-weekday days, so the weekly cycle q292's lag-7 ACF
+    // measures can't masquerade as a trend) and then summed; the z
+    // guard and continuity correction are q370's exactly. One template
+    // text (the dow is the q382 epoch-day arithmetic — engine date
+    // functions disagree on week start, so only the epoch-day token
+    // differs); per-stratum day pairs stay calendar²-bounded. ----
+    "q418_seasonal_mk" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(seasonalMkSql("datediff(CAST(ts AS DATE), DATE '1970-01-01')"))
+    },
+
+    // ---- COCHRAN–ARMITAGE TREND TEST (Cochran 1954; Armitage 1955):
+    // does the conversion RATE rise or fall monotonically across
+    // ordered spend deciles? The chi-square family (q172) only says
+    // "rates differ somewhere"; CA weights each decile by its ordinal
+    // score and tests the linear component — the standard dose-response
+    // test, here "does pre-period spend predict conversion". Deciles
+    // come from the q397 PrefixSum rank discipline (never a row-scale
+    // rank window); T = Σ wᵢ(yᵢ·N − nᵢ·Y) and Var·N = Y(N−Y)·(N·Σw²n −
+    // (Σwn)²)/N are exact int64 off the 10-row decile frame; z is one
+    // identical divide/sqrt/floor text. ----
+    "q419_cochran_armitage" -> { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          col("o_orderdate").cast("timestamp").as("od"))
+      val pre = spend.filter(col("od") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("c_custkey").agg(sum("cents").as("x"))
+      val post = spend.filter(col("od") >= lit("1998-01-01").cast("timestamp"))
+        .select("c_custkey").distinct().withColumn("y", lit(1L))
+      val users = Tables.customer(s, d).select(col("c_custkey"))
+        .join(pre, Seq("c_custkey"), "left").na.fill(0L, Seq("x"))
+        .join(post, Seq("c_custkey"), "left").na.fill(0L, Seq("y"))
+      val ranked = graft.functions.PrefixSum.inclusive(users,
+        Seq(col("x").desc, col("c_custkey")), Seq((lit(1L), "rk")))
+      val nAll = ranked.agg(count(lit(1)).as("n"))
+      val dec = ranked.crossJoin(broadcast(nAll))
+        .withColumn("w", expr("((rk - 1) * 10) div n"))
+        .groupBy("w").agg(count(lit(1)).as("ni"), sum("y").as("yi"))
+      val tot = dec.agg(sum("ni").as("nn"), sum("yi").as("yy"),
+        sum(expr("w * ni")).as("swn"), sum(expr("w * w * ni")).as("swwn"),
+        sum(expr("w * yi")).as("swy"))
+      val result = dec.crossJoin(broadcast(tot))
+        .withColumn("t_i", expr("w * (yi * nn - ni * yy)"))
+        .groupBy("nn", "yy", "swn", "swwn", "swy")
+        .agg(sum("t_i").as("t"))
+        .select(col("nn").cast("bigint").as("n_users"),
+          col("yy").cast("bigint").as("n_converted"),
+          col("t").cast("bigint").as("t_stat"),
+          expr("yy * (nn - yy)").cast("bigint").as("ybin"),
+          expr("nn * swwn - swn * swn").cast("bigint").as("wvar_n"),
+          expr("CASE WHEN yy > 0 AND yy < nn AND nn * swwn - swn * swn > 0 THEN " +
+            "cast(floor(1000.0 * cast(t as double) / " +
+            "sqrt(cast(yy * (nn - yy) as double) * " +
+            "cast(nn * swwn - swn * swn as double) / cast(nn as double))) as bigint) " +
+            "ELSE 0 END").as("z_milli"))
+        .withColumn("trend", expr("CASE WHEN z_milli > 1960 THEN 'increasing' " +
+          "WHEN z_milli < -1960 THEN 'decreasing' ELSE 'none' END"))
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+        val wins = result.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        require(wins.forall(w => (w.partitionSpec ++ w.orderSpec)
+            .flatMap(_.references.toSeq).exists(_.name == "__pid")),
+          "q419: a non-PrefixSum row-scale window appeared")
+      }
+      result.orderBy("n_users")
+    },
+
     // ---- WILSON SCORE INTERVALS (Wilson 1927) for the per-weekday
     // purchase share: the proportion CI that stays inside [0,1] and
     // behaves at small n where the normal (Wald) interval collapses —
@@ -1028,6 +1099,48 @@ object AnalyticsPack extends QueryPack {
       |       CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
       |         > 5.991464547107979 AS reject_normal
       |FROM g ORDER BY source""".stripMargin
+
+  /** q418 template: q370's S/var18/z machinery stratified by
+    * DAY-OF-WEEK via the q382 epoch-day arithmetic ((day+4) % 7 —
+    * engine date functions disagree on week-start so the dow is
+    * derived, not named); `day` is the engine-specific epoch-day
+    * extractor. */
+  private def seasonalMkSql(day: String): String =
+    s"""WITH days AS (
+      |  SELECT CAST(($day + 4) % 7 AS INT) AS m,
+      |         CAST($day AS BIGINT) AS dy,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.m, CAST(SUM(CASE WHEN b.x > a.x THEN 1
+      |                            WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_m
+      |  FROM days a JOIN days b ON a.m = b.m AND a.dy < b.dy
+      |  GROUP BY a.m),
+      |vc AS (SELECT m, x, CAST(count(*) AS BIGINT) AS c FROM days GROUP BY 1, 2),
+      |tie AS (SELECT m, CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c * (c - 1) * (2 * c + 5) ELSE 0 END), 0) AS BIGINT) AS tsum
+      |        FROM vc GROUP BY m),
+      |nm AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM days GROUP BY m),
+      |per AS (
+      |  SELECT nm.m, nm.n, pr.s_m,
+      |         nm.n * (nm.n - 1) * (2 * nm.n + 5) - tie.tsum AS var18_m
+      |  FROM nm JOIN pr ON pr.m = nm.m JOIN tie ON tie.m = nm.m),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+      |         CAST(SUM(s_m) AS BIGINT) AS s_stat,
+      |         CAST(SUM(var18_m) AS BIGINT) AS var18
+      |  FROM per),
+      |z AS (SELECT n_seasons, s_stat, var18,
+      |             CASE WHEN var18 <= 0 THEN CAST(0 AS BIGINT)
+      |                  ELSE CAST(floor(1000.0 * (CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+      |                                                 WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+      |                                                 ELSE 0.0 END)
+      |                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END AS z_milli
+      |      FROM tot)
+      |SELECT n_seasons, s_stat, var18, z_milli,
+      |       CASE WHEN z_milli > 1960 THEN 'increasing'
+      |            WHEN z_milli < -1960 THEN 'decreasing'
+      |            ELSE 'none' END AS trend
+      |FROM z ORDER BY n_seasons""".stripMargin
 
   /** q370: ONE SQL text for both engines; sign() is avoided (Spark
     * returns DOUBLE) in favor of a portable CASE comparison. */
@@ -1541,6 +1654,60 @@ object AnalyticsPack extends QueryPack {
 
     // same shared string: exact S / 18·Var(S), one sqrt
     "q370_mann_kendall" -> mannKendallSql,
+
+    // the shared weekday-stratified text; only the epoch-day token differs
+    "q418_seasonal_mk" ->
+      seasonalMkSql("epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"),
+
+    // same PrefixSum-rank deciles (oracle replays with row_number),
+    // same exact T and variance products, identical z text
+    "q419_cochran_armitage" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(o_orderdate AS TIMESTAMP) AS od
+        |  FROM orders),
+        |pre AS (SELECT c_custkey, CAST(SUM(cents) AS BIGINT) AS x
+        |        FROM spend WHERE od < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |post AS (SELECT DISTINCT c_custkey, CAST(1 AS BIGINT) AS y
+        |         FROM spend WHERE od >= TIMESTAMP '1998-01-01'),
+        |u AS (
+        |  SELECT c.c_custkey, COALESCE(p.x, 0) AS x, COALESCE(q.y, 0) AS y
+        |  FROM customer c
+        |  LEFT JOIN pre p ON p.c_custkey = c.c_custkey
+        |  LEFT JOIN post q ON q.c_custkey = c.c_custkey),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY x DESC, c_custkey) AS BIGINT) AS rk,
+        |             CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM u),
+        |dec AS (
+        |  SELECT ((rk - 1) * 10) // n AS w,
+        |         CAST(count(*) AS BIGINT) AS ni, CAST(SUM(y) AS BIGINT) AS yi
+        |  FROM r GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(ni) AS BIGINT) AS nn, CAST(SUM(yi) AS BIGINT) AS yy,
+        |         CAST(SUM(w * ni) AS BIGINT) AS swn,
+        |         CAST(SUM(w * w * ni) AS BIGINT) AS swwn
+        |  FROM dec),
+        |tt AS (
+        |  SELECT CAST(SUM(d.w * (d.yi * t.nn - d.ni * t.yy)) AS BIGINT) AS t,
+        |         MAX(t.nn) AS nn, MAX(t.yy) AS yy, MAX(t.swn) AS swn, MAX(t.swwn) AS swwn
+        |  FROM dec d CROSS JOIN tot t),
+        |fin AS (
+        |  SELECT nn AS n_users, yy AS n_converted, t AS t_stat,
+        |         yy * (nn - yy) AS ybin, nn * swwn - swn * swn AS wvar_n,
+        |         CASE WHEN yy > 0 AND yy < nn AND nn * swwn - swn * swn > 0 THEN
+        |           CAST(floor(1000.0 * CAST(t AS DOUBLE) /
+        |                sqrt(CAST(yy * (nn - yy) AS DOUBLE) *
+        |                     CAST(nn * swwn - swn * swn AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT)
+        |           ELSE 0 END AS z_milli
+        |  FROM tt)
+        |SELECT n_users, n_converted, t_stat, CAST(ybin AS BIGINT) AS ybin,
+        |       CAST(wvar_n AS BIGINT) AS wvar_n, z_milli,
+        |       CASE WHEN z_milli > 1960 THEN 'increasing'
+        |            WHEN z_milli < -1960 THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM fin
+        |ORDER BY n_users""".stripMargin,
 
     // identical template; only the micros extractor differs
     "q382_wilson_intervals" -> wilsonSql("epoch_us(CAST(ts AS TIMESTAMP))"),
