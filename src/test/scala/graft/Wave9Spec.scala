@@ -146,6 +146,70 @@ class Wave9Spec extends AnyFunSuite {
     assert(st.get.pts.toSet == Set((90L, 5L)))
   }
 
+  test("q415 recursive streaks reproduce a designed two-user fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w9_streak").toString
+    def ts(day: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + 3600000L)
+    // user 1: days 10,11,12 then 20,21 -> max streak 3 starting day 10;
+    // user 2: single day 15 -> streak 1
+    val evs = Seq(10, 11, 12, 20, 21).zipWithIndex.map { case (d, i) =>
+      (i.toLong, ts(d), 1L, "view", 1.0, "{}")
+    } ++ Seq((99L, ts(15), 2L, "view", 1.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q415_streak_recursive")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 10L), (2L, 1L, 15L)))
+  }
+
+  test("q417 Pettitt locates a designed level shift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w9_pettitt").toString
+    def ts(day: Int, i: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + i * 60000L)
+    // days 100..109 at 1 event/day, days 110..119 at 3 events/day:
+    // clean level shift after day 109. Doubled midranks: low days all
+    // 11, so U_10 = 110 - 10*21 = -100 -> K = 100 at t = 10.
+    var id = 0L
+    val evs = (100 to 109).flatMap { d => id += 1; Seq((id, ts(d, 0), d.toLong, "view", 1.0, "{}")) } ++
+      (110 to 119).flatMap { d =>
+        (0 until 3).map { i => id += 1; (id, ts(d, i), d.toLong, "view", 1.0, "{}") }
+      }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q417_pettitt")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_days") == 20L)
+    assert(r.getAs[Long]("k_stat") == 100L)
+    assert(r.getAs[Long]("change_day") == 109L)
+    assert(r.getAs[Boolean]("reject_stable"))
+  }
+
+  test("q419 Cochran-Armitage flags a designed monotone dose-response") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w9_ca").toString
+    (1 to 100).map(k => (k.toLong, f"Customer#$k%09d", 0, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // pre-period spend = custkey dollars -> decile 0 holds custkeys
+    // 100..91, ...; post-period purchase only for custkeys > 50 ->
+    // conversion is 100% in deciles 0-4 and 0% in 5-9: a perfect
+    // decreasing dose-response (T = -12500 on the designed counts)
+    val pre = (1 to 100).map(k =>
+      (k.toLong, k.toLong, "O", k.toDouble, ts("1997-06-01"), "1-URGENT"))
+    val post = (51 to 100).map(k =>
+      (1000L + k, k.toLong, "O", 1.0, ts("1998-06-01"), "1-URGENT"))
+    (pre ++ post).toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q419_cochran_armitage")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_users") == 100L)
+    assert(r.getAs[Long]("n_converted") == 50L)
+    assert(r.getAs[Long]("t_stat") == -12500L)
+    assert(r.getAs[String]("trend") == "decreasing")
+  }
+
   test("q407 Holm rejects a subset of q371 BH rejections") {
     val bh = SparkEntry.queries("q371_ks_fdr")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Boolean]("reject_fdr")).toMap
