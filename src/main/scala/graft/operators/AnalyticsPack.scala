@@ -1002,6 +1002,21 @@ object AnalyticsPack extends QueryPack {
       val dims = grid.agg(
         countDistinct("nat").as("r"), countDistinct("seg").as("c"),
         sum("term_micro").as("chi2_micro"))
+      // Corpus-precondition REQUIRE (enforced, not just documented —
+      // r9 ADVICE): reject_indep compares chi2 against the FIXED
+      // χ²₀.₀₅(96) critical value 119.871, which is only the right
+      // literal at the full 25×5 nation×segment vocabulary. On a
+      // corpus missing a nation or segment the dynamic dof and the
+      // decision literal would silently disagree — fail loudly instead.
+      locally {
+        val rc = base.agg(countDistinct("nat").as("r"),
+          countDistinct("seg").as("c")).head
+        val (r0, c0) = (rc.getLong(0), rc.getLong(1))
+        require((r0 - 1) * (c0 - 1) == 96L,
+          s"q411 corpus precondition violated: dof = ${(r0 - 1) * (c0 - 1)} " +
+            s"(categories ${r0}x${c0}), but reject_indep's critical value " +
+            "119.871 is pinned to dof = 96 (the full 25x5 vocabulary)")
+      }
       val result = dims.crossJoin(broadcast(nn))
         .withColumn("mindim", expr("least(r - 1, c - 1)"))
         .select(col("n").cast("bigint").as("n_rows"),

@@ -1505,8 +1505,15 @@ object CleanPack extends QueryPack {
           col("n_m").cast("bigint").as("n_m"),
           col("u_cnt").cast("bigint").as("u_cnt"),
           col("n_u").cast("bigint").as("n_u"))
-        .withColumn("m_ppm", expr("(m_cnt * 1000000) div n_m"))
-        .withColumn("u_ppm", expr("(u_cnt * 1000000) div n_u"))
+        // degenerate-sample guard (r9 ADVICE): if the salted-hash
+        // bucket join yields ZERO sampled nonmatch pairs (possible on
+        // a tiny corpus), an unguarded division is NULL on Spark but
+        // an ERROR on DuckDB — guard BOTH ppm ratios in both engines
+        // so the engines fail soft identically.
+        .withColumn("m_ppm",
+          expr("CASE WHEN n_m > 0 THEN (m_cnt * 1000000) div n_m ELSE 0 END"))
+        .withColumn("u_ppm",
+          expr("CASE WHEN n_u > 0 THEN (u_cnt * 1000000) div n_u ELSE 0 END"))
         .withColumn("weight_milli",
           expr("CASE WHEN u_ppm > 0 THEN (m_ppm * 1000) div u_ppm ELSE -1 END"))
       result.orderBy("field")
@@ -2504,8 +2511,8 @@ object CleanPack extends QueryPack {
         |  SELECT 'segment', ms.m_seg, ms.n_m, us.u_seg, us.n_u FROM ms, us),
         |rows1 AS (
         |  SELECT field, m_cnt, n_m, u_cnt, n_u,
-        |         (m_cnt * 1000000) // n_m AS m_ppm,
-        |         (u_cnt * 1000000) // n_u AS u_ppm
+        |         CASE WHEN n_m > 0 THEN (m_cnt * 1000000) // n_m ELSE 0 END AS m_ppm,
+        |         CASE WHEN n_u > 0 THEN (u_cnt * 1000000) // n_u ELSE 0 END AS u_ppm
         |  FROM rows0)
         |SELECT field, m_cnt, n_m, u_cnt, n_u, m_ppm, u_ppm,
         |       CASE WHEN u_ppm > 0 THEN (m_ppm * 1000) // u_ppm ELSE -1 END AS weight_milli

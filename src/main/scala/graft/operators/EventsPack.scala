@@ -942,11 +942,14 @@ object EventsPack extends QueryPack {
     // included). The day axis is the DENSE calendar grid per the q380
     // lesson (gap days count as zero, not absent); autocorrelations
     // avoid fractional means by the n-scaled identity r_k =
-    // Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)² — exact int64 numerators
-    // (safe through ~1e5 daily counts × 1e3 days; DECIMAL beyond),
-    // floor-quantized to micro via sign/abs division; Q = n(n+2)·Σ
-    // r_k²/(n−k) assembled from the quantized r's in pure integer
-    // arithmetic. χ²₀.₀₅(7) = 14.067 enters as a literal. ----
+    // Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)² — each residual e = n·c−S
+    // fits int64 through ~1e9 daily counts × 1e9 days, and the
+    // e-product SUMS accumulate in DECIMAL(38,0) ↔ HUGEINT (r9 ADVICE:
+    // at 1e5 daily counts × 1e3 days the int64 sum of ~1e16 products
+    // already wraps), floor-quantized to micro via sign/abs division;
+    // Q = n(n+2)·Σ r_k²/(n−k) assembled from the quantized r's with a
+    // DECIMAL(38,0)-widened n² product (quotient ≲ 7000·n fits int64).
+    // χ²₀.₀₅(7) = 14.067 enters as a literal. ----
     "q413_ljung_box" -> { (s, d) =>
       val raw = Tables.events(s, d)
         .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
@@ -959,13 +962,15 @@ object EventsPack extends QueryPack {
       val cent = grid.crossJoin(broadcast(st))
         .withColumn("e", col("n") * col("c") - col("s"))
         .select("day", "e", "n")
-      val den = cent.agg(sum(col("e") * col("e")).as("den"), max("n").as("n"))
+      val den = cent.agg(sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("den"),
+        max("n").as("n"))
       val lagged = cent.select(col("day"), col("e"))
         .withColumn("lag", explode(expr("sequence(1, 7)")))
         .select(col("lag"), (col("day") + col("lag")).as("day"),
           col("e").as("ea"))
         .join(cent.select(col("day"), col("e").as("eb")), "day")
-      val nums = lagged.groupBy("lag").agg(sum(col("ea") * col("eb")).as("num"))
+      val nums = lagged.groupBy("lag")
+        .agg(sum(expr("CAST(ea AS DECIMAL(38,0)) * eb")).as("num"))
       val rk = nums.crossJoin(broadcast(den))
         .withColumn("r_micro", expr(
           "CASE WHEN den <= 0 THEN 0 " +
@@ -974,7 +979,8 @@ object EventsPack extends QueryPack {
         .withColumn("term_nano", expr("(r_micro * r_micro) div (n - lag)"))
       val qstat = rk.agg(sum("term_nano").as("tsum"), max("n").as("n"),
           count(lit(1)).as("n_lags"))
-        .withColumn("q_milli", expr("(n * (n + 2) * tsum) div 1000000000"))
+        .withColumn("q_milli",
+          expr("(CAST(n AS DECIMAL(38,0)) * (n + 2) * tsum) div 1000000000"))
       val result = qstat
         .select(col("n").cast("bigint").as("n_days"),
           col("n_lags").cast("bigint").as("n_lags"),
@@ -2392,13 +2398,13 @@ object EventsPack extends QueryPack {
         |  LEFT JOIN raw r ON r.day = g.day),
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s FROM grid),
         |cent AS (SELECT day, n * c - s AS e, n FROM grid CROSS JOIN st),
-        |den AS (SELECT CAST(SUM(e * e) AS BIGINT) AS den, MAX(n) AS n FROM cent),
+        |den AS (SELECT SUM(CAST(e AS HUGEINT) * e) AS den, MAX(n) AS n FROM cent),
         |lagged AS (
         |  SELECT g.lag, a.e AS ea, b.e AS eb
         |  FROM (SELECT UNNEST(generate_series(1, 7)) AS lag) g
         |  CROSS JOIN cent a
         |  JOIN cent b ON b.day = a.day + g.lag),
-        |nums AS (SELECT lag, CAST(SUM(ea * eb) AS BIGINT) AS num FROM lagged GROUP BY lag),
+        |nums AS (SELECT lag, SUM(CAST(ea AS HUGEINT) * eb) AS num FROM lagged GROUP BY lag),
         |rk AS (
         |  SELECT lag, num, den.den, den.n,
         |         CASE WHEN den.den <= 0 THEN 0
@@ -2411,8 +2417,8 @@ object EventsPack extends QueryPack {
         |       FROM rk2)
         |SELECT CAST(r.lag AS BIGINT) AS lag, r.r_micro,
         |       CAST(q.n AS BIGINT) AS n_days, q.n_lags,
-        |       CAST((q.n * (q.n + 2) * q.tsum) // 1000000000 AS BIGINT) AS q_milli,
-        |       (q.n * (q.n + 2) * q.tsum) // 1000000000 > 14067 AS reject_white_noise
+        |       CAST((CAST(q.n AS HUGEINT) * (q.n + 2) * q.tsum) // 1000000000 AS BIGINT) AS q_milli,
+        |       (CAST(q.n AS HUGEINT) * (q.n + 2) * q.tsum) // 1000000000 > 14067 AS reject_white_noise
         |FROM rk2 r CROSS JOIN qs q
         |ORDER BY lag""".stripMargin,
 

@@ -1106,7 +1106,11 @@ object PipelinePack extends QueryPack {
           col("n_sel").cast("bigint").as("n_sel"),
           col("tok_total").cast("bigint").as("tok_total"),
           col("tok_sel").cast("bigint").as("tok_sel"),
-          expr("(tok_sel * 1000000) div tok_total").cast("bigint")
+          // zero-token source guard (r9 ADVICE): an all-empty source
+          // gives NULL on Spark but a div-by-zero ERROR on DuckDB —
+          // guard to 0 in BOTH engines so they stay hash-identical.
+          expr("CASE WHEN tok_total > 0 THEN (tok_sel * 1000000) div tok_total " +
+            "ELSE 0 END").cast("bigint")
             .as("sel_share_ppm"),
           col("budget").cast("bigint").as("budget"))
       locally {
@@ -1720,7 +1724,7 @@ object PipelinePack extends QueryPack {
         |       CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
         |       CAST(SUM(n_tok) AS BIGINT) AS tok_total,
         |       CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT) AS tok_sel,
-        |       CAST((SUM(CASE WHEN selected THEN n_tok ELSE 0 END) * 1000000) // SUM(n_tok) AS BIGINT) AS sel_share_ppm,
+        |       CAST(CASE WHEN SUM(n_tok) > 0 THEN (SUM(CASE WHEN selected THEN n_tok ELSE 0 END) * 1000000) // SUM(n_tok) ELSE 0 END AS BIGINT) AS sel_share_ppm,
         |       CAST(MAX(budget) AS BIGINT) AS budget
         |FROM sel
         |GROUP BY source
