@@ -829,6 +829,39 @@ object EventsPack extends QueryPack {
       s.sql(streakSql("datediff(CAST(ts AS DATE), DATE '1970-01-01')"))
     },
 
+    // ---- LONGEST CONSECUTIVE-DAY STREAK, GAPS-AND-ISLANDS LANE: the
+    // SAME metric as q415 computed by the fast non-recursive technique
+    // (day − row_number() per user is constant exactly along a
+    // consecutive run — the q152 SCD2 idiom), gated against q415's
+    // DuckDB oracle TEXT VERBATIM, so the claimed equivalence of the
+    // two formulations is an enforced hash identity rather than prose
+    // (the q164/q168 dual-formulation discipline; r9 VERDICT demand).
+    // One per-user window + two vocabulary-sized aggregates — no
+    // per-round scheduling floor, which is why this lane is the one a
+    // 100 TB run should use (q415 exists to gate the WITH RECURSIVE
+    // planner surface itself). Ties on max_len keep the earliest
+    // start_day via the lexicographic max of (len, −start_day). ----
+    "q420_streak_islands" -> { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      val result = islands
+        .groupBy("user_id")
+        .agg(max(struct(col("len"), (-col("start_day")).as("neg_start")))
+          .as("best"))
+        .select(col("user_id"),
+          col("best.len").cast("bigint").as("max_len"),
+          (-col("best.neg_start")).cast("bigint").as("start_day"))
+      result.orderBy("user_id")
+    },
+
     // ---- WALD–WOLFOWITZ RUNS TEST (Wald & Wolfowitz 1940) on the
     // daily event-volume sequence: is the above/below-median pattern
     // RANDOM, or does it clump (trend/regimes) or alternate
@@ -2308,6 +2341,12 @@ object EventsPack extends QueryPack {
 
     // shared recursive text verbatim; only the epoch-day token differs
     "q415_streak_recursive" ->
+      streakSql("epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"),
+
+    // q415's oracle TEXT VERBATIM: the gaps-and-islands lane must
+    // hash-match the recursive formulation's oracle exactly — two
+    // independent formulations, one truth (q164/q168 discipline)
+    "q420_streak_islands" ->
       streakSql("epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"),
 
     // same doubled-midrank vocabulary ranks, same calendar-bounded

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent validations for the round-10 operators. The headline pin
+  * is the q415 ≡ q420 dual-formulation identity: the recursive-CTE
+  * streak metric and its gaps-and-islands twin must agree ROW FOR ROW
+  * on the real corpus (they already share one DuckDB oracle text — the
+  * q164/q168 discipline — but the in-repo pin catches a divergence
+  * without needing the oracle harness).
+  */
+class Wave10Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q420 gaps-and-islands streaks equal q415 recursive streaks row-for-row") {
+    val rec = SparkEntry.queries("q415_streak_recursive")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val isl = SparkEntry.queries("q420_streak_islands")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rec.nonEmpty)
+    assert(isl === rec)
+  }
+
+  test("q420 reproduces the designed two-user fixture (q415's fixture)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w10_streak").toString
+    def ts(day: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + 3600000L)
+    // user 1: days 10,11,12 then 20,21 -> max streak 3 starting day 10;
+    // user 2: single day 15 -> streak 1. Tie case: user 3 has two
+    // length-2 streaks (30,31 and 40,41) -> earliest start day 30 wins.
+    val evs = Seq(10, 11, 12, 20, 21).zipWithIndex.map { case (d, i) =>
+      (i.toLong, ts(d), 1L, "view", 1.0, "{}")
+    } ++ Seq((99L, ts(15), 2L, "view", 1.0, "{}")) ++
+      Seq(30, 31, 40, 41).zipWithIndex.map { case (d, i) =>
+        (200L + i, ts(d), 3L, "view", 1.0, "{}")
+      }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q420_streak_islands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 10L), (2L, 1L, 15L), (3L, 2L, 30L)))
+    // and the recursive lane agrees on the tie-breaking fixture too
+    val rec = SparkEntry.queries("q415_streak_recursive")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rec === got)
+  }
+}
