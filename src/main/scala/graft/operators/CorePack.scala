@@ -165,6 +165,38 @@ object CorePack extends QueryPack {
         Tables.documents(s, dir).write.mode("overwrite").orc(tmp)
       }
       roundTripDigest(s.read.orc(path))
+    },
+
+    // ---- FILE-METADATA SOURCE AUDIT: the `_metadata` hidden struct
+    // and `input_file_name()` — the one SURVEY §1.2 Spark source
+    // surface with no registry gate until now (r9 VERDICT demand #4).
+    // Per table, group rows by the REAL `_metadata.file_name` the scan
+    // attaches and count them; `path_consistent` bool_and-asserts that
+    // `input_file_name()`'s path ends with that name on EVERY row (two
+    // independent metadata surfaces must agree). The oracle can't
+    // reach filenames through its view registry, so it states the
+    // expected single-file layout (`<table>.parquet`) as literals with
+    // the view's own count — if Spark's metadata column returned
+    // anything else the name or count hash-fails. This per-file
+    // group-count is exactly the lineage audit a 100 TB ingest runs
+    // (per-file row counts vs a manifest); at a multi-file root the
+    // same plan fans out to one row per file with no change. ----
+    "q421_file_audit" -> { (s, dir) =>
+      // events ships TIMESTAMP(NANOS) in some corpus generations —
+      // same legacy conf the Tables.events loader sets
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.map { n =>
+        Tables.table(s, dir, n)
+          .select(col("_metadata.file_name").as("file_name"),
+            input_file_name().as("path"))
+          .groupBy("file_name")
+          .agg(count(lit(1)).as("n_rows"),
+            bool_and(expr("endswith(path, file_name)")).as("path_consistent"))
+          .select(lit(n).as("table_name"), col("file_name"),
+            col("n_rows").cast("bigint").as("n_rows"), col("path_consistent"))
+      }.reduce(_ unionByName _).orderBy("table_name", "file_name")
     }
   )
 
@@ -209,7 +241,18 @@ object CorePack extends QueryPack {
     // layouts hash-fails here
     "q135_csv_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\",')"),
     "q136_jsonl_roundtrip" -> roundTripDigestSql("translate(text, 'ae', '\"\\')"),
-    "q140_orc_roundtrip" -> roundTripDigestSql("text")
+    "q140_orc_roundtrip" -> roundTripDigestSql("text"),
+
+    // the harness registers plain views, so filenames aren't reachable
+    // in oracle SQL — the expected single-file layout enters as
+    // literals; Spark's REAL metadata columns must reproduce them
+    "q421_file_audit" ->
+      Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => s"SELECT '$n' AS table_name, '$n.parquet' AS file_name, " +
+          s"CAST(count(*) AS BIGINT) AS n_rows, TRUE AS path_consistent FROM $n")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) t ORDER BY table_name, file_name")
   )
 
   private def roundTripDigestSql(textExpr: String) =

@@ -46,4 +46,18 @@ class Wave10Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rec === got)
   }
+
+  test("q421 _metadata file_size/file_path match the filesystem (oracle can't see them)") {
+    import org.apache.spark.sql.functions._
+    val p = java.nio.file.Paths.get(sf, "customer.parquet")
+    val row = graft.core.Tables.table(spark, sf, "customer")
+      .select(col("_metadata.file_name").as("name"),
+        col("_metadata.file_size").as("size"),
+        col("_metadata.file_path").as("path"))
+      .distinct().collect()
+    assert(row.length == 1, "single-file table must yield one metadata row")
+    assert(row(0).getAs[String]("name") == "customer.parquet")
+    assert(row(0).getAs[Long]("size") == java.nio.file.Files.size(p))
+    assert(row(0).getAs[String]("path").endsWith("/customer.parquet"))
+  }
 }
