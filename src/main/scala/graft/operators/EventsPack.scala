@@ -2293,7 +2293,7 @@ object EventsPack extends QueryPack {
     * keeps the dropped rows with NULLs). */
   private[graft] val asofToleranceUs = 86400000000L
 
-  private val asofOracleSql: String =
+  private[graft] val asofOracleSql: String =
     """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
       |           FROM events WHERE event_type = 'purchase'),
       |     s AS (SELECT DISTINCT user_id AS r_user_id,

@@ -713,6 +713,7 @@ object StreamingPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
     "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
     "q332_stream_cusum" -> ((s, d) => streamCusum(s, d)),
@@ -735,6 +736,12 @@ object StreamingPack extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    // stream ≡ batch: q03's DuckDB native ASOF JOIN oracle VERBATIM —
+    // the per-user state-store dimension lists must reproduce the batch
+    // as-of join exactly (third independent as-of implementation on
+    // this one oracle, after q03's custom exec and q09's bucketed lane)
+    "q422_stream_asof" -> graft.operators.EventsPack.asofOracleSql,
 
     // stream ≡ batch: q399's oracle verbatim — the per-band state-store
     // frontiers plus the exclusiveMax merge must land on the batch
