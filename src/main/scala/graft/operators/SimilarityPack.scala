@@ -267,6 +267,12 @@ object SimilarityPack extends QueryPack {
   /** Lloyd refinement rounds run per IVF build. */
   private[graft] val ivfRounds = 2
 
+  /** q423 re-split thresholds: a cell whose delta-batch growth exceeds
+    * 20% of its base membership, or whose one-round drift over the
+    * augmented membership exceeds 10%, is flagged for re-split. */
+  private[graft] val growthResplitPpm = 200000L
+  private[graft] val driftResplitPpm = 100000L
+
   /** q102 within-cluster duplicate threshold (cosine) — q44/q45's 0.4,
     * so the three embedding-dedup routes are comparable. */
   private[graft] val semDedupTau = 0.4
@@ -279,7 +285,7 @@ object SimilarityPack extends QueryPack {
     vecs.crossJoin(broadcast(cent))
       .withColumn("cos_c", cosineQ(col("q"), col("cq"), col("norm"), col("cnorm")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("cell"))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"))
   }
 
   /** Centroid update: truncated-integer per-dimension mean of the
@@ -314,11 +320,12 @@ object SimilarityPack extends QueryPack {
     * query. Shared substrate of the IVF search (q53), the SemDeDup
     * cluster dedup (q102 — arn=1 partition) and IVF-PQ (q103). */
   private[operators] def ivfRanked(s: SparkSession, d: String,
-                                   vecs: DataFrame, k: Int): DataFrame = {
+                                   vecs: DataFrame, k: Int,
+                                   tag: String = ""): DataFrame = {
     val nprobe = ivfProbesFor(k)
     val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
     val path = graft.core.Artifacts.materialize(
-      s"ivf_model_v1_k${k}_p${nprobe}_r${ivfRounds}_$key") { tmp =>
+      s"ivf_model_v1${tag}_k${k}_p${nprobe}_r${ivfRounds}_$key") { tmp =>
       val hashed = vecs
         .select(col("vec_id"), col("q"),
           graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))).as("h"))
@@ -792,6 +799,65 @@ object SimilarityPack extends QueryPack {
           expr("n_moved * 1000000 div n_members").cast("bigint"))
         .select(col("cell_old").cast("int").as("cell"),
           col("n_members"), col("n_moved"), col("moved_ppm"))
+      materialized(result, ranked, vecs).orderBy("cell")
+    },
+
+    // ---- IVF INDEX DELTA MAINTENANCE (r9 VERDICT north-star #6): the
+    // ANN side of the build-once-maintain-forever discipline the dedup
+    // family already has (q101/q224/q138). The delta batch (vec_id %
+    // 10 == 7, the q101 split) is assigned to the EXISTING cells of a
+    // model trained on the base corpus alone — O(|delta|) work against
+    // the stored artifact, never a retrain — and each cell reports the
+    // two staleness signals a serving index watches: GROWTH (delta
+    // members landing in it, ppm of its base membership) and DRIFT
+    // (q315's one-more-Lloyd-round audit COMPOSED over the augmented
+    // membership: how many members would change cells if the centroids
+    // absorbed the delta). Cells past either threshold are flagged
+    // `needs_resplit` — the re-split worklist an index maintainer
+    // feeds back into the build stage. Shapes: centroid updates are
+    // cells-sized aggregates, every assignment is a broadcast-centroid
+    // argmax — no corpus-scale structure beyond the one base training
+    // (itself a once-per-corpus artifact). n_base >= 1 structurally:
+    // the group keys are exactly the stored model's nonempty cells, so
+    // the ppm divisions cannot hit zero. ----
+    "q423_ivf_delta_maintain" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d)
+      val base = vecs.filter(pmod(col("vec_id"), lit(10L)) =!= lit(7L))
+      val delta = vecs.filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
+        .select(col("vec_id"), col("q"), col("norm"))
+      val baseN = base.count()
+      val ranked = warmed(ivfRanked(s, d, base, ivfCellsFor(baseN), tag = "_base"))
+      val cells = ranked.filter(col("arn") === 1)
+        .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+      val centx = updateCentroids(cells)
+      val dasg = assignCells(delta, centx)
+      val aug = cells.select(col("vec_id"), col("q"), col("norm"),
+          col("cell").as("cell_old"), lit(0L).as("is_new"))
+        .unionByName(dasg.select(col("vec_id"), col("q"), col("norm"),
+          col("cell").as("cell_old"), lit(1L).as("is_new")))
+      val centy = updateCentroids(
+        aug.select(col("vec_id"), col("q"), col("cell_old").as("cell")))
+      val reasg = assignCells(aug.select("vec_id", "q", "norm"), centy)
+        .select(col("vec_id"), col("cell").as("cell_new"))
+      val result = aug.join(reasg, "vec_id")
+        .groupBy("cell_old")
+        .agg(sum(lit(1L) - col("is_new")).as("n_base"),
+          sum("is_new").as("n_new"),
+          sum(when(col("cell_new") =!= col("cell_old"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("growth_ppm", expr("n_new * 1000000 div n_base"))
+        .withColumn("moved_ppm", expr("n_moved * 1000000 div (n_base + n_new)"))
+        .withColumn("needs_resplit",
+          col("growth_ppm") > lit(growthResplitPpm) ||
+            col("moved_ppm") > lit(driftResplitPpm))
+        .select(col("cell_old").cast("int").as("cell"),
+          col("n_base").cast("bigint").as("n_base"),
+          col("n_new").cast("bigint").as("n_new"),
+          col("growth_ppm").cast("bigint").as("growth_ppm"),
+          col("n_moved").cast("bigint").as("n_moved"),
+          col("moved_ppm").cast("bigint").as("moved_ppm"),
+          col("needs_resplit"))
       materialized(result, ranked, vecs).orderBy("cell")
     },
 
@@ -2131,8 +2197,14 @@ object SimilarityPack extends QueryPack {
     * (the arn=1 partition); leaves `np`/`kp` in scope. No trailing comma.
     * Shared by the q53 (IVF search) and q102 (SemDeDup) oracles.
     */
-  private def ivfTrainCtes: String = {
-    val n = "(SELECT count(*) FROM embeddings)"
+  private def ivfTrainCtes: String = ivfTrainCtesFrom("embeddings")
+
+  /** The IVF training replay parameterized by its source relation —
+    * `embeddings` for the full-corpus model, a filtered subquery for
+    * the q423 base-corpus model. k derives from the SOURCE's count via
+    * the same integer ladder [[ivfCellsFor]] walks. */
+  private def ivfTrainCtesFrom(src: String): String = {
+    val n = s"(SELECT count(*) FROM $src)"
     val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
       .mkString("CASE ", " ", " ELSE 41 END")
     val rounds = (1 to ivfRounds).map { r =>
@@ -2152,7 +2224,7 @@ object SimilarityPack extends QueryPack {
         .stripMargin
     }.mkString(",\n")
     val cosFinal = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
-    s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+    s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM $src),
        |scored AS (
        |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
        |  FROM vecs v),
@@ -2419,6 +2491,61 @@ object SimilarityPack extends QueryPack {
          |       CAST(sum(CASE WHEN cell_new <> cell_old THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
          |       CAST(sum(CASE WHEN cell_new <> cell_old THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS moved_ppm
          |FROM j GROUP BY cell_old
+         |ORDER BY cell""".stripMargin
+    },
+
+    // base-corpus training replay (the stored artifact's trajectory),
+    // then: recomputed means -> delta argmax assignment -> augmented
+    // means -> q315-style reassignment audit. cells/aug MATERIALIZED:
+    // DuckDB inlines CTEs, and each is referenced from several scopes —
+    // without the pin the whole training chain re-evaluates per use.
+    "q423_ivf_delta_maintain" -> {
+      val cosX = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+      s"""WITH ${ivfTrainCtesFrom("(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)")},
+         |cellsm AS MATERIALIZED (SELECT * FROM cells),
+         |cx0 AS (SELECT cell, g.i AS i,
+         |               CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |        FROM cellsm, UNNEST(generate_series(1, $dim)) AS g(i)
+         |        GROUP BY cell, g.i),
+         |cxq AS (SELECT cell, list(v ORDER BY i) AS cq FROM cx0 GROUP BY cell),
+         |centx AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cxq c),
+         |dvecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q
+         |          FROM embeddings WHERE vec_id % 10 = 7),
+         |dscored AS (SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm FROM dvecs v),
+         |dasg AS (SELECT vec_id, q, norm, cell FROM (
+         |    SELECT v.vec_id, v.q, v.norm, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosX DESC, c.cell) AS rn
+         |    FROM dscored v CROSS JOIN centx c) t WHERE rn = 1),
+         |aug AS MATERIALIZED (
+         |  SELECT vec_id, q, norm, cell AS cell_old, 0 AS is_new FROM cellsm
+         |  UNION ALL
+         |  SELECT vec_id, q, norm, cell, 1 FROM dasg),
+         |cy0 AS (SELECT cell_old AS cell, g.i AS i,
+         |               CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |        FROM aug, UNNEST(generate_series(1, $dim)) AS g(i)
+         |        GROUP BY cell_old, g.i),
+         |cyq AS (SELECT cell, list(v ORDER BY i) AS cq FROM cy0 GROUP BY cell),
+         |centy AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cyq c),
+         |reasg AS (SELECT vec_id, cell AS cell_new FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosX DESC, c.cell) AS rn
+         |    FROM aug v CROSS JOIN centy c) t WHERE rn = 1),
+         |agg AS (
+         |  SELECT a.cell_old,
+         |         CAST(SUM(1 - a.is_new) AS BIGINT) AS n_base,
+         |         CAST(SUM(a.is_new) AS BIGINT) AS n_new,
+         |         CAST(SUM(CASE WHEN r.cell_new <> a.cell_old THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM aug a JOIN reasg r USING (vec_id)
+         |  GROUP BY a.cell_old)
+         |SELECT CAST(cell_old AS INT) AS cell, n_base, n_new,
+         |       CAST(n_new * 1000000 // n_base AS BIGINT) AS growth_ppm,
+         |       n_moved,
+         |       CAST(n_moved * 1000000 // (n_base + n_new) AS BIGINT) AS moved_ppm,
+         |       (n_new * 1000000 // n_base > $growthResplitPpm
+         |        OR n_moved * 1000000 // (n_base + n_new) > $driftResplitPpm) AS needs_resplit
+         |FROM agg
          |ORDER BY cell""".stripMargin
     },
 
