@@ -47,6 +47,23 @@ class Wave10Spec extends AnyFunSuite {
     assert(rec === got)
   }
 
+  test("q424 incremental df/cf equal a direct full-corpus recompute per touched term") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q424_bm25_delta")(spark, sf)
+      .select("term", "df_new", "cf_new").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    // independent direct formulation: full-corpus tf, no base/delta split
+    val full = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("w").agg(count(lit(1)).as("df"), sum("cnt").as("cf"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    for ((term, (df, cf)) <- got) {
+      assert(full(term) === (df, cf), s"df/cf mismatch for $term")
+    }
+  }
+
   test("q421 _metadata file_size/file_path match the filesystem (oracle can't see them)") {
     import org.apache.spark.sql.functions._
     val p = java.nio.file.Paths.get(sf, "customer.parquet")
