@@ -96,7 +96,13 @@ object DumpPlans {
     "q376_nb_cv_kfold",       // one training pass, fold cube by count subtraction
     "q383_link_prediction",   // train-edge wedge join, 2-hop-bounded candidates
     "q388_touch_attribution_contrast", // two native as-of passes (backward + negated fwd)
-    "q391_dirichlet_ql"       // broadcast panel join, integer-qln scoring
+    "q391_dirichlet_ql",      // broadcast panel join, integer-qln scoring
+    "q415_streak_recursive",  // WITH RECURSIVE: UnionLoop per-round equi-joins
+    "q416_lateral_topn",      // LATERAL correlated LIMIT: join vs repeated subquery
+    "q420_streak_islands",    // gaps-and-islands fast lane of q415's metric
+    "q421_file_audit",        // _metadata group-count + input_file_name audit
+    "q423_ivf_delta_maintain",// delta->stored-cells argmax, cells-sized updates
+    "q424_bm25_delta"         // delta-only scan + vocab equi-join stat merge
   )
 
   def main(args: Array[String]): Unit = {
