@@ -280,6 +280,33 @@ object SimilarityPack extends QueryPack {
   /** One k-means assignment: each vector to its max-cosine centroid
     * (ties → smallest cell id; exact fixed-point cosines, so the
     * tie-break and ordering are engine-portable). Centroids broadcast. */
+  /** The q423/q425 shared batch substrate: `(vecs, ranked, cells,
+    * centx)` — the persisted vector index, the stored BASE-corpus model
+    * artifact, its arn=1 membership, and the centroids recomputed from
+    * that membership (the in-memory table a delta ingest assigns
+    * against). The batch maintenance query (q423) and the streaming
+    * assignment twin (q425) read the SAME state through this one
+    * accessor. */
+  private[graft] def baseModelState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val vecs = persistedVecs(s, d)
+    val base = vecs.filter(pmod(col("vec_id"), lit(10L)) =!= lit(7L))
+    val baseN = base.count()
+    val ranked = warmed(ivfRanked(s, d, base, ivfCellsFor(baseN), tag = "_base"))
+    val cells = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("q"), col("norm"), col("cell"))
+    (vecs, ranked, cells, updateCentroids(cells))
+  }
+
+  /** q425's broadcastable model row: the base centroids packed into ONE
+    * row of `(cell, cq, cnorm)` structs — cells-sized, the shape a
+    * serving ingest holds in memory. */
+  private[graft] def baseCentroidRow(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, centx) = baseModelState(s, d)
+    centx.agg(collect_list(struct(col("cell"), col("cq"), col("cnorm")))
+      .as("cents"))
+  }
+
   private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cell"))
     vecs.crossJoin(broadcast(cent))
@@ -822,15 +849,9 @@ object SimilarityPack extends QueryPack {
     // the ppm divisions cannot hit zero. ----
     "q423_ivf_delta_maintain" -> { (s, d) =>
       graft.functions.GraftExpressions.ensure(s)
-      val vecs = persistedVecs(s, d)
-      val base = vecs.filter(pmod(col("vec_id"), lit(10L)) =!= lit(7L))
+      val (vecs, ranked, cells, centx) = baseModelState(s, d)
       val delta = vecs.filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
         .select(col("vec_id"), col("q"), col("norm"))
-      val baseN = base.count()
-      val ranked = warmed(ivfRanked(s, d, base, ivfCellsFor(baseN), tag = "_base"))
-      val cells = ranked.filter(col("arn") === 1)
-        .select(col("vec_id"), col("q"), col("norm"), col("cell"))
-      val centx = updateCentroids(cells)
       val dasg = assignCells(delta, centx)
       val aug = cells.select(col("vec_id"), col("q"), col("norm"),
           col("cell").as("cell_old"), lit(0L).as("is_new"))
@@ -2197,6 +2218,33 @@ object SimilarityPack extends QueryPack {
     * (the arn=1 partition); leaves `np`/`kp` in scope. No trailing comma.
     * Shared by the q53 (IVF search) and q102 (SemDeDup) oracles.
     */
+  /** q425's oracle (referenced from [[graft.streaming.StreamingPack]]):
+    * the q423 base-training replay truncated at the delta argmax stage
+    * — per delta vector, the assigned cell and its exact cosine.
+    * Stream ≡ batch: the streaming HOF argmax must reproduce this
+    * row set bit-exactly (cosines included). */
+  private[graft] def streamIvfAssignOracle: String = {
+    val cosX = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+    s"""WITH ${ivfTrainCtesFrom("(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)")},
+       |cellsm AS MATERIALIZED (SELECT * FROM cells),
+       |cx0 AS (SELECT cell, g.i AS i,
+       |               CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+       |        FROM cellsm, UNNEST(generate_series(1, $dim)) AS g(i)
+       |        GROUP BY cell, g.i),
+       |cxq AS (SELECT cell, list(v ORDER BY i) AS cq FROM cx0 GROUP BY cell),
+       |centx AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cxq c),
+       |dvecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q
+       |          FROM embeddings WHERE vec_id % 10 = 7),
+       |dscored AS (SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm FROM dvecs v),
+       |dcos AS (SELECT v.vec_id, c.cell, $cosX AS cosine,
+       |                row_number() OVER (PARTITION BY v.vec_id
+       |                                   ORDER BY $cosX DESC, c.cell) AS rn
+       |         FROM dscored v CROSS JOIN centx c)
+       |SELECT vec_id, CAST(cell AS INT) AS cell, cosine
+       |FROM dcos WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private def ivfTrainCtes: String = ivfTrainCtesFrom("embeddings")
 
   /** The IVF training replay parameterized by its source relation —

@@ -361,6 +361,56 @@ object StreamingPack extends QueryPack {
     * carry their own verify state ([[graft.operators.DedupPack
     * .minhashBandsWithState]]) because a stream cannot re-join itself.
     */
+  /** Streaming IVF DELTA ASSIGNMENT — the live-ingest twin of q423's
+    * assignment stage: delta vectors arrive as a stream and each is
+    * assigned to the stored base model's nearest recomputed centroid.
+    * STATELESS (the q139 pattern): the model is a one-row broadcast of
+    * (cell, cq, cnorm) structs — exactly the cells-sized table a
+    * serving ingest holds in memory — attached by stream-static cross
+    * join; the per-row argmax runs as nested HOFs (zip_with product +
+    * aggregate sum = the exact int64 dot, one double division — the
+    * [[graft.functions.VectorFunctions]] arithmetic verbatim), so the
+    * hot path stays in codegen with zero streaming state. Tie-break
+    * (equal cosine → min cell) mirrors the batch assignCells window
+    * order. Oracle: the base-training replay's delta argmax (q423's
+    * dasg stage) — stream ≡ batch. */
+  def streamIvfAssign(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val cents = graft.operators.SimilarityPack.baseCentroidRow(s, d)
+    val embSchema = graft.core.Tables.embeddings(s, d).schema
+    val delta = s.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
+      .withColumn("q", graft.functions.VectorFunctions.quantize(col("embedding")))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.normSqQ(col("q"))))
+      .select("vec_id", "q", "norm")
+    // exact int64 dot then one double division — cosineQ's arithmetic
+    val cos = "(CAST(aggregate(zip_with(q, c.cq, (a, b) -> a * b), " +
+      "CAST(0 AS BIGINT), (acc2, x) -> acc2 + x) AS DOUBLE) / 1e12 / (norm * c.cnorm))"
+    val assigned = delta.crossJoin(broadcast(cents))
+      .withColumn("best", expr(
+        s"aggregate(cents, named_struct('cell', CAST(-1 AS INT), " +
+          s"'cos', CAST('-Infinity' AS DOUBLE)), " +
+          s"(acc, c) -> CASE WHEN $cos > acc.cos OR " +
+          s"($cos = acc.cos AND c.cell < acc.cell) " +
+          s"THEN named_struct('cell', c.cell, 'cos', $cos) ELSE acc END)"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.cos").as("cosine"))
+    val name = s"graft_stream_ivf_assign_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = assigned.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name).orderBy("vec_id")
+  }
+
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupPack
     graft.functions.GraftExpressions.ensure(s)
@@ -714,6 +764,7 @@ object StreamingPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
+    "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
     "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
     "q332_stream_cusum" -> ((s, d) => streamCusum(s, d)),
@@ -742,6 +793,12 @@ object StreamingPack extends QueryPack {
     // as-of join exactly (third independent as-of implementation on
     // this one oracle, after q03's custom exec and q09's bucketed lane)
     "q422_stream_asof" -> graft.operators.EventsPack.asofOracleSql,
+
+    // stream ≡ batch: the q423 base-training replay truncated at the
+    // delta argmax — the stateless streaming HOF assignment must land
+    // on the batch cell (and exact cosine) per delta vector
+    "q425_stream_ivf_assign" ->
+      graft.operators.SimilarityPack.streamIvfAssignOracle,
 
     // stream ≡ batch: q399's oracle verbatim — the per-band state-store
     // frontiers plus the exclusiveMax merge must land on the batch

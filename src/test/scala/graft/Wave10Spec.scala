@@ -64,6 +64,35 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("q425 streamed assignments equal a brute-force in-memory argmax") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q425_stream_ivf_assign")(spark, sf)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.nonEmpty)
+    val cents = graft.operators.SimilarityPack.baseCentroidRow(spark, sf)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+    val deltas = graft.core.Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    assert(deltas.length == got.size)
+    for ((id, q) <- deltas) {
+      val norm = math.sqrt(q.map(x => x * x).sum.toDouble / 1e12)
+      var bestCell = -1; var bestCos = Double.NegativeInfinity
+      for ((cell, cq, cnorm) <- cents) {
+        val cos = (q.zip(cq).map { case (a, b) => a * b }.sum.toDouble / 1e12) /
+          (norm * cnorm)
+        if (cos > bestCos || (cos == bestCos && cell < bestCell)) {
+          bestCell = cell; bestCos = cos
+        }
+      }
+      assert(got(id) == bestCell, s"vec $id: stream ${got(id)} vs brute $bestCell")
+    }
+  }
+
   test("q421 _metadata file_size/file_path match the filesystem (oracle can't see them)") {
     import org.apache.spark.sql.functions._
     val p = java.nio.file.Paths.get(sf, "customer.parquet")
