@@ -55,7 +55,12 @@ object CleanPack extends QueryPack {
     * — every term an exact count product. The CDF window runs over the
     * LENGTH VOCABULARY per source (bounded, parallel by source); pairs
     * are sources²-bounded. */
-  private def ksPairStats(s: SparkSession, d: String): DataFrame = {
+  /** The q330/q371/q407/q426 shared per-VALUE pair frame: for every
+    * source pair and every length-vocabulary value, both sides' counts
+    * and CDF numerators. The per-source cum window runs over the
+    * length VOCABULARY (bounded, parallel by source — the q148/q193
+    * discipline); the pair join is sources² × vocabulary. */
+  private def ksPairPoints(s: SparkSession, d: String): DataFrame = {
     val cnt = Tables.documents(s, d)
       .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
     val grid = cnt.select("n_chars").distinct()
@@ -66,16 +71,21 @@ object CleanPack extends QueryPack {
     val w = Window.partitionBy("source").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = full.withColumn("cum", sum("c").over(w))
-      .select(col("source"), col("n"), col("n_chars"), col("cum"))
+      .select(col("source"), col("n"), col("n_chars"), col("c"), col("cum"))
     cum.as("a")
       .join(cum.as("b"),
         col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
-        abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("dnum"))
+        col("a.c").as("c_a"), col("b.c").as("c_b"),
+        (col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("d"))
+  }
+
+  private def ksPairStats(s: SparkSession, d: String): DataFrame =
+    ksPairPoints(s, d)
+      .withColumn("dnum", abs(col("d")))
       .groupBy("source_a", "source_b", "n_a", "n_b")
       .agg(max("dnum").as("dmax"))
-  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -737,6 +747,38 @@ object CleanPack extends QueryPack {
               (col("n_a") * col("n_b")).cast("double")))
             .cast("bigint").as("crit_ppm"))
         .withColumn("reject", col("d_ppm") > col("crit_ppm"))
+      result.orderBy("source_a", "source_b")
+    },
+
+    // ---- TWO-SAMPLE CRAMÉR–VON MISES (Anderson 1962, Ann. Math.
+    // Stat. 33) over the same source-pair length distributions as
+    // q330's KS: where KS reads only the single WORST CDF gap, CvM
+    // integrates the SQUARED gap over the whole pooled sample — the
+    // companion drift test that catches many-small-deviations shapes a
+    // sup-norm misses (the two together are the standard
+    // distribution-drift panel). Grid formulation, exact integers:
+    // with d_v = cum_a(v)·n_b − cum_b(v)·n_a and pooled weight
+    // w_v = c_a + c_b, T = Σ_v w_v·d_v² / (n_a·n_b·(n_a+n_b)²); the
+    // sum accumulates in DECIMAL(38,0) ↔ HUGEINT (the q413 lesson —
+    // per-term ≤ ~N⁵ but the SUM wraps int64 first) and the single
+    // integral division emits T in micro units. α=0.05 compares
+    // against the limiting-distribution critical value 0.461
+    // (Anderson & Darling's T∞ table) as the literal 461000. Shapes:
+    // the same vocabulary-bounded per-source CDF window and
+    // sources²×vocab pair frame as q330 — one more aggregate, no new
+    // corpus-scale structure. ----
+    "q426_cvm_two_sample" -> { (s, d) =>
+      val result = ksPairPoints(s, d)
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(sum(expr("CAST(c_a + c_b AS DECIMAL(38,0)) * d * d")).as("sw"))
+        .withColumn("t_micro", expr(
+          "(sw * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b * " +
+            "(n_a + n_b) * (n_a + n_b))"))
+        .select(col("source_a"), col("source_b"),
+          col("n_a").cast("bigint").as("n_a"),
+          col("n_b").cast("bigint").as("n_b"),
+          col("t_micro").cast("bigint").as("t_micro"),
+          (col("t_micro") > lit(461000L)).as("reject"))
       result.orderBy("source_a", "source_b")
     },
 
@@ -1852,6 +1894,40 @@ object CleanPack extends QueryPack {
         |       CAST((dmax * 1000000) // (n_a * n_b) AS BIGINT)
         |         > CAST(floor(1358000.0 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS reject
         |FROM mx
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // same per-value pair frame as q330's oracle; the squared-gap sum
+    // in HUGEINT (mirrors Spark's DECIMAL(38,0)), one integral division
+    "q426_cvm_two_sample" ->
+      """WITH cnt AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM cnt),
+        |srcn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |full0 AS (
+        |  SELECT s.source, s.n, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM srcn s CROSS JOIN grid g
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n, n_chars, c,
+        |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM full0),
+        |pd AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+        |         a.c AS c_a, b.c AS c_b,
+        |         a.cum * b.n - b.cum * a.n AS d
+        |  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source),
+        |agg AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |         SUM(CAST(c_a + c_b AS HUGEINT) * d * d) AS sw
+        |  FROM pd GROUP BY 1, 2, 3, 4),
+        |fin AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |         CAST((sw * 1000000) // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) * (n_a + n_b)) AS BIGINT) AS t_micro
+        |  FROM agg)
+        |SELECT source_a, source_b, n_a, n_b, t_micro, t_micro > 461000 AS reject
+        |FROM fin
         |ORDER BY source_a, source_b""".stripMargin,
 
     // same exact dmax frame, same log-domain tail bound (ln 2 and

@@ -93,6 +93,28 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("q426 CvM statistic equals the per-observation brute-force definition") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q426_cvm_two_sample")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val bySource = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (((sa, sb), tgot) <- got) {
+      val (la, lb) = (bySource(sa), bySource(sb))
+      val (na, nb) = (BigInt(la.length), BigInt(lb.length))
+      // per pooled observation x: d(x) = cumA(x)*nb - cumB(x)*na
+      val s = (la ++ lb).map { x =>
+        val d = BigInt(la.count(_ <= x)) * nb - BigInt(lb.count(_ <= x)) * na
+        d * d
+      }.sum
+      val t = (s * 1000000) / (na * nb * (na + nb) * (na + nb))
+      assert(BigInt(tgot) == t, s"pair ($sa,$sb): spark $tgot vs brute $t")
+    }
+  }
+
   test("q421 _metadata file_size/file_path match the filesystem (oracle can't see them)") {
     import org.apache.spark.sql.functions._
     val p = java.nio.file.Paths.get(sf, "customer.parquet")
