@@ -102,7 +102,8 @@ object DumpPlans {
     "q420_streak_islands",    // gaps-and-islands fast lane of q415's metric
     "q421_file_audit",        // _metadata group-count + input_file_name audit
     "q423_ivf_delta_maintain",// delta->stored-cells argmax, cells-sized updates
-    "q424_bm25_delta"         // delta-only scan + vocab equi-join stat merge
+    "q424_bm25_delta",        // delta-only scan + vocab equi-join stat merge
+    "q426_cvm_two_sample"     // vocab-bounded CDF windows, sources^2 pair agg
   )
 
   def main(args: Array[String]): Unit = {
