@@ -78,6 +78,7 @@ object CleanPack extends QueryPack {
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         col("a.c").as("c_a"), col("b.c").as("c_b"),
+        col("a.cum").as("cum_a"), col("b.cum").as("cum_b"),
         (col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("d"))
   }
 
@@ -779,6 +780,45 @@ object CleanPack extends QueryPack {
           col("n_b").cast("bigint").as("n_b"),
           col("t_micro").cast("bigint").as("t_micro"),
           (col("t_micro") > lit(461000L)).as("reject"))
+      result.orderBy("source_a", "source_b")
+    },
+
+    // ---- TWO-SAMPLE ANDERSON–DARLING (Pettitt 1976, Biometrika 63;
+    // Scholz & Stephens 1987 k-sample form at k=2): the TAIL-WEIGHTED
+    // member completing the drift panel — KS reads the worst gap
+    // (q330), CvM the integrated squared gap (q426), AD reweights that
+    // gap by 1/(B·(N−B)) so distribution-tail divergence (where B or
+    // N−B is small) counts hardest — the test that flags a corrupted
+    // length ceiling or floor the other two dilute. For k=2 the AD
+    // numerator N·M_a − n_a·B algebraically REDUCES to the KS
+    // numerator d = cum_a·n_b − cum_b·n_a (and the b-side term is its
+    // negation), so the whole statistic is A² = Σ_v l_v·d_v² /
+    // (n_a·n_b·B_v·(N−B_v)) over the shared per-value pair frame —
+    // per-value quotients floor-quantized to micro on DECIMAL(38,0) ↔
+    // HUGEINT products, summed as int64 (identical truncation both
+    // engines). The max pooled value (B = N) is excluded structurally
+    // in both engines (its numerator is identically 0 but the weight
+    // denominator is 0 — a 0/0 the engines would disagree on).
+    // α=0.05 via the asymptotic critical value 2.492. Same shapes as
+    // q330/q426: vocabulary-bounded CDF windows, sources²×vocab pair
+    // frame, one aggregate. ----
+    "q427_anderson_darling" -> { (s, d) =>
+      val result = ksPairPoints(s, d)
+        .withColumn("bb", col("cum_a") + col("cum_b"))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        // the value grid is GLOBAL across sources: rows below the
+        // pair's minimum have B = 0 (and the max pooled value B = N) —
+        // both are 0/0 weight cells, excluded identically both engines
+        .filter(col("bb") > 0 && col("bb") < col("nn"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(sum(expr(
+          "(CAST(c_a + c_b AS DECIMAL(38,0)) * d * d * 1000000) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b * bb * (nn - bb))")).as("a2s"))
+        .select(col("source_a"), col("source_b"),
+          col("n_a").cast("bigint").as("n_a"),
+          col("n_b").cast("bigint").as("n_b"),
+          col("a2s").cast("bigint").as("a2_micro"),
+          (col("a2s") > lit(2492000L)).as("reject"))
       result.orderBy("source_a", "source_b")
     },
 
@@ -1894,6 +1934,42 @@ object CleanPack extends QueryPack {
         |       CAST((dmax * 1000000) // (n_a * n_b) AS BIGINT)
         |         > CAST(floor(1358000.0 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS reject
         |FROM mx
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // same per-value pair frame; per-value micro-quantized weighted
+    // quotients on HUGEINT products, max pooled value excluded (B = N)
+    "q427_anderson_darling" ->
+      """WITH cnt AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM cnt),
+        |srcn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |full0 AS (
+        |  SELECT s.source, s.n, g.n_chars, COALESCE(c.c, 0) AS c
+        |  FROM srcn s CROSS JOIN grid g
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n, n_chars, c,
+        |         CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM full0),
+        |pd AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+        |         a.c AS c_a, b.c AS c_b, a.cum AS cum_a, b.cum AS cum_b,
+        |         a.cum * b.n - b.cum * a.n AS d
+        |  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source),
+        |terms AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |         CAST((CAST(c_a + c_b AS HUGEINT) * d * d * 1000000)
+        |              // (CAST(n_a AS HUGEINT) * n_b * (cum_a + cum_b)
+        |                  * (n_a + n_b - cum_a - cum_b)) AS BIGINT) AS t
+        |  FROM pd
+        |  WHERE cum_a + cum_b > 0 AND cum_a + cum_b < n_a + n_b),
+        |agg AS (
+        |  SELECT source_a, source_b, n_a, n_b, CAST(SUM(t) AS BIGINT) AS a2_micro
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b, n_a, n_b, a2_micro, a2_micro > 2492000 AS reject
+        |FROM agg
         |ORDER BY source_a, source_b""".stripMargin,
 
     // same per-value pair frame as q330's oracle; the squared-gap sum

@@ -115,6 +115,33 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("q427 AD statistic equals the per-value brute-force definition") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q427_anderson_darling")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val bySource = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (((sa, sb), agot) <- got) {
+      val (la, lb) = (bySource(sa), bySource(sb))
+      val (na, nb) = (BigInt(la.length), BigInt(lb.length))
+      val nn = na + nb
+      val a2 = (la ++ lb).distinct.sorted.map { v =>
+        val (cumA, cumB) = (BigInt(la.count(_ <= v)), BigInt(lb.count(_ <= v)))
+        val bbv = cumA + cumB
+        if (bbv == 0 || bbv == nn) BigInt(0)
+        else {
+          val l = BigInt(la.count(_ == v) + lb.count(_ == v))
+          val d = cumA * nb - cumB * na
+          (l * d * d * 1000000) / (na * nb * bbv * (nn - bbv))
+        }
+      }.sum
+      assert(BigInt(agot) == a2, s"pair ($sa,$sb): spark $agot vs brute $a2")
+    }
+  }
+
   test("q421 _metadata file_size/file_path match the filesystem (oracle can't see them)") {
     import org.apache.spark.sql.functions._
     val p = java.nio.file.Paths.get(sf, "customer.parquet")
