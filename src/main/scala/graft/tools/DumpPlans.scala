@@ -103,7 +103,8 @@ object DumpPlans {
     "q421_file_audit",        // _metadata group-count + input_file_name audit
     "q423_ivf_delta_maintain",// delta->stored-cells argmax, cells-sized updates
     "q424_bm25_delta",        // delta-only scan + vocab equi-join stat merge
-    "q426_cvm_two_sample"     // vocab-bounded CDF windows, sources^2 pair agg
+    "q426_cvm_two_sample",    // vocab-bounded CDF windows, sources^2 pair agg
+    "q427_anderson_darling"   // same frame, tail-weighted quantized quotients
   )
 
   def main(args: Array[String]): Unit = {
