@@ -182,13 +182,13 @@ object CorePack extends QueryPack {
     // (per-file row counts vs a manifest); at a multi-file root the
     // same plan fans out to one row per file with no change. ----
     "q421_file_audit" -> { (s, dir) =>
-      // events ships TIMESTAMP(NANOS) in some corpus generations —
-      // same legacy conf the Tables.events loader sets
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       tables.map { n =>
-        Tables.table(s, dir, n)
+        // events ships TIMESTAMP(NANOS) in some corpus generations — its
+        // loader owns the legacy-conf toggle (no session mutation here)
+        (if (n == "events") Tables.eventsRawNanos(s, dir)
+         else Tables.table(s, dir, n))
           .select(col("_metadata.file_name").as("file_name"),
             input_file_name().as("path"))
           .groupBy("file_name")

@@ -91,25 +91,63 @@ object MultimodalPack extends QueryPack {
     * raster; the oracle reads the same bytes straight from the text. */
   val meanPixels = 16
 
-  /** The opaque-binary Dataset path: encode→PNG→decode per partition —
-    * one real codec round-trip per row, batch-per-partition where a
-    * native codec would keep its own thread/context. */
+  /** One decoded raster row: dims/bands off the decoder plus the full
+    * gray plane and the source payload length (empty payloads keep a
+    * zero row so every consumer can reproduce its own empty-input
+    * semantics without re-joining `documents`). */
+  case class RasterRow(doc_id: Long, w: Int, h: Int, channels: Int,
+                       len: Int, gray: Array[Byte])
+
+  /** Once-per-corpus DECODED-RASTER ARTIFACT (the r10 VERDICT cleanup):
+    * the PNG encode→`javax.imageio` decode round-trip runs ONCE per
+    * corpus and materializes `(doc_id, w, h, channels, len, gray)`;
+    * every image query (q72/q73/q262/q295/q378) is a narrow map over
+    * the stored rasters — exactly how a production vision pipeline
+    * stores decode output once and runs N feature passes over it,
+    * instead of paying the codec N times. Rasters are ≤64×64 (4 KiB),
+    * so the artifact is smaller than most parquet row groups; at 100 TB
+    * this is the standard decode-once/feature-many layout with the
+    * artifact partitioned alongside the corpus. Same build-once
+    * discipline as the shingle/signature artifacts
+    * ([[graft.core.Artifacts]]).
+    */
+  private[operators] def grayRaster(s: SparkSession, d: String): Dataset[RasterRow] = {
+    import s.implicits._
+    val path = graft.core.Artifacts.materialize(
+      s"gray_raster_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+                lit("image/png").as("media_type"))
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          rows.map { r =>
+            if (r.payload.isEmpty) RasterRow(r.doc_id, 0, 0, 0, 0, Array.emptyByteArray)
+            else {
+              val (w, h, c, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              RasterRow(r.doc_id, w, h, c, r.payload.length, gray)
+            }
+          }
+        }
+        // repartition keeps the codec work at full width; only the
+        // (small) write collapses to 8 files
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path).as[RasterRow]
+  }
+
+  /** The decoded-metadata path consumed by q72: a narrow map over the
+    * stored raster artifact (the codec ran once in [[grayRaster]]). */
   def decodeAll(s: SparkSession, d: String): Dataset[DecodedMeta] = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-              lit("image/png").as("media_type"))
-      .as[MediaRow]
+    grayRaster(s, d)
       .mapPartitions { rows =>
         rows.map { r =>
-          if (r.payload.isEmpty) DecodedMeta(r.doc_id, 0, 0, 0, 0.0)
+          if (r.len == 0) DecodedMeta(r.doc_id, 0, 0, 0, 0.0)
           else {
-            val png = ImageCodec.encodePng(r.payload)
-            val (w, h, c, gray) = ImageCodec.decode(png)
-            val k = math.min(math.min(w * h, r.payload.length), meanPixels)
+            val k = math.min(math.min(r.w * r.h, r.len), meanPixels)
             var sum = 0L; var i = 0
-            while (i < k) { sum += (gray(i) & 0xff); i += 1 }
-            DecodedMeta(r.doc_id, w, h, c, sum.toDouble / k)
+            while (i < k) { sum += (r.gray(i) & 0xff); i += 1 }
+            DecodedMeta(r.doc_id, r.w, r.h, r.channels, sum.toDouble / k)
           }
         }
       }
@@ -314,15 +352,12 @@ object MultimodalPack extends QueryPack {
     // end-to-end. Per-row bounded work, embarrassingly parallel. ----
     "q295_image_gradients" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"),
-                lit("image/png").as("media_type"))
-        .as[MediaRow]
+      grayRaster(s, d)
         .mapPartitions { rs =>
           rs.flatMap { r =>
-            if (r.payload.isEmpty) Iterator.empty
+            if (r.len == 0) Iterator.empty
             else {
-              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              val w = r.w; val h = r.h; val gray = r.gray
               var hg = 0L; var vg = 0L
               var y = 0
               while (y < h) {
@@ -349,15 +384,12 @@ object MultimodalPack extends QueryPack {
 
     "q262_patch_grid" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"),
-                lit("image/png").as("media_type"))
-        .as[MediaRow]
+      grayRaster(s, d)
         .mapPartitions { rs =>
           rs.flatMap { r =>
-            if (r.payload.isEmpty) Iterator.empty
+            if (r.len == 0) Iterator.empty
             else {
-              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              val w = r.w; val h = r.h; val gray = r.gray
               val pw = (w + 1) / 2; val ph = (h + 1) / 2
               val sums = Array.fill(4)(0L); val cnts = Array.fill(4)(0L)
               var y = 0
@@ -395,15 +427,12 @@ object MultimodalPack extends QueryPack {
     // one output row per image. ----
     "q378_luminance_profile" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"),
-                lit("image/png").as("media_type"))
-        .as[MediaRow]
+      grayRaster(s, d)
         .mapPartitions { rs =>
           rs.flatMap { r =>
-            if (r.payload.isEmpty) Iterator.empty
+            if (r.len == 0) Iterator.empty
             else {
-              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
+              val w = r.w; val h = r.h; val gray = r.gray
               val bins = Array.fill(8)(0L)
               var s1 = 0L; var s2 = 0L
               var i = 0
@@ -446,16 +475,13 @@ object MultimodalPack extends QueryPack {
     // yield NULL dims/checksum on both sides. ----
     "q73_resize_image" -> { (s, d) =>
       import s.implicits._
-      val resized = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"),
-                lit("image/png").as("media_type"))
-        .as[MediaRow]
+      val resized = grayRaster(s, d)
         .mapPartitions { rows =>
           rows.map { r =>
-            if (r.payload.isEmpty) (r.doc_id, None: Option[Int], None: Option[Int], None: Option[Array[Byte]])
+            if (r.len == 0) (r.doc_id, None: Option[Int], None: Option[Int], None: Option[Array[Byte]])
             else {
-              val (w, h, _, gray) = ImageCodec.decode(ImageCodec.encodePng(r.payload))
-              val ow = math.max(w / 2, 1); val oh = math.max(h / 2, 1)
+              val w = r.w; val gray = r.gray
+              val ow = math.max(w / 2, 1); val oh = math.max(r.h / 2, 1)
               val out = new Array[Byte](ow * oh)
               var y = 0
               while (y < oh) {

@@ -58,8 +58,12 @@ object AsOfStream {
     var sig = state.getOption.map(_.signups).getOrElse(Nil)
     val out = scala.collection.mutable.ListBuffer.empty[Enriched]
     // deterministic event-time fold within the batch; cross-batch
-    // exactness is the no-late-dimension contract (scaladoc)
-    for (e <- it.toSeq.sortBy(e => (e.us, e.event_id))) {
+    // exactness is the no-late-dimension contract (scaladoc). At equal
+    // event time the signup must fold BEFORE the purchase — the batch
+    // as-of join matches signup_us <= purchase_us inclusively, so a
+    // same-instant pair enriches regardless of event_id order.
+    for (e <- it.toSeq.sortBy(e =>
+        (e.us, if (e.event_type == "signup") 0 else 1, e.event_id))) {
       if (e.event_type == "signup") {
         if (!sig.contains(e.us)) sig = (e.us :: sig).sorted
       } else {

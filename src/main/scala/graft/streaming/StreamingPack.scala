@@ -374,6 +374,27 @@ object StreamingPack extends QueryPack {
     * (equal cosine → min cell) mirrors the batch assignCells window
     * order. Oracle: the base-training replay's delta argmax (q423's
     * dasg stage) — stream ≡ batch. */
+  /** The per-row nearest-centroid argmax over columns (`q`, `norm`,
+    * `cents`): exact int64 dot then one double division — cosineQ's
+    * arithmetic verbatim. A zero-norm vector would make every cosine
+    * NaN, which never beats the -Infinity seed, emitting cell = -1
+    * while the batch window (NaN sorts highest desc, ties broken asc
+    * cell) picks the MIN cell; cosine is pinned to 0 when the
+    * denominator is 0 so all cells tie and the min-cell tie-break
+    * reproduces the batch assignment exactly (r10 ADVICE). */
+  private[graft] def ivfArgmaxCol: org.apache.spark.sql.Column = {
+    val cos = "(CASE WHEN norm * c.cnorm = CAST(0 AS DOUBLE) " +
+      "THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(aggregate(zip_with(q, c.cq, (a, b) -> a * b), " +
+      "CAST(0 AS BIGINT), (acc2, x) -> acc2 + x) AS DOUBLE) / 1e12 / (norm * c.cnorm) END)"
+    expr(
+      s"aggregate(cents, named_struct('cell', CAST(-1 AS INT), " +
+        s"'cos', CAST('-Infinity' AS DOUBLE)), " +
+        s"(acc, c) -> CASE WHEN $cos > acc.cos OR " +
+        s"($cos = acc.cos AND c.cell < acc.cell) " +
+        s"THEN named_struct('cell', c.cell, 'cos', $cos) ELSE acc END)")
+  }
+
   def streamIvfAssign(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExpressions.ensure(s)
     val cents = graft.operators.SimilarityPack.baseCentroidRow(s, d)
@@ -386,16 +407,8 @@ object StreamingPack extends QueryPack {
       .withColumn("q", graft.functions.VectorFunctions.quantize(col("embedding")))
       .withColumn("norm", sqrt(graft.functions.VectorFunctions.normSqQ(col("q"))))
       .select("vec_id", "q", "norm")
-    // exact int64 dot then one double division — cosineQ's arithmetic
-    val cos = "(CAST(aggregate(zip_with(q, c.cq, (a, b) -> a * b), " +
-      "CAST(0 AS BIGINT), (acc2, x) -> acc2 + x) AS DOUBLE) / 1e12 / (norm * c.cnorm))"
     val assigned = delta.crossJoin(broadcast(cents))
-      .withColumn("best", expr(
-        s"aggregate(cents, named_struct('cell', CAST(-1 AS INT), " +
-          s"'cos', CAST('-Infinity' AS DOUBLE)), " +
-          s"(acc, c) -> CASE WHEN $cos > acc.cos OR " +
-          s"($cos = acc.cos AND c.cell < acc.cell) " +
-          s"THEN named_struct('cell', c.cell, 'cos', $cos) ELSE acc END)"))
+      .withColumn("best", ivfArgmaxCol)
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.cos").as("cosine"))
     val name = s"graft_stream_ivf_assign_${counter.incrementAndGet()}"
@@ -764,6 +777,7 @@ object StreamingPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
+    "q428_stream_asof_buffered" -> ((s, d) => AsOfBufferedStream.run(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
     "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
@@ -793,6 +807,12 @@ object StreamingPack extends QueryPack {
     // as-of join exactly (third independent as-of implementation on
     // this one oracle, after q03's custom exec and q09's bucketed lane)
     "q422_stream_asof" -> graft.operators.EventsPack.asofOracleSql,
+
+    // stream ≡ batch: q03's oracle VERBATIM again — the watermark-
+    // buffered variant must land on the identical enrichment while
+    // tolerating late dimension rows q422's contract forbids (fourth
+    // independent as-of implementation on this one oracle)
+    "q428_stream_asof_buffered" -> graft.operators.EventsPack.asofOracleSql,
 
     // stream ≡ batch: the q423 base-training replay truncated at the
     // delta argmax — the stateless streaming HOF assignment must land

@@ -45,6 +45,18 @@ class AsOfStreamSpec extends AnyFunSuite {
     // event 3 at us=99 predates every signup: dropped (inner semantics)
   }
 
+  test("same-timestamp signup and purchase in one batch: purchase matches it regardless of event_id order") {
+    // ASOF matches signup_us <= purchase_us INCLUSIVELY; the purchase
+    // has the SMALLER event_id, so an (us, event_id) fold would process
+    // it before the signup and drop it — the fold must order signups
+    // before purchases at equal us
+    val st = freshState(None)
+    val out = AsOfStream.update(1L,
+      Iterator(pur(5L, 100L), sig(9L, 100L)), st).toSeq
+    assert(out === Seq(Enriched(1L, 5L, 100L, 100L, 0L)))
+    assert(st.get === Dim(List(100L)))
+  }
+
   test("state carries across batches and duplicate signups stay distinct") {
     val st1 = freshState(None)
     AsOfStream.update(1L, Iterator(sig(1L, 100L), sig(2L, 100L)), st1).toSeq
