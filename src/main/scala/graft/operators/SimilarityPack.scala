@@ -273,6 +273,9 @@ object SimilarityPack extends QueryPack {
   private[graft] val growthResplitPpm = 200000L
   private[graft] val driftResplitPpm = 100000L
 
+  /** q430 energy-distance panel size per source (md5-minimal draw). */
+  private[graft] val energyPanel = 16
+
   /** q102 within-cluster duplicate threshold (cosine) — q44/q45's 0.4,
     * so the three embedding-dedup routes are comparable. */
   private[graft] val semDedupTau = 0.4
@@ -314,6 +317,29 @@ object SimilarityPack extends QueryPack {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("q"), col("norm"), col("cell"))
   }
+
+  /** q429's per-cell variant of [[assignCells]]: members carry their
+    * `cell`, sub-centroids join on it (2 rows per cell, broadcast), and
+    * the argmax runs under the composite (cell, vec_id) key — all
+    * flagged cells split in one plan. */
+  private def subAssign(members: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cell", "vec_id").orderBy(desc("cos_c"), asc("sub"))
+    members.join(broadcast(cent), "cell")
+      .withColumn("cos_c", cosineQ(col("q"), col("cq"), col("norm"), col("cnorm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"), col("norm"), col("sub"))
+  }
+
+  /** q429's (cell, sub)-keyed twin of [[updateCentroids]] — identical
+    * truncated-int64 per-dimension means under the composite key. */
+  private def subUpdateCentroids(assign: DataFrame): DataFrame =
+    assign.select(col("cell"), col("sub"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "sub", "i").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("v", expr("sx div cnt"))
+      .groupBy("cell", "sub")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v")).as("cq"))
+      .withColumn("cnorm", sqrt(normSqQ(col("cq"))))
 
   /** Centroid update: truncated-integer per-dimension mean of the
     * members (int64 `div`, bit-identical across engines — the q55
@@ -880,6 +906,121 @@ object SimilarityPack extends QueryPack {
           col("moved_ppm").cast("bigint").as("moved_ppm"),
           col("needs_resplit"))
       materialized(result, ranked, vecs).orderBy("cell")
+    },
+
+    // ---- IVF RE-SPLIT EXECUTION (r10 VERDICT follow-on #3): q423
+    // FLAGS the cells whose growth/drift crossed threshold; this query
+    // EXECUTES the maintenance action on them — a deterministic 2-means
+    // split of each flagged cell's augmented membership (base + delta),
+    // the same integer-Lloyd machinery as the main build (md5-minimal
+    // seeds, [[ivfRounds]] truncated-int64 centroid rounds, max-cosine
+    // assignment with min-sub tie-break) run PER CELL, all flagged
+    // cells in parallel under composite (cell, sub) keys. Output is the
+    // old-cell → new-sub-cell membership table the index maintainer
+    // applies as a partition rewrite. Shapes: members of flagged cells
+    // only (a few cells × ~√N members); every centroid table is
+    // 2·|flagged| rows and broadcasts; the split never touches
+    // unflagged cells — O(flagged membership), not a retrain. ----
+    "q429_ivf_resplit" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val (vecs, ranked, cells, centx) = baseModelState(s, d)
+      val delta = vecs.filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
+        .select(col("vec_id"), col("q"), col("norm"))
+      val dasg = assignCells(delta, centx)
+      val aug = cells.select(col("vec_id"), col("q"), col("norm"),
+          col("cell").as("cell_old"), lit(0L).as("is_new"))
+        .unionByName(dasg.select(col("vec_id"), col("q"), col("norm"),
+          col("cell").as("cell_old"), lit(1L).as("is_new")))
+      val centy = updateCentroids(
+        aug.select(col("vec_id"), col("q"), col("cell_old").as("cell")))
+      val reasg = assignCells(aug.select("vec_id", "q", "norm"), centy)
+        .select(col("vec_id"), col("cell").as("cell_new"))
+      val flags = aug.join(reasg, "vec_id")
+        .groupBy("cell_old")
+        .agg(sum(lit(1L) - col("is_new")).as("n_base"),
+          sum("is_new").as("n_new"),
+          sum(when(col("cell_new") =!= col("cell_old"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .filter(expr("n_new * 1000000 div n_base") > lit(growthResplitPpm) ||
+          expr("n_moved * 1000000 div (n_base + n_new)") > lit(driftResplitPpm))
+        .select(col("cell_old").as("cell"))
+      // flagged cells' full (augmented) membership — warmed: it feeds
+      // the seed rank + every Lloyd round + the final assignment
+      val members = warmed(aug
+        .select(col("vec_id"), col("q"), col("norm"), col("cell_old").as("cell"))
+        .join(broadcast(flags), "cell"))
+      val wSeed = Window.partitionBy("cell").orderBy("h", "vec_id")
+      val seeds = members
+        .withColumn("h",
+          graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= 2)
+        .select(col("cell"), (col("rn") - 1).cast("int").as("sub"),
+          col("q").as("cq"))
+        .withColumn("cnorm", sqrt(normSqQ(col("cq"))))
+      val cent = (1 to ivfRounds).foldLeft(seeds)((c, _) =>
+        subUpdateCentroids(subAssign(members, c)))
+      val result = subAssign(members, cent)
+        .select(col("cell").cast("int").as("cell"),
+          col("sub").cast("int").as("sub"), col("vec_id"))
+      materialized(result, members, ranked, vecs).orderBy("cell", "sub", "vec_id")
+    },
+
+    // ---- EMBEDDING-SPACE DRIFT: TWO-SAMPLE ENERGY DISTANCE (Székely &
+    // Rizzo 2004) per source pair (r10 VERDICT follow-on #4) — the
+    // drift test an embedding pipeline monitors where q330/q426/q427
+    // watch scalar (length) distributions: E(A,B) = 2·E‖a−b‖ − E‖a−a′‖
+    // − E‖b−b′‖ ≥ 0, zero iff the distributions coincide. Exactness:
+    // every pairwise distance is floor(sqrt(raw int64 squared-L2)) — the
+    // l2Q kernel's exact integer into one correctly-rounded sqrt, so
+    // each micro-distance is a portable int64 and the pair sums are
+    // aggregation-order-free; the statistic assembles with ONE integer
+    // division at common denominator n_a²·n_b². Panels are the P=16
+    // md5-minimal vectors per source (q324's panel discipline), so the
+    // pair frame is sources²·P² — panel-bounded at any corpus size; at
+    // 100 TB the panel draw is the only corpus scan. Sources come from
+    // the documents row sharing the vector's id (vec_id ≙ doc_id, the
+    // corpus contract q74/q123 already ride). ----
+    "q430_energy_distance" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d).select(col("vec_id"), col("q"))
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val wP = Window.partitionBy("source").orderBy("h", "vec_id")
+      val panel = warmed(vecs.join(src, "vec_id")
+        .withColumn("h",
+          graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= lit(energyPanel))
+        .select(col("source"), col("vec_id"), col("q")))
+      def dm(qa: Column, qb: Column): Column =
+        floor(sqrt(l2Q(qa, qb).cast("double"))).cast("long")
+      val sizes = panel.groupBy("source").agg(count(lit(1)).as("n"))
+      val sab = panel.as("a").join(panel.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          dm(col("a.q"), col("b.q")).as("dmic"))
+        .groupBy("source_a", "source_b").agg(sum("dmic").as("s_ab"))
+      // ordered within-source pairs (i ≠ j): twice the unordered sum —
+      // the E‖a−a′‖ numerator over n² with the zero diagonal dropped
+      val sxx = panel.as("a").join(panel.as("b"),
+          col("a.source") === col("b.source") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.source").as("source"), dm(col("a.q"), col("b.q")).as("dmic"))
+        .groupBy("source").agg(sum("dmic").as("s_xx"))
+      val result = sab
+        .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+        .join(sxx.select(col("source").as("source_a"), col("s_xx").as("s_aa0")),
+          Seq("source_a"), "left")
+        .join(sxx.select(col("source").as("source_b"), col("s_xx").as("s_bb0")),
+          Seq("source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          col("s_ab").cast("bigint").as("s_ab"),
+          coalesce(col("s_aa0"), lit(0L)).cast("bigint").as("s_aa"),
+          coalesce(col("s_bb0"), lit(0L)).cast("bigint").as("s_bb"))
+        .withColumn("e_micro", expr(
+          "(2 * s_ab * n_a * n_b - s_aa * n_b * n_b - s_bb * n_a * n_a) " +
+            "div (n_a * n_a * n_b * n_b)").cast("bigint"))
+      materialized(result, panel, vecs).orderBy("source_a", "source_b")
     },
 
     // ---- DAVIES–BOULDIN CLUSTER SEPARATION (Davies & Bouldin, TPAMI
@@ -2595,6 +2736,131 @@ object SimilarityPack extends QueryPack {
          |        OR n_moved * 1000000 // (n_base + n_new) > $driftResplitPpm) AS needs_resplit
          |FROM agg
          |ORDER BY cell""".stripMargin
+    },
+
+    // q423's replay through the flag computation, then the per-cell
+    // 2-means split unrolled under composite (cell, sub) keys: md5-
+    // minimal seeds per cell, the same truncated-int64 centroid rounds,
+    // max-cosine / min-sub assignment — membership must match per vector
+    "q429_ivf_resplit" -> {
+      val cosX = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+      val cosSub = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
+      val splitRounds = (1 to ivfRounds).map { r =>
+        s"""sasg$r AS (SELECT cell, vec_id, q, norm, sub FROM (
+           |    SELECT v.cell, v.vec_id, v.q, v.norm, c.sub,
+           |           row_number() OVER (PARTITION BY v.cell, v.vec_id
+           |                              ORDER BY $cosSub DESC, c.sub) AS rn
+           |    FROM mem v JOIN scent${r - 1} c ON c.cell = v.cell) t WHERE rn = 1),
+           |supd$r AS (SELECT cell, sub, g.i AS i,
+           |                  CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+           |           FROM sasg$r, UNNEST(generate_series(1, $dim)) AS g(i)
+           |           GROUP BY cell, sub, g.i),
+           |scq$r AS (SELECT cell, sub, list(v ORDER BY i) AS cq FROM supd$r GROUP BY cell, sub),
+           |scent$r AS (SELECT cell, sub, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM scq$r c)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${ivfTrainCtesFrom("(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)")},
+         |cellsm AS MATERIALIZED (SELECT * FROM cells),
+         |cx0 AS (SELECT cell, g.i AS i,
+         |               CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |        FROM cellsm, UNNEST(generate_series(1, $dim)) AS g(i)
+         |        GROUP BY cell, g.i),
+         |cxq AS (SELECT cell, list(v ORDER BY i) AS cq FROM cx0 GROUP BY cell),
+         |centx AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cxq c),
+         |dvecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q
+         |          FROM embeddings WHERE vec_id % 10 = 7),
+         |dscored AS (SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm FROM dvecs v),
+         |dasg AS (SELECT vec_id, q, norm, cell FROM (
+         |    SELECT v.vec_id, v.q, v.norm, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosX DESC, c.cell) AS rn
+         |    FROM dscored v CROSS JOIN centx c) t WHERE rn = 1),
+         |aug AS MATERIALIZED (
+         |  SELECT vec_id, q, norm, cell AS cell_old, 0 AS is_new FROM cellsm
+         |  UNION ALL
+         |  SELECT vec_id, q, norm, cell, 1 FROM dasg),
+         |cy0 AS (SELECT cell_old AS cell, g.i AS i,
+         |               CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+         |        FROM aug, UNNEST(generate_series(1, $dim)) AS g(i)
+         |        GROUP BY cell_old, g.i),
+         |cyq AS (SELECT cell, list(v ORDER BY i) AS cq FROM cy0 GROUP BY cell),
+         |centy AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cyq c),
+         |reasg AS (SELECT vec_id, cell AS cell_new FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $cosX DESC, c.cell) AS rn
+         |    FROM aug v CROSS JOIN centy c) t WHERE rn = 1),
+         |agg AS (
+         |  SELECT a.cell_old,
+         |         CAST(SUM(1 - a.is_new) AS BIGINT) AS n_base,
+         |         CAST(SUM(a.is_new) AS BIGINT) AS n_new,
+         |         CAST(SUM(CASE WHEN r.cell_new <> a.cell_old THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM aug a JOIN reasg r USING (vec_id)
+         |  GROUP BY a.cell_old),
+         |flags AS (SELECT cell_old AS cell FROM agg
+         |          WHERE n_new * 1000000 // n_base > $growthResplitPpm
+         |             OR n_moved * 1000000 // (n_base + n_new) > $driftResplitPpm),
+         |mem AS MATERIALIZED (
+         |  SELECT a.vec_id, a.q, a.norm, a.cell_old AS cell
+         |  FROM aug a JOIN flags f ON a.cell_old = f.cell),
+         |mh AS (SELECT *, CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |       FROM mem),
+         |sseed AS (SELECT cell,
+         |                 CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) - 1 AS INT) AS sub,
+         |                 q AS cq
+         |          FROM mh
+         |          QUALIFY row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) <= 2),
+         |scent0 AS (SELECT cell, sub, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM sseed c),
+         |$splitRounds,
+         |sfin AS (SELECT cell, vec_id, sub FROM (
+         |    SELECT v.cell, v.vec_id, c.sub,
+         |           row_number() OVER (PARTITION BY v.cell, v.vec_id
+         |                              ORDER BY $cosSub DESC, c.sub) AS rn
+         |    FROM mem v JOIN scent$ivfRounds c ON c.cell = v.cell) t WHERE rn = 1)
+         |SELECT CAST(cell AS INT) AS cell, CAST(sub AS INT) AS sub, vec_id
+         |FROM sfin
+         |ORDER BY cell, sub, vec_id""".stripMargin
+    },
+
+    // same md5-minimal per-source panels, the same floor(sqrt(int64
+    // squared-L2)) micro-distances, one common-denominator division
+    "q430_energy_distance" -> {
+      def rl2(a: String, b: String) =
+        s"(SELECT SUM(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) FROM UNNEST(generate_series(1, $dim)) AS g(i))"
+      val dmic = (a: String, b: String) =>
+        s"CAST(floor(sqrt(CAST(${rl2(a, b)} AS DOUBLE))) AS BIGINT)"
+      s"""WITH qv AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |lab AS (SELECT e.vec_id, d.source, e.q
+         |        FROM qv e JOIN documents d ON e.vec_id = d.doc_id),
+         |hh AS (SELECT *, CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |       FROM lab),
+         |panel AS MATERIALIZED (
+         |  SELECT source, vec_id, q FROM hh
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, vec_id) <= $energyPanel),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM panel GROUP BY 1),
+         |sab AS (SELECT a.source AS source_a, b.source AS source_b,
+         |               CAST(SUM(${dmic("a.q", "b.q")}) AS BIGINT) AS s_ab
+         |        FROM panel a JOIN panel b ON a.source < b.source
+         |        GROUP BY 1, 2),
+         |sxx AS (SELECT a.source AS source,
+         |               CAST(SUM(${dmic("a.q", "b.q")}) AS BIGINT) AS s_xx
+         |        FROM panel a JOIN panel b
+         |          ON a.source = b.source AND a.vec_id <> b.vec_id
+         |        GROUP BY 1),
+         |out AS (
+         |  SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b, p.s_ab,
+         |         COALESCE(xa.s_xx, 0) AS s_aa, COALESCE(xb.s_xx, 0) AS s_bb
+         |  FROM sab p
+         |  JOIN sizes na ON na.source = p.source_a
+         |  JOIN sizes nb ON nb.source = p.source_b
+         |  LEFT JOIN sxx xa ON xa.source = p.source_a
+         |  LEFT JOIN sxx xb ON xb.source = p.source_b)
+         |SELECT source_a, source_b, n_a, n_b, s_ab,
+         |       CAST(s_aa AS BIGINT) AS s_aa, CAST(s_bb AS BIGINT) AS s_bb,
+         |       CAST((2 * s_ab * n_a * n_b - s_aa * n_b * n_b - s_bb * n_a * n_a)
+         |            // (n_a * n_a * n_b * n_b) AS BIGINT) AS e_micro
+         |FROM out
+         |ORDER BY source_a, source_b""".stripMargin
     },
 
     // the same recomputed centroids (q315's updx), raw int64 squared-L2
