@@ -197,6 +197,35 @@ object CorePack extends QueryPack {
           .select(lit(n).as("table_name"), col("file_name"),
             col("n_rows").cast("bigint").as("n_rows"), col("path_consistent"))
       }.reduce(_ unionByName _).orderBy("table_name", "file_name")
+    },
+
+    // ---- DATASOURCE V2 CONNECTOR (r10 VERDICT follow-on #6): read the
+    // custom `graft-range` TableProvider ([[graft.sources
+    // .GraftRangeSource]]) by its registered short name and aggregate
+    // over its generated rows. Two plan REQUIREs pin the V2 contract
+    // before anything executes: the physical plan must scan through a
+    // `BatchScanExec` (the V2 read path — not a fallback), and the
+    // scan's readSchema must be PRUNED to exactly the two referenced
+    // columns (the connector's SupportsPushDownRequiredColumns doing
+    // its job — a connector that reads all columns for a 2-column
+    // aggregate is wrong at any scale). The oracle replays the
+    // generator as generate_series. ----
+    "q432_dsv2_range" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "100000").option("slices", "8").load()
+        .select(col("bucket"), col("sq"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.nonEmpty,
+        s"graft-range read lost the V2 BatchScan node:\n${df.queryExecution.executedPlan}")
+      require(scans.head.scan.readSchema().fieldNames.toSet == Set("bucket", "sq"),
+        s"graft-range scan not column-pruned: ${scans.head.scan.readSchema()}")
+      df.groupBy("bucket")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum("sq").cast("bigint").as("sum_sq"))
+        .select(col("bucket").cast("int").as("bucket"), col("n"), col("sum_sq"))
+        .orderBy("bucket")
     }
   )
 
@@ -252,7 +281,18 @@ object CorePack extends QueryPack {
         .map(n => s"SELECT '$n' AS table_name, '$n.parquet' AS file_name, " +
           s"CAST(count(*) AS BIGINT) AS n_rows, TRUE AS path_consistent FROM $n")
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-          "\n) t ORDER BY table_name, file_name")
+          "\n) t ORDER BY table_name, file_name"),
+
+    // the generator's contract replayed: id = 0..n-1, sq = id², bucket
+    // = id mod 16 — any slice-boundary slip (dropped/duplicated id at a
+    // partition edge) shifts a bucket's count/sum and hash-fails
+    "q432_dsv2_range" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq
+        |FROM UNNEST(generate_series(0, 99999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
   )
 
   private def roundTripDigestSql(textExpr: String) =

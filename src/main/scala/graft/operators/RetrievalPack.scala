@@ -71,7 +71,6 @@ object RetrievalPack extends QueryPack {
     // from the documents table (per-doc is_delta flag), so the gate
     // proves incremental ≡ batch (the q101 discipline). ----
     "q424_bm25_delta" -> { (s, d) =>
-      val (baseTerms, baseMeta) = bm25BaseStats(s, d)
       val delta = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) === lit(DedupPack.deltaRem))
       val dTerms = delta
@@ -82,28 +81,7 @@ object RetrievalPack extends QueryPack {
         .select(size(tokens(col("text"))).cast("bigint").as("dl"))
         .agg(count(lit(1)).as("n_delta"),
           coalesce(sum("dl"), lit(0L)).as("sum_dl_delta"))
-      def idfMicro(n: Column, df: Column): Column =
-        floor(log((n.cast("double") - df.cast("double") + lit(0.5)) /
-          (df.cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("bigint")
-      val result = dTerms
-        .join(baseTerms.select(col("w"), col("df").as("df_base"),
-          col("cf").as("cf_base")), Seq("w"), "left")
-        .na.fill(0L, Seq("df_base", "cf_base"))
-        .crossJoin(broadcast(baseMeta.select(col("n_docs").as("n_base"),
-          col("sum_dl").as("sum_dl_base"))))
-        .crossJoin(broadcast(dMeta))
-        .withColumn("df_new", col("df_base") + col("df_delta"))
-        .withColumn("n_new", col("n_base") + col("n_delta"))
-        .select(col("w").as("term"),
-          col("df_base").cast("bigint").as("df_base"),
-          col("df_delta").cast("bigint").as("df_delta"),
-          col("df_new").cast("bigint").as("df_new"),
-          (col("cf_base") + col("cf_delta")).cast("bigint").as("cf_new"),
-          col("n_new").cast("bigint").as("n_docs_new"),
-          (col("sum_dl_base") + col("sum_dl_delta")).cast("bigint").as("sum_dl_new"),
-          idfMicro(col("n_base"), col("df_base")).as("idf_old_micro"),
-          idfMicro(col("n_new"), col("df_new")).as("idf_new_micro"))
-      result.orderBy("term")
+      bm25Merge(s, d, dTerms, dMeta).orderBy("term")
     },
 
     // ---- DIRICHLET-SMOOTHED QUERY LIKELIHOOD retrieval (Zhai &
@@ -380,6 +358,38 @@ object RetrievalPack extends QueryPack {
     * stats over the base split, plus the one-row `(n_docs, sum_dl)`
     * corpus meta. A delta ingest reads these, never re-tokenizes the
     * base corpus. */
+  /** q424's merge stage, shared VERBATIM with the streaming twin (q431):
+    * delta term stats + delta meta, merged by one vocabulary equi-join
+    * into the stored base artifact's per-term (df, cf) and corpus meta,
+    * with the old/new idf each touched term must be re-scored under.
+    * Keeping this one code path is what makes stream ≡ batch a code
+    * identity, not a coincidence. */
+  private[graft] def bm25Merge(s: SparkSession, d: String,
+                               dTerms: DataFrame, dMeta: DataFrame): DataFrame = {
+    val (baseTerms, baseMeta) = bm25BaseStats(s, d)
+    def idfMicro(n: Column, df: Column): Column =
+      floor(log((n.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("bigint")
+    dTerms
+      .join(baseTerms.select(col("w"), col("df").as("df_base"),
+        col("cf").as("cf_base")), Seq("w"), "left")
+      .na.fill(0L, Seq("df_base", "cf_base"))
+      .crossJoin(broadcast(baseMeta.select(col("n_docs").as("n_base"),
+        col("sum_dl").as("sum_dl_base"))))
+      .crossJoin(broadcast(dMeta))
+      .withColumn("df_new", col("df_base") + col("df_delta"))
+      .withColumn("n_new", col("n_base") + col("n_delta"))
+      .select(col("w").as("term"),
+        col("df_base").cast("bigint").as("df_base"),
+        col("df_delta").cast("bigint").as("df_delta"),
+        col("df_new").cast("bigint").as("df_new"),
+        (col("cf_base") + col("cf_delta")).cast("bigint").as("cf_new"),
+        col("n_new").cast("bigint").as("n_docs_new"),
+        (col("sum_dl_base") + col("sum_dl_delta")).cast("bigint").as("sum_dl_new"),
+        idfMicro(col("n_base"), col("df_base")).as("idf_old_micro"),
+        idfMicro(col("n_new"), col("df_new")).as("idf_new_micro"))
+  }
+
   private def bm25BaseStats(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val key = graft.core.Artifacts.corpusKey(d, "documents.parquet")
     def baseDocs = Tables.documents(s, d)

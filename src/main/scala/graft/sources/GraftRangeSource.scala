@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `TableProvider` — the fifth Catalyst extension surface
+  * the engine demonstrates (after codegen `Expression`s, native
+  * `TypedImperativeAggregate`s, a custom `SparkStrategy`, and an
+  * optimizer `Rule`): a deterministic integer-range GENERATOR table
+  * (`graft-range`), the connector shape every custom V2 source shares —
+  * `TableProvider` → `Table(BATCH_READ)` → `ScanBuilder` → `Batch` with
+  * explicit `InputPartition`s → serializable `PartitionReaderFactory`.
+  *
+  * Semantics: `n` rows `id = 0..n-1` split into `slices` contiguous
+  * input partitions (the planner sees `slices`-way parallelism, exactly
+  * how a real connector surfaces its splits), each row carrying
+  *   - `sq`     = id·id (pure integer, oracle-replayable),
+  *   - `bucket` = id mod 16.
+  *
+  * The ScanBuilder implements `SupportsPushDownRequiredColumns`, so a
+  * projection reaches the reader as a pruned schema and the readers
+  * materialize ONLY the requested fields — the column-pruning contract
+  * a columnar connector lives by (q432's REQUIRE pins both the
+  * `BatchScan` node and the pruned ReadSchema in the physical plan).
+  *
+  * Registered through `DataSourceRegister` (META-INF/services), so
+  * `spark.read.format("graft-range")` resolves by short name — the V2
+  * loading path (`DataSourceV2Utils`) hands the options to
+  * [[GraftRangeTable]] as table properties.
+  *
+  * Reference scope: the reference engine reads its inputs as whole
+  * files (`/root/reference/src/mr/worker.rs:142-193`); a pluggable
+  * table source is north-star surface.
+  */
+class GraftRangeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-range"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRangeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val n = Option(properties.get("n")).map(_.toLong).getOrElse(1000L)
+    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
+    require(n >= 0 && slices >= 1, s"graft-range: bad n=$n slices=$slices")
+    new GraftRangeTable(n, slices)
+  }
+}
+
+object GraftRangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
+}
+
+class GraftRangeTable(n: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range(n=$n, slices=$slices)"
+  override def schema(): StructType = GraftRangeSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRangeScanBuilder(n, slices)
+}
+
+class GraftRangeScanBuilder(n: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftRangeSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftRangeScan(n, slices, required)
+}
+
+class GraftRangeScan(n: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    // contiguous [start, end) ranges, remainder spread over the first few
+    val base = n / slices; val rem = n % slices
+    (0 until slices).iterator.map { i =>
+      val start = i * base + math.min(i.toLong, rem)
+      val end = start + base + (if (i < rem) 1L else 0L)
+      GraftRangePartition(start, end): InputPartition
+    }.filter { case GraftRangePartition(s, e) => e > s }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required.fieldNames)
+}
+
+case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+
+class GraftRangeReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftRangePartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = {
+        // materialize ONLY the pruned columns, in the pruned order
+        val vals = fields.map {
+          case "id" => java.lang.Long.valueOf(cur)
+          case "sq" => java.lang.Long.valueOf(cur * cur)
+          case "bucket" => java.lang.Integer.valueOf((cur % 16L).toInt)
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -424,6 +424,69 @@ object StreamingPack extends QueryPack {
     s.table(name).orderBy("vec_id")
   }
 
+  /** STREAMING BM25 INDEX-STATS MAINTENANCE — the live twin of q424
+    * (completing the streaming counterpart set for all three
+    * incremental indexes: dedup q139, IVF q425, retrieval here): delta
+    * documents arrive as a stream, per-term (df, cf) accumulate in ONE
+    * streaming aggregate, and the batch side merges the final totals
+    * against the stored base artifact through [[graft.operators
+    * .RetrievalPack.bm25Merge]] — the SAME code q424 runs, so stream ≡
+    * batch is a code identity gated by q424's oracle verbatim.
+    *
+    * The stateless trick: a document's tokens all live in its own row,
+    * so per-doc term counts need NO stateful (doc, w) aggregate — the
+    * sorted-token-array boundary scan (codegen HOFs: array_sort →
+    * boundary positions → zip_with run lengths) emits each doc's
+    * DISTINCT (w, cnt) pairs plus one sentinel meta pair ('' → doc
+    * length) inside the micro-batch map, leaving exactly ONE streaming
+    * groupBy(w) in complete mode whose state is vocabulary-bounded
+    * (the q290 calendar-grid argument: bounded keys, no watermark
+    * needed at any stream length). */
+  def streamBm25Delta(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupPack
+    val delta = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) === lit(DedupPack.deltaRem))
+    val pairs = delta
+      .withColumn("ws", array_sort(graft.functions.TextFunctions.tokens(col("text"))))
+      // 1-based boundary positions where a new distinct token starts
+      // (sequence() DESCENDS on empty arrays — guard the bound)
+      .withColumn("bs", expr(
+        "CASE WHEN size(ws) = 0 THEN array() " +
+          "ELSE filter(sequence(1, size(ws)), " +
+          "i -> i = 1 OR element_at(ws, i) <> element_at(ws, i - 1)) END"))
+      // run length of boundary k = next boundary (or end+1) - position;
+      // plus the per-doc sentinel ('' is impossible as a token) carrying
+      // the doc length so ONE aggregate yields both term and meta stats
+      .withColumn("prs", expr(
+        "concat(zip_with(bs, concat(slice(bs, 2, greatest(size(bs) - 1, 0)), " +
+          "array(size(ws) + 1)), " +
+          "(a, b) -> named_struct('w', element_at(ws, a), 'cnt', CAST(b - a AS BIGINT))), " +
+          "array(named_struct('w', '', 'cnt', CAST(size(ws) AS BIGINT))))"))
+      .select(explode(col("prs")).as("p"))
+      .select(col("p.w").as("w"), col("p.cnt").as("cnt"))
+    val agg = pairs.groupBy("w")
+      .agg(count(lit(1)).as("dfd"), sum("cnt").as("cfd"))
+    val name = s"graft_stream_bm25_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val t = s.table(name).localCheckpoint()
+    val dTerms = t.filter(col("w") =!= "")
+      .select(col("w"), col("dfd").as("df_delta"), col("cfd").as("cf_delta"))
+    val dMeta = t.filter(col("w") === "")
+      .select(col("dfd").as("n_delta"), col("cfd").as("sum_dl_delta"))
+    graft.operators.RetrievalPack.bm25Merge(s, d, dTerms, dMeta).orderBy("term")
+  }
+
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupPack
     graft.functions.GraftExpressions.ensure(s)
@@ -778,6 +841,7 @@ object StreamingPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
     "q428_stream_asof_buffered" -> ((s, d) => AsOfBufferedStream.run(s, d)),
+    "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
     "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
@@ -813,6 +877,12 @@ object StreamingPack extends QueryPack {
     // tolerating late dimension rows q422's contract forbids (fourth
     // independent as-of implementation on this one oracle)
     "q428_stream_asof_buffered" -> graft.operators.EventsPack.asofOracleSql,
+
+    // stream ≡ batch: q424's full-recompute oracle VERBATIM — the
+    // streamed per-term totals merged through the shared bm25Merge
+    // must land on the batch incremental answer exactly
+    "q431_stream_bm25_delta" ->
+      graft.operators.RetrievalPack.oracle("q424_bm25_delta"),
 
     // stream ≡ batch: the q423 base-training replay truncated at the
     // delta argmax — the stateless streaming HOF assignment must land
