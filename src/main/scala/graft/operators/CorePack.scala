@@ -226,8 +226,33 @@ object CorePack extends QueryPack {
           sum("sq").cast("bigint").as("sum_sq"))
         .select(col("bucket").cast("int").as("bucket"), col("n"), col("sum_sq"))
         .orderBy("bucket")
+    },
+
+    // ---- DATASOURCE V2 SINK ROUNDTRIP: the q432 connector's WRITE
+    // half ([[graft.sources.GraftMemSink]]) — the per-language corpus
+    // digest is written THROUGH the V2 write contract (partition-
+    // parallel DataWriters, rows surfacing only at BatchWrite.commit)
+    // into the `graft-mem` store, read back through its V2 Batch scan
+    // (REQUIREd as a BatchScanExec, the q432 discipline), and gated
+    // against the digest of the ORIGINAL table — any row lost or
+    // duplicated between writer commit messages and the committed
+    // store hash-fails (the q02/q140 sink-roundtrip discipline on the
+    // fifth extension surface). ----
+    "q434_dsv2_sink_roundtrip" -> { (s, dir) =>
+      val tbl = s"digest_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      roundTripDigest(Tables.documents(s, dir))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      val back = s.read.format("graft-mem").option("table", tbl).load()
+      val scans = back.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.nonEmpty,
+        s"graft-mem read-back lost the V2 BatchScan node:\n${back.queryExecution.executedPlan}")
+      back.orderBy("lang")
     }
   )
+
+  private val dsv2SinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-language row/byte/text-checksum digest of a documents frame —
     * the compare side of the q135/q136 round-trips. */
@@ -292,7 +317,11 @@ object CorePack extends QueryPack {
         |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq
         |FROM UNNEST(generate_series(0, 99999)) AS g(i)
         |GROUP BY 1
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    // digest of the ORIGINAL documents table — the V2 write+read
+    // roundtrip must reproduce it exactly (the q140 compare, V2 store)
+    "q434_dsv2_sink_roundtrip" -> roundTripDigestSql("text")
   )
 
   private def roundTripDigestSql(textExpr: String) =

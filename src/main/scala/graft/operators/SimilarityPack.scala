@@ -1023,6 +1023,69 @@ object SimilarityPack extends QueryPack {
       materialized(result, panel, vecs).orderBy("source_a", "source_b")
     },
 
+    // ---- EMBEDDING DRIFT: POLYNOMIAL-KERNEL MMD² (Gretton et al.,
+    // JMLR 2012) per source pair — q430's companion with a KERNEL view
+    // of the same panels: the unbiased MMD² estimator under the degree-2
+    // polynomial kernel k(x,y) = (1000 + ⟨x,y⟩_milli)², which is
+    // ALL-INTEGER end to end (the raw int64 dot is exact; one div
+    // rescales it to milli; the square and the three pair sums stay in
+    // int64 by construction — no sqrt, no doubles anywhere, unlike
+    // energy distance's one rounded sqrt per pair). Unbiased form drops
+    // the within-sample diagonal, so panels need n ≥ 2 — pairs with a
+    // singleton side are excluded identically in both engines. Same
+    // panel²-bounded shapes as q430; the two statistics disagreeing on
+    // a pair (one flags, one doesn't) is itself diagnostic: energy
+    // distance reads metric geometry, the poly kernel reads second-order
+    // moments. ----
+    "q433_mmd_poly" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d).select(col("vec_id"), col("q"))
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val wP = Window.partitionBy("source").orderBy("h", "vec_id")
+      val panel = warmed(vecs.join(src, "vec_id")
+        .withColumn("h",
+          graft.functions.TextFunctions.hex64(md5(col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= lit(energyPanel))
+        .select(col("source"), col("vec_id"), col("q")))
+      // k(x,y) = (1000 + (raw_dot div 1e9))²: dot_milli ≈ cos·1000 on
+      // unit-ish vectors; |dot_milli| ≤ 2.6e5 keeps k ≤ 6.6e10 and the
+      // panel² sums ≤ ~2e13 — exact int64 throughout (div truncates
+      // toward zero in BOTH engines, including negative dots)
+      val kv = expr("(1000 + (dotr div 1000000000)) * (1000 + (dotr div 1000000000))")
+      val sizes = panel.groupBy("source").agg(count(lit(1)).as("n"))
+      val sab = panel.as("a").join(panel.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          graft.functions.GraftExpressions.longArrayDot(col("a.q"), col("b.q")).as("dotr"))
+        .withColumn("kv", kv)
+        .groupBy("source_a", "source_b").agg(sum("kv").as("s_ab"))
+      val sxx = panel.as("a").join(panel.as("b"),
+          col("a.source") === col("b.source") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.source").as("source"),
+          graft.functions.GraftExpressions.longArrayDot(col("a.q"), col("b.q")).as("dotr"))
+        .withColumn("kv", kv)
+        .groupBy("source").agg(sum("kv").as("s_xx"))
+      val result = sab
+        .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+        .join(sxx.select(col("source").as("source_a"), col("s_xx").as("s_aa")), "source_a")
+        .join(sxx.select(col("source").as("source_b"), col("s_xx").as("s_bb")), "source_b")
+        .filter(col("n_a") >= 2 && col("n_b") >= 2)
+        .select(col("source_a"), col("source_b"),
+          col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+          col("s_ab").cast("bigint").as("s_ab"),
+          col("s_aa").cast("bigint").as("s_aa"),
+          col("s_bb").cast("bigint").as("s_bb"))
+        // unbiased MMD²: S_aa/(na(na−1)) + S_bb/(nb(nb−1)) − 2·S_ab/(na·nb),
+        // assembled over the common denominator in ONE integer division
+        .withColumn("mmd2_q", expr(
+          "(s_aa * (n_b * (n_b - 1)) + s_bb * (n_a * (n_a - 1)) " +
+            "- 2 * s_ab * ((n_a - 1) * (n_b - 1))) " +
+            "div ((n_a * (n_a - 1)) * (n_b * (n_b - 1)))").cast("bigint"))
+      materialized(result, panel, vecs).orderBy("source_a", "source_b")
+    },
+
     // ---- DAVIES–BOULDIN CLUSTER SEPARATION (Davies & Bouldin, TPAMI
     // 1979): per IVF cell, worst-case (scatter_i + scatter_j) / d(c_i,
     // c_j)² over all other cells — the compactness-vs-separation index
@@ -2859,6 +2922,50 @@ object SimilarityPack extends QueryPack {
          |       CAST(s_aa AS BIGINT) AS s_aa, CAST(s_bb AS BIGINT) AS s_bb,
          |       CAST((2 * s_ab * n_a * n_b - s_aa * n_b * n_b - s_bb * n_a * n_a)
          |            // (n_a * n_a * n_b * n_b) AS BIGINT) AS e_micro
+         |FROM out
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // same panels as q430; the kernel's raw dot, milli rescale (// —
+    // truncation toward zero matches Spark div on negatives), square,
+    // pair sums, and the one common-denominator division — all integer
+    "q433_mmd_poly" -> {
+      def rdot(a: String, b: String) =
+        s"(SELECT SUM($a[g.i] * $b[g.i]) FROM UNNEST(generate_series(1, $dim)) AS g(i))"
+      val kv = (a: String, b: String) =>
+        s"(1000 + (CAST(${rdot(a, b)} AS BIGINT) // 1000000000)) * " +
+          s"(1000 + (CAST(${rdot(a, b)} AS BIGINT) // 1000000000))"
+      s"""WITH qv AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |lab AS (SELECT e.vec_id, d.source, e.q
+         |        FROM qv e JOIN documents d ON e.vec_id = d.doc_id),
+         |hh AS (SELECT *, CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |       FROM lab),
+         |panel AS MATERIALIZED (
+         |  SELECT source, vec_id, q FROM hh
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, vec_id) <= $energyPanel),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM panel GROUP BY 1),
+         |sab AS (SELECT a.source AS source_a, b.source AS source_b,
+         |               CAST(SUM(${kv("a.q", "b.q")}) AS BIGINT) AS s_ab
+         |        FROM panel a JOIN panel b ON a.source < b.source
+         |        GROUP BY 1, 2),
+         |sxx AS (SELECT a.source AS source,
+         |               CAST(SUM(${kv("a.q", "b.q")}) AS BIGINT) AS s_xx
+         |        FROM panel a JOIN panel b
+         |          ON a.source = b.source AND a.vec_id <> b.vec_id
+         |        GROUP BY 1),
+         |out AS (
+         |  SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b, p.s_ab,
+         |         xa.s_xx AS s_aa, xb.s_xx AS s_bb
+         |  FROM sab p
+         |  JOIN sizes na ON na.source = p.source_a
+         |  JOIN sizes nb ON nb.source = p.source_b
+         |  JOIN sxx xa ON xa.source = p.source_a
+         |  JOIN sxx xb ON xb.source = p.source_b
+         |  WHERE na.n >= 2 AND nb.n >= 2)
+         |SELECT source_a, source_b, n_a, n_b, s_ab, s_aa, s_bb,
+         |       CAST((s_aa * (n_b * (n_b - 1)) + s_bb * (n_a * (n_a - 1))
+         |             - 2 * s_ab * ((n_a - 1) * (n_b - 1)))
+         |            // ((n_a * (n_a - 1)) * (n_b * (n_b - 1))) AS BIGINT) AS mmd2_q
          |FROM out
          |ORDER BY source_a, source_b""".stripMargin
     },

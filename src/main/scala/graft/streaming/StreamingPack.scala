@@ -449,22 +449,34 @@ object StreamingPack extends QueryPack {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
       .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) === lit(DedupPack.deltaRem))
+    // Single-pass run-length fold over the SORTED token array. The fold
+    // lambdas reference ONLY their own (acc, x) arguments — never an
+    // outer column — because HOF lambdas re-evaluate referenced outer
+    // expressions PER ELEMENT once CollapseProject inlines them (the
+    // DedupPack shingle lesson; an element_at(ws, i) formulation
+    // measured 56 s at sf0.1 vs ~1 s for this fold).
+    val runLenFold =
+      "aggregate(ws, " +
+        "named_struct('res', CAST(array() AS ARRAY<STRUCT<w: STRING, cnt: BIGINT>>), " +
+        "'cur', CAST(NULL AS STRING), 'c', CAST(0 AS BIGINT)), " +
+        "(acc, x) -> CASE " +
+        "WHEN acc.cur IS NULL THEN named_struct('res', acc.res, 'cur', x, 'c', CAST(1 AS BIGINT)) " +
+        "WHEN x = acc.cur THEN named_struct('res', acc.res, 'cur', acc.cur, 'c', acc.c + 1) " +
+        "ELSE named_struct('res', array_append(acc.res, named_struct('w', acc.cur, 'cnt', acc.c)), " +
+        "'cur', x, 'c', CAST(1 AS BIGINT)) END, " +
+        "acc -> CASE WHEN acc.cur IS NULL THEN acc.res " +
+        "ELSE array_append(acc.res, named_struct('w', acc.cur, 'cnt', acc.c)) END)"
     val pairs = delta
+      // ws sits in the aggregate's INPUT slot: evaluated once per row
+      // even if the projection is collapsed into the fold expression
       .withColumn("ws", array_sort(graft.functions.TextFunctions.tokens(col("text"))))
-      // 1-based boundary positions where a new distinct token starts
-      // (sequence() DESCENDS on empty arrays — guard the bound)
-      .withColumn("bs", expr(
-        "CASE WHEN size(ws) = 0 THEN array() " +
-          "ELSE filter(sequence(1, size(ws)), " +
-          "i -> i = 1 OR element_at(ws, i) <> element_at(ws, i - 1)) END"))
-      // run length of boundary k = next boundary (or end+1) - position;
-      // plus the per-doc sentinel ('' is impossible as a token) carrying
-      // the doc length so ONE aggregate yields both term and meta stats
+      .withColumn("prs0", expr(runLenFold))
+      // per-doc sentinel ('' is impossible as a token) carrying the doc
+      // length so ONE streaming aggregate yields both term + meta stats
+      .withColumn("dl", expr(
+        "aggregate(prs0, CAST(0 AS BIGINT), (a, s) -> a + s.cnt)"))
       .withColumn("prs", expr(
-        "concat(zip_with(bs, concat(slice(bs, 2, greatest(size(bs) - 1, 0)), " +
-          "array(size(ws) + 1)), " +
-          "(a, b) -> named_struct('w', element_at(ws, a), 'cnt', CAST(b - a AS BIGINT))), " +
-          "array(named_struct('w', '', 'cnt', CAST(size(ws) AS BIGINT))))"))
+        "concat(prs0, array(named_struct('w', '', 'cnt', dl)))"))
       .select(explode(col("prs")).as("p"))
       .select(col("p.w").as("w"), col("p.cnt").as("cnt"))
     val agg = pairs.groupBy("w")

@@ -104,7 +104,11 @@ object DumpPlans {
     "q423_ivf_delta_maintain",// delta->stored-cells argmax, cells-sized updates
     "q424_bm25_delta",        // delta-only scan + vocab equi-join stat merge
     "q426_cvm_two_sample",    // vocab-bounded CDF windows, sources^2 pair agg
-    "q427_anderson_darling"   // same frame, tail-weighted quantized quotients
+    "q427_anderson_darling",  // same frame, tail-weighted quantized quotients
+    "q429_ivf_resplit",       // flagged-cell 2-means under composite keys
+    "q430_energy_distance",   // panel^2 exact micro-distance pair sums
+    "q432_dsv2_range",        // custom V2 BatchScan, pruned readSchema
+    "q434_dsv2_sink_roundtrip" // V2 write commit + read-back BatchScan
   )
 
   def main(args: Array[String]): Unit = {

@@ -70,6 +70,60 @@ class Wave11Spec extends AnyFunSuite {
     assert(got.values.forall(_._6 >= -1L))
   }
 
+  test("q433 polynomial-kernel MMD matches a plain-Scala brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .join(graft.core.Tables.documents(spark, sf)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select("vec_id", "source", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2).toArray))
+    val quant = rows.map { case (id, src, emb) =>
+      (id, src, emb.map(x => math.floor(x.toDouble * 1e6).toLong))
+    }
+    val panels = quant.groupBy(_._2).map { case (src, vs) =>
+      src -> vs.sortBy(v =>
+          (java.lang.Long.parseLong(md5hex(v._1.toString).substring(0, 15), 16), v._1))
+        .take(16).map(v => (v._1, v._3)).toSeq
+    }
+    def k(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      val dm = dot / 1000000000L // JVM / truncates toward zero, like div
+      (1000L + dm) * (1000L + dm)
+    }
+    def within(p: Seq[(Long, Array[Long])]): Long =
+      (for (x <- p; y <- p if x._1 != y._1) yield k(x._2, y._2)).sum
+    val expect = (for {
+      (sa, pa) <- panels; (sb, pb) <- panels
+      if sa < sb && pa.size >= 2 && pb.size >= 2
+    } yield {
+      val na = pa.size.toLong; val nb = pb.size.toLong
+      val sAb = (for (x <- pa; y <- pb) yield k(x._2, y._2)).sum
+      val sAa = within(pa); val sBb = within(pb)
+      val num = sAa * (nb * (nb - 1)) + sBb * (na * (na - 1)) -
+        2 * sAb * ((na - 1) * (nb - 1))
+      (sa, sb) -> (na, nb, sAb, sAa, sBb, num / ((na * (na - 1)) * (nb * (nb - 1))))
+    }).toMap
+    val got = SparkEntry.queries("q433_mmd_poly")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
+  test("q431 streaming per-term stats equal q424's batch incremental stats row for row") {
+    val batch = SparkEntry.queries("q424_bm25_delta")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("q431_stream_bm25_delta")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("q428 buffered stream equals q03's batch native as-of join row for row") {
     val batch = SparkEntry.queries("q03_asof_join_native")(spark, sf)
       .collect().map(_.toSeq).toSeq
