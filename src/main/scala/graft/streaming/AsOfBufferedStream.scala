@@ -24,9 +24,13 @@ import graft.core.Tables
   * Design (the eighth custom-state streaming operator):
   *   - `flatMapGroupsWithState` keyed by user_id with
   *     `EventTimeTimeout`. State = the user's DISTINCT sorted signup
-  *     instants (bounded by per-user signup count) + the PENDING
-  *     purchases still inside the watermark (bounded by the purchase
-  *     rate × watermark delay — the classic buffered-join state bound).
+  *     instants EVICTED down to (signups inside the watermark window +
+  *     one floor anchor — the largest signup at or below the watermark,
+  *     the only one a future in-contract purchase can still match) +
+  *     the PENDING purchases still inside the watermark (bounded by the
+  *     purchase rate × watermark delay — the classic buffered-join
+  *     state bound). Both components are watermark-window-sized, so
+  *     state never grows with stream length OR per-user history.
   *   - Each invocation folds new signups into the dimension list,
   *     appends new purchases to the pending buffer, then FLUSHES every
   *     pending purchase with `us <= watermark`: emit exactly once with
@@ -90,7 +94,19 @@ object AsOfBufferedStream {
     val out = flush.sortBy(p => (p.us, p.event_id)).flatMap { p =>
       floorOf(sig, p.us).map(su => Enriched(user, p.event_id, p.us, su, p.us - su))
     }
-    state.update(BufState(sig, keep))
+    // EVICTION (after the flush used the full list): every in-contract
+    // future purchase has us > watermark, and its floor is either a
+    // signup > watermark or the LARGEST signup <= watermark — signups
+    // below that anchor can never be a floor again. Keeps per-user
+    // state at O(signups inside the watermark window + 1 anchor)
+    // instead of the full signup history (q422 keeps the history —
+    // that's its insensitivity trade; the buffered variant's watermark
+    // makes the bound safe).
+    val anchored = sig.filter(_ <= wmUs) match {
+      case Nil => sig
+      case below => below.max :: sig.filter(_ > wmUs)
+    }
+    state.update(BufState(anchored, keep))
     if (keep.nonEmpty) {
       // arm at the earliest pending purchase (+1 ms: strictly above the
       // current watermark, which the partition above guarantees) so the

@@ -53,7 +53,9 @@ class AsOfBufferedStreamSpec extends AnyFunSuite {
     val st3 = state(Some(st2.get), wmMs = 200L, timedOut = true)
     val out3 = AsOfBufferedStream.update(1L, Iterator.empty, st3).toSeq
     assert(out3 === Seq(Enriched(1L, 30L, 150000L, 120000L, 30000L)))
-    assert(st3.get === BufState(List(100000L, 120000L), Nil))
+    // eviction: watermark 200 ms makes 120k the floor anchor; 100k can
+    // never be matched by an in-contract purchase again
+    assert(st3.get === BufState(List(120000L), Nil))
   }
 
   test("flush is exactly the pending purchases at or below the watermark, in (us, event_id) order") {
@@ -74,6 +76,25 @@ class AsOfBufferedStreamSpec extends AnyFunSuite {
     val out = AsOfBufferedStream.update(1L, Iterator.empty, st).toSeq
     assert(out.isEmpty)
     assert(st.get === BufState(List(500000L), Nil))
+  }
+
+  test("watermark evicts signups below the floor anchor; the anchor still enriches") {
+    // signups at 10k/20k/30k us, watermark 25 ms (= 25_000 us): 10k can
+    // never be a floor again (any in-contract purchase has us > 25_000,
+    // and 20k dominates 10k for those); 20k survives as the anchor
+    val st1 = state(Some(BufState(List(10000L, 20000L, 30000L), Nil)), wmMs = 25L)
+    assert(AsOfBufferedStream.update(1L, Iterator.empty, st1).isEmpty)
+    assert(st1.get === BufState(List(20000L, 30000L), Nil))
+
+    // a later purchase between anchor and the surviving signup floors
+    // to the ANCHOR — eviction must not have removed it
+    val st2 = state(Some(st1.get), wmMs = 25L)
+    assert(AsOfBufferedStream.update(1L, Iterator(pur(7L, 27000L)), st2).isEmpty)
+    val st3 = state(Some(st2.get), wmMs = 40L, timedOut = true)
+    val out = AsOfBufferedStream.update(1L, Iterator.empty, st3).toSeq
+    assert(out === Seq(Enriched(1L, 7L, 27000L, 20000L, 7000L)))
+    // and at watermark 40 ms the anchor advances to 30k, dropping 20k
+    assert(st3.get === BufState(List(30000L), Nil))
   }
 
   test("sentinel and unrelated event types are watermark fuel only") {
