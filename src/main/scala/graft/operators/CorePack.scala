@@ -228,6 +228,41 @@ object CorePack extends QueryPack {
         .orderBy("bucket")
     },
 
+    // ---- DATASOURCE V2 FILTER PUSHDOWN: range predicates on `id`
+    // reach the `graft-range` connector as V2 pushed filters
+    // ([[graft.sources.GraftRangeScanBuilder]]'s
+    // SupportsPushDownFilters) and NARROW THE GENERATED INTERVAL —
+    // out of n = 10⁶ candidate rows the readers materialize exactly
+    // the 100 in [900000, 900100), the connector-side skip that is
+    // row-group/partition pruning in a real source. Plan REQUIREs pin
+    // the narrowed interval on the Scan instance itself (lo/hi), not
+    // just the plan text, before anything executes; the oracle replays
+    // the surviving interval as generate_series. Spark still applies
+    // the residual filter post-scan (V2 pushdown is advisory), so a
+    // connector bound slip would also hash-fail on values. ----
+    "q436_dsv2_pushdown" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "1000000").option("slices", "8").load()
+        .filter(col("id") >= 900000L && col("id") < 900100L)
+        .select(col("id"), col("sq"), col("bucket"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.nonEmpty,
+        s"graft-range read lost the V2 BatchScan node:\n${df.queryExecution.executedPlan}")
+      val scan = scans.head.scan.asInstanceOf[graft.sources.GraftRangeScan]
+      require(scan.lo == 900000L && scan.hi == 900100L,
+        s"id range did not reach the connector: generates [${scan.lo}, ${scan.hi})")
+      df.groupBy("bucket")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum("sq").cast("bigint").as("sum_sq"),
+          min("id").cast("bigint").as("min_id"),
+          max("id").cast("bigint").as("max_id"))
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("sum_sq"), col("min_id"), col("max_id"))
+        .orderBy("bucket")
+    },
+
     // ---- DATASOURCE V2 SINK ROUNDTRIP: the q432 connector's WRITE
     // half ([[graft.sources.GraftMemSink]]) — the per-language corpus
     // digest is written THROUGH the V2 write contract (partition-
@@ -321,7 +356,18 @@ object CorePack extends QueryPack {
 
     // digest of the ORIGINAL documents table — the V2 write+read
     // roundtrip must reproduce it exactly (the q140 compare, V2 store)
-    "q434_dsv2_sink_roundtrip" -> roundTripDigestSql("text")
+    "q434_dsv2_sink_roundtrip" -> roundTripDigestSql("text"),
+
+    // the interval that survives the pushed range predicates, replayed
+    "q436_dsv2_pushdown" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id
+        |FROM UNNEST(generate_series(900000, 900099)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
   )
 
   private def roundTripDigestSql(textExpr: String) =

@@ -70,22 +70,62 @@ class GraftRangeTable(n: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class GraftRangeScanBuilder(n: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = GraftRangeSource.schema
+  private var lo = 0L
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftRangeScan(n, slices, required)
+
+  /** Range predicates on `id` narrow the GENERATED interval — the
+    * connector-side pushdown that turns "generate n, filter to 100"
+    * into "generate 100" (≙ a real source skipping row groups). Only
+    * id-bound comparisons are accepted; everything else stays a
+    * residual for Spark to apply post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case EqualTo("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1L)
+      case GreaterThanOrEqual("id", v: java.lang.Long) => lo = math.max(lo, v)
+      case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: java.lang.Long) => hi = math.min(hi, v + 1L)
+      case EqualTo("id", v: java.lang.Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1L)
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftRangeScan(math.max(lo, 0L), math.min(hi, n), slices, required)
 }
 
-class GraftRangeScan(n: Long, slices: Int, required: StructType)
+/** Generates ids in [lo, hi) — the post-pushdown interval. */
+class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
+                     required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String = s"graft-range [$lo, $hi)"
   override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
     // contiguous [start, end) ranges, remainder spread over the first few
     val base = n / slices; val rem = n % slices
     (0 until slices).iterator.map { i =>
-      val start = i * base + math.min(i.toLong, rem)
+      val start = lo + i * base + math.min(i.toLong, rem)
       val end = start + base + (if (i < rem) 1L else 0L)
       GraftRangePartition(start, end): InputPartition
     }.filter { case GraftRangePartition(s, e) => e > s }.toArray

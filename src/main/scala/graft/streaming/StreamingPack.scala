@@ -499,6 +499,66 @@ object StreamingPack extends QueryPack {
     graft.operators.RetrievalPack.bm25Merge(s, d, dTerms, dMeta).orderBy("term")
   }
 
+  /** STREAMING INGEST DRIFT GATE — the live twin of the q330 KS
+    * discipline: the arriving delta batch's length distribution is
+    * accumulated in ONE complete-mode streaming aggregate (state =
+    * one row per distinct n_chars value — value-vocabulary-bounded,
+    * the q290 argument) and KS-tested against the STATIC base corpus:
+    * exact integer D = max |cum_delta·n_base − cum_base·n_delta| over
+    * the pooled value grid, ppm-quantized, against the α=0.05
+    * large-sample critical value (q330's formulas verbatim). This is
+    * the drift monitor a production ingest runs ON the stream — flag
+    * the crawl batch whose distribution broke before it pollutes the
+    * corpus. Oracle: both sides recomputed directly from `documents`
+    * with a per-doc is_delta flag — stream ≡ batch. */
+  def streamKsDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupPack
+    val deltaCounts = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) === lit(DedupPack.deltaRem))
+      .groupBy("n_chars").agg(count(lit(1)).as("cd"))
+    val name = s"graft_stream_ksdrift_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = deltaCounts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val dCnt = s.table(name).localCheckpoint()
+    val bCnt = graft.core.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(DedupPack.deltaMod)) =!= lit(DedupPack.deltaRem))
+      .groupBy("n_chars").agg(count(lit(1)).as("cb"))
+    // pooled value grid; cumulative counts ride ONE window over the
+    // (bounded) distinct-length vocabulary — the q330 frame shape
+    val grid = bCnt.join(dCnt, Seq("n_chars"), "full_outer")
+      .na.fill(0L, Seq("cb", "cd"))
+    val wc = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("cb").cast("bigint").as("n_base"),
+      sum("cd").cast("bigint").as("n_delta"))
+    grid
+      .withColumn("cum_b", sum("cb").over(wc))
+      .withColumn("cum_d", sum("cd").over(wc))
+      .crossJoin(broadcast(tot))
+      .select(col("n_base"), col("n_delta"),
+        abs(col("cum_d") * col("n_base") - col("cum_b") * col("n_delta")).as("dabs"))
+      .groupBy("n_base", "n_delta")
+      .agg(max("dabs").as("dmax"))
+      .select(col("n_base"), col("n_delta"),
+        expr("(dmax * 1000000) div (n_base * n_delta)").cast("bigint").as("d_ppm"),
+        floor(lit(1358000.0) *
+          sqrt((col("n_base") + col("n_delta")).cast("double") /
+            (col("n_base") * col("n_delta")).cast("double")))
+          .cast("bigint").as("crit_ppm"))
+      .withColumn("reject", col("d_ppm") > col("crit_ppm"))
+      .orderBy("n_base")
+  }
+
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupPack
     graft.functions.GraftExpressions.ensure(s)
@@ -854,6 +914,7 @@ object StreamingPack extends QueryPack {
     "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
     "q428_stream_asof_buffered" -> ((s, d) => AsOfBufferedStream.run(s, d)),
     "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
+    "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
     "q386_stream_sprt" -> ((s, d) => streamSprt(s, d)),
@@ -895,6 +956,39 @@ object StreamingPack extends QueryPack {
     // must land on the batch incremental answer exactly
     "q431_stream_bm25_delta" ->
       graft.operators.RetrievalPack.oracle("q424_bm25_delta"),
+
+    // stream ≡ batch: both sides recomputed from documents with the
+    // per-doc is_delta flag — q330's exact-integer KS formulation over
+    // the pooled length grid, base vs the streamed delta
+    "q435_stream_ks_drift" ->
+      """WITH cnt AS (
+        |  SELECT doc_id % 10 = 7 AS is_delta, n_chars,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT n_chars FROM cnt),
+        |sides AS (
+        |  SELECT g.n_chars, COALESCE(b.c, 0) AS cb, COALESCE(dd.c, 0) AS cd
+        |  FROM grid g
+        |  LEFT JOIN cnt b ON NOT b.is_delta AND b.n_chars = g.n_chars
+        |  LEFT JOIN cnt dd ON dd.is_delta AND dd.n_chars = g.n_chars),
+        |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_base,
+        |               CAST(SUM(cd) AS BIGINT) AS n_delta FROM sides),
+        |cum AS (
+        |  SELECT n_chars,
+        |         CAST(SUM(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+        |         CAST(SUM(cd) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_d
+        |  FROM sides),
+        |dm AS (SELECT CAST(MAX(ABS(cum_d * t.n_base - cum_b * t.n_delta)) AS BIGINT) AS dmax
+        |       FROM cum, tot t)
+        |SELECT t.n_base, t.n_delta,
+        |       CAST(dmax * 1000000 // (t.n_base * t.n_delta) AS BIGINT) AS d_ppm,
+        |       CAST(floor(1358000.0 * sqrt(CAST(t.n_base + t.n_delta AS DOUBLE)
+        |            / CAST(t.n_base * t.n_delta AS DOUBLE))) AS BIGINT) AS crit_ppm,
+        |       dmax * 1000000 // (t.n_base * t.n_delta) >
+        |         CAST(floor(1358000.0 * sqrt(CAST(t.n_base + t.n_delta AS DOUBLE)
+        |              / CAST(t.n_base * t.n_delta AS DOUBLE))) AS BIGINT) AS reject
+        |FROM dm, tot t
+        |ORDER BY n_base""".stripMargin,
 
     // stream ≡ batch: the q423 base-training replay truncated at the
     // delta argmax — the stateless streaming HOF assignment must land

@@ -108,7 +108,8 @@ object DumpPlans {
     "q429_ivf_resplit",       // flagged-cell 2-means under composite keys
     "q430_energy_distance",   // panel^2 exact micro-distance pair sums
     "q432_dsv2_range",        // custom V2 BatchScan, pruned readSchema
-    "q434_dsv2_sink_roundtrip" // V2 write commit + read-back BatchScan
+    "q434_dsv2_sink_roundtrip", // V2 write commit + read-back BatchScan
+    "q436_dsv2_pushdown"      // pushed id-range narrows the generated interval
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,6 +34,34 @@ class GraftRangeSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).sorted === (0L until 50L).map(i => (i % 16).toInt).sorted)
   }
 
+  private def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.GraftRangeScan =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.GraftRangeScan]
+
+  test("id range predicates narrow the generated interval (V2 filter pushdown)") {
+    val df = read(1000, 4).filter("id >= 990")
+    val sc = scanOf(df)
+    assert((sc.lo, sc.hi) === (990L, 1000L))
+    assert(df.collect().map(_.getLong(0)).sorted === (990L until 1000L).toArray)
+
+    val eq = read(1000, 4).filter("id = 500")
+    assert((scanOf(eq).lo, scanOf(eq).hi) === (500L, 501L))
+    assert(eq.collect().map(r => (r.getLong(0), r.getLong(1))) === Array((500L, 250000L)))
+
+    // an unsatisfiable range degenerates to zero partitions, zero rows
+    val empty = read(1000, 4).filter("id < 0")
+    assert(scanOf(empty).hi <= scanOf(empty).lo || empty.count() === 0L)
+    assert(empty.count() === 0L)
+  }
+
+  test("non-id predicates stay residual: interval unchanged, results still correct") {
+    val df = read(100, 4).filter("bucket = 3")
+    val sc = scanOf(df)
+    assert((sc.lo, sc.hi) === (0L, 100L))
+    assert(df.collect().map(_.getLong(0)).sorted ===
+      (0L until 100L).filter(_ % 16 == 3).toArray)
+  }
+
   test("planner sees the requested slice parallelism") {
     val df = read(1000, 7)
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
