@@ -263,6 +263,43 @@ object CorePack extends QueryPack {
         .orderBy("bucket")
     },
 
+    // ---- DATASOURCE V2 AGGREGATE PUSHDOWN: the whole GROUP BY is
+    // answered by the connector ([[graft.sources.GraftRangeScanBuilder]]'s
+    // SupportsPushDownAggregates) — the scan emits per-partition
+    // PRE-AGGREGATED rows (bucket, count, min, max, Σid²) computed in
+    // closed form, so out of n = 10⁶ candidate rows NOTHING row-shaped
+    // crosses the scan boundary: Spark's final agg merges slices × 16
+    // partials (partial pushdown, the real-source shape where readers
+    // answer from row-group statistics). The REQUIRE pins the pushed
+    // scan INSTANCE (grouping + the four accepted functions) on the
+    // optimized plan's V2 relation; the oracle recomputes the group-by
+    // from generate_series, so a partial-merge slip also hash-fails. ----
+    "q437_dsv2_agg_pushdown" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "1000000").option("slices", "8").load()
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+          max("id").as("max_id"), sum("sq").as("sum_sq"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(scans.nonEmpty,
+        s"graft-range read lost the V2 scan relation:\n${df.queryExecution.optimizedPlan}")
+      val scan = scans.head match {
+        case a: graft.sources.GraftRangeAggScan => a
+        case other => sys.error(s"aggregation was NOT pushed to the connector: $other")
+      }
+      require(scan.grouped && scan.funcs == Seq("count", "min_id", "max_id", "sum_sq"),
+        s"pushed aggregation shape mismatch: grouped=${scan.grouped} funcs=${scan.funcs}")
+      df.select(col("bucket").cast("int").as("bucket"),
+          col("n").cast("bigint").as("n"),
+          col("min_id").cast("bigint").as("min_id"),
+          col("max_id").cast("bigint").as("max_id"),
+          col("sum_sq").cast("bigint").as("sum_sq"))
+        .orderBy("bucket")
+    },
+
     // ---- DATASOURCE V2 SINK ROUNDTRIP: the q432 connector's WRITE
     // half ([[graft.sources.GraftMemSink]]) — the per-language corpus
     // digest is written THROUGH the V2 write contract (partition-
@@ -357,6 +394,18 @@ object CorePack extends QueryPack {
     // digest of the ORIGINAL documents table — the V2 write+read
     // roundtrip must reproduce it exactly (the q140 compare, V2 store)
     "q434_dsv2_sink_roundtrip" -> roundTripDigestSql("text"),
+
+    // the pushed group-by, recomputed row-by-row from generate_series —
+    // the connector's closed-form partials must merge to the brute answer
+    "q437_dsv2_agg_pushdown" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq
+        |FROM UNNEST(generate_series(0, 999999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     // the interval that survives the pushed range predicates, replayed
     "q436_dsv2_pushdown" ->

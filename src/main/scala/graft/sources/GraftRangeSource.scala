@@ -5,8 +5,10 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,8 +50,11 @@ class GraftRangeSource extends TableProvider with DataSourceRegister {
                         properties: JMap[String, String]): Table = {
     val n = Option(properties.get("n")).map(_.toLong).getOrElse(1000L)
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
-    require(n >= 0 && slices >= 1, s"graft-range: bad n=$n slices=$slices")
-    new GraftRangeTable(n, slices)
+    val batchRows =
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(math.max(n, 1L))
+    require(n >= 0 && slices >= 1 && batchRows >= 1,
+      s"graft-range: bad n=$n slices=$slices batchRows=$batchRows")
+    new GraftRangeTable(n, slices, batchRows)
   }
 }
 
@@ -58,25 +63,43 @@ object GraftRangeSource {
     StructField("id", LongType, nullable = false),
     StructField("sq", LongType, nullable = false),
     StructField("bucket", IntegerType, nullable = false)))
+
+  /** Contiguous [start, end) ranges over [lo, hi), remainder spread over
+    * the first few — shared by the batch Scan and the micro-batch stream
+    * (each micro-batch re-splits ITS offset range the same way, so the
+    * stream keeps `slices`-way parallelism per trigger). */
+  def slicePartitions(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    val base = n / slices; val rem = n % slices
+    (0 until slices).iterator.map { i =>
+      val start = lo + i * base + math.min(i.toLong, rem)
+      val end = start + base + (if (i < rem) 1L else 0L)
+      GraftRangePartition(start, end): InputPartition
+    }.filter { case GraftRangePartition(s, e) => e > s }.toArray
+  }
 }
 
-class GraftRangeTable(n: Long, slices: Int) extends Table with SupportsRead {
+class GraftRangeTable(n: Long, slices: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_range(n=$n, slices=$slices)"
   override def schema(): StructType = GraftRangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(n, slices)
+    new GraftRangeScanBuilder(n, slices, batchRows)
 }
 
-class GraftRangeScanBuilder(n: Long, slices: Int)
+class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = GraftRangeSource.schema
   private var lo = 0L
   private var hi = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var aggFuncs: Option[Seq[String]] = None
+  private var aggGrouped = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -109,29 +132,163 @@ class GraftRangeScanBuilder(n: Long, slices: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftRangeScan(math.max(lo, 0L), math.min(hi, n), slices, required)
+  /** Aggregate pushdown (PARTIAL: `supportCompletePushDown` stays false,
+    * so Spark plans the final merge over the connector's per-partition
+    * pre-aggregated rows — the shape a real source with row-group
+    * statistics uses). Accepted: optional GROUP BY bucket, and any mix
+    * of COUNT(*) / MIN(id) / MAX(id) / SUM(sq) — each closed-form over
+    * a contiguous id interval, so the readers emit O(slices × 16) rows
+    * WITHOUT materializing a single base row. Anything else is
+    * declined and Spark falls back to a plain scan + its own agg. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+              name: String): Boolean = e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array(name))
+      case _ => false
+    }
+    val grouped = aggregation.groupByExpressions match {
+      case Array() => Some(false)
+      case Array(g) if isCol(g, "bucket") => Some(true)
+      case _ => None
+    }
+    if (grouped.isEmpty) return false
+    val specs = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some("count")
+      case m: Min if isCol(m.column, "id") => Some("min_id")
+      case m: Max if isCol(m.column, "id") => Some("max_id")
+      case s: Sum if !s.isDistinct && isCol(s.column, "sq") => Some("sum_sq")
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    aggFuncs = Some(specs.map(_.get).toSeq)
+    aggGrouped = grouped.get
+    true
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) =>
+      new GraftRangeAggScan(math.max(lo, 0L), math.min(hi, n), slices,
+        aggGrouped, funcs)
+    case None =>
+      new GraftRangeScan(math.max(lo, 0L), math.min(hi, n), slices, required,
+        batchRows)
+  }
 }
 
 /** Generates ids in [lo, hi) — the post-pushdown interval. */
 class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
-                     required: StructType)
+                     required: StructType, batchRows: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-range [$lo, $hi)"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
-    // contiguous [start, end) ranges, remainder spread over the first few
-    val base = n / slices; val rem = n % slices
-    (0 until slices).iterator.map { i =>
-      val start = lo + i * base + math.min(i.toLong, rem)
-      val end = start + base + (if (i < rem) 1L else 0L)
-      GraftRangePartition(start, end): InputPartition
-    }.filter { case GraftRangePartition(s, e) => e > s }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftRangeSource.slicePartitions(lo, hi, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftRangeMicroBatchStream(hi, slices, batchRows)
+}
+
+/** Micro-batch streaming read of the same generator: offsets are row
+  * counts, each trigger admits up to `batchRows` more ids ([committed,
+  * hwm)), and each batch re-splits its range into `slices` input
+  * partitions. The offset log is the integer high-water mark — restart
+  * replays [lastCommitted, hwm) exactly, so the source is replayable
+  * the way the V2 streaming contract requires. Admission control lives
+  * in `latestOffset` (the rate-limit shape a real queue source uses). */
+class GraftRangeMicroBatchStream(n: Long, slices: Int, batchRows: Long)
+    extends MicroBatchStream {
+  private var hwm = 0L
+  override def initialOffset(): Offset = GraftRangeOffset(0L)
+  override def latestOffset(): Offset = {
+    hwm = math.min(hwm + batchRows, n)
+    GraftRangeOffset(hwm)
+  }
+  override def deserializeOffset(json: String): Offset =
+    GraftRangeOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftRangeSource.slicePartitions(
+      start.asInstanceOf[GraftRangeOffset].v,
+      end.asInstanceOf[GraftRangeOffset].v, slices)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(GraftRangeSource.schema.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GraftRangeOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** The pushed-aggregation scan: emits per-partition PRE-AGGREGATED rows
+  * — (bucket?, partial₁, partial₂, …) in the exact positional order
+  * V2ScanRelationPushDown expects (group-by columns first, then one
+  * column per aggregate function) — computed in closed form over the
+  * partition's contiguous id interval. No base row ever crosses the
+  * scan boundary: COUNT/MIN/MAX over an arithmetic progression are
+  * direct formulas and SUM(id²) is the square-pyramid partial sum, so
+  * the "scan" is O(slices × 16) arithmetic regardless of n. */
+class GraftRangeAggScan(val lo: Long, val hi: Long, slices: Int,
+                        val grouped: Boolean, val funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val aggFields = funcs.map(f => StructField(f, LongType, nullable = false))
+    StructType(
+      (if (grouped) Seq(StructField("bucket", IntegerType, nullable = false))
+       else Seq.empty) ++ aggFields)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range [$lo, $hi) pushed_aggs=${funcs.mkString(",")}" +
+      (if (grouped) " group_by=bucket" else "")
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftRangeSource.slicePartitions(lo, hi, slices)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeAggReaderFactory(grouped, funcs)
+}
+
+class GraftRangeAggReaderFactory(grouped: Boolean, funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftRangePartition]
+    // per-group arithmetic-progression stats over [start, end):
+    // ids first, first+step, … — count, min, max, and Σ id² =
+    // c·a² + 2·a·step·Σj + step²·Σj² with Σj = c(c-1)/2,
+    // Σj² = (c-1)c(2c-1)/6 (exact int64 at the gated n).
+    def apRow(bucket: Int, first: Long, step: Long, c: Long): Array[Any] = {
+      val last = first + step * (c - 1)
+      val sj = c * (c - 1) / 2
+      val sj2 = (c - 1) * c * (2 * c - 1) / 6
+      val sumSq = c * first * first + 2 * first * step * sj + step * step * sj2
+      val aggs: Seq[Any] = funcs.map {
+        case "count" => java.lang.Long.valueOf(c)
+        case "min_id" => java.lang.Long.valueOf(first)
+        case "max_id" => java.lang.Long.valueOf(last)
+        case "sum_sq" => java.lang.Long.valueOf(sumSq)
+      }
+      ((if (grouped) Seq(java.lang.Integer.valueOf(bucket)) else Seq.empty) ++
+        aggs).toArray
+    }
+    val rows: Iterator[Array[Any]] =
+      if (p.end <= p.start) Iterator.empty
+      else if (grouped) (0 until 16).iterator.flatMap { b =>
+        val first = p.start + java.lang.Math.floorMod(b - p.start, 16L)
+        if (first >= p.end) Iterator.empty
+        else Iterator.single(apRow(b, first, 16L, (p.end - 1 - first) / 16 + 1))
+      }
+      else Iterator.single(apRow(0, p.start, 1L, p.end - p.start))
+    new PartitionReader[InternalRow] {
+      private var cur: Array[Any] = _
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        cur = rows.next(); true
+      }
+      override def get(): InternalRow = new GenericInternalRow(cur)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class GraftRangePartition(start: Long, end: Long) extends InputPartition

@@ -511,6 +511,51 @@ object StreamingPack extends QueryPack {
     * the crawl batch whose distribution broke before it pollutes the
     * corpus. Oracle: both sides recomputed directly from `documents`
     * with a per-doc is_delta flag — stream ≡ batch. */
+  /** Micro-batch STREAMING read of the custom DataSource V2 connector
+    * ([[graft.sources.GraftRangeMicroBatchStream]]) — the streaming half
+    * of the q432/q436/q437 connector matrix. The generator admits
+    * `batchRows` ids per trigger through its offset log, so the 200k-row
+    * table arrives as 7 replayable micro-batches, each re-split into
+    * `slices` input partitions; a complete-mode aggregate folds them in
+    * the state store. REQUIREs pin that the data actually arrived over
+    * MULTIPLE batches (≥ 2 progress events with rows) and that no row
+    * was lost or duplicated across offset ranges (Σ numInputRows ==
+    * 200000 exactly); the oracle recomputes the group-by from
+    * generate_series, so a batch-boundary slip also hash-fails.
+    */
+  def streamDsv2Source(s: SparkSession): DataFrame = {
+    val src = s.readStream.format("graft-range")
+      .option("n", "200000").option("slices", "8")
+      .option("batchRows", "30000")
+      .load()
+    val agg = src.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("sq").as("sum_sq"),
+        min("id").as("min_id"), max("id").as("max_id"))
+    val name = s"graft_stream_dsv2_${counter.incrementAndGet()}"
+    val progressRows = withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      } finally q.stop()
+    }
+    require(progressRows.length >= 2,
+      s"graft-range stream collapsed to one micro-batch: $progressRows")
+    require(progressRows.sum == 200000L,
+      s"offset ranges lost/duplicated rows: ${progressRows.sum} != 200000")
+    s.table(name)
+      .select(col("bucket").cast("int").as("bucket"),
+        col("n").cast("bigint").as("n"),
+        col("sum_sq").cast("bigint").as("sum_sq"),
+        col("min_id").cast("bigint").as("min_id"),
+        col("max_id").cast("bigint").as("max_id"))
+      .orderBy("bucket")
+  }
+
   def streamKsDrift(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupPack
     val deltaCounts = s.readStream
@@ -914,6 +959,7 @@ object StreamingPack extends QueryPack {
     "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
     "q428_stream_asof_buffered" -> ((s, d) => AsOfBufferedStream.run(s, d)),
     "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
+    "q438_stream_dsv2_source" -> ((s, _) => streamDsv2Source(s)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
@@ -956,6 +1002,18 @@ object StreamingPack extends QueryPack {
     // must land on the batch incremental answer exactly
     "q431_stream_bm25_delta" ->
       graft.operators.RetrievalPack.oracle("q424_bm25_delta"),
+
+    // the 7 micro-batches must reassemble the full generator exactly —
+    // the group-by recomputed row-by-row from generate_series
+    "q438_stream_dsv2_source" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id
+        |FROM UNNEST(generate_series(0, 199999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     // stream ≡ batch: both sides recomputed from documents with the
     // per-doc is_delta flag — q330's exact-integer KS formulation over

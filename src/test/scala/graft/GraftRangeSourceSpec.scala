@@ -67,4 +67,70 @@ class GraftRangeSourceSpec extends AnyFunSuite {
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     assert(scans.head.inputRDD.getNumPartitions === 7)
   }
+
+  // ---- aggregate pushdown ----
+
+  private def aggScanOf(df: org.apache.spark.sql.DataFrame): Option[graft.sources.GraftRangeAggScan] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.headOption.collect { case a: graft.sources.GraftRangeAggScan => a }
+
+  test("grouped count/min/max/sum push to the connector and merge exactly") {
+    import org.apache.spark.sql.functions._
+    val df = read(103, 4).groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"),
+        max("id").as("mx"), sum("sq").as("ss"))
+    val sc = aggScanOf(df)
+    assert(sc.nonEmpty, "aggregation was not pushed")
+    assert(sc.get.grouped && sc.get.funcs === Seq("count", "min_id", "max_id", "sum_sq"))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val want = (0L until 103L).groupBy(i => (i % 16).toInt).toSeq.sortBy(_._1)
+      .map { case (b, ids) => (b, ids.length.toLong, ids.min, ids.max,
+        ids.map(i => i * i).sum) }
+    assert(got.toSeq === want)
+  }
+
+  test("global (ungrouped) aggregation pushes and matches brute force") {
+    import org.apache.spark.sql.functions._
+    val df = read(103, 4)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"),
+        max("id").as("mx"), sum("sq").as("ss"))
+    assert(aggScanOf(df).exists(s => !s.grouped))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (103L, 0L, 102L, (0L until 103L).map(i => i * i).sum))
+  }
+
+  test("unsupported aggregates are declined: plain scan, result still correct") {
+    import org.apache.spark.sql.functions._
+    // sum(id) is not in the accepted set; the connector must decline and
+    // Spark falls back to scanning base rows + its own aggregation
+    val df = read(103, 4).groupBy("bucket").agg(sum("id").as("si"))
+    assert(aggScanOf(df).isEmpty)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val want = (0L until 103L).groupBy(i => (i % 16).toInt).toSeq.sortBy(_._1)
+      .map { case (b, ids) => (b, ids.sum) }
+    assert(got.toSeq === want)
+  }
+
+  // ---- micro-batch streaming read ----
+
+  test("streaming read delivers the exact row set across multiple micro-batches") {
+    import org.apache.spark.sql.functions._
+    val src = spark.readStream.format("graft-range")
+      .option("n", "103").option("slices", "4").option("batchRows", "40")
+      .load()
+    val q = src.groupBy("bucket").agg(count(lit(1)).as("n"), sum("id").as("si"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_range_stream_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(batches === Seq(40L, 40L, 23L)) // the offset log's admission slices
+    val got = spark.table("graft_range_stream_spec").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = (0L until 103L).groupBy(i => (i % 16).toInt).toSeq.sortBy(_._1)
+      .map { case (b, ids) => (b, ids.length.toLong, ids.sum) }
+    assert(got.toSeq === want)
+  }
 }
