@@ -276,6 +276,66 @@ case class ZOrderInterleave(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Hilbert-curve index of an 8-bit (x, y) cell pair (order-8 curve over
+  * the 256×256 grid): the classic xy2d loop (Hilbert 1891; the iterative
+  * rotate-and-reflect form of Warren, Hacker's Delight §16) — 8 rounds,
+  * each folding one bit plane into the distance and rotating the frame.
+  * Unlike Morton ([[ZOrderInterleave]]), CONSECUTIVE Hilbert indices are
+  * always grid neighbors (no diagonal jumps across half-planes), which
+  * is why Hilbert zone maps prune tighter at the same file count — q444
+  * measures exactly that against the Morton and linear layouts. Pure
+  * int64 bit arithmetic; the oracle replays the same 8 rounds as
+  * unrolled CTE projections carrying the rotated frame.
+  */
+case class HilbertIndex2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are always 0..255 bigints (normalized cell ids)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Long]
+    var y = b.asInstanceOf[Long]
+    var d = 0L
+    var s = 128L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        val (nx, ny) = if (rx == 1) (s - 1 - y, s - 1 - x) else (y, x)
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $a; long $y = $b; long $d = 0L;
+         |for (long $s = 128L; $s > 0L; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex2 =
+    copy(left = l, right = r)
+}
+
 /** Content-defined chunk boundaries of a text column — the rolling-hash
   * cut-point detector behind storage-level dedup (rsync/LBFS/restic
   * lineage): a cut lands AFTER byte i when the polynomial hash of the
@@ -672,6 +732,8 @@ object GraftExpressions {
       BloomMightContain.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_zorder2",
       exprs => ZOrderInterleave(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hilbert2",
+      exprs => HilbertIndex2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cdc_boundaries",
       exprs => CdcChunkBoundaries(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_damerau_levenshtein",
@@ -733,6 +795,9 @@ object GraftExpressions {
 
   def zorder2(x: Column, y: Column): Column =
     call_function("graft_zorder2", x, y)
+
+  def hilbert2(x: Column, y: Column): Column =
+    call_function("graft_hilbert2", x, y)
 
   def cdcBoundaries(text: Column): Column =
     call_function("graft_cdc_boundaries", text)

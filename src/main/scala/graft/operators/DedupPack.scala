@@ -226,7 +226,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * Lifecycle is explicit: the build's only persisted intermediate is
     * unpersisted before this returns; readers hold no cache at all.
     */
-  private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val path = graft.core.Artifacts.materialize(
       s"ngram_pairs_v1_${graft.core.Artifacts.corpusKey(d, "documents.parquet")}") { tmp =>
       buildNgramPairs(s, d, tmp)

@@ -456,6 +456,41 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // ---- PERSONALIZED PAGERANK / random walk with restart (Jeh &
+    // Widom, WWW 2003) from the q155 contamination seed set (doc_id %
+    // 7 == 0): where q55 scores GLOBAL importance and q155 answers
+    // "how many hops", PPR measures STATIONARY influence — how much of
+    // a walk restarting at the known-bad docs ends at each node, the
+    // graded blast-radius score a curation pipeline thresholds when
+    // deciding how far from confirmed contamination to cut. Teleport
+    // mass lands ONLY on seeds (non-seeds start and restart at 0);
+    // same int64 micro-unit arithmetic as q55 (per-edge `score div
+    // deg`, damped `(85·sum) div 100` — bit-portable integer division),
+    // 4 rounds, one equi-join + one map-side-combining sum each,
+    // per-round localCheckpoint; the oracle unrolls the same rounds. ----
+    "q442_ppr" -> { (s, d) =>
+      val pairs = DedupPack.ngramPairs(s, d).select("doc_i", "doc_j")
+      val e = symmetricEdges(pairs).toDF("v", "u")
+      val deg = e.groupBy("v").agg(count(lit(1)).as("deg"))
+      val adj = warmed(e.join(deg, "v"))
+      var rank = deg.select(col("v").as("node"),
+        when(col("v") % 7 === 0, lit(1000000L)).otherwise(lit(0L)).as("score_q"))
+      for (_ <- 1 to 4) {
+        rank = adj.join(rank, col("v") === col("node"))
+          .select(col("u"), expr("score_q div deg").as("c"))
+          .groupBy(col("u"))
+          .agg(expr("(85 * sum(c)) div 100").as("m"))
+          .select(col("u").as("node"),
+            (col("m") + when(col("u") % 7 === 0, lit(150000L))
+              .otherwise(lit(0L))).as("score_q"))
+          .localCheckpoint()
+      }
+      val result = rank.select(col("node").cast("bigint").as("doc_id"),
+        col("score_q").cast("bigint").as("score_q"),
+        (col("node") % 7 === 0).as("is_seed"))
+      materialized(result, adj).orderBy("doc_id")
+    },
+
     // ---- label-propagation communities (4 synchronous rounds) over
     // the same near-dup graph — the third BSP-iterative graph operator
     // next to PageRank and connected components. Where CC answers
@@ -854,6 +889,67 @@ object PipelinePack extends QueryPack {
       result.orderBy("split")
     },
 
+    // ---- KMV SET-RESEMBLANCE MATRIX (Broder 1997's minwise
+    // resemblance via the k-minimum-values synopsis, Beyer et al.
+    // SIGMOD 2007): pairwise VOCABULARY Jaccard between sources,
+    // estimated from 64-value sketches and gated NEXT TO the exact
+    // answer — where q127 measures shingle overlap exactly and q228
+    // sizes a join, this is the constant-memory set-resemblance path:
+    // at 100 TB the per-source sketch is 64 int64s however large the
+    // vocabulary, pairs cost sources²·k, and the estimator ĵ =
+    // |K_k(A∪B) ∩ A_k ∩ B_k| / k is exact-integer off md5 hashes (hash
+    // ties broken by token — both engines order identically). The
+    // exact lane (one token equi-join, sources²-bounded) sits in the
+    // same row so the gate pins estimator AND truth; err_ppm is the
+    // honest sketch-error report. ----
+    "q443_kmv_jaccard" -> { (s, d) =>
+      import graft.functions.TextFunctions.hex64
+      val kk = 64
+      val vocab = warmed(Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .distinct()
+        .withColumn("h", hex64(md5(col("w")))))
+      val wSk = Window.partitionBy("source").orderBy(col("h"), col("w"))
+      val sk = vocab.withColumn("rn", row_number().over(wSk))
+        .filter(col("rn") <= kk).select(col("source"), col("h"), col("w"))
+      val srcs = vocab.select("source").distinct()
+      val pairsS = srcs.toDF("src_a").crossJoin(srcs.toDF("src_b"))
+        .filter(col("src_a") < col("src_b"))
+      val tagged = pairsS
+        .join(sk.withColumnRenamed("source", "src_a"), "src_a")
+        .select(col("src_a"), col("src_b"), col("h"), col("w"),
+          lit(1L).as("ina"), lit(0L).as("inb"))
+        .unionByName(pairsS
+          .join(sk.withColumnRenamed("source", "src_b"), "src_b")
+          .select(col("src_a"), col("src_b"), col("h"), col("w"),
+            lit(0L).as("ina"), lit(1L).as("inb")))
+      val merged = tagged.groupBy("src_a", "src_b", "h", "w")
+        .agg(max("ina").as("ina"), max("inb").as("inb"))
+      val wM = Window.partitionBy("src_a", "src_b").orderBy(col("h"), col("w"))
+      val est = merged.withColumn("rn", row_number().over(wM))
+        .filter(col("rn") <= kk)
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("k_used"), sum(col("ina") * col("inb")).as("n_both"))
+      val nv = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = vocab.select(col("source").as("src_a"), col("w"))
+        .join(vocab.select(col("source").as("src_b"), col("w")), "w")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      val result = est
+        .join(nv.toDF("src_a", "nva"), "src_a")
+        .join(nv.toDF("src_b", "nvb"), "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("n_union", col("nva") + col("nvb") - col("n_inter"))
+        .select(col("src_a"), col("src_b"),
+          col("k_used").cast("bigint").as("k_used"),
+          col("n_both").cast("bigint").as("n_both"),
+          expr("(1000000 * n_both) div k_used").cast("bigint").as("j_est_ppm"),
+          expr("(1000000 * n_inter) div n_union").cast("bigint").as("j_exact_ppm"))
+        .withColumn("err_ppm", abs(col("j_est_ppm") - col("j_exact_ppm")))
+      materialized(result, vocab).orderBy("src_a", "src_b")
+    },
+
     // ---- inter-source overlap matrix: pairwise shingle Jaccard
     // between SOURCES — the corpus-health view of cross-source
     // duplication (a crawl snapshot re-ingested under two source tags
@@ -1164,6 +1260,50 @@ object PipelinePack extends QueryPack {
       val edges = warmed(cooccurEdges(s, d))
       val result = perWordTriangles(edges)
       materialized(result, edges).orderBy("w")
+    },
+
+    // ---- k-TRUSS PEEL (Cohen 2008): the EDGE-grade dense-core
+    // extractor next to q141's vertex-grade k-core — keep only edges
+    // supported by ≥ k−2 triangles among the SURVIVING edges,
+    // iterated. Where k-core keeps a hub with many weak pendants,
+    // k-truss demands each tie itself be embedded in closed wedges —
+    // the collocation-clique signal over the q118 word-adjacency
+    // graph. FIXED 3 peel rounds (the q122 fixed-round discipline:
+    // the oracle replays the same rounds, so the gate is exact
+    // whatever the fixpoint distance); each round is the q118
+    // compact-forward wedge-close join pair (scales by degree, never
+    // all-pairs) + one per-edge count + a semi-join, per-round
+    // localCheckpoint. Output: surviving edges with their support
+    // RECOUNTED against the final survivor set (an edge can keep
+    // < k−2 final support if its triangles were peeled in the last
+    // round — reported honestly, not re-filtered). ----
+    "q440_ktruss" -> { (s, d) =>
+      val k = 4
+      def support(e: DataFrame): DataFrame = {
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+          .join(e.as("e3"), col("y") === col("e3.a") && col("z") === col("e3.b"))
+          .select("x", "y", "z")
+        tri.select(explode(array(
+            struct(col("x").as("a"), col("y").as("b")),
+            struct(col("x").as("a"), col("z").as("b")),
+            struct(col("y").as("a"), col("z").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      }
+      val base = warmed(cooccurEdges(s, d))
+      var edges = base
+      for (_ <- 1 to 3) {
+        edges = edges
+          .join(support(edges).filter(col("support") >= k - 2),
+            Seq("a", "b"), "left_semi")
+          .localCheckpoint()
+      }
+      val result = edges.join(support(edges), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).cast("bigint").as("support"))
+      materialized(result, base).orderBy("a", "b")
     },
 
     // ---- LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998): per
@@ -2096,6 +2236,82 @@ object PipelinePack extends QueryPack {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // q55's unrolled-round shape with seed-only teleport: r0 mass on
+    // the % 7 seeds, each round re-adds the 150000 restart to seeds only
+    "q442_ppr" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""r$i AS (SELECT e.u AS node,
+           |            (85 * sum(r${i - 1}.s // d.deg)) // 100
+           |              + CASE WHEN e.u % 7 = 0 THEN 150000 ELSE 0 END AS s
+           |     FROM e JOIN r${i - 1} ON r${i - 1}.node = e.v
+           |            JOIN deg d ON d.v = e.v
+           |     GROUP BY e.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupPack.ngramPairsCtes},
+         |e AS (SELECT doc_i AS v, doc_j AS u FROM pairs
+         |      UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY v),
+         |r0 AS (SELECT v AS node,
+         |              CASE WHEN v % 7 = 0 THEN CAST(1000000 AS BIGINT)
+         |                   ELSE CAST(0 AS BIGINT) END AS s
+         |       FROM deg),
+         |$rounds
+         |SELECT node AS doc_id, CAST(s AS BIGINT) AS score_q, node % 7 = 0 AS is_seed
+         |FROM r4
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical md5-hash sketches (ties broken by token), identical
+    // k-min-of-union membership estimator, identical exact lane
+    "q443_kmv_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_filter(string_split_regex(regexp_replace(text, '[^\w\s]', '', 'g'), '\s+'), w -> w <> '')) AS w
+        |  FROM documents),
+        |v AS MATERIALIZED (
+        |  SELECT source, w, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+        |  FROM tok),
+        |sk AS MATERIALIZED (
+        |  SELECT source, h, w FROM (
+        |    SELECT source, h, w,
+        |           row_number() OVER (PARTITION BY source ORDER BY h, w) AS rn
+        |    FROM v) WHERE rn <= 64),
+        |ps AS (SELECT a.source AS src_a, b.source AS src_b
+        |       FROM (SELECT DISTINCT source FROM v) a,
+        |            (SELECT DISTINCT source FROM v) b
+        |       WHERE a.source < b.source),
+        |tg AS (
+        |  SELECT p.src_a, p.src_b, s.h, s.w, 1 AS ina, 0 AS inb
+        |  FROM ps p JOIN sk s ON s.source = p.src_a
+        |  UNION ALL
+        |  SELECT p.src_a, p.src_b, s.h, s.w, 0, 1
+        |  FROM ps p JOIN sk s ON s.source = p.src_b),
+        |mg AS (SELECT src_a, src_b, h, w, MAX(ina) AS ina, MAX(inb) AS inb
+        |       FROM tg GROUP BY 1, 2, 3, 4),
+        |est AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+        |         CAST(SUM(ina * inb) AS BIGINT) AS n_both
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h, w) AS rn
+        |        FROM mg) WHERE rn <= 64
+        |  GROUP BY 1, 2),
+        |nv AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY source),
+        |itr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |               CAST(count(*) AS BIGINT) AS n_inter
+        |        FROM v a JOIN v b ON b.w = a.w AND a.source < b.source
+        |        GROUP BY 1, 2)
+        |SELECT e.src_a AS src_a, e.src_b AS src_b, e.k_used, e.n_both,
+        |       CAST((1000000 * e.n_both) // e.k_used AS BIGINT) AS j_est_ppm,
+        |       CAST((1000000 * COALESCE(i.n_inter, 0))
+        |            // (na.nv + nb.nv - COALESCE(i.n_inter, 0)) AS BIGINT) AS j_exact_ppm,
+        |       CAST(ABS((1000000 * e.n_both) // e.k_used
+        |            - (1000000 * COALESCE(i.n_inter, 0))
+        |              // (na.nv + nb.nv - COALESCE(i.n_inter, 0))) AS BIGINT) AS err_ppm
+        |FROM est e
+        |JOIN nv na ON na.source = e.src_a
+        |JOIN nv nb ON nb.source = e.src_b
+        |LEFT JOIN itr i ON i.src_a = e.src_a AND i.src_b = e.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // same 4 unrolled peel rounds: degree >= k filter on both endpoints
     "q141_kcore" -> {
       val rounds = (1 to 4).map { i =>
@@ -2381,6 +2597,45 @@ object PipelinePack extends QueryPack {
         |FROM (SELECT x AS w FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |GROUP BY w
         |ORDER BY w""".stripMargin,
+
+    // same edge construction; the 3 peel rounds + final recount
+    // replayed as unrolled CTEs
+    "q440_ktruss" -> {
+      // MATERIALIZED hints: every eN feeds three self-join arms of its
+      // triangle CTE and the next round — without them DuckDB re-inlines
+      // the whole upstream chain per reference (measured minutes vs
+      // seconds at sf0.01)
+      def supCte(tag: String, e: String): String =
+        s"""tri$tag AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM $e e1 JOIN $e e2 ON e1.a = e2.a AND e1.b < e2.b
+           |              JOIN $e e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |s$tag AS MATERIALIZED (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+           |    SELECT t.x AS a, t.y AS b FROM tri$tag t
+           |    UNION ALL SELECT t.x, t.z FROM tri$tag t
+           |    UNION ALL SELECT t.y, t.z FROM tri$tag t)
+           |  GROUP BY a, b)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s"""${supCte(r.toString, s"e${r - 1}")},
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |        JOIN s$r s ON s.a = e.a AND s.b = e.b
+           |        WHERE s.support >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '') AS ts
+         |  FROM documents),
+         |bgp AS (
+         |  SELECT DISTINCT doc_id, least(ts[g.i], ts[g.i + 1]) AS a, greatest(ts[g.i], ts[g.i + 1]) AS b
+         |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS g(i)
+         |  WHERE ts[g.i] <> ts[g.i + 1]),
+         |e0 AS MATERIALIZED (SELECT a, b FROM bgp GROUP BY a, b HAVING count(*) >= 3),
+         |$rounds,
+         |${supCte("f", "e3")}
+         |SELECT e.a AS a, e.b AS b, COALESCE(s.support, 0) AS support
+         |FROM e3 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
 
     // same edge list, degree from both endpoints, identical ×10⁶
     // floor-divided closure ratio

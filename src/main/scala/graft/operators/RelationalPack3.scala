@@ -565,6 +565,67 @@ object RelationalPack3 extends QueryPack {
       materialized(out, scaled).orderBy("layout", "scenario")
     },
 
+    // ---- HILBERT vs MORTON vs LINEAR LAYOUT (q154 extended with the
+    // curve that actually wins): the Hilbert index (native codegen
+    // [[graft.functions.HilbertIndex2]], 8 rotate-and-reflect rounds)
+    // guarantees consecutive indices are GRID NEIGHBORS, so equal-count
+    // files cover compact blobs instead of Morton's half-plane jumps —
+    // the layout decision data platforms (Delta/Iceberg OPTIMIZE) moved
+    // to after Z-order. Same harness as q154: identical rows → 64
+    // files per layout, parquet-style min/max zone maps, two predicate
+    // replays (box + y-only band), rows_matched as the honesty column.
+    // The gate's value IS the comparison table; the oracle replays the
+    // 8 rotation rounds as unrolled CTE projections over the
+    // DEDUPLICATED (x8, y8) grid (≤ 256² cells however big the table)
+    // and joins the curve keys back — the replay stays cell-bounded
+    // while the Spark side's native expression is a per-row codegen
+    // map. ----
+    "q444_hilbert_layout" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("xk"), col("l_partkey").as("yk"))
+      val mm = li.agg(min(col("xk")).as("x_min"), max(col("xk")).as("x_max"),
+                      min(col("yk")).as("y_min"), max(col("yk")).as("y_max"))
+      val scaled = warmed(li.crossJoin(broadcast(mm))
+        .select(expr("(xk - x_min) * 256 div (x_max - x_min + 1)").as("x8"),
+                expr("(yk - y_min) * 256 div (y_max - y_min + 1)").as("y8"))
+        .withColumn("z", graft.functions.GraftExpressions.zorder2(col("x8"), col("y8")))
+        .withColumn("h", graft.functions.GraftExpressions.hilbert2(col("x8"), col("y8")))
+        .withColumn("file_z", expr("z div 1024"))
+        .withColumn("file_h", expr("h div 1024"))
+        .withColumn("file_lin", expr("x8 div 4")))
+      def zones(fileCol: String, layout: String): DataFrame =
+        scaled.groupBy(col(fileCol).as("file_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+               min(col("x8")).as("x_lo"), max(col("x8")).as("x_hi"),
+               min(col("y8")).as("y_lo"), max(col("y8")).as("y_hi"))
+          .withColumn("layout", lit(layout))
+      val zf = zones("file_z", "zorder")
+        .unionByName(zones("file_h", "hilbert"))
+        .unionByName(zones("file_lin", "linear"))
+      val boxHit = col("x_hi") >= 32 && col("x_lo") <= 63 &&
+                   col("y_hi") >= 64 && col("y_lo") <= 95
+      val yHit = col("y_hi") >= 64 && col("y_lo") <= 95
+      val perLayout = zf.groupBy("layout").agg(
+        count(lit(1)).cast("bigint").as("n_files"),
+        sum(when(boxHit, 1L).otherwise(0L)).as("files_box"),
+        sum(when(boxHit, col("n_rows")).otherwise(0L)).as("rows_box"),
+        sum(when(yHit, 1L).otherwise(0L)).as("files_y"),
+        sum(when(yHit, col("n_rows")).otherwise(0L)).as("rows_y"))
+      val matches = scaled.agg(
+        sum(when(col("x8").between(32, 63) && col("y8").between(64, 95), 1L)
+          .otherwise(0L)).as("m_box"),
+        sum(when(col("y8").between(64, 95), 1L).otherwise(0L)).as("m_y"))
+      val joined = perLayout.crossJoin(broadcast(matches))
+      val out = joined.select(col("layout"), lit("box").as("scenario"),
+          col("n_files"), col("files_box").as("files_read"),
+          col("rows_box").as("rows_read"), col("m_box").as("rows_matched"))
+        .unionByName(joined.select(col("layout"), lit("y_only").as("scenario"),
+          col("n_files"), col("files_y").as("files_read"),
+          col("rows_y").as("rows_read"), col("m_y").as("rows_matched")))
+      materialized(out, scaled).orderBy("layout", "scenario")
+    },
+
     // ---- ANALYZE TABLE: the optimizer-statistics pass every
     // cost-based engine runs before planning 100 TB joins — per-column
     // row count / null count / exact NDV / min / max over a
@@ -1334,6 +1395,88 @@ object RelationalPack3 extends QueryPack {
            |       CAST(MAX($prep) AS VARCHAR) AS max_val
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    // the Hilbert xy2d loop unrolled: 8 CTE rounds carrying the rotated
+    // frame (hx, hy) and the accumulated distance over the deduplicated
+    // cell grid; Morton via q154's 8-term bit sum; same zone-map replay
+    "q444_hilbert_layout" -> {
+      val rounds = (1 to 8).map { i =>
+        val s = 1L << (8 - i)
+        s"""hz$i AS (
+           |  SELECT x8, y8,
+           |         hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+           |                             (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
+           |         CASE WHEN (hy & $s) > 0 THEN hx
+           |              WHEN (hx & $s) > 0 THEN ${s - 1} - hy
+           |              ELSE hy END AS hx,
+           |         CASE WHEN (hy & $s) > 0 THEN hy
+           |              WHEN (hx & $s) > 0 THEN ${s - 1} - hx
+           |              ELSE hx END AS hy
+           |  FROM hz${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS xk, l_partkey AS yk FROM lineitem),
+         |mm AS (SELECT min(xk) AS x_min, max(xk) AS x_max,
+         |              min(yk) AS y_min, max(yk) AS y_max FROM li),
+         |scaled0 AS (
+         |  SELECT (xk - x_min) * 256 // (x_max - x_min + 1) AS x8,
+         |         (yk - y_min) * 256 // (y_max - y_min + 1) AS y8
+         |  FROM li CROSS JOIN mm),
+         |grid AS MATERIALIZED (SELECT DISTINCT x8, y8 FROM scaled0),
+         |hz0 AS (SELECT x8, y8, x8 AS hx, y8 AS hy, CAST(0 AS BIGINT) AS hd FROM grid),
+         |$rounds,
+         |curve AS MATERIALIZED (
+         |  SELECT g.x8, g.y8,
+         |         (SELECT SUM((((g.x8 >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT))) +
+         |                     (((g.y8 >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT) + 1)))
+         |          FROM range(8) t(i)) AS z,
+         |         h8.hd AS h
+         |  FROM grid g JOIN hz8 h8 ON h8.x8 = g.x8 AND h8.y8 = g.y8),
+         |files AS (
+         |  SELECT s0.x8, s0.y8, c.z // 1024 AS file_z, c.h // 1024 AS file_h,
+         |         s0.x8 // 4 AS file_lin
+         |  FROM scaled0 s0 JOIN curve c ON c.x8 = s0.x8 AND c.y8 = s0.y8),
+         |zf AS (
+         |  SELECT 'zorder' AS layout, file_z AS file_id,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(x8) AS x_lo, max(x8) AS x_hi,
+         |         min(y8) AS y_lo, max(y8) AS y_hi
+         |  FROM files GROUP BY file_z
+         |  UNION ALL
+         |  SELECT 'hilbert' AS layout, file_h AS file_id,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(x8) AS x_lo, max(x8) AS x_hi,
+         |         min(y8) AS y_lo, max(y8) AS y_hi
+         |  FROM files GROUP BY file_h
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, file_lin AS file_id,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(x8) AS x_lo, max(x8) AS x_hi,
+         |         min(y8) AS y_lo, max(y8) AS y_hi
+         |  FROM files GROUP BY file_lin),
+         |per_layout AS (
+         |  SELECT layout,
+         |         CAST(count(*) AS BIGINT) AS n_files,
+         |         CAST(SUM(CASE WHEN x_hi >= 32 AND x_lo <= 63 AND y_hi >= 64 AND y_lo <= 95
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS files_box,
+         |         CAST(SUM(CASE WHEN x_hi >= 32 AND x_lo <= 63 AND y_hi >= 64 AND y_lo <= 95
+         |                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_box,
+         |         CAST(SUM(CASE WHEN y_hi >= 64 AND y_lo <= 95 THEN 1 ELSE 0 END) AS BIGINT) AS files_y,
+         |         CAST(SUM(CASE WHEN y_hi >= 64 AND y_lo <= 95 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_y
+         |  FROM zf GROUP BY layout),
+         |m AS (
+         |  SELECT CAST(SUM(CASE WHEN x8 BETWEEN 32 AND 63 AND y8 BETWEEN 64 AND 95
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS m_box,
+         |         CAST(SUM(CASE WHEN y8 BETWEEN 64 AND 95 THEN 1 ELSE 0 END) AS BIGINT) AS m_y
+         |  FROM scaled0)
+         |SELECT layout, 'box' AS scenario, n_files, files_box AS files_read,
+         |       rows_box AS rows_read, m_box AS rows_matched
+         |FROM per_layout CROSS JOIN m
+         |UNION ALL
+         |SELECT layout, 'y_only' AS scenario, n_files, files_y AS files_read,
+         |       rows_y AS rows_read, m_y AS rows_matched
+         |FROM per_layout CROSS JOIN m
+         |ORDER BY layout, scenario""".stripMargin
     },
 
     // the Morton interleave replayed as a correlated 8-term bit sum;

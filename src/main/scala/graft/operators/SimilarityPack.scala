@@ -742,6 +742,52 @@ object SimilarityPack extends QueryPack {
       materialized(bruteTopK(vecs), vecs).orderBy("q_id", "rk")
     },
 
+    // ---- GREEDY k-CENTER CORESET (Gonzalez 1985's 2-approximation
+    // farthest-point heuristic): 8 maximally-spread exemplar vectors —
+    // the diversity-selection step a curation pipeline runs to pick
+    // demonstration/eval exemplars that COVER embedding space rather
+    // than oversample its dense core. Each round is one NARROW map
+    // (corpus × ONE broadcast center → least(dmin, d²)) plus a one-row
+    // argmax aggregate — k scans total, never an all-pairs, which is
+    // the only k-center shape that survives 100 TB. All distances are
+    // raw int64 squared L2 between the shared quantized index's
+    // vectors (the l2Q kernel), seed = md5-min vec_id (the IVF seeding
+    // discipline), argmax ties → smaller vec_id; the oracle replays
+    // the identical 8 rounds as unrolled CTEs. radius_sq per row is
+    // the coverage radius of the PREVIOUS center set — the "radius vs
+    // k" curve that says when more exemplars stop buying coverage. ----
+    "q439_kcenter_coreset" -> { (s, d) =>
+      graft.functions.GraftExpressions.ensure(s)
+      val vecs = persistedVecs(s, d).select("vec_id", "q")
+      val seed = vecs
+        .select(col("vec_id"), col("q"),
+          graft.functions.TextFunctions.hex64(
+            md5(concat(lit("kc_"), col("vec_id").cast("string")))).as("h"))
+        .agg(min(struct(col("h"), col("vec_id"), col("q"))).as("m"))
+        .select(lit(1).as("sel_order"), col("m.vec_id").as("c_id"),
+          lit(0L).as("radius_sq"), col("m.q").as("cq"))
+      var picked = seed.localCheckpoint()
+      var state = vecs.crossJoin(broadcast(picked.select("cq")))
+        .select(col("vec_id"), col("q"), l2Q(col("q"), col("cq")).as("dmin"))
+        .localCheckpoint()
+      for (r <- 2 to 8) {
+        val next = state
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"), col("q"))).as("m"))
+          .select(lit(r).as("sel_order"), (-col("m.nid")).as("c_id"),
+            col("m.dmin").as("radius_sq"), col("m.q").as("cq"))
+          .localCheckpoint()
+        picked = picked.union(next)
+        state = state.crossJoin(broadcast(next.select(col("cq").as("ncq"))))
+          .select(col("vec_id"), col("q"),
+            least(col("dmin"), l2Q(col("q"), col("ncq"))).as("dmin"))
+          .localCheckpoint()
+      }
+      val result = picked.select(col("sel_order").cast("int").as("sel_order"),
+        col("c_id").cast("bigint").as("c_id"),
+        col("radius_sq").cast("bigint").as("radius_sq"))
+      materialized(result, vecs).orderBy("sel_order")
+    },
+
     // ---- MATRYOSHKA TRUNCATION RECALL CURVE (Kusupati et al.,
     // NeurIPS 2022): recall@5 of cosine retrieval over the FIRST
     // d ∈ {8,16,32,64} dimensions against the full-64-dim truth — the
@@ -3180,6 +3226,34 @@ object SimilarityPack extends QueryPack {
          |FROM pred p JOIN labels l ON l.vec_id = p.q_id
          |GROUP BY 1
          |ORDER BY label""".stripMargin,
+
+    // the 8 greedy rounds replayed verbatim: dist² as Σ(aᵢ−bᵢ)² equals
+    // the Spark side's dot(a,a)+dot(b,b)−2dot(a,b) exactly (both raw
+    // int64 on the same quantized components)
+    "q439_kcenter_coreset" -> {
+      def dist2(a: String, b: String) =
+        s"(SELECT SUM(($a[g.i] - $b[g.i]) * ($a[g.i] - $b[g.i])) FROM UNNEST(generate_series(1, $dim)) AS g(i))"
+      val rounds = (2 to 8).map { r =>
+        s"""c$r AS (SELECT vec_id, q, dmin FROM d${r - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+           |d$r AS (SELECT v.vec_id, v.q, LEAST(v.dmin, ${dist2("v.q", "c.q")}) AS dmin
+           |        FROM d${r - 1} v, c$r c)""".stripMargin
+      }.mkString(",\n")
+      val sels = (2 to 8)
+        .map(r => s"UNION ALL SELECT $r AS sel_order, vec_id, dmin AS radius_sq FROM c$r")
+        .mkString("\n")
+      s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |h AS (SELECT vec_id, q,
+         |             CAST('0x' || substring(md5('kc_' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+         |      FROM vecs),
+         |c1 AS (SELECT vec_id, q FROM h ORDER BY hh, vec_id LIMIT 1),
+         |d1 AS (SELECT v.vec_id, v.q, ${dist2("v.q", "c.q")} AS dmin FROM vecs v, c1 c),
+         |$rounds
+         |SELECT CAST(sel_order AS INT) AS sel_order, CAST(vec_id AS BIGINT) AS c_id,
+         |       CAST(radius_sq AS BIGINT) AS radius_sq
+         |FROM (SELECT 1 AS sel_order, vec_id, 0 AS radius_sq FROM c1
+         |$sels)
+         |ORDER BY sel_order""".stripMargin
+    },
 
     "q50_ann_brute" ->
       s"""WITH vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),

@@ -847,6 +847,99 @@ object TextPack extends QueryPack {
       s.read.parquet(s"${bpeModelDir(s, d)}/merges").orderBy("round")
     },
 
+    // ---- UNIGRAM-LM TOKENIZER (the SentencePiece family, Kudo 2018,
+    // ACL: arXiv:1804.10959) — the OTHER major subword algorithm next
+    // to q108's BPE: score a substring vocabulary by corpus frequency,
+    // then VITERBI-segment every word under piece log-probs and report
+    // each piece's segmentation usage (the E-step counts of the
+    // unigram-LM EM loop; SentencePiece prunes the vocab on exactly
+    // these). Everything is vocabulary-shaped after ONE corpus scan:
+    // candidate pieces are the ≤4-char substrings of the DISTINCT-word
+    // table (all single chars kept for segmentability + top-48
+    // multi-char by weighted count, ties → piece asc), scores are the
+    // integer-argument qln quantization (score_q = qln(cnt) − qln(tot),
+    // the NB contract — ln touches only integer-valued doubles), and
+    // the DP is RELATIONAL: 10 end-position rounds (max corpus token is
+    // 8 chars; both sides filter length ≤ 10), each ONE union of ≤4
+    // (matches ⋈ dp[j−l]) arms + a per-word argmax — max(struct(cand,
+    // −l)) pins the tie-break (higher score, then SHORTER last piece).
+    // Backtracking replays the stored per-(w, j) argmax choices, 10
+    // bounded rounds over a shrinking frontier. The oracle unrolls the
+    // identical DP and backtrack as CTE rounds. Scale shape: the corpus
+    // is scanned once for word counts; everything after is O(vocab ×
+    // maxlen) — exactly how a 100 TB tokenizer-train job stays cheap.
+    // ----
+    "q441_unigram_tok" -> { (s, d) =>
+      val maxLen = 10
+      val pieceMax = 4
+      val qln = (x: org.apache.spark.sql.Column) =>
+        floor(log(x.cast("double")) * lit(1e6)).cast("bigint")
+      val words = warmed(Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(length(col("w")) <= maxLen))
+      // every (word, end-pos j, piece-len l) substring occurrence
+      val occ = words
+        .select(col("w"), col("cnt"), explode(sequence(lit(1), length(col("w")))).as("j"))
+        .select(col("w"), col("cnt"), col("j"),
+          explode(sequence(lit(1), least(lit(pieceMax), col("j")))).as("l"))
+        .withColumn("piece", expr("substring(w, j - l + 1, l)"))
+      val pieceCnt = occ.groupBy("piece").agg(sum("cnt").as("piece_count"))
+      val vocab = pieceCnt.filter(length(col("piece")) === 1)
+        .unionByName(pieceCnt.filter(length(col("piece")) > 1)
+          .orderBy(desc("piece_count"), asc("piece")).limit(48))
+      val tot = vocab.agg(sum("piece_count").as("tot"))
+      val scored = warmed(vocab.crossJoin(broadcast(tot))
+        .select(col("piece"), col("piece_count"),
+          (qln(col("piece_count")) - qln(col("tot"))).as("score_q")))
+      val matches = warmed(occ.select("w", "j", "l", "piece")
+        .join(scored.select("piece", "score_q"), "piece")
+        .select("w", "j", "l", "score_q"))
+      // DP: dp(j) = per-word best total score of a segmentation of the
+      // first j chars, + the argmax last-piece length bl
+      val dpByJ = scala.collection.mutable.ArrayBuffer[DataFrame](
+        words.select(col("w"), lit(0L).as("best"), lit(0).as("bl"))
+          .localCheckpoint())
+      for (r <- 1 to maxLen) {
+        val arms = (1 to math.min(pieceMax, r)).map { lArm =>
+          matches.filter(col("j") === r && col("l") === lArm)
+            .join(dpByJ(r - lArm).select(col("w"), col("best").as("pb")), "w")
+            .select(col("w"), (col("pb") + col("score_q")).as("cand"), col("l"))
+        }.reduce(_ unionByName _)
+        dpByJ += arms.groupBy("w")
+          .agg(max(struct(col("cand"), (-col("l")).as("nl"))).as("m"))
+          .select(col("w"), col("m.cand").as("best"), (-col("m.nl")).as("bl"))
+          .localCheckpoint()
+      }
+      val dpAllPos = dpByJ.zipWithIndex.drop(1)
+        .map { case (df, j) => df.select(col("w"), lit(j).as("pos"), col("bl")) }
+        .reduce(_ unionByName _).localCheckpoint()
+      // backtrack the stored choices; every reachable pos has a dp row
+      // (singles guarantee reachability), so the inner join never drops
+      var frontier = words
+        .select(col("w"), col("cnt"), length(col("w")).as("pos"))
+        .localCheckpoint()
+      var emitted: DataFrame = null
+      for (_ <- 1 to maxLen) {
+        val step = frontier.filter(col("pos") > 0)
+          .join(dpAllPos, Seq("w", "pos"))
+          .select(col("w"), col("cnt"),
+            expr("substring(w, pos - bl + 1, bl)").as("piece"),
+            (col("pos") - col("bl")).as("pos"))
+          .localCheckpoint()
+        val e = step.select("piece", "cnt")
+        emitted = if (emitted == null) e else emitted.union(e)
+        frontier = step.select("w", "cnt", "pos")
+      }
+      val usage = emitted.groupBy("piece").agg(sum("cnt").as("viterbi_count"))
+      val result = scored.join(usage, Seq("piece"), "left")
+        .select(col("piece"),
+          col("piece_count").cast("bigint").as("piece_count"),
+          col("score_q").cast("bigint").as("score_q"),
+          coalesce(col("viterbi_count"), lit(0L)).cast("bigint").as("viterbi_count"))
+      materialized(result, words, scored, matches).orderBy("piece")
+    },
+
     // ---- the vocabulary the trained BPE induces: apply the final
     // merged state (shared fold with q108) and count each subword
     // symbol weighted by word frequency — the vocab-file step that
@@ -2693,6 +2786,81 @@ object TextPack extends QueryPack {
            |SELECT round, left_sym, right_sym, pair_count FROM (
            |  $out)
            |ORDER BY round""".stripMargin
+      },
+
+      // the same vocabulary selection, integer-qln scores, unrolled
+      // 10-round Viterbi DP (row_number pins the (cand DESC, l ASC)
+      // tie-break the Spark max(struct) uses) and backtrack replay
+      "q441_unigram_tok" -> {
+        val maxLen = 10
+        val dpRounds = (1 to maxLen).map { r =>
+          val arms = (1 to math.min(4, r)).map { lArm =>
+            s"""      SELECT m.w, d.best + m.score_q AS cand, m.l
+               |      FROM m JOIN d${r - lArm} d ON d.w = m.w
+               |      WHERE m.j = $r AND m.l = $lArm""".stripMargin
+          }.mkString("\n      UNION ALL\n")
+          s"""d$r AS MATERIALIZED (
+             |  SELECT w, cand AS best, l AS bl FROM (
+             |    SELECT w, cand, l,
+             |           row_number() OVER (PARTITION BY w ORDER BY cand DESC, l ASC) AS rn
+             |    FROM (
+             |$arms))
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val dall = (1 to maxLen)
+          .map(r => s"SELECT w, $r AS j, best, bl FROM d$r")
+          .mkString("\n  UNION ALL ")
+        val btRounds = (1 to maxLen).map { r =>
+          s"""t$r AS MATERIALIZED (
+             |  SELECT b.w, b.cnt, b.pos - d.bl AS pos,
+             |         substr(b.w, b.pos - d.bl + 1, d.bl) AS piece
+             |  FROM t${r - 1} b JOIN dall d ON d.w = b.w AND d.j = b.pos
+             |  WHERE b.pos > 0)""".stripMargin
+        }.mkString(",\n")
+        val em = (1 to maxLen).map(r => s"SELECT piece, cnt FROM t$r")
+          .mkString("\n  UNION ALL ")
+        s"""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'), w -> w <> '')) AS w
+           |  FROM documents),
+           |words AS MATERIALIZED (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+           |  GROUP BY w HAVING length(w) <= $maxLen),
+           |occ AS MATERIALIZED (
+           |  SELECT wd.w, wd.cnt, j.j, l.l, substr(wd.w, j.j - l.l + 1, l.l) AS piece
+           |  FROM words wd,
+           |       UNNEST(generate_series(1, length(wd.w))) AS j(j),
+           |       UNNEST(generate_series(1, 4)) AS l(l)
+           |  WHERE l.l <= j.j),
+           |pc AS MATERIALIZED (
+           |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS piece_count FROM occ GROUP BY piece),
+           |vocab AS MATERIALIZED (
+           |  SELECT piece, piece_count FROM pc WHERE length(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, piece_count FROM (
+           |    SELECT piece, piece_count FROM pc WHERE length(piece) > 1
+           |    ORDER BY piece_count DESC, piece LIMIT 48)),
+           |tot AS (SELECT CAST(SUM(piece_count) AS BIGINT) AS tot FROM vocab),
+           |scored AS MATERIALIZED (
+           |  SELECT piece, piece_count,
+           |         CAST(floor(ln(CAST(piece_count AS DOUBLE)) * 1e6) AS BIGINT)
+           |           - CAST(floor(ln(CAST(t.tot AS DOUBLE)) * 1e6) AS BIGINT) AS score_q
+           |  FROM vocab, tot t),
+           |m AS MATERIALIZED (
+           |  SELECT o.w, o.j, o.l, s.score_q
+           |  FROM occ o JOIN scored s ON s.piece = o.piece),
+           |d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS best, 0 AS bl FROM words),
+           |$dpRounds,
+           |dall AS MATERIALIZED (
+           |  $dall),
+           |t0 AS MATERIALIZED (SELECT w, cnt, length(w) AS pos FROM words),
+           |$btRounds,
+           |usage AS (
+           |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS viterbi_count
+           |  FROM ($em) GROUP BY piece)
+           |SELECT s.piece AS piece, s.piece_count, s.score_q,
+           |       COALESCE(u.viterbi_count, 0) AS viterbi_count
+           |FROM scored s LEFT JOIN usage u ON u.piece = s.piece
+           |ORDER BY s.piece""".stripMargin
       },
 
       // same unrolled trajectory, then explode the FINAL state's

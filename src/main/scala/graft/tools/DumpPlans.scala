@@ -109,7 +109,13 @@ object DumpPlans {
     "q430_energy_distance",   // panel^2 exact micro-distance pair sums
     "q432_dsv2_range",        // custom V2 BatchScan, pruned readSchema
     "q434_dsv2_sink_roundtrip", // V2 write commit + read-back BatchScan
-    "q436_dsv2_pushdown"      // pushed id-range narrows the generated interval
+    "q436_dsv2_pushdown",     // pushed id-range narrows the generated interval
+    "q437_dsv2_agg_pushdown", // whole GROUP BY answered by the connector
+    "q439_kcenter_coreset",   // k narrow broadcast-center scans, never all-pairs
+    "q440_ktruss",            // wedge-close support joins, per-round peel
+    "q441_unigram_tok",       // one corpus scan, vocab-shaped DP rounds
+    "q442_ppr",               // seed-teleport walk: join + map-side sum per round
+    "q443_kmv_jaccard"        // 64-value sketches + sources^2 estimator frame
   )
 
   def main(args: Array[String]): Unit = {
