@@ -300,6 +300,57 @@ object CorePack extends QueryPack {
         .orderBy("bucket")
     },
 
+    // ---- OBSERVED METRICS (Dataset.observe + CollectMetrics): the
+    // pipeline-observability surface — row counts / control totals ride
+    // the SAME pass as the main computation (here a per-flag group-by),
+    // no second scan, which is how a 100 TB job self-audits without
+    // doubling its read. The gate drives the main aggregate, then
+    // reads the observation off the executed plan and RETURNS it; the
+    // oracle recomputes the totals directly, so a metrics slip (lost
+    // rows, wrong accumulator merge) hash-fails. The one driver-side
+    // row here is the observation itself — bounded by construction. ----
+    "q446_observe_metrics" -> { (s, dir) =>
+      val observed = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"))
+        .observe(s"graft_q446_${obsCounter.incrementAndGet()}",
+          count(lit(1)).as("n_rows"), sum(col("p")).as("sum_price"),
+          min(col("l_returnflag")).as("min_flag"),
+          max(col("l_returnflag")).as("max_flag"))
+      val main = observed.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      main.collect() // drive the pass; the metrics ride it
+      val m = main.queryExecution.observedMetrics.values.headOption
+        .getOrElse(sys.error("q446: CollectMetrics produced no observation"))
+      import s.implicits._
+      Seq((m.getAs[Long]("n_rows"),
+        m.getAs[java.math.BigDecimal]("sum_price").movePointRight(2).longValueExact(),
+        m.getAs[String]("min_flag"), m.getAs[String]("max_flag")))
+        .toDF("n_rows", "sum_price_cents", "min_flag", "max_flag")
+    },
+
+    // ---- DYNAMIC PARTITION OVERWRITE: the warehouse mutation
+    // semantics every partitioned corpus store depends on — rewriting
+    // ONE language partition must leave every other partition intact
+    // (static overwrite mode would drop them all). Full write
+    // partitioned by lang, then a dynamic-mode overwrite of just the
+    // rewritten `en` rows (per-WRITE option, no session-conf mutation
+    // — the q421 lesson), then the q140-style per-language digest of
+    // the read-back: the oracle applies the same rewrite as a CASE, so
+    // a clobbered or stale partition hash-fails. Build-once artifact
+    // (the store mutation sequence is deterministic). ----
+    "q447_dynamic_overwrite" -> { (s, dir) =>
+      val path = graft.core.Artifacts.materialize(
+        s"docs_dynow_v1_${graft.core.Artifacts.corpusKey(dir, "documents.parquet")}") { tmp =>
+        val docs = Tables.documents(s, dir)
+        docs.write.partitionBy("lang").mode("overwrite").parquet(tmp)
+        docs.filter(col("lang") === "en")
+          .withColumn("text", upper(col("text")))
+          .write.partitionBy("lang").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(tmp)
+      }
+      roundTripDigest(s.read.parquet(path))
+    },
+
     // ---- DATASOURCE V2 SINK ROUNDTRIP: the q432 connector's WRITE
     // half ([[graft.sources.GraftMemSink]]) — the per-language corpus
     // digest is written THROUGH the V2 write contract (partition-
@@ -325,6 +376,7 @@ object CorePack extends QueryPack {
   )
 
   private val dsv2SinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-language row/byte/text-checksum digest of a documents frame —
     * the compare side of the q135/q136 round-trips. */
@@ -394,6 +446,19 @@ object CorePack extends QueryPack {
     // digest of the ORIGINAL documents table — the V2 write+read
     // roundtrip must reproduce it exactly (the q140 compare, V2 store)
     "q434_dsv2_sink_roundtrip" -> roundTripDigestSql("text"),
+
+    // the observation's control totals recomputed directly
+    "q446_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents,
+        |       MIN(l_returnflag) AS min_flag,
+        |       MAX(l_returnflag) AS max_flag
+        |FROM lineitem""".stripMargin,
+
+    // the partition-store state after the dynamic overwrite: en rows
+    // uppercased, every other partition untouched
+    "q447_dynamic_overwrite" ->
+      roundTripDigestSql("CASE WHEN lang = 'en' THEN upper(text) ELSE text END"),
 
     // the pushed group-by, recomputed row-by-row from generate_series —
     // the connector's closed-form partials must merge to the brute answer

@@ -441,6 +441,19 @@ object RelationalPack4 extends QueryPack {
        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
        |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin
 
+  // ---- TPC-H Q17 shape: engine-portable SQL (identical text runs on
+  // Spark and DuckDB — no div/// divergence to parameterize). ----
+  private def q17Sql =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents,
+       |       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+       |  AND CAST(l.l_quantity AS DOUBLE) < (
+       |    SELECT 0.2 * AVG(CAST(l2.l_quantity AS DOUBLE))
+       |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
   // ---- TPC-H Q16 shape (parts/supplier relationship): distinct
   // suppliers per (brand, type, size) bucket over a size IN-list,
   // excluding one brand and one type, and excluding "complaint"
@@ -707,6 +720,27 @@ object RelationalPack4 extends QueryPack {
       views(s, d, "lineitem", "part")
       s.sql(q19Sql("div"))
     },
+
+    // ---- TPC-H Q17 shape (small-quantity-order revenue): the
+    // CORRELATED SCALAR AGGREGATE subquery — each line compares its
+    // quantity against 0.2·avg(quantity) of ITS OWN part. The planner
+    // question this gates: the subquery must DECORRELATE into one
+    // per-part aggregate joined back (RewriteCorrelatedScalarSubquery),
+    // never a per-row re-execution — quadratic at 100 TB. Determinism:
+    // quantities are integer-valued doubles, so the partial sums are
+    // EXACT (< 2^53, order-free), and count/divide/×0.2/compare are
+    // single IEEE ops both engines share bit-for-bit; revenue follows
+    // the decimal-before-SUM cents discipline. ----
+    "q445_sql_q17" -> { (s, d) =>
+      views(s, d, "lineitem", "part")
+      val result = s.sql(q17Sql)
+      val plan = result.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+        s"q445: the correlated scalar subquery must decorrelate to an " +
+          s"aggregate + equi-join; got:\n${plan.take(1500)}")
+      result
+    },
     "q318_sql_q16_suppcnt" -> { (s, d) =>
       views(s, d, "lineitem", "part", "supplier")
       s.sql(q16Sql("div"))
@@ -961,6 +995,7 @@ object RelationalPack4 extends QueryPack {
     "q329_zonemap_skip"     -> zonemapSql("//"),
     "q322_benford_audit"    -> benfordSql("//"),
     "q316_sql_q21_waiting"  -> q21Sql("//"),
+    "q445_sql_q17"          -> q17Sql,
     "q317_sql_q19_disjunct" -> q19Sql("//"),
     "q318_sql_q16_suppcnt"  -> q16Sql("//"),
     "q319_sql_q9_margin"    -> q9Sql("//"),

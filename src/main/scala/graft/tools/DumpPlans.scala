@@ -115,7 +115,9 @@ object DumpPlans {
     "q440_ktruss",            // wedge-close support joins, per-round peel
     "q441_unigram_tok",       // one corpus scan, vocab-shaped DP rounds
     "q442_ppr",               // seed-teleport walk: join + map-side sum per round
-    "q443_kmv_jaccard"        // 64-value sketches + sources^2 estimator frame
+    "q443_kmv_jaccard",       // 64-value sketches + sources^2 estimator frame
+    "q444_hilbert_layout",    // native Hilbert index + 3-way zone-map replay
+    "q445_sql_q17"            // correlated scalar agg DECORRELATED to agg+join
   )
 
   def main(args: Array[String]): Unit = {

@@ -134,6 +134,53 @@ class Wave12Spec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q445 TPC-H Q17 matches a plain-Scala recompute") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val parts = graft.core.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .filter(p => p._2 == "Brand#1" && p._3 <= 10).map(_._1).toSet
+    val byPart = li.groupBy(_._1)
+    val hits = li.filter { case (pk, q, _) =>
+      parts(pk) && {
+        val g = byPart(pk)
+        q < 0.2 * (g.map(_._2).sum / g.length)
+      }
+    }
+    val cents = hits.map(h => BigDecimal(h._3).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+      .sum.toLongExact
+    val got = SparkEntry.queries("q445_sql_q17")(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1)) === (hits.length.toLong, cents))
+  }
+
+  test("q446 observed metrics are stable across repeated invocations") {
+    val a = SparkEntry.queries("q446_observe_metrics")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q446_observe_metrics")(spark, sf).collect().toSeq
+    assert(a === b) // a fixed observation name would throw on the 2nd run
+    assert(a.head.getLong(0) > 0L)
+  }
+
+  test("q447 dynamic overwrite rewrites en only; other partitions byte-identical") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q447_dynamic_overwrite")(spark, sf).collect() // build store
+    val key = graft.core.Artifacts.corpusKey(sf, "documents.parquet")
+    val store = spark.read.parquet(
+      graft.core.Artifacts.materialize(s"docs_dynow_v1_$key")(_ => ()))
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)))).toMap
+    val orig = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    assert(store.size === orig.length)
+    orig.foreach { case (id, (lang, text)) =>
+      val want = if (lang == "en") text.toUpperCase else text
+      assert(store(id) === ((lang, want)), s"doc $id")
+    }
+  }
+
   test("q441 unigram tokenizer matches a plain-Scala Viterbi recompute") {
     val texts = graft.core.Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0))
