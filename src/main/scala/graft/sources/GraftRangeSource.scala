@@ -188,33 +188,50 @@ class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftRangeMicroBatchStream(hi, slices, batchRows)
+    // both post-pushdown bounds flow into the stream: offsets start at
+    // `lo`, admission stops at `hi` — a pushed id-range (were Spark ever
+    // to push filters into a micro-batch scan) streams exactly [lo, hi)
+    new GraftRangeMicroBatchStream(lo, hi, slices, batchRows)
 }
 
 /** Micro-batch streaming read of the same generator: offsets are row
-  * counts, each trigger admits up to `batchRows` more ids ([committed,
-  * hwm)), and each batch re-splits its range into `slices` input
-  * partitions. The offset log is the integer high-water mark — restart
-  * replays [lastCommitted, hwm) exactly, so the source is replayable
-  * the way the V2 streaming contract requires. Admission control lives
-  * in `latestOffset` (the rate-limit shape a real queue source uses). */
-class GraftRangeMicroBatchStream(n: Long, slices: Int, batchRows: Long)
+  * counts in [lo, hi), each trigger admits up to `batchRows` more ids
+  * ([committed, hwm)), and each batch re-splits its range into `slices`
+  * input partitions. The offset log is the integer high-water mark —
+  * restart replays [lastCommitted, hwm) exactly, so the source is
+  * replayable the way the V2 streaming contract requires: the in-memory
+  * hwm RE-SEEDS from every offset the checkpoint log hands back
+  * (`deserializeOffset`/`commit` advance it monotonically), so a
+  * restarted query resumes past its committed ranges instead of
+  * re-admitting them from `lo`. Admission control lives in
+  * `latestOffset` (the rate-limit shape a real queue source uses). */
+class GraftRangeMicroBatchStream(lo: Long, hi: Long, slices: Int, batchRows: Long)
     extends MicroBatchStream {
-  private var hwm = 0L
-  override def initialOffset(): Offset = GraftRangeOffset(0L)
-  override def latestOffset(): Offset = {
-    hwm = math.min(hwm + batchRows, n)
-    GraftRangeOffset(hwm)
+  private val hwm = new java.util.concurrent.atomic.AtomicLong(lo)
+  /** Monotonic advance: hwm = max(hwm, v). */
+  private def seed(v: Long): Unit = {
+    var cur = hwm.get()
+    while (v > cur && !hwm.compareAndSet(cur, v)) cur = hwm.get()
   }
-  override def deserializeOffset(json: String): Offset =
-    GraftRangeOffset(json.trim.toLong)
+  override def initialOffset(): Offset = GraftRangeOffset(lo)
+  override def latestOffset(): Offset = {
+    val cur = hwm.get()
+    seed(math.min(math.max(cur, lo) + batchRows, hi))
+    GraftRangeOffset(hwm.get())
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.trim.toLong
+    seed(v) // checkpoint restart: never re-plan below a logged offset
+    GraftRangeOffset(v)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftRangeSource.slicePartitions(
       start.asInstanceOf[GraftRangeOffset].v,
       end.asInstanceOf[GraftRangeOffset].v, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(GraftRangeSource.schema.fieldNames)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    seed(end.asInstanceOf[GraftRangeOffset].v)
   override def stop(): Unit = ()
 }
 

@@ -133,4 +133,24 @@ class GraftRangeSourceSpec extends AnyFunSuite {
       .map { case (b, ids) => (b, ids.length.toLong, ids.sum) }
     assert(got.toSeq === want)
   }
+
+  test("stream offsets re-seed from checkpointed offsets (restart monotonicity)") {
+    import graft.sources.{GraftRangeMicroBatchStream, GraftRangeOffset}
+    // simulate a restart: a fresh stream instance is handed the logged
+    // offset 80 via deserializeOffset; admission must continue FROM it
+    val st = new GraftRangeMicroBatchStream(0L, 103L, 4, 40L)
+    assert(st.deserializeOffset("80") === GraftRangeOffset(80L))
+    assert(st.latestOffset() === GraftRangeOffset(103L)) // 80+40 clamped to n
+    // a second restart signal below the hwm must not move it backwards
+    st.deserializeOffset("40")
+    assert(st.latestOffset() === GraftRangeOffset(103L))
+  }
+
+  test("a pushed id lower bound flows into the stream as the initial offset") {
+    import graft.sources.{GraftRangeMicroBatchStream, GraftRangeOffset}
+    val st = new GraftRangeMicroBatchStream(60L, 103L, 4, 40L)
+    assert(st.initialOffset() === GraftRangeOffset(60L))
+    assert(st.latestOffset() === GraftRangeOffset(100L)) // 60+40
+    assert(st.latestOffset() === GraftRangeOffset(103L)) // clamped to hi
+  }
 }
