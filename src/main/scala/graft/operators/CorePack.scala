@@ -372,11 +372,156 @@ object CorePack extends QueryPack {
       require(scans.nonEmpty,
         s"graft-mem read-back lost the V2 BatchScan node:\n${back.queryExecution.executedPlan}")
       back.orderBy("lang")
+    },
+
+    // ---- DSv2 KEYED UPSERT (MERGE-style, r11 VERDICT follow-on #6):
+    // the write-side mutation surface q447 (dynamic overwrite) and q137
+    // (changelog compaction) leave open — UPDATE existing keys + INSERT
+    // new keys + leave every other key untouched, in ONE atomic commit.
+    // Route: the [[graft.sources.GraftMemCatalog]] TableCatalog (the
+    // sixth extension surface) makes the store addressable by
+    // identifier, so `writeTo(t).overwrite(condition)` plans
+    // `OverwriteByExpression`; the condition reaches the connector as
+    // V2 delete filters ([[graft.sources.GraftMemTable]]'s
+    // SupportsOverwrite = truncate-by-filter), and commit() applies
+    // delete+insert atomically. Upsert = overwrite WHERE key ∈ (keys of
+    // the new batch): here the per-(lang, source) corpus digest table,
+    // with 'en' digests recomputed over uppercased text (the UPDATE)
+    // and a synthetic ('zz', 'synthetic') row (the INSERT). REQUIREs
+    // pin, from the store's own commit JOURNAL: exactly one overwrite
+    // commit, carrying the In(lang, ...) delete filter, deleting
+    // exactly the old 'en' rows and inserting exactly the delta — so
+    // insert+update+untouched-in-one-commit is proven from history, not
+    // assumed. The oracle recomputes the post-upsert state directly
+    // from documents (CASE + UNION), so a clobbered or stale key
+    // hash-fails. ----
+    "q450_dsv2_upsert" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val tbl = s"upsert_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      def digest(docs: DataFrame): DataFrame =
+        docs.groupBy("lang", "source")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("n_chars").cast("bigint").as("sum_chars"),
+            sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+      digest(Tables.documents(s, dir))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      val nEnBefore = graft.sources.GraftMemStore.rowsOf(tbl).count { r =>
+        r.getUTF8String(0).toString == "en"
+      }
+      import s.implicits._
+      val delta = digest(Tables.documents(s, dir).filter(col("lang") === "en")
+          .withColumn("text", upper(col("text"))))
+        .unionByName(Seq(("zz", "synthetic", 1L, 42L, 7L))
+          .toDF("lang", "source", "n_docs", "sum_chars", "text_cksum"))
+      val nDelta = delta.count()
+      delta.writeTo(s"graftmem.$tbl").overwrite(col("lang").isin("en", "zz"))
+      val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+      require(commits.map(_.kind) == List("append", "overwrite"),
+        s"q450: expected one append + ONE overwrite commit, got $commits")
+      val ow = commits.last
+      require(ow.filters.contains("In(lang"),
+        s"q450: delete condition did not reach the connector as a filter: '${ow.filters}'")
+      require(ow.deleted == nEnBefore && ow.inserted == nDelta,
+        s"q450: upsert moved deleted=${ow.deleted} (want $nEnBefore) " +
+          s"inserted=${ow.inserted} (want $nDelta)")
+      s.read.format("graft-mem").option("table", tbl).load()
+        .orderBy("lang", "source")
+    },
+
+    // ---- DSv2 RUNTIME FILTERING (dynamic pruning): the EXECUTION-time
+    // skip that static pushdown (q436) can't give — the scan feeds a
+    // join against a tiny selectively-filtered dimension, and Spark's
+    // dynamic-pruning rule delivers the build side's distinct join keys
+    // to the connector's SupportsRuntimeFiltering AT RUNTIME, so the
+    // readers generate ONLY the 64 surviving ids out of n = 10⁶ (this
+    // is dynamic partition pruning for V2 sources — the mechanism an
+    // Iceberg scan uses to drop files at execution). AQE is off for
+    // this one query (set/restored) so the planned scan INSTANCE is
+    // reachable and the REQUIRE can pin, post-execution, that the
+    // runtime set arrived and was exactly the 64 dim keys; the oracle
+    // replays the join as a literal id list, so a key dropped inside
+    // the pushed set (the only way advisory filtering could corrupt)
+    // hash-fails. ----
+    "q454_dsv2_runtime_filter" -> { (s, _) =>
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      s.conf.set(aqeKey, "false")
+      try {
+        // the dim side must KEEP a selective Filter node for the
+        // dynamic-pruning rule to see (a local Seq would be
+        // constant-folded into a bare LocalRelation by
+        // ConvertToLocalRelation, erasing the predicate) — so it is a
+        // Range source with the selection as a real filter
+        val dim = s.range(0, 128).filter(col("id") < 64)
+          .select((col("id") * lit(13441L) + lit(77L)).as("did"))
+        val fact = s.read.format("graft-range")
+          .option("n", "1000000").option("slices", "8").load()
+        val agg = fact.join(dim, col("id") === col("did"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum("sq").cast("bigint").as("sum_sq"),
+            min("id").cast("bigint").as("min_id"),
+            max("id").cast("bigint").as("max_id"))
+          .select(col("bucket").cast("int").as("bucket"), col("n"),
+            col("sum_sq"), col("min_id"), col("max_id"))
+          .orderBy("bucket")
+        agg.collect() // drive execution so the runtime filter fires
+        val scans = agg.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        require(scans.nonEmpty,
+          s"q454: lost the V2 BatchScan node:\n${agg.queryExecution.executedPlan}")
+        val sc = scans.head.scan.asInstanceOf[graft.sources.GraftRangeScan]
+        require(sc.runtimeSet.exists(_.length == CorePack.q454DimIds.size),
+          s"q454: runtime filter did not reach the connector " +
+            s"(got ${sc.runtimeSet.map(_.length)}, want ${CorePack.q454DimIds.size})")
+        agg
+      } finally s.conf.set(aqeKey, prevAqe)
+    },
+
+    // ---- DSv2 METADATA DELETE: the remaining write-side verb after
+    // append (q434), dynamic overwrite (q447), and keyed upsert (q450)
+    // — `DELETE FROM <catalog table> WHERE <pred>` planned as V2
+    // DeleteFromTable and executed by the connector's SupportsDelete
+    // (canDeleteWhere refuses filter shapes the row predicate can't
+    // evaluate exactly, so Spark fails loudly instead of the connector
+    // silently widening a delete). REQUIREs read the commit journal:
+    // exactly one delete commit carrying the pushed EqualTo filter and
+    // removing exactly the matching rows; the oracle recomputes the
+    // surviving digests with the same predicate negated. ----
+    "q456_dsv2_delete" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val tbl = s"del_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      val base = Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"))
+      base.write.format("graft-mem").option("table", tbl).mode("append").save()
+      val nDe = graft.sources.GraftMemStore.rowsOf(tbl).count { r =>
+        r.getUTF8String(0).toString == "de"
+      }
+      s.sql(s"DELETE FROM graftmem.$tbl WHERE lang = 'de'")
+      val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+      require(commits.map(_.kind) == List("append", "delete"),
+        s"q456: expected one append + ONE delete commit, got $commits")
+      require(commits.last.filters.contains("EqualTo(lang,de)") &&
+          commits.last.deleted == nDe && commits.last.inserted == 0,
+        s"q456: delete journal mismatch (want deleted=$nDe): ${commits.last}")
+      s.read.format("graft-mem").option("table", tbl).load()
+        .orderBy("lang", "source")
     }
   )
 
   private val dsv2SinkCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q454's deterministic 64-key dimension (13441·i + 77, no mod
+    * wraparound below 10⁶ so the keys are distinct by construction);
+    * inlined as literals into the oracle. */
+  private[operators] val q454DimIds: Seq[Long] =
+    (0 until 64).map(i => i.toLong * 13441L + 77L)
 
   /** Per-language row/byte/text-checksum digest of a documents frame —
     * the compare side of the q135/q136 round-trips. */
@@ -471,6 +616,46 @@ object CorePack extends QueryPack {
         |FROM UNNEST(generate_series(0, 999999)) AS g(i)
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // the post-upsert table state recomputed directly from documents:
+    // en digests over uppercased text (the UPDATE), the synthetic zz
+    // row (the INSERT), every other (lang, source) digest verbatim (the
+    // untouched set)
+    "q450_dsv2_upsert" ->
+      """SELECT lang, source, n_docs, sum_chars, text_cksum FROM (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(SUM(CAST('0x' || substring(md5(
+        |                CASE WHEN lang = 'en' THEN upper(text) ELSE text END), 1, 15)
+        |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+        |  FROM documents GROUP BY lang, source
+        |  UNION ALL
+        |  SELECT 'zz', 'synthetic', 1, 42, 7
+        |) t ORDER BY lang, source""".stripMargin,
+
+    // the runtime-filtered join replayed over the literal key list
+    // (keys cast to BIGINT up front: the UNNESTed literals land as
+    // INT32 and id² overflows otherwise)
+    "q454_dsv2_runtime_filter" ->
+      s"""WITH k AS (SELECT CAST(g.i AS BIGINT) AS i
+        |           FROM UNNEST(${q454DimIds.mkString("[", ",", "]")}) AS g(i))
+        |SELECT CAST(i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(i * i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(i) AS BIGINT) AS min_id,
+        |       CAST(MAX(i) AS BIGINT) AS max_id
+        |FROM k
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // the surviving (lang, source) digests after the metadata delete
+    "q456_dsv2_delete" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang <> 'de'
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     // the interval that survives the pushed range predicates, replayed
     "q436_dsv2_pushdown" ->

@@ -497,6 +497,15 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     */
   private[graft] val deltaMod = 10L
   private[graft] val deltaRem = 7L
+
+  /** q453 corpus-slice selector (doc_id % 20 == 3) and the fixed
+    * prefix-doubling horizon: 2^7 = 128 tokens covers every corpus doc
+    * (REQUIREd at runtime); pairs below 3 shared tokens are n-gram
+    * noise, not duplicated spans. */
+  private[graft] val saSliceMod = 20L
+  private[graft] val saSliceRem = 3L
+  private[graft] val saRounds = 7
+  private[graft] val saMinShared = 3
   private def isDelta(id: Column): Column = pmod(id, lit(deltaMod)) === lit(deltaRem)
 
   /** Base-corpus MinHash signature store, materialized ONCE per corpus —
@@ -734,6 +743,111 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     // no all-pairs, no driver state — a suffix array (the paper's
     // tool) is a single-machine construction; this is the same
     // verdict as a distributed scan.
+    // ---- SUFFIX-ARRAY exact-substring dedup (r11 VERDICT follow-on
+    // #2): the operator behind Lee et al. 2022 (ACL, "Deduplicating
+    // Training Data Makes Language Models Better") that q123's rolling
+    // 8-token spans approximate — the paper's §4.1 structure is the
+    // suffix array itself. Construction is DISTRIBUTED PREFIX DOUBLING
+    // (Manber & Myers 1993 adapted to rounds of sorts — the standard
+    // cluster-scale SA build): rank_0 = dense rank of single tokens;
+    // round k ranks each position by (rank_{k-1}[p], rank_{k-1}[p+2^(k-1)])
+    // — O(log maxlen) rounds, each ONE distributed sort. Every dense
+    // rank and the SA sequence numbering run through [[graft.functions
+    // .PrefixSum.inclusive]]'s two-phase scan, so NO single-partition
+    // window ever materializes the position table (the shape that
+    // survives a 10^11-token corpus; Lee et al. shard exactly this
+    // way). The corpus slice (doc_id % 20 == 3) is the bounded shard a
+    // production build processes per task.
+    //
+    // LCP between SA-adjacent suffixes is computed by BINARY LIFTING
+    // over the retained round ranks (walk k = K-1..0: if both
+    // positions' rank_k agree and neither 2^k-window is truncated,
+    // advance both by 2^k) — K relational joins, each against the
+    // round-k rank table, exact by the standard doubling argument
+    // (Wave13Spec pins it against a plain-Scala suffix array +
+    // brute-force LCP).
+    //
+    // Output: per cross-doc pair, the longest shared token span
+    // WITNESSED BY SA ADJACENCY (≥ 3 tokens). For the globally longest
+    // duplicated cross-doc substring this witness is EXACT: between
+    // the two suffixes achieving it, every SA-adjacent LCP is ≥ its
+    // length, so some adjacent cross-doc pair in that interval attains
+    // exactly it. Per-pair values below the global max are lower
+    // bounds (the Lee-et-al use case — find+cut duplicated spans —
+    // consumes exactly these adjacency witnesses). The fixed 2^7 = 128
+    // doubling horizon is REQUIREd against the corpus's real max doc
+    // length, so an outgrown corpus fails loudly instead of gating a
+    // truncated rank. ----
+    "q453_suffix_dedup" -> { (s, d) =>
+      import graft.functions.PrefixSum
+      def pin(df: DataFrame): DataFrame =
+        if (graft.core.QueryPack.planDumpMode) df else df.localCheckpoint()
+      val K = saRounds
+      val docs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(saSliceMod)) === lit(saSliceRem))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val lens = warmed(docs.select(col("doc_id"), size(col("toks")).cast("bigint").as("len")))
+      val maxLen = lens.agg(coalesce(max("len"), lit(0L))).head().getLong(0)
+      require(maxLen <= (1L << K),
+        s"q453: a $maxLen-token doc exceeds the unrolled 2^$K doubling horizon")
+      // dense rank by `keys` without a single-partition window: rank the
+      // DISTINCT key tuples by a two-phase prefix sum, join back
+      def denseRank(df: DataFrame, keys: Seq[String]): DataFrame = {
+        val ranked = PrefixSum.inclusive(
+          df.select(keys.map(col): _*).distinct(), keys.map(col), Seq((lit(1L), "r")))
+        df.join(ranked, keys)
+      }
+      val pos = docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "w")))
+        .select(col("doc_id"), (col("i") + 1).cast("bigint").as("p"), col("w"))
+      // ranks(k) = (doc_id, p, r): rank of the substring of length 2^k at p
+      val ranks = new Array[DataFrame](K + 1)
+      ranks(0) = pin(denseRank(pos, Seq("w")).select("doc_id", "p", "r"))
+      for (k <- 1 to K) {
+        val h = 1L << (k - 1)
+        val prev = ranks(k - 1)
+        val paired = prev.as("a").join(prev.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.p") === col("a.p") + h, "left")
+          .select(col("a.doc_id").as("doc_id"), col("a.p").as("p"),
+            col("a.r").as("r1"), coalesce(col("b.r"), lit(0L)).as("r2"))
+        ranks(k) = pin(denseRank(paired, Seq("r1", "r2")).select("doc_id", "p", "r"))
+      }
+      // SA order = (suffix rank, doc_id, p); adjacency via a prefix-sum
+      // sequence number + shifted self-join (no global lead() window)
+      val sa = pin(PrefixSum.inclusive(ranks(K),
+        Seq(col("r"), col("doc_id"), col("p")), Seq((lit(1L), "seq"))))
+      var adj = sa.select(col("seq"), col("doc_id").as("d1"), col("p").as("p1"))
+        .join(sa.select((col("seq") - 1).as("seq"),
+          col("doc_id").as("d2"), col("p").as("p2")), "seq")
+        .join(lens.select(col("doc_id").as("d1"), col("len").as("len1")), "d1")
+        .join(lens.select(col("doc_id").as("d2"), col("len").as("len2")), "d2")
+        .select(col("d1"), col("p1"), col("d2"), col("p2"), col("len1"), col("len2"),
+          col("p1").as("o1"), col("p2").as("o2"), lit(0L).as("lcp"))
+      for (k <- (K - 1) to 0 by -1) {
+        val h = 1L << k
+        val rk = ranks(k)
+        adj = pin(adj
+          .join(rk.select(col("doc_id").as("d1"), col("p").as("o1"), col("r").as("ra")),
+            Seq("d1", "o1"), "left")
+          .join(rk.select(col("doc_id").as("d2"), col("p").as("o2"), col("r").as("rb")),
+            Seq("d2", "o2"), "left")
+          .withColumn("step",
+            col("ra").isNotNull && col("rb").isNotNull && col("ra") === col("rb") &&
+              col("o1") + lit(h) - 1 <= col("len1") &&
+              col("o2") + lit(h) - 1 <= col("len2"))
+          .select(col("d1"), col("p1"), col("d2"), col("p2"), col("len1"), col("len2"),
+            (col("o1") + when(col("step"), lit(h)).otherwise(lit(0L))).as("o1"),
+            (col("o2") + when(col("step"), lit(h)).otherwise(lit(0L))).as("o2"),
+            (col("lcp") + when(col("step"), lit(h)).otherwise(lit(0L))).as("lcp")))
+      }
+      val result = adj.filter(col("d1") =!= col("d2"))
+        .groupBy(least(col("d1"), col("d2")).as("doc_a"),
+          greatest(col("d1"), col("d2")).as("doc_b"))
+        .agg(max("lcp").cast("bigint").as("max_shared_tokens"),
+          count(lit(1)).cast("bigint").as("n_adjacencies"))
+        .filter(col("max_shared_tokens") >= saMinShared)
+      materialized(result, lens).orderBy("doc_a", "doc_b")
+    },
+
     "q123_substr_dedup" -> { (s, d) =>
       val spanLen = 8
       val docs = Tables.documents(s, d)
@@ -1699,6 +1813,8 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
 
     // same construction: rolling 8-token spans, first-occurrence rank,
     // covered-position union for duplicated occurrences only
+    "q453_suffix_dedup" -> suffixDedupOracle,
+
     "q123_substr_dedup" ->
       s"""WITH tok AS ($duckToks),
          |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks FROM tok),
@@ -2209,5 +2325,69 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
        |SELECT vec_i, vec_j, cosine
        |FROM pairs
        |WHERE cosine >= 0.4""".stripMargin
+  }
+
+  /** q453's oracle: independent DuckDB replay of the suffix-array
+    * build — the same K unrolled prefix-doubling rounds (dense_rank
+    * windows instead of the Spark side's PrefixSum two-phase scan: an
+    * INDEPENDENT formulation of the same ranking) and the same K-step
+    * LCP lift over the retained round ranks. MATERIALIZED throughout:
+    * each round's rank CTE is read by the next round AND twice by the
+    * lift chain. */
+  private def suffixDedupOracle: String = {
+    val K = saRounds
+    val doubling = (1 to K).map { k =>
+      val h = 1L << (k - 1)
+      s"""r$k AS MATERIALIZED (
+         |  SELECT a.doc_id, a.p,
+         |         CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS BIGINT) AS r
+         |  FROM r${k - 1} a LEFT JOIN r${k - 1} b
+         |    ON b.doc_id = a.doc_id AND b.p = a.p + $h)""".stripMargin
+    }.mkString(",\n")
+    val lifts = ((K - 1) to 0 by -1).map { k =>
+      val h = 1L << k
+      s"""l$k AS MATERIALIZED (
+         |  SELECT d1, p1, d2, p2, len1, len2,
+         |         o1 + CASE WHEN step THEN $h ELSE 0 END AS o1,
+         |         o2 + CASE WHEN step THEN $h ELSE 0 END AS o2,
+         |         lcp + CASE WHEN step THEN $h ELSE 0 END AS lcp
+         |  FROM (
+         |    SELECT a.d1, a.p1, a.d2, a.p2, a.len1, a.len2, a.o1, a.o2, a.lcp,
+         |           (ra.r IS NOT NULL AND rb.r IS NOT NULL AND ra.r = rb.r
+         |            AND a.o1 + $h - 1 <= a.len1 AND a.o2 + $h - 1 <= a.len2) AS step
+         |    FROM l${k + 1} a
+         |    LEFT JOIN r$k ra ON ra.doc_id = a.d1 AND ra.p = a.o1
+         |    LEFT JOIN r$k rb ON rb.doc_id = a.d2 AND rb.p = a.o2) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+'),
+       |                     w -> w <> '') AS ts
+       |  FROM documents WHERE doc_id % $saSliceMod = $saSliceRem),
+       |lens AS MATERIALIZED (SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM docs),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ts) AS w,
+       |         CAST(unnest(generate_series(1, len(ts))) AS BIGINT) AS p
+       |  FROM docs),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, p, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS r FROM pos),
+       |$doubling,
+       |sa AS MATERIALIZED (
+       |  SELECT doc_id, p, row_number() OVER (ORDER BY r, doc_id, p) AS seq FROM r$K),
+       |l$K AS MATERIALIZED (
+       |  SELECT x.doc_id AS d1, x.p AS p1, y.doc_id AS d2, y.p AS p2,
+       |         ln1.len AS len1, ln2.len AS len2,
+       |         x.p AS o1, y.p AS o2, CAST(0 AS BIGINT) AS lcp
+       |  FROM sa x JOIN sa y ON y.seq = x.seq + 1
+       |  JOIN lens ln1 ON ln1.doc_id = x.doc_id
+       |  JOIN lens ln2 ON ln2.doc_id = y.doc_id),
+       |$lifts
+       |SELECT LEAST(d1, d2) AS doc_a, GREATEST(d1, d2) AS doc_b,
+       |       CAST(max(lcp) AS BIGINT) AS max_shared_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_adjacencies
+       |FROM l0 WHERE d1 <> d2
+       |GROUP BY 1, 2
+       |HAVING max(lcp) >= $saMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

@@ -84,6 +84,52 @@ object RetrievalPack extends QueryPack {
       bm25Merge(s, d, dTerms, dMeta).orderBy("term")
     },
 
+    // ---- BLOCK-MAX WAND top-k retrieval (Ding & Suel, SIGIR 2011 —
+    // the at-scale BM25 query path; MaxScore/WAND family): candidate
+    // PRUNING before scoring, driven by per-block score upper bounds
+    // stored NEXT TO the postings as a tiny once-per-corpus artifact.
+    // Postings for the panel terms are blocked by doc_id range
+    // (doc_id div 16, ≙ a posting list's skip blocks); the block-max
+    // index holds each (term, block)'s max BM25 score.
+    //
+    // Pruning is EXACT in this regime, by witness counting: every
+    // block's max is an ACTUAL document score in that block, so the
+    // 10th-largest block-max θ for a term certifies ≥ 10 docs (one per
+    // distinct block) scoring ≥ θ — hence the true 10th-best score is
+    // ≥ θ, and a block with blk_max < θ (strictly) can contain neither
+    // a top-10 doc nor a doc_id tie-break competitor (all its docs
+    // score < θ). Terms whose postings span < 10 blocks keep every
+    // block (no certificate → no prune), degrading to the full scan.
+    // The gate is therefore HASH-IDENTITY with q163: bm25OracleSql
+    // VERBATIM — WAND must return the exact full-scan top-10.
+    //
+    // Scale shape: at 100 TB the postings artifact is the stored index
+    // (sorted by block inside each term so parquet row-group stats
+    // skip non-surviving blocks); the block-max side is |panel|×|blocks|
+    // rows — kilobytes — and broadcasts into the postings join, so a
+    // query reads the tiny upper-bound table plus ONLY the surviving
+    // blocks' postings, never the corpus. ----
+    "q451_bm25_wand" -> { (s, d) =>
+      val (postings, blockMax) = bmwIndex(s, d)
+      val wTheta = Window.partitionBy("q_rank").orderBy(col("blk_max").desc, col("blk"))
+      val theta = blockMax
+        .withColumn("brk", row_number().over(wTheta))
+        .filter(col("brk") <= 10)
+        .groupBy("q_rank")
+        .agg(min("blk_max").as("theta"), count(lit(1)).as("n_cert"))
+      val surviving = blockMax.join(broadcast(theta), "q_rank")
+        .filter(col("n_cert") < 10 || col("blk_max") >= col("theta"))
+        .select("q_rank", "blk")
+      val top = postings.join(broadcast(surviving), Seq("q_rank", "blk"))
+        .withColumn("doc_rank", row_number().over(
+          Window.partitionBy(col("q_rank")).orderBy(col("score_q").desc, col("doc_id"))))
+        .filter(col("doc_rank") <= 10)
+        .select(col("q_rank").cast("int").as("q_rank"), col("w").as("term"),
+          col("doc_rank").cast("int").as("doc_rank"), col("doc_id"),
+          col("cnt"), col("dl"), col("df"), col("score_q"))
+      materialized(top).orderBy("q_rank", "doc_rank")
+    },
+
     // ---- DIRICHLET-SMOOTHED QUERY LIKELIHOOD retrieval (Zhai &
     // Lafferty, SIGIR 2001; μ = 2000, the standard setting): the other
     // classical probabilistic ranking next to q163's BM25, over the
@@ -327,6 +373,49 @@ object RetrievalPack extends QueryPack {
     (tf, dl, stats, qterms)
   }
 
+  /** q451's stored index pair: (postings, block-max). Postings = the
+    * panel terms' scored posting lists blocked by `doc_id div 16` and
+    * SORTED by (q_rank, blk) inside the write so parquet row-group
+    * stats can skip pruned blocks; block-max = each (term, block)'s
+    * score upper bound — the tiny skip-index artifact (Ding & Suel's
+    * block-max structure). Scores are q163's exact expression, so the
+    * index IS the full-scan ranking's data, just laid out for skipping.
+    */
+  private[graft] def bmwIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = graft.core.Artifacts.corpusKey(d, "documents.parquet")
+    val postingsPath = graft.core.Artifacts.materialize(s"bmw_postings_v1_$key") { tmp =>
+      val (tf, dl, stats, qterms) = retrievalBase(s, d)
+      tf.join(broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_q",
+          floor(log(
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
+            .cast("bigint"))
+        .withColumn("tfnorm",
+          (col("cnt").cast("double") * lit(k1 + 1.0)) /
+            (col("cnt").cast("double") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("dl").cast("double") * col("n_docs").cast("double") /
+                col("sum_dl").cast("double")))))
+        .withColumn("score_q",
+          floor(col("idf_q").cast("double") * col("tfnorm")).cast("bigint"))
+        .withColumn("blk", (col("doc_id") / lit(16L)).cast("bigint"))
+        .select("q_rank", "w", "blk", "doc_id", "cnt", "dl", "df", "score_q")
+        .repartition(1)
+        .sortWithinPartitions("q_rank", "blk", "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val blockMaxPath = graft.core.Artifacts.materialize(s"bmw_blockmax_v1_$key") { tmp =>
+      s.read.parquet(postingsPath)
+        .groupBy("q_rank", "blk")
+        .agg(max("score_q").as("blk_max"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    (s.read.parquet(postingsPath), s.read.parquet(blockMaxPath))
+  }
+
   /** q163's ranked frame (panel term × top-10 docs, BM25 scores). */
   private def bm25TopDocs(s: SparkSession, d: String): DataFrame = {
     val (tf, dl, stats, qterms) = retrievalBase(s, d)
@@ -524,6 +613,11 @@ object RetrievalPack extends QueryPack {
         |ORDER BY q_rank""".stripMargin,
 
     "q163_bm25" -> bm25OracleSql,
+
+    // q163's oracle VERBATIM: block-max WAND prunes blocks, never
+    // answers — the pruned path must return the exact full-scan top-10
+    // (rows, ties, and all)
+    "q451_bm25_wand" -> bm25OracleSql,
 
     // direct full recompute with a per-doc is_delta flag — the
     // incremental Spark path (stored base artifact + delta-only scan +

@@ -238,6 +238,186 @@ object SimilarityPack extends QueryPack {
       .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  // ---- HNSW-family graph ANN (q452): bounded-degree kNN graph +
+  // fixed-round relational beam search (Malkov & Yashunin 2016,
+  // TPAMI — the production-dominant ANN structure; this is its flat
+  // two-level relational re-expression: a constant-size seed set plays
+  // the hierarchy's upper layers, the bounded-degree graph is layer 0).
+
+  /** Graph degree bound (HNSW's M). Chosen by ProfileHnsw's sweep at
+    * sf0.1: degree 16 stalls at recall 0.80 (the greedy local optimum a
+    * too-sparse graph can't escape on this near-orthogonal corpus);
+    * 32 clears the q53-lane floor with margin. */
+  private[graft] val hnswM = 32
+  /** Beam width (HNSW's ef). */
+  private[graft] val hnswBeam = 24
+  /** Fixed expansion rounds — relational beam search must be a static
+    * plan, so the greedy loop is unrolled to a fixed depth. */
+  private[graft] val hnswRounds = 4
+  /** Seed stride: vec_id % sm == 0 picks ~2^5 = 32 entry points at any
+    * corpus size (sm = 2^(ceilLog2 N − 5)) — the constant-size "upper
+    * layer" whose exhaustive scoring anchors the beam, like HNSW's
+    * log-depth descent reaching layer 0 with a good entry. */
+  private[graft] def hnswSeedMod(n: Long): Long =
+    1L << math.max(2, ceilLog2(n) - 5)
+
+  /** The bounded-degree kNN graph as a once-per-corpus ARTIFACT: edge
+    * pool = LSH multiprobe candidate pairs (q45's emit-once machinery,
+    * no cosine floor) ∪ IVF same-cell pairs (q102's partition-local
+    * budget) — both bucket/cell-bounded, NEVER an all-pairs scan — then
+    * per-node top-M by exact cosine, symmetrized first so every edge is
+    * navigable in both directions (HNSW's bidirectional link repair).
+    * At 100 TB this is NN-descent-by-LSH-seeding: candidate generation
+    * stays bucket-local, the per-node top-M is one window over the
+    * pooled candidates, and the stored adjacency is repartitioned by
+    * src so a frontier expansion is a co-located join. */
+  private[graft] def hnswGraph(s: SparkSession, d: String,
+                               m: Int = hnswM): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    val b = bucketBits(s, d)
+    val path = graft.core.Artifacts.materialize(
+      s"hnsw_graph_v1_M${m}_$key") { tmp =>
+      val vecs = persistedVecs(s, d)
+      val lsh = nearDupPairs(vecs, b, minCosine = -2.0)
+      val ranked = ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
+      val cellsA = ranked.filter(col("arn") === 1)
+        .select(col("cell"), col("vec_id").as("vec_i"),
+          col("q").as("qa"), col("norm").as("na"))
+      val cellsB = ranked.filter(col("arn") === 1)
+        .select(col("cell"), col("vec_id").as("vec_j"),
+          col("q").as("qb"), col("norm").as("nb"))
+      val cellPairs = cellsA.join(cellsB, "cell")
+        .filter(col("vec_i") < col("vec_j"))
+        .withColumn("cosine", cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .select("vec_i", "vec_j", "cosine")
+      val pool = lsh.select("vec_i", "vec_j", "cosine").union(cellPairs)
+      // symmetrize, dedupe (a pair can surface in both pools — the
+      // cosine arithmetic is identical, so full-row distinct collapses
+      // them), then keep each node's top-M
+      val sym = pool.select(col("vec_i").as("src"), col("vec_j").as("dst"), col("cosine"))
+        .union(pool.select(col("vec_j").as("src"), col("vec_i").as("dst"), col("cosine")))
+        .distinct()
+      val wN = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+      sym.withColumn("nrk", row_number().over(wN))
+        .filter(col("nrk") <= m)
+        .select("src", "dst")
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(tmp)
+      ranked.unpersist(); vecs.unpersist()
+    }
+    s.read.parquet(path)
+  }
+
+  /** q455's BASE graph: [[hnswGraph]]'s construction restricted to the
+    * base corpus split (vec_id % 10 ≠ 7, the q423/q424 delta lane) —
+    * LSH pairs among base rows ∪ q423's base-model same-cell pairs —
+    * its own once-per-corpus artifact. This is the stored index a delta
+    * ingest INSERTS INTO without touching. */
+  private[graft] def hnswBaseGraph(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    val b = bucketBits(s, d)
+    val path = graft.core.Artifacts.materialize(
+      s"hnsw_base_graph_v1_M${hnswM}_$key") { tmp =>
+      val (vecs, ranked, cells, _) = baseModelState(s, d)
+      val base = vecs.filter(pmod(col("vec_id"), lit(10L)) =!= lit(7L))
+      val lsh = nearDupPairs(base, b, minCosine = -2.0)
+      val cellsA = cells.select(col("cell"), col("vec_id").as("vec_i"),
+        col("q").as("qa"), col("norm").as("na"))
+      val cellsB = cells.select(col("cell"), col("vec_id").as("vec_j"),
+        col("q").as("qb"), col("norm").as("nb"))
+      val cellPairs = cellsA.join(cellsB, "cell")
+        .filter(col("vec_i") < col("vec_j"))
+        .withColumn("cosine", cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .select("vec_i", "vec_j", "cosine")
+      val pool = lsh.select("vec_i", "vec_j", "cosine").union(cellPairs)
+      val sym = pool.select(col("vec_i").as("src"), col("vec_j").as("dst"), col("cosine"))
+        .union(pool.select(col("vec_j").as("src"), col("vec_i").as("dst"), col("cosine")))
+        .distinct()
+      val wN = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+      sym.withColumn("nrk", row_number().over(wN))
+        .filter(col("nrk") <= hnswM)
+        .select("src", "dst")
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(tmp)
+      ranked.unpersist(); vecs.unpersist()
+    }
+    s.read.parquet(path)
+  }
+
+  /** Fixed-round beam search over the stored graph. Per round: beam =
+    * top-W of the visited set by exact cosine to the query; expand the
+    * beam's adjacency (frontier ⋈ graph — the graph is the big side,
+    * the frontier is queries × W rows and BROADCASTS); union into
+    * visited; re-rank. Everything is exact integer dot products over
+    * the quantized vectors, ties broken by vec_id, so the trajectory is
+    * deterministic and the DuckDB replay unrolls the identical rounds.
+    *
+    * Visit budget per query: |seeds| + R·W·M ≈ 32 + 1024 candidates —
+    * independent of corpus size (the HNSW promise), each scored by one
+    * co-located lookup join. Recall honesty: this corpus is
+    * near-orthogonal random (see the q53 nprobe note), the adversarial
+    * case for navigable graphs — holding q54-grade recall here costs a
+    * visit fraction a real clustered embedding space would not need;
+    * the STRUCTURE (constant-size frontier joins against a stored
+    * bounded-degree adjacency) is what scales. */
+  private def hnswTopK(s: SparkSession, d: String, vecs: DataFrame): DataFrame =
+    hnswTopK(s, d, vecs, hnswM, hnswBeam, hnswRounds)
+
+  private[graft] def hnswTopK(s: SparkSession, d: String, vecs: DataFrame,
+                              m: Int, beam: Int, nRounds: Int): DataFrame = {
+    val graph = warmed(hnswGraph(s, d, m))
+    val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
+    val queriesDf = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val out = beamSearch(graph, corpus, queriesDf,
+      hnswSeedMod(corpusCount(s, d)), beam, nRounds)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+    graph.unpersist()
+    out
+  }
+
+  /** The shared fixed-round beam core: visited set after `nRounds` of
+    * top-`beam` frontier → graph expansion → exact-cosine re-rank,
+    * seeded from `corpus` rows with vec_id % sm == 0. Returns the full
+    * scored visited frame (q_id, vec_id, cosine); callers rank. */
+  private def beamSearch(graph: DataFrame, corpus: DataFrame, queriesDf: DataFrame,
+                         sm: Long, beam: Int, nRounds: Int): DataFrame = {
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.join(broadcast(queriesDf), "q_id")
+        .join(corpus, "vec_id")
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .select("q_id", "vec_id", "cosine")
+    val seeds = corpus.filter(pmod(col("vec_id"), lit(sm)) === 0).select("vec_id")
+    val wB = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    var visited = scoreOf(queriesDf.select("q_id").crossJoin(seeds)).localCheckpoint()
+    for (_ <- 1 to nRounds) {
+      val frontier = visited.withColumn("brk", row_number().over(wB))
+        .filter(col("brk") <= beam).select("q_id", "vec_id")
+      val expand = frontier.join(graph, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val cand = visited.select("q_id", "vec_id").union(expand).distinct()
+      visited = scoreOf(cand).localCheckpoint()
+    }
+    visited
+  }
+
+  /** Test/tooling hook (ProfileHnsw, Wave13Spec): recall of a beam
+    * config vs the q50 brute truth. */
+  private[graft] def hnswRecallProbe(s: SparkSession, d: String,
+                                     m: Int, beam: Int, nRounds: Int): Double = {
+    val vecs = persistedVecs(s, d)
+    val out = hnswTopK(s, d, vecs, m, beam, nRounds)
+    val truth = bruteTopK(vecs).select("q_id", "vec_id")
+    val hits = out.select("q_id", "vec_id").join(truth, Seq("q_id", "vec_id")).count()
+    hits.toDouble / truth.count()
+  }
+
   /** Plan REQUIRE shared by q45/q51 (r7 verdict item 5): the ANN index
     * artifact must stay partition-prunable on bucket_0 — a single-bucket
     * probe of the stored artifact must show `PartitionFilters` binding
@@ -740,6 +920,58 @@ object SimilarityPack extends QueryPack {
     "q50_ann_brute" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
       materialized(bruteTopK(vecs), vecs).orderBy("q_id", "rk")
+    },
+
+    // ---- HNSW-FAMILY GRAPH ANN (r11 VERDICT follow-on #1): beam
+    // search over a stored bounded-degree kNN graph — see [[hnswGraph]]
+    // (the artifact) and [[hnswTopK]] (the fixed-round search). The
+    // query carries its own RECALL FLOOR: before returning, the beam
+    // result is scored against the q50 brute-force truth and must meet
+    // the IVF lane's 0.92 — a navigably-broken graph (lost edges, bad
+    // seeds) fails the gate even if the hash of what it did return is
+    // self-consistent. Hash-gated against a full DuckDB replay of graph
+    // construction + the unrolled beam rounds. ----
+    // ---- HNSW DELTA INSERT (maintenance lane for the q452 graph, the
+    // build-once-maintain-forever member the dedup store (q101), IVF
+    // model (q423), and BM25 stats (q424) each have): the BASE graph is
+    // a stored artifact over the base split (vec_id % 10 ≠ 7); a delta
+    // ingest runs each new vector through the SAME beam core q452
+    // searches with ([[beamSearch]] — code identity, not coincidence)
+    // against the base corpus, and its top-M visited become its edge
+    // list — exactly Malkov & Yashunin's insertion (search then link),
+    // O(|delta| · beam·M·rounds) with the base corpus never rescanned.
+    // Output: every delta vector's M links with exact cosines; the
+    // oracle replays base-graph construction + the unrolled beam per
+    // delta vector. ----
+    "q455_hnsw_delta_insert" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val graph = warmed(hnswBaseGraph(s, d))
+      val base = vecs.filter(pmod(col("vec_id"), lit(10L)) =!= lit(7L))
+      val baseN = base.count()
+      val corpus = base.select(col("vec_id"), col("q"), col("norm"))
+      val queriesDf = vecs.filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+      val links = beamSearch(graph, corpus, queriesDf,
+          hnswSeedMod(baseN), hnswBeam, hnswRounds)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+        .filter(col("rk") <= hnswM)
+        .select(col("q_id"), col("rk").cast("int").as("nrk"),
+          col("vec_id").as("dst"), col("cosine"))
+      graph.unpersist()
+      materialized(links, vecs).orderBy("q_id", "nrk")
+    },
+
+    "q452_ann_hnsw" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val out = warmed(hnswTopK(s, d, vecs))
+      val truth = bruteTopK(vecs).select("q_id", "vec_id")
+      val nTruth = truth.count()
+      val nHits = out.select("q_id", "vec_id").join(truth, Seq("q_id", "vec_id")).count()
+      require(nHits.toDouble / nTruth >= 0.92,
+        s"q452: beam recall ${nHits.toDouble / nTruth} fell below the 0.92 floor " +
+          s"($nHits/$nTruth vs q50 truth)")
+      materialized(out.toDF(), out, vecs).orderBy("q_id", "rk")
     },
 
     // ---- GREEDY k-CENTER CORESET (Gonzalez 1985's 2-approximation
@@ -1990,6 +2222,7 @@ object SimilarityPack extends QueryPack {
         "q07_ann_pq_rerank" -> pqrr,
         "q103_ann_ivfpq" -> ivfPqRerankTopK(s, d, vecs, ranked),
         "q151_ann_sq8_rerank" -> sq8RerankTopK(s, d, vecs),
+        "q452_ann_hnsw" -> hnswTopK(s, d, vecs),
         "q51_ann_lsh" -> lshTopK(vecs, b),
         "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
         "q53_ann_ivf" -> ivf)
@@ -2459,12 +2692,13 @@ object SimilarityPack extends QueryPack {
        |  UNION ALL SELECT 'q07_ann_pq_rerank', q_id, vec_id FROM ${sub("q07_ann_pq_rerank")} p1 WHERE q_id < 5
        |  UNION ALL SELECT 'q103_ann_ivfpq', q_id, vec_id FROM ${sub("q103_ann_ivfpq")} p2 WHERE q_id < 5
        |  UNION ALL SELECT 'q151_ann_sq8_rerank', q_id, vec_id FROM ${sub("q151_ann_sq8_rerank")} p3 WHERE q_id < 5
+       |  UNION ALL SELECT 'q452_ann_hnsw', q_id, vec_id FROM ${sub("q452_ann_hnsw")} h WHERE q_id < 5
        |  UNION ALL SELECT 'q51_ann_lsh', q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
        |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
        |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
        |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
-       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q103_ann_ivfpq'), ('q151_ann_sq8_rerank'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q103_ann_ivfpq'), ('q151_ann_sq8_rerank'), ('q452_ann_hnsw'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
        |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
        |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
@@ -2616,6 +2850,12 @@ object SimilarityPack extends QueryPack {
   }
 
   private def baseOracle: Map[String, String] = Map(
+
+    // the full graph-build + unrolled-beam replay (see [[hnswOracleCore]])
+    "q452_ann_hnsw" -> hnswOracle,
+
+    // base-split graph + per-delta-vector insertion links replay
+    "q455_hnsw_delta_insert" -> hnswDeltaOracle,
 
     // same quantization, same raw int64 self-dot, same integer average
     "q147_embedding_datacard" ->
@@ -3381,6 +3621,93 @@ object SimilarityPack extends QueryPack {
          |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin
   )
+
+  /** q452's/q455's oracle core: the COMPLETE replay — graph
+    * construction (LSH multiprobe candidate pairs ∪ IVF same-cell
+    * pairs, both restricted to `baseCond` rows → symmetrize → per-node
+    * top-M) followed by the unrolled fixed-round beam search for the
+    * `queryCond` rows against the `baseCond` corpus. The IVF training
+    * replay nests as a parenthesized WITH scope (its CTE names collide
+    * with [[vecsCte]]'s). Every ordering ties on vec_id and every
+    * cosine is the shared exact expression, so the trajectory is
+    * bit-deterministic on both engines. MATERIALIZED throughout:
+    * DuckDB inlines plain CTEs per reference, and the beam chain
+    * references v{r-1} twice per round with `edges` re-read every
+    * round — inlining would re-run the candidate subtree 2^R times. */
+  private def hnswOracleCore(baseCond: String, queryCond: String,
+                             kOut: Int, excludeSelf: Boolean,
+                             finalSelect: String): String = {
+    val n = s"(SELECT count(*) FROM embeddings WHERE $baseCond)"
+    val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
+      .mkString("CASE ", " ", " ELSE 41 END")
+    val score = s"${dotQSql("q.qq", "x.q", dim)} / (q.qnorm * x.norm)"
+    val rounds = (1 to hnswRounds).map { r =>
+      s"""f$r AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS brk
+         |    FROM v${r - 1}) t WHERE brk <= $hnswBeam),
+         |c$r AS MATERIALIZED (SELECT q_id, vec_id FROM v${r - 1}
+         |        UNION SELECT f.q_id, e.dst FROM f$r f JOIN edges e ON e.src = f.vec_id),
+         |v$r AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
+         |        FROM c$r c JOIN qset q ON q.q_id = c.q_id
+         |        JOIN scoredm x ON x.vec_id = c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    def condOn(alias: String) = baseCond.replace("vec_id", s"$alias.vec_id")
+    val selfGuard = if (excludeSelf) "WHERE vec_id <> q_id" else ""
+    s"""WITH $vecsCte,
+       |${probesCte(s"WHERE ${condOn("c")}", maxHam = 1)},
+       |lshp AS MATERIALIZED (
+       |  SELECT p.q_id AS vec_i, c.vec_id AS vec_j,
+       |         ${dotQSql("p.qq", "c.q", dim)} / (p.qnorm * c.norm) AS cosine
+       |  FROM probes p JOIN cor c
+       |    ON c.ctbl = p.tbl AND c.cb = p.pb AND p.q_id < c.vec_id
+       |   AND ${condOn("c")}
+       |   AND ${emitOnceSql(maxHam = 1)}),
+       |cellp AS MATERIALIZED (
+       |  SELECT vec_i, vec_j, cosine FROM (
+       |    WITH ${ivfTrainCtesFrom(s"(SELECT * FROM embeddings WHERE $baseCond)")}
+       |    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |           ${dotQSql("a.q", "b.q", dim)} / (a.norm * b.norm) AS cosine
+       |    FROM cells a JOIN cells b ON b.cell = a.cell AND a.vec_id < b.vec_id) t),
+       |pool AS MATERIALIZED (SELECT * FROM lshp UNION SELECT * FROM cellp),
+       |sym AS MATERIALIZED (SELECT vec_i AS src, vec_j AS dst, cosine FROM pool
+       |        UNION SELECT vec_j AS src, vec_i AS dst, cosine FROM pool),
+       |edges AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS nrk
+       |    FROM sym) t WHERE nrk <= $hnswM),
+       |hp AS (SELECT (1 << GREATEST(2, ($ladder) - 5)) AS sm),
+       |scoredm AS MATERIALIZED (SELECT vec_id, q, norm FROM scored WHERE $baseCond),
+       |qset AS MATERIALIZED (SELECT vec_id AS q_id, q AS qq, norm AS qnorm
+       |                      FROM scored WHERE $queryCond),
+       |sd AS (SELECT vec_id FROM scoredm, hp WHERE vec_id % hp.sm = 0),
+       |c0 AS (SELECT q.q_id, s.vec_id FROM qset q CROSS JOIN sd s),
+       |v0 AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
+       |       FROM c0 c JOIN qset q ON q.q_id = c.q_id
+       |       JOIN scoredm x ON x.vec_id = c.vec_id),
+       |$rounds,
+       |ranked_out AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM v$hnswRounds $selfGuard)
+       |$finalSelect""".stripMargin
+  }
+
+  /** q452's oracle: full-corpus graph, queries vec_id < 5, top-k. */
+  private def hnswOracle: String =
+    hnswOracleCore("TRUE", "vec_id < 5", topK, excludeSelf = true,
+      s"""SELECT q_id, rk, vec_id, cosine FROM ranked_out
+         |WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin)
+
+  /** q455's oracle: base-split graph (vec_id % 10 <> 7), the delta
+    * rows as queries, each emitting its M insertion links. */
+  private def hnswDeltaOracle: String =
+    hnswOracleCore("vec_id % 10 <> 7", "vec_id % 10 = 7", hnswM,
+      excludeSelf = false,
+      s"""SELECT q_id, rk AS nrk, vec_id AS dst, cosine FROM ranked_out
+         |WHERE rk <= $hnswM
+         |ORDER BY q_id, nrk""".stripMargin)
 
   /** q45's oracle (DedupPack's near-dup twin of the multiprobe search):
     * pairs (i < j) whose buckets are within Hamming 1 in >= 1 table. */

@@ -37,11 +37,35 @@ class GraftMemSink extends TableProvider with DataSourceRegister {
     new GraftMemTable(properties.get("table"), schema)
 }
 
-/** JVM-local table store: name → (schema, committed rows). */
+/** JVM-local table store: name → (schema, committed rows), plus a
+  * commit JOURNAL — one record per `BatchWrite.commit` with the commit
+  * kind, the delete-filter description, and the deleted/inserted row
+  * counts. The journal is what lets a gate prove "insert + update +
+  * untouched keys in ONE commit" from the store's own history (q450)
+  * instead of trusting the plan. */
 object GraftMemStore {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[InternalRow])]()
 
+  /** One committed write: kind ∈ {append, overwrite}, the filter set an
+    * overwrite deleted by, and the row movement it caused. */
+  case class CommitRecord(kind: String, filters: String, deleted: Int, inserted: Int)
+  private val journal =
+    new java.util.concurrent.ConcurrentHashMap[String, List[CommitRecord]]()
+  private def logCommit(name: String, rec: CommitRecord): Unit =
+    journal.merge(name, List(rec), (old, add) => old ++ add)
+  def commitsOf(name: String): List[CommitRecord] =
+    journal.getOrDefault(name, Nil)
+
+  def exists(name: String): Boolean = tables.containsKey(name)
+  def create(name: String, schema: StructType): Unit = {
+    val prev = tables.putIfAbsent(name, (schema, Array.empty[InternalRow]))
+    require(prev == null, s"graft-mem: table '$name' already exists")
+  }
+  def drop(name: String): Boolean = {
+    journal.remove(name)
+    tables.remove(name) != null
+  }
   def schemaOf(name: String): StructType = {
     val t = tables.get(name)
     require(t != null, s"graft-mem: unknown table '$name'")
@@ -52,20 +76,113 @@ object GraftMemStore {
     require(t != null, s"graft-mem: unknown table '$name'")
     t._2
   }
-  def append(name: String, schema: StructType, rows: Array[InternalRow]): Unit =
+  def append(name: String, schema: StructType, rows: Array[InternalRow]): Unit = {
     tables.merge(name, (schema, rows),
       (old, add) => (old._1, old._2 ++ add._2))
+    logCommit(name, CommitRecord("append", "", 0, rows.length))
+  }
+
+  /** Metadata delete (`SupportsDelete.deleteWhere`): remove rows
+    * matching the predicate in one journaled store mutation. */
+  def delete(name: String, pred: InternalRow => Boolean, filtersDesc: String): Unit = {
+    require(tables.containsKey(name), s"graft-mem: unknown table '$name'")
+    tables.computeIfPresent(name, (_, old) => {
+      val kept = old._2.filterNot(pred)
+      logCommit(name, CommitRecord("delete", filtersDesc,
+        old._2.length - kept.length, 0))
+      (old._1, kept)
+    })
+  }
+
+  /** Truncate-by-filter + insert, ATOMICALLY under one store mutation:
+    * rows matching `delete` leave, `rows` enter, everything else is
+    * untouched — the V2 `OverwriteByExpression` contract (and, with a
+    * key-membership filter, exactly a MERGE-style keyed upsert). */
+  def overwrite(name: String, schema: StructType, delete: InternalRow => Boolean,
+                filtersDesc: String, rows: Array[InternalRow]): Unit = {
+    if (!tables.containsKey(name)) {
+      // overwrite of an absent table = plain insert (merge would skip
+      // the remapper, losing the journal record)
+      tables.put(name, (schema, rows))
+      logCommit(name, CommitRecord("overwrite", filtersDesc, 0, rows.length))
+    } else tables.merge(name, (schema, rows), (old, add) => {
+      val kept = old._2.filterNot(delete)
+      logCommit(name, CommitRecord("overwrite", filtersDesc,
+        old._2.length - kept.length, add._2.length))
+      (old._1, kept ++ add._2)
+    })
+  }
 }
 
 class GraftMemTable(tableName: String, tableSchema: StructType)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_mem($tableName)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  /** V2 metadata delete (`DELETE FROM graftmem.t WHERE …`): accept only
+    * filter shapes [[compileFilter]] evaluates exactly; anything else
+    * refuses via canDeleteWhere and Spark raises (a connector silently
+    * widening a delete predicate would corrupt the table). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    try { filters.foreach(compileFilter); true }
+    catch { case _: UnsupportedOperationException => false }
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val preds = filters.map(compileFilter)
+    GraftMemStore.delete(tableName,
+      row => preds.forall(_(row)), filters.map(_.toString).sorted.mkString(" AND "))
+  }
+
+  /** Compile the pushed V2 delete filters to an InternalRow predicate.
+    * Supported: AlwaysTrue (truncate), EqualTo / In on a top-level
+    * column, and And/Or/Not over those — the membership shapes a keyed
+    * upsert's delete condition takes. Anything else REFUSES the write
+    * (silently dropping a delete filter would corrupt the table). */
+  private def compileFilter(f: org.apache.spark.sql.sources.Filter): InternalRow => Boolean = {
+    import org.apache.spark.sql.sources._
+    def fieldIdx(attr: String): Int = {
+      val i = tableSchema.fieldIndex(attr)
+      i
+    }
+    def catVal(attr: String, v: Any): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v)
+    def get(row: InternalRow, attr: String): Any = {
+      val i = fieldIdx(attr)
+      row.get(i, tableSchema(i).dataType)
+    }
+    f match {
+      case AlwaysTrue() => _ => true
+      case AlwaysFalse() => _ => false
+      case EqualTo(a, v) =>
+        val cv = catVal(a, v); row => { val x = get(row, a); x != null && x == cv }
+      case In(a, vs) =>
+        val cvs = vs.map(v => catVal(a, v)).toSet
+        row => { val x = get(row, a); x != null && cvs.contains(x) }
+      case And(l, r) =>
+        val (pl, pr) = (compileFilter(l), compileFilter(r)); row => pl(row) && pr(row)
+      case Or(l, r) =>
+        val (pl, pr) = (compileFilter(l), compileFilter(r)); row => pl(row) || pr(row)
+      case Not(c) => val p = compileFilter(c); row => !p(row)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-mem: unsupported delete filter $other")
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsOverwrite {
+      // None = append; Some(filters) = truncate-by-filter + insert
+      private var deleteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        deleteFilters = Some(filters); this
+      }
+      override def truncate(): WriteBuilder =
+        overwrite(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.AlwaysTrue()))
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
@@ -75,7 +192,15 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
               case GraftMemCommit(rs) => rs
               case _ => Array.empty[InternalRow]
             }
-            GraftMemStore.append(tableName, info.schema(), rows)
+            deleteFilters match {
+              case None => GraftMemStore.append(tableName, info.schema(), rows)
+              case Some(fs) =>
+                val preds = fs.map(compileFilter)
+                // V2 semantics: delete rows matching the CONJUNCTION
+                val pred: InternalRow => Boolean = row => preds.forall(_(row))
+                GraftMemStore.overwrite(tableName, info.schema(), pred,
+                  fs.map(_.toString).sorted.mkString(" AND "), rows)
+            }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
@@ -108,6 +233,47 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
 case class GraftMemPartition(rows: Array[InternalRow]) extends InputPartition
 
 case class GraftMemCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+/** `TableCatalog` doorway over the same store — the SIXTH Catalyst
+  * extension surface (after codegen Expressions, native aggregates, a
+  * SparkStrategy, an optimizer Rule, and the DSv2 read/write
+  * connector): registered as `spark.sql.catalog.graftmem`, it lets the
+  * V2 DataFrameWriter address store tables by identifier, which is the
+  * ONLY route to `writeTo(...).overwrite(condition)` — the
+  * `OverwriteByExpression` plan whose delete filters reach
+  * [[GraftMemTable]]'s `SupportsOverwrite` as a keyed upsert (q450).
+  * Namespaces are ignored: the store is flat, like most embedded
+  * catalogs' default namespace. */
+class GraftMemCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, TableChange}
+  private var catalogName: String = "graftmem"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array.empty
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+  override def tableExists(ident: Identifier): Boolean =
+    GraftMemStore.exists(ident.name())
+  override def loadTable(ident: Identifier): Table = {
+    if (!GraftMemStore.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name())
+    new GraftMemTable(ident.name(), GraftMemStore.schemaOf(ident.name()))
+  }
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    GraftMemStore.create(ident.name(), schema)
+    new GraftMemTable(ident.name(), schema)
+  }
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft-mem: alterTable")
+  override def dropTable(ident: Identifier): Boolean =
+    GraftMemStore.drop(ident.name())
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft-mem: renameTable")
+}
 
 class GraftMemWriterFactory extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =

@@ -176,15 +176,44 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
   }
 }
 
-/** Generates ids in [lo, hi) — the post-pushdown interval. */
+/** Generates ids in [lo, hi) — the post-pushdown interval. Also
+  * implements `SupportsRuntimeFiltering` on `id`: when the scan feeds
+  * a join whose other side is small and selectively filtered, Spark's
+  * dynamic-pruning rule delivers the build side's DISTINCT join keys
+  * to [[filter]] AT RUNTIME, and the readers then generate ONLY those
+  * ids — the V2 runtime-skipping contract (what dynamic partition
+  * pruning is to a partitioned parquet table, and how an Iceberg scan
+  * drops files at execution time). Runtime filtering is advisory:
+  * Spark still applies the join itself, so an over-narrow push could
+  * only lose rows if the connector dropped keys INSIDE the pushed set
+  * — q454's oracle hash-gates against that. */
 class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
                      required: StructType, batchRows: Long)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  import org.apache.spark.sql.sources.{Filter, In}
+  /** Runtime-narrowed id set (sorted), observable by plan REQUIREs. */
+  @volatile var runtimeSet: Option[Array[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      runtimeSet = Some(vs.collect { case l: java.lang.Long => l.longValue() }
+        .filter(v => v >= lo && v < hi).sorted)
+    case _ => () // unrecognized runtime filters are safely ignored
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-range [$lo, $hi)"
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftRangeSource.slicePartitions(lo, hi, slices)
+  override def planInputPartitions(): Array[InputPartition] = runtimeSet match {
+    case Some(vals) =>
+      // contiguous chunks of the surviving id set, keeping slices-way
+      // parallelism over however few ids remain
+      if (vals.isEmpty) Array.empty
+      else vals.grouped(math.max(1, (vals.length + slices - 1) / slices))
+        .map(GraftRangeSetPartition(_): InputPartition).toArray
+    case None => GraftRangeSource.slicePartitions(lo, hi, slices)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -310,13 +339,22 @@ class GraftRangeAggReaderFactory(grouped: Boolean, funcs: Seq[String])
 
 case class GraftRangePartition(start: Long, end: Long) extends InputPartition
 
+/** An explicit surviving-id chunk (runtime-filtered scan). */
+case class GraftRangeSetPartition(ids: Array[Long]) extends InputPartition
+
 class GraftRangeReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftRangePartition]
+    val iter: Iterator[Long] = partition match {
+      case GraftRangePartition(start, end) => Iterator.range(start, end)
+      case GraftRangeSetPartition(ids) => ids.iterator
+    }
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      private var cur = 0L
+      override def next(): Boolean = {
+        if (!iter.hasNext) return false
+        cur = iter.next(); true
+      }
       override def get(): InternalRow = {
         // materialize ONLY the pruned columns, in the pruned order
         val vals = fields.map {

@@ -166,7 +166,20 @@ object AsOfBufferedStream {
     graft.core.Artifacts.perRunSinkPath(s,
       s"${name}_${StreamingPack.counter.incrementAndGet()}")
 
-  def run(s: SparkSession, dir: String): DataFrame = {
+  def run(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, rocksDb = false)
+
+  /** `rocksDb = true` is q448's lane: the identical operator pipeline
+    * executed on the RocksDB state store provider (the store production
+    * deployments run — at 100 TB the default HDFS-backed in-memory
+    * store spills; RocksDB keeps state on local SSD with incremental
+    * checkpointing). The REQUIRE below pins, from the executed query's
+    * own progress, that every stateful operator actually ran on RocksDB
+    * (provider-specific custom metrics are present) — the q09
+    * plan-REQUIRE discipline applied to a runtime conf. Gated on q03's
+    * oracle VERBATIM like q428: stream ≡ batch must be
+    * store-independent. */
+  def run(s: SparkSession, dir: String, rocksDb: Boolean): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (src, mkSentinel) = stageSource(s, dir)
@@ -186,7 +199,12 @@ object AsOfBufferedStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
     val name = s"graft_stream_asof_buf_${StreamingPack.counter.incrementAndGet()}"
-    StreamingPack.withStatePartitions(s, 8) {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksProvider =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prevProvider = s.conf.getOption(providerKey)
+    if (rocksDb) s.conf.set(providerKey, rocksProvider)
+    try StreamingPack.withStatePartitions(s, 8) {
       val q = enriched.toDF().writeStream
         .outputMode("append")
         .format("memory")
@@ -202,7 +220,24 @@ object AsOfBufferedStream {
         q.processAllAvailable()
         mkSentinel(2)
         q.processAllAvailable()
+        if (rocksDb) {
+          // proof from the run itself, not the conf: RocksDB's provider
+          // publishes its own custom metrics (rocksdbGet/Put/commit...)
+          // on every stateful operator's progress; their presence means
+          // the state rows really lived in RocksDB for this execution
+          import scala.jdk.CollectionConverters._
+          val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+          require(ops.nonEmpty, "q448: no stateful operator in progress")
+          val keys = ops.flatMap(_.customMetrics.keySet().asScala)
+          require(keys.exists(_.toLowerCase.startsWith("rocksdb")),
+            s"q448: state did not run on RocksDB; metrics=${keys.distinct.sorted.mkString(",")}")
+        }
       } finally q.stop()
+    } finally if (rocksDb) {
+      prevProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
     }
     s.table(name)
       .filter(col("user_id") >= 0)

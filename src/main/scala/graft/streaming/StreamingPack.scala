@@ -264,6 +264,99 @@ object StreamingPack extends QueryPack {
       .orderBy("s_id", "p_id")
   }
 
+  /** Stream-stream watermarked LEFT OUTER interval join (q449): q98's
+    * inner form plus the production shape — "signups with NO purchase
+    * in their 7-day window" are EMITTED (p_id = −1) once the watermark
+    * closes their interval, because only then can Spark prove no match
+    * will ever arrive. State eviction and null-side emission are the
+    * same mechanism: the join state for a signup is dropped exactly
+    * when its match window falls behind the watermark, so state stays
+    * finite at production event rates and the unmatched row surfaces at
+    * that instant (Spark runs no-data micro-batches to advance this
+    * without new input).
+    *
+    * Gate discipline (the q95 watermark-closed subset): rows whose
+    * window is NOT provably closed by the final watermark (max event
+    * time − 1 h delay, ± ms-arithmetic margin) are timing-dependent —
+    * the run ends while they sit in state — so BOTH engines restrict to
+    * signups with `s_us + 7 d + 1 h + 2 s < max_us`. Inside that
+    * horizon the streamed rows provably equal the batch LEFT JOIN with
+    * the identical interval predicate (matched rows by the q98
+    * argument; unmatched rows because every purchase that could match
+    * is itself behind the watermark and thus arrived). */
+  def streamOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val root = splitEventsPath(s, d)
+    def side(eventType: String, alias: String): DataFrame =
+      s.readStream.schema(splitEventSchema)
+        .parquet(s"$root/event_type=$eventType")
+        .select(col("user_id").as(s"${alias}_user"),
+                col("event_id").as(s"${alias}_id"),
+                col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = side("signup", "s").join(side("purchase", "p"),
+      expr("s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAYS"),
+      "left_outer")
+    val name = s"graft_stream_ssojoin_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val maxUs = graft.core.Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    s.table(name)
+      // 7 d window + 1 h watermark delay + 2 s margin — the same
+      // closed-horizon arithmetic the oracle applies
+      .filter(unix_micros(col("s_ts")) + lit(604800000000L + 3600000000L + 2000000L)
+        < lit(maxUs))
+      .select(col("s_id"), coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        col("s_user").as("user_id"))
+      .orderBy("s_id", "p_id")
+  }
+
+  /** Stream-stream watermarked FULL OUTER interval join (q457): both
+    * unmatched sides surface — signups with no purchase in their 7-day
+    * window (p_id = −1, q449's left lane) AND purchases no signup
+    * preceded within 7 days (s_id = −1, the orphaned-conversion audit
+    * lane). A purchase row's match window is signups in
+    * [p_ts − 7 d, p_ts], so its null-side row emits exactly when the
+    * watermark passes p_ts itself. Gate horizon (both engines): rows
+    * with a signup keep q449's signup-closed bound; signup-less rows
+    * keep the purchase-closed bound (p_us + 1 h + 2 s < max_us). */
+  def streamFullOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val root = splitEventsPath(s, d)
+    def side(eventType: String, alias: String): DataFrame =
+      s.readStream.schema(splitEventSchema)
+        .parquet(s"$root/event_type=$eventType")
+        .select(col("user_id").as(s"${alias}_user"),
+                col("event_id").as(s"${alias}_id"),
+                col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = side("signup", "s").join(side("purchase", "p"),
+      expr("s_user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 7 DAYS"),
+      "full_outer")
+    val name = s"graft_stream_ssfojoin_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val maxUs = graft.core.Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    s.table(name)
+      .filter(
+        (col("s_id").isNotNull &&
+          unix_micros(col("s_ts")) + lit(604800000000L + 3600000000L + 2000000L) < lit(maxUs)) ||
+        (col("s_id").isNull &&
+          unix_micros(col("p_ts")) + lit(3600000000L + 2000000L) < lit(maxUs)))
+      .select(coalesce(col("s_id"), lit(-1L)).as("s_id"),
+        coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        coalesce(col("s_user"), col("p_user")).as("user_id"))
+      .orderBy("s_id", "p_id")
+  }
+
   /** Schema for streaming the documents table (q106). */
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -958,6 +1051,9 @@ object StreamingPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q422_stream_asof" -> ((s, d) => AsOfStream.run(s, d)),
     "q428_stream_asof_buffered" -> ((s, d) => AsOfBufferedStream.run(s, d)),
+    "q448_stream_asof_rocksdb" -> ((s, d) => AsOfBufferedStream.run(s, d, rocksDb = true)),
+    "q449_stream_outer_interval_join" -> ((s, d) => streamOuterIntervalJoin(s, d)),
+    "q457_stream_full_outer_interval_join" -> ((s, d) => streamFullOuterIntervalJoin(s, d)),
     "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
     "q438_stream_dsv2_source" -> ((s, _) => streamDsv2Source(s)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
@@ -996,6 +1092,44 @@ object StreamingPack extends QueryPack {
     // tolerating late dimension rows q422's contract forbids (fourth
     // independent as-of implementation on this one oracle)
     "q428_stream_asof_buffered" -> graft.operators.EventsPack.asofOracleSql,
+
+    // q428's pipeline executed on the RocksDB state store provider,
+    // q03's oracle VERBATIM a fifth time: stream ≡ batch must be
+    // STORE-independent (the run itself REQUIREs RocksDB's custom
+    // metrics on the stateful operator's progress)
+    "q448_stream_asof_rocksdb" -> graft.operators.EventsPack.asofOracleSql,
+
+    // batch LEFT JOIN + interval predicate, restricted to the same
+    // watermark-closed signup horizon the stream gate applies; NULL
+    // match → −1 on both engines
+    "q449_stream_outer_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, event_id AS s_id, ts AS sts FROM ev WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS pts FROM ev WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev)
+        |SELECT s.s_id, COALESCE(p.p_id, -1) AS p_id, s.user_id AS user_id
+        |FROM s LEFT JOIN p
+        |  ON s.user_id = p.user_id AND p.pts >= s.sts AND p.pts <= s.sts + INTERVAL 7 DAY, mx
+        |WHERE epoch_us(s.sts) + 604800000000 + 3600000000 + 2000000 < mx.max_us
+        |ORDER BY s_id, p_id""".stripMargin,
+
+    // batch FULL OUTER + interval predicate, with the per-side closed
+    // horizons the stream gate applies (signup-closed for rows carrying
+    // a signup, purchase-closed for the signup-less lane)
+    "q457_stream_full_outer_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, event_id AS s_id, ts AS sts FROM ev WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS pts FROM ev WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev)
+        |SELECT COALESCE(s.s_id, -1) AS s_id, COALESCE(p.p_id, -1) AS p_id,
+        |       COALESCE(s.user_id, p.user_id) AS user_id
+        |FROM s FULL OUTER JOIN p
+        |  ON s.user_id = p.user_id AND p.pts >= s.sts AND p.pts <= s.sts + INTERVAL 7 DAY, mx
+        |WHERE (s.s_id IS NOT NULL AND epoch_us(s.sts) + 604800000000 + 3600000000 + 2000000 < mx.max_us)
+        |   OR (s.s_id IS NULL AND epoch_us(p.pts) + 3600000000 + 2000000 < mx.max_us)
+        |ORDER BY s_id, p_id""".stripMargin,
 
     // stream ≡ batch: q424's full-recompute oracle VERBATIM — the
     // streamed per-term totals merged through the shared bm25Merge
