@@ -254,6 +254,8 @@ object SimilarityPack extends QueryPack {
   /** Fixed expansion rounds — relational beam search must be a static
     * plan, so the greedy loop is unrolled to a fixed depth. */
   private[graft] val hnswRounds = 4
+  /** q458's beam-width sweep arms. */
+  private[graft] val hnswCurveBeams = Seq(4, 8, 24)
   /** Seed stride: vec_id % sm == 0 picks ~2^5 = 32 entry points at any
     * corpus size (sm = 2^(ceilLog2 N − 5)) — the constant-size "upper
     * layer" whose exhaustive scoring anchors the beam, like HNSW's
@@ -960,6 +962,46 @@ object SimilarityPack extends QueryPack {
           col("vec_id").as("dst"), col("cosine"))
       graph.unpersist()
       materialized(links, vecs).orderBy("q_id", "nrk")
+    },
+
+    // ---- HNSW BEAM-WIDTH RECALL CURVE (the q271 nprobe-curve
+    // analogue for the graph lane — every ANN family here ships its
+    // parameter-sweep eval): the SAME stored graph searched at beam
+    // 4 / 8 / 24, each arm's top-k scored against the q50 brute truth,
+    // recall as integer ppm. This is the knob chart an HNSW deployment
+    // reads to set ef: on this near-orthogonal corpus the curve is
+    // steep (narrow beams stall in local optima — the effect that set
+    // q452's shipped width). One graph artifact + one truth build feed
+    // all three arms. ----
+    "q458_hnsw_beam_curve" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val graph = warmed(hnswGraph(s, d))
+      val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
+      val queriesDf = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+      val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
+      val sm = hnswSeedMod(corpusCount(s, d))
+      val wB = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+      val arms = hnswCurveBeams.map { b =>
+        beamSearch(graph, corpus, queriesDf, sm, b, hnswRounds)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rk", row_number().over(wB))
+          .filter(col("rk") <= topK)
+          .select(lit(b).as("beam"), col("q_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val hits = arms.join(truth, Seq("q_id", "vec_id"))
+        .groupBy("beam").agg(count(lit(1)).as("n_hits"))
+      val denom = truth.agg(count(lit(1)).as("n_truth"))
+      import s.implicits._
+      val result = hnswCurveBeams.toDF("beam")
+        .join(hits, Seq("beam"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)).cast("bigint"))
+        .crossJoin(broadcast(denom))
+        .select(col("beam").cast("int").as("beam"), col("n_hits"),
+          col("n_truth").cast("bigint").as("n_truth"),
+          expr("n_hits * 1000000 div n_truth").cast("bigint").as("recall_ppm"))
+      graph.unpersist()
+      materialized(result, truth, vecs).orderBy("beam")
     },
 
     "q452_ann_hnsw" -> { (s, d) =>
@@ -2857,6 +2899,10 @@ object SimilarityPack extends QueryPack {
     // base-split graph + per-delta-vector insertion links replay
     "q455_hnsw_delta_insert" -> hnswDeltaOracle,
 
+    // shared graph, one unrolled beam chain per sweep arm, q271-style
+    // recall arithmetic vs the brute truth
+    "q458_hnsw_beam_curve" -> hnswBeamCurveOracle,
+
     // same quantization, same raw int64 self-dot, same integer average
     "q147_embedding_datacard" ->
       s"""WITH qv AS (SELECT label, ${quantizeSql("embedding")} AS q FROM embeddings),
@@ -3637,24 +3683,24 @@ object SimilarityPack extends QueryPack {
   private def hnswOracleCore(baseCond: String, queryCond: String,
                              kOut: Int, excludeSelf: Boolean,
                              finalSelect: String): String = {
+    val selfGuard = if (excludeSelf) "WHERE vec_id <> q_id" else ""
+    s"""WITH ${hnswGraphCtes(baseCond, queryCond)},
+       |${hnswBeamChainCtes("", hnswBeam)},
+       |ranked_out AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM v$hnswRounds $selfGuard)
+       |$finalSelect""".stripMargin
+  }
+
+  /** Shared graph + seed/query CTE chain (through `edges`, `scoredm`,
+    * `qset`, `sd`): everything before the beam rounds. */
+  private def hnswGraphCtes(baseCond: String, queryCond: String): String = {
     val n = s"(SELECT count(*) FROM embeddings WHERE $baseCond)"
     val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
       .mkString("CASE ", " ", " ELSE 41 END")
-    val score = s"${dotQSql("q.qq", "x.q", dim)} / (q.qnorm * x.norm)"
-    val rounds = (1 to hnswRounds).map { r =>
-      s"""f$r AS MATERIALIZED (SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS brk
-         |    FROM v${r - 1}) t WHERE brk <= $hnswBeam),
-         |c$r AS MATERIALIZED (SELECT q_id, vec_id FROM v${r - 1}
-         |        UNION SELECT f.q_id, e.dst FROM f$r f JOIN edges e ON e.src = f.vec_id),
-         |v$r AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
-         |        FROM c$r c JOIN qset q ON q.q_id = c.q_id
-         |        JOIN scoredm x ON x.vec_id = c.vec_id)""".stripMargin
-    }.mkString(",\n")
     def condOn(alias: String) = baseCond.replace("vec_id", s"$alias.vec_id")
-    val selfGuard = if (excludeSelf) "WHERE vec_id <> q_id" else ""
-    s"""WITH $vecsCte,
+    s"""$vecsCte,
        |${probesCte(s"WHERE ${condOn("c")}", maxHam = 1)},
        |lshp AS MATERIALIZED (
        |  SELECT p.q_id AS vec_i, c.vec_id AS vec_j,
@@ -3680,17 +3726,59 @@ object SimilarityPack extends QueryPack {
        |scoredm AS MATERIALIZED (SELECT vec_id, q, norm FROM scored WHERE $baseCond),
        |qset AS MATERIALIZED (SELECT vec_id AS q_id, q AS qq, norm AS qnorm
        |                      FROM scored WHERE $queryCond),
-       |sd AS (SELECT vec_id FROM scoredm, hp WHERE vec_id % hp.sm = 0),
-       |c0 AS (SELECT q.q_id, s.vec_id FROM qset q CROSS JOIN sd s),
-       |v0 AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
-       |       FROM c0 c JOIN qset q ON q.q_id = c.q_id
+       |sd AS (SELECT vec_id FROM scoredm, hp WHERE vec_id % hp.sm = 0)""".stripMargin
+  }
+
+  /** One unrolled beam chain (`c0`…`v$hnswRounds`, names suffixed by
+    * `tag` so several widths can coexist in one WITH scope). */
+  private def hnswBeamChainCtes(tag: String, beamWidth: Int): String = {
+    val score = s"${dotQSql("q.qq", "x.q", dim)} / (q.qnorm * x.norm)"
+    val rounds = (1 to hnswRounds).map { r =>
+      s"""f$tag$r AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS brk
+         |    FROM v$tag${r - 1}) t WHERE brk <= $beamWidth),
+         |c$tag$r AS MATERIALIZED (SELECT q_id, vec_id FROM v$tag${r - 1}
+         |        UNION SELECT f.q_id, e.dst FROM f$tag$r f JOIN edges e ON e.src = f.vec_id),
+         |v$tag$r AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
+         |        FROM c$tag$r c JOIN qset q ON q.q_id = c.q_id
+         |        JOIN scoredm x ON x.vec_id = c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""c${tag}0 AS (SELECT q.q_id, s.vec_id FROM qset q CROSS JOIN sd s),
+       |v${tag}0 AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
+       |       FROM c${tag}0 c JOIN qset q ON q.q_id = c.q_id
        |       JOIN scoredm x ON x.vec_id = c.vec_id),
-       |$rounds,
-       |ranked_out AS (
-       |  SELECT q_id, vec_id, cosine,
-       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
-       |  FROM v$hnswRounds $selfGuard)
-       |$finalSelect""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** q458's oracle: the shared graph, one beam chain per sweep arm,
+    * recall vs the brute truth computed like q271's curve. */
+  private def hnswBeamCurveOracle: String = {
+    val chains = hnswCurveBeams.map(b => hnswBeamChainCtes(s"b${b}_", b)).mkString(",\n")
+    val armSelects = hnswCurveBeams.map { b =>
+      s"""SELECT $b AS beam, q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM vb${b}_$hnswRounds WHERE vec_id <> q_id) t WHERE rk <= $topK""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${hnswGraphCtes("TRUE", "vec_id < 5")},
+       |$chains,
+       |bt AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |    SELECT q2.vec_id AS q_id, v.vec_id,
+       |           row_number() OVER (PARTITION BY q2.vec_id
+       |                              ORDER BY ${dotQSql("q2.q", "v.q", dim)} / (q2.norm * v.norm) DESC, v.vec_id) AS rk
+       |    FROM scoredm q2 JOIN scoredm v ON v.vec_id <> q2.vec_id AND q2.vec_id < 5) t
+       |  WHERE rk <= $topK),
+       |arms AS MATERIALIZED (
+       |  $armSelects),
+       |hits AS (SELECT beam, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM arms JOIN bt USING (q_id, vec_id) GROUP BY beam),
+       |beams(beam) AS (VALUES ${hnswCurveBeams.map(b => s"($b)").mkString(", ")}),
+       |denom AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bt)
+       |SELECT CAST(b.beam AS INT) AS beam, COALESCE(h.n_hits, 0) AS n_hits,
+       |       d.n_truth, COALESCE(h.n_hits, 0) * 1000000 // d.n_truth AS recall_ppm
+       |FROM beams b LEFT JOIN hits h ON h.beam = b.beam, denom d
+       |ORDER BY beam""".stripMargin
   }
 
   /** q452's oracle: full-corpus graph, queries vec_id < 5, top-k. */

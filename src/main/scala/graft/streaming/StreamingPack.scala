@@ -357,6 +357,63 @@ object StreamingPack extends QueryPack {
       .orderBy("s_id", "p_id")
   }
 
+  /** Streaming dedup with BOUNDED state (q459):
+    * `dropDuplicatesWithinWatermark` — the production replacement for
+    * q39's unbounded-state `dropDuplicates`: the dedup key set is
+    * EVICTED once the watermark passes each row's event time + delay,
+    * so state is (arrival rate × watermark window)-sized forever — the
+    * only dedup shape that survives an unbounded stream with at-least-
+    * once upstream delivery. Harness: the corpus is staged TWICE (two
+    * file copies — exactly the duplicate delivery the operator
+    * exists for); every duplicate pair arrives inside the watermark
+    * window, so the contract guarantees exact collapse back to the
+    * distinct corpus, and the per-type digest of the surviving rows
+    * must equal the batch digest of the original events table. */
+  def streamDedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = graft.core.Artifacts.perRunSinkPath(s,
+      s"dedup_wm_src_${counter.incrementAndGet()}")
+    Files.createDirectories(Paths.get(src))
+    val orig = Paths.get(d, "events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(orig)) {
+        val l = Files.list(orig)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+        } finally l.close()
+      } else Seq(orig)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.copy(p, Paths.get(src, s"events_a_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(p, Paths.get(src, s"events_b_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val raw = s.readStream
+      .schema(graft.core.Tables.eventsRawNanos(s, d).schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+    val dedup = graft.core.Tables.normalizeEventTs(raw)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dwm_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = dedup.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min("event_id").cast("bigint").as("min_id"),
+        max("event_id").cast("bigint").as("max_id"),
+        sum("event_id").cast("bigint").as("sum_id"))
+      .orderBy("event_type")
+  }
+
   /** Schema for streaming the documents table (q106). */
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -1054,6 +1111,7 @@ object StreamingPack extends QueryPack {
     "q448_stream_asof_rocksdb" -> ((s, d) => AsOfBufferedStream.run(s, d, rocksDb = true)),
     "q449_stream_outer_interval_join" -> ((s, d) => streamOuterIntervalJoin(s, d)),
     "q457_stream_full_outer_interval_join" -> ((s, d) => streamFullOuterIntervalJoin(s, d)),
+    "q459_stream_dedup_within_watermark" -> ((s, d) => streamDedupWithinWatermark(s, d)),
     "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
     "q438_stream_dsv2_source" -> ((s, _) => streamDsv2Source(s)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
@@ -1113,6 +1171,17 @@ object StreamingPack extends QueryPack {
         |  ON s.user_id = p.user_id AND p.pts >= s.sts AND p.pts <= s.sts + INTERVAL 7 DAY, mx
         |WHERE epoch_us(s.sts) + 604800000000 + 3600000000 + 2000000 < mx.max_us
         |ORDER BY s_id, p_id""".stripMargin,
+
+    // the doubled stream must collapse exactly back to the distinct
+    // corpus: per-type digest of the original events table
+    "q459_stream_dedup_within_watermark" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(event_id) AS BIGINT) AS min_id,
+        |       CAST(max(event_id) AS BIGINT) AS max_id,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // batch FULL OUTER + interval predicate, with the per-side closed
     // horizons the stream gate applies (signup-closed for rows carrying
