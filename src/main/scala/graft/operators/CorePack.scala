@@ -466,7 +466,7 @@ object CorePack extends QueryPack {
           .select(col("bucket").cast("int").as("bucket"), col("n"),
             col("sum_sq"), col("min_id"), col("max_id"))
           .orderBy("bucket")
-        agg.collect() // drive execution so the runtime filter fires
+        val rows = agg.collect() // drive execution so the runtime filter fires
         val scans = agg.queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
         }
@@ -476,7 +476,10 @@ object CorePack extends QueryPack {
         require(sc.runtimeSet.exists(_.length == CorePack.q454DimIds.size),
           s"q454: runtime filter did not reach the connector " +
             s"(got ${sc.runtimeSet.map(_.length)}, want ${CorePack.q454DimIds.size})")
-        agg
+        // the REQUIREs needed the executed plan, so the result is already
+        // collected (16 bucket rows, bounded by construction) — hand the
+        // harness a local relation instead of re-executing the join
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       } finally s.conf.set(aqeKey, prevAqe)
     },
 

@@ -44,74 +44,103 @@ class GraftMemSink extends TableProvider with DataSourceRegister {
   * untouched keys in ONE commit" from the store's own history (q450)
   * instead of trusting the plan. */
 object GraftMemStore {
+  /** Eviction bound: the store keeps at most this many tables, dropping
+    * the OLDEST-CREATED table (and its journal) when a new one would
+    * exceed the cap. The gates create one uniquely-named table per run,
+    * so an unbounded map would leak for the lifetime of a long-lived
+    * JVM; 256 is far above any single run's table count while keeping
+    * the store bounded forever. */
+  private val maxTables = 256
+  /** All store + journal state mutates under this ONE monitor: every
+    * commit's table mutation and its journal append are a single
+    * atomic step, so concurrent writers can never observe (or produce)
+    * a journal order that diverges from table state. The store is a
+    * driver-local test sink — one uncontended lock per COMMIT (not per
+    * row; rows buffer in per-task DataWriters) is noise. */
   private val tables =
-    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[InternalRow])]()
+    new java.util.LinkedHashMap[String, (StructType, Array[InternalRow])]()
+  private val journal =
+    new java.util.HashMap[String, List[CommitRecord]]()
 
   /** One committed write: kind ∈ {append, overwrite}, the filter set an
     * overwrite deleted by, and the row movement it caused. */
   case class CommitRecord(kind: String, filters: String, deleted: Int, inserted: Int)
-  private val journal =
-    new java.util.concurrent.ConcurrentHashMap[String, List[CommitRecord]]()
   private def logCommit(name: String, rec: CommitRecord): Unit =
     journal.merge(name, List(rec), (old, add) => old ++ add)
-  def commitsOf(name: String): List[CommitRecord] =
+  def commitsOf(name: String): List[CommitRecord] = synchronized {
     journal.getOrDefault(name, Nil)
-
-  def exists(name: String): Boolean = tables.containsKey(name)
-  def create(name: String, schema: StructType): Unit = {
-    val prev = tables.putIfAbsent(name, (schema, Array.empty[InternalRow]))
-    require(prev == null, s"graft-mem: table '$name' already exists")
   }
-  def drop(name: String): Boolean = {
+
+  /** Insertion-order eviction of the tables beyond [[maxTables]];
+    * call under the monitor after any insert. */
+  private def evictOverflow(): Unit =
+    while (tables.size() > maxTables) {
+      val eldest = tables.keySet().iterator().next()
+      tables.remove(eldest)
+      journal.remove(eldest)
+    }
+
+  def exists(name: String): Boolean = synchronized { tables.containsKey(name) }
+  def create(name: String, schema: StructType): Unit = synchronized {
+    require(!tables.containsKey(name), s"graft-mem: table '$name' already exists")
+    tables.put(name, (schema, Array.empty[InternalRow]))
+    evictOverflow()
+  }
+  def drop(name: String): Boolean = synchronized {
     journal.remove(name)
     tables.remove(name) != null
   }
-  def schemaOf(name: String): StructType = {
+  def schemaOf(name: String): StructType = synchronized {
     val t = tables.get(name)
     require(t != null, s"graft-mem: unknown table '$name'")
     t._1
   }
-  def rowsOf(name: String): Array[InternalRow] = {
+  def rowsOf(name: String): Array[InternalRow] = synchronized {
     val t = tables.get(name)
     require(t != null, s"graft-mem: unknown table '$name'")
     t._2
   }
-  def append(name: String, schema: StructType, rows: Array[InternalRow]): Unit = {
-    tables.merge(name, (schema, rows),
-      (old, add) => (old._1, old._2 ++ add._2))
-    logCommit(name, CommitRecord("append", "", 0, rows.length))
-  }
+  def append(name: String, schema: StructType, rows: Array[InternalRow]): Unit =
+    synchronized {
+      val old = tables.get(name)
+      if (old == null) tables.put(name, (schema, rows))
+      else tables.put(name, (old._1, old._2 ++ rows))
+      logCommit(name, CommitRecord("append", "", 0, rows.length))
+      evictOverflow()
+    }
 
   /** Metadata delete (`SupportsDelete.deleteWhere`): remove rows
     * matching the predicate in one journaled store mutation. */
-  def delete(name: String, pred: InternalRow => Boolean, filtersDesc: String): Unit = {
-    require(tables.containsKey(name), s"graft-mem: unknown table '$name'")
-    tables.computeIfPresent(name, (_, old) => {
+  def delete(name: String, pred: InternalRow => Boolean, filtersDesc: String): Unit =
+    synchronized {
+      val old = tables.get(name)
+      require(old != null, s"graft-mem: unknown table '$name'")
       val kept = old._2.filterNot(pred)
+      tables.put(name, (old._1, kept))
       logCommit(name, CommitRecord("delete", filtersDesc,
         old._2.length - kept.length, 0))
-      (old._1, kept)
-    })
-  }
+    }
 
   /** Truncate-by-filter + insert, ATOMICALLY under one store mutation:
     * rows matching `delete` leave, `rows` enter, everything else is
     * untouched — the V2 `OverwriteByExpression` contract (and, with a
     * key-membership filter, exactly a MERGE-style keyed upsert). */
   def overwrite(name: String, schema: StructType, delete: InternalRow => Boolean,
-                filtersDesc: String, rows: Array[InternalRow]): Unit = {
-    if (!tables.containsKey(name)) {
-      // overwrite of an absent table = plain insert (merge would skip
-      // the remapper, losing the journal record)
-      tables.put(name, (schema, rows))
-      logCommit(name, CommitRecord("overwrite", filtersDesc, 0, rows.length))
-    } else tables.merge(name, (schema, rows), (old, add) => {
-      val kept = old._2.filterNot(delete)
-      logCommit(name, CommitRecord("overwrite", filtersDesc,
-        old._2.length - kept.length, add._2.length))
-      (old._1, kept ++ add._2)
-    })
-  }
+                filtersDesc: String, rows: Array[InternalRow]): Unit =
+    synchronized {
+      val old = tables.get(name)
+      if (old == null) {
+        // overwrite of an absent table = plain insert
+        tables.put(name, (schema, rows))
+        logCommit(name, CommitRecord("overwrite", filtersDesc, 0, rows.length))
+      } else {
+        val kept = old._2.filterNot(delete)
+        tables.put(name, (old._1, kept ++ rows))
+        logCommit(name, CommitRecord("overwrite", filtersDesc,
+          old._2.length - kept.length, rows.length))
+      }
+      evictOverflow()
+    }
 }
 
 class GraftMemTable(tableName: String, tableSchema: StructType)
@@ -128,8 +157,12 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
     * refuses via canDeleteWhere and Spark raises (a connector silently
     * widening a delete predicate would corrupt the table). */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    // NonFatal, not just UnsupportedOperationException: compileFilter
+    // can also throw IllegalArgumentException (StructType.fieldIndex on
+    // an unknown/nested attribute) — ANY compile failure must refuse
+    // the delete cleanly instead of escaping canDeleteWhere
     try { filters.foreach(compileFilter); true }
-    catch { case _: UnsupportedOperationException => false }
+    catch { case scala.util.control.NonFatal(_) => false }
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val preds = filters.map(compileFilter)
     GraftMemStore.delete(tableName,

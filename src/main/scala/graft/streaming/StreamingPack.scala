@@ -303,17 +303,31 @@ object StreamingPack extends QueryPack {
       try q.processAllAvailable()
       finally q.stop()
     }
-    val maxUs = graft.core.Tables.events(s, d)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
     s.table(name)
       // 7 d window + 1 h watermark delay + 2 s margin — the same
-      // closed-horizon arithmetic the oracle applies
+      // closed-horizon arithmetic the oracle applies; anchored to the
+      // stream's ACTUAL final watermark base [[joinWatermarkBaseUs]]
+      // (min of the two sides' max event times), not the global max —
+      // if either joined side's max lags the global max, a global
+      // anchor would admit null-side rows the stream never emitted
       .filter(unix_micros(col("s_ts")) + lit(604800000000L + 3600000000L + 2000000L)
-        < lit(maxUs))
+        < lit(joinWatermarkBaseUs(s, d)))
       .select(col("s_id"), coalesce(col("p_id"), lit(-1L)).as("p_id"),
         col("s_user").as("user_id"))
       .orderBy("s_id", "p_id")
   }
+
+  /** The q449/q457 watermark anchor: Spark's global watermark for a
+    * two-stream join is min over the INPUT STREAMS of (max event time −
+    * delay), so the closed-horizon gate must anchor to
+    * min(max signup ts, max purchase ts) — the two event_type subsets
+    * the streams actually read — never the whole table's max. */
+  private def joinWatermarkBaseUs(s: SparkSession, d: String): Long =
+    graft.core.Tables.events(s, d)
+      .agg(least(
+        max(when(col("event_type") === "signup", unix_micros(col("ts")))),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))))
+      .head().getLong(0)
 
   /** Stream-stream watermarked FULL OUTER interval join (q457): both
     * unmatched sides surface — signups with no purchase in their 7-day
@@ -343,8 +357,10 @@ object StreamingPack extends QueryPack {
       try q.processAllAvailable()
       finally q.stop()
     }
-    val maxUs = graft.core.Tables.events(s, d)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // per-side horizons, both anchored to the join's true watermark
+    // base (min of the two sides' max event times — see
+    // [[joinWatermarkBaseUs]])
+    val maxUs = joinWatermarkBaseUs(s, d)
     s.table(name)
       .filter(
         (col("s_id").isNotNull &&
@@ -1159,13 +1175,17 @@ object StreamingPack extends QueryPack {
 
     // batch LEFT JOIN + interval predicate, restricted to the same
     // watermark-closed signup horizon the stream gate applies; NULL
-    // match → −1 on both engines
+    // match → −1 on both engines. The horizon anchors to the join's
+    // TRUE final watermark base — min(max signup ts, max purchase ts),
+    // the two streams the join reads — never the whole table's max
     "q449_stream_outer_interval_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT user_id, event_id AS s_id, ts AS sts FROM ev WHERE event_type = 'signup'),
         |p AS (SELECT user_id, event_id AS p_id, ts AS pts FROM ev WHERE event_type = 'purchase'),
-        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev)
+        |mx AS (SELECT least(max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END),
+        |                    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS max_us
+        |       FROM ev)
         |SELECT s.s_id, COALESCE(p.p_id, -1) AS p_id, s.user_id AS user_id
         |FROM s LEFT JOIN p
         |  ON s.user_id = p.user_id AND p.pts >= s.sts AND p.pts <= s.sts + INTERVAL 7 DAY, mx
@@ -1185,13 +1205,17 @@ object StreamingPack extends QueryPack {
 
     // batch FULL OUTER + interval predicate, with the per-side closed
     // horizons the stream gate applies (signup-closed for rows carrying
-    // a signup, purchase-closed for the signup-less lane)
+    // a signup, purchase-closed for the signup-less lane), both
+    // anchored to min(max signup ts, max purchase ts) — the join's true
+    // final watermark base (q449's anchor note)
     "q457_stream_full_outer_interval_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT user_id, event_id AS s_id, ts AS sts FROM ev WHERE event_type = 'signup'),
         |p AS (SELECT user_id, event_id AS p_id, ts AS pts FROM ev WHERE event_type = 'purchase'),
-        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM ev)
+        |mx AS (SELECT least(max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END),
+        |                    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS max_us
+        |       FROM ev)
         |SELECT COALESCE(s.s_id, -1) AS s_id, COALESCE(p.p_id, -1) AS p_id,
         |       COALESCE(s.user_id, p.user_id) AS user_id
         |FROM s FULL OUTER JOIN p
