@@ -483,6 +483,137 @@ object CorePack extends QueryPack {
       } finally s.conf.set(aqeKey, prevAqe)
     },
 
+    // ---- DSv2 STORAGE-PARTITIONED JOIN (SPJ, SPARK-37377): the
+    // connector-world analogue of the q09/q131 exchange-free bucketed
+    // joins — both graft-range scans read in `clusterByBucket` mode,
+    // reporting KeyGroupedPartitioning(identity(bucket), 16) with one
+    // HasPartitionKey partition per bucket, and with
+    // spark.sql.sources.v2.bucketing.enabled the per-bucket aggregate
+    // AND the bucket equi-join between the two sides plan with ZERO
+    // shuffle exchanges: this is how Iceberg/Delta bucket-partitioned
+    // tables join at 100 TB without shuffling either side. AQE and
+    // broadcast are off for the query (set/restored) so the static
+    // plan is REQUIRE-able; REQUIREs pin (a) both scans are the
+    // clustered scan instance, (b) a shuffled join node exists, and
+    // (c) NO ShuffleExchange anywhere under it — aggregate and join
+    // both rode the storage partitioning. The oracle recomputes both
+    // per-bucket digests from generate_series and joins them, so a
+    // bucket-partition slip (id in the wrong keyed partition) also
+    // hash-fails. Output is collected inside the conf scope (16 rows,
+    // bounded) and returned as a local relation — the q454 discipline. ----
+    "q460_dsv2_spj" -> { (s, _) =>
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def side(n: Long, p: String) = s.read.format("graft-range")
+          .option("n", n.toString).option("slices", "8")
+          .option("clusterByBucket", "true").load()
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("bigint").as(s"${p}_n"),
+            sum("sq").cast("bigint").as(s"${p}_sum_sq"))
+        val j = side(100000L, "a").join(side(40000L, "b"), "bucket")
+          .select(col("bucket").cast("int").as("bucket"),
+            col("a_n"), col("a_sum_sq"), col("b_n"), col("b_sum_sq"))
+          .orderBy("bucket")
+        val plan = j.queryExecution.executedPlan
+        val scans = plan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        }
+        require(scans.length == 2 &&
+            scans.forall(_.isInstanceOf[graft.sources.GraftRangeClusteredScan]),
+          s"q460: expected two clustered V2 scans, got $scans")
+        val join = plan.collectFirst {
+          case n: org.apache.spark.sql.execution.joins.SortMergeJoinExec => n
+          case n: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => n
+        }.getOrElse(sys.error(s"q460: no shuffled join node in plan:\n$plan"))
+        val exchanges = join.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        require(exchanges.isEmpty,
+          s"q460: storage-partitioned join did not engage — " +
+            s"${exchanges.length} exchange(s) under the join:\n$plan")
+        val rows = j.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
+    // ---- DSv2 LIMIT PUSHDOWN: `LIMIT k` reaches the connector
+    // (SupportsPushDownLimit) and TRUNCATES the generated interval —
+    // out of n = 10⁶ candidate ids, the readers materialize exactly
+    // the 1000 in [500000, 501000): the pushed range filter narrows
+    // first, then the pushed limit keeps that interval's first k (the
+    // composition a real source does by stopping after k rows of a
+    // pruned scan). The push is PARTIAL — Spark keeps its own Limit on
+    // top — so correctness never depends on the connector's count; the
+    // REQUIRE pins the narrowed bounds and the pushed-limit value on
+    // the scan INSTANCE, and the oracle replays the surviving interval
+    // as generate_series. Deterministic despite LIMIT's any-k contract:
+    // the scan generates ONLY the k surviving ids, so Spark's limit
+    // keeps them all. ----
+    "q461_dsv2_limit_pushdown" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "1000000").option("slices", "8").load()
+        .filter(col("id") >= 500000L)
+        .limit(1000)
+      // REQUIRE on the limit-level frame: the aggregate on top adds
+      // exchanges, and AQE (on for Verify/Bench) wraps such plans in
+      // AdaptiveSparkPlanExec where the scan isn't collect()-reachable
+      // pre-execution — the pushdown composition (filter → limit) is
+      // fully decided at this level
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.nonEmpty,
+        s"q461: lost the V2 BatchScan node:\n${df.queryExecution.executedPlan}")
+      val sc = scans.head.scan.asInstanceOf[graft.sources.GraftRangeScan]
+      require(sc.pushedLimit.contains(1000) && sc.lo == 500000L && sc.hi == 501000L,
+        s"q461: limit did not reach the connector: pushed=${sc.pushedLimit} " +
+          s"generates [${sc.lo}, ${sc.hi})")
+      df.groupBy("bucket")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum("sq").cast("bigint").as("sum_sq"),
+          min("id").cast("bigint").as("min_id"),
+          max("id").cast("bigint").as("max_id"))
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("sum_sq"), col("min_id"), col("max_id"))
+        .orderBy("bucket")
+    },
+
+    // ---- DSv2 TOP-N PUSHDOWN: `ORDER BY id DESC LIMIT 100` reaches
+    // the connector (SupportsPushDownTopN) as a sort spec + limit, and
+    // because the top-k of a contiguous id interval is itself
+    // contiguous, the scan narrows in closed form to the LAST 100 ids
+    // of n = 10⁶ — the "read only the tail row group" skip a
+    // statistics-backed source does for a top-N. Partial push: Spark
+    // still sorts the 100 survivors (TakeOrderedAndProject), so the
+    // output order is engine-guaranteed; REQUIREs pin the pushed spec
+    // (desc on id) and the narrowed bounds on the scan instance; the
+    // oracle replays the tail interval in descending order. ----
+    "q462_dsv2_topn_pushdown" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "1000000").option("slices", "8").load()
+        .orderBy(col("id").desc)
+        .limit(100)
+        .select(col("id"), col("sq"), col("bucket").cast("int").as("bucket"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.nonEmpty,
+        s"q462: lost the V2 BatchScan node:\n${df.queryExecution.executedPlan}")
+      val sc = scans.head.scan.asInstanceOf[graft.sources.GraftRangeScan]
+      require(sc.pushedLimit.contains(100) && sc.pushedTopNDesc.contains(true) &&
+          sc.lo == 999900L && sc.hi == 1000000L,
+        s"q462: top-N did not reach the connector: pushed=${sc.pushedLimit}/" +
+          s"${sc.pushedTopNDesc} generates [${sc.lo}, ${sc.hi})")
+      df
+    },
+
     // ---- DSv2 METADATA DELETE: the remaining write-side verb after
     // append (q434), dynamic overwrite (q447), and keyed upsert (q450)
     // — `DELETE FROM <catalog table> WHERE <pred>` planned as V2
@@ -669,6 +800,44 @@ object CorePack extends QueryPack {
         |       CAST(MAX(g.i) AS BIGINT) AS max_id
         |FROM UNNEST(generate_series(900000, 900099)) AS g(i)
         |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // the limit-surviving interval replayed: first 1000 ids of the
+    // pushed-filter range
+    "q461_dsv2_limit_pushdown" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id
+        |FROM UNNEST(generate_series(500000, 500999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // the top-N tail interval replayed in the pushed descending order
+    "q462_dsv2_topn_pushdown" ->
+      """SELECT CAST(g.i AS BIGINT) AS id,
+        |       CAST(g.i * g.i AS BIGINT) AS sq,
+        |       CAST(g.i % 16 AS INT) AS bucket
+        |FROM UNNEST(generate_series(999900, 999999)) AS g(i)
+        |ORDER BY id DESC""".stripMargin,
+
+    // both sides' per-bucket digests recomputed from generate_series
+    // and joined — a row landing in the wrong keyed partition on the
+    // Spark side would shift a bucket's count/sum and hash-fail
+    "q460_dsv2_spj" ->
+      """WITH a AS (
+        |  SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS a_n,
+        |         CAST(SUM(g.i * g.i) AS BIGINT) AS a_sum_sq
+        |  FROM UNNEST(generate_series(0, 99999)) AS g(i) GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS b_n,
+        |         CAST(SUM(g.i * g.i) AS BIGINT) AS b_sum_sq
+        |  FROM UNNEST(generate_series(0, 39999)) AS g(i) GROUP BY 1)
+        |SELECT a.bucket, a_n, a_sum_sq, b_n, b_sum_sq
+        |FROM a JOIN b USING (bucket)
         |ORDER BY bucket""".stripMargin
   )
 

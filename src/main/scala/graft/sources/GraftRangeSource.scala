@@ -52,9 +52,11 @@ class GraftRangeSource extends TableProvider with DataSourceRegister {
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
     val batchRows =
       Option(properties.get("batchRows")).map(_.toLong).getOrElse(math.max(n, 1L))
+    val clustered =
+      Option(properties.get("clusterByBucket")).exists(_.toBoolean)
     require(n >= 0 && slices >= 1 && batchRows >= 1,
       s"graft-range: bad n=$n slices=$slices batchRows=$batchRows")
-    new GraftRangeTable(n, slices, batchRows)
+    new GraftRangeTable(n, slices, batchRows, clustered)
   }
 }
 
@@ -79,7 +81,8 @@ object GraftRangeSource {
   }
 }
 
-class GraftRangeTable(n: Long, slices: Int, batchRows: Long)
+class GraftRangeTable(n: Long, slices: Int, batchRows: Long,
+                      clustered: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range(n=$n, slices=$slices)"
   override def schema(): StructType = GraftRangeSource.schema
@@ -87,12 +90,14 @@ class GraftRangeTable(n: Long, slices: Int, batchRows: Long)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(n, slices, batchRows)
+    new GraftRangeScanBuilder(n, slices, batchRows, clustered)
 }
 
-class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
+class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long,
+                            clustered: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
   private var required: StructType = GraftRangeSource.schema
   private var lo = 0L
@@ -100,6 +105,45 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
   private var pushed: Array[Filter] = Array.empty
   private var aggFuncs: Option[Seq[String]] = None
   private var aggGrouped = false
+  private var limitOpt: Option[Int] = None
+  private var topNDesc: Option[Boolean] = None
+
+  /** Both pushes are PARTIAL (Scala needs the explicit override where
+    * the two interfaces' identical default methods meet): Spark keeps
+    * its own Limit / TakeOrdered on top of the narrowed scan. */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** LIMIT pushdown: the generator's natural order is id ascending, so
+    * "any `limit` rows" (the LIMIT contract) is answered deterministically
+    * by truncating the post-filter interval to its first `limit` ids —
+    * the connector-side skip that turns "generate 10⁶, keep 1000" into
+    * "generate 1000" (≙ a real source stopping after `limit` rows per
+    * the SupportsPushDownLimit contract). Partial push (default
+    * `isPartiallyPushed` = true): Spark keeps its own Limit on top. */
+  override def pushLimit(limit: Int): Boolean =
+    if (clustered || limit < 0) false
+    else { limitOpt = Some(limit); true }
+
+  /** Top-N pushdown (ORDER BY id [ASC|DESC] LIMIT k): the top-k by id
+    * over a contiguous interval is itself a contiguous interval — the
+    * first k ids (asc) or last k ids (desc) — so the connector narrows
+    * the generated range in closed form. Only a single sort key on `id`
+    * is accepted (any null ordering: id is non-nullable); anything else
+    * declines and Spark plans its own TakeOrderedAndProject over the
+    * full scan. Partial push: Spark still sorts the k survivors. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    if (clustered || limit < 0 || orders.length != 1) return false
+    val so = orders.head
+    so.expression() match {
+      case r: NamedReference if r.fieldNames.sameElements(Array("id")) =>
+        topNDesc = Some(so.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+        limitOpt = Some(limit)
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -142,6 +186,11 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
     * declined and Spark falls back to a plain scan + its own agg. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // in clustered mode the point IS the reported partitioning — an
+    // agg-pushdown scan would answer in closed form and lose the
+    // KeyGroupedPartitioning the SPJ gate pins, so decline and let
+    // Spark aggregate over the clustered scan (exchange-free anyway)
+    if (clustered) return false
     def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
               name: String): Boolean = e match {
       case r: NamedReference => r.fieldNames.sameElements(Array(name))
@@ -170,10 +219,52 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
     case Some(funcs) =>
       new GraftRangeAggScan(math.max(lo, 0L), math.min(hi, n), slices,
         aggGrouped, funcs)
+    case None if clustered =>
+      new GraftRangeClusteredScan(math.max(lo, 0L), math.min(hi, n), required)
     case None =>
-      new GraftRangeScan(math.max(lo, 0L), math.min(hi, n), slices, required,
-        batchRows)
+      // apply a pushed limit/top-N to the post-filter interval: asc (or
+      // plain LIMIT) keeps its first k ids, desc keeps its last k
+      val l = math.max(lo, 0L); val h = math.min(hi, n)
+      val (nl, nh) = (limitOpt, topNDesc) match {
+        case (Some(k), Some(true)) => (math.max(l, h - k), h)
+        case (Some(k), _) => (l, math.min(h, l + k))
+        case _ => (l, h)
+      }
+      new GraftRangeScan(nl, nh, slices, required, batchRows,
+        pushedLimit = limitOpt, pushedTopNDesc = topNDesc)
   }
+}
+
+/** The STORAGE-PARTITIONED scan (`clusterByBucket=true`): one input
+  * partition per `bucket` value, each carrying its partition key
+  * ([[HasPartitionKey]]), and the scan reports
+  * `KeyGroupedPartitioning(identity(bucket), 16)` through
+  * [[org.apache.spark.sql.connector.read.SupportsReportPartitioning]].
+  * With `spark.sql.sources.v2.bucketing.enabled`, Catalyst converts the
+  * report into a physical KeyGroupedPartitioning over the partitions'
+  * declared key values, so an equi-join (or aggregate) keyed on
+  * `bucket` between two such scans plans with NO Exchange — the
+  * storage-partitioned join (SPARK-37377), which is how Iceberg/Delta
+  * bucket-partitioned tables join at 100 TB without shuffling either
+  * side. All 16 bucket partitions are always planned (empty intervals
+  * included), so both join sides expose identical partition-value sets
+  * and the co-partition check never needs value back-fill. */
+class GraftRangeClusteredScan(val lo: Long, val hi: Long, required: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning}
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-range [$lo, $hi) clustered_by=bucket"
+  override def outputPartitioning(): Partitioning =
+    new V2KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("bucket")),
+      16)
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until 16).map(b => GraftRangeBucketPartition(b, lo, hi): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required.fieldNames)
 }
 
 /** Generates ids in [lo, hi) — the post-pushdown interval. Also
@@ -188,7 +279,9 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long)
   * only lose rows if the connector dropped keys INSIDE the pushed set
   * — q454's oracle hash-gates against that. */
 class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
-                     required: StructType, batchRows: Long)
+                     required: StructType, batchRows: Long,
+                     val pushedLimit: Option[Int] = None,
+                     val pushedTopNDesc: Option[Boolean] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.sources.{Filter, In}
@@ -204,7 +297,10 @@ class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-range [$lo, $hi)"
+  override def description(): String = s"graft-range [$lo, $hi)" +
+    pushedLimit.map(k => s" pushed_limit=$k" +
+      pushedTopNDesc.map(d => s" order_by_id_${if (d) "desc" else "asc"}")
+        .getOrElse("")).getOrElse("")
   override def planInputPartitions(): Array[InputPartition] = runtimeSet match {
     case Some(vals) =>
       // contiguous chunks of the surviving id set, keeping slices-way
@@ -342,12 +438,25 @@ case class GraftRangePartition(start: Long, end: Long) extends InputPartition
 /** An explicit surviving-id chunk (runtime-filtered scan). */
 case class GraftRangeSetPartition(ids: Array[Long]) extends InputPartition
 
+/** One bucket's rows of [lo, hi) — ids ≡ bucket (mod 16), declared as
+  * the partition's key so BatchScanExec can build the physical
+  * KeyGroupedPartitioning for storage-partitioned joins. */
+case class GraftRangeBucketPartition(bucket: Int, lo: Long, hi: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](java.lang.Integer.valueOf(bucket)))
+}
+
 class GraftRangeReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val iter: Iterator[Long] = partition match {
       case GraftRangePartition(start, end) => Iterator.range(start, end)
       case GraftRangeSetPartition(ids) => ids.iterator
+      case GraftRangeBucketPartition(b, lo, hi) =>
+        val first = lo + java.lang.Math.floorMod(b - lo, 16L)
+        Iterator.iterate(first)(_ + 16L).takeWhile(_ < hi)
     }
     new PartitionReader[InternalRow] {
       private var cur = 0L

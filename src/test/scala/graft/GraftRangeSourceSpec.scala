@@ -114,6 +114,51 @@ class GraftRangeSourceSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  // ---- limit / top-N pushdown ----
+
+  test("LIMIT pushes to the connector and truncates the generated interval") {
+    val df = read(1000000, 8).limit(1000)
+    val sc = scanOf(df)
+    assert(sc.pushedLimit === Some(1000))
+    assert((sc.lo, sc.hi) === (0L, 1000L))
+    assert(df.collect().map(_.getLong(0)).sorted === (0L until 1000L).toArray)
+  }
+
+  test("ORDER BY id DESC LIMIT k pushes as top-N keeping the LAST k ids") {
+    val df = read(1000000, 8).orderBy(org.apache.spark.sql.functions.col("id").desc)
+      .limit(100)
+    val sc = scanOf(df)
+    assert(sc.pushedLimit === Some(100) && sc.pushedTopNDesc === Some(true))
+    assert((sc.lo, sc.hi) === (999900L, 1000000L))
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      (999999L to 999900L by -1L).toSeq)
+  }
+
+  test("ORDER BY id ASC LIMIT k pushes as top-N keeping the FIRST k ids") {
+    val df = read(1000000, 8).orderBy("id").limit(10)
+    val sc = scanOf(df)
+    assert(sc.pushedLimit === Some(10) && sc.pushedTopNDesc === Some(false))
+    assert((sc.lo, sc.hi) === (0L, 10L))
+    assert(df.collect().map(_.getLong(0)).toSeq === (0L until 10L).toSeq)
+  }
+
+  test("top-N on a non-id key declines: full interval, result still correct") {
+    val df = read(100, 4).orderBy(org.apache.spark.sql.functions.col("sq").desc)
+      .limit(5)
+    val sc = scanOf(df)
+    assert(sc.pushedTopNDesc.isEmpty)
+    assert((sc.lo, sc.hi) === (0L, 100L))
+    assert(df.collect().map(_.getLong(0)).toSeq === (99L to 95L by -1L).toSeq)
+  }
+
+  test("limit composes with pushed range filters: first k of the interval") {
+    val df = read(1000000, 8).filter("id >= 500000").limit(50)
+    val sc = scanOf(df)
+    assert((sc.lo, sc.hi) === (500000L, 500050L))
+    assert(df.collect().map(_.getLong(0)).sorted ===
+      (500000L until 500050L).toArray)
+  }
+
   // ---- micro-batch streaming read ----
 
   test("streaming read delivers the exact row set across multiple micro-batches") {
