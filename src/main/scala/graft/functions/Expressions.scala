@@ -293,23 +293,8 @@ case class HilbertIndex2(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hilbert2"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[Long]
-    var y = b.asInstanceOf[Long]
-    var d = 0L
-    var s = 128L
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1L else 0L
-      val ry = if ((y & s) > 0) 1L else 0L
-      d += s * s * ((3 * rx) ^ ry)
-      if (ry == 0) {
-        val (nx, ny) = if (rx == 1) (s - 1 - y, s - 1 - x) else (y, x)
-        x = nx; y = ny
-      }
-      s >>= 1
-    }
-    d
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex2.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -334,6 +319,30 @@ case class HilbertIndex2(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex2 =
     copy(left = l, right = r)
+}
+
+object HilbertIndex2 {
+  /** The order-8 xy2d kernel, shared by the codegen Expression's
+    * interpreted path and the V2 FunctionCatalog scalar
+    * ([[graft.sources.GraftHilbertFunction]]) — one implementation, two
+    * Catalyst doorways. */
+  def xy2d(xIn: Long, yIn: Long): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s = 128L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        val (nx, ny) = if (rx == 1) (s - 1 - y, s - 1 - x) else (y, x)
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
 }
 
 /** Content-defined chunk boundaries of a text column — the rolling-hash

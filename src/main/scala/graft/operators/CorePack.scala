@@ -614,6 +614,41 @@ object CorePack extends QueryPack {
       df
     },
 
+    // ---- DSv2 METADATA COLUMNS: q421's file-audit discipline on the
+    // connector surface — the graft-range Table implements
+    // SupportsMetadataColumns, exposing `_slice` (the input-partition
+    // ordinal that served each row: the V2 analogue of
+    // `_metadata.file_name`). Hidden until referenced by name, then
+    // delivered through the SAME pruned-schema path as data columns,
+    // with the readers reporting their partition descriptor's ordinal —
+    // provenance, not recomputation. The REQUIRE pins the pruned scan
+    // schema (id + _slice only); the oracle replays the deterministic
+    // slice layout (100000 ids / 8 slices = 12500 contiguous ids each)
+    // from generate_series, so a row served by the wrong split
+    // hash-fails. ----
+    "q463_dsv2_metadata_columns" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "100000").option("slices", "8").load()
+        .select(col("_slice"), col("id"), col("sq"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.nonEmpty,
+        s"q463: lost the V2 BatchScan node:\n${df.queryExecution.executedPlan}")
+      require(scans.head.scan.readSchema().fieldNames.toSet ==
+          Set("id", "sq", "_slice"),
+        s"q463: metadata column not in the pruned scan schema: " +
+          s"${scans.head.scan.readSchema()}")
+      df.groupBy("_slice")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min("id").cast("bigint").as("min_id"),
+          max("id").cast("bigint").as("max_id"),
+          sum("sq").cast("bigint").as("sum_sq"))
+        .select(col("_slice").cast("int").as("slice"), col("n"),
+          col("min_id"), col("max_id"), col("sum_sq"))
+        .orderBy("slice")
+    },
+
     // ---- DSv2 METADATA DELETE: the remaining write-side verb after
     // append (q434), dynamic overwrite (q447), and keyed upsert (q450)
     // — `DELETE FROM <catalog table> WHERE <pred>` planned as V2
@@ -801,6 +836,18 @@ object CorePack extends QueryPack {
         |FROM UNNEST(generate_series(900000, 900099)) AS g(i)
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // the deterministic slice layout replayed: 8 contiguous 12500-id
+    // splits — the _slice metadata column must reproduce it exactly
+    "q463_dsv2_metadata_columns" ->
+      """SELECT CAST(g.i // 12500 AS INT) AS slice,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq
+        |FROM UNNEST(generate_series(0, 99999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY slice""".stripMargin,
 
     // the limit-surviving interval replayed: first 1000 ids of the
     // pushed-filter range

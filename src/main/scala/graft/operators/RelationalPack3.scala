@@ -626,6 +626,47 @@ object RelationalPack3 extends QueryPack {
       materialized(out, scaled).orderBy("layout", "scenario")
     },
 
+    // ---- V2 FUNCTION CATALOG (the seventh and last public Catalyst
+    // extension surface): the SAME Hilbert kernel q444 ships as a
+    // codegen Expression, resolved here from PLAIN SQL TEXT through a
+    // catalog-registered ScalarFunction — `graftmem.hilbert2(x8, y8)`
+    // ([[graft.sources.GraftHilbertUnbound]] bound via
+    // [[graft.sources.GraftMemCatalog]]'s FunctionCatalog half, the
+    // Iceberg-system-functions pattern; the analyzer rewrites the call
+    // to a direct Invoke of the magic method). Lane: the FULL order-8
+    // curve domain — every (x8, y8) cell of the 256×256 grid — indexed
+    // and digested per 32-column x-band, with n_distinct pinning curve
+    // BIJECTIVITY inside each band (any kernel slip collides or skips
+    // an index and fails n_distinct or sum_h). The REQUIRE pins that
+    // resolution went through the V2 function (an object Invoke /
+    // ApplyFunctionExpression in the analyzed plan), not a session
+    // builtin; the oracle replays the 8 rotation rounds over the same
+    // grid (q444's unrolled-CTE replay). ----
+    "q464_v2_function_catalog" -> { (s, _) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val grid = s.range(0, 256).select(col("id").as("x8"))
+        .crossJoin(s.range(0, 256).select(col("id").as("y8")))
+      val h = grid.selectExpr("x8", "y8", "graftmem.hilbert2(x8, y8) AS h")
+      val viaV2 = h.queryExecution.analyzed.expressions.exists(_.exists {
+        case i: org.apache.spark.sql.catalyst.expressions.objects.Invoke =>
+          i.toString.contains("GraftHilbertFunction")
+        case _: org.apache.spark.sql.catalyst.expressions.ApplyFunctionExpression =>
+          true
+        case _ => false
+      })
+      require(viaV2,
+        s"q464: hilbert2 did not resolve through the V2 FunctionCatalog:\n" +
+          s"${h.queryExecution.analyzed}")
+      h.groupBy(expr("x8 div 32").cast("int").as("x_band"))
+        .agg(count(lit(1)).cast("bigint").as("n_cells"),
+          count_distinct(col("h")).cast("bigint").as("n_distinct"),
+          sum("h").cast("bigint").as("sum_h"),
+          min("h").cast("bigint").as("min_h"),
+          max("h").cast("bigint").as("max_h"))
+        .orderBy("x_band")
+    },
+
     // ---- ANALYZE TABLE: the optimizer-statistics pass every
     // cost-based engine runs before planning 100 TB joins — per-column
     // row count / null count / exact NDV / min / max over a
@@ -1115,6 +1156,25 @@ object RelationalPack3 extends QueryPack {
        |FROM st)""".stripMargin
   }
 
+  /** The Hilbert xy2d loop unrolled as 8 CTE rounds (hz0 → hz8), each
+    * carrying the rotated frame (hx, hy) and the accumulated distance —
+    * shared by the q444 layout oracle and the q464 FunctionCatalog
+    * oracle. */
+  private def hilbertRoundsSql: String = (1 to 8).map { i =>
+    val s = 1L << (8 - i)
+    s"""hz$i AS (
+       |  SELECT x8, y8,
+       |         hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+       |                             (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
+       |         CASE WHEN (hy & $s) > 0 THEN hx
+       |              WHEN (hx & $s) > 0 THEN ${s - 1} - hy
+       |              ELSE hy END AS hx,
+       |         CASE WHEN (hy & $s) > 0 THEN hy
+       |              WHEN (hx & $s) > 0 THEN ${s - 1} - hx
+       |              ELSE hx END AS hy
+       |  FROM hz${i - 1})""".stripMargin
+  }.mkString(",\n")
+
   override def oracle: Map[String, String] = Map(
 
     // same register construction per type and per pair (union = max),
@@ -1397,24 +1457,32 @@ object RelationalPack3 extends QueryPack {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
 
+    // the catalog-resolved kernel replayed over the full curve domain:
+    // the same 8 unrolled rotation rounds as q444, here over ALL 256²
+    // cells, digested per x-band
+    "q464_v2_function_catalog" ->
+      s"""WITH xs AS (SELECT CAST(g.i AS BIGINT) AS x8
+         |            FROM UNNEST(generate_series(0, 255)) AS g(i)),
+         |ys AS (SELECT CAST(g.i AS BIGINT) AS y8
+         |       FROM UNNEST(generate_series(0, 255)) AS g(i)),
+         |hz0 AS (SELECT x8, y8, x8 AS hx, y8 AS hy, CAST(0 AS BIGINT) AS hd
+         |        FROM xs CROSS JOIN ys),
+         |$hilbertRoundsSql
+         |SELECT CAST(x8 // 32 AS INT) AS x_band,
+         |       CAST(count(*) AS BIGINT) AS n_cells,
+         |       CAST(count(DISTINCT hd) AS BIGINT) AS n_distinct,
+         |       CAST(SUM(hd) AS BIGINT) AS sum_h,
+         |       CAST(MIN(hd) AS BIGINT) AS min_h,
+         |       CAST(MAX(hd) AS BIGINT) AS max_h
+         |FROM hz8
+         |GROUP BY 1
+         |ORDER BY x_band""".stripMargin,
+
     // the Hilbert xy2d loop unrolled: 8 CTE rounds carrying the rotated
     // frame (hx, hy) and the accumulated distance over the deduplicated
     // cell grid; Morton via q154's 8-term bit sum; same zone-map replay
     "q444_hilbert_layout" -> {
-      val rounds = (1 to 8).map { i =>
-        val s = 1L << (8 - i)
-        s"""hz$i AS (
-           |  SELECT x8, y8,
-           |         hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
-           |                             (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
-           |         CASE WHEN (hy & $s) > 0 THEN hx
-           |              WHEN (hx & $s) > 0 THEN ${s - 1} - hy
-           |              ELSE hy END AS hx,
-           |         CASE WHEN (hy & $s) > 0 THEN hy
-           |              WHEN (hx & $s) > 0 THEN ${s - 1} - hx
-           |              ELSE hx END AS hy
-           |  FROM hz${i - 1})""".stripMargin
-      }.mkString(",\n")
+      val rounds = hilbertRoundsSql
       s"""WITH li AS (SELECT l_orderkey AS xk, l_partkey AS yk FROM lineitem),
          |mm AS (SELECT min(xk) AS x_min, max(xk) AS x_max,
          |              min(yk) AS y_min, max(yk) AS y_max FROM li),

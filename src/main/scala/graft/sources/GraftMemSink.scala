@@ -277,9 +277,26 @@ case class GraftMemCommit(rows: Array[InternalRow]) extends WriterCommitMessage
   * [[GraftMemTable]]'s `SupportsOverwrite` as a keyed upsert (q450).
   * Namespaces are ignored: the store is flat, like most embedded
   * catalogs' default namespace. */
-class GraftMemCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
+class GraftMemCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, TableChange}
   private var catalogName: String = "graftmem"
+
+  /** FunctionCatalog half (the seventh extension surface — see
+    * [[GraftHilbertUnbound]]): catalog-registered scalar functions SQL
+    * text resolves as `graftmem.<name>(…)`. */
+  private val functions: Map[String, () => org.apache.spark.sql.connector.catalog.functions.UnboundFunction] =
+    Map("hilbert2" -> (() => new GraftHilbertUnbound))
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) functions.keys.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    functions.get(ident.name()) match {
+      case Some(f) if ident.namespace().isEmpty => f()
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName

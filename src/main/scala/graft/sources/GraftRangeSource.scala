@@ -69,26 +69,46 @@ object GraftRangeSource {
   /** Contiguous [start, end) ranges over [lo, hi), remainder spread over
     * the first few — shared by the batch Scan and the micro-batch stream
     * (each micro-batch re-splits ITS offset range the same way, so the
-    * stream keeps `slices`-way parallelism per trigger). */
+    * stream keeps `slices`-way parallelism per trigger). Each partition
+    * carries its split ordinal, surfaced as the `_slice` metadata
+    * column. */
   def slicePartitions(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
     val base = n / slices; val rem = n % slices
     (0 until slices).iterator.map { i =>
       val start = lo + i * base + math.min(i.toLong, rem)
       val end = start + base + (if (i < rem) 1L else 0L)
-      GraftRangePartition(start, end): InputPartition
-    }.filter { case GraftRangePartition(s, e) => e > s }.toArray
+      GraftRangePartition(start, end, i): InputPartition
+    }.filter { case GraftRangePartition(s, e, _) => e > s }.toArray
   }
+
+  /** The connector's metadata columns ([[SupportsMetadataColumns]]):
+    * `_slice` is the input-partition ordinal a row was read by — the
+    * graft-range analogue of a file source's `_metadata.file_name`
+    * (q421's audit discipline on the V2 surface). */
+  val sliceMetaCol = "_slice"
 }
 
 class GraftRangeTable(n: Long, slices: Int, batchRows: Long,
                       clustered: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_range(n=$n, slices=$slices)"
   override def schema(): StructType = GraftRangeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
+  /** `_slice`: the split ordinal serving each row — hidden until a query
+    * references it by name, then delivered through the same pruned-schema
+    * path as any data column (the readers emit it from the partition's
+    * own descriptor, so it is provenance, not a recomputation). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftRangeSource.sliceMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String = "input-partition (split) ordinal"
+    })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRangeScanBuilder(n, slices, batchRows, clustered)
 }
@@ -307,7 +327,9 @@ class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
       // parallelism over however few ids remain
       if (vals.isEmpty) Array.empty
       else vals.grouped(math.max(1, (vals.length + slices - 1) / slices))
-        .map(GraftRangeSetPartition(_): InputPartition).toArray
+        .zipWithIndex
+        .map { case (ids, i) => GraftRangeSetPartition(ids, i): InputPartition }
+        .toArray
     case None => GraftRangeSource.slicePartitions(lo, hi, slices)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -331,7 +353,9 @@ class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
   * re-admitting them from `lo`. Admission control lives in
   * `latestOffset` (the rate-limit shape a real queue source uses). */
 class GraftRangeMicroBatchStream(lo: Long, hi: Long, slices: Int, batchRows: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
   private val hwm = new java.util.concurrent.atomic.AtomicLong(lo)
   /** Monotonic advance: hwm = max(hwm, v). */
   private def seed(v: Long): Unit = {
@@ -342,6 +366,32 @@ class GraftRangeMicroBatchStream(lo: Long, hi: Long, slices: Int, batchRows: Lon
   override def latestOffset(): Offset = {
     val cur = hwm.get()
     seed(math.min(math.max(cur, lo) + batchRows, hi))
+    GraftRangeOffset(hwm.get())
+  }
+
+  // ---- admission control + Trigger.AvailableNow ----
+  // With SupportsAdmissionControl, the engine asks for each batch's end
+  // through latestOffset(start, limit) under the source's default read
+  // limit (maxRows = batchRows, the same per-trigger admission the
+  // no-arg path applies). SupportsTriggerAvailableNow then makes
+  // AvailableNow a MULTI-BATCH drain: prepare...() snapshots the
+  // currently-available end (`hi` — the generator's data is all
+  // "available now"), and the engine keeps running batchRows-sized
+  // batches until the stream reaches that snapshot, then stops — the
+  // run-to-completion-and-exit shape a backfill/restart job uses
+  // (q465 drives it across two sessions sharing one checkpoint).
+  @volatile private var availableNowEnd: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit = availableNowEnd = hi
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def reportLatestOffset(): Offset = GraftRangeOffset(hi)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = if (availableNowEnd >= 0) math.min(availableNowEnd, hi) else hi
+    val cur = math.max(math.max(hwm.get(), start.asInstanceOf[GraftRangeOffset].v), lo)
+    val next = limit match {
+      case r: ReadMaxRows => math.min(cur + r.maxRows(), cap)
+      case _ => cap // allAvailable (and anything row-uncountable): drain
+    }
+    seed(next)
     GraftRangeOffset(hwm.get())
   }
   override def deserializeOffset(json: String): Offset = {
@@ -433,10 +483,12 @@ class GraftRangeAggReaderFactory(grouped: Boolean, funcs: Seq[String])
   }
 }
 
-case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+case class GraftRangePartition(start: Long, end: Long, slice: Int = 0)
+    extends InputPartition
 
 /** An explicit surviving-id chunk (runtime-filtered scan). */
-case class GraftRangeSetPartition(ids: Array[Long]) extends InputPartition
+case class GraftRangeSetPartition(ids: Array[Long], slice: Int = 0)
+    extends InputPartition
 
 /** One bucket's rows of [lo, hi) — ids ≡ bucket (mod 16), declared as
   * the partition's key so BatchScanExec can build the physical
@@ -451,12 +503,12 @@ case class GraftRangeBucketPartition(bucket: Int, lo: Long, hi: Long)
 class GraftRangeReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val iter: Iterator[Long] = partition match {
-      case GraftRangePartition(start, end) => Iterator.range(start, end)
-      case GraftRangeSetPartition(ids) => ids.iterator
+    val (iter: Iterator[Long], slice: Int) = partition match {
+      case GraftRangePartition(start, end, sl) => (Iterator.range(start, end), sl)
+      case GraftRangeSetPartition(ids, sl) => (ids.iterator, sl)
       case GraftRangeBucketPartition(b, lo, hi) =>
         val first = lo + java.lang.Math.floorMod(b - lo, 16L)
-        Iterator.iterate(first)(_ + 16L).takeWhile(_ < hi)
+        (Iterator.iterate(first)(_ + 16L).takeWhile(_ < hi), b)
     }
     new PartitionReader[InternalRow] {
       private var cur = 0L
@@ -466,10 +518,12 @@ class GraftRangeReaderFactory(fields: Array[String])
       }
       override def get(): InternalRow = {
         // materialize ONLY the pruned columns, in the pruned order
+        // (including a requested `_slice` metadata column)
         val vals = fields.map {
           case "id" => java.lang.Long.valueOf(cur)
           case "sq" => java.lang.Long.valueOf(cur * cur)
           case "bucket" => java.lang.Integer.valueOf((cur % 16L).toInt)
+          case GraftRangeSource.sliceMetaCol => java.lang.Integer.valueOf(slice)
         }
         new GenericInternalRow(vals.asInstanceOf[Array[Any]])
       }

@@ -722,6 +722,68 @@ object StreamingPack extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** Cross-session streaming restart (q465): the checkpoint-resume
+    * contract driven END TO END across a SparkSession boundary. Phase 1
+    * drains the first 120k ids of the graft-range stream under
+    * `Trigger.AvailableNow` (a multi-batch run-to-completion: the
+    * source's SupportsTriggerAvailableNow snapshots the available end,
+    * admission stays batchRows per batch) into a parquet file sink +
+    * checkpoint, then the query object is gone. Phase 2 constructs a
+    * BRAND-NEW query in a NEW SparkSession (fresh session state — only
+    * the checkpoint dir is shared), now with 200k ids available: the
+    * offset log must hand back the committed 120k watermark, the source
+    * re-seeds from it ([[GraftRangeOffset]] restart monotonicity), and
+    * the drain processes EXACTLY the 80k new ids. Exactly-once
+    * accounting reads the sink THROUGH its _spark_metadata commit log
+    * (uncommitted files invisible — the file-sink transactionality a
+    * restart relies on); REQUIREs pin phase-1 row count, phase-2 input
+    * rows == the delta, and multi-batch drains in both phases. The
+    * oracle recomputes the per-bucket digest of the reassembled 200k
+    * generator (q438's oracle verbatim). */
+  def streamRestartResume(s: SparkSession): DataFrame = {
+    val root = graft.core.Artifacts.perRunSinkPath(s,
+      s"stream_restart_${counter.incrementAndGet()}")
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    def drain(sess: SparkSession, n: Long): Seq[Long] = {
+      val src = sess.readStream.format("graft-range")
+        .option("n", n.toString).option("slices", "8")
+        .option("batchRows", "30000")
+        .load()
+      val q = src.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      } finally q.stop()
+    }
+    val p1 = drain(s, 120000L)
+    require(p1.length >= 2 && p1.sum == 120000L,
+      s"q465 phase 1: expected a multi-batch 120k drain, got $p1")
+    val mid = s.read.parquet(out).count()
+    require(mid == 120000L,
+      s"q465 phase 1: sink commit log shows $mid rows, want 120000")
+    // phase 2: new session, same checkpoint — resume, don't replay
+    val s2 = s.newSession()
+    val p2 = drain(s2, 200000L)
+    require(p2.length >= 2 && p2.sum == 80000L,
+      s"q465 phase 2: expected a multi-batch 80k resume " +
+        s"(NOT a replay from 0), got $p2")
+    val back = s.read.parquet(out)
+    back.groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("sq").cast("bigint").as("sum_sq"),
+        min("id").cast("bigint").as("min_id"),
+        max("id").cast("bigint").as("max_id"))
+      .select(col("bucket").cast("int").as("bucket"), col("n"),
+        col("sum_sq"), col("min_id"), col("max_id"))
+      .orderBy("bucket")
+  }
+
   def streamKsDrift(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupPack
     val deltaCounts = s.readStream
@@ -1130,6 +1192,7 @@ object StreamingPack extends QueryPack {
     "q459_stream_dedup_within_watermark" -> ((s, d) => streamDedupWithinWatermark(s, d)),
     "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
     "q438_stream_dsv2_source" -> ((s, _) => streamDsv2Source(s)),
+    "q465_stream_restart_resume" -> ((s, _) => streamRestartResume(s)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
@@ -1229,6 +1292,19 @@ object StreamingPack extends QueryPack {
     // must land on the batch incremental answer exactly
     "q431_stream_bm25_delta" ->
       graft.operators.RetrievalPack.oracle("q424_bm25_delta"),
+
+    // the two-session restart must reassemble the full generator
+    // exactly — q438's oracle verbatim: stream ≡ batch must also be
+    // RESTART-independent
+    "q465_stream_restart_resume" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id
+        |FROM UNNEST(generate_series(0, 199999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     // the 7 micro-batches must reassemble the full generator exactly —
     // the group-by recomputed row-by-row from generate_series

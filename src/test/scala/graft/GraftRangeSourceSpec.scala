@@ -159,6 +159,24 @@ class GraftRangeSourceSpec extends AnyFunSuite {
       (500000L until 500050L).toArray)
   }
 
+  // ---- metadata columns ----
+
+  test("_slice metadata column reports the serving split ordinal") {
+    val df = read(100, 4).select(
+      org.apache.spark.sql.functions.col("_slice"),
+      org.apache.spark.sql.functions.col("id"))
+    val got = df.collect().map(r => (r.getLong(1), r.getInt(0))).sortBy(_._1)
+    // 100 rows over 4 slices = 25 ids per slice, contiguous
+    assert(got.toSeq === (0L until 100L).map(i => (i, (i / 25).toInt)))
+    // the metadata column travels the pruned-schema path like any field
+    val sc = scanOf(df)
+    assert(sc.readSchema().fieldNames.toSet === Set("id", "_slice"))
+  }
+
+  test("_slice stays hidden unless referenced: select(*) keeps the data schema") {
+    assert(read(10, 2).columns.toSeq === Seq("id", "sq", "bucket"))
+  }
+
   // ---- micro-batch streaming read ----
 
   test("streaming read delivers the exact row set across multiple micro-batches") {
