@@ -460,6 +460,36 @@ object SimilarityPack extends QueryPack {
     visited
   }
 
+  /** Seed-scaling probe (ProfileHnswSeeds — the r12-verdict ask): recall
+    * of the SHIPPED (M, beam, rounds) config when the seed stride
+    * targets ~2^seedsLog2 entry points, on whatever corpus `d` holds.
+    * Returns (corpus size, actual seed count, recall vs q50 truth).
+    * The production lane fixes seedsLog2 = 5 (~32 seeds) at every N —
+    * this probe is how that constant is shown to HOLD as N grows
+    * (PROFILE_HNSW_SEEDS.json records the sweep). */
+  private[graft] def hnswSeedProbe(s: SparkSession, d: String,
+                                   seedsLog2: Int): (Long, Long, Double) = {
+    val n = corpusCount(s, d)
+    val sm = 1L << math.max(0, ceilLog2(n) - seedsLog2)
+    val vecs = persistedVecs(s, d)
+    val graph = warmed(hnswGraph(s, d))
+    val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
+    val queriesDf = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val nSeeds = corpus.filter(pmod(col("vec_id"), lit(sm)) === 0).count()
+    val out = beamSearch(graph, corpus, queriesDf, sm, hnswBeam, hnswRounds)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rk") <= topK)
+      .select("q_id", "vec_id")
+    val truth = bruteTopK(vecs).select("q_id", "vec_id")
+    val nTruth = truth.count()
+    val hits = out.join(truth, Seq("q_id", "vec_id")).count()
+    graph.unpersist(); vecs.unpersist()
+    (n, nSeeds, hits.toDouble / nTruth)
+  }
+
   /** Test/tooling hook (ProfileHnsw, Wave13Spec): recall of a beam
     * config vs the q50 brute truth. */
   private[graft] def hnswRecallProbe(s: SparkSession, d: String,
@@ -2434,14 +2464,19 @@ object SimilarityPack extends QueryPack {
     val corArms = (0 until nTables)
       .map(t => s"  SELECT vec_id, q, norm, cb0, cb1, cb2, cb3, $t AS ctbl, cb$t AS cb FROM scored")
       .mkString("\n  UNION ALL\n")
+    // scored/cor are MATERIALIZED: both are referenced from several
+    // downstream CTEs (probes, candidate joins, re-rank arms), and the
+    // per-row bucket arithmetic is the expensive part — without the
+    // hint DuckDB re-evaluates the inlined chain per reference
+    // (measured 14 s → 4 s on the q51/q52 oracles at sf0.01)
     s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
        |$paramCte,
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT vec_id, q,
        |         sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm,
        |         $buckets
        |  FROM vecs v, param p),
-       |cor AS (
+       |cor AS MATERIALIZED (
        |$corArms)""".stripMargin
   }
 
@@ -2453,7 +2488,7 @@ object SimilarityPack extends QueryPack {
       else
         """(SELECT CASE WHEN g.g = 0 THEN 0 ELSE 1 << (g.g - 1) END AS mask
           |   FROM UNNEST(generate_series(0, (SELECT b FROM param))) AS g(g)) m""".stripMargin
-    s"""probes AS (
+    s"""probes AS MATERIALIZED (
        |  SELECT c.vec_id AS q_id, c.q AS qq, c.norm AS qnorm,
        |         c.cb0 AS qb0, c.cb1 AS qb1, c.cb2 AS qb2, c.cb3 AS qb3,
        |         c.ctbl AS tbl, CAST(xor(c.cb, m.mask) AS INT) AS pb
@@ -2780,20 +2815,28 @@ object SimilarityPack extends QueryPack {
     * trivial; the point is both engines score the SAME method outputs.
     */
   private def recallOracle: String = {
-    def sub(name: String) = s"(${baseOracle(name)})"
-    s"""WITH truth AS (SELECT q_id, vec_id FROM ${sub("q50_ann_brute")} t),
+    // each method subquery is hoisted into its OWN top-level
+    // MATERIALIZED CTE: with the eight scopes nested directly inside
+    // the `cand` union, DuckDB evaluated the composite ~5× slower than
+    // the sum of its standalone parts (145.7 s vs ~30 s at sf0.01);
+    // hoisted + materialized it runs the parts once each (~17 s)
+    val methods = Seq("q06_ann_pq", "q07_ann_pq_rerank", "q103_ann_ivfpq",
+      "q151_ann_sq8_rerank", "q452_ann_hnsw", "q51_ann_lsh",
+      "q52_ann_multiprobe", "q53_ann_ivf")
+    val methodCtes = methods.zipWithIndex.map { case (m, i) =>
+      s"m$i AS MATERIALIZED (SELECT q_id, vec_id FROM (${baseOracle(m)}) t WHERE q_id < 5)"
+    }.mkString(",\n")
+    val cand = methods.zipWithIndex.map { case (m, i) =>
+      s"SELECT '$m' AS method, q_id, vec_id FROM m$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (${baseOracle("q50_ann_brute")}) t),
+       |$methodCtes,
        |cand AS (
-       |  SELECT 'q06_ann_pq' AS method, q_id, vec_id FROM ${sub("q06_ann_pq")} p0 WHERE q_id < 5
-       |  UNION ALL SELECT 'q07_ann_pq_rerank', q_id, vec_id FROM ${sub("q07_ann_pq_rerank")} p1 WHERE q_id < 5
-       |  UNION ALL SELECT 'q103_ann_ivfpq', q_id, vec_id FROM ${sub("q103_ann_ivfpq")} p2 WHERE q_id < 5
-       |  UNION ALL SELECT 'q151_ann_sq8_rerank', q_id, vec_id FROM ${sub("q151_ann_sq8_rerank")} p3 WHERE q_id < 5
-       |  UNION ALL SELECT 'q452_ann_hnsw', q_id, vec_id FROM ${sub("q452_ann_hnsw")} h WHERE q_id < 5
-       |  UNION ALL SELECT 'q51_ann_lsh', q_id, vec_id FROM ${sub("q51_ann_lsh")} a WHERE q_id < 5
-       |  UNION ALL SELECT 'q52_ann_multiprobe', q_id, vec_id FROM ${sub("q52_ann_multiprobe")} b WHERE q_id < 5
-       |  UNION ALL SELECT 'q53_ann_ivf', q_id, vec_id FROM ${sub("q53_ann_ivf")} c WHERE q_id < 5),
+       |  $cand),
        |hits AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
        |         FROM cand JOIN truth USING (q_id, vec_id) GROUP BY method),
-       |methods(method) AS (VALUES ('q06_ann_pq'), ('q07_ann_pq_rerank'), ('q103_ann_ivfpq'), ('q151_ann_sq8_rerank'), ('q452_ann_hnsw'), ('q51_ann_lsh'), ('q52_ann_multiprobe'), ('q53_ann_ivf')),
+       |methods(method) AS (VALUES ${methods.map(m => s"('$m')").mkString(", ")}),
        |denom AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth)
        |SELECT m.method, COALESCE(h.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_truth AS recall
@@ -2841,47 +2884,52 @@ object SimilarityPack extends QueryPack {
     * `embeddings` for the full-corpus model, a filtered subquery for
     * the q423 base-corpus model. k derives from the SOURCE's count via
     * the same integer ladder [[ivfCellsFor]] walks. */
-  private def ivfTrainCtesFrom(src: String): String = {
+  /** `pfx` prefixes every CTE name in the chain: required when this
+    * scope NESTS inside an oracle whose outer scope defines a
+    * MATERIALIZED CTE of the same name (`scored` in [[vecsCte]]) —
+    * DuckDB's materialized-CTE hoisting otherwise trips an internal
+    * "recursive CTE scan" assertion on the shadowed name. */
+  private def ivfTrainCtesFrom(src: String, pfx: String = ""): String = {
     val n = s"(SELECT count(*) FROM $src)"
     val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
       .mkString("CASE ", " ", " ELSE 41 END")
     val rounds = (1 to ivfRounds).map { r =>
       val cosPrev = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
-      s"""assign$r AS (
+      s"""${pfx}assign$r AS (
          |  SELECT vec_id, q, cell FROM (
          |    SELECT v.vec_id, v.q, c.cell,
          |           row_number() OVER (PARTITION BY v.vec_id
          |                              ORDER BY $cosPrev DESC, c.cell) AS rn
-         |    FROM scored v CROSS JOIN cent${r - 1} c) WHERE rn = 1),
-         |upd$r AS (SELECT cell, g.i AS i,
+         |    FROM ${pfx}scored v CROSS JOIN ${pfx}cent${r - 1} c) WHERE rn = 1),
+         |${pfx}upd$r AS (SELECT cell, g.i AS i,
          |                 CAST(SUM(q[g.i]) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
-         |          FROM assign$r, UNNEST(generate_series(1, $dim)) AS g(i)
+         |          FROM ${pfx}assign$r, UNNEST(generate_series(1, $dim)) AS g(i)
          |          GROUP BY cell, g.i),
-         |cq$r AS (SELECT cell, list(v ORDER BY i) AS cq FROM upd$r GROUP BY cell),
-         |cent$r AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM cq$r c)"""
+         |${pfx}cq$r AS (SELECT cell, list(v ORDER BY i) AS cq FROM ${pfx}upd$r GROUP BY cell),
+         |${pfx}cent$r AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM ${pfx}cq$r c)"""
         .stripMargin
     }.mkString(",\n")
     val cosFinal = s"${dotQSql("v.q", "c.cq", dim)} / (v.norm * c.cnorm)"
-    s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM $src),
-       |scored AS (
+    s"""${pfx}vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM $src),
+       |${pfx}scored AS (
        |  SELECT vec_id, q, sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm
-       |  FROM vecs v),
-       |kp AS (SELECT 1 << (($ladder + 1) // 2) AS k),
-       |np AS (SELECT GREATEST(2, k // 2) AS nprobe FROM kp),
-       |hashed AS (SELECT vec_id, q,
+       |  FROM ${pfx}vecs v),
+       |${pfx}kp AS (SELECT 1 << (($ladder + 1) // 2) AS k),
+       |${pfx}np AS (SELECT GREATEST(2, k // 2) AS nprobe FROM ${pfx}kp),
+       |${pfx}hashed AS (SELECT vec_id, q,
        |                  CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-       |           FROM scored),
-       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell, q AS cq
-       |          FROM hashed
-       |          QUALIFY row_number() OVER (ORDER BY h, vec_id) <= (SELECT k FROM kp)),
-       |cent0 AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM seeds c),
+       |           FROM ${pfx}scored),
+       |${pfx}seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cell, q AS cq
+       |          FROM ${pfx}hashed
+       |          QUALIFY row_number() OVER (ORDER BY h, vec_id) <= (SELECT k FROM ${pfx}kp)),
+       |${pfx}cent0 AS (SELECT cell, cq, sqrt(${dotQSql("c.cq", "c.cq", dim)}) AS cnorm FROM ${pfx}seeds c),
        |$rounds,
-       |ranked AS (
+       |${pfx}ranked AS (
        |  SELECT v.vec_id, v.q, v.norm, c.cell,
        |         row_number() OVER (PARTITION BY v.vec_id
        |                            ORDER BY $cosFinal DESC, c.cell) AS arn
-       |  FROM scored v CROSS JOIN cent$ivfRounds c),
-       |cells AS (SELECT vec_id, q, norm, cell FROM ranked WHERE arn = 1)""".stripMargin
+       |  FROM ${pfx}scored v CROSS JOIN ${pfx}cent$ivfRounds c),
+       |${pfx}cells AS (SELECT vec_id, q, norm, cell FROM ${pfx}ranked WHERE arn = 1)""".stripMargin
   }
 
   /** PQ ADC oracle SQL — the training loop unrolled, all 4 subspaces in
@@ -3764,10 +3812,10 @@ object SimilarityPack extends QueryPack {
        |   AND ${emitOnceSql(maxHam = 1)}),
        |cellp AS MATERIALIZED (
        |  SELECT vec_i, vec_j, cosine FROM (
-       |    WITH ${ivfTrainCtesFrom(s"(SELECT * FROM embeddings WHERE $baseCond)")}
+       |    WITH ${ivfTrainCtesFrom(s"(SELECT * FROM embeddings WHERE $baseCond)", pfx = "t_")}
        |    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
        |           ${dotQSql("a.q", "b.q", dim)} / (a.norm * b.norm) AS cosine
-       |    FROM cells a JOIN cells b ON b.cell = a.cell AND a.vec_id < b.vec_id) t),
+       |    FROM t_cells a JOIN t_cells b ON b.cell = a.cell AND a.vec_id < b.vec_id) t),
        |pool AS MATERIALIZED (SELECT * FROM lshp UNION SELECT * FROM cellp),
        |sym AS MATERIALIZED (SELECT vec_i AS src, vec_j AS dst, cosine FROM pool
        |        UNION SELECT vec_j AS src, vec_i AS dst, cosine FROM pool),
