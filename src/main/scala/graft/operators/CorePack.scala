@@ -649,6 +649,61 @@ object CorePack extends QueryPack {
         .orderBy("slice")
     },
 
+    // ---- SQL MERGE INTO (DSv2 row-level operations): the lakehouse
+    // write verb q450 emulated through writeTo().overwrite(), now as
+    // REAL SQL MERGE — the graft-mem Table implements
+    // SupportsRowLevelOperations, so Spark's group-based rewrite reads
+    // the table, computes carried + UPDATEd + INSERTed rows in one
+    // plan, and writes the survivor set back through the operation's
+    // write as ONE atomic whole-table replace (the copy-on-write shape
+    // Delta/Iceberg use at file-group granularity). Same lane as q450
+    // (en digests uppercased = UPDATE, ('zz','synthetic') = INSERT,
+    // everything else carried) so the two routes' results are directly
+    // comparable; REQUIREs read the store's commit journal — exactly
+    // one replace_merge commit that removed the full pre-image and
+    // wrote pre+delta − nothing partial, nothing doubled. Oracle =
+    // q450's post-upsert recomputation (MERGE ≡ keyed upsert here). ----
+    "q466_dsv2_merge_into" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val tbl = s"merge_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      def digest(docs: DataFrame): DataFrame =
+        docs.groupBy("lang", "source")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("n_chars").cast("bigint").as("sum_chars"),
+            sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+      digest(Tables.documents(s, dir))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      val nBefore = graft.sources.GraftMemStore.rowsOf(tbl).length
+      import s.implicits._
+      val delta = digest(Tables.documents(s, dir).filter(col("lang") === "en")
+          .withColumn("text", upper(col("text"))))
+        .unionByName(Seq(("zz", "synthetic", 1L, 42L, 7L))
+          .toDF("lang", "source", "n_docs", "sum_chars", "text_cksum"))
+      val src = s"graft_q466_src_$tbl"
+      delta.createOrReplaceTempView(src)
+      val nEn = delta.filter(col("lang") === "en").count()
+      s.sql(
+        s"""MERGE INTO graftmem.$tbl t USING $src s
+           |ON t.lang = s.lang AND t.source = s.source
+           |WHEN MATCHED THEN UPDATE SET
+           |  n_docs = s.n_docs, sum_chars = s.sum_chars, text_cksum = s.text_cksum
+           |WHEN NOT MATCHED THEN INSERT
+           |  (lang, source, n_docs, sum_chars, text_cksum)
+           |  VALUES (s.lang, s.source, s.n_docs, s.sum_chars, s.text_cksum)""".stripMargin)
+      val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+      require(commits.map(_.kind) == List("append", "overwrite") &&
+          commits.last.filters == "replace_merge",
+        s"q466: expected one append + ONE replace_merge commit, got $commits")
+      require(commits.last.deleted == nBefore &&
+          commits.last.inserted == nBefore + 1,
+        s"q466: replace moved deleted=${commits.last.deleted} (want $nBefore) " +
+          s"inserted=${commits.last.inserted} (want ${nBefore + 1}); en rows $nEn")
+      s.catalog.dropTempView(src)
+      s.read.format("graft-mem").option("table", tbl).load()
+        .orderBy("lang", "source")
+    },
+
     // ---- DSv2 METADATA DELETE: the remaining write-side verb after
     // append (q434), dynamic overwrite (q447), and keyed upsert (q450)
     // — `DELETE FROM <catalog table> WHERE <pred>` planned as V2
@@ -790,17 +845,13 @@ object CorePack extends QueryPack {
     // en digests over uppercased text (the UPDATE), the synthetic zz
     // row (the INSERT), every other (lang, source) digest verbatim (the
     // untouched set)
-    "q450_dsv2_upsert" ->
-      """SELECT lang, source, n_docs, sum_chars, text_cksum FROM (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |         CAST(SUM(CAST('0x' || substring(md5(
-        |                CASE WHEN lang = 'en' THEN upper(text) ELSE text END), 1, 15)
-        |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
-        |  FROM documents GROUP BY lang, source
-        |  UNION ALL
-        |  SELECT 'zz', 'synthetic', 1, 42, 7
-        |) t ORDER BY lang, source""".stripMargin,
+    "q450_dsv2_upsert" -> upsertStateOracle,
+
+    // MERGE ≡ the q450 keyed upsert on this lane: the post-merge table
+    // state recomputed directly from documents (UPDATE as a CASE,
+    // INSERT as a UNION row) — a dropped carry-over row, a double
+    // update, or a partial replace all hash-fail
+    "q466_dsv2_merge_into" -> upsertStateOracle,
 
     // the runtime-filtered join replayed over the literal key list
     // (keys cast to BIGINT up front: the UNNESTed literals land as
@@ -887,6 +938,22 @@ object CorePack extends QueryPack {
         |FROM a JOIN b USING (bucket)
         |ORDER BY bucket""".stripMargin
   )
+
+  /** The post-upsert (q450) / post-merge (q466) table state recomputed
+    * from documents: en digests over uppercased text (the UPDATE), the
+    * synthetic ('zz','synthetic') row (the INSERT), every other key
+    * untouched. */
+  private val upsertStateOracle: String =
+    """SELECT lang, source, n_docs, sum_chars, text_cksum FROM (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(SUM(CAST('0x' || substring(md5(
+      |                CASE WHEN lang = 'en' THEN upper(text) ELSE text END), 1, 15)
+      |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+      |  FROM documents GROUP BY lang, source
+      |  UNION ALL
+      |  SELECT 'zz', 'synthetic', 1, 42, 7
+      |) t ORDER BY lang, source""".stripMargin
 
   private def roundTripDigestSql(textExpr: String) =
     s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

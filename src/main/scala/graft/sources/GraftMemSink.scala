@@ -3,6 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -145,12 +146,76 @@ object GraftMemStore {
 
 class GraftMemTable(tableName: String, tableSchema: StructType)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft_mem($tableName)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  /** GROUP-BASED row-level operations (`MERGE INTO` / row-level UPDATE;
+    * DELETE keeps preferring the metadata path — Spark's
+    * OptimizeMetadataOnlyDeleteFromTable swaps the row-level plan back
+    * to [[deleteWhere]] whenever canDeleteWhere accepts, which q456's
+    * journal REQUIRE pins). The group here is the WHOLE table — the
+    * in-memory analogue of a copy-on-write file group: Spark's
+    * ReplaceData plan reads the table through [[newScanBuilder]],
+    * computes carried + merged rows, and writes the full survivor set
+    * back through this operation's WriteBuilder, which commits as ONE
+    * atomic truncate+insert (journaled as `replace_merge`/
+    * `replace_update`, so a gate can prove update+insert+carry-over
+    * landed in one commit from the store's own history). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo => LWI, RowLevelOperation => RLO, RowLevelOperationBuilder => RLOB, Write => V2Write, WriteBuilder => WB, BatchWrite => BW, DataWriterFactory => DWF, PhysicalWriteInfo => PWI, WriterCommitMessage => WCM}
+    new RLOB {
+      override def build(): RLO = new RLO {
+        override def command(): RLO.Command = info.command()
+        override def description(): String =
+          s"graft-mem group-based ${info.command()} (whole-table group)"
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftMemTable.this.newScanBuilder(options)
+        override def newWriteBuilder(lwi: LWI): WB = new WB {
+          override def build(): V2Write = new V2Write {
+            override def toBatch: BW = new BW {
+              override def createBatchWriterFactory(i: PWI): DWF =
+                // NOT the plain factory: the rewrite hands writers a
+                // ProjectingInternalRow VIEW over a wider operation row
+                // (data columns + the row-operation marker), and that
+                // view's copy() returns the UNDERLYING wide row — the
+                // writer must materialize field-by-field through the
+                // view against the write schema
+                new GraftMemProjectingWriterFactory(lwi.schema())
+              override def commit(messages: Array[WCM]): Unit = {
+                // writer rows are already materialized in write-schema
+                // order; re-order to the table schema by name (they
+                // match here, but a connector must not assume it)
+                val ws = lwi.schema()
+                val idx = tableSchema.fields.map { f =>
+                  require(ws.fieldNames.contains(f.name),
+                    s"graft-mem row-level write lost column '${f.name}': $ws")
+                  (ws.fieldIndex(f.name), f.dataType)
+                }
+                val rows = messages.flatMap {
+                  case GraftMemCommit(rs) => rs
+                  case _ => Array.empty[InternalRow]
+                }.map { r =>
+                  new GenericInternalRow(
+                    idx.map { case (i, dt) => r.get(i, dt) }.toArray[Any])
+                    : InternalRow
+                }
+                GraftMemStore.overwrite(tableName, tableSchema, _ => true,
+                  s"replace_${info.command().toString.toLowerCase}", rows)
+              }
+              override def abort(messages: Array[WCM]): Unit = ()
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** V2 metadata delete (`DELETE FROM graftmem.t WHERE …`): accept only
     * filter shapes [[compileFilter]] evaluates exactly; anything else
@@ -330,6 +395,45 @@ class GraftMemWriterFactory extends DataWriterFactory {
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       override def write(record: InternalRow): Unit = buf += record.copy()
+      override def commit(): WriterCommitMessage = GraftMemCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
+
+/** Writer for the row-level-operation path: materializes every record
+  * FIELD BY FIELD against the write schema (deep-copying buffer-backed
+  * values). Two quirks of the group-based rewrite make the plain
+  * factory's `record.copy()` wrong here: (a) when the operation
+  * declares no metadata attributes, Spark's ReplaceDataExec picks the
+  * plain writing task and the writer receives the UN-projected
+  * MergeRows output — `[__row_operation, data…]`, the marker column
+  * PREPENDED — so the data fields sit at a fixed positive offset; (b)
+  * when a projection IS applied it arrives as a ProjectingInternalRow
+  * view whose `copy()` returns the underlying wide row. Reading
+  * `numFields - schema.size` leading extras handles both shapes; any
+  * other arity is refused loudly. */
+class GraftMemProjectingWriterFactory(schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val dts = schema.fields.map(_.dataType)
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def write(record: InternalRow): Unit = {
+        val shift = record.numFields - dts.length
+        require(shift == 0 || shift == 1,
+          s"graft-mem row-level write: unexpected row arity " +
+            s"${record.numFields} for schema $schema")
+        val vals = new Array[Any](dts.length)
+        var i = 0
+        while (i < dts.length) {
+          val v = record.get(i + shift, dts(i))
+          vals(i) = if (v == null) null
+            else org.apache.spark.sql.catalyst.InternalRow.copyValue(v)
+          i += 1
+        }
+        buf += new GenericInternalRow(vals)
+      }
       override def commit(): WriterCommitMessage = GraftMemCommit(buf.toArray)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
