@@ -535,8 +535,11 @@ object CorePack extends QueryPack {
         require(exchanges.isEmpty,
           s"q460: storage-partitioned join did not engage — " +
             s"${exchanges.length} exchange(s) under the join:\n$plan")
-        val rows = j.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        if (graft.core.QueryPack.planDumpMode) j // queryExecution already built
+        else {
+          val rows = j.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        }
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)

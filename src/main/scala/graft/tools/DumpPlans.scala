@@ -117,7 +117,15 @@ object DumpPlans {
     "q442_ppr",               // seed-teleport walk: join + map-side sum per round
     "q443_kmv_jaccard",       // 64-value sketches + sources^2 estimator frame
     "q444_hilbert_layout",    // native Hilbert index + 3-way zone-map replay
-    "q445_sql_q17"            // correlated scalar agg DECORRELATED to agg+join
+    "q445_sql_q17",           // correlated scalar agg DECORRELATED to agg+join
+    "q460_dsv2_spj",          // storage-partitioned join: NO exchange under the SMJ
+    "q461_dsv2_limit_pushdown", // pushed filter+limit truncate the generated interval
+    "q462_dsv2_topn_pushdown",  // pushed ORDER BY id DESC LIMIT narrows to the tail
+    "q463_dsv2_metadata_columns", // _slice metadata column through the pruned scan
+    "q464_v2_function_catalog" // catalog scalar resolved to a direct Invoke
+    // (q465 streaming and q466 MERGE execute commands eagerly — their
+    // returned frames are read-backs, so a dump here would show only a
+    // scan; their plan shapes are pinned by their REQUIREs/specs)
   )
 
   def main(args: Array[String]): Unit = {

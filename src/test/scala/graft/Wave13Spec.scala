@@ -161,22 +161,33 @@ class Wave13Spec extends AnyFunSuite {
     } finally spark.conf.set(aqeKey, prev)
   }
 
-  test("graft-mem DELETE refuses filter shapes it cannot evaluate exactly") {
+  test("graft-mem DELETE: metadata path for exact filters, row-level fallback otherwise") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.graftmem",
       classOf[graft.sources.GraftMemCatalog].getName)
     val t = s"wave13_del_${System.nanoTime()}"
-    Seq(("abc", 1L), ("xyz", 2L)).toDF("k", "v")
+    Seq(("abc", 1L), ("xyz", 2L), ("xoo", 3L)).toDF("k", "v")
       .write.format("graft-mem").option("table", t).mode("append").save()
     spark.sql(s"DELETE FROM graftmem.$t WHERE k = 'abc'")
     assert(spark.read.format("graft-mem").option("table", t).load()
-      .collect().map(_.getString(0)).toSeq === Seq("xyz"))
-    // LIKE translates to StringStartsWith — unsupported → must throw,
-    // not silently delete a superset/subset
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM graftmem.$t WHERE k LIKE 'x%'")
-    }
-    assert(spark.read.format("graft-mem").option("table", t).load().count() === 1L)
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("xoo", "xyz"))
+    // the exact EqualTo went through the METADATA path (one journaled
+    // 'delete' commit) — canDeleteWhere accepted it
+    assert(graft.sources.GraftMemStore.commitsOf(t).map(_.kind) ===
+      List("append", "delete"))
+    // LIKE translates to StringStartsWith — canDeleteWhere REFUSES it
+    // (the row predicate can't evaluate it exactly), and since the
+    // table supports row-level operations Spark falls back to the
+    // GROUP-BASED rewrite instead of failing: the delete still executes
+    // correctly, as a journaled whole-table replace, never as a
+    // silently-widened metadata delete. (Before SupportsRowLevelOperations
+    // this statement threw — the fallback is the strictly better
+    // contract: same refusal at the metadata layer, a correct plan on
+    // top of it.)
+    spark.sql(s"DELETE FROM graftmem.$t WHERE k LIKE 'x%'")
+    assert(spark.read.format("graft-mem").option("table", t).load()
+      .collect().map(_.getString(0)).toSeq === Seq.empty)
+    assert(graft.sources.GraftMemStore.commitsOf(t).last.filters === "replace_delete")
   }
 
   test("graft-mem keyed upsert: one overwrite commit updates, inserts, and preserves") {
