@@ -311,6 +311,114 @@ object SimilarityPack extends QueryPack {
     s.read.parquet(path)
   }
 
+  // ---- TRUE multi-layer hierarchy (q467): the log-depth answer to
+  // PROFILE_HNSW_SEEDS.json's finding that a constant entry set stops
+  // holding past ~10⁴ vectors. Layer membership is deterministic
+  // nesting (vec_id % 8^l == 0 — HNSW's geometric level assignment
+  // with mL = 1/ln 8), the TOP layer is scored exhaustively (≤ N/64
+  // nodes — the constant-ish apex), and each layer's beam output seeds
+  // the next layer down, ending in the SAME layer-0 graph + beam
+  // budget q452 ships. Entry count per layer hop is hierCarryK.
+  private[graft] val hierL1Mod = 8L
+  private[graft] val hierL2Mod = 64L
+  private[graft] val hierCarryK = 8
+  private[graft] val hierL1Beam = 8
+  private[graft] val hierL1Rounds = 2
+
+  /** q467's descent: apex (% hierL2Mod) scored exhaustively → top-K
+    * entries → layer-1 beam over [[hnswLayerGraph]] → layer-0 beam over
+    * the q452 graph with its shipped budget. Returns the ranked top-k
+    * frame (q_id, rk, vec_id, cosine). */
+  private[graft] def hierTopK(s: SparkSession, d: String,
+                              vecs: DataFrame): DataFrame = {
+    val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
+    val queriesDf = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    def topCarry(scored: DataFrame): DataFrame = scored
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("crk") <= hierCarryK)
+      .select("q_id", "vec_id")
+    // apex: exhaustive over the % hierL2Mod layer
+    val entry = topCarry(queriesDf
+      .crossJoin(corpus.filter(pmod(col("vec_id"), lit(hierL2Mod)) === 0)
+        .select(col("vec_id"), col("q"), col("norm")))
+      .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+      .select("q_id", "vec_id", "cosine"))
+    // layer 1: short beam over the member graph
+    val g1 = warmed(hnswLayerGraph(s, d, hierL1Mod))
+    val l1corpus = corpus.filter(pmod(col("vec_id"), lit(hierL1Mod)) === 0)
+    val l1top = topCarry(beamSearchFrom(g1, l1corpus, queriesDf, entry,
+      hierL1Beam, hierL1Rounds))
+    // layer 0: q452's graph and budget, entered from layer 1
+    val g0 = warmed(hnswGraph(s, d))
+    val out = beamSearchFrom(g0, corpus, queriesDf, l1top, hnswBeam, hnswRounds)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .localCheckpoint()
+    g1.unpersist(); g0.unpersist()
+    out
+  }
+
+  /** Sweep hook (ProfileHnswSeeds): the hierarchical lane's recall vs
+    * the q50 brute truth on whatever corpus `d` holds. */
+  private[graft] def hnswHierRecallProbe(s: SparkSession, d: String): Double = {
+    val vecs = persistedVecs(s, d)
+    val out = hierTopK(s, d, vecs)
+    val truth = bruteTopK(vecs).select("q_id", "vec_id")
+    val r = out.select("q_id", "vec_id").join(truth, Seq("q_id", "vec_id")).count()
+      .toDouble / truth.count()
+    vecs.unpersist()
+    r
+  }
+
+  /** Layer-l graph: [[hnswGraph]]'s pool construction restricted to the
+    * layer's members (vec_id % mod == 0) — LSH pairs among members (the
+    * shared index's buckets) ∪ same-cell pairs of an IVF model trained
+    * ON THE MEMBERS (cells ∝ √|layer|, the hnswBaseGraph discipline) —
+    * then per-node top-M, symmetrized. Its own once-per-corpus
+    * artifact; the q467 oracle replays it via the prefixed graph CTEs. */
+  private[graft] def hnswLayerGraph(s: SparkSession, d: String,
+                                    mod: Long): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    val b = bucketBits(s, d)
+    val path = graft.core.Artifacts.materialize(
+      s"hnsw_layer${mod}_graph_v1_M${hnswM}_$key") { tmp =>
+      val vecs = persistedVecs(s, d)
+      val members = vecs.filter(pmod(col("vec_id"), lit(mod)) === lit(0L))
+      val nMembers = members.count()
+      val lsh = nearDupPairs(members, b, minCosine = -2.0)
+      val ranked = ivfRanked(s, d,
+        members.select("vec_id", "q", "norm"),
+        ivfCellsFor(nMembers), tag = s"_hl$mod")
+      val cells = ranked.filter(col("arn") === 1)
+      val cellsA = cells.select(col("cell"), col("vec_id").as("vec_i"),
+        col("q").as("qa"), col("norm").as("na"))
+      val cellsB = cells.select(col("cell"), col("vec_id").as("vec_j"),
+        col("q").as("qb"), col("norm").as("nb"))
+      val cellPairs = cellsA.join(cellsB, "cell")
+        .filter(col("vec_i") < col("vec_j"))
+        .withColumn("cosine", cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .select("vec_i", "vec_j", "cosine")
+      val pool = lsh.select("vec_i", "vec_j", "cosine").union(cellPairs)
+      val sym = pool.select(col("vec_i").as("src"), col("vec_j").as("dst"), col("cosine"))
+        .union(pool.select(col("vec_j").as("src"), col("vec_i").as("dst"), col("cosine")))
+        .distinct()
+      val wN = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+      sym.withColumn("nrk", row_number().over(wN))
+        .filter(col("nrk") <= hnswM)
+        .select("src", "dst")
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(tmp)
+      ranked.unpersist(); vecs.unpersist()
+    }
+    s.read.parquet(path)
+  }
+
   /** q455's BASE graph: [[hnswGraph]]'s construction restricted to the
     * base corpus split (vec_id % 10 ≠ 7, the q423/q424 delta lane) —
     * LSH pairs among base rows ∪ q423's base-model same-cell pairs —
@@ -390,14 +498,25 @@ object SimilarityPack extends QueryPack {
     * scored visited frame (q_id, vec_id, cosine); callers rank. */
   private def beamSearch(graph: DataFrame, corpus: DataFrame, queriesDf: DataFrame,
                          sm: Long, beam: Int, nRounds: Int): DataFrame = {
+    val seeds = corpus.filter(pmod(col("vec_id"), lit(sm)) === 0).select("vec_id")
+    beamSearchFrom(graph, corpus, queriesDf,
+      queriesDf.select("q_id").crossJoin(seeds), beam, nRounds)
+  }
+
+  /** [[beamSearch]]'s core with CALLER-SUPPLIED per-query entry points
+    * (`seedPairs`: (q_id, vec_id)) instead of the global stride set —
+    * what the hierarchical lane (q467) needs, where each layer's
+    * entries are the layer above's results. */
+  private def beamSearchFrom(graph: DataFrame, corpus: DataFrame,
+                             queriesDf: DataFrame, seedPairs: DataFrame,
+                             beam: Int, nRounds: Int): DataFrame = {
     def scoreOf(cand: DataFrame): DataFrame =
       cand.join(broadcast(queriesDf), "q_id")
         .join(corpus, "vec_id")
         .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
         .select("q_id", "vec_id", "cosine")
-    val seeds = corpus.filter(pmod(col("vec_id"), lit(sm)) === 0).select("vec_id")
     val wB = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
-    var visited = scoreOf(queriesDf.select("q_id").crossJoin(seeds)).localCheckpoint()
+    var visited = scoreOf(seedPairs.select("q_id", "vec_id")).localCheckpoint()
     for (_ <- 1 to nRounds) {
       val frontier = visited.withColumn("brk", row_number().over(wB))
         .filter(col("brk") <= beam).select("q_id", "vec_id")
@@ -1085,6 +1204,33 @@ object SimilarityPack extends QueryPack {
           expr("n_hits * 1000000 div n_truth").cast("bigint").as("recall_ppm"))
       graph.unpersist()
       materialized(result, truth, vecs).orderBy("beam")
+    },
+
+    // ---- HIERARCHICAL HNSW (q467): the log-depth structure the
+    // PROFILE_HNSW_SEEDS.json sweep says the flat constant-seed lane
+    // needs past ~10⁴ vectors — built and gated now, at the scale
+    // where both are measurable. Three layers by deterministic
+    // geometric nesting (vec_id % 64 / % 8 / all): the apex layer is
+    // scored EXHAUSTIVELY (≤ N/64 rows — the bounded entry HNSW's top
+    // layer provides), its top-8 seed a 2-round width-8 beam over the
+    // LAYER-1 graph (its own artifact, built by the same LSH∪IVF pool
+    // machinery restricted to members), and layer 1's top-8 seed the
+    // SAME layer-0 graph + beam budget q452 ships. Per-layer descent
+    // cost is O(carry · beam · M · rounds) — independent of N once the
+    // apex is bounded — vs the flat lane's need to grow its stride
+    // seed set. In-gate REQUIRE: recall ≥ 0.92 vs the q50 brute truth;
+    // oracle = the full hierarchical replay (prefixed graph-CTE scopes
+    // per layer, chained beam replays, entries flowing down). ----
+    "q467_ann_hnsw_hier" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val out = warmed(hierTopK(s, d, vecs))
+      val truth = bruteTopK(vecs).select("q_id", "vec_id")
+      val nTruth = truth.count()
+      val nHits = out.select("q_id", "vec_id").join(truth, Seq("q_id", "vec_id")).count()
+      require(nHits.toDouble / nTruth >= 0.92,
+        s"q467: hierarchical recall ${nHits.toDouble / nTruth} fell below " +
+          s"the 0.92 floor ($nHits/$nTruth vs q50 truth)")
+      materialized(out.toDF(), out, vecs).orderBy("q_id", "rk")
     },
 
     "q452_ann_hnsw" -> { (s, d) =>
@@ -2431,11 +2577,12 @@ object SimilarityPack extends QueryPack {
   /** DuckDB: the b CASE-ladder parameter CTE — the oracle derives the
     * bucket width from its own corpus count, mirroring [[bucketBitsFor]].
     */
-  private[operators] def paramCte: String = {
+  private[operators] def paramCte: String = paramCteP("")
+  private def paramCteP(pfx: String): String = {
     val n = "(SELECT count(*) FROM embeddings)"
     val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
       .mkString("CASE ", " ", " ELSE 41 END")
-    s"param AS (SELECT LEAST($bMax, GREATEST(4, $ladder - 3)) AS b)"
+    s"${pfx}param AS (SELECT LEAST($bMax, GREATEST(4, $ladder - 3)) AS b)"
   }
 
   /** DuckDB: sign projections of table t as correlated subqueries over
@@ -2457,42 +2604,49 @@ object SimilarityPack extends QueryPack {
 
   /** Shared CTE chain: quantized + normed + per-table-bucketed vectors
     * (`scored`), plus `param` and the per-table exploded `cor`. */
-  private[operators] def vecsCte: String = {
+  private[operators] def vecsCte: String = vecsCte("")
+
+  /** `pfx` prefixes every CTE name — required when two independent
+    * vector scopes coexist in ONE statement (q467's per-layer graph
+    * replays): DuckDB's materialized-CTE hoisting trips an internal
+    * assertion when a nested scope shadows a same-named MATERIALIZED
+    * CTE, so distinct names, not nesting, is the composition rule. */
+  private[operators] def vecsCte(pfx: String): String = {
     val buckets = (0 until nTables)
       .map(t => s"(${fullBucketSql(t, "v.q")}) % (1 << p.b) AS cb$t")
       .mkString(",\n         ")
     val corArms = (0 until nTables)
-      .map(t => s"  SELECT vec_id, q, norm, cb0, cb1, cb2, cb3, $t AS ctbl, cb$t AS cb FROM scored")
+      .map(t => s"  SELECT vec_id, q, norm, cb0, cb1, cb2, cb3, $t AS ctbl, cb$t AS cb FROM ${pfx}scored")
       .mkString("\n  UNION ALL\n")
     // scored/cor are MATERIALIZED: both are referenced from several
     // downstream CTEs (probes, candidate joins, re-rank arms), and the
     // per-row bucket arithmetic is the expensive part — without the
     // hint DuckDB re-evaluates the inlined chain per reference
     // (measured 14 s → 4 s on the q51/q52 oracles at sf0.01)
-    s"""vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
-       |$paramCte,
-       |scored AS MATERIALIZED (
+    s"""${pfx}vecs AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+       |${paramCteP(pfx)},
+       |${pfx}scored AS MATERIALIZED (
        |  SELECT vec_id, q,
        |         sqrt(${dotQSql("v.q", "v.q", dim)}) AS norm,
        |         $buckets
-       |  FROM vecs v, param p),
-       |cor AS MATERIALIZED (
+       |  FROM ${pfx}vecs v, ${pfx}param p),
+       |${pfx}cor AS MATERIALIZED (
        |$corArms)""".stripMargin
   }
 
   /** Probe CTE: query rows exploded over (table, flip mask). maxHam 0 →
     * identity mask only; 1 → identity + the b single-bit flips. */
-  private def probesCte(filterSql: String, maxHam: Int): String = {
+  private def probesCte(filterSql: String, maxHam: Int, pfx: String = ""): String = {
     val masks =
       if (maxHam == 0) "(SELECT 0 AS mask) m"
       else
-        """(SELECT CASE WHEN g.g = 0 THEN 0 ELSE 1 << (g.g - 1) END AS mask
-          |   FROM UNNEST(generate_series(0, (SELECT b FROM param))) AS g(g)) m""".stripMargin
-    s"""probes AS MATERIALIZED (
+        s"""(SELECT CASE WHEN g.g = 0 THEN 0 ELSE 1 << (g.g - 1) END AS mask
+          |   FROM UNNEST(generate_series(0, (SELECT b FROM ${pfx}param))) AS g(g)) m""".stripMargin
+    s"""${pfx}probes AS MATERIALIZED (
        |  SELECT c.vec_id AS q_id, c.q AS qq, c.norm AS qnorm,
        |         c.cb0 AS qb0, c.cb1 AS qb1, c.cb2 AS qb2, c.cb3 AS qb3,
        |         c.ctbl AS tbl, CAST(xor(c.cb, m.mask) AS INT) AS pb
-       |  FROM cor c, $masks
+       |  FROM ${pfx}cor c, $masks
        |  $filterSql)""".stripMargin
   }
 
@@ -2996,6 +3150,7 @@ object SimilarityPack extends QueryPack {
 
     // the full graph-build + unrolled-beam replay (see [[hnswOracleCore]])
     "q452_ann_hnsw" -> hnswOracle,
+    "q467_ann_hnsw_hier" -> hnswHierOracle,
 
     // base-split graph + per-delta-vector insertion links replay
     "q455_hnsw_delta_insert" -> hnswDeltaOracle,
@@ -3795,60 +3950,75 @@ object SimilarityPack extends QueryPack {
   }
 
   /** Shared graph + seed/query CTE chain (through `edges`, `scoredm`,
-    * `qset`, `sd`): everything before the beam rounds. */
-  private def hnswGraphCtes(baseCond: String, queryCond: String): String = {
+    * `qset`, `sd`): everything before the beam rounds. `pfx` prefixes
+    * every CTE name so two graph scopes (q467's layers) can coexist in
+    * one statement — see [[vecsCte]]'s composition note. */
+  private def hnswGraphCtes(baseCond: String, queryCond: String,
+                            pfx: String = ""): String = {
     val n = s"(SELECT count(*) FROM embeddings WHERE $baseCond)"
     val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
       .mkString("CASE ", " ", " ELSE 41 END")
     def condOn(alias: String) = baseCond.replace("vec_id", s"$alias.vec_id")
-    s"""$vecsCte,
-       |${probesCte(s"WHERE ${condOn("c")}", maxHam = 1)},
-       |lshp AS MATERIALIZED (
+    s"""${vecsCte(pfx)},
+       |${probesCte(s"WHERE ${condOn("c")}", maxHam = 1, pfx)},
+       |${pfx}lshp AS MATERIALIZED (
        |  SELECT p.q_id AS vec_i, c.vec_id AS vec_j,
        |         ${dotQSql("p.qq", "c.q", dim)} / (p.qnorm * c.norm) AS cosine
-       |  FROM probes p JOIN cor c
+       |  FROM ${pfx}probes p JOIN ${pfx}cor c
        |    ON c.ctbl = p.tbl AND c.cb = p.pb AND p.q_id < c.vec_id
        |   AND ${condOn("c")}
        |   AND ${emitOnceSql(maxHam = 1)}),
-       |cellp AS MATERIALIZED (
+       |${pfx}cellp AS MATERIALIZED (
        |  SELECT vec_i, vec_j, cosine FROM (
-       |    WITH ${ivfTrainCtesFrom(s"(SELECT * FROM embeddings WHERE $baseCond)", pfx = "t_")}
+       |    WITH ${ivfTrainCtesFrom(s"(SELECT * FROM embeddings WHERE $baseCond)", pfx = s"${pfx}t_")}
        |    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
        |           ${dotQSql("a.q", "b.q", dim)} / (a.norm * b.norm) AS cosine
-       |    FROM t_cells a JOIN t_cells b ON b.cell = a.cell AND a.vec_id < b.vec_id) t),
-       |pool AS MATERIALIZED (SELECT * FROM lshp UNION SELECT * FROM cellp),
-       |sym AS MATERIALIZED (SELECT vec_i AS src, vec_j AS dst, cosine FROM pool
-       |        UNION SELECT vec_j AS src, vec_i AS dst, cosine FROM pool),
-       |edges AS MATERIALIZED (SELECT src, dst FROM (
+       |    FROM ${pfx}t_cells a JOIN ${pfx}t_cells b ON b.cell = a.cell AND a.vec_id < b.vec_id) t),
+       |${pfx}pool AS MATERIALIZED (SELECT * FROM ${pfx}lshp UNION SELECT * FROM ${pfx}cellp),
+       |${pfx}sym AS MATERIALIZED (SELECT vec_i AS src, vec_j AS dst, cosine FROM ${pfx}pool
+       |        UNION SELECT vec_j AS src, vec_i AS dst, cosine FROM ${pfx}pool),
+       |${pfx}edges AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst,
        |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS nrk
-       |    FROM sym) t WHERE nrk <= $hnswM),
-       |hp AS (SELECT (1 << GREATEST(2, ($ladder) - 5)) AS sm),
-       |scoredm AS MATERIALIZED (SELECT vec_id, q, norm FROM scored WHERE $baseCond),
-       |qset AS MATERIALIZED (SELECT vec_id AS q_id, q AS qq, norm AS qnorm
-       |                      FROM scored WHERE $queryCond),
-       |sd AS (SELECT vec_id FROM scoredm, hp WHERE vec_id % hp.sm = 0)""".stripMargin
+       |    FROM ${pfx}sym) t WHERE nrk <= $hnswM),
+       |${pfx}hp AS (SELECT (1 << GREATEST(2, ($ladder) - 5)) AS sm),
+       |${pfx}scoredm AS MATERIALIZED (SELECT vec_id, q, norm FROM ${pfx}scored WHERE $baseCond),
+       |${pfx}qset AS MATERIALIZED (SELECT vec_id AS q_id, q AS qq, norm AS qnorm
+       |                      FROM ${pfx}scored WHERE $queryCond),
+       |${pfx}sd AS (SELECT vec_id FROM ${pfx}scoredm, ${pfx}hp WHERE vec_id % ${pfx}hp.sm = 0)""".stripMargin
   }
 
   /** One unrolled beam chain (`c0`…`v$hnswRounds`, names suffixed by
     * `tag` so several widths can coexist in one WITH scope). */
-  private def hnswBeamChainCtes(tag: String, beamWidth: Int): String = {
+  /** One unrolled beam chain over a `pfx`-scoped graph. `seedFromSql`
+    * replaces the stride seed set with caller-supplied per-query
+    * (q_id, vec_id) entries — how q467's layers chain (each layer's
+    * chain is seeded by the one above's result). */
+  private def hnswBeamChainCtes(tag: String, beamWidth: Int,
+                                pfx: String = "",
+                                nRounds: Int = hnswRounds,
+                                seedFromSql: Option[String] = None): String = {
     val score = s"${dotQSql("q.qq", "x.q", dim)} / (q.qnorm * x.norm)"
-    val rounds = (1 to hnswRounds).map { r =>
+    val rounds = (1 to nRounds).map { r =>
       s"""f$tag$r AS MATERIALIZED (SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS brk
          |    FROM v$tag${r - 1}) t WHERE brk <= $beamWidth),
          |c$tag$r AS MATERIALIZED (SELECT q_id, vec_id FROM v$tag${r - 1}
-         |        UNION SELECT f.q_id, e.dst FROM f$tag$r f JOIN edges e ON e.src = f.vec_id),
+         |        UNION SELECT f.q_id, e.dst FROM f$tag$r f JOIN ${pfx}edges e ON e.src = f.vec_id),
          |v$tag$r AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
-         |        FROM c$tag$r c JOIN qset q ON q.q_id = c.q_id
-         |        JOIN scoredm x ON x.vec_id = c.vec_id)""".stripMargin
+         |        FROM c$tag$r c JOIN ${pfx}qset q ON q.q_id = c.q_id
+         |        JOIN ${pfx}scoredm x ON x.vec_id = c.vec_id)""".stripMargin
     }.mkString(",\n")
-    s"""c${tag}0 AS (SELECT q.q_id, s.vec_id FROM qset q CROSS JOIN sd s),
+    val c0 = seedFromSql match {
+      case Some(sql) => s"c${tag}0 AS ($sql)"
+      case None =>
+        s"c${tag}0 AS (SELECT q.q_id, s.vec_id FROM ${pfx}qset q CROSS JOIN ${pfx}sd s)"
+    }
+    s"""$c0,
        |v${tag}0 AS MATERIALIZED (SELECT c.q_id, c.vec_id, $score AS cosine
-       |       FROM c${tag}0 c JOIN qset q ON q.q_id = c.q_id
-       |       JOIN scoredm x ON x.vec_id = c.vec_id),
+       |       FROM c${tag}0 c JOIN ${pfx}qset q ON q.q_id = c.q_id
+       |       JOIN ${pfx}scoredm x ON x.vec_id = c.vec_id),
        |$rounds""".stripMargin
   }
 
@@ -3888,6 +4058,43 @@ object SimilarityPack extends QueryPack {
       s"""SELECT q_id, rk, vec_id, cosine FROM ranked_out
          |WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin)
+
+  /** q467's oracle: the full hierarchical replay — TWO independent
+    * graph scopes in one statement (the layer-1 graph under the `l1_`
+    * prefix, the layer-0 graph under the standard names), the apex
+    * entry as an exhaustive top-K over the % 64 members, and two
+    * CHAINED beam replays whose seeds flow down (hentry → layer-1 chain
+    * → hl1top → layer-0 chain), ending in q452's ranking shape. */
+  private def hnswHierOracle: String = {
+    val score = s"${dotQSql("q.qq", "x.q", dim)} / (q.qnorm * x.norm)"
+    val chain1 = hnswBeamChainCtes("h1_", hierL1Beam, pfx = "l1_",
+      nRounds = hierL1Rounds,
+      seedFromSql = Some("SELECT q_id, vec_id FROM hentry"))
+    val chain0 = hnswBeamChainCtes("h0_", hnswBeam, pfx = "",
+      nRounds = hnswRounds,
+      seedFromSql = Some("SELECT q_id, vec_id FROM hl1top"))
+    s"""WITH ${hnswGraphCtes("TRUE", "vec_id < 5")},
+       |${hnswGraphCtes(s"vec_id % $hierL1Mod = 0", "vec_id < 5", pfx = "l1_")},
+       |hentry AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, x.vec_id,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |                            ORDER BY $score DESC, x.vec_id) AS crk
+       |  FROM qset q JOIN scoredm x ON x.vec_id % $hierL2Mod = 0) t
+       |  WHERE crk <= $hierCarryK),
+       |$chain1,
+       |hl1top AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS crk
+       |  FROM vh1_$hierL1Rounds) t WHERE crk <= $hierCarryK),
+       |$chain0,
+       |ranked_out AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM vh0_$hnswRounds WHERE vec_id <> q_id)
+       |SELECT q_id, rk, vec_id, cosine FROM ranked_out
+       |WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   /** q455's oracle: base-split graph (vec_id % 10 <> 7), the delta
     * rows as queries, each emitting its M insertion links. */

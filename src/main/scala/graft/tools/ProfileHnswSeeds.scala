@@ -57,7 +57,7 @@ object ProfileHnswSeeds {
         out
       }
 
-    val results = for (m <- mults; sl <- seedsLog2s) yield {
+    val results = (for (m <- mults; sl <- seedsLog2s) yield {
       val d = corpusDir(m)
       val t0 = System.nanoTime()
       val (n, seeds, recall) =
@@ -65,7 +65,16 @@ object ProfileHnswSeeds {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"xN=$m%3d  n=$n%7d  seeds=$seeds%5d  recall=$recall%1.3f  (${sec}%5.1f s)")
       s"""{"mult":$m,"n":$n,"seeds":$seeds,"recall":$recall}"""
-    }
+    }) ++ (for (m <- mults) yield {
+      // the hierarchical lane (q467) on the same corpora — the descent
+      // whose entry cost does NOT grow with N, vs the flat arms above
+      val d = corpusDir(m)
+      val t0 = System.nanoTime()
+      val recall = graft.operators.SimilarityPack.hnswHierRecallProbe(spark, d)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"xN=$m%3d  HIERARCHICAL       recall=$recall%1.3f  (${sec}%5.1f s)")
+      s"""{"mult":$m,"hier":true,"recall":$recall}"""
+    })
     val json = s"""{"sf":"$sfDir","beam":${graft.operators.SimilarityPack.hnswBeam},""" +
       s""""m":${graft.operators.SimilarityPack.hnswM},""" +
       s""""rounds":${graft.operators.SimilarityPack.hnswRounds},""" +

@@ -212,4 +212,27 @@ class Wave13Spec extends AnyFunSuite {
     val after = spark.read.format("graft-mem").option("table", t).load().collect()
     assert(after.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("z", 9L)))
   }
+
+  test("q467 hierarchy invariants: nested layers, bounded apex, layer-local graph") {
+    import graft.operators.SimilarityPack
+    // geometric nesting: every apex member is a layer-1 member, so the
+    // descent's entry points always exist in the layer below
+    assert(SimilarityPack.hierL2Mod % SimilarityPack.hierL1Mod === 0L)
+    val d = SparkTestSession.sfDir
+    // the layer-1 graph references ONLY layer members on both endpoints
+    val g1 = SimilarityPack.hnswLayerGraph(spark, d, SimilarityPack.hierL1Mod)
+    val offLayer = g1.filter(
+      org.apache.spark.sql.functions.pmod(col("src"),
+        org.apache.spark.sql.functions.lit(SimilarityPack.hierL1Mod)) =!= 0 ||
+      org.apache.spark.sql.functions.pmod(col("dst"),
+        org.apache.spark.sql.functions.lit(SimilarityPack.hierL1Mod)) =!= 0).count()
+    assert(offLayer === 0L, "layer-1 graph leaked non-member endpoints")
+    // degree bound: HNSW's M holds per node
+    val maxDeg = g1.groupBy("src").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDeg <= SimilarityPack.hnswM)
+    // end-to-end on the test corpus: hierarchical recall clears the
+    // same floor the flat lane gates on
+    assert(SimilarityPack.hnswHierRecallProbe(spark, d) >= 0.92)
+  }
 }
