@@ -27,9 +27,13 @@ class GraftHilbertUnbound extends UnboundFunction {
   override def description(): String =
     "hilbert2(x, y): order-8 Hilbert curve index of an 8-bit cell pair"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2 &&
-        inputType.fields.forall(_.dataType == LongType),
-      s"hilbert2 expects (BIGINT, BIGINT), got $inputType")
+    // the UnboundFunction contract wants UnsupportedOperationException on
+    // a type mismatch, so the analyzer reports a proper cannot-apply
+    // error instead of an internal-looking IllegalArgumentException
+    if (inputType.fields.length != 2 ||
+        !inputType.fields.forall(_.dataType == LongType))
+      throw new UnsupportedOperationException(
+        s"hilbert2 expects (BIGINT, BIGINT), got $inputType")
     new GraftHilbertFunction
   }
 }

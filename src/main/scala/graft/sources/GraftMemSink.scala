@@ -46,11 +46,16 @@ class GraftMemSink extends TableProvider with DataSourceRegister {
   * instead of trusting the plan. */
 object GraftMemStore {
   /** Eviction bound: the store keeps at most this many tables, dropping
-    * the OLDEST-CREATED table (and its journal) when a new one would
-    * exceed the cap. The gates create one uniquely-named table per run,
-    * so an unbounded map would leak for the lifetime of a long-lived
-    * JVM; 256 is far above any single run's table count while keeping
-    * the store bounded forever. */
+    * the LEAST-RECENTLY-ACCESSED table (and its journal) when a new one
+    * would exceed the cap — access order, not creation order, so a
+    * long-lived table an in-flight gate is still reading (appends,
+    * scans, journal checks all touch it) cannot be evicted out from
+    * under it by a burst of newer one-shot tables. Every eviction is
+    * logged to stderr so an 'unknown table' failure downstream is
+    * traceable to its cause. The gates create one uniquely-named table
+    * per run, so an unbounded map would leak for the lifetime of a
+    * long-lived JVM; 256 is far above any single run's live-table
+    * count while keeping the store bounded forever. */
   private val maxTables = 256
   /** All store + journal state mutates under this ONE monitor: every
     * commit's table mutation and its journal append are a single
@@ -58,8 +63,9 @@ object GraftMemStore {
     * a journal order that diverges from table state. The store is a
     * driver-local test sink — one uncontended lock per COMMIT (not per
     * row; rows buffer in per-task DataWriters) is noise. */
-  private val tables =
-    new java.util.LinkedHashMap[String, (StructType, Array[InternalRow])]()
+  private val tables = // accessOrder = true: get() refreshes recency
+    new java.util.LinkedHashMap[String, (StructType, Array[InternalRow])](
+      16, 0.75f, true)
   private val journal =
     new java.util.HashMap[String, List[CommitRecord]]()
 
@@ -72,13 +78,18 @@ object GraftMemStore {
     journal.getOrDefault(name, Nil)
   }
 
-  /** Insertion-order eviction of the tables beyond [[maxTables]];
-    * call under the monitor after any insert. */
+  /** LRU eviction of the tables beyond [[maxTables]] (the map is
+    * access-ordered, so the head IS the least-recently-touched table);
+    * call under the monitor after any insert. Logged: a later 'unknown
+    * table' failure must be attributable to eviction, not mystery. */
   private def evictOverflow(): Unit =
     while (tables.size() > maxTables) {
       val eldest = tables.keySet().iterator().next()
       tables.remove(eldest)
       journal.remove(eldest)
+      System.err.println(
+        s"[graft-mem] evicted least-recently-used table '$eldest' " +
+          s"(store cap $maxTables)")
     }
 
   def exists(name: String): Boolean = synchronized { tables.containsKey(name) }
@@ -183,7 +194,7 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
               override def createBatchWriterFactory(i: PWI): DWF =
                 // NOT the plain factory: the rewrite hands writers a
                 // ProjectingInternalRow VIEW over a wider operation row
-                // (data columns + the row-operation marker), and that
+                // (data columns + the __row_id column), and that
                 // view's copy() returns the UNDERLYING wide row — the
                 // writer must materialize field-by-field through the
                 // view against the write schema
@@ -407,12 +418,25 @@ class GraftMemWriterFactory extends DataWriterFactory {
   * factory's `record.copy()` wrong here: (a) when the operation
   * declares no metadata attributes, Spark's ReplaceDataExec picks the
   * plain writing task and the writer receives the UN-projected
-  * MergeRows output — `[__row_operation, data…]`, the marker column
+  * MergeRows output — `[__row_id, data…]`, the row-id column
   * PREPENDED — so the data fields sit at a fixed positive offset; (b)
   * when a projection IS applied it arrives as a ProjectingInternalRow
   * view whose `copy()` returns the underlying wide row. Reading
   * `numFields - schema.size` leading extras handles both shapes; any
-  * other arity is refused loudly. */
+  * other arity is refused loudly.
+  *
+  * The 1-field offset is an ENGINE-LAYOUT assumption (the prepended
+  * column is MergeRows' `__row_id` — `MergeRows.ROW_ID`, the
+  * cardinality-check row id the rewrite attaches to the target read;
+  * its values are unbounded, so no value-range check can validate it),
+  * and a future Spark could move it. The shift==1 path is therefore
+  * pinned to the Spark version line the layout was verified against
+  * ([[GraftMemProjectingWriterFactory.verifiedSparkPrefix]]): any other
+  * Spark fails loudly at the first wide record, demanding
+  * re-verification instead of risking silent misalignment wherever
+  * adjacent field types coincide. MergeIntoSpec + the q466 oracle hash
+  * remain the value-level end-to-end tripwires within the verified
+  * line. */
 class GraftMemProjectingWriterFactory(schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -424,6 +448,14 @@ class GraftMemProjectingWriterFactory(schema: StructType)
         require(shift == 0 || shift == 1,
           s"graft-mem row-level write: unexpected row arity " +
             s"${record.numFields} for schema $schema")
+        if (shift == 1)
+          require(org.apache.spark.SPARK_VERSION
+              .startsWith(GraftMemProjectingWriterFactory.verifiedSparkPrefix),
+            s"graft-mem row-level write: the prepended __row_id layout " +
+              s"was verified on Spark " +
+              s"${GraftMemProjectingWriterFactory.verifiedSparkPrefix}x, " +
+              s"but this is ${org.apache.spark.SPARK_VERSION} — " +
+              "re-verify the MergeRows output layout before trusting it")
         val vals = new Array[Any](dts.length)
         var i = 0
         while (i < dts.length) {
@@ -438,4 +470,11 @@ class GraftMemProjectingWriterFactory(schema: StructType)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
     }
+}
+
+object GraftMemProjectingWriterFactory {
+  /** Spark version line the shift==1 (prepended __row_id) record
+    * layout of the group-based row-level rewrite was verified against;
+    * any other version fails loudly at first write. */
+  val verifiedSparkPrefix = "4.1."
 }

@@ -322,12 +322,22 @@ object StreamingPack extends QueryPack {
     * delay), so the closed-horizon gate must anchor to
     * min(max signup ts, max purchase ts) — the two event_type subsets
     * the streams actually read — never the whole table's max. */
-  private def joinWatermarkBaseUs(s: SparkSession, d: String): Long =
-    graft.core.Tables.events(s, d)
-      .agg(least(
-        max(when(col("event_type") === "signup", unix_micros(col("ts")))),
-        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))))
-      .head().getLong(0)
+  private def joinWatermarkBaseUs(s: SparkSession, d: String): Long = {
+    // the two sides' maxes are read SEPARATELY: least() skips NULLs, so
+    // an empty event_type subset would silently anchor the gate to the
+    // non-empty side while the real stream's global watermark never
+    // advances (and emits nothing) — instead, an empty side CLOSES the
+    // horizon (Long.MinValue admits no rows), matching the stream
+    val r = graft.core.Tables.events(s, d)
+      .agg(
+        max(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("s_max"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_max"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1)) Long.MinValue
+    else math.min(r.getLong(0), r.getLong(1))
+  }
 
   /** Stream-stream watermarked FULL OUTER interval join (q457): both
     * unmatched sides surface — signups with no purchase in their 7-day
