@@ -546,6 +546,155 @@ object CorePack extends QueryPack {
       }
     },
 
+    // ---- DSv2 COMPOSED SCAN CAPABILITIES (r13 VERDICT #1): a real
+    // lakehouse connector (Iceberg/Delta) serves storage-partitioned
+    // joins AND runtime filters on the SAME table scan — q460/q454
+    // each prove one in isolation; this gate proves the composition on
+    // one scan INSTANCE, with the SPJ join itself firing the runtime
+    // filter. Two clustered graft-range scans (10⁶ ids each,
+    // KeyGroupedPartitioning over bucket) join on (bucket, id) — join
+    // keys ⊇ partition keys, the standard lakehouse PK-join shape — so
+    // the join plans exchange-free on the storage partitioning. Side B
+    // carries a selective RESIDUAL filter (`sq < 4096`, deliberately
+    // not id-pushable, surviving as a Filter node → 64 rows), and with
+    // reuseBroadcastOnly=false Spark's dynamic-pruning rule plans its
+    // own subquery over side B's distinct ids and delivers them to
+    // side A's SupportsRuntimeFiltering AT RUNTIME: side A generates
+    // ONLY the 64 surviving ids out of 10⁶, while all 16 bucket
+    // partitions stay planned (the KeyGrouped runtime-filter contract:
+    // identical partition-value set, so the storage partitioning
+    // survives the narrowing) — an Iceberg scan dropping files at
+    // execution time INSIDE an exchange-free bucket join. The
+    // per-bucket aggregate above the join rides the same partitioning.
+    // REQUIREs pin (a) both clustered scan instances, (b) a shuffled
+    // join with ZERO ShuffleExchange under it, (c) no hash-partition
+    // exchange ANYWHERE (the only allowed shuffle is the output sort's
+    // range partitioning — join and aggregate both rode the storage
+    // partitioning), and (d) post-execution, exactly one scan received
+    // exactly the 64 runtime ids. AQE and broadcast off (set/restored)
+    // so the static plan is REQUIRE-able and the join cannot degrade
+    // to broadcast. Oracle replays the surviving ids 0..63 (sq < 4096
+    // ⇔ id < 64) from generate_series. Output collected inside the
+    // conf scope (16 rows) — the q454 discipline. ----
+    "q468_dsv2_composed_scan" -> { (s, _) =>
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+        // join keys (bucket, id) ⊋ partition keys (bucket): the
+        // co-partition check must accept the subset match — the same
+        // conf Iceberg documents for its storage-partitioned joins
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def clusteredScan(n: Long) = s.read.format("graft-range")
+          .option("n", n.toString).option("slices", "8")
+          .option("clusterByBucket", "true").load()
+        val a = clusteredScan(1000000L).alias("a")
+        // sq is NOT an accepted pushdown column, so the selective
+        // predicate survives as the Filter node dynamic pruning needs;
+        // the smaller side keeps the pruning-benefit estimate positive
+        // (filtering-plan cost ≪ half the pruned scan's reported size)
+        val b = clusteredScan(65536L).filter(col("sq") < 4096L).alias("b")
+        val j = a.join(b,
+            col("a.bucket") === col("b.bucket") && col("a.id") === col("b.id"))
+          .groupBy(col("a.bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("a.sq")).as("sum_sq"),
+            min(col("a.id")).as("min_id"), max(col("b.id")).as("max_id"))
+          .select(col("bucket").cast("int").as("bucket"),
+            col("n").cast("bigint").as("n"),
+            col("sum_sq").cast("bigint").as("sum_sq"),
+            col("min_id").cast("bigint").as("min_id"),
+            col("max_id").cast("bigint").as("max_id"))
+          .orderBy("bucket")
+        val plan = j.queryExecution.executedPlan
+        val clustered = plan.collect {
+          case x: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            x.scan
+        }.collect { case c: graft.sources.GraftRangeClusteredScan => c }
+        require(clustered.length == 2,
+          s"q468: expected two clustered V2 scans, got plan:\n$plan")
+        val join = plan.collectFirst {
+          case n: org.apache.spark.sql.execution.joins.SortMergeJoinExec => n
+          case n: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => n
+        }.getOrElse(sys.error(s"q468: no shuffled join node in plan:\n$plan"))
+        val underJoin = join.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        val hashExchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+        }
+        require(underJoin.isEmpty && hashExchanges.isEmpty,
+          s"q468: storage-partitioned join did not engage — " +
+            s"${underJoin.length} exchange(s) under the join, " +
+            s"${hashExchanges.length} non-sort exchange(s) in plan:\n$plan")
+        if (graft.core.QueryPack.planDumpMode) j
+        else {
+          val rows = j.collect() // drive execution so the runtime filter fires
+          val filtered = clustered.flatMap(_.runtimeSet.map(_.length))
+          require(filtered == Seq(64),
+            s"q468: runtime filter did not reach exactly one clustered " +
+              s"scan with the 64 surviving ids (got $filtered)")
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        }
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
+    // ---- DSv2 CLUSTERED AGGREGATE PUSHDOWN (q468's third
+    // capability, gated separately because the compositions pin
+    // different plan shapes): with `clusterAgg=true` the SAME
+    // clustered scan builder that reports KeyGroupedPartitioning also
+    // accepts a pushed range FILTER (narrowing the generated interval)
+    // and a pushed GROUP BY bucket AGGREGATE — one closed-form partial
+    // row per bucket partition, nothing row-shaped crossing the scan
+    // boundary out of 10⁶ candidate ids. REQUIREs pin all three static
+    // capabilities on ONE scan instance: the clustered agg scan class
+    // (agg pushed + partitioning reported), the filter-narrowed bounds
+    // (lo/hi), and the pushed function list. Honest engine limitation,
+    // documented: Spark's pushed-agg rewrite renames the group column
+    // (`bucket AS group_col_0`), and KeyGroupedPartitioning is not an
+    // Expression so the rename Project cannot alias-project it — the
+    // final merge therefore shuffles the ≤16×16 partial rows (bounded
+    // by buckets × partitions, NOT by n; at 100 TB the scan boundary
+    // has already done all the work). Oracle replays the narrowed
+    // interval's group-by from generate_series, so a closed-form
+    // partial slip or a lost bucket hash-fails. ----
+    "q471_dsv2_clustered_agg_pushdown" -> { (s, _) =>
+      val df = s.read.format("graft-range")
+        .option("n", "1000000").option("slices", "8")
+        .option("clusterByBucket", "true").option("clusterAgg", "true")
+        .load()
+        .filter(col("id") >= 200000L && col("id") < 840000L)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("sq").as("sum_sq"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+      require(scans.nonEmpty,
+        s"q471: lost the V2 scan relation:\n${df.queryExecution.optimizedPlan}")
+      val scan = scans.head match {
+        case a: graft.sources.GraftRangeClusteredAggScan => a
+        case other => sys.error(
+          s"q471: aggregation was NOT pushed to the clustered scan: $other")
+      }
+      require(scan.lo == 200000L && scan.hi == 840000L,
+        s"q471: pushed filter did not narrow the clustered agg scan: " +
+          s"generates [${scan.lo}, ${scan.hi})")
+      require(scan.funcs == Seq("count", "sum_sq"),
+        s"q471: pushed clustered aggregation shape mismatch: ${scan.funcs}")
+      df.select(col("bucket").cast("int").as("bucket"),
+          col("n").cast("bigint").as("n"),
+          col("sum_sq").cast("bigint").as("sum_sq"))
+        .orderBy("bucket")
+    },
+
     // ---- DSv2 LIMIT PUSHDOWN: `LIMIT k` reaches the connector
     // (SupportsPushDownLimit) and TRUNCATES the generated interval —
     // out of n = 10⁶ candidate ids, the readers materialize exactly
@@ -922,6 +1071,31 @@ object CorePack extends QueryPack {
         |       CAST(g.i % 16 AS INT) AS bucket
         |FROM UNNEST(generate_series(999900, 999999)) AS g(i)
         |ORDER BY id DESC""".stripMargin,
+
+    // the composed join replayed over the surviving ids (sq < 4096 ⇔
+    // id ∈ [0, 64)): a key dropped inside the pushed runtime set, a
+    // lost bucket partition, or a row in the wrong keyed partition all
+    // hash-fail
+    "q468_dsv2_composed_scan" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id
+        |FROM UNNEST(generate_series(0, 63)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // the filter-narrowed interval's group-by replayed row-by-row —
+    // the clustered scan's closed-form per-bucket partials must merge
+    // to the brute answer
+    "q471_dsv2_clustered_agg_pushdown" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq
+        |FROM UNNEST(generate_series(200000, 839999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     // both sides' per-bucket digests recomputed from generate_series
     // and joined — a row landing in the wrong keyed partition on the

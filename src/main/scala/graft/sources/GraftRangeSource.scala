@@ -54,9 +54,15 @@ class GraftRangeSource extends TableProvider with DataSourceRegister {
       Option(properties.get("batchRows")).map(_.toLong).getOrElse(math.max(n, 1L))
     val clustered =
       Option(properties.get("clusterByBucket")).exists(_.toBoolean)
+    // opt-in: let a CLUSTERED scan also accept aggregate pushdown (the
+    // composed-capability connector shape, q468); kept off by default so
+    // the raw-scan SPJ gate (q460) keeps pinning the un-aggregated
+    // clustered scan instance
+    val clusterAgg =
+      Option(properties.get("clusterAgg")).exists(_.toBoolean)
     require(n >= 0 && slices >= 1 && batchRows >= 1,
       s"graft-range: bad n=$n slices=$slices batchRows=$batchRows")
-    new GraftRangeTable(n, slices, batchRows, clustered)
+    new GraftRangeTable(n, slices, batchRows, clustered, clusterAgg)
   }
 }
 
@@ -90,7 +96,7 @@ object GraftRangeSource {
 }
 
 class GraftRangeTable(n: Long, slices: Int, batchRows: Long,
-                      clustered: Boolean = false)
+                      clustered: Boolean = false, clusterAgg: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_range(n=$n, slices=$slices)"
@@ -110,11 +116,12 @@ class GraftRangeTable(n: Long, slices: Int, batchRows: Long,
       override def comment(): String = "input-partition (split) ordinal"
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(n, slices, batchRows, clustered)
+    new GraftRangeScanBuilder(n, slices, batchRows, clustered, clusterAgg)
 }
 
 class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long,
-                            clustered: Boolean = false)
+                            clustered: Boolean = false,
+                            clusterAgg: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -206,18 +213,23 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long,
     * declined and Spark falls back to a plain scan + its own agg. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    // in clustered mode the point IS the reported partitioning — an
-    // agg-pushdown scan would answer in closed form and lose the
+    // in default clustered mode the point IS the reported partitioning —
+    // an agg-pushdown scan would answer in closed form and lose the
     // KeyGroupedPartitioning the SPJ gate pins, so decline and let
-    // Spark aggregate over the clustered scan (exchange-free anyway)
-    if (clustered) return false
+    // Spark aggregate over the clustered scan (exchange-free anyway).
+    // With clusterAgg=true the two capabilities COMPOSE (q468): a
+    // GROUP BY bucket is accepted and the pushed-agg scan itself keeps
+    // reporting KeyGroupedPartitioning over one partial row per bucket
+    // — a global (ungrouped) agg is still declined, since it could not
+    // preserve the bucket partitioning.
+    if (clustered && !clusterAgg) return false
     def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
               name: String): Boolean = e match {
       case r: NamedReference => r.fieldNames.sameElements(Array(name))
       case _ => false
     }
     val grouped = aggregation.groupByExpressions match {
-      case Array() => Some(false)
+      case Array() if !clustered => Some(false)
       case Array(g) if isCol(g, "bucket") => Some(true)
       case _ => None
     }
@@ -236,6 +248,8 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long,
   }
 
   override def build(): Scan = aggFuncs match {
+    case Some(funcs) if clustered =>
+      new GraftRangeClusteredAggScan(math.max(lo, 0L), math.min(hi, n), funcs)
     case Some(funcs) =>
       new GraftRangeAggScan(math.max(lo, 0L), math.min(hi, n), slices,
         aggGrouped, funcs)
@@ -268,14 +282,101 @@ class GraftRangeScanBuilder(n: Long, slices: Int, batchRows: Long,
   * bucket-partitioned tables join at 100 TB without shuffling either
   * side. All 16 bucket partitions are always planned (empty intervals
   * included), so both join sides expose identical partition-value sets
-  * and the co-partition check never needs value back-fill. */
+  * and the co-partition check never needs value back-fill.
+  *
+  * The clustered scan ALSO implements `SupportsRuntimeFiltering` on
+  * `id` (q468): the two capabilities compose, because runtime
+  * filtering only narrows WHICH ids each bucket partition generates —
+  * the partition-key layout is untouched. Spark's KeyGrouped runtime-
+  * filter contract demands the filtered partitions expose the exact
+  * same partition-value set ([[planInputPartitions]] always returns
+  * all 16 buckets, surviving-id lists attached per bucket, possibly
+  * empty), so BatchScanExec keeps the reported partitioning and the
+  * SPJ above stays exchange-free while the readers generate only the
+  * runtime-surviving ids — an Iceberg scan dropping files at execution
+  * inside a storage-partitioned join, the 100 TB composition. */
 class GraftRangeClusteredScan(val lo: Long, val hi: Long, required: StructType)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning}
+  import org.apache.spark.sql.sources.{Filter, In}
+  /** Real size/row statistics (a fourth composed capability — every
+    * serious connector reports them): without these, every V2 scan
+    * weighs in at defaultSizeInBytes and the optimizer can neither
+    * rank join sides nor justify a dynamic-pruning subquery (the q468
+    * benefit estimate compares the pruned side's size against the
+    * filtering side's — two unknowns cancel to "no benefit"). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows = math.max(hi - lo, 0L)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * 24L) // 2×i64 + i32 + slack
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  /** Runtime-narrowed id set (sorted), observable by plan REQUIREs. */
+  @volatile var runtimeSet: Option[Array[Long]] = None
+  /** Only advertised while `id` survives column pruning: Spark resolves
+    * filterAttributes against the PRUNED scan output, so a scan whose
+    * projection dropped `id` (q460's digest sides) must not offer it. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (required.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      runtimeSet = Some(vs.collect { case l: java.lang.Long => l.longValue() }
+        .filter(v => v >= lo && v < hi).sorted)
+    case _ => () // unrecognized runtime filters are safely ignored
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-range [$lo, $hi) clustered_by=bucket"
+  override def outputPartitioning(): Partitioning =
+    new V2KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("bucket")),
+      16)
+  override def planInputPartitions(): Array[InputPartition] = runtimeSet match {
+    case Some(vals) =>
+      // all 16 buckets STAY planned (identical partition-value set, the
+      // KeyGrouped runtime-filter contract); each carries only its own
+      // surviving ids — empty buckets read zero rows
+      (0 until 16).map { b =>
+        GraftRangeBucketPartition(b, lo, hi,
+          vals.filter(v => (v % 16L).toInt == b)): InputPartition
+      }.toArray
+    case None =>
+      (0 until 16).map(b => GraftRangeBucketPartition(b, lo, hi): InputPartition)
+        .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required.fieldNames)
+}
+
+/** The pushed-aggregation scan in CLUSTERED mode (`clusterAgg=true`,
+  * q468): the GROUP BY bucket partials are answered in closed form AND
+  * the scan keeps reporting `KeyGroupedPartitioning(identity(bucket),
+  * 16)` — one `HasPartitionKey` partition per bucket emitting that
+  * bucket's single pre-aggregated row — so Spark's final merge
+  * aggregate runs exchange-free on the storage partitioning, and a
+  * bucket-keyed join above it still plans as a storage-partitioned
+  * join. This is the three-capability composition a lakehouse
+  * connector (Iceberg with bucket partition transforms + min/max
+  * stats) serves at 100 TB: nothing row-shaped crosses the scan
+  * boundary, nothing shuffles above it. */
+class GraftRangeClusteredAggScan(val lo: Long, val hi: Long,
+                                 val funcs: Seq[String])
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning}
+  override def readSchema(): StructType = StructType(
+    StructField("bucket", IntegerType, nullable = false) +:
+      funcs.map(f => StructField(f, LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range [$lo, $hi) clustered_by=bucket pushed_aggs=${funcs.mkString(",")}"
   override def outputPartitioning(): Partitioning =
     new V2KeyGroupedPartitioning(
       Array(org.apache.spark.sql.connector.expressions.Expressions.identity("bucket")),
@@ -284,7 +385,36 @@ class GraftRangeClusteredScan(val lo: Long, val hi: Long, required: StructType)
     (0 until 16).map(b => GraftRangeBucketPartition(b, lo, hi): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRangeReaderFactory(required.fieldNames)
+    new GraftRangeClusteredAggReaderFactory(funcs)
+}
+
+/** Emits each bucket partition's single closed-form partial row
+  * (bucket, partial₁, …) over the ids ≡ bucket (mod 16) in [lo, hi) —
+  * an empty bucket interval emits NO row (a zero row would corrupt
+  * min/max in Spark's final merge; absent groups are the correct
+  * partial-agg shape). */
+class GraftRangeClusteredAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftRangeBucketPartition]
+    val first = p.lo + java.lang.Math.floorMod(p.bucket - p.lo, 16L)
+    val rows: Iterator[Array[Any]] =
+      if (first >= p.hi) Iterator.empty
+      else {
+        val c = (p.hi - 1 - first) / 16 + 1
+        Iterator.single(java.lang.Integer.valueOf(p.bucket) +:
+          GraftRangeAggReaderFactory.apAggs(funcs, first, 16L, c))
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: Array[Any] = _
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        cur = rows.next(); true
+      }
+      override def get(): InternalRow = new GenericInternalRow(cur)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Generates ids in [lo, hi) — the post-pushdown interval. Also
@@ -307,8 +437,12 @@ class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
   import org.apache.spark.sql.sources.{Filter, In}
   /** Runtime-narrowed id set (sorted), observable by plan REQUIREs. */
   @volatile var runtimeSet: Option[Array[Long]] = None
+  /** Only advertised while `id` survives column pruning (Spark resolves
+    * filterAttributes against the PRUNED scan output). */
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    if (required.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    else Array.empty
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) =>
       runtimeSet = Some(vs.collect { case l: java.lang.Long => l.longValue() }
@@ -441,27 +575,33 @@ class GraftRangeAggScan(val lo: Long, val hi: Long, slices: Int,
     new GraftRangeAggReaderFactory(grouped, funcs)
 }
 
+object GraftRangeAggReaderFactory {
+  /** Arithmetic-progression partials over ids first, first+step, …
+    * (c terms): count, min, max, and Σ id² = c·a² + 2·a·step·Σj +
+    * step²·Σj² with Σj = c(c-1)/2, Σj² = (c-1)c(2c-1)/6 — exact int64
+    * at the gated n. Shared by the sliced ([[GraftRangeAggScan]]) and
+    * clustered ([[GraftRangeClusteredAggScan]]) pushed-agg readers. */
+  def apAggs(funcs: Seq[String], first: Long, step: Long, c: Long): Array[Any] = {
+    val last = first + step * (c - 1)
+    val sj = c * (c - 1) / 2
+    val sj2 = (c - 1) * c * (2 * c - 1) / 6
+    val sumSq = c * first * first + 2 * first * step * sj + step * step * sj2
+    funcs.map[Any] {
+      case "count" => java.lang.Long.valueOf(c)
+      case "min_id" => java.lang.Long.valueOf(first)
+      case "max_id" => java.lang.Long.valueOf(last)
+      case "sum_sq" => java.lang.Long.valueOf(sumSq)
+    }.toArray
+  }
+}
+
 class GraftRangeAggReaderFactory(grouped: Boolean, funcs: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftRangePartition]
-    // per-group arithmetic-progression stats over [start, end):
-    // ids first, first+step, … — count, min, max, and Σ id² =
-    // c·a² + 2·a·step·Σj + step²·Σj² with Σj = c(c-1)/2,
-    // Σj² = (c-1)c(2c-1)/6 (exact int64 at the gated n).
     def apRow(bucket: Int, first: Long, step: Long, c: Long): Array[Any] = {
-      val last = first + step * (c - 1)
-      val sj = c * (c - 1) / 2
-      val sj2 = (c - 1) * c * (2 * c - 1) / 6
-      val sumSq = c * first * first + 2 * first * step * sj + step * step * sj2
-      val aggs: Seq[Any] = funcs.map {
-        case "count" => java.lang.Long.valueOf(c)
-        case "min_id" => java.lang.Long.valueOf(first)
-        case "max_id" => java.lang.Long.valueOf(last)
-        case "sum_sq" => java.lang.Long.valueOf(sumSq)
-      }
-      ((if (grouped) Seq(java.lang.Integer.valueOf(bucket)) else Seq.empty) ++
-        aggs).toArray
+      val aggs = GraftRangeAggReaderFactory.apAggs(funcs, first, step, c)
+      if (grouped) java.lang.Integer.valueOf(bucket) +: aggs else aggs
     }
     val rows: Iterator[Array[Any]] =
       if (p.end <= p.start) Iterator.empty
@@ -492,8 +632,13 @@ case class GraftRangeSetPartition(ids: Array[Long], slice: Int = 0)
 
 /** One bucket's rows of [lo, hi) — ids ≡ bucket (mod 16), declared as
   * the partition's key so BatchScanExec can build the physical
-  * KeyGroupedPartitioning for storage-partitioned joins. */
-case class GraftRangeBucketPartition(bucket: Int, lo: Long, hi: Long)
+  * KeyGroupedPartitioning for storage-partitioned joins. A non-null
+  * `ids` array (the runtime-filtered clustered scan) replaces the
+  * generated interval with the explicit surviving ids of THIS bucket
+  * (possibly empty — the partition must still exist so the filtered
+  * scan exposes the identical partition-value set). */
+case class GraftRangeBucketPartition(bucket: Int, lo: Long, hi: Long,
+                                     ids: Array[Long] = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -506,9 +651,12 @@ class GraftRangeReaderFactory(fields: Array[String])
     val (iter: Iterator[Long], slice: Int) = partition match {
       case GraftRangePartition(start, end, sl) => (Iterator.range(start, end), sl)
       case GraftRangeSetPartition(ids, sl) => (ids.iterator, sl)
-      case GraftRangeBucketPartition(b, lo, hi) =>
-        val first = lo + java.lang.Math.floorMod(b - lo, 16L)
-        (Iterator.iterate(first)(_ + 16L).takeWhile(_ < hi), b)
+      case GraftRangeBucketPartition(b, lo, hi, ids) =>
+        if (ids != null) (ids.iterator, b)
+        else {
+          val first = lo + java.lang.Math.floorMod(b - lo, 16L)
+          (Iterator.iterate(first)(_ + 16L).takeWhile(_ < hi), b)
+        }
     }
     new PartitionReader[InternalRow] {
       private var cur = 0L

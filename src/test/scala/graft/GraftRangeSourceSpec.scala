@@ -216,4 +216,90 @@ class GraftRangeSourceSpec extends AnyFunSuite {
     assert(st.latestOffset() === GraftRangeOffset(100L)) // 60+40
     assert(st.latestOffset() === GraftRangeOffset(103L)) // clamped to hi
   }
+
+  // ---- composed clustered-scan capabilities (q468/q471 mechanics) ----
+
+  test("clustered runtime filter keeps all 16 bucket partitions with the " +
+      "identical key set while narrowing the generated ids") {
+    val scan = new graft.sources.GraftRangeClusteredScan(0L, 1000L,
+      graft.sources.GraftRangeSource.schema)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id",
+        Array[Any](java.lang.Long.valueOf(3L), java.lang.Long.valueOf(19L),
+          java.lang.Long.valueOf(35L), java.lang.Long.valueOf(4L),
+          java.lang.Long.valueOf(2000L))))) // 2000 outside [0,1000) → dropped
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 16) // the KeyGrouped contract: no bucket vanishes
+    val byBucket = parts.map(_.asInstanceOf[graft.sources.GraftRangeBucketPartition])
+      .map(p => p.bucket -> Option(p.ids).map(_.toSeq).getOrElse(Nil)).toMap
+    assert(byBucket(3) === Seq(3L, 19L, 35L)) // 3 ≡ 19 ≡ 35 (mod 16)
+    assert(byBucket(4) === Seq(4L))
+    assert(byBucket(5) === Nil) // surviving-empty bucket still planned
+  }
+
+  test("clustered scan only advertises id for runtime filtering while it " +
+      "survives pruning") {
+    val full = new graft.sources.GraftRangeClusteredScan(0L, 100L,
+      graft.sources.GraftRangeSource.schema)
+    assert(full.filterAttributes().map(_.describe()).toSeq === Seq("id"))
+    val pruned = new graft.sources.GraftRangeClusteredScan(0L, 100L,
+      org.apache.spark.sql.types.StructType(
+        graft.sources.GraftRangeSource.schema.filter(_.name != "id")))
+    assert(pruned.filterAttributes().isEmpty)
+  }
+
+  test("clustered agg pushdown (clusterAgg=true) answers GROUP BY bucket in " +
+      "closed form and composes with a pushed range filter") {
+    val df = spark.read.format("graft-range")
+      .option("n", "100000").option("slices", "8")
+      .option("clusterByBucket", "true").option("clusterAgg", "true").load()
+      .filter("id >= 1000 and id < 91000")
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("sq").as("sum_sq"))
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.head
+    assert(scan.isInstanceOf[graft.sources.GraftRangeClusteredAggScan])
+    val a = scan.asInstanceOf[graft.sources.GraftRangeClusteredAggScan]
+    assert((a.lo, a.hi) === (1000L, 91000L))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = (1000L until 91000L).groupBy(i => (i % 16).toInt).toSeq.sortBy(_._1)
+      .map { case (b, ids) => (b, ids.length.toLong, ids.map(i => i * i).sum) }
+    assert(got.toSeq === want)
+  }
+
+  test("clustered agg pushdown declines global aggregates (partitioning " +
+      "could not survive) and without clusterAgg") {
+    def scanFor(clusterAgg: Boolean, grouped: Boolean) = {
+      var df = spark.read.format("graft-range")
+        .option("n", "1000").option("slices", "4")
+        .option("clusterByBucket", "true")
+        .option("clusterAgg", clusterAgg.toString).load()
+      val agg = if (grouped)
+        df.groupBy("bucket").agg(org.apache.spark.sql.functions.sum("sq").as("s"))
+      else df.agg(org.apache.spark.sql.functions.sum("sq").as("s"))
+      agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.head
+    }
+    assert(!scanFor(clusterAgg = false, grouped = true)
+      .isInstanceOf[graft.sources.GraftRangeClusteredAggScan])
+    assert(!scanFor(clusterAgg = true, grouped = false)
+      .isInstanceOf[graft.sources.GraftRangeClusteredAggScan])
+    assert(scanFor(clusterAgg = true, grouped = true)
+      .isInstanceOf[graft.sources.GraftRangeClusteredAggScan])
+  }
+
+  test("clustered scan reports real statistics (rows and bytes scale with " +
+      "the narrowed interval)") {
+    val scan = new graft.sources.GraftRangeClusteredScan(100L, 600L,
+      graft.sources.GraftRangeSource.schema)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong === 500L)
+    assert(st.sizeInBytes().getAsLong === 500L * 24L)
+  }
 }
