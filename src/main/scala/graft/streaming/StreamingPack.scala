@@ -794,6 +794,121 @@ object StreamingPack extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** Exactly-once streaming MERGE sink across a restart (q469, r13
+    * VERDICT #2): composes q465 (checkpoint resume across sessions) and
+    * q466 (SQL MERGE INTO through DSv2 row-level operations) into the
+    * production shape — a foreachBatch sink that MERGEs each micro-
+    * batch's per-bucket digest into a graft-mem table, keyed by
+    * (batch_id, bucket). That key choice is THE exactly-once idiom:
+    * Structured Streaming guarantees foreachBatch a stable batch_id
+    * for a replayed batch, so a batch re-delivered after a crash
+    * between sink commit and offset commit re-MERGEs the identical
+    * rows onto the identical keys (UPDATE to equal values, INSERT of
+    * nothing) — idempotent, no loss, no double-count. The gate drives
+    * the failure mode EXPLICITLY instead of trusting the argument:
+    * phase 1 drains 120k ids (4 batches) under Trigger.AvailableNow;
+    * then the LAST batch's MERGE is re-executed by hand with the same
+    * batch_id and data (the crash-replay); REQUIREs pin from the
+    * store's own journal that the replay commit was a pure no-op
+    * rewrite (table row count unchanged, inserted == deleted); phase 2
+    * resumes in a BRAND-NEW SparkSession from the shared checkpoint
+    * (80k new ids, 3 batches, NOT a replay from 0). The returned frame
+    * folds the (batch_id, bucket) ledger back to per-bucket totals
+    * plus the batch count per bucket; the oracle recomputes everything
+    * from generate_series with the literal 7-batch count — a lost
+    * batch, a doubled batch, or a replay that mutated state all
+    * hash-fail. */
+  def streamMergeExactlyOnce(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val runId = counter.incrementAndGet()
+    val root = graft.core.Artifacts.perRunSinkPath(s, s"stream_merge_$runId")
+    val ckpt = s"$root/ckpt"
+    val tbl = s"smerge_${runId}_${System.identityHashCode(s)}"
+    graft.sources.GraftMemStore.create(tbl, StructType(Seq(
+      StructField("batch_id", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("min_id", LongType, nullable = false),
+      StructField("max_id", LongType, nullable = false))))
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val sess = batch.sparkSession
+      sess.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val digest = batch.groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("sq").cast("long").as("sum_sq"),
+          min("id").cast("long").as("min_id"),
+          max("id").cast("long").as("max_id"))
+        .select(lit(batchId).as("batch_id"), col("bucket").cast("int").as("bucket"),
+          col("n"), col("sum_sq"), col("min_id"), col("max_id"))
+      val src = s"graft_q469_src_${tbl}_$batchId"
+      digest.createOrReplaceTempView(src)
+      try sess.sql(
+        s"""MERGE INTO graftmem.$tbl t USING $src s
+           |ON t.batch_id = s.batch_id AND t.bucket = s.bucket
+           |WHEN MATCHED THEN UPDATE SET
+           |  n = s.n, sum_sq = s.sum_sq, min_id = s.min_id, max_id = s.max_id
+           |WHEN NOT MATCHED THEN INSERT
+           |  (batch_id, bucket, n, sum_sq, min_id, max_id)
+           |  VALUES (s.batch_id, s.bucket, s.n, s.sum_sq, s.min_id, s.max_id)"""
+          .stripMargin)
+      finally sess.catalog.dropTempView(src)
+    }
+    def drain(sess: SparkSession, n: Long): Seq[Long] = {
+      val src = sess.readStream.format("graft-range")
+        .option("n", n.toString).option("slices", "8")
+        .option("batchRows", "30000")
+        .load()
+      val q = src.writeStream
+        .foreachBatch(mergeBatch _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      } finally q.stop()
+    }
+    val p1 = drain(s, 120000L)
+    require(p1.length >= 2 && p1.sum == 120000L,
+      s"q469 phase 1: expected a multi-batch 120k drain, got $p1")
+    val ledger1 = graft.sources.GraftMemStore.rowsOf(tbl).length
+    require(ledger1 == p1.length * 16,
+      s"q469 phase 1: ledger has $ledger1 rows, want ${p1.length * 16}")
+    // THE CRASH-REPLAY: re-deliver the last batch (same batch_id, same
+    // rows — ids [90000, 120000) as batch 3) straight into the sink
+    // function, exactly what recovery does when the sink committed but
+    // the offset log did not
+    val lastBatch = s.read.format("graft-range")
+      .option("n", "120000").option("slices", "8").load()
+      .filter(col("id") >= 90000L)
+    mergeBatch(lastBatch, p1.length - 1L)
+    val afterReplay = graft.sources.GraftMemStore.rowsOf(tbl).length
+    require(afterReplay == ledger1,
+      s"q469: replayed batch GREW the ledger ($ledger1 -> $afterReplay) — " +
+        "the MERGE is not idempotent")
+    val replayCommit = graft.sources.GraftMemStore.commitsOf(tbl).last
+    require(replayCommit.filters == "replace_merge" &&
+        replayCommit.inserted == replayCommit.deleted,
+      s"q469: replay commit is not a no-op rewrite: $replayCommit")
+    // phase 2: brand-new session, same checkpoint — resume, don't replay
+    val p2 = drain(s.newSession(), 200000L)
+    require(p2.length >= 2 && p2.sum == 80000L,
+      s"q469 phase 2: expected a multi-batch 80k resume " +
+        s"(NOT a replay from 0), got $p2")
+    val back = s.read.format("graft-mem").option("table", tbl).load()
+    back.groupBy("bucket")
+      .agg(sum("n").cast("bigint").as("n"),
+        sum("sum_sq").cast("bigint").as("sum_sq"),
+        min("min_id").cast("bigint").as("min_id"),
+        max("max_id").cast("bigint").as("max_id"),
+        count(lit(1)).cast("bigint").as("n_batches"))
+      .select(col("bucket").cast("int").as("bucket"), col("n"),
+        col("sum_sq"), col("min_id"), col("max_id"), col("n_batches"))
+      .orderBy("bucket")
+  }
+
   def streamKsDrift(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupPack
     val deltaCounts = s.readStream
@@ -1203,6 +1318,7 @@ object StreamingPack extends QueryPack {
     "q431_stream_bm25_delta" -> ((s, d) => streamBm25Delta(s, d)),
     "q438_stream_dsv2_source" -> ((s, _) => streamDsv2Source(s)),
     "q465_stream_restart_resume" -> ((s, _) => streamRestartResume(s)),
+    "q469_stream_merge_exactly_once" -> ((s, _) => streamMergeExactlyOnce(s)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
@@ -1312,6 +1428,22 @@ object StreamingPack extends QueryPack {
         |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
         |       CAST(MIN(g.i) AS BIGINT) AS min_id,
         |       CAST(MAX(g.i) AS BIGINT) AS max_id
+        |FROM UNNEST(generate_series(0, 199999)) AS g(i)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // the restart-spanning MERGE ledger must fold back to exactly the
+    // full generator, with exactly 7 batches (4 + 3, the replayed
+    // batch absorbed idempotently) touching every bucket — a lost
+    // batch, a doubled batch, or a replay that mutated state all land
+    // here
+    "q469_stream_merge_exactly_once" ->
+      """SELECT CAST(g.i % 16 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(g.i * g.i) AS BIGINT) AS sum_sq,
+        |       CAST(MIN(g.i) AS BIGINT) AS min_id,
+        |       CAST(MAX(g.i) AS BIGINT) AS max_id,
+        |       CAST(7 AS BIGINT) AS n_batches
         |FROM UNNEST(generate_series(0, 199999)) AS g(i)
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
