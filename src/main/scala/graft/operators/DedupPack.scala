@@ -256,7 +256,7 @@ bands AS (SELECT *, CAST('0x' || substring(md5(CAST(band_id AS VARCHAR) || ':' |
     * keys); every row carries band 0's key so the emit-once predicate
     * can route each candidate pair through exactly one band.
     */
-  private[operators] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val bandKey = (lo: Int) =>
       hex64(md5(concat_ws(",", transform(slice(col("sigs"), lo, bandRows), _.cast("string")))))
     docs

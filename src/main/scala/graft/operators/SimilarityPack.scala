@@ -148,7 +148,7 @@ object SimilarityPack extends QueryPack {
   /** The index, eagerly cached for queries whose plans scan it from
     * several branches. The underlying artifact read is already cheap;
     * the persist just stops branch races from re-reading. */
-  private[operators] def persistedVecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def persistedVecs(s: SparkSession, d: String): DataFrame =
     warmed(annIndex(s, d))
 
   // ---- probe machinery: L tables, emit-once across tables ----
@@ -206,6 +206,8 @@ object SimilarityPack extends QueryPack {
 
   // ---- method bodies over a shared vector table (q54 composes them
   // without rebuilding it per method) ----
+
+  private[graft] def bruteTopKHook(vecs: DataFrame): DataFrame = bruteTopK(vecs)
 
   private def bruteTopK(vecs: DataFrame): DataFrame = {
     val queriesDf = vecs.filter(col("vec_id") < 5)
@@ -419,6 +421,139 @@ object SimilarityPack extends QueryPack {
     s.read.parquet(path)
   }
 
+  // ---- DEDUP-THEN-INDEX (q470): the production answer to the recorded
+  // near-duplicate-regime finding (PROFILE_HNSW_SEEDS.json / r13
+  // ADVICE): on corpora where every document has near-copies, EVERY
+  // bounded-degree graph-ANN arm loses recall — the M edge slots of a
+  // node fill with its own copies, so the beam can't navigate BETWEEN
+  // neighborhoods. The fix is not a bigger graph; it is SemDeDup
+  // BEFORE indexing: elect one representative per near-dup cluster
+  // (q102's within-cell machinery, same trained model), build the q452
+  // graph over representatives only, and serve queries from the rep
+  // index — dropped duplicates are COVERED by their representative.
+
+  /** q470's duplicate → representative map: q102's SemDeDup membership
+    * (the SAME full-corpus trained model), each duplicate mapped to its
+    * MIN-id within-cell neighbor above τ — a deterministic, engine-
+    * portable election. Returns (vec_id, rep_id) for duplicates only. */
+  private[graft] def semDedupDups(s: SparkSession, d: String,
+                                  vecs: DataFrame): DataFrame = {
+    val ranked = ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
+    val cells = ranked.filter(col("arn") === 1)
+    val a = cells.select(col("cell"), col("vec_id").as("vi"),
+      col("q").as("qa"), col("norm").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("vj"),
+      col("q").as("qb"), col("norm").as("nb"))
+    val out = a.join(b, "cell")
+      .filter(col("vj") < col("vi"))
+      .withColumn("cosine", cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+      .filter(col("cosine") >= semDedupTau)
+      .groupBy(col("vi").as("vec_id"))
+      .agg(min("vj").as("rep_id"))
+      .localCheckpoint()
+    ranked.unpersist()
+    out
+  }
+
+  /** q470's REPRESENTATIVE graph: [[hnswGraph]]'s construction
+    * restricted to the SemDeDup survivors — LSH pairs among reps ∪
+    * same-cell pairs of an IVF model trained ON THE REPS (cells ∝
+    * √|reps|, the [[hnswLayerGraph]] discipline) — its own
+    * once-per-corpus artifact. This is the index a curated corpus
+    * actually serves: build-once over representatives, never over raw
+    * near-duplicate mass. */
+  private[graft] def hnswRepsGraph(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExpressions.ensure(s)
+    val key = graft.core.Artifacts.corpusKey(d, "embeddings.parquet")
+    val b = bucketBits(s, d)
+    val path = graft.core.Artifacts.materialize(
+      s"hnsw_reps_graph_v1_M${hnswM}_tau${(semDedupTau * 100).toInt}_$key") { tmp =>
+      val vecs = persistedVecs(s, d)
+      val dups = semDedupDups(s, d, vecs)
+      val members = vecs.join(dups.select("vec_id"), Seq("vec_id"), "left_anti")
+      val nMembers = members.count()
+      val lsh = nearDupPairs(members, b, minCosine = -2.0)
+      val ranked = ivfRanked(s, d,
+        members.select("vec_id", "q", "norm"),
+        ivfCellsFor(nMembers), tag = "_reps")
+      val cells = ranked.filter(col("arn") === 1)
+      val cellsA = cells.select(col("cell"), col("vec_id").as("vec_i"),
+        col("q").as("qa"), col("norm").as("na"))
+      val cellsB = cells.select(col("cell"), col("vec_id").as("vec_j"),
+        col("q").as("qb"), col("norm").as("nb"))
+      val cellPairs = cellsA.join(cellsB, "cell")
+        .filter(col("vec_i") < col("vec_j"))
+        .withColumn("cosine", cosineQ(col("qa"), col("qb"), col("na"), col("nb")))
+        .select("vec_i", "vec_j", "cosine")
+      val pool = lsh.select("vec_i", "vec_j", "cosine").union(cellPairs)
+      val sym = pool.select(col("vec_i").as("src"), col("vec_j").as("dst"), col("cosine"))
+        .union(pool.select(col("vec_j").as("src"), col("vec_i").as("dst"), col("cosine")))
+        .distinct()
+      val wN = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+      sym.withColumn("nrk", row_number().over(wN))
+        .filter(col("nrk") <= hnswM)
+        .select("src", "dst")
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(tmp)
+      ranked.unpersist(); vecs.unpersist()
+    }
+    s.read.parquet(path)
+  }
+
+  /** q470's shared core (gate + ProfileHnswSeeds sweep arm): dedup →
+    * rep graph → q452's beam budget over the rep corpus → rep-credited
+    * recall vs the FULL-corpus q50 truth. A truth neighbor that was
+    * deduped out of the index counts as recalled when its elected
+    * representative is returned — or when that representative IS the
+    * query itself (the query's own near-copies; on a near-dup-heavy
+    * corpus those dominate the raw top-k, which is exactly why raw
+    * recall collapses there and the rep-credited metric is the honest
+    * production measure). Returns (n, nReps, recall, out, dups, vecs);
+    * out/dups/vecs are live (warmed/persisted) for the caller to
+    * release. */
+  private[graft] def dedupThenIndexRecall(s: SparkSession, d: String)
+      : (Long, Long, Double, DataFrame, DataFrame, DataFrame) = {
+    val vecs = persistedVecs(s, d)
+    val dups = warmed(semDedupDups(s, d, vecs))
+    val corpus = vecs.select("vec_id", "q", "norm")
+      .join(dups.select("vec_id"), Seq("vec_id"), "left_anti")
+    val nReps = corpus.count()
+    val graph = warmed(hnswRepsGraph(s, d))
+    val queriesDf = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
+    val out = warmed(
+      beamSearch(graph, corpus, queriesDf, hnswSeedMod(nReps), hnswBeam, hnswRounds)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+        .filter(col("rk") <= topK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine")))
+    graph.unpersist()
+    // rep-credited recall: both frames are bounded (queries × topK)
+    val outSet = out.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val credited = bruteTopK(vecs).select("q_id", "vec_id")
+      .join(dups.select(col("vec_id"), col("rep_id")), Seq("vec_id"), "left")
+      .select(col("q_id"), col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("cred"))
+      .collect()
+    val nHits = credited.count { r =>
+      val (q, t, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      outSet((q, t)) || outSet((q, c)) || c == q
+    }
+    (corpusCount(s, d), nReps, nHits.toDouble / credited.length, out, dups, vecs)
+  }
+
+  /** Sweep hook (ProfileHnswSeeds): the dedup-then-index arm on
+    * whatever corpus `d` holds — (corpus size, rep count, rep-credited
+    * recall vs the full q50 truth). */
+  private[graft] def hnswDedupRecallProbe(s: SparkSession, d: String)
+      : (Long, Long, Double) = {
+    val (n, nReps, recall, out, dups, vecs) = dedupThenIndexRecall(s, d)
+    out.unpersist(); dups.unpersist(); vecs.unpersist()
+    (n, nReps, recall)
+  }
+
   /** q455's BASE graph: [[hnswGraph]]'s construction restricted to the
     * base corpus split (vec_id % 10 ≠ 7, the q423/q424 delta lane) —
     * LSH pairs among base rows ∪ q423's base-model same-cell pairs —
@@ -510,22 +645,37 @@ object SimilarityPack extends QueryPack {
   private def beamSearchFrom(graph: DataFrame, corpus: DataFrame,
                              queriesDf: DataFrame, seedPairs: DataFrame,
                              beam: Int, nRounds: Int): DataFrame = {
+    // every per-query frame here (seeds, frontier, expansion, visited)
+    // is BOUNDED BY CONSTRUCTION — queries × (seeds + rounds·beam·M)
+    // rows, independent of corpus size — so broadcasting it against the
+    // corpus/graph sides is the correct plan at ANY scale; the explicit
+    // hints pin that instead of leaving the planner to guess from
+    // unknown-size localCheckpoint estimates (measured neutral at the
+    // gated corpus sizes; trajectory and hash unchanged)
     def scoreOf(cand: DataFrame): DataFrame =
-      cand.join(broadcast(queriesDf), "q_id")
+      broadcast(cand.join(broadcast(queriesDf), "q_id"))
         .join(corpus, "vec_id")
         .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
         .select("q_id", "vec_id", "cosine")
     val wB = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
     var visited = scoreOf(seedPairs.select("q_id", "vec_id")).localCheckpoint()
-    for (_ <- 1 to nRounds) {
+    for (r <- 1 to nRounds) {
       val frontier = visited.withColumn("brk", row_number().over(wB))
         .filter(col("brk") <= beam).select("q_id", "vec_id")
-      val expand = frontier.join(graph, col("vec_id") === col("src"))
+      val expand = broadcast(frontier).join(graph, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
       // delta-scoring (see [[beamSearchArms]]): visited keeps its exact
       // cosines, only the unseen expansion pays the corpus join
       val fresh = expand.distinct()
-        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+        .join(broadcast(visited.select("q_id", "vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+      // per-round checkpoint: measured BEST of the alternatives on the
+      // q54 hnsw arm (3.2 s steady) — lazy bi-round plans re-execute
+      // the skipped round's window/joins (ReuseExchange does not
+      // recover them across the checkpoint-scan boundary; 4.8 s), and
+      // single-partition checkpoints trade the window exchange for an
+      // extra shuffle (3.3 s, a wash): the arm's floor is the 5
+      // sequential round JOBS, intrinsic to iterative beam search
       visited = visited.unionByName(scoreOf(fresh)).localCheckpoint()
     }
     visited
@@ -1231,6 +1381,29 @@ object SimilarityPack extends QueryPack {
         s"q467: hierarchical recall ${nHits.toDouble / nTruth} fell below " +
           s"the 0.92 floor ($nHits/$nTruth vs q50 truth)")
       materialized(out.toDF(), out, vecs).orderBy("q_id", "rk")
+    },
+
+    // ---- DEDUP-THEN-INDEX ANN (q470, r13 VERDICT #3): the gated
+    // production lane for the recorded near-duplicate-regime finding —
+    // SemDeDup representative election (q102's machinery, same trained
+    // model) → the q452 graph REBUILT over representatives only
+    // ([[hnswRepsGraph]], its own artifact) → q452's exact beam budget
+    // over the rep corpus, query panel unchanged (vec_id < 5). In-gate
+    // REQUIRE: rep-credited recall vs the FULL-corpus q50 brute truth
+    // ≥ 0.92 (a deduped-away truth neighbor counts when its elected
+    // representative is returned — the honest metric on a corpus where
+    // raw top-k is dominated by the query's own copies; see
+    // [[dedupThenIndexRecall]]). PROFILE_HNSW_SEEDS.json carries this
+    // arm on the ×4/×16 synthetic near-dup corpora, where the raw
+    // graph arms decay and this one holds. Oracle: full DuckDB replay
+    // — the SemDeDup model + dup election as CTEs, then graph build +
+    // unrolled beam restricted to the rep membership. ----
+    "q470_ann_dedup_then_index" -> { (s, d) =>
+      val (_, nReps, recall, out, dups, vecs) = dedupThenIndexRecall(s, d)
+      require(nReps > 0 && recall >= 0.92,
+        s"q470: dedup-then-index rep-credited recall $recall fell below " +
+          s"the 0.92 floor (nReps=$nReps vs q50 truth)")
+      materialized(out.toDF(), out, dups, vecs).orderBy("q_id", "rk")
     },
 
     "q452_ann_hnsw" -> { (s, d) =>
@@ -2482,21 +2655,9 @@ object SimilarityPack extends QueryPack {
     // inside a single query plan). ----
     "q54_ann_recall" -> { (s, d) =>
       import s.implicits._
-      val b = bucketBits(s, d)
       val vecs = persistedVecs(s, d)
       val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
-      val (ivf, ranked) = ivfTopK(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
-      val pq = pqTopK(s, d, vecs)
-      val pqrr = pqRerankTopK(s, d, vecs)
-      val methodOut = Seq(
-        "q06_ann_pq" -> pq,
-        "q07_ann_pq_rerank" -> pqrr,
-        "q103_ann_ivfpq" -> ivfPqRerankTopK(s, d, vecs, ranked),
-        "q151_ann_sq8_rerank" -> sq8RerankTopK(s, d, vecs),
-        "q452_ann_hnsw" -> hnswTopK(s, d, vecs),
-        "q51_ann_lsh" -> lshTopK(vecs, b),
-        "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
-        "q53_ann_ivf" -> ivf)
+      val (methodOut, ranked) = q54Methods(s, d, vecs)
       val methods = methodOut.map(_._1)
       val hits = methodOut.map { case (m, out) =>
           out.filter(col("q_id") < 5)
@@ -2560,6 +2721,26 @@ object SimilarityPack extends QueryPack {
       materialized(multiprobeTopK(vecs, bucketBits(s, d)), vecs).orderBy("q_id", "rk")
     }
   )
+
+  /** q54's method panel — the 8 approximate searches over ONE shared
+    * vector table, each restricted to the truth query set. Exposed
+    * private[graft] so ProfileQ54 can time the arms individually.
+    * Returns (method → top-k frame, the shared ranked artifact for the
+    * caller to release). */
+  private[graft] def q54Methods(s: SparkSession, d: String, vecs: DataFrame)
+      : (Seq[(String, DataFrame)], DataFrame) = {
+    val b = bucketBits(s, d)
+    val (ivf, ranked) = ivfTopK(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
+    (Seq(
+      "q06_ann_pq" -> pqTopK(s, d, vecs),
+      "q07_ann_pq_rerank" -> pqRerankTopK(s, d, vecs),
+      "q103_ann_ivfpq" -> ivfPqRerankTopK(s, d, vecs, ranked),
+      "q151_ann_sq8_rerank" -> sq8RerankTopK(s, d, vecs),
+      "q452_ann_hnsw" -> hnswTopK(s, d, vecs),
+      "q51_ann_lsh" -> lshTopK(vecs, b),
+      "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
+      "q53_ann_ivf" -> ivf), ranked)
+  }
 
   /** Test hook (IvfPqSpec): the exact (q_id, probe_cell) universe of the
     * trained model — deterministic training makes this reproducible
@@ -3150,6 +3331,10 @@ object SimilarityPack extends QueryPack {
 
     // the full graph-build + unrolled-beam replay (see [[hnswOracleCore]])
     "q452_ann_hnsw" -> hnswOracle,
+
+    // the dedup-then-index replay: SemDeDup election CTEs + the graph/
+    // beam machinery restricted to the representative membership
+    "q470_ann_dedup_then_index" -> hnswDedupThenIndexOracle,
     "q467_ann_hnsw_hier" -> hnswHierOracle,
 
     // base-split graph + per-delta-vector insertion links replay
@@ -3954,11 +4139,16 @@ object SimilarityPack extends QueryPack {
     * every CTE name so two graph scopes (q467's layers) can coexist in
     * one statement — see [[vecsCte]]'s composition note. */
   private def hnswGraphCtes(baseCond: String, queryCond: String,
-                            pfx: String = ""): String = {
+                            pfx: String = "",
+                            condOnFn: Option[String => String] = None): String = {
     val n = s"(SELECT count(*) FROM embeddings WHERE $baseCond)"
     val ladder = (0 to 40).map(p => s"WHEN $n <= ${1L << p} THEN $p")
       .mkString("CASE ", " ", " ELSE 41 END")
-    def condOn(alias: String) = baseCond.replace("vec_id", s"$alias.vec_id")
+    // default: textual alias substitution — correct for simple
+    // predicates; membership subqueries (q470's `vec_id IN (SELECT …)`)
+    // supply condOnFn so the inner SELECT's vec_id is left alone
+    def condOn(alias: String) = condOnFn.map(_(alias))
+      .getOrElse(baseCond.replace("vec_id", s"$alias.vec_id"))
     s"""${vecsCte(pfx)},
        |${probesCte(s"WHERE ${condOn("c")}", maxHam = 1, pfx)},
        |${pfx}lshp AS MATERIALIZED (
@@ -4091,6 +4281,38 @@ object SimilarityPack extends QueryPack {
        |  SELECT q_id, vec_id, cosine,
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
        |  FROM vh0_$hnswRounds WHERE vec_id <> q_id)
+       |SELECT q_id, rk, vec_id, cosine FROM ranked_out
+       |WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q470's oracle: the SemDeDup model + duplicate election replayed
+    * under the `sd_` prefix (q102's oracle machinery), the surviving
+    * representatives as a membership CTE, then the standard graph-build
+    * + unrolled-beam replay restricted to that membership (condOnFn
+    * keeps the `IN (SELECT …)` subquery's own vec_id untouched). The
+    * seed-stride ladder and the rep-model's cell count both derive from
+    * the REP count, mirroring the Spark build exactly. */
+  private def hnswDedupThenIndexOracle: String = {
+    val dotAB = dotQSql("a.q", "b.q", dim)
+    val repCond = "vec_id IN (SELECT vec_id FROM reps)"
+    s"""WITH ${ivfTrainCtesFrom("embeddings", pfx = "sd_")},
+       |sdup AS MATERIALIZED (
+       |  SELECT a.vec_id
+       |  FROM sd_cells a JOIN sd_cells b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE $dotAB / (a.norm * b.norm) >= $semDedupTau
+       |  GROUP BY a.vec_id),
+       |reps AS MATERIALIZED (
+       |  SELECT vec_id FROM sd_cells
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM sdup)),
+       |${hnswGraphCtes(repCond, "vec_id < 5",
+          condOnFn = Some(a => s"$a.vec_id IN (SELECT vec_id FROM reps)"))},
+       |${hnswBeamChainCtes("", hnswBeam)},
+       |ranked_out AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM v$hnswRounds WHERE vec_id <> q_id)
        |SELECT q_id, rk, vec_id, cosine FROM ranked_out
        |WHERE rk <= $topK
        |ORDER BY q_id, rk""".stripMargin

@@ -2082,13 +2082,20 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), (col("doc_id") % 5).as("fold"), col("lang"),
           tokens(col("text")).as("ts"))
       val tw = all.select(col("fold"), col("lang"), explode(col("ts")).as("w"))
-      val clwA = warmed(tw.groupBy("lang", "w").agg(count(lit(1)).as("c_all")))
+      // ONE corpus tokenize+count pass builds the per-fold cube; every
+      // ALL-folds frame is an additive ROLLUP of it (counts are
+      // additive — the same identity the leave-own-fold-out subtraction
+      // rests on), so clwA/ldocA/folds read the warmed vocab×folds cube
+      // instead of re-scanning the corpus (cold path: one big shuffle
+      // instead of two)
       val clwF = warmed(tw.groupBy("lang", "w", "fold").agg(count(lit(1)).as("c_f")))
-      val folds = all.select("fold").distinct()
-      val ldocA = all.groupBy("lang").agg(count(lit(1)).as("nd_all"))
+      val clwA = clwF.groupBy("lang", "w").agg(sum("c_f").as("c_all"))
       val ldocF = all.groupBy("lang", "fold").agg(count(lit(1)).as("nd_f"))
+      val ldocFw = warmed(ldocF)
+      val folds = ldocFw.select("fold").distinct()
+      val ldocA = ldocFw.groupBy("lang").agg(sum("nd_f").as("nd_all"))
       val lgrid = ldocA.crossJoin(folds)
-        .join(ldocF, Seq("lang", "fold"), "left")
+        .join(ldocFw, Seq("lang", "fold"), "left")
         .select(col("lang"), col("fold"),
           (col("nd_all") - coalesce(col("nd_f"), lit(0L))).as("nd_train"))
       val ntr = lgrid.groupBy("fold")
@@ -2147,7 +2154,7 @@ object TextPack extends QueryPack {
           expr("sa div nf").cast("bigint").as("mean_acc_ppm"),
           expr("cast(floor(sqrt(cast(nf * saa - sa * sa as double)) " +
             "/ cast(nf as double)) as bigint)").as("sd_acc_ppm"))
-      materialized(result, clwA, clwF).orderBy("fold")
+      materialized(result, clwF, ldocFw).orderBy("fold")
     },
 
     // ---- ATKINSON INEQUALITY INDEX, aversion ε = 2 (Atkinson 1970,

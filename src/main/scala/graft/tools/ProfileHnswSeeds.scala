@@ -74,6 +74,20 @@ object ProfileHnswSeeds {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"xN=$m%3d  HIERARCHICAL       recall=$recall%1.3f  (${sec}%5.1f s)")
       s"""{"mult":$m,"hier":true,"recall":$recall}"""
+    }) ++ (for (m <- mults) yield {
+      // the q470 production answer to the near-dup regime: SemDeDup
+      // representative election BEFORE indexing, the q452 graph built
+      // over reps only, rep-credited recall vs the full-corpus truth —
+      // the arm that must HOLD where the raw-corpus arms above decay
+      // (a near-copy-saturated graph spends its M edges on copies)
+      val d = corpusDir(m)
+      val t0 = System.nanoTime()
+      val (n, nReps, recall) =
+        graft.operators.SimilarityPack.hnswDedupRecallProbe(spark, d)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"xN=$m%3d  DEDUP-THEN-INDEX   recall=$recall%1.3f  " +
+        f"(n=$n%7d reps=$nReps%7d, ${sec}%5.1f s)")
+      s"""{"mult":$m,"dedup_then_index":true,"n":$n,"n_reps":$nReps,"recall":$recall}"""
     })
     val json = s"""{"sf":"$sfDir","beam":${graft.operators.SimilarityPack.hnswBeam},""" +
       s""""m":${graft.operators.SimilarityPack.hnswM},""" +
