@@ -887,6 +887,98 @@ object CorePack extends QueryPack {
         s"q456: delete journal mismatch (want deleted=$nDe): ${commits.last}")
       s.read.format("graft-mem").option("table", tbl).load()
         .orderBy("lang", "source")
+    },
+
+    // ---- DSv2 TIME TRAVEL + snapshot retention: the store journals a
+    // SNAPSHOT per commit (version = commit sequence number — no
+    // wall-clock, preserving determinism), the catalog implements the
+    // versioned loadTable, and real SQL `VERSION AS OF n` reads a
+    // read-only pin of snapshot n — the Iceberg/Delta surface that
+    // makes a 100 TB table auditable (reproduce yesterday's training
+    // set) and safely mutable (writers never block readers; a reader
+    // pinned at v keeps its exact state while commits advance). The
+    // gate drives three commits (append → keyed upsert → metadata
+    // DELETE), reads versions 1/2/current — three DIFFERENT states from
+    // ONE table name — then runs Iceberg-style expire_snapshots(keep 2)
+    // and REQUIREs: version 1 now refuses to read (loudly, at scan),
+    // version 2 still reads byte-identically, and a write aimed at a
+    // pinned snapshot refuses. The oracle recomputes all three states
+    // from documents, so a snapshot that leaked a later commit's rows
+    // (or lost its own) hash-fails on the asof tag it corrupted. ----
+    "q472_dsv2_time_travel" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val tbl = s"tt_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      def digest(docs: DataFrame): DataFrame =
+        docs.groupBy("lang", "source")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("n_chars").cast("bigint").as("sum_chars"),
+            sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+      // commit 1: baseline per-(lang, source) digests
+      digest(Tables.documents(s, dir))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      // commit 2: keyed upsert — 'en' digests recomputed over
+      // upper-cased text (the UPDATE), one ('zz','synthetic') INSERT
+      import s.implicits._
+      digest(Tables.documents(s, dir).filter(col("lang") === "en")
+          .withColumn("text", upper(col("text"))))
+        .unionByName(Seq(("zz", "synthetic", 1L, 42L, 7L))
+          .toDF("lang", "source", "n_docs", "sum_chars", "text_cksum"))
+        .writeTo(s"graftmem.$tbl").overwrite(col("lang").isin("en", "zz"))
+      // commit 3: metadata delete of the 'de' rows
+      s.sql(s"DELETE FROM graftmem.$tbl WHERE lang = 'de'")
+      val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+      require(commits.map(_.kind) == List("append", "overwrite", "delete"),
+        s"q472: expected append+overwrite+delete commits, got $commits")
+      require(graft.sources.GraftMemStore.currentVersion(tbl) == 3,
+        s"q472: expected version 3 after three commits")
+      // time-travel reads; materialize BEFORE expiry (a pinned scan
+      // resolves its snapshot at execution, exactly when it should)
+      def asOf(v: Int): DataFrame =
+        s.sql(s"SELECT lang, source, n_docs, sum_chars, text_cksum " +
+          s"FROM graftmem.$tbl VERSION AS OF $v")
+      val v1 = asOf(1).localCheckpoint()
+      val v2 = asOf(2).localCheckpoint()
+      val cur = s.read.format("graft-mem").option("table", tbl).load()
+        .localCheckpoint()
+      // retention: keep the newest 2 snapshots (versions 2 and 3) —
+      // versions 0 (empty) and 1 expire
+      // (the implicit create-on-first-append records no version-0
+      // snapshot, so the history here is exactly versions 1, 2, 3)
+      val dropped = graft.sources.GraftMemStore.expireSnapshots(tbl, keepLast = 2)
+      require(dropped == 1 &&
+          graft.sources.GraftMemStore.retainedVersions(tbl) == Seq(2, 3),
+        s"q472: expire dropped $dropped, " +
+          s"kept ${graft.sources.GraftMemStore.retainedVersions(tbl)}")
+      val expiredReadFails =
+        try { asOf(1).collect(); false }
+        catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+              .exists(c => Option(c.getMessage).exists(_.contains("no snapshot")))
+        }
+      require(expiredReadFails,
+        "q472: reading an EXPIRED snapshot must fail loudly, not fall back")
+      require(asOf(2).count() == v2.count(),
+        "q472: retained snapshot must survive expiry byte-identically")
+      val snapshotWriteRefused =
+        try {
+          new graft.sources.GraftMemTable(tbl,
+            graft.sources.GraftMemStore.schemaOf(tbl), Some(2))
+            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.EqualTo("lang", "fr")))
+          false
+        } catch { case _: UnsupportedOperationException => true }
+      require(snapshotWriteRefused,
+        "q472: a write aimed at a pinned snapshot must refuse")
+      // "as_of", not "asof": ASOF is a DuckDB reserved word (ASOF JOIN)
+      // and the oracle must use the same unquoted column name
+      v1.withColumn("as_of", lit(1))
+        .unionByName(v2.withColumn("as_of", lit(2)))
+        .unionByName(cur.withColumn("as_of", lit(3)))
+        .select(col("as_of"), col("lang"), col("source"),
+          col("n_docs"), col("sum_chars"), col("text_cksum"))
+        .orderBy("as_of", "lang", "source")
     }
   )
 
@@ -1004,6 +1096,33 @@ object CorePack extends QueryPack {
     // INSERT as a UNION row) — a dropped carry-over row, a double
     // update, or a partial replace all hash-fail
     "q466_dsv2_merge_into" -> upsertStateOracle,
+
+    // the three snapshot states recomputed independently from
+    // documents: v1 = raw digests, v2 = v1 with the 'en' upsert + the
+    // synthetic insert, v3 (current) = v2 minus the deleted 'de' rows —
+    // any cross-snapshot leakage lands on the asof tag it corrupted
+    "q472_dsv2_time_travel" ->
+      """WITH s1 AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(SUM(CAST('0x' || substring(md5(text), 1, 15)
+        |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+        |  FROM documents GROUP BY lang, source),
+        |s2 AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(SUM(CAST('0x' || substring(md5(
+        |                CASE WHEN lang = 'en' THEN upper(text) ELSE text END), 1, 15)
+        |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+        |  FROM documents GROUP BY lang, source
+        |  UNION ALL
+        |  SELECT 'zz', 'synthetic', 1, 42, 7)
+        |SELECT CAST(as_of AS INT) AS as_of, lang, source, n_docs, sum_chars, text_cksum
+        |FROM (
+        |  SELECT 1 AS as_of, * FROM s1
+        |  UNION ALL SELECT 2 AS as_of, * FROM s2
+        |  UNION ALL SELECT 3 AS as_of, * FROM s2 WHERE lang <> 'de'
+        |) t ORDER BY as_of, lang, source""".stripMargin,
 
     // the runtime-filtered join replayed over the literal key list
     // (keys cast to BIGINT up front: the UNNESTed literals land as

@@ -35,7 +35,10 @@ class GraftMemSink extends TableProvider with DataSourceRegister {
     GraftMemStore.schemaOf(options.get("table"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new GraftMemTable(properties.get("table"), schema)
+    // versionAsOf: the DataFrame-reader route to the same snapshot pin
+    // SQL's VERSION AS OF takes through the catalog
+    new GraftMemTable(properties.get("table"), schema,
+      Option(properties.get("versionAsOf")).map(_.toInt))
 }
 
 /** JVM-local table store: name → (schema, committed rows), plus a
@@ -68,6 +71,27 @@ object GraftMemStore {
       16, 0.75f, true)
   private val journal =
     new java.util.HashMap[String, List[CommitRecord]]()
+  /** SNAPSHOT history (the time-travel surface): name → ascending
+    * `(version, rows)` pairs, where version v is the table state AFTER
+    * the v-th journaled commit (version 0 = empty at creation) — the
+    * Iceberg/Delta snapshot model with the commit sequence number as
+    * the snapshot id (wall-clock timestamps would break the engine's
+    * determinism discipline, so snapshots are addressed by version
+    * only). Rows arrays are immutable once committed, so a snapshot is
+    * a cheap extra reference, not a copy. [[expireSnapshots]] is the
+    * retention knob: it drops the oldest entries exactly the way
+    * `expire_snapshots` does, after which a pinned read of a dropped
+    * version fails loudly while retained versions keep reading. */
+  private val snapshots =
+    new java.util.HashMap[String, Vector[(Int, Array[InternalRow])]]()
+  /** Record the CURRENT state as the snapshot for the just-journaled
+    * commit; call under the monitor after the table mutation and its
+    * logCommit. */
+  private def recordSnapshot(name: String): Unit = {
+    val v = journal.getOrDefault(name, Nil).length
+    val rows = tables.get(name)._2
+    snapshots.merge(name, Vector(v -> rows), (old, add) => old ++ add)
+  }
 
   /** One committed write: kind ∈ {append, overwrite}, the filter set an
     * overwrite deleted by, and the row movement it caused. */
@@ -87,6 +111,7 @@ object GraftMemStore {
       val eldest = tables.keySet().iterator().next()
       tables.remove(eldest)
       journal.remove(eldest)
+      snapshots.remove(eldest)
       System.err.println(
         s"[graft-mem] evicted least-recently-used table '$eldest' " +
           s"(store cap $maxTables)")
@@ -96,10 +121,12 @@ object GraftMemStore {
   def create(name: String, schema: StructType): Unit = synchronized {
     require(!tables.containsKey(name), s"graft-mem: table '$name' already exists")
     tables.put(name, (schema, Array.empty[InternalRow]))
+    recordSnapshot(name)
     evictOverflow()
   }
   def drop(name: String): Boolean = synchronized {
     journal.remove(name)
+    snapshots.remove(name)
     tables.remove(name) != null
   }
   def schemaOf(name: String): StructType = synchronized {
@@ -112,12 +139,44 @@ object GraftMemStore {
     require(t != null, s"graft-mem: unknown table '$name'")
     t._2
   }
+  /** Current version = number of journaled commits (snapshot ids are
+    * the commit sequence). */
+  def currentVersion(name: String): Int = synchronized {
+    require(tables.containsKey(name), s"graft-mem: unknown table '$name'")
+    journal.getOrDefault(name, Nil).length
+  }
+  /** Rows at a pinned snapshot version; fails loudly when the version
+    * was expired (or never existed) — a time-travel read must never
+    * silently fall back to another state. */
+  def rowsAt(name: String, version: Int): Array[InternalRow] = synchronized {
+    require(tables.containsKey(name), s"graft-mem: unknown table '$name'")
+    val hist = snapshots.getOrDefault(name, Vector.empty)
+    hist.find(_._1 == version).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-mem: table '$name' has no snapshot at version $version " +
+          s"(retained versions: ${hist.map(_._1).mkString(", ")}) — " +
+          "expired or never committed"))
+  }
+  /** Snapshot retention: keep only the newest `keepLast` snapshots
+    * (the current state always survives — it is the newest snapshot by
+    * construction). Returns the number of snapshots dropped. */
+  def expireSnapshots(name: String, keepLast: Int): Int = synchronized {
+    require(keepLast >= 1, "graft-mem: expireSnapshots must keep at least 1")
+    val hist = snapshots.getOrDefault(name, Vector.empty)
+    val keep = hist.takeRight(keepLast)
+    snapshots.put(name, keep)
+    hist.length - keep.length
+  }
+  def retainedVersions(name: String): Seq[Int] = synchronized {
+    snapshots.getOrDefault(name, Vector.empty).map(_._1)
+  }
   def append(name: String, schema: StructType, rows: Array[InternalRow]): Unit =
     synchronized {
       val old = tables.get(name)
       if (old == null) tables.put(name, (schema, rows))
       else tables.put(name, (old._1, old._2 ++ rows))
       logCommit(name, CommitRecord("append", "", 0, rows.length))
+      recordSnapshot(name)
       evictOverflow()
     }
 
@@ -131,6 +190,7 @@ object GraftMemStore {
       tables.put(name, (old._1, kept))
       logCommit(name, CommitRecord("delete", filtersDesc,
         old._2.length - kept.length, 0))
+      recordSnapshot(name)
     }
 
   /** Truncate-by-filter + insert, ATOMICALLY under one store mutation:
@@ -151,16 +211,29 @@ object GraftMemStore {
         logCommit(name, CommitRecord("overwrite", filtersDesc,
           old._2.length - kept.length, rows.length))
       }
+      recordSnapshot(name)
       evictOverflow()
     }
 }
 
-class GraftMemTable(tableName: String, tableSchema: StructType)
+/** @param asOfVersion when set, the table is a READ-ONLY pin of one
+  *   snapshot: scans read [[GraftMemStore.rowsAt]] (failing loudly on
+  *   an expired version at execution) and every write surface refuses —
+  *   the `VERSION AS OF` contract (Iceberg/Delta time travel). */
+class GraftMemTable(tableName: String, tableSchema: StructType,
+                    asOfVersion: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
-  override def name(): String = s"graft_mem($tableName)"
+  override def name(): String =
+    s"graft_mem($tableName${asOfVersion.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = tableSchema
+  private def refuseSnapshotWrite(): Unit =
+    asOfVersion.foreach { v =>
+      throw new UnsupportedOperationException(
+        s"graft-mem: table '$tableName' VERSION AS OF $v is a read-only " +
+          "snapshot — writes must target the current table")
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
@@ -180,6 +253,7 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseSnapshotWrite()
     import org.apache.spark.sql.connector.write.{LogicalWriteInfo => LWI, RowLevelOperation => RLO, RowLevelOperationBuilder => RLOB, Write => V2Write, WriteBuilder => WB, BatchWrite => BW, DataWriterFactory => DWF, PhysicalWriteInfo => PWI, WriterCommitMessage => WCM}
     new RLOB {
       override def build(): RLO = new RLO {
@@ -240,6 +314,7 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
     try { filters.foreach(compileFilter); true }
     catch { case scala.util.control.NonFatal(_) => false }
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refuseSnapshotWrite()
     val preds = filters.map(compileFilter)
     GraftMemStore.delete(tableName,
       row => preds.forall(_(row)), filters.map(_.toString).sorted.mkString(" AND "))
@@ -282,7 +357,8 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
     }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseSnapshotWrite()
     new WriteBuilder with SupportsOverwrite {
       // None = append; Some(filters) = truncate-by-filter + insert
       private var deleteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
@@ -315,6 +391,7 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
         }
       }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -322,7 +399,10 @@ class GraftMemTable(tableName: String, tableSchema: StructType)
         override def readSchema(): StructType = tableSchema
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          Array(GraftMemPartition(GraftMemStore.rowsOf(tableName)))
+          Array(GraftMemPartition(asOfVersion match {
+            case Some(v) => GraftMemStore.rowsAt(tableName, v)
+            case None => GraftMemStore.rowsOf(tableName)
+          }))
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
             override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -387,6 +467,37 @@ class GraftMemCatalog extends org.apache.spark.sql.connector.catalog.TableCatalo
         Array(catalogName) ++ ident.namespace() :+ ident.name())
     new GraftMemTable(ident.name(), GraftMemStore.schemaOf(ident.name()))
   }
+
+  /** SQL time travel (`SELECT … FROM graftmem.t VERSION AS OF n`): the
+    * analyzer hands the version string here; the returned table is a
+    * read-only pin of that snapshot. The version must be an integer
+    * commit sequence number ≤ the current version; whether the snapshot
+    * is still RETAINED is checked at scan time ([[GraftMemStore.rowsAt]]),
+    * so an expired version fails the read, not the analysis — matching
+    * how a file-based catalog only discovers a vacuumed snapshot when
+    * the manifest read fails. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!GraftMemStore.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name())
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new UnsupportedOperationException(
+          s"graft-mem: snapshot versions are integer commit numbers, got '$version'")
+    }
+    val cur = GraftMemStore.currentVersion(ident.name())
+    require(v >= 0 && v <= cur,
+      s"graft-mem: table '${ident.name()}' has no version $v (current: $cur)")
+    new GraftMemTable(ident.name(), GraftMemStore.schemaOf(ident.name()), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` is deliberately unsupported: the store journals
+    * no wall-clock (determinism discipline) — snapshots are addressed
+    * by commit version only. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft-mem: snapshots are versioned by commit number (VERSION AS OF n); " +
+        "the store journals no wall-clock, so TIMESTAMP AS OF cannot resolve")
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

@@ -41,4 +41,80 @@ class GraftMemSinkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown table"))
   }
+
+  test("time travel: each commit snapshots; versionAsOf reads the pinned state") {
+    import spark.implicits._
+    val tbl = fresh()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    Seq((2L, "b")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    assert(graft.sources.GraftMemStore.currentVersion(tbl) === 2)
+    def readAt(v: Int) = spark.read.format("graft-mem")
+      .option("table", tbl).option("versionAsOf", v.toString).load()
+    assert(readAt(1).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(readAt(2).count() === 2L)
+    // SQL VERSION AS OF through the catalog route
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    assert(spark.sql(s"SELECT * FROM graftmem.$tbl VERSION AS OF 1").count() === 1L)
+  }
+
+  test("time travel: a pinned snapshot refuses writes and survives later commits") {
+    import spark.implicits._
+    val tbl = fresh()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    val pinned = spark.read.format("graft-mem")
+      .option("table", tbl).option("versionAsOf", "1").load()
+    Seq((2L, "b")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    // the pin still reads version 1 even after the table advanced
+    assert(pinned.count() === 1L)
+    val e = intercept[Exception] {
+      Seq((3L, "c")).toDF("id", "s").write.format("graft-mem")
+        .option("table", tbl).option("versionAsOf", "1").mode("append").save()
+    }
+    assert(e.getMessage.contains("read-only snapshot"))
+  }
+
+  test("expireSnapshots drops old versions loudly but keeps retained ones") {
+    import graft.sources.GraftMemStore
+    import spark.implicits._
+    val tbl = fresh()
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+    }
+    assert(GraftMemStore.retainedVersions(tbl) === Seq(1, 2, 3))
+    assert(GraftMemStore.expireSnapshots(tbl, keepLast = 1) === 2)
+    assert(GraftMemStore.retainedVersions(tbl) === Seq(3))
+    val e = intercept[Exception] {
+      spark.read.format("graft-mem").option("table", tbl)
+        .option("versionAsOf", "1").load().collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("no snapshot"))))
+    assert(spark.read.format("graft-mem").option("table", tbl)
+      .option("versionAsOf", "3").load().count() === 3L)
+  }
+
+  test("TIMESTAMP AS OF is refused with a version-addressing message") {
+    import spark.implicits._
+    val tbl = fresh()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graftmem.$tbl TIMESTAMP AS OF '2026-01-01'")
+        .collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("versioned by commit number"))))
+  }
 }
