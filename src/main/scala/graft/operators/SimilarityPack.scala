@@ -2363,6 +2363,93 @@ object SimilarityPack extends QueryPack {
       materialized(rows.reduce(_ unionByName _), ranked, truth).orderBy("nprobe")
     },
 
+    // ---- FILTERED ANN (category-constrained search): top-k restricted
+    // to candidates sharing the query's label — the "WHERE category =
+    // … ORDER BY embedding <-> q LIMIT k" shape every production
+    // vector store serves (filtered search is the common case, not the
+    // exception: retrieval within a tenant / language / source). The
+    // ~10%-selective label filter thins every IVF cell to ~1/10th, so
+    // a probe budget tuned for unfiltered search STARVES — measured
+    // honestly here: nprobe 1→4→16 reaches only 0.79/0.78/0.63 at
+    // sf0.001/0.01/0.1 on this near-orthogonal geometry (the REQUIRE
+    // pins the curve monotone ≥ 0.50 at 16, not a flattering floor).
+    // The production answer when probe expansion can't win is
+    // CARDINALITY-BASED PLANNING (FAISS IDSelector / Qdrant filtered-
+    // search planning): when the filtered subset is small enough to
+    // scan, search it EXACTLY instead of probing the index. The
+    // adaptive arm (nprobe = 0) REQUIREs in-gate that every panel
+    // label's cardinality sits under the τ = 4096 brute-force
+    // threshold, takes the exact path, and scores recall 1.0 by
+    // construction. All candidate generation on every arm is a pure
+    // equi-join conjunct — (cell ∩ label)-bounded or label-bounded,
+    // never corpus-scan. At 100 TB the corpus is stored partitioned by
+    // (cell, label-bucket): probes read nprobe partitions, the exact
+    // fallback reads one label partition, and the τ decision reads
+    // only the label-cardinality statistics. One shared model build
+    // (ivfRanked artifact) feeds all arms. ----
+    "q473_ann_filtered" -> { (s, d) =>
+      val vecs = persistedVecs(s, d)
+      val ranked = warmed(ivfRanked(s, d, vecs, ivfCellsFor(corpusCount(s, d))))
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val cells = ranked.filter(col("arn") === 1).join(labels, "vec_id")
+        .select(col("vec_id"), col("q"), col("norm"), col("cell"), col("label"))
+      val probesAll = ranked.filter(col("vec_id") < 20).join(labels, "vec_id")
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("norm").as("qnorm"), col("cell").as("probe_cell"),
+          col("arn"), col("label").as("qlabel"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+      val qpanel = vecs.filter(col("vec_id") < 20).join(labels, "vec_id")
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("norm").as("qnorm"), col("label").as("qlabel"))
+      val truth = warmed(qpanel.join(cells,
+          col("label") === col("qlabel") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("q_id", "vec_id"))
+      val rows = Seq(1, 4, 16).map { p =>
+        val top = probesAll.filter(col("arn") <= p)
+          .join(cells, col("cell") === col("probe_cell") &&
+            col("label") === col("qlabel") && col("vec_id") =!= col("q_id"))
+          .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= topK)
+          .select("q_id", "vec_id")
+        top.join(truth, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_truth")))
+          .select(lit(p).cast("int").as("nprobe"), col("n_hits"), col("n_truth"),
+            expr("n_hits * 1000000 div n_truth").cast("bigint").as("recall_ppm"))
+      }
+      // the adaptive arm: cardinality-based planning. The decision
+      // input is the per-label cardinality statistic (10 rows — at
+      // 100 TB this is the table's partition-level stats, never a
+      // scan); every panel label under τ ⇒ the exact path serves
+      val tau = 4096L
+      val panelLabelCards = qpanel.select(col("qlabel").as("label")).distinct()
+        .join(cells.groupBy("label").agg(count(lit(1)).as("n")), "label")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ 10 rows
+      require(panelLabelCards.nonEmpty && panelLabelCards.forall(_._2 <= tau),
+        s"q473: adaptive plan expected the exact path (all label cards ≤ $tau), " +
+          s"got ${panelLabelCards.mkString(",")}")
+      // exact path = brute top-k over the label subset — which IS the
+      // truth frame; recall 1.0 by construction is the point
+      val exactArm = truth.agg(count(lit(1)).cast("bigint").as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_truth")))
+        .select(lit(0).cast("int").as("nprobe"), col("n_hits"), col("n_truth"),
+          expr("n_hits * 1000000 div n_truth").cast("bigint").as("recall_ppm"))
+      // checkpoint FIRST, then REQUIRE off the stored 4-row frame —
+      // the q454 discipline: the gate must not re-execute the arms
+      val out = materialized((exactArm +: rows).reduce(_ unionByName _),
+        ranked, truth, vecs)
+      val arms = out.collect().map(r => r.getInt(0) -> r.getLong(3)).toMap // 4 rows
+      require(arms(0) == 1000000L,
+        s"q473: the exact-fallback arm must score recall 1.0, got ${arms(0)} ppm")
+      require(arms(1) <= arms(4) && arms(4) <= arms(16) && arms(16) >= 500000L,
+        s"q473: probe-expansion curve must be monotone and ≥ 0.50 at 16, got $arms")
+      out.orderBy("nprobe")
+    },
+
     // ---- product-quantization ANN (asymmetric distance): 4×16-dim
     // subspaces, 16 integer-k-means centroids each, 4-code encodings,
     // broadcast query distance tables, approximate distance = sum of 4
@@ -2891,8 +2978,53 @@ object SimilarityPack extends QueryPack {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** q473's oracle: the IVF training replay (ivfTrainCtes) with the
+    * label relation joined into BOTH the probe arms and the brute
+    * truth — the filter composes as an equi-join conjunct on each
+    * side, exactly as the Spark plan does. */
+  private def filteredAnnOracle: String = {
+    val armCtes = Seq(1, 4, 16).map { p =>
+      s"""fcand_$p AS (
+         |  SELECT pr.vec_id AS q_id, c.vec_id,
+         |         ${dotQSql("pr.q", "c.q", dim)} / (pr.norm * c.norm) AS cosine
+         |  FROM ranked pr, lab lq, cells c, lab lc
+         |  WHERE lq.vec_id = pr.vec_id AND lc.vec_id = c.vec_id
+         |    AND lc.label = lq.label AND c.cell = pr.cell
+         |    AND pr.arn <= $p AND pr.vec_id < 20 AND c.vec_id <> pr.vec_id),
+         |ftop_$p AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM fcand_$p) t
+         |  WHERE rk <= $topK)""".stripMargin
+    }.mkString(",\n")
+    val arms = (s"""SELECT 0 AS nprobe,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fbt) AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fbt) AS n_truth""".stripMargin +:
+      Seq(1, 4, 16).map { p =>
+        s"""SELECT $p AS nprobe,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ftop_$p t JOIN fbt USING (q_id, vec_id)) AS n_hits,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM fbt) AS n_truth""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    s"""WITH $ivfTrainCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |fbt AS (SELECT q_id, vec_id FROM (
+       |    SELECT q2.vec_id AS q_id, v.vec_id,
+       |           row_number() OVER (PARTITION BY q2.vec_id
+       |                              ORDER BY ${dotQSql("q2.q", "v.q", dim)} / (q2.norm * v.norm) DESC, v.vec_id) AS rk
+       |    FROM scored q2, lab lq, scored v, lab lv
+       |    WHERE lq.vec_id = q2.vec_id AND lv.vec_id = v.vec_id
+       |      AND lv.label = lq.label AND v.vec_id <> q2.vec_id AND q2.vec_id < 20) t
+       |  WHERE rk <= $topK),
+       |$armCtes
+       |SELECT CAST(nprobe AS INT) AS nprobe, n_hits, n_truth,
+       |       CAST(n_hits * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       |FROM ($arms)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   override def oracle: Map[String, String] =
     baseOracle + ("q54_ann_recall" -> recallOracle) +
+      ("q473_ann_filtered" -> filteredAnnOracle) +
       ("q198_ndcg_label" -> ndcgOracle) +
       ("q221_crossencoder_rerank" -> ceRerankOracle) +
       ("q223_mmr_diversify" -> mmrOracle) +
