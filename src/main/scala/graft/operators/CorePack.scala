@@ -979,6 +979,69 @@ object CorePack extends QueryPack {
         .select(col("as_of"), col("lang"), col("source"),
           col("n_docs"), col("sum_chars"), col("text_cksum"))
         .orderBy("as_of", "lang", "source")
+    },
+
+    // ---- DSv2 CDC READS (incremental consumption): the change set
+    // BETWEEN two retained snapshots as a connector read — Delta's
+    // readChangeFeed / Iceberg's incremental scan, the primitive that
+    // turns a 100 TB table's consumers incremental (process the delta
+    // since the last run, never re-scan the table; expiry bounds how
+    // far behind a consumer may fall, exactly the CDC-retention
+    // contract). The diff is a MULTISET value diff, so the keyed
+    // upsert surfaces as delete-of-old + insert-of-new — what a
+    // downstream sink must APPLY to stay consistent. REQUIREs
+    // cross-check the diff against the commit journal's own
+    // deleted/inserted counts (every journaled movement must appear in
+    // the feed — a CDC reader that misses rows is worse than none),
+    // and pin that an empty range diffs empty. Oracle: each range's
+    // change set recomputed as snapshot-state EXCEPTs from documents.
+    // ----
+    "q474_dsv2_changes" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val tbl = s"cdc_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      def digest(docs: DataFrame): DataFrame =
+        docs.groupBy("lang", "source")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("n_chars").cast("bigint").as("sum_chars"),
+            sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+      digest(Tables.documents(s, dir))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      import s.implicits._
+      digest(Tables.documents(s, dir).filter(col("lang") === "en")
+          .withColumn("text", upper(col("text"))))
+        .unionByName(Seq(("zz", "synthetic", 1L, 42L, 7L))
+          .toDF("lang", "source", "n_docs", "sum_chars", "text_cksum"))
+        .writeTo(s"graftmem.$tbl").overwrite(col("lang").isin("en", "zz"))
+      s.sql(s"DELETE FROM graftmem.$tbl WHERE lang = 'de'")
+      val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+      require(commits.map(_.kind) == List("append", "overwrite", "delete"),
+        s"q474: expected append+overwrite+delete commits, got $commits")
+      def changes(from: Int, to: Int): DataFrame =
+        s.read.format("graft-mem").option("table", tbl)
+          .option("changesFrom", from.toString)
+          .option("changesTo", to.toString).load()
+      val ch12 = changes(1, 2).localCheckpoint()
+      val ch23 = changes(2, 3).localCheckpoint()
+      // journal cross-check: every row the upsert commit moved must
+      // appear in the feed with the matching change type (the 'en'
+      // digests all change value under the upper-cased re-digest, so
+      // the value diff equals the journaled movement exactly)
+      val ow = commits(1)
+      require(ch12.filter(col("_change_type") === "delete").count() == ow.deleted &&
+          ch12.filter(col("_change_type") === "insert").count() == ow.inserted,
+        s"q474: 1→2 feed (${ch12.count()} rows) != journal movement $ow")
+      val del = commits(2)
+      require(ch23.filter(col("_change_type") === "delete").count() == del.deleted &&
+          ch23.filter(col("_change_type") === "insert").count() == 0,
+        s"q474: 2→3 feed (${ch23.count()} rows) != journal movement $del")
+      require(changes(2, 2).count() == 0,
+        "q474: an empty version range must produce an empty change feed")
+      ch12.withColumn("from_v", lit(1)).withColumn("to_v", lit(2))
+        .unionByName(ch23.withColumn("from_v", lit(2)).withColumn("to_v", lit(3)))
+        .select(col("from_v"), col("to_v"), col("_change_type"), col("lang"),
+          col("source"), col("n_docs"), col("sum_chars"), col("text_cksum"))
+        .orderBy("from_v", "_change_type", "lang", "source")
     }
   )
 
@@ -1102,27 +1165,36 @@ object CorePack extends QueryPack {
     // synthetic insert, v3 (current) = v2 minus the deleted 'de' rows —
     // any cross-snapshot leakage lands on the asof tag it corrupted
     "q472_dsv2_time_travel" ->
-      """WITH s1 AS (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |         CAST(SUM(CAST('0x' || substring(md5(text), 1, 15)
-        |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
-        |  FROM documents GROUP BY lang, source),
-        |s2 AS (
-        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |         CAST(SUM(CAST('0x' || substring(md5(
-        |                CASE WHEN lang = 'en' THEN upper(text) ELSE text END), 1, 15)
-        |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
-        |  FROM documents GROUP BY lang, source
-        |  UNION ALL
-        |  SELECT 'zz', 'synthetic', 1, 42, 7)
+      s"""WITH $snapshotStatesCtes
         |SELECT CAST(as_of AS INT) AS as_of, lang, source, n_docs, sum_chars, text_cksum
         |FROM (
         |  SELECT 1 AS as_of, * FROM s1
         |  UNION ALL SELECT 2 AS as_of, * FROM s2
         |  UNION ALL SELECT 3 AS as_of, * FROM s2 WHERE lang <> 'de'
         |) t ORDER BY as_of, lang, source""".stripMargin,
+
+    // each version range's change set recomputed as snapshot-state set
+    // differences ((lang, source) keys are unique per state, so EXCEPT
+    // is the multiset diff): 1→2 = the upsert's delete-old-en +
+    // insert-new-en + insert-zz, 2→3 = the DELETE's de removals — a
+    // missed change, phantom change, or wrong change-type hash-fails
+    "q474_dsv2_changes" ->
+      s"""WITH $snapshotStatesCtes,
+        |s3 AS (SELECT * FROM s2 WHERE lang <> 'de'),
+        |ch12 AS (
+        |  SELECT 'delete' AS _change_type, * FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2) a
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1) b),
+        |ch23 AS (
+        |  SELECT 'delete' AS _change_type, * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s3) a
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, * FROM (SELECT * FROM s3 EXCEPT SELECT * FROM s2) b)
+        |SELECT CAST(from_v AS INT) AS from_v, CAST(to_v AS INT) AS to_v,
+        |       _change_type, lang, source, n_docs, sum_chars, text_cksum
+        |FROM (
+        |  SELECT 1 AS from_v, 2 AS to_v, * FROM ch12
+        |  UNION ALL SELECT 2 AS from_v, 3 AS to_v, * FROM ch23
+        |) t ORDER BY from_v, _change_type, lang, source""".stripMargin,
 
     // the runtime-filtered join replayed over the literal key list
     // (keys cast to BIGINT up front: the UNNESTed literals land as
@@ -1239,6 +1311,27 @@ object CorePack extends QueryPack {
     * from documents: en digests over uppercased text (the UPDATE), the
     * synthetic ('zz','synthetic') row (the INSERT), every other key
     * untouched. */
+  /** The q472/q474 snapshot states recomputed from documents: s1 = the
+    * raw per-(lang, source) digests (version 1), s2 = s1 with the 'en'
+    * upsert applied + the synthetic insert (version 2); version 3 is
+    * `s2 WHERE lang <> 'de'`. */
+  private val snapshotStatesCtes: String =
+    """s1 AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(SUM(CAST('0x' || substring(md5(text), 1, 15)
+      |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+      |  FROM documents GROUP BY lang, source),
+      |s2 AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(SUM(CAST('0x' || substring(md5(
+      |                CASE WHEN lang = 'en' THEN upper(text) ELSE text END), 1, 15)
+      |              AS BIGINT) % 1000000007) AS BIGINT) AS text_cksum
+      |  FROM documents GROUP BY lang, source
+      |  UNION ALL
+      |  SELECT 'zz', 'synthetic', 1, 42, 7)""".stripMargin
+
   private val upsertStateOracle: String =
     """SELECT lang, source, n_docs, sum_chars, text_cksum FROM (
       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

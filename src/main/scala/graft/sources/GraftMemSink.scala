@@ -32,13 +32,24 @@ class GraftMemSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-mem"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftMemStore.schemaOf(options.get("table"))
+    if (options.containsKey("changesFrom"))
+      GraftMemStore.schemaOf(options.get("table"))
+        .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    else GraftMemStore.schemaOf(options.get("table"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
+    // changesFrom/changesTo: the CDC read (Delta readChangeFeed shape);
     // versionAsOf: the DataFrame-reader route to the same snapshot pin
     // SQL's VERSION AS OF takes through the catalog
-    new GraftMemTable(properties.get("table"), schema,
-      Option(properties.get("versionAsOf")).map(_.toInt))
+    if (properties.containsKey("changesFrom")) {
+      val tbl = properties.get("table")
+      val from = properties.get("changesFrom").toInt
+      val to = Option(properties.get("changesTo")).map(_.toInt)
+        .getOrElse(GraftMemStore.currentVersion(tbl))
+      new GraftMemChangesTable(tbl, GraftMemStore.schemaOf(tbl), from, to)
+    } else
+      new GraftMemTable(properties.get("table"), schema,
+        Option(properties.get("versionAsOf")).map(_.toInt))
 }
 
 /** JVM-local table store: name → (schema, committed rows), plus a
@@ -170,6 +181,46 @@ object GraftMemStore {
   def retainedVersions(name: String): Seq[Int] = synchronized {
     snapshots.getOrDefault(name, Vector.empty).map(_._1)
   }
+
+  /** CDC between two retained snapshots (the Delta readChangeFeed /
+    * Iceberg incremental-scan shape): the MULTISET diff of the two row
+    * sets — rows gaining multiplicity are `insert`s, rows losing it are
+    * `delete`s (an upsert therefore shows as delete-of-old +
+    * insert-of-new, which is what a downstream incremental consumer
+    * must apply). Diffing needs value equality, so only atomic column
+    * types are accepted — a nested type fails loudly rather than
+    * diffing by reference. Both endpoint versions must be retained
+    * ([[rowsAt]] enforces), so expiry bounds how far back a consumer
+    * can fall behind — exactly Delta's CDC-retention contract. */
+  def changesBetween(name: String, fromV: Int, toV: Int): Array[(InternalRow, String)] =
+    synchronized {
+      require(fromV <= toV,
+        s"graft-mem: changesBetween needs fromVersion <= toVersion, got $fromV > $toV")
+      val schema = schemaOf(name)
+      schema.fields.foreach { f =>
+        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType == org.apache.spark.sql.types.BooleanType ||
+            f.dataType == org.apache.spark.sql.types.DateType ||
+            f.dataType == org.apache.spark.sql.types.TimestampType,
+          s"graft-mem: CDC diff needs value-comparable atomic columns; " +
+            s"'${f.name}' is ${f.dataType.simpleString}")
+      }
+      // UTF8String / boxed primitives have value-based equals+hashCode,
+      // so the row's value Seq is a usable multiset key
+      def counts(rows: Array[InternalRow]): Map[Seq[Any], (Int, InternalRow)] =
+        rows.groupBy(_.toSeq(schema)).map { case (k, rs) => k -> (rs.length, rs.head) }
+      val from = counts(rowsAt(name, fromV))
+      val to = counts(rowsAt(name, toV))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(InternalRow, String)]
+      (from.keySet ++ to.keySet).foreach { k =>
+        val (nf, nt) = (from.get(k).map(_._1).getOrElse(0), to.get(k).map(_._1).getOrElse(0))
+        val row = to.get(k).orElse(from.get(k)).get._2
+        if (nt > nf) (1 to nt - nf).foreach(_ => out += ((row, "insert")))
+        else if (nf > nt) (1 to nf - nt).foreach(_ => out += ((row, "delete")))
+      }
+      out.toArray
+    }
   def append(name: String, schema: StructType, rows: Array[InternalRow]): Unit =
     synchronized {
       val old = tables.get(name)
@@ -403,6 +454,54 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
             case Some(v) => GraftMemStore.rowsAt(tableName, v)
             case None => GraftMemStore.rowsOf(tableName)
           }))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+              val rows = p.asInstanceOf[GraftMemPartition].rows
+              new PartitionReader[InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < rows.length }
+                override def get(): InternalRow = rows(i)
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+/** Read-only CDC table over [[GraftMemStore.changesBetween]]: the base
+  * schema plus a `_change_type` column ('insert' | 'delete'). The diff
+  * is computed at scan planning, so an expired endpoint version fails
+  * the read exactly like an expired time-travel pin. */
+class GraftMemChangesTable(tableName: String, baseSchema: StructType,
+                           fromV: Int, toV: Int)
+    extends Table with SupportsRead {
+  private val outSchema = baseSchema.add("_change_type",
+    org.apache.spark.sql.types.StringType, nullable = false)
+  override def name(): String = s"graft_mem($tableName@changes[$fromV,$toV])"
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = outSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val rows = GraftMemStore.changesBetween(tableName, fromV, toV)
+            .map { case (r, kind) =>
+              val vals = new Array[Any](baseSchema.length + 1)
+              var i = 0
+              while (i < baseSchema.length) {
+                vals(i) = r.get(i, baseSchema(i).dataType); i += 1
+              }
+              vals(baseSchema.length) =
+                org.apache.spark.unsafe.types.UTF8String.fromString(kind)
+              new GenericInternalRow(vals): InternalRow
+            }
+          Array(GraftMemPartition(rows))
+        }
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
             override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

@@ -101,6 +101,68 @@ class GraftMemSinkSpec extends AnyFunSuite {
       .option("versionAsOf", "3").load().count() === 3L)
   }
 
+  test("CDC diff is a multiset diff: duplicate-row multiplicity changes surface") {
+    import spark.implicits._
+    val tbl = fresh()
+    // v1: two identical rows; v2: three of them — the diff must be ONE insert
+    Seq((1L, "a"), (1L, "a")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    val ch = spark.read.format("graft-mem").option("table", tbl)
+      .option("changesFrom", "1").option("changesTo", "2").load().collect()
+    assert(ch.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "insert")))
+  }
+
+  test("CDC surfaces an upsert as delete-of-old + insert-of-new") {
+    import spark.implicits._
+    val tbl = fresh()
+    Seq((1L, "old"), (2L, "keep")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    Seq((1L, "new")).toDF("id", "s")
+      .writeTo(s"graftmem.$tbl").overwrite(org.apache.spark.sql.functions.col("id") === 1L)
+    val ch = spark.read.format("graft-mem").option("table", tbl)
+      .option("changesFrom", "1").option("changesTo", "2").load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._3)
+    assert(ch.toSeq === Seq((1L, "old", "delete"), (1L, "new", "insert")))
+  }
+
+  test("CDC refuses tables with non-atomic columns loudly") {
+    import spark.implicits._
+    val tbl = fresh()
+    Seq((1L, Seq(1, 2))).toDF("id", "xs")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    val e = intercept[Exception] {
+      spark.read.format("graft-mem").option("table", tbl)
+        .option("changesFrom", "1").option("changesTo", "1").load().collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("value-comparable atomic"))))
+  }
+
+  test("CDC over an expired endpoint fails like an expired time-travel pin") {
+    import spark.implicits._
+    val tbl = fresh()
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+    }
+    graft.sources.GraftMemStore.expireSnapshots(tbl, keepLast = 1)
+    val e = intercept[Exception] {
+      spark.read.format("graft-mem").option("table", tbl)
+        .option("changesFrom", "1").option("changesTo", "3").load().collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("no snapshot"))))
+  }
+
   test("TIMESTAMP AS OF is refused with a version-addressing message") {
     import spark.implicits._
     val tbl = fresh()
