@@ -1315,7 +1315,7 @@ object CorePack extends QueryPack {
     * raw per-(lang, source) digests (version 1), s2 = s1 with the 'en'
     * upsert applied + the synthetic insert (version 2); version 3 is
     * `s2 WHERE lang <> 'de'`. */
-  private val snapshotStatesCtes: String =
+  private[graft] val snapshotStatesCtes: String =
     """s1 AS (
       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
       |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

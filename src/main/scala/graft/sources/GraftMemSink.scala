@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.Offset
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -470,10 +471,47 @@ class GraftMemTable(tableName: String, tableSchema: StructType,
     }
 }
 
+private[sources] object GraftMemChanges {
+  /** [[GraftMemStore.changesBetween]] materialized as output rows: the
+    * base columns plus the trailing `_change_type` string. */
+  def changeRows(tableName: String, baseSchema: StructType,
+                 fromV: Int, toV: Int): Array[InternalRow] =
+    GraftMemStore.changesBetween(tableName, fromV, toV)
+      .map { case (r, kind) =>
+        val vals = new Array[Any](baseSchema.length + 1)
+        var i = 0
+        while (i < baseSchema.length) {
+          vals(i) = r.get(i, baseSchema(i).dataType); i += 1
+        }
+        vals(baseSchema.length) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(kind)
+        new GenericInternalRow(vals): InternalRow
+      }
+
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val rows = p.asInstanceOf[GraftMemPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
 /** Read-only CDC table over [[GraftMemStore.changesBetween]]: the base
   * schema plus a `_change_type` column ('insert' | 'delete'). The diff
   * is computed at scan planning, so an expired endpoint version fails
-  * the read exactly like an expired time-travel pin. */
+  * the read exactly like an expired time-travel pin.
+  *
+  * Also a STREAMING source (`readStream` — the Delta streaming-source
+  * shape): offsets are COMMIT VERSIONS, each micro-batch admits one
+  * version's change set (per-commit batches, so the feed a consumer
+  * sees is the commit history, not a trigger-timing-dependent merge),
+  * and a checkpoint restart resumes from the logged version. The batch
+  * `changesTo` bound is ignored by the stream — a tail has no end. */
 class GraftMemChangesTable(tableName: String, baseSchema: StructType,
                            fromV: Int, toV: Int)
     extends Table with SupportsRead {
@@ -482,40 +520,85 @@ class GraftMemChangesTable(tableName: String, baseSchema: StructType,
   override def name(): String = s"graft_mem($tableName@changes[$fromV,$toV])"
   override def schema(): StructType = outSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = outSchema
         override def toBatch: Batch = this
-        override def planInputPartitions(): Array[InputPartition] = {
-          val rows = GraftMemStore.changesBetween(tableName, fromV, toV)
-            .map { case (r, kind) =>
-              val vals = new Array[Any](baseSchema.length + 1)
-              var i = 0
-              while (i < baseSchema.length) {
-                vals(i) = r.get(i, baseSchema(i).dataType); i += 1
-              }
-              vals(baseSchema.length) =
-                org.apache.spark.unsafe.types.UTF8String.fromString(kind)
-              new GenericInternalRow(vals): InternalRow
-            }
-          Array(GraftMemPartition(rows))
-        }
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftMemPartition(
+            GraftMemChanges.changeRows(tableName, baseSchema, fromV, toV)))
         override def createReaderFactory(): PartitionReaderFactory =
-          new PartitionReaderFactory {
-            override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-              val rows = p.asInstanceOf[GraftMemPartition].rows
-              new PartitionReader[InternalRow] {
-                private var i = -1
-                override def next(): Boolean = { i += 1; i < rows.length }
-                override def get(): InternalRow = rows(i)
-                override def close(): Unit = ()
-              }
-            }
-          }
+          GraftMemChanges.readerFactory
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new GraftMemCdcMicroBatchStream(tableName, baseSchema, fromV)
       }
     }
+}
+
+/** Streaming CDC tail: the offset log is the commit version; admission
+  * is ONE VERSION PER BATCH (so batches align with commits
+  * deterministically, independent of trigger timing), AvailableNow
+  * snapshots the current version and drains commit-by-commit up to it,
+  * and `deserializeOffset` re-seeds the in-memory high-water mark so a
+  * restart resumes past the committed versions (the replayability the
+  * V2 streaming contract requires — same discipline as
+  * [[GraftRangeMicroBatchStream]]). */
+class GraftMemCdcMicroBatchStream(tableName: String, baseSchema: StructType,
+                                  fromV: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  private val hwm = new java.util.concurrent.atomic.AtomicInteger(fromV)
+  private def seed(v: Int): Unit = {
+    var cur = hwm.get()
+    while (v > cur && !hwm.compareAndSet(cur, v)) cur = hwm.get()
+  }
+  @volatile private var availableNowEnd: Int = -1
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = GraftMemStore.currentVersion(tableName)
+  override def initialOffset(): Offset = GraftMemVersionOffset(fromV)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(1L)
+  override def reportLatestOffset(): Offset =
+    GraftMemVersionOffset(GraftMemStore.currentVersion(tableName))
+  private def nextEnd(startV: Int): Int = {
+    val current = GraftMemStore.currentVersion(tableName)
+    val cap = if (availableNowEnd >= 0) math.min(availableNowEnd, current) else current
+    math.min(math.max(startV, hwm.get()) + 1, math.max(cap, startV))
+  }
+  override def latestOffset(): Offset = {
+    seed(nextEnd(hwm.get())); GraftMemVersionOffset(hwm.get())
+  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // one version per batch regardless of the limit shape: commit
+    // alignment is the determinism contract, not a rate suggestion
+    seed(nextEnd(start.asInstanceOf[GraftMemVersionOffset].v))
+    GraftMemVersionOffset(hwm.get())
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.trim.toInt
+    seed(v)
+    GraftMemVersionOffset(v)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GraftMemVersionOffset].v,
+      end.asInstanceOf[GraftMemVersionOffset].v)
+    if (e <= s) Array.empty
+    else Array(GraftMemPartition(
+      GraftMemChanges.changeRows(tableName, baseSchema, s, e)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftMemChanges.readerFactory
+  override def commit(end: Offset): Unit =
+    seed(end.asInstanceOf[GraftMemVersionOffset].v)
+  override def stop(): Unit = ()
+}
+
+case class GraftMemVersionOffset(v: Int) extends Offset {
+  override def json: String = v.toString
 }
 
 case class GraftMemPartition(rows: Array[InternalRow]) extends InputPartition

@@ -818,6 +818,75 @@ object StreamingPack extends QueryPack {
     * from generate_series with the literal 7-batch count — a lost
     * batch, a doubled batch, or a replay that mutated state all
     * hash-fail. */
+  /** Streaming CDC tail (q475): the graft-mem snapshot change feed as a
+    * STREAMING source — the Delta streaming-source shape that turns a
+    * mutable 100 TB table into an unbounded input. Offsets are COMMIT
+    * VERSIONS and admission is one version per micro-batch
+    * ([[graft.sources.GraftMemCdcMicroBatchStream]]), so batches align
+    * with the table's commit history deterministically — trigger timing
+    * can never merge two commits into one delivered change set. The
+    * gate drives the same three commits as q474 (append → keyed upsert
+    * → metadata DELETE), tails the feed from version 1 under
+    * Trigger.AvailableNow into a foreachBatch sink that journals each
+    * batch with its id, and REQUIREs per-batch movement equal to the
+    * commit journal's own deleted/inserted counts (batch 0 ≡ the
+    * upsert, batch 1 ≡ the delete). The oracle recomputes each batch's
+    * change set as snapshot-state EXCEPTs from documents. */
+  def streamCdcTail(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    val n = counter.incrementAndGet()
+    val tbl = s"cdctail_src_${n}_${System.identityHashCode(s)}"
+    val outTbl = s"cdctail_out_${n}_${System.identityHashCode(s)}"
+    import graft.functions.TextFunctions.hex64
+    def digest(docs: DataFrame): DataFrame =
+      docs.groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"),
+          sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+    val docs = graft.core.Tables.documents(s, dir)
+    digest(docs).write.format("graft-mem").option("table", tbl).mode("append").save()
+    import s.implicits._
+    digest(docs.filter(col("lang") === "en").withColumn("text", upper(col("text"))))
+      .unionByName(Seq(("zz", "synthetic", 1L, 42L, 7L))
+        .toDF("lang", "source", "n_docs", "sum_chars", "text_cksum"))
+      .writeTo(s"graftmem.$tbl").overwrite(col("lang").isin("en", "zz"))
+    s.sql(s"DELETE FROM graftmem.$tbl WHERE lang = 'de'")
+    val feed = s.readStream.format("graft-mem").option("table", tbl)
+      .option("changesFrom", "1").load()
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.format("graft-mem").option("table", outTbl).mode("append").save()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.core.Artifacts.perRunSinkPath(s, s"cdc_tail_ckpt_$n"))
+      .start()
+    q.awaitTermination()
+    val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+    require(commits.map(_.kind) == List("append", "overwrite", "delete"),
+      s"q475: expected append+overwrite+delete commits, got $commits")
+    val out = s.read.format("graft-mem").option("table", outTbl).load()
+      .localCheckpoint()
+    val perBatch = out.groupBy("batch_id", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    require(perBatch.keys.map(_._1).toSet == Set(0L, 1L),
+      s"q475: expected exactly batches 0 and 1 (one per commit), got ${perBatch.keys}")
+    val (ow, del) = (commits(1), commits(2))
+    require(perBatch.getOrElse((0L, "delete"), 0L) == ow.deleted &&
+        perBatch.getOrElse((0L, "insert"), 0L) == ow.inserted,
+      s"q475: batch 0 feed $perBatch != upsert journal movement $ow")
+    require(perBatch.getOrElse((1L, "delete"), 0L) == del.deleted &&
+        perBatch.getOrElse((1L, "insert"), 0L) == 0L,
+      s"q475: batch 1 feed $perBatch != delete journal movement $del")
+    out.select(col("batch_id").cast("int").as("batch_id"), col("_change_type"),
+        col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+        col("text_cksum"))
+      .orderBy("batch_id", "_change_type", "lang", "source")
+  }
+
   def streamMergeExactlyOnce(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val runId = counter.incrementAndGet()
@@ -1319,6 +1388,7 @@ object StreamingPack extends QueryPack {
     "q438_stream_dsv2_source" -> ((s, _) => streamDsv2Source(s)),
     "q465_stream_restart_resume" -> ((s, _) => streamRestartResume(s)),
     "q469_stream_merge_exactly_once" -> ((s, _) => streamMergeExactlyOnce(s)),
+    "q475_stream_cdc_tail" -> ((s, d) => streamCdcTail(s, d)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
@@ -1447,6 +1517,30 @@ object StreamingPack extends QueryPack {
         |FROM UNNEST(generate_series(0, 199999)) AS g(i)
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // the streamed change feed must equal the per-commit change sets:
+    // batch 0 = the upsert's delete-old-en/insert-new-en/insert-zz,
+    // batch 1 = the DELETE's de removals — recomputed as snapshot-state
+    // EXCEPTs from documents (q474's oracle keyed by batch instead of
+    // version range). A merged batch, lost commit, or misaligned
+    // offset lands on the batch_id it corrupted
+    "q475_stream_cdc_tail" ->
+      s"""WITH ${graft.operators.CorePack.snapshotStatesCtes},
+        |s3 AS (SELECT * FROM s2 WHERE lang <> 'de'),
+        |ch12 AS (
+        |  SELECT 'delete' AS _change_type, * FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2) a
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1) b),
+        |ch23 AS (
+        |  SELECT 'delete' AS _change_type, * FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s3) a
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, * FROM (SELECT * FROM s3 EXCEPT SELECT * FROM s2) b)
+        |SELECT CAST(batch_id AS INT) AS batch_id, _change_type, lang, source,
+        |       n_docs, sum_chars, text_cksum
+        |FROM (
+        |  SELECT 0 AS batch_id, * FROM ch12
+        |  UNION ALL SELECT 1 AS batch_id, * FROM ch23
+        |) t ORDER BY batch_id, _change_type, lang, source""".stripMargin,
 
     // the 7 micro-batches must reassemble the full generator exactly —
     // the group-by recomputed row-by-row from generate_series

@@ -163,6 +163,44 @@ class GraftMemSinkSpec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("no snapshot"))))
   }
 
+  test("streaming CDC tail resumes from its checkpoint: only new commits deliver") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tbl = fresh()
+    val outTbl = s"${tbl}_out"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_restart").toString
+    def commitRow(i: Long): Unit =
+      Seq((i, s"v$i")).toDF("id", "s")
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-mem").option("table", tbl)
+        .option("changesFrom", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.format("graft-mem").option("table", outTbl).mode("append").save()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    commitRow(1); commitRow(2)
+    drain() // delivers versions 1->2 as batch 0 (nothing before v1)
+    val afterFirst = spark.read.format("graft-mem").option("table", outTbl).load()
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(afterFirst.toSeq.sorted === Seq((2L, "insert", 0L)))
+    commitRow(3)
+    drain() // restart from the checkpoint: ONLY version 3's change
+    val afterSecond = spark.read.format("graft-mem").option("table", outTbl).load()
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(afterSecond.toSeq.sorted === Seq((2L, "insert", 0L), (3L, "insert", 1L)))
+    // pinned restart discipline: batch ids CONTINUE (1), they don't reset
+    assert(afterSecond.map(_._3).max === 1L)
+  }
+
   test("TIMESTAMP AS OF is refused with a version-addressing message") {
     import spark.implicits._
     val tbl = fresh()
