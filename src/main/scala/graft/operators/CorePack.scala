@@ -1042,6 +1042,70 @@ object CorePack extends QueryPack {
         .select(col("from_v"), col("to_v"), col("_change_type"), col("lang"),
           col("source"), col("n_docs"), col("sum_chars"), col("text_cksum"))
         .orderBy("from_v", "_change_type", "lang", "source")
+    },
+
+    // ---- DSv2 SCHEMA EVOLUTION (ADD COLUMN): the ALTER TABLE surface a
+    // long-lived 100 TB table cannot live without — new columns arrive
+    // WITHOUT rewriting a byte of existing data. Semantics pinned here
+    // are Iceberg's: the added column must be nullable (old rows read
+    // NULL at scan time — read-time padding, not a backfill), the
+    // evolution is a journaled commit that MOVES NO ROWS (the CDC feed
+    // across it is REQUIREd empty — consumers see schema changes as
+    // metadata, not data), pre-evolution snapshots time-travel-read
+    // under the CURRENT schema with NULL for the new column, and
+    // post-evolution writes populate it. RENAME/DROP/type-change
+    // refuse (altering without migrating data corrupts reads). Oracle:
+    // both states recomputed from documents with an explicit NULL
+    // quality for pre-evolution rows. ----
+    "q476_dsv2_schema_evolution" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.GraftMemCatalog].getName)
+      val tbl = s"evo_${dsv2SinkCounter.incrementAndGet()}_${System.identityHashCode(s)}"
+      val docs = Tables.documents(s, dir)
+      // commit 1: per-(lang, source) digests at the ORIGINAL schema
+      docs.groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      // commit 2: schema evolution via real SQL
+      s.sql(s"ALTER TABLE graftmem.$tbl ADD COLUMN quality BIGINT")
+      // commit 3: per-lang rollups POPULATING the new column
+      docs.groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"))
+        .select(col("lang"), lit("_rollup").as("source"), col("n_docs"),
+          col("sum_chars"), expr("sum_chars div n_docs").cast("bigint").as("quality"))
+        .write.format("graft-mem").option("table", tbl).mode("append").save()
+      val commits = graft.sources.GraftMemStore.commitsOf(tbl)
+      require(commits.map(_.kind) == List("append", "add_column", "append"),
+        s"q476: expected append+add_column+append commits, got $commits")
+      require(commits(1).filters == "quality:bigint" &&
+          commits(1).deleted == 0 && commits(1).inserted == 0,
+        s"q476: evolution commit must move no rows, got ${commits(1)}")
+      // the CDC feed across the evolution commit is EMPTY
+      require(s.read.format("graft-mem").option("table", tbl)
+          .option("changesFrom", "1").option("changesTo", "2").load().count() == 0,
+        "q476: schema evolution must not appear in the change feed")
+      // RENAME refuses rather than silently corrupting reads
+      val renameRefused =
+        try { s.sql(s"ALTER TABLE graftmem.$tbl RENAME COLUMN quality TO q2"); false }
+        catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(c => Option(c.getMessage)
+              .exists(_.contains("unsupported table change")))
+        }
+      require(renameRefused, "q476: RENAME COLUMN must refuse")
+      // pre-evolution snapshot, read under the evolved schema
+      val v1 = s.sql(s"SELECT lang, source, n_docs, sum_chars, quality " +
+        s"FROM graftmem.$tbl VERSION AS OF 1").localCheckpoint()
+      require(v1.filter(col("quality").isNotNull).count() == 0,
+        "q476: the added column must read NULL in pre-evolution snapshots")
+      val cur = s.read.format("graft-mem").option("table", tbl).load()
+      v1.withColumn("as_of", lit(1))
+        .unionByName(cur.withColumn("as_of", lit(3)))
+        .select(col("as_of"), col("lang"), col("source"),
+          col("n_docs"), col("sum_chars"), col("quality"))
+        .orderBy("as_of", "lang", "source")
     }
   )
 
@@ -1159,6 +1223,31 @@ object CorePack extends QueryPack {
     // INSERT as a UNION row) — a dropped carry-over row, a double
     // update, or a partial replace all hash-fail
     "q466_dsv2_merge_into" -> upsertStateOracle,
+
+    // both states recomputed from documents: pre-evolution rows carry
+    // an explicit NULL quality (read-time padding), the rollup rows
+    // carry the populated column — a backfilled or misaligned value
+    // lands on the (as_of, lang, source) row it corrupted
+    "q476_dsv2_schema_evolution" ->
+      """WITH b AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, '_rollup' AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(SUM(n_chars) // count(*) AS BIGINT) AS quality
+        |  FROM documents GROUP BY lang)
+        |SELECT CAST(as_of AS INT) AS as_of, lang, source, n_docs, sum_chars, quality
+        |FROM (
+        |  SELECT 1 AS as_of, lang, source, n_docs, sum_chars,
+        |         CAST(NULL AS BIGINT) AS quality FROM b
+        |  UNION ALL
+        |  SELECT 3 AS as_of, lang, source, n_docs, sum_chars,
+        |         CAST(NULL AS BIGINT) AS quality FROM b
+        |  UNION ALL
+        |  SELECT 3 AS as_of, lang, source, n_docs, sum_chars, quality FROM r
+        |) t ORDER BY as_of, lang, source""".stripMargin,
 
     // the three snapshot states recomputed independently from
     // documents: v1 = raw digests, v2 = v1 with the 'en' upsert + the

@@ -653,7 +653,7 @@ object SimilarityPack extends QueryPack {
     // unknown-size localCheckpoint estimates (measured neutral at the
     // gated corpus sizes; trajectory and hash unchanged)
     def scoreOf(cand: DataFrame): DataFrame =
-      broadcast(cand.join(broadcast(queriesDf), "q_id"))
+      cand.join(broadcast(queriesDf), "q_id")
         .join(corpus, "vec_id")
         .withColumn("cosine", cosineQ(col("qq"), col("q"), col("qnorm"), col("norm")))
         .select("q_id", "vec_id", "cosine")
@@ -662,13 +662,12 @@ object SimilarityPack extends QueryPack {
     for (r <- 1 to nRounds) {
       val frontier = visited.withColumn("brk", row_number().over(wB))
         .filter(col("brk") <= beam).select("q_id", "vec_id")
-      val expand = broadcast(frontier).join(graph, col("vec_id") === col("src"))
+      val expand = frontier.join(graph, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
       // delta-scoring (see [[beamSearchArms]]): visited keeps its exact
       // cosines, only the unseen expansion pays the corpus join
       val fresh = expand.distinct()
-        .join(broadcast(visited.select("q_id", "vec_id")),
-          Seq("q_id", "vec_id"), "left_anti")
+        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
       // per-round checkpoint: measured BEST of the alternatives on the
       // q54 hnsw arm (3.2 s steady) — lazy bi-round plans re-execute
       // the skipped round's window/joins (ReuseExchange does not

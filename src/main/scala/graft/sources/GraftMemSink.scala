@@ -146,11 +146,48 @@ object GraftMemStore {
     require(t != null, s"graft-mem: unknown table '$name'")
     t._1
   }
+  /** Pad pre-evolution rows (written before an ADD COLUMN) to the
+    * current schema arity — added columns read NULL for old rows, the
+    * Iceberg read-time semantics (old data files simply lack the
+    * column). Post-evolution rows pass through untouched. */
+  private def padded(schema: StructType, rows: Array[InternalRow]): Array[InternalRow] =
+    rows.map { r =>
+      if (r.numFields == schema.length) r
+      else {
+        val vals = new Array[Any](schema.length)
+        var i = 0
+        while (i < r.numFields) { vals(i) = r.get(i, schema(i).dataType); i += 1 }
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+
   def rowsOf(name: String): Array[InternalRow] = synchronized {
     val t = tables.get(name)
     require(t != null, s"graft-mem: unknown table '$name'")
-    t._2
+    padded(t._1, t._2)
   }
+
+  /** Schema evolution (ADD COLUMN): the new column must be nullable —
+    * existing rows read NULL for it (enforced here because the padded
+    * read has no other value to give them). The change is journaled
+    * and snapshotted like a data commit, but moves no rows: the CDC
+    * diff across it is empty, and time-travel reads of PRE-evolution
+    * snapshots use the current schema with NULL for the new column —
+    * both the Iceberg behavior. */
+  def addColumn(name: String, field: org.apache.spark.sql.types.StructField): Unit =
+    synchronized {
+      val old = tables.get(name)
+      require(old != null, s"graft-mem: unknown table '$name'")
+      require(field.nullable,
+        s"graft-mem: added column '${field.name}' must be nullable — " +
+          "existing rows read NULL for it")
+      require(!old._1.fieldNames.contains(field.name),
+        s"graft-mem: table '$name' already has a column '${field.name}'")
+      tables.put(name, (old._1.add(field), old._2))
+      logCommit(name, CommitRecord("add_column",
+        s"${field.name}:${field.dataType.simpleString}", 0, 0))
+      recordSnapshot(name)
+    }
   /** Current version = number of journaled commits (snapshot ids are
     * the commit sequence). */
   def currentVersion(name: String): Int = synchronized {
@@ -163,11 +200,14 @@ object GraftMemStore {
   def rowsAt(name: String, version: Int): Array[InternalRow] = synchronized {
     require(tables.containsKey(name), s"graft-mem: unknown table '$name'")
     val hist = snapshots.getOrDefault(name, Vector.empty)
-    hist.find(_._1 == version).map(_._2).getOrElse(
+    val rows = hist.find(_._1 == version).map(_._2).getOrElse(
       throw new IllegalArgumentException(
         s"graft-mem: table '$name' has no snapshot at version $version " +
           s"(retained versions: ${hist.map(_._1).mkString(", ")}) — " +
           "expired or never committed"))
+    // pre-evolution snapshots read with the CURRENT schema, NULL for
+    // since-added columns (Iceberg time-travel + evolution semantics)
+    padded(tables.get(name)._1, rows)
   }
   /** Snapshot retention: keep only the newest `keepLast` snapshots
     * (the current state always survives — it is the newest snapshot by
@@ -686,8 +726,27 @@ class GraftMemCatalog extends org.apache.spark.sql.connector.catalog.TableCatalo
     GraftMemStore.create(ident.name(), schema)
     new GraftMemTable(ident.name(), schema)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-mem: alterTable")
+  /** Schema evolution: ADD COLUMN (top-level, nullable) only. Every
+    * other change refuses — a connector that silently accepts RENAME /
+    * DROP / type-change without migrating data corrupts reads. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!GraftMemStore.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name())
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft-mem: only top-level ADD COLUMN is supported, " +
+            s"got ${add.fieldNames().mkString(".")}")
+        GraftMemStore.addColumn(ident.name(),
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-mem: unsupported table change $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     GraftMemStore.drop(ident.name())
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

@@ -163,6 +163,36 @@ class GraftMemSinkSpec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("no snapshot"))))
   }
 
+  test("schema evolution: old rows read NULL for the added column; refusals are loud") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import spark.implicits._
+    val tbl = fresh()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    graft.sources.GraftMemStore.addColumn(tbl, StructField("x", LongType))
+    val back = spark.read.format("graft-mem").option("table", tbl).load()
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s", "x"))
+    assert(back.collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq ===
+      Seq((1L, true)))
+    // post-evolution writes populate it; pre-evolution snapshot reads NULL
+    Seq((2L, "b", 7L)).toDF("id", "s", "x")
+      .write.format("graft-mem").option("table", tbl).mode("append").save()
+    val v1 = spark.read.format("graft-mem").option("table", tbl)
+      .option("versionAsOf", "1").load()
+    assert(v1.collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq ===
+      Seq((1L, true)))
+    // non-nullable and duplicate adds refuse
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.GraftMemStore.addColumn(tbl,
+        StructField("y", LongType, nullable = false))
+    }
+    assert(e1.getMessage.contains("must be nullable"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.GraftMemStore.addColumn(tbl, StructField("x", LongType))
+    }
+    assert(e2.getMessage.contains("already has a column"))
+  }
+
   test("streaming CDC tail resumes from its checkpoint: only new commits deliver") {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.streaming.Trigger
