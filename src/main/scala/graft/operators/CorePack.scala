@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryPack, Tables}
 import graft.functions.TextFunctions.hex64
@@ -737,6 +738,58 @@ object CorePack extends QueryPack {
         .orderBy("bucket")
     },
 
+    // ---- DSv2 ORDERING REPORT (SupportsReportOrdering): the scan
+    // declares its per-partition emission order (`id ASC` — true of
+    // every partition shape it plans), and EnsureRequirements ELIDES
+    // the Sort a consumer would otherwise pay: a sortWithinPartitions
+    // consumer and a single-partition global ORDER BY both plan with
+    // ZERO SortExec nodes (REQUIREd from the executed plan). This is
+    // the read-side twin of the clustered scan's partitioning report —
+    // at 100 TB it is what lets a sort-merge join or ordered window
+    // consume a time/key-sorted table WITHOUT re-sorting 100 TB. The
+    // ordering is only advertised while `id` survives pruning. The
+    // pushed-top-N lane (q462) stays honest: that scan only NARROWS
+    // the interval, rows still emit ascending, so the report stays
+    // truthful under a desc top-N (Spark re-sorts the survivors).
+    // Oracle: the ordered prefix digest replayed in closed form —
+    // an out-of-order emission lands on the lag-delta column. ----
+    "q477_dsv2_report_ordering" -> { (s, _) =>
+      def noSort(df: DataFrame, what: String): Unit = {
+        val sorts = df.queryExecution.executedPlan.collect {
+          case x: org.apache.spark.sql.execution.SortExec => x
+        }
+        require(sorts.isEmpty,
+          s"q477: $what still plans a SortExec despite the ordering " +
+            s"report:\n${df.queryExecution.executedPlan.toString.take(1500)}")
+      }
+      // consumer 1: per-partition sort over the 8-slice scan — elided
+      val multi = s.read.format("graft-range")
+        .option("n", "100000").option("slices", "8").load()
+        .sortWithinPartitions("id")
+      noSort(multi, "sortWithinPartitions over the 8-slice scan")
+      // consumer 2: global ORDER BY over the single-partition scan —
+      // one partition + reported order satisfies it, no sort, and the
+      // ordered-lag window consumes the scan order directly
+      val single = s.read.format("graft-range")
+        .option("n", "100000").option("slices", "1").load()
+        .orderBy("id")
+      noSort(single, "global ORDER BY over the single-slice scan")
+      // the output CONSUMES the order: per-bucket digests of each row's
+      // lag-delta (id - previous id in scan order) — any emission that
+      // violates the reported order corrupts sum_delta/min_delta
+      val w = Window.orderBy("id")
+      val out = single
+        .withColumn("delta", col("id") - lag("id", 1, -1L).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum("delta").cast("bigint").as("sum_delta"),
+          min("delta").cast("bigint").as("min_delta"),
+          max("delta").cast("bigint").as("max_delta"))
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("sum_delta"), col("min_delta"), col("max_delta"))
+      out.orderBy("bucket")
+    },
+
     // ---- DSv2 TOP-N PUSHDOWN: `ORDER BY id DESC LIMIT 100` reaches
     // the connector (SupportsPushDownTopN) as a sort spec + limit, and
     // because the top-k of a contiguous id interval is itself
@@ -1343,6 +1396,20 @@ object CorePack extends QueryPack {
         |FROM UNNEST(generate_series(500000, 500999)) AS g(i)
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // the scan-order lag-delta digest replayed over generate_series:
+    // every delta is 1 iff the rows really arrived in id order
+    "q477_dsv2_report_ordering" ->
+      """WITH r AS (
+        |  SELECT g.i % 16 AS bucket,
+        |         g.i - lag(g.i, 1, -1) OVER (ORDER BY g.i) AS delta
+        |  FROM UNNEST(generate_series(0, 99999)) AS g(i))
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(delta) AS BIGINT) AS sum_delta,
+        |       CAST(MIN(delta) AS BIGINT) AS min_delta,
+        |       CAST(MAX(delta) AS BIGINT) AS max_delta
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // the top-N tail interval replayed in the pushed descending order
     "q462_dsv2_topn_pushdown" ->

@@ -433,8 +433,26 @@ class GraftRangeScan(val lo: Long, val hi: Long, slices: Int,
                      val pushedLimit: Option[Int] = None,
                      val pushedTopNDesc: Option[Boolean] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.sources.{Filter, In}
+
+  /** `SupportsReportOrdering`: every partition shape this scan plans —
+    * contiguous [start, end) ranges, sorted runtime-filter id chunks,
+    * and the narrowed top-N interval — emits ids ASCENDING within the
+    * partition, so the scan reports `id ASC NULLS FIRST` and Spark's
+    * EnsureRequirements elides the redundant local Sort a consumer
+    * (sortWithinPartitions, sort-merge join side, single-partition
+    * global sort) would otherwise pay. Only advertised while `id`
+    * survives column pruning — an ordering on a pruned-away column
+    * would not resolve against the scan output. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
   /** Runtime-narrowed id set (sorted), observable by plan REQUIREs. */
   @volatile var runtimeSet: Option[Array[Long]] = None
   /** Only advertised while `id` survives column pruning (Spark resolves
