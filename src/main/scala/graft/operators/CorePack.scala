@@ -741,45 +741,68 @@ object CorePack extends QueryPack {
     // ---- DSv2 ORDERING REPORT (SupportsReportOrdering): the scan
     // declares its per-partition emission order (`id ASC` — true of
     // every partition shape it plans), and EnsureRequirements ELIDES
-    // the Sort a consumer would otherwise pay: a sortWithinPartitions
-    // consumer and a single-partition global ORDER BY both plan with
-    // ZERO SortExec nodes (REQUIREd from the executed plan). This is
-    // the read-side twin of the clustered scan's partitioning report —
-    // at 100 TB it is what lets a sort-merge join or ordered window
-    // consume a time/key-sorted table WITHOUT re-sorting 100 TB. The
-    // ordering is only advertised while `id` survives pruning. The
-    // pushed-top-N lane (q462) stays honest: that scan only NARROWS
-    // the interval, rows still emit ascending, so the report stays
-    // truthful under a desc top-N (Spark re-sorts the survivors).
-    // Oracle: the ordered prefix digest replayed in closed form —
-    // an out-of-order emission lands on the lag-delta column. ----
+    // the LOCAL Sort a consumer would otherwise pay: a
+    // sortWithinPartitions consumer plans with ZERO SortExec nodes
+    // (REQUIREd by a traversal that DESCENDS INTO AQE query stages — a
+    // naive plan.collect stops at stage boundaries and would pass
+    // vacuously; an in-gate NEGATIVE CONTROL on the unreported `sq`
+    // column must still find its Sort, proving the traversal sees
+    // sorts at all). NOT claimed, deliberately: a global orderBy keeps
+    // its range exchange + sort (post-shuffle order is gone), and even
+    // a single-partition ordered window re-sorts because the inserted
+    // SinglePartition exchange erases source order — both pinned
+    // honestly in ReportOrderingSpec. What the report buys at 100 TB
+    // is local-sort elision where partitioning already aligns:
+    // within-partition consumers and the sorted side of an exchange-
+    // free join ride the storage order for free. The
+    // report is only advertised while `id` survives pruning, and the
+    // q462 top-N scan stays truthful (it narrows, still emits asc).
+    // Oracle: the scan-order lag-delta digest replayed in closed
+    // form — an out-of-order emission corrupts the delta columns. ----
     "q477_dsv2_report_ordering" -> { (s, _) =>
-      def noSort(df: DataFrame, what: String): Unit = {
-        val sorts = df.queryExecution.executedPlan.collect {
-          case x: org.apache.spark.sql.execution.SortExec => x
+      def sortsIn(df: DataFrame): Int = {
+        var c = 0
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan)
+            case _: org.apache.spark.sql.execution.SortExec => c += 1
+            case _ =>
+          }
+          p.children.foreach(walk)
+          p.subqueries.foreach(walk)
         }
-        require(sorts.isEmpty,
-          s"q477: $what still plans a SortExec despite the ordering " +
-            s"report:\n${df.queryExecution.executedPlan.toString.take(1500)}")
+        walk(df.queryExecution.executedPlan)
+        c
       }
       // consumer 1: per-partition sort over the 8-slice scan — elided
       val multi = s.read.format("graft-range")
         .option("n", "100000").option("slices", "8").load()
         .sortWithinPartitions("id")
-      noSort(multi, "sortWithinPartitions over the 8-slice scan")
-      // consumer 2: global ORDER BY over the single-partition scan —
-      // one partition + reported order satisfies it, no sort, and the
-      // ordered-lag window consumes the scan order directly
-      val single = s.read.format("graft-range")
-        .option("n", "100000").option("slices", "1").load()
-        .orderBy("id")
-      noSort(single, "global ORDER BY over the single-slice scan")
-      // the output CONSUMES the order: per-bucket digests of each row's
-      // lag-delta (id - previous id in scan order) — any emission that
-      // violates the reported order corrupts sum_delta/min_delta
+      multi.count()
+      require(sortsIn(multi) == 0,
+        s"q477: sortWithinPartitions(id) still plans a Sort despite the " +
+          s"ordering report:\n${multi.queryExecution.executedPlan.toString.take(1200)}")
+      // negative control: the same consumer on the UNREPORTED column
+      // must keep its Sort — proves the traversal is not vacuous
+      val ctrl = s.read.format("graft-range")
+        .option("n", "100000").option("slices", "8").load()
+        .sortWithinPartitions("sq")
+      ctrl.count()
+      require(sortsIn(ctrl) >= 1,
+        "q477: the negative control lost its Sort — traversal is blind")
+      // the output CONSUMES the order through an ordered lag window
+      // (engine-sorted — see the honesty note above): per-bucket
+      // digests of each row's lag-delta; combined with the spec's
+      // per-partition ascending check this pins that the REPORTED
+      // order is the TRUE emission order
       val w = Window.orderBy("id")
-      val out = single
+      val lagged = s.read.format("graft-range")
+        .option("n", "100000").option("slices", "1").load()
         .withColumn("delta", col("id") - lag("id", 1, -1L).over(w))
+      lagged
         .groupBy("bucket")
         .agg(count(lit(1)).cast("bigint").as("n"),
           sum("delta").cast("bigint").as("sum_delta"),
@@ -787,7 +810,7 @@ object CorePack extends QueryPack {
           max("delta").cast("bigint").as("max_delta"))
         .select(col("bucket").cast("int").as("bucket"), col("n"),
           col("sum_delta"), col("min_delta"), col("max_delta"))
-      out.orderBy("bucket")
+        .orderBy("bucket")
     },
 
     // ---- DSv2 TOP-N PUSHDOWN: `ORDER BY id DESC LIMIT 100` reaches

@@ -887,6 +887,101 @@ object StreamingPack extends QueryPack {
       .orderBy("batch_id", "_change_type", "lang", "source")
   }
 
+  /** Incremental materialized-view maintenance (q478): the flagship
+    * COMPOSITION of the table-format stack — a downstream per-lang
+    * aggregate MV kept in sync with a mutable upstream table by
+    * (1) BOOTSTRAPPING from a pinned snapshot (`VERSION AS OF 1`, the
+    * initial-load half of Delta's "snapshot + readChangeFeed" idiom),
+    * then (2) tailing the streaming CDC feed from that same version
+    * and (3) applying each commit's change set as SIGNED DELTAS via
+    * SQL MERGE INTO (insert = +, delete = −; a key whose doc count
+    * reaches zero is DELETED from the MV, not left as a zero row).
+    * At 100 TB this is how a derived table follows a source without
+    * recompute: the MV processes |delta| rows per commit, never the
+    * corpus. REQUIREs: the MV's journal shows exactly the bootstrap
+    * append + one MERGE commit per tailed version, and the final MV is
+    * row-identical to a from-scratch recompute over the upstream's
+    * CURRENT state (both-ways EXCEPT empty). The oracle recomputes the
+    * per-lang rollup of the final upstream state from documents. */
+  def streamIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.GraftMemCatalog].getName)
+    val n = counter.incrementAndGet()
+    val tbl = s"mv_src_${n}_${System.identityHashCode(s)}"
+    val mv = s"mv_agg_${n}_${System.identityHashCode(s)}"
+    import graft.functions.TextFunctions.hex64
+    def digest(docs: DataFrame): DataFrame =
+      docs.groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"),
+          sum(hex64(md5(col("text"))) % lit(1000000007L)).cast("bigint").as("text_cksum"))
+    val docs = graft.core.Tables.documents(s, dir)
+    // upstream commit 1, then the MV bootstrap from EXACTLY version 1
+    digest(docs).write.format("graft-mem").option("table", tbl).mode("append").save()
+    s.sql(s"SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs, " +
+        s"CAST(sum(sum_chars) AS BIGINT) AS sum_chars, " +
+        s"CAST(sum(text_cksum) AS BIGINT) AS cksum " +
+        s"FROM graftmem.$tbl VERSION AS OF 1 GROUP BY lang")
+      .write.format("graft-mem").option("table", mv).mode("append").save()
+    // upstream commits 2 (keyed upsert) and 3 (metadata delete)
+    import s.implicits._
+    digest(docs.filter(col("lang") === "en").withColumn("text", upper(col("text"))))
+      .unionByName(Seq(("zz", "synthetic", 1L, 42L, 7L))
+        .toDF("lang", "source", "n_docs", "sum_chars", "text_cksum"))
+      .writeTo(s"graftmem.$tbl").overwrite(col("lang").isin("en", "zz"))
+    s.sql(s"DELETE FROM graftmem.$tbl WHERE lang = 'de'")
+    // tail the CDC feed from the bootstrap version; each batch MERGEs
+    // its signed per-lang deltas into the MV
+    val feed = s.readStream.format("graft-mem").option("table", tbl)
+      .option("changesFrom", "1").load()
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val view = s"mv_delta_${n}_$batchId"
+        // the batch frame lives in the stream's CLONED session — the
+        // temp view registers there, so the MERGE must run there too
+        batch.createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"""MERGE INTO graftmem.$mv t
+             |USING (
+             |  SELECT lang,
+             |         CAST(sum(CASE WHEN _change_type = 'insert' THEN n_docs ELSE -n_docs END) AS BIGINT) AS d_docs,
+             |         CAST(sum(CASE WHEN _change_type = 'insert' THEN sum_chars ELSE -sum_chars END) AS BIGINT) AS d_chars,
+             |         CAST(sum(CASE WHEN _change_type = 'insert' THEN text_cksum ELSE -text_cksum END) AS BIGINT) AS d_cksum
+             |  FROM $view GROUP BY lang
+             |) d ON t.lang = d.lang
+             |WHEN MATCHED AND t.n_docs + d.d_docs <= 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  n_docs = t.n_docs + d.d_docs,
+             |  sum_chars = t.sum_chars + d.d_chars,
+             |  cksum = t.cksum + d.d_cksum
+             |WHEN NOT MATCHED THEN
+             |  INSERT (lang, n_docs, sum_chars, cksum)
+             |  VALUES (d.lang, d.d_docs, d.d_chars, d.d_cksum)""".stripMargin)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.core.Artifacts.perRunSinkPath(s, s"mv_ckpt_$n"))
+      .start()
+    q.awaitTermination()
+    // journal proof: bootstrap append + ONE MERGE commit per version
+    val mvCommits = graft.sources.GraftMemStore.commitsOf(mv)
+    require(mvCommits.map(c => (c.kind, c.filters)) ==
+        List(("append", ""), ("overwrite", "replace_merge"), ("overwrite", "replace_merge")),
+      s"q478: expected bootstrap append + 2 MERGE commits on the MV, got $mvCommits")
+    // the incremental MV must equal a from-scratch recompute over the
+    // upstream's CURRENT state
+    val mvNow = s.read.format("graft-mem").option("table", mv).load()
+      .localCheckpoint()
+    val recompute = s.sql(s"SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs, " +
+      s"CAST(sum(sum_chars) AS BIGINT) AS sum_chars, " +
+      s"CAST(sum(text_cksum) AS BIGINT) AS cksum " +
+      s"FROM graftmem.$tbl GROUP BY lang").localCheckpoint()
+    require(mvNow.exceptAll(recompute).isEmpty && recompute.exceptAll(mvNow).isEmpty,
+      "q478: the incrementally maintained MV diverged from the recompute")
+    mvNow.orderBy("lang")
+  }
+
   def streamMergeExactlyOnce(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val runId = counter.incrementAndGet()
@@ -1389,6 +1484,7 @@ object StreamingPack extends QueryPack {
     "q465_stream_restart_resume" -> ((s, _) => streamRestartResume(s)),
     "q469_stream_merge_exactly_once" -> ((s, _) => streamMergeExactlyOnce(s)),
     "q475_stream_cdc_tail" -> ((s, d) => streamCdcTail(s, d)),
+    "q478_stream_incremental_mv" -> ((s, d) => streamIncrementalMv(s, d)),
     "q435_stream_ks_drift" -> ((s, d) => streamKsDrift(s, d)),
     "q425_stream_ivf_assign" -> ((s, d) => streamIvfAssign(s, d)),
     "q410_stream_skyline" -> ((s, d) => SkylineStream.run(s, d)),
@@ -1541,6 +1637,18 @@ object StreamingPack extends QueryPack {
         |  SELECT 0 AS batch_id, * FROM ch12
         |  UNION ALL SELECT 1 AS batch_id, * FROM ch23
         |) t ORDER BY batch_id, _change_type, lang, source""".stripMargin,
+
+    // the final MV recomputed from documents: the per-lang rollup of
+    // the upstream's final state (en upserted, zz inserted, de deleted)
+    // — a missed delta, double-applied batch, or zero-row residue (de
+    // must be ABSENT, not zero) lands on the lang it corrupted
+    "q478_stream_incremental_mv" ->
+      s"""WITH ${graft.operators.CorePack.snapshotStatesCtes}
+        |SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(text_cksum) AS BIGINT) AS cksum
+        |FROM s2 WHERE lang <> 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the 7 micro-batches must reassemble the full generator exactly —
     // the group-by recomputed row-by-row from generate_series
