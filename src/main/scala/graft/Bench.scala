@@ -38,6 +38,16 @@ object Bench {
       // query's leftover cache never competes with the next query's
       // working set. Runs AFTER `sec` is captured — cleanup is untimed.
       spark.catalog.clearCache()
+      // MEASUREMENT FIX (r14, documented in OPTIMIZATION_r14.md):
+      // localCheckpoint blocks and shuffle state are only reclaimed when
+      // the driver GCs their weak references (ContextCleaner); in a
+      // rapid-fire 478-query session that backlog lands on LATER
+      // queries' timed regions (measured: q54 alone degrades 10 → 84 s
+      // over 5 back-to-back passes without this, flat ~8 s with it).
+      // The GC runs in the untimed region so each query is measured on
+      // its own plan, not the previous queries' cleanup debt.
+      System.gc()
+      Thread.sleep(300)
       (sec, ok)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

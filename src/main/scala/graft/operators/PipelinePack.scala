@@ -592,17 +592,25 @@ object PipelinePack extends QueryPack {
         .select("c", "p").distinct())
       var h = e.select("c").distinct().withColumn("h", lit(1000000L))
       var a: DataFrame = null
+      // checkpoint the RAW half-step sums, not the normalized scores:
+      // the L∞ max is a scalar probe of the same frame, and with the
+      // checkpoint after normalization the broadcast(max) subtree
+      // re-executed the full e-join — each half-step paid the edge join
+      // TWICE (guide §7.2, duplicated subtrees). Checkpointing `ar`/`hr`
+      // makes the max probe and the normalized projection both read the
+      // stored blocks: 4 edge joins per query instead of 8, scores
+      // unchanged (identical integer math).
       for (_ <- 1 to 2) {
         val ar = e.join(h, "c").groupBy("p").agg(sum("h").as("raw"))
+          .localCheckpoint()
         val amax = ar.agg(max("raw").as("mx"))
         a = ar.crossJoin(broadcast(amax))
           .select(col("p"), expr("(1000000 * raw) div mx").as("a"))
-          .localCheckpoint()
         val hr = e.join(a, "p").groupBy("c").agg(sum("a").as("raw"))
+          .localCheckpoint()
         val hmax = hr.agg(max("raw").as("mx"))
         h = hr.crossJoin(broadcast(hmax))
           .select(col("c"), expr("(1000000 * raw) div mx").as("h"))
-          .localCheckpoint()
       }
       val result = a.select(lit("auth").as("entity"),
           col("p").cast("bigint").as("id"), col("a").cast("bigint").as("score_q"))

@@ -517,26 +517,39 @@ object SimilarityPack extends QueryPack {
     val dups = warmed(semDedupDups(s, d, vecs))
     val corpus = vecs.select("vec_id", "q", "norm")
       .join(dups.select("vec_id"), Seq("vec_id"), "left_anti")
-    val nReps = corpus.count()
-    val graph = warmed(hnswRepsGraph(s, d))
     val queriesDf = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
-    val out = warmed(
-      beamSearch(graph, corpus, queriesDf, hnswSeedMod(nReps), hnswBeam, hnswRounds)
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
-        .filter(col("rk") <= topK)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("cosine")))
-    graph.unpersist()
+    // the index chain (rep count → graph warm → beam rounds) and the
+    // credited-truth pass (brute ⋈ dups, depends only on dups) are
+    // independent — overlap them (guide §2.6)
+    var nRepsSlot = 0L
+    var outSlot: DataFrame = null
+    var creditedSlot: Array[org.apache.spark.sql.Row] = null
+    graft.core.Par.run[Unit](Seq(
+      () => {
+        nRepsSlot = corpus.count()
+        val graph = warmed(hnswRepsGraph(s, d))
+        outSlot = warmed(
+          beamSearch(graph, corpus, queriesDf, hnswSeedMod(nRepsSlot),
+              hnswBeam, hnswRounds)
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))))
+            .filter(col("rk") <= topK)
+            .select(col("q_id"), col("rk"), col("vec_id"), col("cosine")))
+        graph.unpersist()
+      },
+      () => creditedSlot = bruteTopK(vecs).select("q_id", "vec_id")
+        .join(dups.select(col("vec_id"), col("rep_id")), Seq("vec_id"), "left")
+        .select(col("q_id"), col("vec_id"),
+          coalesce(col("rep_id"), col("vec_id")).as("cred"))
+        .collect()))
+    val nReps = nRepsSlot
+    val out = outSlot
     // rep-credited recall: both frames are bounded (queries × topK)
     val outSet = out.select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val credited = bruteTopK(vecs).select("q_id", "vec_id")
-      .join(dups.select(col("vec_id"), col("rep_id")), Seq("vec_id"), "left")
-      .select(col("q_id"), col("vec_id"),
-        coalesce(col("rep_id"), col("vec_id")).as("cred"))
-      .collect()
+    val credited = creditedSlot
     val nHits = credited.count { r =>
       val (q, t, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
       outSet((q, t)) || outSet((q, c)) || c == q
@@ -1296,9 +1309,15 @@ object SimilarityPack extends QueryPack {
     // delta vector. ----
     "q455_hnsw_delta_insert" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      val graph = warmed(hnswBaseGraph(s, d))
       val base = vecs.filter(pmod(col("vec_id"), lit(10L)) =!= lit(7L))
-      val baseN = base.count()
+      // graph warm-up and the base-split count are independent —
+      // overlap (guide §2.6)
+      var graphSlot: DataFrame = null
+      var baseNSlot: Long = 0L
+      graft.core.Par.run[Unit](Seq(
+        () => graphSlot = warmed(hnswBaseGraph(s, d)),
+        () => baseNSlot = base.count()))
+      val graph = graphSlot; val baseN = baseNSlot
       val corpus = base.select(col("vec_id"), col("q"), col("norm"))
       val queriesDf = vecs.filter(pmod(col("vec_id"), lit(10L)) === lit(7L))
         .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
@@ -1324,11 +1343,17 @@ object SimilarityPack extends QueryPack {
     // all three arms. ----
     "q458_hnsw_beam_curve" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      val graph = warmed(hnswGraph(s, d))
+      // graph warm-up and brute-truth build are independent — overlap
+      // (guide §2.6)
+      var graphSlot: DataFrame = null
+      var truthSlot: DataFrame = null
+      graft.core.Par.run[Unit](Seq(
+        () => graphSlot = warmed(hnswGraph(s, d)),
+        () => truthSlot = warmed(bruteTopK(vecs).select("q_id", "vec_id"))))
+      val graph = graphSlot; val truth = truthSlot
       val corpus = vecs.select(col("vec_id"), col("q"), col("norm"))
       val queriesDf = vecs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("q").as("qq"), col("norm").as("qnorm"))
-      val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
       val sm = hnswSeedMod(corpusCount(s, d))
       val wBA = Window.partitionBy("beam", "q_id")
         .orderBy(desc("cosine"), asc("vec_id"))
@@ -1372,14 +1397,22 @@ object SimilarityPack extends QueryPack {
     // per layer, chained beam replays, entries flowing down). ----
     "q467_ann_hnsw_hier" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      val out = warmed(hierTopK(s, d, vecs))
-      val truth = bruteTopK(vecs).select("q_id", "vec_id")
+      // the hierarchical descent (eager beam rounds) and the brute truth
+      // are independent — overlap them (guide §2.6); truth warmed ONCE
+      // so the REQUIRE's count and the hit join don't each re-run the
+      // brute pass
+      var outSlot: DataFrame = null
+      var truthSlot: DataFrame = null
+      graft.core.Par.run[Unit](Seq(
+        () => outSlot = warmed(hierTopK(s, d, vecs)),
+        () => truthSlot = warmed(bruteTopK(vecs).select("q_id", "vec_id"))))
+      val out = outSlot; val truth = truthSlot
       val nTruth = truth.count()
       val nHits = out.select("q_id", "vec_id").join(truth, Seq("q_id", "vec_id")).count()
       require(nHits.toDouble / nTruth >= 0.92,
         s"q467: hierarchical recall ${nHits.toDouble / nTruth} fell below " +
           s"the 0.92 floor ($nHits/$nTruth vs q50 truth)")
-      materialized(out.toDF(), out, vecs).orderBy("q_id", "rk")
+      materialized(out.toDF(), out, truth, vecs).orderBy("q_id", "rk")
     },
 
     // ---- DEDUP-THEN-INDEX ANN (q470, r13 VERDICT #3): the gated
@@ -1407,14 +1440,21 @@ object SimilarityPack extends QueryPack {
 
     "q452_ann_hnsw" -> { (s, d) =>
       val vecs = persistedVecs(s, d)
-      val out = warmed(hnswTopK(s, d, vecs))
-      val truth = bruteTopK(vecs).select("q_id", "vec_id")
+      // overlap the eager beam search with the brute-truth build (guide
+      // §2.6), and warm truth ONCE — the REQUIRE previously ran the
+      // brute pass twice (nTruth count + the hit join)
+      var outSlot: DataFrame = null
+      var truthSlot: DataFrame = null
+      graft.core.Par.run[Unit](Seq(
+        () => outSlot = warmed(hnswTopK(s, d, vecs)),
+        () => truthSlot = warmed(bruteTopK(vecs).select("q_id", "vec_id"))))
+      val out = outSlot; val truth = truthSlot
       val nTruth = truth.count()
       val nHits = out.select("q_id", "vec_id").join(truth, Seq("q_id", "vec_id")).count()
       require(nHits.toDouble / nTruth >= 0.92,
         s"q452: beam recall ${nHits.toDouble / nTruth} fell below the 0.92 floor " +
           s"($nHits/$nTruth vs q50 truth)")
-      materialized(out.toDF(), out, vecs).orderBy("q_id", "rk")
+      materialized(out.toDF(), out, truth, vecs).orderBy("q_id", "rk")
     },
 
     // ---- GREEDY k-CENTER CORESET (Gonzalez 1985's 2-approximation
@@ -2742,8 +2782,15 @@ object SimilarityPack extends QueryPack {
     "q54_ann_recall" -> { (s, d) =>
       import s.implicits._
       val vecs = persistedVecs(s, d)
-      val truth = warmed(bruteTopK(vecs).select("q_id", "vec_id"))
-      val (methodOut, ranked) = q54Methods(s, d, vecs)
+      // truth (an eager warmed build) and the 8-arm panel are
+      // independent — overlap them too (guide §2.6)
+      var truthSlot: DataFrame = null
+      var panelSlot: (Seq[(String, DataFrame)], DataFrame) = null
+      graft.core.Par.run[Unit](Seq(
+        () => truthSlot = warmed(bruteTopK(vecs).select("q_id", "vec_id")),
+        () => panelSlot = q54Methods(s, d, vecs)))
+      val truth = truthSlot
+      val (methodOut, ranked) = panelSlot
       val methods = methodOut.map(_._1)
       val hits = methodOut.map { case (m, out) =>
           out.filter(col("q_id") < 5)
@@ -2815,17 +2862,46 @@ object SimilarityPack extends QueryPack {
     * caller to release). */
   private[graft] def q54Methods(s: SparkSession, d: String, vecs: DataFrame)
       : (Seq[(String, DataFrame)], DataFrame) = {
+    // hoist the memoized corpus params so the parallel arms never race
+    // the first count
     val b = bucketBits(s, d)
-    val (ivf, ranked) = ivfTopK(s, d, vecs, ivfCellsFor(corpusCount(s, d)))
+    val n = corpusCount(s, d)
+    // the arms are independent (the one dependency — ivf's ranked
+    // artifact feeding ivf-pq — stays inside a single thunk), and each
+    // runs eager work at CONSTRUCTION time: hnsw's 5 beam-round
+    // checkpoint jobs, ivf/sq8/pq artifact warm-ups. Sequential
+    // construction cost sum(arms) ≈ 4.8-8 s steady at sf0.1 while each
+    // arm's 32-partition stages left most cores idle; concurrent
+    // submission (guide §2.6) overlaps them. Results are identical —
+    // every arm is a pure function of (vecs, params).
+    // 2-3 jobs in flight is plenty (guide §2.6) — more oversubscribes
+    // the 32 cores (8 arms × 32-partition stages) and GC-thrashes the
+    // concurrent checkpoint builds (measured: parallelism 8 → 10-42 s
+    // full-query wall vs the sequential 8.3-9.3 s baseline)
+    val slots = new Array[DataFrame](9)
+    graft.core.Par.run[Unit](Seq(
+      () => slots(3) = hnswTopK(s, d, vecs),
+      () => {
+        val (ivf, ranked) = ivfTopK(s, d, vecs, ivfCellsFor(n))
+        slots(6) = ivf; slots(7) = ranked
+        slots(8) = ivfPqRerankTopK(s, d, vecs, ranked)
+      },
+      () => {
+        slots(0) = pqTopK(s, d, vecs)
+        slots(1) = pqRerankTopK(s, d, vecs)
+        slots(2) = sq8RerankTopK(s, d, vecs)
+        slots(4) = lshTopK(vecs, b)
+        slots(5) = multiprobeTopK(vecs, b)
+      }), parallelism = 3)
     (Seq(
-      "q06_ann_pq" -> pqTopK(s, d, vecs),
-      "q07_ann_pq_rerank" -> pqRerankTopK(s, d, vecs),
-      "q103_ann_ivfpq" -> ivfPqRerankTopK(s, d, vecs, ranked),
-      "q151_ann_sq8_rerank" -> sq8RerankTopK(s, d, vecs),
-      "q452_ann_hnsw" -> hnswTopK(s, d, vecs),
-      "q51_ann_lsh" -> lshTopK(vecs, b),
-      "q52_ann_multiprobe" -> multiprobeTopK(vecs, b),
-      "q53_ann_ivf" -> ivf), ranked)
+      "q06_ann_pq" -> slots(0),
+      "q07_ann_pq_rerank" -> slots(1),
+      "q103_ann_ivfpq" -> slots(8),
+      "q151_ann_sq8_rerank" -> slots(2),
+      "q452_ann_hnsw" -> slots(3),
+      "q51_ann_lsh" -> slots(4),
+      "q52_ann_multiprobe" -> slots(5),
+      "q53_ann_ivf" -> slots(6)), slots(7))
   }
 
   /** Test hook (IvfPqSpec): the exact (q_id, probe_cell) universe of the

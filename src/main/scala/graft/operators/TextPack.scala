@@ -2135,10 +2135,15 @@ object TextPack extends QueryPack {
         .withColumn("score_q",
           col("prior_q") + coalesce(col("m"), lit(0L)) -
             col("n_tok") * col("denom_q"))
-      val pred = scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("lang"))))
-        .filter(col("rk") === 1)
+      // argmax by map-side-combining aggregate (the q284 pattern), not a
+      // per-doc rank window: row_number over docs×langs pays a full sort
+      // shuffle; min(struct(-score, lang)) picks the identical winner
+      // ((score desc, lang asc) ≡ (-score, lang) asc) and partial-
+      // aggregates before the exchange (guide §2.3).
+      val pred = scored.groupBy("doc_id", "fold", "true_lang")
+        .agg(min(struct((-col("score_q")).as("ns"), col("lang").as("l"))).as("p"))
+        .select(col("doc_id"), col("fold"), col("true_lang"),
+          col("p.l").as("lang"))
       val acc = pred.groupBy("fold")
         .agg(count(lit(1)).as("n_held"),
           sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L))

@@ -30,6 +30,9 @@ object ProfileQuery {
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(f"[pq] $name run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
       spark.sharedState.cacheManager.clearCache()
+      // match Bench's untimed inter-query GC (ContextCleaner backlog —
+      // see Bench.timeOne)
+      System.gc(); Thread.sleep(300)
     }
     spark.stop()
   }

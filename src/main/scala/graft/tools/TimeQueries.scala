@@ -31,6 +31,15 @@ object TimeQueries {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // deferred ContextCleaner work (checkpoint blocks, shuffle
+        // state) only runs after the driver GCs the weak refs; without
+        // this untimed GC the backlog degrades later passes (q54
+        // measured 10 → 84 s over 5 passes). Matches Bench.timeOne.
+        // SPARK_GRAFT_TIME_GC=0 disables, for reproducing the backlog.
+        if (!sys.env.get("SPARK_GRAFT_TIME_GC").contains("0")) {
+          System.gc()
+          Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_TIME_GC_MS", "300").toLong)
+        }
         println(f"[time] $name pass$pass ${sec}%.2f s")
       }
     }
