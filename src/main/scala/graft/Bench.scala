@@ -47,7 +47,8 @@ object Bench {
       // The GC runs in the untimed region so each query is measured on
       // its own plan, not the previous queries' cleanup debt.
       System.gc()
-      Thread.sleep(300)
+      Thread.sleep(1000) // heavy queries leave a bigger backlog; 300 ms
+                         // under-drained after the dedup/ANN lanes
       (sec, ok)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

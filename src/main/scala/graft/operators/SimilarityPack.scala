@@ -2878,6 +2878,12 @@ object SimilarityPack extends QueryPack {
     // the 32 cores (8 arms × 32-partition stages) and GC-thrashes the
     // concurrent checkpoint builds (measured: parallelism 8 → 10-42 s
     // full-query wall vs the sequential 8.3-9.3 s baseline)
+    // NOTE: eagerly executing each arm here (warmed per-arm outputs) was
+    // measured WORSE (16-21 s vs ~8.7 s): the caller's single union job
+    // shares the persisted vecs/ranked scans across all arms and runs
+    // their stages concurrently; 8 separate per-arm jobs give that up.
+    // Arms stay lazy; only construction-time eager work (hnsw beam
+    // rounds, artifact warm-ups) is overlapped.
     val slots = new Array[DataFrame](9)
     graft.core.Par.run[Unit](Seq(
       () => slots(3) = hnswTopK(s, d, vecs),

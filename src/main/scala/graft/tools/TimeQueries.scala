@@ -38,7 +38,7 @@ object TimeQueries {
         // SPARK_GRAFT_TIME_GC=0 disables, for reproducing the backlog.
         if (!sys.env.get("SPARK_GRAFT_TIME_GC").contains("0")) {
           System.gc()
-          Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_TIME_GC_MS", "300").toLong)
+          Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_TIME_GC_MS", "1000").toLong)
         }
         println(f"[time] $name pass$pass ${sec}%.2f s")
       }
